@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is materialized with a cheap full-evaluation action
+(write to a null-ish sink via count of the final plan) — collect() is
+deliberately avoided so driver materialization cost doesn't pollute the
+engine number.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from neulix_datahub_spark import get_session
+from neulix_datahub_spark.plans.queries import QUERIES
+
+# Headline set: flagship + the queries that exercise each subsystem hard
+# (joins, windows, profile melt, text analysis, similarity, sessionization).
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "profile_orders_stats",
+    "top_orders_per_customer",
+    "upsert_customer_balances",
+    "exact_dedup_documents",
+    "cosine_top10",
+    "token_quality_by_lang",
+    "events_hourly",
+    "user_sessions",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("neulix_bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        # Warm the JVM/codegen path once at tiny scale so per-query numbers
+        # measure execution, not first-call compilation.
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

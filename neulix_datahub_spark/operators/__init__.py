@@ -1,0 +1,24 @@
+from neulix_datahub_spark.operators.dedupe import (
+    dedupe_append,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+)
+from neulix_datahub_spark.operators.profile import profile_table, profile_stats, top_k_values
+from neulix_datahub_spark.operators.sequence import with_sequential_id
+from neulix_datahub_spark.operators.similarity import cosine_similarity_expr, cosine_top_k
+from neulix_datahub_spark.operators.upsert import upsert
+
+__all__ = [
+    "profile_table",
+    "profile_stats",
+    "top_k_values",
+    "dedupe_append",
+    "exact_dedup",
+    "minhash_near_duplicates",
+    "simhash",
+    "upsert",
+    "with_sequential_id",
+    "cosine_top_k",
+    "cosine_similarity_expr",
+]

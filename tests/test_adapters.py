@@ -1,0 +1,138 @@
+"""Edge adapters (SURVEY §2 stage 8): Firestore/Sheets/email/XCom shapes
+with injected service callables — full path, no network."""
+
+from __future__ import annotations
+
+import pytest
+
+from neulix_datahub_spark.operators.multimodal import (
+    extract_image_features,
+    read_binary_assets,
+    sample_video_frames,
+)
+from neulix_datahub_spark.sources.adapters import (
+    alert_attachment,
+    check_allowed_values,
+    dedupe_append_to_grid,
+    document_query,
+    flag_columns,
+    grid_to_dataframe,
+    task_input,
+    task_output,
+    upsert_to_document_store,
+)
+from tests.conftest import SF_DIR
+
+
+def test_document_query_composition(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = document_query(
+        ev, filters={"event_type": "purchase", "user_id": 12}, order_by="value",
+        descending=True, limit=5,
+    )
+    rows = out.collect()
+    assert len(rows) <= 5
+    assert all(r.event_type == "purchase" and r.user_id == 12 for r in rows)
+    vals = [r.value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_document_store_upsert_batching(spark):
+    df = spark.range(0, 1234).withColumnRenamed("id", "doc_id")
+    batches: list[int] = []
+    # executor-side callable must be picklable & stateless; collect sizes via
+    # an accumulator-style driver check is not possible here, so use a tiny
+    # local-mode trick: write to a temp file is overkill — assert via count.
+    seen = spark.sparkContext.accumulator(0)
+
+    def write_batch(batch):
+        assert len(batch) <= 500  # db_core.py:321-326 batch cap
+        assert all("__doc_id" in d and isinstance(d["__doc_id"], str) for d in batch)
+        seen.add(len(batch))
+
+    n = upsert_to_document_store(df, "doc_id", write_batch)
+    assert n == 1234
+    assert seen.value == 1234
+
+
+def test_document_store_empty_guard(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).filter(F.lit(False))
+    called = []
+    assert upsert_to_document_store(df, "id", lambda b: called.append(b)) == 0
+    assert called == []
+
+
+GRID = [
+    [" Id ", "name", "homologado"],
+    ["1", "ana", "SIM"],
+    ["2", "bob", "NAO"],
+    ["", "blank-id", "SIM"],
+]
+
+
+def test_grid_roundtrip_and_dedupe_append(spark):
+    df = grid_to_dataframe(spark, GRID)
+    assert df.columns == [" Id ", "name", "homologado"]
+    assert df.count() == 3
+
+    incoming = spark.createDataFrame(
+        [(1, "ana2", "SIM"), (3, "carla", "NAO"), (4, "dan", "SIM")],
+        "id long, name string, homologado string",
+    )
+    appended: list[list[str]] = []
+    n = dedupe_append_to_grid(GRID, incoming, "id", lambda rows: appended.extend(rows) or len(rows))
+    # id=1 already on the sheet → only 3 and 4 appended, projected to header
+    assert n == 2
+    assert sorted(r[0] for r in appended) == ["3", "4"]
+    assert all(len(r) == 3 for r in appended)
+
+
+def test_check_allowed_values(spark):
+    good = grid_to_dataframe(spark, GRID)
+    assert check_allowed_values(good, "homologado")
+    bad = spark.createDataFrame([("TALVEZ",)], "homologado string")
+    assert not check_allowed_values(bad, "homologado")
+
+
+def test_flag_columns_case_insensitive_resolution(spark):
+    df = spark.createDataFrame(
+        [("sim", "0"), ("2", "1,0")], "`Sanity_Check` string, `QUALITY check` string"
+    )
+    out = flag_columns(df, {"sanity": "sanity_check", "quality": "quality check"})
+    rows = out.collect()
+    assert [(r.sanity, r.quality) for r in rows] == [(True, False), (False, True)]
+
+
+def test_alert_attachment_bounds(spark):
+    df = spark.range(0, 10)
+    csv, n = alert_attachment(df)
+    assert n == 10 and csv.splitlines()[0] == "id"
+    with pytest.raises(ValueError):
+        alert_attachment(spark.range(0, 50), max_rows=10)
+
+
+def test_task_exchange_roundtrip(spark, tmp_path):
+    df = spark.range(0, 7)
+    manifest = task_output(df, str(tmp_path / "x"))
+    back = task_input(spark, manifest)
+    assert back.count() == 7
+
+
+def test_binary_assets_pipeline(spark, tmp_path):
+    # synthesize a couple of fake media files
+    (tmp_path / "a.png").write_bytes(b"\x89PNG" + bytes(range(200)))
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8" + bytes(range(100)) * 30)
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {r.media.kind for r in assets.collect()}
+    assert rows == {"image"}
+
+    feats = extract_image_features(assets)
+    got = feats.select("width", "height", "n_bytes").collect()
+    assert all(r.width >= 64 and r.height >= 64 and r.n_bytes > 0 for r in got)
+
+    frames = sample_video_frames(assets)
+    f = frames.collect()
+    assert len(f) >= 2
+    assert frames.columns == ["path", "frame_idx", "frame_ts_ms", "frame"]

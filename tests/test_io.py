@@ -1,0 +1,84 @@
+"""IO operators (SURVEY §2.1): round-trips, delimiter sniffing, load
+behaviors — the B2-fixture semantics from FIXTURES.md."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.functions.cleaning import sanitize_columns
+from neulix_datahub_spark.sources.io import (
+    read_csv,
+    read_csv_sniffed,
+    read_parquet,
+    sniff_delimiter,
+    write_csv,
+    write_parquet,
+    write_table,
+)
+
+CONTENT = [(1, "ana", 10.5), (2, "bob", 20.0), (3, "carla", 30.25)]
+SCHEMA = "id int, name string, amount double"
+
+
+@pytest.fixture
+def sample(spark):
+    return spark.createDataFrame(CONTENT, SCHEMA)
+
+
+def test_parquet_roundtrip(spark, sample, tmp_path):
+    p = write_parquet(sample, str(tmp_path / "t.parquet"))
+    got = read_parquet(spark, p)
+    assert sorted(got.collect()) == sorted(sample.collect())
+
+
+@pytest.mark.parametrize("sep", [",", ";", "\t"])
+def test_csv_sniffing(spark, tmp_path, sep):
+    raw = "id{0}name{0}amount\n1{0}ana{0}10.5\n2{0}bob{0}20.0\n".format(sep)
+    path = tmp_path / "data.csv"
+    path.write_text(raw)
+    assert sniff_delimiter(spark, str(path)) == sep
+    df = read_csv_sniffed(spark, str(path))
+    assert df.columns == ["id", "name", "amount"]
+    assert df.count() == 2
+
+
+def test_csv_bad_lines_permissive(spark, tmp_path):
+    path = tmp_path / "bad.csv"
+    path.write_text("id,name,amount\n1,ana,10.5\n2,bob,20.0,EXTRA,FIELDS\n3,carla,30.25\n")
+    df = read_csv(spark, str(path))
+    assert df.count() == 3  # PERMISSIVE keeps malformed rows (db_core.py:92)
+
+
+def test_csv_roundtrip_with_sanitizer(spark, tmp_path):
+    # B2: first column starts with a digit and carries ç/spaces/()
+    path = tmp_path / "dirty.csv"
+    path.write_text("1a çol (x),ok name\nv1,v2\n")
+    df = sanitize_columns(read_csv(spark, str(path), infer_schema=False))
+    assert df.columns == ["col_1a_ol_x", "ok_name"]
+    out = write_csv(df, str(tmp_path / "out"))
+    got = read_csv(spark, out, infer_schema=False)
+    assert got.columns == ["col_1a_ol_x", "ok_name"]
+    assert got.first()["ok_name"] == "v2"
+
+
+def test_write_table_behaviors(spark, sample, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_table(sample, path, "replace")
+    assert read_parquet(spark, path).count() == 3
+    write_table(sample, path, "append")
+    assert read_parquet(spark, path).count() == 6
+    write_table(sample, path, "replace")
+    assert read_parquet(spark, path).count() == 3
+    with pytest.raises(Exception):
+        write_table(sample, path, "fail")  # errorifexists (db_core.py:96-98)
+    with pytest.raises(ValueError):
+        write_table(sample, path, "nonsense")
+
+
+def test_write_table_empty_guard(spark, sample, tmp_path):
+    path = str(tmp_path / "tbl2")
+    write_table(sample, path, "replace")
+    empty = sample.filter(F.lit(False))
+    write_table(empty, path, "replace")  # skipped, not clobbered (db_core.py:99-101)
+    assert read_parquet(spark, path).count() == 3

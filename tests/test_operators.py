@@ -1,0 +1,122 @@
+"""Operator semantics that the SQL oracle can't pin well (SURVEY §5.2
+items 3–5): upsert idempotence, dedupe-append never duplicates, sequence
+continuity, profile parity vs reference-shaped pandas, synth constraints."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import dedupe_append, exact_dedup
+from neulix_datahub_spark.operators.profile import profile_table
+from neulix_datahub_spark.operators.sequence import continue_sequence, with_sequential_id
+from neulix_datahub_spark.operators.synth import generate_synthetic_data
+from neulix_datahub_spark.operators.upsert import upsert
+from tests.conftest import SF_DIR
+
+
+# --- upsert (J2, B4 fixture semantics) --------------------------------------
+
+def _pair(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, payload string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 2), (2, "b3", 3), (4, "d", 1)], "id long, payload string, v int"
+    )
+    return target, updates
+
+
+def test_upsert_semantics(spark):
+    target, updates = _pair(spark)
+    got = {r.id: r.payload for r in upsert(target, updates, "id", tiebreak="v").collect()}
+    # overlap overwritten (max-v wins), new inserted, untouched kept
+    assert got == {1: "a", 2: "b3", 3: "c", 4: "d"}
+
+
+def test_upsert_idempotent(spark):
+    target, updates = _pair(spark)
+    once = upsert(target, updates, "id", tiebreak="v")
+    twice = upsert(once, updates, "id", tiebreak="v")
+    assert sorted(once.collect()) == sorted(twice.collect())
+
+
+# --- dedupe-append (J1) ------------------------------------------------------
+
+def test_dedupe_append_never_duplicates(spark):
+    existing = spark.createDataFrame(
+        [("1",), ("2",), ("",), (None,), (" 3 ",)], "id string"
+    )
+    incoming = spark.createDataFrame(
+        [("1", "x"), ("4", "y"), ("", "z"), ("5", "w")], "id string, val string"
+    )
+    out = dedupe_append(existing, incoming, "id")
+    ids = sorted(r.id for r in out.collect())
+    # '1' filtered (exists); ''/None in existing are skipped, so '' passes
+    assert ids == ["", "4", "5"]
+
+
+# --- sequences (W1) ----------------------------------------------------------
+
+def test_sequential_ids_contiguous_scalable_path(spark):
+    df = spark.range(0, 1000).repartition(7)
+    out = with_sequential_id(df, "seq", start=100)
+    seqs = sorted(r.seq for r in out.collect())
+    assert seqs == list(range(100, 1100))
+
+
+def test_continue_sequence_from_max(spark):
+    existing = spark.createDataFrame([(10,), (99,)], "id long")
+    new = spark.range(0, 5).select(F.lit(None).cast("long").alias("id"))
+    out = continue_sequence(new, existing, "id")
+    assert sorted(r.id for r in out.collect()) == [100, 101, 102, 103, 104]
+
+
+# --- profile (A6) vs reference-shaped pandas (SURVEY §5.2 item 5) -------------
+
+def test_profile_matches_pandas_reference(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = {r["column"]: r for r in profile_table(df, columns=["o_orderstatus", "o_custkey"]).collect()}
+
+    pdf = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    for col in ["o_orderstatus", "o_custkey"]:
+        ser = pdf[col]
+        r = got[col]
+        assert r.n_rows == len(ser)
+        assert r.null_count == int(ser.isna().sum())
+        assert r.unique_count == ser.nunique(dropna=True)
+        # top-10 matches value_counts with stringify (data_core.py:253-262)
+        vc = ser.astype(str).value_counts()
+        top_spark = {t.value: t["count"] for t in r.top_10}
+        for val, cnt in top_spark.items():
+            assert vc[val] == cnt
+        assert r.top_10[0]["count"] == vc.iloc[0]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "different")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+# --- synth (U1, B6 shape assertions — never value-hash) -----------------------
+
+def test_synth_constraints(spark):
+    orig = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5, f"frozen{i}") for i in range(20)],
+        "id long, name string, amount double, immutable string",
+    )
+    out = generate_synthetic_data(
+        orig, num_rows=35, mutable_columns=["name", "amount"], id_column="id"
+    )
+    rows = out.collect()
+    assert len(rows) == 35
+    assert out.columns == ["id", "name", "amount", "immutable"]
+    # W1: ids continue from max(id)+1, gap-free
+    assert sorted(r.id for r in rows) == list(range(20, 55))
+    # J3: immutable values come from the original pool
+    assert {r.immutable for r in rows} <= {f"frozen{i}" for i in range(20)}
+    # mutable values drawn from the fitted marginals (bootstrap fallback)
+    assert {r.name for r in rows} <= {f"name{i}" for i in range(20)}

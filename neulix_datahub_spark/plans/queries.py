@@ -834,6 +834,11 @@ QUERIES: dict[str, QuerySpec] = {
     "distinct_events": QuerySpec(distinct_events, _DISTINCT_EVENTS_SQL, "S4 batch parity"),
 }
 
+from neulix_datahub_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
+
+for _name, (_fn, _sql, _doc) in EXT_QUERIES.items():
+    QUERIES[_name] = QuerySpec(_fn, _sql, _doc)
+
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
 
 

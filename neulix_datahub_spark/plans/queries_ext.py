@@ -1,0 +1,334 @@
+"""Extended query set: summary stats (A1), pivot/cube (A7), null-fill
+(F6), header/name projections (F1/F3), math surface (SC10), delegated SQL
+(IO8/EP2), TPC-H Q10/Q14 analogues, and the sliding-window batch parity
+(S1). Registered into the main QUERIES dict by plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.functions.cleaning import (
+    fill_nulls_by_type,
+    project_to_header,
+    sanitize_columns,
+)
+from neulix_datahub_spark.sources.tables import load_table, register_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A1: summary statistics (describe analogue, data_core.py:107-108) — exact
+# aggregates in long format (one row per numeric column) so the oracle can
+# check them (df.summary()'s quartiles are approximate by design).
+# ---------------------------------------------------------------------------
+
+_DESCRIBE_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [
+        li.agg(
+            F.lit(c).alias("column"),
+            F.count(F.col(c)).alias("n"),
+            F.round(F.avg(c), 6).alias("mean"),
+            F.round(F.stddev_samp(c), 6).alias("std"),
+            F.round(F.min(c), 6).alias("min"),
+            F.round(F.max(c), 6).alias("max"),
+        )
+        for c in _DESCRIBE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DESCRIBE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", count({c}) AS n, round(avg({c}), 6) AS mean,
+       round(stddev_samp({c}), 6) AS std, round(min({c}), 6) AS min,
+       round(max({c}), 6) AS max FROM lineitem"""
+    for c in _DESCRIBE_COLS
+)
+
+
+# ---------------------------------------------------------------------------
+# A7: pivot and cube
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("user_id")
+    )
+    return out
+
+
+PIVOT_SQL = f"""
+SELECT user_id,
+       {', '.join(f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 4) AS {t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def cube_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                         AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6: null-fill by type class (db_core.py:41-53) — nulls planted from the
+# fixture deterministically, then sanitized.
+# ---------------------------------------------------------------------------
+
+def fill_nulls_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_id",
+        F.when(F.col("value") <= 100.0, F.col("value")).alias("value"),
+        F.when(F.col("event_type") != "view", F.col("event_type")).alias("event_type"),
+    )
+    return fill_nulls_by_type(dirty)
+
+
+FILL_NULLS_SQL = """
+SELECT event_id,
+       coalesce(CASE WHEN value <= 100.0 THEN value END, 0)         AS value,
+       coalesce(CASE WHEN event_type <> 'view' THEN event_type END, '') AS event_type
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# F1 / F3: header projection and name sanitization as queries
+# ---------------------------------------------------------------------------
+
+def header_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (sheets_core.py:194-209): exact header, missing → '', null → ''."""
+    cust = _t(spark, sf_dir, "customer")
+    return project_to_header(cust, ["c_name", "c_acctbal", "priority_class"])
+
+
+HEADER_SQL = """
+SELECT coalesce(CAST(c_name AS VARCHAR), '')    AS c_name,
+       coalesce(CAST(c_acctbal AS VARCHAR), '') AS c_acctbal,
+       ''                                        AS priority_class
+FROM customer
+"""
+
+
+def sanitized_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 (db_core.py:55-72): messy aliases → sanitized identifiers."""
+    cust = _t(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_name").alias("Nome  Cliente"),
+        F.col("c_acctbal").alias("1saldo (R$)"),
+        F.col("c_mktsegment").alias(" segmento "),
+    )
+    return sanitize_columns(dirty)
+
+
+SANITIZED_SQL = """
+SELECT c_name AS Nome_Cliente, c_acctbal AS col_1saldo_R, c_mktsegment AS segmento
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# SC10: math/stats surface
+# ---------------------------------------------------------------------------
+
+def stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(stddev_samp(l_quantity), 6)           AS std_qty,
+       round(var_samp(l_discount), 6)              AS var_disc,
+       round(covar_samp(l_quantity, l_discount), 6) AS covar_qd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# IO8/EP2: the delegated-SQL surface — the SAME SQL string runs through
+# spark.sql (over registered views) and the DuckDB oracle. Scalar subquery
+# + grouped agg, the shapes the reference shipped to BigQuery verbatim.
+# ---------------------------------------------------------------------------
+
+DELEGATED_SQL = """
+SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def delegated_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 (db_core.py:119-135): arbitrary SQL over the registered catalog
+    — parse/optimize/execute entirely inside Catalyst, no translation."""
+    register_tables(spark, sf_dir, ("part",))
+    return spark.sql(DELEGATED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 / Q14 analogues
+# ---------------------------------------------------------------------------
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by revenue on returned items."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: promo revenue share — conditional agg over a fact⋈dim join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# S1 sliding-window batch parity
+# ---------------------------------------------------------------------------
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes — each event lands in two
+    windows; same groupBy runs under readStream."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+SLIDING_SQL = """
+WITH assigned AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS window_start,
+           event_type
+    FROM events
+    UNION ALL
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP) AS window_start,
+           event_type
+    FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM assigned
+GROUP BY window_start, event_type
+"""
+
+
+EXT_QUERIES = {
+    "describe_lineitem": (describe_lineitem, DESCRIBE_SQL, "A1 summary stats"),
+    "pivot_event_values": (pivot_event_values, PIVOT_SQL, "A7 pivot"),
+    "cube_order_status": (cube_order_status, CUBE_SQL, "A7 cube"),
+    "fill_nulls_events": (fill_nulls_events, FILL_NULLS_SQL, "F6"),
+    "header_projection": (header_projection, HEADER_SQL, "F1"),
+    "sanitized_projection": (sanitized_projection, SANITIZED_SQL, "F3"),
+    "stats_by_returnflag": (stats_by_returnflag, STATS_SQL, "SC10"),
+    "delegated_sql_query": (delegated_sql_query, DELEGATED_SQL, "IO8/EP2"),
+    "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
+    "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),
+    "events_sliding": (events_sliding, SLIDING_SQL, "S1 sliding parity"),
+}

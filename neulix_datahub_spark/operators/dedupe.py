@@ -170,6 +170,61 @@ def minhash_near_duplicates(
     return pairs
 
 
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (set semantics —
+    array_intersect/array_union both dedupe), as a codegen'd expression."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.02,
+    block_col: str | None = None,
+) -> DataFrame:
+    """L2 variant: exact word n-gram Jaccard over document pairs.
+
+    Pairs are generated within ``block_col`` groups (e.g. language) when
+    given — at scale you NEVER all-pairs the corpus; the block column is
+    the cheap stand-in for an LSH bucket (compose with
+    ``minhash_near_duplicates`` to generate candidates and this to verify
+    them exactly). Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
+    and ``jaccard >= threshold``.
+
+    Plan: one scan computes shingle sets (narrow), self-join shuffles both
+    sides on the block key, Jaccard is a pure array expression — no UDF.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [] ),
+        F.array_distinct(_shingles(F.col(text_col), n)).alias("__sh"),
+    )
+    left = sh.select(
+        F.col("__id").alias("id_a"),
+        *( [F.col("__blk").alias("__blk_a")] if block_col else [] ),
+        F.col("__sh").alias("__sh_a"),
+    )
+    right = sh.select(
+        F.col("__id").alias("id_b"),
+        *( [F.col("__blk").alias("__blk_b")] if block_col else [] ),
+        F.col("__sh").alias("__sh_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = cond & (F.col("__blk_a") == F.col("__blk_b"))
+    return (
+        left.join(right, cond)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard_expr(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2,
             seed: int = 42) -> Column:
     """L2 variant: 64-bit SimHash of the text's shingle set — per-bit

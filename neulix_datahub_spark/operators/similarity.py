@@ -103,6 +103,42 @@ def cosine_self_join_top_k(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_filter: Column | None = None,
+) -> DataFrame:
+    """L2 embedding variant: pairs whose cosine similarity crosses
+    ``threshold`` — ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+
+    ``probe_filter`` restricts the LEFT side (the probe set); the probe
+    side is broadcast against the full corpus scan, so the corpus never
+    shuffles. For full-corpus near-dup at 100 TB, bucket first
+    (``ivf_assign_buckets``) and run this within buckets.
+    """
+    probes = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    if probe_filter is not None:
+        probes = df.filter(probe_filter).select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+    corpus = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        corpus.join(F.broadcast(probes), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity_expr(F.col("__va"), F.col("__vb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign_buckets(
     df: DataFrame,
     num_buckets: int = 64,

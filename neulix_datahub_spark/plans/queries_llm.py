@@ -1,0 +1,94 @@
+"""Training-data-pipeline near-dup queries (SURVEY §2.11 L2/L3): exact
+n-gram Jaccard pairs and embedding-cosine near-duplicates, both fully
+SQL-expressible so the DuckDB oracle hash-checks them (the MinHash /
+SimHash candidate generators in queries.py are the scale path for the
+same semantics and get the rows-only check).
+
+Pair generation is bounded deterministically (a doc_id / vec_id modulus
+picks the probe set) — the oracle needs an exact, enumerable pair set; at
+100 TB the same operators run with LSH buckets as the blocking key
+instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import ngram_jaccard_pairs
+from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
+from neulix_datahub_spark.sources.tables import load_table
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard over same-language doc pairs (probe set:
+    doc_id % 10 == 0)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.02, block_col="lang"
+    )
+
+
+# DuckDB mirrors the Spark shingling exactly: normalize (lower, collapse
+# whitespace, trim), split on ' ', adjacent-pair shingles (i, i+1) —
+# DuckDB list slices are 1-based and end-inclusive, so t[i:i+1] is the
+# bigram at i — with a whole-text fallback for one-token docs, then
+# set-semantics intersect/union.
+_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           list_distinct(
+               CASE WHEN len(t) >= 2
+                    THEN [array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t) - 1)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents WHERE doc_id % 10 = 0
+    )
+)
+SELECT id_a, id_b, jaccard
+FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+)
+WHERE jaccard >= 0.02
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-duplicate pairs: probe set vec_id % 20 == 0 against the
+    full corpus, threshold 0.30."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb,
+        threshold=0.30,
+        probe_filter=F.col("vec_id") % 20 == 0,
+    )
+
+
+_EMBEDDING_NEAR_DUP_SQL = """
+SELECT id_a, id_b, cos_sim
+FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+               AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.30
+"""
+
+
+LLM_QUERIES = {
+    "ngram_jaccard_docs": (ngram_jaccard_docs, _NGRAM_JACCARD_SQL, "L2 n-gram Jaccard"),
+    "embedding_near_dup": (
+        embedding_near_dup,
+        _EMBEDDING_NEAR_DUP_SQL,
+        "L2/L3 cosine near-dup",
+    ),
+}

@@ -7,7 +7,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from neulix_datahub_spark.operators.dedupe import dedupe_append, exact_dedup
+from neulix_datahub_spark.operators.dedupe import (
+    dedupe_append,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
 from neulix_datahub_spark.operators.profile import profile_table
 from neulix_datahub_spark.operators.sequence import continue_sequence, with_sequential_id
 from neulix_datahub_spark.operators.synth import generate_synthetic_data
@@ -99,6 +104,42 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     out = exact_dedup(df, "text", "doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+# --- near-dup pairs (L2) ------------------------------------------------------
+
+def test_ngram_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the  QUICK brown fox ", "en"),  # same after normalization
+            (3, "completely different words here", "en"),
+            (4, "the quick brown fox", "de"),  # same text, other block
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0, block_col="lang")
+    got = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert got[(1, 2)] == 1.0  # normalization makes them identical
+    assert got[(1, 3)] == 0.0  # no shared bigrams
+    assert (1, 4) not in got  # blocked by lang
+
+
+def test_embedding_near_duplicates_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [1.0, 0.001]),  # ~identical direction
+            (2, [0.0, 1.0]),  # orthogonal to 0
+            (20, [-1.0, 0.0]),  # opposite
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_near_duplicates(
+        df, threshold=0.9, probe_filter=F.col("vec_id") % 20 == 0
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, 1)}
 
 
 # --- synth (U1, B6 shape assertions — never value-hash) -----------------------

@@ -1,0 +1,63 @@
+"""Driver-visible wrappers for the non-SQL streaming operators (S2/S4
+extensions, U3): these run a bounded Structured Streaming query to
+completion and return the materialized result. No DuckDB oracle exists
+for stateful streaming — the driver records the weaker rows-only check;
+exact batch parity is asserted in tests/test_streaming.py instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.streaming.sinks import (
+    read_upsert_table,
+    stream_upsert_to_parquet,
+)
+from neulix_datahub_spark.streaming.stateful import running_user_totals
+from neulix_datahub_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+)
+
+
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals, drained to completion; the
+    final emission per user is the answer."""
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, name, output_mode="update")
+    return spark.sql(
+        f"""SELECT user_id, n_events, sum_value, max_value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                FROM {name})
+            WHERE rn = 1"""
+    ).drop("rn")
+
+
+def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink: latest event per user after draining the
+    stream into a snapshot-versioned parquet table."""
+    tmp = tempfile.mkdtemp(prefix="neulix_stream_upsert_")
+    stream = read_events_stream(spark, sf_dir)
+    q = stream_upsert_to_parquet(
+        stream, f"{tmp}/table", key="user_id", tiebreak="ts",
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    out = read_upsert_table(spark, f"{tmp}/table")
+    return out.select("user_id", "ts", "event_type", F.round("value", 4).alias("value"))
+
+
+STREAM_QUERIES = {
+    "stateful_user_totals": (stateful_user_totals, None, "U3 applyInPandasWithState"),
+    "stream_upsert_latest_events": (
+        stream_upsert_latest_events,
+        None,
+        "J2/IO14 foreachBatch MERGE sink",
+    ),
+}

@@ -1,3 +1,8 @@
+from neulix_datahub_spark.streaming.sinks import (
+    read_upsert_table,
+    stream_upsert_to_parquet,
+)
+from neulix_datahub_spark.streaming.stateful import running_user_totals
 from neulix_datahub_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -12,4 +17,7 @@ __all__ = [
     "sessionized",
     "stream_dedup",
     "run_stream_to_memory",
+    "running_user_totals",
+    "stream_upsert_to_parquet",
+    "read_upsert_table",
 ]

@@ -1,0 +1,71 @@
+"""Streaming upsert sink (SURVEY §2.3 J2 streaming path, §2.1 IO14):
+``foreachBatch`` + keyed MERGE onto a snapshot-versioned parquet table.
+
+The reference upserts row-by-row into Firestore with 500-op batches
+(``core/utils/db_core.py:272-337``); the streaming engine replaces that
+with per-micro-batch set-based MERGE. Without Delta Lake in the
+container, the table is a directory of immutable snapshots
+(``snapshot=<n>/``) — each batch merges into the latest snapshot and
+writes the next one, so readers never see a half-written table and the
+merge never reads the files it is overwriting. With Delta available the
+same ``foreachBatch`` body becomes ``MERGE INTO`` and the snapshot
+bookkeeping disappears.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from neulix_datahub_spark.operators.upsert import upsert
+
+_SNAP_RE = re.compile(r"^snapshot=(\d+)$")
+
+
+def latest_snapshot_dir(path: str) -> str | None:
+    """Highest-numbered committed snapshot directory, or None."""
+    if not os.path.isdir(path):
+        return None
+    best: tuple[int, str] | None = None
+    for name in os.listdir(path):
+        m = _SNAP_RE.match(name)
+        if m and os.path.exists(os.path.join(path, name, "_SUCCESS")):
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, os.path.join(path, name))
+    return best[1] if best else None
+
+
+def read_upsert_table(spark: SparkSession, path: str) -> DataFrame | None:
+    """Current contents of a snapshot-versioned upsert table."""
+    snap = latest_snapshot_dir(path)
+    return spark.read.parquet(snap) if snap else None
+
+
+def stream_upsert_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    tiebreak: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Drive ``stream_df`` into a keyed parquet table with MERGE semantics:
+    within and across micro-batches, the last/greatest-``tiebreak`` row
+    per ``key`` wins. Runs with ``Trigger.AvailableNow`` (bounded drain);
+    long-lived deployments drop that trigger and keep the checkpoint.
+    """
+    spark = stream_df.sparkSession
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = read_upsert_table(spark, path)
+        merged = upsert(existing, batch_df, key, tiebreak) if existing is not None \
+            else upsert(batch_df.limit(0), batch_df, key, tiebreak)
+        merged.write.mode("overwrite").parquet(os.path.join(path, f"snapshot={batch_id}"))
+
+    writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

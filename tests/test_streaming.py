@@ -3,12 +3,17 @@ their batch counterparts (SURVEY §5.2 item 6)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from neulix_datahub_spark.plans.queries import QUERIES
 from neulix_datahub_spark.streaming import (
     read_events_stream,
+    read_upsert_table,
     run_stream_to_memory,
+    running_user_totals,
     sessionized,
     stream_dedup,
+    stream_upsert_to_parquet,
     tumbling_counts,
 )
 from tests.compare import assert_frames_match
@@ -37,6 +42,52 @@ def test_stream_dedup_keeps_unique_ids(spark):
     got = spark.sql("SELECT event_id FROM dedup_out").toPandas()
     assert got.event_id.is_unique
     assert len(got) == 1000  # fixture has unique event ids at sf0.001
+
+
+def test_stateful_running_totals_match_batch(spark):
+    stream = running_user_totals(read_events_stream(spark, SF_DIR))
+    run_stream_to_memory(stream, "stateful_out", output_mode="update")
+    # final emission per user == batch groupBy over the same bounded input
+    got = spark.sql(
+        """SELECT user_id, n_events, sum_value, max_value FROM (
+               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+               FROM stateful_out) WHERE rn = 1"""
+    ).drop("rn").toPandas()
+    from neulix_datahub_spark.sources.tables import load_table
+
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(got, batch)
+
+
+def test_stream_upsert_sink_merges_by_key(spark, tmp_path):
+    table = str(tmp_path / "upsert_table")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, SF_DIR)
+    q = stream_upsert_to_parquet(stream, table, key="user_id", tiebreak="ts",
+                                 checkpoint_dir=ckpt)
+    q.awaitTermination()
+    out = read_upsert_table(spark, table)
+    rows = out.collect()
+    # one row per user, and it is that user's latest event
+    from neulix_datahub_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    expected = ev.groupBy("user_id").agg(F.max("ts").alias("ts")).count()
+    assert len(rows) == expected
+    latest = {
+        (r.user_id, r.ts)
+        for r in ev.groupBy("user_id").agg(F.max("ts").alias("ts")).collect()
+    }
+    assert {(r.user_id, r.ts) for r in rows} <= latest
 
 
 def test_sliding_window_runs(spark):

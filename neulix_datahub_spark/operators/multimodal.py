@@ -72,7 +72,11 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int]:
     container). Derives a stable (width, height) from the payload bytes so
     the pipeline is testable end-to-end. Swap body for
     ``PIL.Image.open(io.BytesIO(payload)).size`` in a full environment."""
-    h = hash(payload[:64]) & 0x7FFFFFFF
+    import hashlib
+
+    # hashlib, not hash(): builtin hash of bytes is salted per process, so
+    # it would disagree across executors.
+    h = int.from_bytes(hashlib.sha1(payload[:64]).digest()[:4], "big")
     return 64 + h % 1024, 64 + (h >> 10) % 1024
 
 

@@ -103,6 +103,58 @@ def cosine_self_join_top_k(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def ivf_top_k(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    num_buckets: int = 64,
+    hamming_probe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """L3 scale path: approximate top-k — search only the LSH buckets
+    within ``hamming_probe`` bit-flips of the query's bucket, then exact
+    cosine inside them.
+
+    With B buckets and Hamming-1 probing, the scan touches ~(1+log2 B)/B
+    of the corpus (≈11% at B=64) instead of all of it — the recall/cost
+    dial is (num_buckets, hamming_probe). The query's bucket is computed
+    by running the SAME bucketing expression over a one-row DataFrame, so
+    corpus and probe can never disagree on hash semantics.
+    """
+    from itertools import combinations
+
+    spark = df.sparkSession
+    bucketed = ivf_assign_buckets(df, num_buckets, vec_col, seed)
+    qdf = spark.createDataFrame(
+        [(query_vector,)], f"{vec_col} array<double>"
+    )
+    q_bucket = ivf_assign_buckets(qdf, num_buckets, vec_col, seed).first()["bucket"]
+
+    import math
+
+    n_planes = int(math.log2(num_buckets))
+    probe_buckets = {q_bucket}
+    for r in range(1, hamming_probe + 1):
+        for bits in combinations(range(n_planes), r):
+            b = q_bucket
+            for bit in bits:
+                b ^= 1 << bit
+            probe_buckets.add(b)
+
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return (
+        bucketed.filter(F.col("bucket").isin(*probe_buckets))
+        .select(
+            F.col(id_col),
+            cosine_similarity_expr(F.col(vec_col), q).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.3,

@@ -720,6 +720,21 @@ def embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: bucketed approximate top-k for the vec_id=0 probe —
+    scans only Hamming-adjacent LSH buckets, then exact cosine inside
+    (rows-only: approximate by design; recall vs brute force is asserted
+    in tests/test_operators.py)."""
+    from neulix_datahub_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_top_k(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, num_buckets=16, hamming_probe=2
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming batch parity (S1/S2/S4 — the batch halves of SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -829,6 +844,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_candidates": QuerySpec(minhash_candidates, None, "L2 (rows-only)"),
     "simhash_documents": QuerySpec(simhash_documents, None, "L2 (rows-only)"),
     "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
+    "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
     "events_hourly": QuerySpec(events_hourly, _HOURLY_SQL, "S1 batch parity"),
     "user_sessions": QuerySpec(user_sessions, _SESSIONS_SQL, "S2 batch parity"),
     "distinct_events": QuerySpec(distinct_events, _DISTINCT_EVENTS_SQL, "S4 batch parity"),

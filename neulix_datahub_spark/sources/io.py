@@ -18,7 +18,12 @@ and are atomic per-directory at cluster scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import shutil
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_CANDIDATE_DELIMITERS = (",", ";", "\t")
 
@@ -126,6 +131,42 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     """IO7: text sink (``data_core.py:99-105``); df must be single string col."""
     df.write.mode(mode).text(path)
     return path
+
+
+def update_parquet_table(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, Column],
+    where: Column | None = None,
+) -> int:
+    """IO9: SQL-UPDATE semantics on a plain parquet table — the reference
+    pushes ``UPDATE ...`` strings to BigQuery (``db_core.py:187-200``); on
+    a lakehouse table this is Delta's ``UPDATE``; on plain parquet it is
+    the rewrite below: read → conditionally replace columns → write to a
+    staging dir → swap.
+
+    The staging dir + swap is required because Spark cannot overwrite a
+    path it is still reading; the swap makes the update atomic-enough
+    locally (a real deployment uses Delta/Iceberg for transactional
+    updates — this is the engine-neutral fallback). Returns the number of
+    rows matched by ``where``.
+    """
+    df = spark.read.parquet(path)
+    cond = where if where is not None else F.lit(True)
+    matched = df.filter(cond).count()
+    updated = df.select(
+        *[
+            F.when(cond, set_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    staging = f"{path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
+    updated.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return matched
 
 
 def write_table(df: DataFrame, path: str, loading_behavior: str = "append") -> str:

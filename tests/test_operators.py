@@ -12,7 +12,12 @@ from neulix_datahub_spark.operators.dedupe import (
     exact_dedup,
     ngram_jaccard_pairs,
 )
-from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
+from neulix_datahub_spark.operators.similarity import (
+    cosine_top_k,
+    embedding_near_duplicates,
+    ivf_top_k,
+)
+from neulix_datahub_spark.sources.io import update_parquet_table
 from neulix_datahub_spark.operators.profile import profile_table
 from neulix_datahub_spark.operators.sequence import continue_sequence, with_sequential_id
 from neulix_datahub_spark.operators.synth import generate_synthetic_data
@@ -140,6 +145,37 @@ def test_embedding_near_duplicates_pairs(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert pairs == {(0, 1)}
+
+
+def test_ivf_top_k_overlaps_brute_force(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_top_k(corpus, qvec, k=10).collect()]
+    approx = ivf_top_k(corpus, qvec, k=10, num_buckets=16, hamming_probe=2)
+    got = [r.vec_id for r in approx.collect()]
+    # approximate: ordered by score, nonempty, and overlapping the exact set
+    assert len(got) == 10
+    assert len(set(got) & set(exact)) >= 3
+    # determinism
+    again = [r.vec_id for r in ivf_top_k(corpus, qvec, k=10, num_buckets=16,
+                                         hamming_probe=2).collect()]
+    assert got == again
+
+
+# --- IO9 UPDATE rewrite -------------------------------------------------------
+
+def test_update_parquet_table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id long, k string, v double"
+    ).write.parquet(path)
+    n = update_parquet_table(
+        spark, path, {"v": F.col("v") * 2}, where=F.col("k") == "a"
+    )
+    assert n == 2
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 20.0, 2: 20.0, 3: 60.0}
 
 
 # --- synth (U1, B6 shape assertions — never value-hash) -----------------------

@@ -96,6 +96,49 @@ def fingerprint(col: Column | str) -> Column:
     return content_fingerprint(col)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """L4: corpus-level TF-IDF — top ``k`` terms by summed tf·idf.
+
+    Pure DataFrame composition (explode → two aggregations → broadcast
+    of the single-row corpus size): tf is the term's count in a doc, idf
+    is ln(N / df). Fully SQL-expressible, so the DuckDB oracle checks it
+    exactly — the spark.ml HashingTF+IDF pipeline trades that
+    checkability for feature-vector output; this is the analytic form.
+
+    Scale: the explode is linear fan-out (no shuffle); doc-term counts
+    shuffle on (doc, term) with map-side combine; term stats shuffle on
+    term. Both keys are high-cardinality and uniform — no skew beyond
+    stopwords, which AQE splits.
+    """
+    terms = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    doc_term = terms.groupBy("__doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    term_stats = (
+        doc_term.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .join(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(
+                F.col("total_tf") * F.log(F.col("__n") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return term_stats.orderBy(F.desc("tfidf"), F.asc("term")).limit(k)
+
+
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text profile: adds token/quality/lang/fingerprint columns.
     Single narrow projection — no shuffle."""

@@ -84,7 +84,40 @@ WHERE cos_sim >= 0.30
 """
 
 
+def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-level TF-IDF top-20 terms, exact and oracle-checked."""
+    from neulix_datahub_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, text_col="text", id_col="doc_id", k=20)
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+    FROM documents
+),
+doc_term AS (
+    SELECT doc_id, term, count(*) AS tf
+    FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+stats AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS doc_freq,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM doc_term GROUP BY term
+)
+SELECT term, doc_freq,
+       round(total_tf * ln(n_docs::DOUBLE / doc_freq), 6) AS tfidf
+FROM stats, n
+ORDER BY tfidf DESC, term
+LIMIT 20
+"""
+
+
 LLM_QUERIES = {
+    "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "ngram_jaccard_docs": (ngram_jaccard_docs, _NGRAM_JACCARD_SQL, "L2 n-gram Jaccard"),
     "embedding_near_dup": (
         embedding_near_dup,

@@ -163,6 +163,34 @@ def test_ivf_top_k_overlaps_brute_force(spark):
     assert got == again
 
 
+# --- skew tools ---------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k long, v long"  # key 0/1/2 hot
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (9, "z")], "k long, name string")
+    from neulix_datahub_spark.operators.skew import salted_aggregate, salted_join
+
+    plain = {(r.k, r.v, r.name) for r in left.join(right, on=["k"]).collect()}
+    salted = {(r.k, r.v, r.name) for r in salted_join(left, right, on=["k"], salt=4).collect()}
+    assert salted == plain
+
+    agg = salted_aggregate(
+        left, ["k"],
+        {"n": (F.count(F.lit(1)), "sum"), "vmax": (F.max("v"), "max")},
+        salt=4,
+    )
+    got = {(r.k, r.n, r.vmax) for r in agg.collect()}
+    expect = {
+        (r.k, r.n, r.vmax)
+        for r in left.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    assert got == expect
+
+
 # --- IO9 UPDATE rewrite -------------------------------------------------------
 
 def test_update_parquet_table(spark, tmp_path):

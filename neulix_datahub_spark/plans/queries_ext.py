@@ -319,7 +319,45 @@ GROUP BY window_start, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# W2 analytic windows: lag + delta + running sum per user over event time.
+# ---------------------------------------------------------------------------
+
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/delta/running-sum over (user, ts) — the full analytic
+    window frame surface (ROWS UNBOUNDED PRECEDING). Deterministic
+    ordering via the (ts, event_id) composite."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.round(F.sum("value").over(frame), 4).alias("running_sum"),
+    )
+
+
+DELTAS_SQL = """
+SELECT user_id, event_id,
+       round(value, 4) AS value,
+       round(lag(value) OVER w, 4) AS prev_value,
+       round(value - lag(value) OVER w, 4) AS delta,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_sum
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 EXT_QUERIES = {
+    "user_event_deltas": (user_event_deltas, DELTAS_SQL, "W2 lag/running frame"),
     "describe_lineitem": (describe_lineitem, DESCRIBE_SQL, "A1 summary stats"),
     "pivot_event_values": (pivot_event_values, PIVOT_SQL, "A7 pivot"),
     "cube_order_status": (cube_order_status, CUBE_SQL, "A7 cube"),

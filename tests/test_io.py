@@ -82,3 +82,38 @@ def test_write_table_empty_guard(spark, sample, tmp_path):
     empty = sample.filter(F.lit(False))
     write_table(empty, path, "replace")  # skipped, not clobbered (db_core.py:99-101)
     assert read_parquet(spark, path).count() == 3
+
+
+# --- bucketed co-located join (SCALE.md layout strategy) ----------------------
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    import contextlib
+    import io as _io
+
+    from neulix_datahub_spark.sources.bucketing import bucketed_join, write_bucketed
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must choose the co-located
+        # bucketed sort-merge join (the shape that matters at 100 TB,
+        # where neither fact side broadcasts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", on=["o_orderkey"])
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "bucketed join should be shuffle-free"
+        # and it still returns the right rows
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")

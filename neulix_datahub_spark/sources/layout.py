@@ -1,0 +1,90 @@
+"""Partitioned table layout (SCALE.md; SURVEY §4.2 "date-partitioned
+Parquet for events/orders at scale").
+
+Hive-style partition directories give partition *pruning*: a filter on
+the partition column eliminates whole directories before any file is
+opened — the difference between scanning 100 TB and scanning one day.
+The helpers derive the partition column (e.g. event date from a
+timestamp), write the layout, and a compaction pass fixes the
+small-files problem partitioned streaming sinks accrue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    partition_col: str = "event_date",
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` partitioned by the date of ``ts_col``. Readers filter
+    on ``partition_col`` (not the raw timestamp) to get pruning."""
+    out = df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+    out.write.mode(mode).partitionBy(partition_col).parquet(path)
+    return path
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> str:
+    """General Hive-layout writer (choose low-cardinality, always-filtered
+    columns; a high-cardinality partition key creates a directory per
+    value and kills the metastore before it helps any query)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    return path
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, prune: Column | None = None
+) -> DataFrame:
+    """Scan a partitioned layout; with ``prune`` on partition columns the
+    plan shows PartitionFilters and skips the other directories."""
+    df = spark.read.parquet(path)
+    return df.filter(prune) if prune is not None else df
+
+
+def compact_partitions(
+    spark: SparkSession, path: str, target_files_per_partition: int = 1
+) -> str:
+    """Rewrite a partitioned layout with ``repartition`` inside each
+    partition directory — the periodic maintenance job that undoes
+    streaming's many-small-files. Uses a staging-dir swap like IO9."""
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    part_cols = [
+        f.name for f in df.schema.fields
+        if f.name in _partition_dirs(path)
+    ]
+    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    if part_cols:
+        # hash-repartition on (partition cols [+ salt]) puts each partition
+        # value's rows into target_files tasks → that many files per dir
+        salt = (F.floor(F.rand(42) * target_files_per_partition)).cast("int")
+        writer = df.withColumn("__salt", salt).repartition(
+            *[F.col(c) for c in part_cols], F.col("__salt")
+        ).drop("__salt")
+    else:
+        writer = df.coalesce(target_files_per_partition)
+    writer.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return path
+
+
+def _partition_dirs(path: str) -> set[str]:
+    """Partition column names present as hive-style dirs under ``path``."""
+    import os
+
+    names: set[str] = set()
+    for entry in os.listdir(path):
+        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
+            names.add(entry.split("=", 1)[0])
+    return names

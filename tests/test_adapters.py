@@ -136,3 +136,77 @@ def test_binary_assets_pipeline(spark, tmp_path):
     f = frames.collect()
     assert len(f) >= 2
     assert frames.columns == ["path", "frame_idx", "frame_ts_ms", "frame"]
+
+
+# --- IO22 web source (stub fetcher; plumbing is real) -------------------------
+
+def test_fetch_url_column_plumbing(spark):
+    from neulix_datahub_spark.sources.web import fetch_url_column, stub_fetch
+
+    urls = [f"https://example.org/page/{i}" for i in range(10)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = fetch_url_column(df.repartition(4))
+    rows = out.collect()
+    assert len(rows) == 10
+    assert set(out.columns) == {"url", "status", "title", "content_sha256", "n_bytes"}
+    # deterministic across executors: re-run matches the driver-side stub
+    import hashlib
+    for r in rows:
+        st, title, body = stub_fetch(r.url)
+        assert (r.status, r.title) == (st, title)
+        assert r.content_sha256 == hashlib.sha256(body).hexdigest()
+
+
+def test_pipeline_tasks_chain_via_manifests(spark, tmp_path):
+    from neulix_datahub_spark.orchestration.dag_template import (
+        fetch_task,
+        load_task,
+        profile_task,
+    )
+
+    urls = [f"https://example.org/doc/{i}" for i in range(6)]
+    m1 = fetch_task(spark, urls, str(tmp_path / "fetched"))
+    assert m1["format"] == "parquet"  # XCom carries a manifest, not rows
+    m2 = load_task(spark, m1, str(tmp_path / "loaded"), "replace")
+    prof = profile_task(spark, m2)
+    assert {p["column"] for p in prof} >= {"url", "status", "title"}
+
+
+# --- partitioned layout + pruning ---------------------------------------------
+
+def test_partition_pruning_and_compaction(spark, tmp_path):
+    import contextlib
+    import glob
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.layout import (
+        compact_partitions,
+        read_partitioned,
+        write_date_partitioned,
+    )
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "events_by_date")
+    ev = load_table(spark, SF_DIR, "events")
+    write_date_partitioned(ev.repartition(8), path, ts_col="ts")
+
+    one_day = read_partitioned(
+        spark, path, prune=F.col("event_date") == "2024-01-02"
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_day.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    assert one_day.count() > 0
+
+    n_files_before = len(glob.glob(f"{path}/*/part-*.parquet"))
+    compact_partitions(spark, path, target_files_per_partition=1)
+    n_files_after = len(glob.glob(f"{path}/*/part-*.parquet"))
+    n_dirs = len(glob.glob(f"{path}/event_date=*"))
+    assert n_files_after <= n_dirs  # ~1 file per partition dir
+    assert n_files_after < n_files_before
+    assert spark.read.parquet(path).count() == ev.count()

@@ -49,6 +49,42 @@ def write_parquet(
     return path
 
 
+def read_parquet_or_empty(spark: SparkSession, path: str) -> DataFrame:
+    """IO17: parquet scan that yields an EMPTY (zero-column) DataFrame on a
+    missing path instead of raising — the reference's GCS-read guard
+    (``storage.py:153-194``, returns ``pd.DataFrame()`` when absent)."""
+    import os
+
+    if not os.path.exists(path):
+        return spark.createDataFrame([], "struct<>")
+    return spark.read.parquet(path)
+
+
+def bulk_load(
+    spark: SparkSession,
+    manifest: dict[str, str],
+    loading_behavior: str = "replace",
+) -> dict[str, str]:
+    """IO12: multi-file load driven by a {source_path: destination_table}
+    manifest (the reference hardcodes entities/instances/invoices/... in
+    ``upload_raw_files_to_bq``, ``db_core.py:137-185``). Pure driver
+    loop over IO10; per-entry failures are recorded, not raised, matching
+    the reference's warn-and-continue."""
+    results: dict[str, str] = {}
+    for src, dest in manifest.items():
+        try:
+            df = (
+                read_csv_sniffed(spark, src)
+                if src.endswith(".csv")
+                else spark.read.parquet(src)
+            )
+            write_table(df, dest, loading_behavior)
+            results[src] = "ok"
+        except Exception as e:  # noqa: BLE001 - reference warns and continues
+            results[src] = f"error: {type(e).__name__}"
+    return results
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

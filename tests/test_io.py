@@ -117,3 +117,22 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_read_parquet_or_empty_missing_path(spark, tmp_path):
+    from neulix_datahub_spark.sources.io import read_parquet_or_empty
+
+    out = read_parquet_or_empty(spark, str(tmp_path / "nope"))
+    assert out.count() == 0
+
+
+def test_bulk_load_manifest(spark, tmp_path):
+    from neulix_datahub_spark.sources.io import bulk_load
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(5).write.parquet(src)
+    manifest = {src: str(tmp_path / "dest"), str(tmp_path / "missing.csv"): str(tmp_path / "d2")}
+    res = bulk_load(spark, manifest)
+    assert res[src] == "ok"
+    assert res[str(tmp_path / "missing.csv")].startswith("error:")
+    assert spark.read.parquet(str(tmp_path / "dest")).count() == 5

@@ -356,8 +356,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation — must equal the plain GROUP BY (the salt only
+# routes rows), so the plain SQL is its oracle.
+# ---------------------------------------------------------------------------
+
+def salted_flag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the (skew-prone, low-cardinality)
+    returnflag key; identical result to the direct groupBy by
+    construction."""
+    from neulix_datahub_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n_items": (F.count(F.lit(1)), "sum"),
+            "sum_qty": (F.sum("l_quantity"), "sum"),
+            "max_price": (F.max("l_extendedprice"), "max"),
+        },
+        salt=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "n_items",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("max_price", 4).alias("max_price"),
+    )
+
+
+SALTED_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 EXT_QUERIES = {
     "user_event_deltas": (user_event_deltas, DELTAS_SQL, "W2 lag/running frame"),
+    "salted_flag_revenue": (salted_flag_revenue, SALTED_SQL, "skew-salted agg"),
     "describe_lineitem": (describe_lineitem, DESCRIBE_SQL, "A1 summary stats"),
     "pivot_event_values": (pivot_event_values, PIVOT_SQL, "A7 pivot"),
     "cube_order_status": (cube_order_status, CUBE_SQL, "A7 cube"),

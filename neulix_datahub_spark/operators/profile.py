@@ -32,14 +32,20 @@ def _melt(df: DataFrame, columns: list[str] | None) -> DataFrame:
     return stringified.unpivot([], cols, "column", "value")
 
 
-def profile_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def profile_stats(
+    df: DataFrame, columns: list[str] | None = None, exact: bool = True
+) -> DataFrame:
     """A2+A3+A5 in one aggregation: per-column row/null/distinct counts.
 
     Output: ``column, n_rows, null_count, null_pct, unique_count`` — one
-    row per profiled column. ``unique_count`` is exact (reference
-    ``nunique(dropna=True)``, ``data_core.py:243-246``); swap in
-    ``approx_count_distinct`` at the 100 TB point via ``exact=False``.
+    row per profiled column. ``unique_count`` is exact by default
+    (reference ``nunique(dropna=True)``, ``data_core.py:243-246``, and
+    what the DuckDB oracle checks); ``exact=False`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++) — at 100 TB the exact
+    distinct forces a per-column shuffle of all values, the sketch
+    aggregates in fixed memory.
     """
+    distinct_agg = F.count_distinct if exact else F.approx_count_distinct
     melted = _melt(df, columns)
     return (
         melted.groupBy("column")
@@ -49,7 +55,7 @@ def profile_stats(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.round(
                 (F.count(F.lit(1)) - F.count("value")) * 100.0 / F.count(F.lit(1)), 6
             ).alias("null_pct"),
-            F.count_distinct("value").alias("unique_count"),
+            distinct_agg("value").alias("unique_count"),
         )
     )
 

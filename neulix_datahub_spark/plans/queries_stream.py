@@ -53,7 +53,33 @@ def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_type", F.round("value", 4).alias("value"))
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 plumbing, driver-visible: synthesize a binary asset column from
+    the documents fixture (payload = utf-8 text bytes), run the Arrow-
+    batched mapInPandas feature extraction, and aggregate the derived
+    metadata. Rows-only: the decode step is the documented deterministic
+    stub; the schema/batching/partitioning are the real design."""
+    from neulix_datahub_spark.operators.multimodal import extract_image_features
+    from neulix_datahub_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    assets = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    feats = extract_image_features(assets)
+    return (
+        feats.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("height").alias("max_height"),
+        )
+    )
+
+
 STREAM_QUERIES = {
+    "multimodal_features": (multimodal_features, None, "L5 multimodal plumbing"),
     "stateful_user_totals": (stateful_user_totals, None, "U3 applyInPandasWithState"),
     "stream_upsert_latest_events": (
         stream_upsert_latest_events,

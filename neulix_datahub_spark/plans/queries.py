@@ -811,6 +811,123 @@ FROM (SELECT event_id, ts, user_id, event_type, value FROM events
 
 
 # ---------------------------------------------------------------------------
+# A1 depth: exact interpolated percentiles (both engines define
+# percentile/quantile_cont as linear interpolation, so this is
+# hash-checkable — unlike approx_percentile, whose sketch is
+# engine-specific and stays out of checked queries).
+# ---------------------------------------------------------------------------
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch distinct counts (Datasketches HLL): the 100 TB form of
+# A3 — sketches aggregate in fixed memory and union across partitions /
+# days; estimates are engine-specific, so rows-only + a tolerance test.
+# ---------------------------------------------------------------------------
+
+def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus-curation pipeline (L1+L4): quality-filter → exact
+# dedup → per-language stats, in one declarative plan — the operators
+# compose without materialization boundaries.
+# ---------------------------------------------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neulix_datahub_spark.operators.dedupe import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        content_fingerprint("text").alias("__fp"),
+    ).filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.75))
+    deduped = (
+        scored.groupBy("__fp")
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "quality")).alias("__row"))
+        .select("__row.*")
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CURATION_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_TOKENS_SQL} AS n_tokens,
+           round((
+             (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST(length(trim(text)) AS DOUBLE) / ({_TOKENS_SQL}) BETWEEN 3 AND 12
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_PUNCT_SQL} <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST({_STOPHITS_SQL} AS DOUBLE) / ({_TOKENS_SQL}) >= 0.01
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} >= 5 THEN 1.0 ELSE 0.0 END)
+           ) / 4.0, 6) AS quality
+    FROM documents
+),
+filtered AS (
+    SELECT * FROM scored WHERE n_tokens >= 30 AND quality >= 0.75
+),
+deduped AS (
+    SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+           arg_min(n_tokens, doc_id) AS n_tokens, arg_min(quality, doc_id) AS quality
+    FROM filtered
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM deduped
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -845,6 +962,9 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_documents": QuerySpec(simhash_documents, None, "L2 (rows-only)"),
     "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
     "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
+    "price_percentiles": QuerySpec(price_percentiles, _PERCENTILES_SQL, "A1 exact percentiles"),
+    "hll_users_by_type": QuerySpec(hll_users_by_type, None, "A3 HLL sketch (rows-only)"),
+    "curation_pipeline": QuerySpec(curation_pipeline, _CURATION_SQL, "L1+L4 composite"),
     "events_hourly": QuerySpec(events_hourly, _HOURLY_SQL, "S1 batch parity"),
     "user_sessions": QuerySpec(user_sessions, _SESSIONS_SQL, "S2 batch parity"),
     "distinct_events": QuerySpec(distinct_events, _DISTINCT_EVENTS_SQL, "S4 batch parity"),

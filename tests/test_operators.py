@@ -225,3 +225,25 @@ def test_synth_constraints(spark):
     assert {r.immutable for r in rows} <= {f"frozen{i}" for i in range(20)}
     # mutable values drawn from the fitted marginals (bootstrap fallback)
     assert {r.name for r in rows} <= {f"name{i}" for i in range(20)}
+
+
+# --- HLL sketch tolerance (A3 scale path) -------------------------------------
+
+def test_hll_estimate_within_tolerance(spark):
+    from neulix_datahub_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)

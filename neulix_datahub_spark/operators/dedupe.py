@@ -106,13 +106,25 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3,
     c = F.col(col) if isinstance(col, str) else col
     # Hash each shingle string ONCE, then derive the per-slot families by
     # re-hashing the 8-byte value — string shingling is the expensive part
-    # and must not be repeated per slot.
+    # and must not be repeated per slot. The whole signature is ONE nested
+    # transform expression (not num_hashes unrolled aggregates): unrolling
+    # blows the expression tree past the codegen limits and the plan falls
+    # back to interpreted evaluation, ~10x slower.
     base = F.transform(_shingles(c, n), lambda s: F.xxhash64(s, F.lit(seed)))
-    slots = [
-        F.array_min(F.transform(base, lambda h: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*slots)
+    # ONE fold over the hashed shingles with the num_hashes-slot min
+    # vector as accumulator: a per-slot `array_min(transform(base, ...))`
+    # would re-reference base num_hashes times, and CSE does not reach
+    # inside lambdas — the shingling would run once per slot.
+    maxes = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        maxes,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda a, i: F.least(a, F.xxhash64(h, i)),
+        ),
+    )
 
 
 def minhash_near_duplicates(
@@ -141,6 +153,12 @@ def minhash_near_duplicates(
         F.col(id_col).alias("__id"),
         minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig"),
     )
+    # Materialization barrier: without it Catalyst inlines the signature
+    # expression into every band computation AND both join sides —
+    # recomputing the expensive shingling ~2×bands times. The repartition
+    # shuffles only (id, 64×8B signature) and is reused by both sides of
+    # the self-join (ReusedExchange).
+    sig = sig.repartition("__id")
     banded = sig.select(
         "__id",
         F.posexplode(
@@ -239,13 +257,39 @@ def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2,
     # Per-bit majority vote: +1 when the shingle hash has the bit set, -1
     # otherwise; bit i of the result is 1 iff the vote is positive. Packed
     # with shift/OR (bit ops don't overflow under ANSI; arithmetic would).
-    out = F.lit(0).cast("long")
-    for i in range(num_bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1,
-        )
-        bit = F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        out = out.bitwiseOR(F.shiftleft(bit, i))
-    return out
+    # Built as ONE nested transform/aggregate expression — an unrolled
+    # num_bits-term chain exceeds codegen limits and drops the whole
+    # projection to interpreted mode (~10x slower).
+    # ONE pass over the shingle hashes with the 64-long vote vector as the
+    # fold accumulator — num_bits separate aggregates would each
+    # re-reference (and re-compute) the shingling expression, since
+    # common-subexpression elimination does not reach inside lambda
+    # functions.
+    zeros = F.array_repeat(F.lit(0).cast("long"), num_bits)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(num_bits - 1)),
+            lambda a, i: a + F.getbit(h, i) * 2 - 1,
+        ),
+    )
+    # 1<<i as a literal array; bit 63 is Long.MIN (same bit pattern —
+    # lit(1<<63) itself would overflow the signed long).
+    pows = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(num_bits)
+        ]
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            pows,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+    return packed

@@ -39,6 +39,12 @@ HEADLINE = (
     "token_quality_by_lang",
     "events_hourly",
     "user_sessions",
+    "q7_nation_volume",
+    "q18_large_volume_customers",
+    "tfidf_top20",
+    "minhash_candidates",
+    "ngram_jaccard_docs",
+    "curation_pipeline",
 )
 
 
@@ -47,20 +53,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("neulix_bench")
 
-    # Warm the JVM/codegen path once per query shape at tiny scale so the
-    # timed numbers measure execution, not first-call JIT/codegen (cold vs
-    # warm differs ~3x on this suite).
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            QUERIES[name].fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-
+    # Steady-state measurement: run each query once untimed at the target
+    # scale (JVM boot + whole-stage-codegen compile — AQE picks
+    # scale-dependent plans, so warming at a smaller sf does not compile
+    # the same code; cold vs warm differs 3-10x on this suite), then time
+    # the second run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)

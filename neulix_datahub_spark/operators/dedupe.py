@@ -219,6 +219,10 @@ def ngram_jaccard_pairs(
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         F.array_distinct(_shingles(F.col(text_col), n)).alias("__sh"),
     )
+    # Materialization barrier: otherwise Catalyst inlines the shingling
+    # expression into both sides of the self-join and recomputes it per
+    # PAIR instead of per document (measured 34s -> ~2s at sf0.1).
+    sh = sh.repartition(F.col("__blk") if block_col else F.col("__id"))
     left = sh.select(
         F.col("__id").alias("id_a"),
         *( [F.col("__blk").alias("__blk_a")] if block_col else [] ),

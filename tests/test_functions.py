@@ -109,3 +109,24 @@ def test_project_to_header(spark):
     row = out.first()
     assert out.columns == ["b", "a", "missing"]
     assert (row.b, row.a, row.missing) == ("", "1", "")
+
+
+# --- observability (logs.py parity via df.observe) ----------------------------
+
+def test_observed_write_collects_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.observability import observed_write, with_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id long, name string"
+    )
+    rec = observed_write(df, str(tmp_path / "out"))
+    assert rec["n_rows"] == 3
+    assert rec["nulls_name"] == 1
+    assert rec["nulls_id"] == 0
+    assert spark.read.parquet(rec["path"]).count() == 3
+
+    observed, obs = with_metrics(df, {"total_ids": F.sum("id")})
+    observed.count()
+    assert obs.get["total_ids"] == 6

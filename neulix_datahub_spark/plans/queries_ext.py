@@ -395,7 +395,50 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join: each event sees the latest hourly snapshot published at or
+# before its timestamp (snapshots publish at hour END, so events join to
+# the previous hour's aggregate). DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+def events_asof_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    snaps = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("snap_n"))
+        .select(
+            "user_id",
+            F.col("w.end").alias("ts"),
+            F.col("w.end").alias("snap_ts"),
+            "snap_n",
+        )
+    )
+    left = ev.select("user_id", "event_id", "ts")
+    return asof_join(left, snaps, on="ts", by="user_id")
+
+
+ASOF_SQL = """
+WITH snaps AS (
+    SELECT user_id,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS snap_ts,
+           CAST(count(*) AS BIGINT) AS snap_n
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id, date_trunc('hour', ts)
+)
+SELECT e.user_id, e.event_id, e.ts, s.snap_ts, s.snap_n
+FROM (SELECT user_id, event_id, ts FROM events WHERE user_id < 30) e
+ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+"""
+
+
 EXT_QUERIES = {
+    "events_asof_snapshots": (events_asof_snapshots, ASOF_SQL, "as-of join"),
     "user_event_deltas": (user_event_deltas, DELTAS_SQL, "W2 lag/running frame"),
     "salted_flag_revenue": (salted_flag_revenue, SALTED_SQL, "skew-salted agg"),
     "describe_lineitem": (describe_lineitem, DESCRIBE_SQL, "A1 summary stats"),

@@ -247,3 +247,35 @@ def test_hll_estimate_within_tolerance(spark):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+
+
+# --- as-of join (custom time-series operator) ---------------------------------
+
+def test_asof_join_semantics(spark):
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "early"), (2, 10, "other")],
+        "k long, ts long, val string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 200.0), (1, 15, 300.0), (2, 99, 400.0)],
+        "k long, ts long, price double",
+    )
+    out = {
+        (r.k, r.ts): r.price
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out[(1, 5)] is None      # nothing at or before ts=5
+    assert out[(1, 10)] == 200.0    # tie: simultaneous right row visible
+    assert out[(1, 20)] == 300.0    # latest <= 20 is 15
+    assert out[(2, 10)] is None     # right row is in the future
+
+
+def test_asof_join_suffixes_collisions(spark):
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, val string")
+    right = spark.createDataFrame([(1, 5, "R")], "k long, ts long, val string")
+    out = asof_join(left, right, on="ts", by="k").first()
+    assert out.val == "L" and out.val_right == "R"

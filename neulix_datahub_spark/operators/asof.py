@@ -23,6 +23,63 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point: str,
+    start: str,
+    end: str,
+    by: str | None = None,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Interval join: left rows whose ``point`` falls in
+    ``[right.start, right.end)`` — with the bin trick that keeps it an
+    equi-join at scale.
+
+    A naive ``ON point BETWEEN start AND end`` is a broadcast-nested-loop
+    (quadratic) join. Binning both sides to width-``bin_width`` buckets
+    (an interval joins every bucket it overlaps) turns it into an
+    equi-join on (key?, bin) followed by the exact containment filter —
+    the standard interval-join recipe. ``bin_width`` must be >= the
+    typical interval length (each interval lands in
+    len/bin_width + 1 buckets); None auto-sizes nothing and falls back
+    to the naive join, for small inputs / correctness baselines.
+
+    ``point``/``start``/``end`` must be numeric (cast timestamps to epoch
+    first).
+    """
+    if by is not None:
+        left = left.withColumnRenamed(by, f"__l_{by}")
+        key_conds = [F.col(f"__l_{by}") == F.col(by)]
+    else:
+        key_conds = []
+    contain = (F.col(point) >= F.col(start)) & (F.col(point) < F.col(end))
+
+    if bin_width is None:
+        out = left.join(right, [*key_conds, contain])
+    else:
+        lb = left.withColumn("__lbin", F.floor(F.col(point) / bin_width))
+        rb = right.withColumn(
+            "__rbin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / bin_width),
+                    # end is exclusive; (end - 1) avoids registering an
+                    # interval in a bucket it only touches at its open edge
+                    F.floor((F.col(end) - 1) / bin_width),
+                )
+            ),
+        )
+        out = lb.join(
+            rb, [F.col("__lbin") == F.col("__rbin"), *key_conds, contain]
+        ).drop("__lbin", "__rbin")
+
+    if by is not None:
+        # right's key column is redundant after the equi-join
+        out = out.drop(by).withColumnRenamed(f"__l_{by}", by)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

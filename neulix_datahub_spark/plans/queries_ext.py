@@ -437,8 +437,48 @@ ASOF LEFT JOIN snaps s
 """
 
 
+# ---------------------------------------------------------------------------
+# Range (interval) join: orders priced into value bands via the binned
+# equi-join form; oracle is the plain BETWEEN join.
+# ---------------------------------------------------------------------------
+
+def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neulix_datahub_spark.operators.asof import range_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [(0.0, 50_000.0, "low"), (50_000.0, 150_000.0, "mid"),
+         (150_000.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    joined = range_join(
+        orders, bands, point="o_totalprice", start="lo", end="hi",
+        bin_width=50_000,
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+        .orderBy("band")
+    )
+
+
+PRICE_BANDS_SQL = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_value
+FROM orders
+JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+             (150000.0, 1e9, 'high')) AS bands(lo, hi, band)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 EXT_QUERIES = {
     "events_asof_snapshots": (events_asof_snapshots, ASOF_SQL, "as-of join"),
+    "orders_price_bands": (orders_price_bands, PRICE_BANDS_SQL, "binned range join"),
     "user_event_deltas": (user_event_deltas, DELTAS_SQL, "W2 lag/running frame"),
     "salted_flag_revenue": (salted_flag_revenue, SALTED_SQL, "skew-salted agg"),
     "describe_lineitem": (describe_lineitem, DESCRIBE_SQL, "A1 summary stats"),

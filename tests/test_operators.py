@@ -279,3 +279,27 @@ def test_asof_join_suffixes_collisions(spark):
     right = spark.createDataFrame([(1, 5, "R")], "k long, ts long, val string")
     out = asof_join(left, right, on="ts", by="k").first()
     assert out.val == "L" and out.val_right == "R"
+
+
+def test_range_join_binned_equals_naive(spark):
+    from neulix_datahub_spark.operators.asof import range_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k in (1, 2) for t in range(0, 100, 5)], "k long, pt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 10, 40, "b"), (1, 95, 200, "c"), (2, 5, 8, "d")],
+        "k long, lo long, hi long, tag string",
+    )
+    naive = {
+        (r.k, r.pt, r.tag)
+        for r in range_join(left, right, "pt", "lo", "hi", by="k").collect()
+    }
+    binned = {
+        (r.k, r.pt, r.tag)
+        for r in range_join(left, right, "pt", "lo", "hi", by="k", bin_width=16).collect()
+    }
+    assert binned == naive
+    assert (1, 5, "a") in naive and (2, 5, "d") in naive
+    assert (1, 10, "a") not in naive  # end-exclusive
+    assert (1, 10, "b") in naive

@@ -13,6 +13,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neulix_datahub_spark.sources.tables import load_table
 from neulix_datahub_spark.streaming.sinks import (
     read_upsert_table,
     stream_upsert_to_parquet,
@@ -78,8 +79,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end-to-end: MinHash LSH candidates → connected components →
+    one survivor per near-dup cluster. The fixture has no near-dups, so
+    the pipeline plants perturbed copies (id+1e6, first token dropped)
+    and must remove exactly the planted rows — leaving the original
+    corpus size per language. Rows-only (xxhash64 is Spark-specific);
+    the survivor-count invariant is asserted in tests."""
+    from neulix_datahub_spark.operators.components import dedup_by_components
+    from neulix_datahub_spark.operators.dedupe import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    perturbed = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.expr("substring(text, instr(text, ' ') + 1)")
+    )
+    corpus = docs.unionByName(perturbed)
+    pairs = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    kept = dedup_by_components(corpus, pairs, id_col="doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs_kept"))
+        .orderBy("lang")
+    )
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, None, "L5 multimodal plumbing"),
+    "lsh_dedup_pipeline": (lsh_dedup_pipeline, None, "L2 LSH dedup end-to-end"),
     "stateful_user_totals": (stateful_user_totals, None, "U3 applyInPandasWithState"),
     "stream_upsert_latest_events": (
         stream_upsert_latest_events,

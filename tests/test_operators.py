@@ -303,3 +303,28 @@ def test_range_join_binned_equals_naive(spark):
     assert (1, 5, "a") in naive and (2, 5, "d") in naive
     assert (1, 10, "a") not in naive  # end-exclusive
     assert (1, 10, "b") in naive
+
+
+# --- connected components (L2 cluster resolution) -----------------------------
+
+def test_connected_components_resolves_clusters(spark):
+    from neulix_datahub_spark.operators.components import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3, 4, 10, 11, 20, 21, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_by_components(docs, edges, "doc_id").collect()
+    )
+    assert kept == [1, 10, 20, 99]  # one winner per cluster + untouched doc

@@ -218,7 +218,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
         F.array_distinct(_shingles(F.col(text_col), n)).alias("__sh"),
-    )
+    ).withColumn("__sz", F.size("__sh"))
     # Materialization barrier: otherwise Catalyst inlines the shingling
     # expression into both sides of the self-join and recomputes it per
     # PAIR instead of per document (measured 34s -> ~2s at sf0.1).
@@ -227,21 +227,29 @@ def ngram_jaccard_pairs(
         F.col("__id").alias("id_a"),
         *( [F.col("__blk").alias("__blk_a")] if block_col else [] ),
         F.col("__sh").alias("__sh_a"),
+        F.col("__sz").alias("__sz_a"),
     )
     right = sh.select(
         F.col("__id").alias("id_b"),
         *( [F.col("__blk").alias("__blk_b")] if block_col else [] ),
         F.col("__sh").alias("__sh_b"),
+        F.col("__sz").alias("__sz_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("__blk_a") == F.col("__blk_b"))
+    # Shingle arrays are distinct, so |A∪B| = |A|+|B|-|A∩B|: one
+    # array_intersect per pair (CSE merges the two references in codegen)
+    # instead of intersect + union — halves the per-pair hash-set work.
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
     return (
         left.join(right, cond)
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard_expr(F.col("__sh_a"), F.col("__sh_b")), 6).alias("jaccard"),
+            F.round(
+                inter / (F.col("__sz_a") + F.col("__sz_b") - inter), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -562,7 +562,172 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 analogue — order-priority checking: orders in a quarter with at least
+# one late line (EXISTS → left-semi join with a correlated non-equi date
+# predicate; commit/receipt dates absent in the fixture, so "late" is
+# l_shipdate > o_orderdate + 30 days). The semi-join keeps one row per
+# order regardless of how many lines qualify — Catalyst never widens the
+# fact side, and the orders date filter reaches the parquet scan.
+# ---------------------------------------------------------------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    with_late_line = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        with_late_line.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 analogue — important part values: per-part traded value restricted to
+# ASIA-nation suppliers, keeping parts above a fraction of the grand total
+# (scalar-subquery HAVING). partsupp is emulated by lineitem with value
+# l_extendedprice * l_quantity. The supplier filter is a region→nation→
+# supplier broadcast chain (no fact shuffle); the grand total is a 1-row
+# aggregate broadcast back — the per-part aggregate is computed once and
+# reused by both sides (same CTE in the oracle).
+# ---------------------------------------------------------------------------
+
+def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
+                "part_value"
+            )
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value") * F.lit(0.001)).alias("min_value")
+    )
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("min_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+    SELECT l_partkey,
+           round(sum(l_extendedprice * l_quantity), 4) AS part_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 analogue — suppliers holding an excess share of a part line: for
+# STANDARD parts, a supplier qualifies if its shipped quantity of some part
+# exceeds 12% of that part's total (the availqty > 0.5*sum(qty) nesting of
+# the original). Per-part totals come from a window over the already-grouped
+# (part, supplier) aggregate — no second join against the fact — and the
+# qualifying supplier set semi-joins into the supplier dim.
+# ---------------------------------------------------------------------------
+
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    per_ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    excess = per_ps.withColumn("part_qty", F.sum("supp_qty").over(w)).filter(
+        F.col("supp_qty") > 0.12 * F.col("part_qty")
+    )
+    return (
+        supp.join(
+            excess.select("l_suppkey").distinct(),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select(F.col("s_name").alias("supplier_name"), "s_acctbal")
+        .orderBy("supplier_name")
+    )
+
+
+Q20_SQL = """
+WITH per_ps AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'STANDARD'
+    GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+    SELECT l_suppkey
+    FROM (
+        SELECT l_suppkey, supp_qty,
+               sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        FROM per_ps
+    )
+    WHERE supp_qty > 0.12 * part_qty
+)
+SELECT s_name AS supplier_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY supplier_name
+"""
+
+
 TPCH_QUERIES = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL, "J4 Q4 exists semi-join"),
+    "q11_important_part_values": (
+        q11_important_part_values,
+        Q11_SQL,
+        "J4 Q11 scalar-subquery HAVING",
+    ),
+    "q20_excess_share_suppliers": (
+        q20_excess_share_suppliers,
+        Q20_SQL,
+        "J4/W2 Q20 nested share semi-join",
+    ),
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL, "J4/W2 Q2 correlated-min"),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL, "J4 Q7 multi-dim join"),
     "q8_market_share": (q8_market_share, Q8_SQL, "J4 Q8 conditional share"),

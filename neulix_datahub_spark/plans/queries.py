@@ -868,16 +868,23 @@ def hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neulix_datahub_spark.functions.planning import filter_computed
     from neulix_datahub_spark.operators.dedupe import content_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        token_count("text").alias("n_tokens"),
-        quality_score("text").alias("quality"),
-        content_fingerprint("text").alias("__fp"),
-    ).filter((F.col("n_tokens") >= 30) & (F.col("quality") >= 0.75))
+    # filter_computed: the quality filter keeps most rows, so letting
+    # Catalyst push it below this projection would re-run the regex/hash
+    # stack twice per surviving row (see functions/planning.py).
+    scored = filter_computed(
+        docs.select(
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            content_fingerprint("text").alias("__fp"),
+        ),
+        (F.col("n_tokens") >= 30) & (F.col("quality") >= 0.75),
+    )
     deduped = (
         scored.groupBy("__fp")
         .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "quality")).alias("__row"))

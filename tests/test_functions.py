@@ -130,3 +130,25 @@ def test_observed_write_collects_metrics(spark, tmp_path):
     observed, obs = with_metrics(df, {"total_ids": F.sum("id")})
     observed.count()
     assert obs.get["total_ids"] == 6
+
+
+# --- filter_computed (plan barrier) ------------------------------------------
+
+def test_filter_computed_matches_plain_filter_and_blocks_pushdown(spark):
+    from neulix_datahub_spark.functions.planning import filter_computed
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7 + 1)) for i in range(100)], "id long, s string"
+    )
+    scored = df.select("id", F.length(F.regexp_replace("s", "x", "yy")).alias("n"))
+    pred = F.col("n") >= 4
+    plain = scored.filter(pred)
+    guarded = filter_computed(scored, pred)
+    assert sorted(guarded.collect()) == sorted(plain.collect())
+    assert guarded.columns == plain.columns
+
+    # The guarded plan's Filter must test the computed attribute, not an
+    # inlined copy of the regex expression.
+    optimized = guarded._jdf.queryExecution().optimizedPlan().toString()
+    filter_lines = [l for l in optimized.splitlines() if "Filter" in l]
+    assert filter_lines and all("regexp" not in l for l in filter_lines)

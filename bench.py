@@ -53,15 +53,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("neulix_bench")
 
-    # Steady-state measurement: run each query once untimed at the target
-    # scale (JVM boot + whole-stage-codegen compile — AQE picks
-    # scale-dependent plans, so warming at a smaller sf does not compile
-    # the same code; cold vs warm differs 3-10x on this suite), then time
-    # the second run.
+    # Steady-state measurement: run each query twice untimed at the target
+    # scale, then time the third run. The first run pays JVM boot +
+    # whole-stage-codegen compile (AQE picks scale-dependent plans, so
+    # warming at a smaller sf does not compile the same code); the second
+    # still runs C1-tier JIT output — C2 compilation of the hot generated
+    # loops lands by the third run (measured: 2.2s, 2.2s, 1.45s, 1.45s on
+    # the curation pipeline). Cold vs steady differs 3-10x on this suite.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        for _ in range(2):
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         start = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)

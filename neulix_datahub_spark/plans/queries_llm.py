@@ -116,8 +116,58 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Concat-and-chunk packing: documents laid head-to-tail per language,
+# assigned to the 2048-token pack where each starts (exclusive running
+# sum / budget — see operators/packing.py). Summary per (lang, pack).
+# ---------------------------------------------------------------------------
+
+def token_pack_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from neulix_datahub_spark.operators.packing import pack_by_token_budget
+    from neulix_datahub_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    packed = pack_by_token_budget(
+        docs, id_col="doc_id", token_col="n_tokens", budget=2048, part_col="lang"
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+_PACK_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT lang, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048.0) AS BIGINT) AS pack_id
+    FROM toks
+)
+SELECT lang, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
+    "token_pack_summary": (token_pack_summary, _PACK_SQL, "L4+ concat-chunk packing"),
     "ngram_jaccard_docs": (ngram_jaccard_docs, _NGRAM_JACCARD_SQL, "L2 n-gram Jaccard"),
     "embedding_near_dup": (
         embedding_near_dup,

@@ -328,3 +328,23 @@ def test_connected_components_resolves_clusters(spark):
         r.doc_id for r in dedup_by_components(docs, edges, "doc_id").collect()
     )
     assert kept == [1, 10, 20, 99]  # one winner per cluster + untouched doc
+
+
+# --- pack_by_token_budget (concat-and-chunk packing) -------------------------
+
+def test_pack_by_token_budget_boundaries(spark):
+    from neulix_datahub_spark.operators.packing import pack_by_token_budget
+
+    df = spark.createDataFrame(
+        [(1, "a", 600), (2, "a", 600), (3, "a", 600), (4, "a", 600), (5, "b", 2500)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = pack_by_token_budget(df, "doc_id", "n_tokens", budget=1000, part_col="lang")
+    rows = {r.doc_id: (r.pack_offset, r.pack_id) for r in out.collect()}
+    # tape a: starts 0, 600, 1200, 1800 -> packs 0, 0, 1, 1
+    assert rows[1] == (0, 0)
+    assert rows[2] == (600, 0)
+    assert rows[3] == (1200, 1)
+    assert rows[4] == (1800, 1)
+    # oversized doc in its own partition starts at 0 (spans packs downstream)
+    assert rows[5] == (0, 0)

@@ -255,6 +255,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """L2 verification stage: exact word n-gram Jaccard over a candidate
+    pair list (``(id_a, id_b, ...)``) — the second half of the canonical
+    candidates→verify near-dup recipe (``minhash_near_duplicates`` emits
+    the candidates).
+
+    Returns ``(id_a, id_b, jaccard)`` for pairs at or above ``threshold``.
+
+    Scale shape: the candidate list is tiny relative to the corpus (LSH
+    prunes the quadratic pair space), so this is two id-equi-joins of a
+    small relation against the shingle projection — no self-join, no
+    cross-product, Jaccard as a pure array expression.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(_shingles(F.col(text_col), n)).alias("__vsh"),
+    ).withColumn("__vsz", F.size("__vsh"))
+    # Materialization barrier: keeps Catalyst from inlining the shingle
+    # expression into both join sides (same pathology as in
+    # ngram_jaccard_pairs above — shingles must be computed once per doc).
+    sh = sh.repartition("__vid")
+    a = sh.select(
+        F.col("__vid").alias("id_a"), F.col("__vsh").alias("__sh_a"),
+        F.col("__vsz").alias("__sz_a"),
+    )
+    b = sh.select(
+        F.col("__vid").alias("id_b"), F.col("__vsh").alias("__sh_b"),
+        F.col("__vsz").alias("__sz_b"),
+    )
+    # Shingle arrays are distinct, so |A∪B| = |A|+|B|-|A∩B| (see
+    # ngram_jaccard_pairs for why intersect-only halves the work).
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / (F.col("__sz_a") + F.col("__sz_b") - inter), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2,
             seed: int = 42) -> Column:
     """L2 variant: 64-bit SimHash of the text's shingle set — per-bit

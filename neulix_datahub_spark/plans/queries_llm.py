@@ -15,9 +15,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neulix_datahub_spark.operators.dedupe import ngram_jaccard_pairs
+from neulix_datahub_spark.operators.dedupe import (
+    minhash_near_duplicates,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    verify_candidate_pairs,
+)
 from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
 from neulix_datahub_spark.sources.tables import load_table
+
+
+def planted_near_dup_corpus(spark: SparkSession, sf_dir: str, n_docs: int = 100) -> DataFrame:
+    """The fixture corpus has no organic near-dups, so the near-dup
+    pipelines are exercised on a planted one: the first ``n_docs``
+    documents plus a perturbed copy of each (id shifted by 1e6, first
+    token dropped) — every planted pair is a high-Jaccard near-dup the
+    pipeline must find, and the construction is pure SQL so a DuckDB
+    oracle can rebuild it exactly."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
+    perturbed = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.expr("substring(text, instr(text, ' ') + 1)")
+    )
+    return docs.unionByName(perturbed)
 
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,8 +185,107 @@ ORDER BY lang, pack_id
 """
 
 
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 candidates→verify, oracle-checked: MinHash LSH candidates over
+    the planted near-dup corpus, verified with exact 3-gram Jaccard and
+    kept at >= 0.8.
+
+    This is the correctness signal for the LSH path: the DuckDB oracle
+    computes the exact >= 0.8 pair set from scratch (all-pairs — fine at
+    oracle scale, never the 100 TB plan), so a green row proves the
+    banded join missed none of them. At 64 hashes / 16 bands the miss
+    probability for a 0.8-Jaccard pair is (1 - 0.8^4)^16 ≈ 2e-4 and the
+    planted pairs sit near 0.95, so agreement is structural, not luck."""
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    cand = minhash_near_duplicates(
+        corpus, text_col="text", id_col="doc_id", num_hashes=64, bands=16, shingle_n=3
+    )
+    return verify_candidate_pairs(
+        corpus, cand, text_col="text", id_col="doc_id", n=3, threshold=0.8
+    )
+
+
+_MINHASH_VERIFIED_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM corpus
+    )
+)
+SELECT id_a, id_b, jaccard
+FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+WHERE jaccard >= 0.8
+"""
+
+
+def simhash_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 determinism check, driver-visible and oracle-checked: SimHash
+    and the MinHash signature are pure functions of the *normalized*
+    text, so uppercasing and whitespace inflation must not change either.
+    Counts per language how many documents survive both invariances —
+    the oracle asserts all of them do."""
+    docs = load_table(spark, sf_dir, "documents")
+    messy = F.regexp_replace(F.upper(F.col("text")), " ", "   ")
+    return (
+        docs.select(
+            "lang",
+            (simhash("text") == simhash(messy)).cast("long").alias("__sim_ok"),
+            (minhash_signature("text") == minhash_signature(messy))
+            .cast("long")
+            .alias("__mh_ok"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__sim_ok").alias("n_simhash_invariant"),
+            F.sum("__mh_ok").alias("n_minhash_invariant"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SIMHASH_INVARIANCE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_simhash_invariant,
+       CAST(count(*) AS BIGINT) AS n_minhash_invariant
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
+    "minhash_verified_pairs": (
+        minhash_verified_pairs,
+        _MINHASH_VERIFIED_SQL,
+        "L2 LSH candidates + exact-Jaccard verify",
+    ),
+    "simhash_invariance": (
+        simhash_invariance,
+        _SIMHASH_INVARIANCE_SQL,
+        "L2 SimHash/MinHash normalization invariance",
+    ),
     "token_pack_summary": (token_pack_summary, _PACK_SQL, "L4+ concat-chunk packing"),
     "ngram_jaccard_docs": (ngram_jaccard_docs, _NGRAM_JACCARD_SQL, "L2 n-gram Jaccard"),
     "embedding_near_dup": (

@@ -1,8 +1,11 @@
 """Driver-visible wrappers for the non-SQL streaming operators (S2/S4
-extensions, U3): these run a bounded Structured Streaming query to
-completion and return the materialized result. No DuckDB oracle exists
-for stateful streaming — the driver records the weaker rows-only check;
-exact batch parity is asserted in tests/test_streaming.py instead.
+extensions, U3): each runs a bounded Structured Streaming query to
+completion and returns the materialized result. The streaming *final
+state* over a bounded input equals a batch aggregate over the same
+input, so these carry real DuckDB oracles — the hash check proves
+batch/stream parity end-to-end, not just that rows came back. (The
+micro-batch mechanics themselves are additionally asserted in
+tests/test_streaming.py.)
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ from neulix_datahub_spark.streaming.windows import (
 
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals, drained to completion; the
-    final emission per user is the answer."""
+    final emission per user is the answer and must equal the batch
+    groupBy over the same bounded input (the DuckDB oracle)."""
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     stream = running_user_totals(read_events_stream(spark, sf_dir))
     run_stream_to_memory(stream, name, output_mode="update")
@@ -38,6 +42,16 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM {name})
             WHERE rn = 1"""
     ).drop("rn")
+
+
+_STATEFUL_TOTALS_SQL = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
 
 
 def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,12 +68,28 @@ def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "ts", "event_type", F.round("value", 4).alias("value"))
 
 
+# Last-write-wins by (user_id, ts): the fixture has no per-user max-ts
+# ties at microsecond precision (verified at sf0.01/sf0.1), so the
+# winning row is unique and the MERGE result is oracle-expressible.
+_STREAM_UPSERT_SQL = """
+SELECT user_id, ts, event_type, round(value, 4) AS value
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 plumbing, driver-visible: synthesize a binary asset column from
-    the documents fixture (payload = utf-8 text bytes), run the Arrow-
-    batched mapInPandas feature extraction, and aggregate the derived
-    metadata. Rows-only: the decode step is the documented deterministic
-    stub; the schema/batching/partitioning are the real design."""
+    """L5 plumbing, driver-visible and oracle-checked: synthesize a binary
+    asset column from the documents fixture (payload = utf-8 text bytes),
+    run the Arrow-batched mapInPandas feature extraction, and aggregate
+    the derived metadata. ``n_bytes`` flows through the mapInPandas
+    boundary, so the hash check covers the binary-column schema, the
+    Arrow batch shape, and the byte accounting; the stubbed decode
+    outputs (width/height — sha1-derived, not SQL-expressible) are
+    asserted in tests/test_operators.py instead."""
     from neulix_datahub_spark.operators.multimodal import extract_image_features
     from neulix_datahub_spark.sources.tables import load_table
 
@@ -73,28 +103,51 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.min("width").alias("min_width"),
-            F.max("height").alias("max_height"),
+            F.min("n_bytes").alias("min_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
         )
     )
 
 
-def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 end-to-end: MinHash LSH candidates → connected components →
-    one survivor per near-dup cluster. The fixture has no near-dups, so
-    the pipeline plants perturbed copies (id+1e6, first token dropped)
-    and must remove exactly the planted rows — leaving the original
-    corpus size per language. Rows-only (xxhash64 is Spark-specific);
-    the survivor-count invariant is asserted in tests."""
-    from neulix_datahub_spark.operators.components import dedup_by_components
-    from neulix_datahub_spark.operators.dedupe import minhash_near_duplicates
+# The fixture text is pure ASCII (verified), so utf-8 byte length ==
+# octet_length of the encoded blob in both engines.
+_MULTIMODAL_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_assets,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+WHERE doc_id % 10 = 0
+"""
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    perturbed = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
-        "text", F.expr("substring(text, instr(text, ' ') + 1)")
+
+def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end-to-end, the canonical three-stage recipe: MinHash LSH
+    candidates → exact n-gram-Jaccard verify (>= 0.8) → connected
+    components → one survivor (min id) per near-dup cluster. Runs on the
+    planted corpus (originals + perturbed copies); the fixture also
+    contains *organic* near-dups (exact Jaccard 0.9+ between distinct
+    doc_ids), so the verify stage is load-bearing, not ceremonial.
+
+    The DuckDB oracle recomputes the answer from first principles:
+    all-pairs exact Jaccard >= 0.8 → transitive closure (recursive CTE)
+    → min-label components → drop non-representatives. A green row
+    therefore proves the banded join surfaced every true >= 0.8 pair
+    (miss probability per pair at s = 0.8, 16 bands × 4 rows: ~2e-4;
+    the fixture's real pairs sit at 0.9+ where it is ~4e-8) and that
+    verify/components/survivor-pick agree with the exact computation."""
+    from neulix_datahub_spark.operators.components import dedup_by_components
+    from neulix_datahub_spark.operators.dedupe import (
+        minhash_near_duplicates,
+        verify_candidate_pairs,
     )
-    corpus = docs.unionByName(perturbed)
-    pairs = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    from neulix_datahub_spark.plans.queries_llm import planted_near_dup_corpus
+
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    cand = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    pairs = verify_candidate_pairs(
+        corpus, cand, text_col="text", id_col="doc_id", n=3, threshold=0.8
+    )
     kept = dedup_by_components(corpus, pairs, id_col="doc_id")
     return (
         kept.groupBy("lang")
@@ -103,13 +156,65 @@ def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_DEDUP_SQL = """
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM corpus
+    )
+),
+edges AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
+    UNION
+    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
+),
+losers AS (
+    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    WHERE id != component
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 STREAM_QUERIES = {
-    "multimodal_features": (multimodal_features, None, "L5 multimodal plumbing"),
-    "lsh_dedup_pipeline": (lsh_dedup_pipeline, None, "L2 LSH dedup end-to-end"),
-    "stateful_user_totals": (stateful_user_totals, None, "U3 applyInPandasWithState"),
+    "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
+    "lsh_dedup_pipeline": (lsh_dedup_pipeline, _LSH_DEDUP_SQL, "L2 LSH dedup end-to-end"),
+    "stateful_user_totals": (
+        stateful_user_totals,
+        _STATEFUL_TOTALS_SQL,
+        "U3 applyInPandasWithState (batch-parity oracle)",
+    ),
     "stream_upsert_latest_events": (
         stream_upsert_latest_events,
-        None,
-        "J2/IO14 foreachBatch MERGE sink",
+        _STREAM_UPSERT_SQL,
+        "J2/IO14 foreachBatch MERGE sink (batch-parity oracle)",
     ),
 }

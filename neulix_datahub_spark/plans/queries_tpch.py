@@ -10,8 +10,11 @@ date-lag predicates (Q12/Q21) use ``l_shipdate - o_orderdate`` in place
 of commit/receipt dates.
 
 Scale notes (100 TB design point), applied throughout:
-- dimension sides (region/nation/supplier, filtered part) are broadcast —
-  no shuffle on the fact scan for those joins;
+- only bounded-size dimensions (region/nation/supplier — BROADCAST_TABLES
+  in sources/tables.py) carry explicit broadcast hints; customer/part grow
+  with scale factor, so their join strategy is left to AQE (a forced
+  broadcast of a multi-hundred-GB table at the 100 TB design point is an
+  executor OOM, and the hint would override AQE's runtime choice);
 - fact⋈fact joins (orders⋈lineitem) shuffle on the join key once and
   aggregate partially map-side;
 - LIMIT queries carry a deterministic id tiebreak so the cut is stable
@@ -53,7 +56,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -114,7 +117,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).isin("NATION_1", "NATION_2") & (F.col("supp_nation") != F.col("cust_nation"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -166,9 +169,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nk"))
@@ -214,7 +217,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -346,7 +349,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -369,7 +372,7 @@ GROUP BY p_brand, p_type, p_size
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
         "p_partkey", "l_quantity", "l_extendedprice"
     )
     w = Window.partitionBy("p_partkey")
@@ -405,7 +408,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -436,7 +439,7 @@ JOIN customer ON o_custkey = c_custkey
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -674,7 +677,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     supp = _t(spark, sf_dir, "supplier")
     per_ps = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )

@@ -37,7 +37,14 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one fixture table. Parquet is self-describing; no inference cost."""
+    """Read one fixture table. Parquet is self-describing; no inference cost.
+
+    Sets ``spark.sql.legacy.parquet.nanosAsLong`` here, not only in the
+    session factory: callers (the correctness driver among them) may hand us
+    a plain session, and without the flag any TIMESTAMP(NANOS) column aborts
+    the read with PARQUET_TYPE_ILLEGAL. The conf is runtime-settable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[c] if c in df.columns else None

@@ -17,6 +17,9 @@ Selenium path raises NotImplementedError until a driver binary exists).
 from __future__ import annotations
 
 import hashlib
+import re
+import urllib.error
+import urllib.request
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -38,6 +41,35 @@ def stub_fetch(url: str) -> tuple[int, str, bytes]:
     ``selenium_fetch`` / an HTTP client in a real deployment."""
     digest = hashlib.sha256(url.encode("utf-8")).hexdigest()
     return 200, f"title:{digest[:12]}", digest.encode("ascii")
+
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+
+
+def http_fetch(url: str, timeout: float = 30.0) -> tuple[int, str, bytes]:
+    """Non-Selenium fetch path (stdlib urllib — no browser binary needed):
+    GET the URL, extract ``<title>`` with a regex, return
+    ``(status, title, body)``. This is the usable default for IO22 in
+    environments without geckodriver; it covers the reference spiders'
+    actual extraction (page title, ``base_spider.py:5-16``) for
+    static pages. JS-rendered pages still need ``selenium_fetch``.
+
+    Network errors yield a synthetic status (0 for transport failures,
+    the HTTP code for 4xx/5xx) instead of raising — one bad URL must not
+    kill a 10k-URL partition task.
+    """
+    req = urllib.request.Request(url, headers={"User-Agent": "neulix-datahub-spark/IO22"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            body = resp.read()
+            status = resp.status
+    except urllib.error.HTTPError as e:
+        return e.code, "", e.read() if e.fp else b""
+    except (urllib.error.URLError, OSError, ValueError):
+        return 0, "", b""
+    m = _TITLE_RE.search(body)
+    title = m.group(1).decode("utf-8", errors="replace").strip() if m else ""
+    return status, title, body
 
 
 def selenium_fetch(url: str) -> tuple[int, str, bytes]:

@@ -1,0 +1,233 @@
+"""Service-edge adapters (IO22 http fetch, IO23 email/SMTP, structured
+logging, secret/config layer) — adapter-tier, unit-tested, no oracle."""
+
+from __future__ import annotations
+
+import threading
+from email.message import EmailMessage
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from neulix_datahub_spark.config import (
+    EnvSecretStore,
+    InMemorySecretStore,
+    smtp_config_from_secrets,
+)
+from neulix_datahub_spark.logs import StructuredLogger
+from neulix_datahub_spark.sources.notify import (
+    alert_email,
+    attach_bytes,
+    attach_dataframe,
+    build_message,
+    build_smtp_transport,
+    send_email,
+)
+from neulix_datahub_spark.sources.web import fetch_url_column, http_fetch
+
+
+# ---------------------------------------------------------------------------
+# IO22: http fetch
+# ---------------------------------------------------------------------------
+
+class _Page(BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.path == "/missing":
+            self.send_response(404)
+            self.end_headers()
+            self.wfile.write(b"nope")
+            return
+        body = b"<html><head><title>  Hello Fixture  </title></head><body>x</body></html>"
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):  # keep test output quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Page)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_fetch_title(http_server):
+    status, title, body = http_fetch(f"{http_server}/page")
+    assert status == 200
+    assert title == "Hello Fixture"
+    assert b"<title>" in body
+
+
+def test_http_fetch_http_error(http_server):
+    status, title, _ = http_fetch(f"{http_server}/missing")
+    assert status == 404 and title == ""
+
+
+def test_http_fetch_transport_error():
+    status, title, body = http_fetch("http://127.0.0.1:9/unroutable", timeout=0.5)
+    assert (status, title, body) == (0, "", b"")
+
+
+def test_fetch_url_column_with_http_fetcher(spark, http_server):
+    urls = spark.createDataFrame(
+        [(f"{http_server}/a",), (f"{http_server}/missing",)], ["url"]
+    )
+    rows = {r.url: r for r in fetch_url_column(urls, fetcher=http_fetch).collect()}
+    assert rows[f"{http_server}/a"].status == 200
+    assert rows[f"{http_server}/a"].title == "Hello Fixture"
+    assert rows[f"{http_server}/missing"].status == 404
+
+
+# ---------------------------------------------------------------------------
+# IO23: email composition + SMTP send
+# ---------------------------------------------------------------------------
+
+class _FakeSMTP:
+    """Records the send instead of talking to a server."""
+
+    sent: list[EmailMessage] = []
+    logins: list[tuple[str, str]] = []
+
+    def __init__(self, host, port):
+        self.host, self.port = host, port
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def ehlo(self):
+        pass
+
+    def starttls(self):
+        pass
+
+    def login(self, user, password):
+        _FakeSMTP.logins.append((user, password))
+
+    def send_message(self, msg):
+        _FakeSMTP.sent.append(msg)
+
+
+def test_build_smtp_transport_env(monkeypatch):
+    monkeypatch.setenv("SMTP_HOST", "mail.example.com")
+    monkeypatch.setenv("SMTP_PORT", "2525")
+    t = build_smtp_transport()
+    assert t["host"] == "mail.example.com" and t["port"] == 2525
+    # explicit config wins over env
+    t2 = build_smtp_transport({"smtp_host": "other", "smtp_port": 25})
+    assert t2["host"] == "other" and t2["port"] == 25
+
+
+def test_attach_dataframe_csv_and_guard(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    msg = build_message("s", "b", "me@example.com", ["you@example.com"])
+    n = attach_dataframe(msg, df, csv_name="rows.csv")
+    assert n == 2
+    att = list(msg.iter_attachments())
+    assert att[0].get_filename() == "rows.csv"
+    assert b"id,name" in att[0].get_payload(decode=True)
+    with pytest.raises(ValueError, match="aggregate first"):
+        attach_dataframe(msg, df, max_rows=1)
+
+
+def test_send_email_end_to_end(spark):
+    _FakeSMTP.sent.clear()
+    df = spark.createDataFrame([(1, 2.5)], ["k", "v"])
+    out = send_email(
+        ["ops@example.com"],
+        "alert",
+        "threshold crossed",
+        data=df,
+        attachments=[("extra.txt", b"ctx")],
+        config={"smtp_from": "pipeline@example.com", "smtp_user": "u", "smtp_password": "p"},
+        smtp_factory=_FakeSMTP,
+    )
+    assert out == {"sent": True, "recipients": ["ops@example.com"]}
+    (msg,) = _FakeSMTP.sent
+    assert msg["Subject"] == "alert"
+    names = [a.get_filename() for a in msg.iter_attachments()]
+    assert names == ["data.csv", "extra.txt"]
+    assert ("u", "p") in _FakeSMTP.logins
+
+
+def test_send_email_requires_from():
+    out = send_email(["x@example.com"], "s", "b", config={}, smtp_factory=_FakeSMTP)
+    assert out["sent"] is False and "smtp_from" in out["error"]
+
+
+def test_alert_email_dict_payload():
+    _FakeSMTP.sent.clear()
+    out = alert_email(
+        ["x@example.com"], "s", "b", data={"appended": 3},
+        config={"smtp_from": "p@example.com"}, smtp_factory=_FakeSMTP,
+    )
+    assert out["sent"] is True
+    (msg,) = _FakeSMTP.sent
+    assert [a.get_filename() for a in msg.iter_attachments()] == ["data.json"]
+
+
+def test_attach_bytes_mime_sniff():
+    msg = build_message("s", "b", "a@example.com", ["b@example.com"])
+    attach_bytes(msg, b"x,y\n1,2", "table.csv")
+    att = list(msg.iter_attachments())
+    assert att[0].get_content_type() == "text/csv"
+
+
+# ---------------------------------------------------------------------------
+# Structured logging
+# ---------------------------------------------------------------------------
+
+def test_structured_logger_records():
+    records = []
+    log = StructuredLogger(sink=records.append, context={"job": "nightly"})
+    log.inf("loaded table", rows=42)
+    log.err("bad partition")
+    assert [r["severity"] for r in records] == ["INFO", "ERROR"]
+    assert records[0]["message"].startswith("[ oo INFO ] loaded table")
+    assert "test_structured_logger_records" in records[0]["caller"]
+    assert records[0]["context"] == {"job": "nightly", "rows": 42}
+    with pytest.raises(ValueError):
+        log.log("SHOUT", "nope")
+
+
+# ---------------------------------------------------------------------------
+# Secret / config layer
+# ---------------------------------------------------------------------------
+
+def test_env_secret_store(monkeypatch):
+    monkeypatch.setenv("NEULIX_SECRET_DB_PASSWORD", "hunter2")
+    store = EnvSecretStore()
+    assert store.access_secret("db-password") == "hunter2"
+    assert store.access_secret("db_password", version_id="2") is None
+    assert store.access_secret("absent") is None
+    with pytest.raises(NotImplementedError):
+        store.create_secret("x")
+
+
+def test_in_memory_secret_store_versions():
+    store = InMemorySecretStore()
+    store.create_secret("token")
+    assert store.access_secret("token") is None
+    assert store.add_secret_version("token", "v1") == 1
+    assert store.add_secret_version("token", "v2") == 2
+    assert store.access_secret("token") == "v2"
+    assert store.access_secret("token", "1") == "v1"
+    assert store.access_secret("token", "9") is None
+    assert store.access_secret("token", "not-a-version") is None
+
+
+def test_smtp_config_from_secrets():
+    store = InMemorySecretStore()
+    store.add_secret_version("smtp_host", "mail.internal")
+    store.add_secret_version("smtp_from", "noreply@example.com")
+    cfg = smtp_config_from_secrets(store)
+    assert cfg["smtp_host"] == "mail.internal"
+    assert cfg["smtp_from"] == "noreply@example.com"
+    assert cfg["smtp_user"] is None

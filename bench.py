@@ -60,14 +60,22 @@ def main() -> None:
     # still runs C1-tier JIT output — C2 compilation of the hot generated
     # loops lands by the third run (measured: 2.2s, 2.2s, 1.45s, 1.45s on
     # the curation pipeline). Cold vs steady differs 3-10x on this suite.
+    # Record the best of two timed runs: a single sample conflates the
+    # engine's cost with whatever else the machine was doing that second
+    # (measured: a concurrent process inflated one query 2.5s → 10.9s
+    # while its neighbors were unaffected). Min-of-2 estimates the true
+    # cost; sustained regressions still show in both samples.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         for _ in range(2):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        samples = []
+        for _ in range(2):
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

@@ -1097,6 +1097,7 @@ _PRIORITY_R2 = [
     "stateful_user_totals", "stream_upsert_latest_events",
     # new this round
     "minhash_verified_pairs", "simhash_invariance",
+    "stream_interval_join_counts",
     # round-1 errors, now fixed (nanos session fix / canonicalizer fix)
     "doc_filter_sort_limit", "sequential_event_ids", "json_props_stats",
     "hll_users_by_type", "events_hourly", "user_sessions",
@@ -1108,7 +1109,6 @@ _PRIORITY_R2 = [
     "curation_pipeline", "exact_dedup_documents", "cosine_top10",
     "upsert_customer_balances", "top_orders_per_customer",
     "token_quality_by_lang", "price_percentiles", "delegated_sql_query",
-    "rollup_order_status",
 ]
 assert set(_PRIORITY_R2) <= set(QUERIES), sorted(set(_PRIORITY_R2) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R2} | {

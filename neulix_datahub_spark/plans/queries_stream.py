@@ -204,8 +204,60 @@ ORDER BY lang
 """
 
 
+def stream_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, driver-visible and oracle-checked:
+    click events joined to same-user purchase events within the following
+    12 hours, both as unbounded streams with watermarks; the drained join
+    is aggregated per user in batch. Over the bounded fixture the result
+    equals the identical batch join — the DuckDB oracle — so the hash
+    check proves the streaming join's key/range/watermark semantics, not
+    just that rows came back."""
+    from neulix_datahub_spark.streaming.joins import stream_interval_join
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = stream_interval_join(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        key="user_id",
+        ts_col="ts",
+        lower="0 seconds",
+        upper="12 hours",
+        watermark="24 hours",
+    )
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("right_value"), 4).alias("sum_purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(b.value), 4) AS sum_purchase_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
+    "stream_interval_join_counts": (
+        stream_interval_join_counts,
+        _INTERVAL_JOIN_SQL,
+        "S-ext stream-stream interval join (batch-parity oracle)",
+    ),
     "lsh_dedup_pipeline": (lsh_dedup_pipeline, _LSH_DEDUP_SQL, "L2 LSH dedup end-to-end"),
     "stateful_user_totals": (
         stateful_user_totals,

@@ -1,0 +1,56 @@
+"""Stream-stream joins (S-extension; no reference analogue — the
+reference is daily Airflow batch).
+
+Structured Streaming's interval join: two unbounded streams joined on an
+equality key plus a time-range predicate. Both sides carry watermarks,
+and the range bound (``lower``/``upper``) is what lets the engine expire
+join state — without it a stream-stream join would buffer both streams
+forever. State per key is bounded by ``watermark + (upper - lower)``.
+
+Batch parity: over a bounded input the drained join equals the same
+join run as a batch query, which is how the registered query is
+oracle-checked (plans/queries_stream.py::stream_interval_join_counts).
+
+At 100 TB-scale streaming this runs against Kafka sources with
+shuffle-partitioned state stores; locally the parquet fixture drives it
+via ``readStream`` exactly like the window operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "12 hours",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Inner interval join: for each left row, right rows with the same
+    ``key`` whose ``ts_col`` falls in ``[left.ts + lower, left.ts + upper]``.
+
+    Output columns: ``key``, ``left_ts``, ``right_ts`` plus the right
+    side's non-key/non-ts columns (prefixed ``right_``) — explicit
+    projection, so the ambiguous-column trap of self-joining the same
+    source never reaches the caller.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & F.expr(
+        f"r.{ts_col} BETWEEN l.{ts_col} + INTERVAL {lower} "
+        f"AND l.{ts_col} + INTERVAL {upper}"
+    )
+    right_extra = [
+        c for c in right.columns if c not in (key, ts_col)
+    ]
+    return l.join(r, cond, "inner").select(
+        F.col(f"l.{key}").alias(key),
+        F.col(f"l.{ts_col}").alias("left_ts"),
+        F.col(f"r.{ts_col}").alias("right_ts"),
+        *[F.col(f"r.{c}").alias(f"right_{c}") for c in right_extra],
+    )

@@ -97,3 +97,36 @@ def test_sliding_window_runs(spark):
     # every event lands in exactly 2 sliding windows
     total = spark.sql("SELECT sum(n_events) AS s FROM sliding_out").first().s
     assert n > 0 and total == 2000
+
+
+def test_interval_join_stream_matches_batch(spark):
+    from neulix_datahub_spark.sources.tables import load_table
+    from neulix_datahub_spark.streaming.joins import stream_interval_join
+
+    ev = read_events_stream(spark, SF_DIR)
+    joined = stream_interval_join(
+        ev.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value"),
+        upper="12 hours",
+        watermark="24 hours",
+    )
+    run_stream_to_memory(joined, "ij_out", output_mode="append")
+    got = spark.sql("SELECT * FROM ij_out").toPandas()
+
+    b = load_table(spark, SF_DIR, "events")
+    clicks = b.filter(F.col("event_type") == "click").select("user_id", "ts")
+    buys = b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("right_ts"),
+        F.col("value").alias("right_value"),
+    )
+    batch = (
+        clicks.join(
+            buys,
+            (F.col("user_id") == F.col("u2"))
+            & F.expr("right_ts BETWEEN ts AND ts + INTERVAL 12 HOURS"),
+        )
+        .select("user_id", F.col("ts").alias("left_ts"), "right_ts", "right_value")
+        .toPandas()
+    )
+    assert len(got) > 0  # non-degenerate fixture
+    assert_frames_match(got, batch)

@@ -28,3 +28,33 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_no_broadcast_hints_on_scaling_tables(spark):
+    """Scale invariant (SCALE.md): explicit broadcast hints are allowed
+    only for constant-size dimensions (BROADCAST_TABLES). A hint on a
+    table that grows with scale factor would force an executor OOM at
+    the 100 TB design point and override AQE's runtime choice — assert
+    the analyzed plans carry no hint over customer/part/orders/lineitem
+    scans."""
+    from neulix_datahub_spark.plans.queries_tpch import TPCH_QUERIES
+
+    # Relation lines print column lists, not paths — identify the hinted
+    # table by its lead column. Scaling tables (forbidden under a hint):
+    forbidden = {"c_custkey": "customer", "p_partkey": "part",
+                 "o_orderkey": "orders", "l_orderkey": "lineitem"}
+    for name, (fn, _sql, _doc) in TPCH_QUERIES.items():
+        df = fn(spark, SF_DIR)
+        lines = df._jdf.queryExecution().analyzed().toString().splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint (strategy=broadcast)" not in line:
+                continue
+            # first Relation under the hint (pre-order print) is the hinted
+            # one; an Aggregate on the way down means the hint covers a
+            # bounded derivation (e.g. q11's 1-row threshold), not the scan
+            j = next(k for k in range(i + 1, len(lines)) if "Relation [" in lines[k])
+            if any("Aggregate [" in lines[k] for k in range(i + 1, j)):
+                continue
+            cols = lines[j].split("Relation [", 1)[1]
+            bad = [t for c, t in forbidden.items() if cols.startswith(c)]
+            assert not bad, f"{name}: broadcast hint over scaling table {bad}"

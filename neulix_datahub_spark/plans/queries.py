@@ -1098,17 +1098,19 @@ _PRIORITY_R2 = [
     # new this round
     "minhash_verified_pairs", "simhash_invariance",
     "stream_interval_join_counts",
+    "coerced_timestamps", "json_serialized_orders", "resolved_projection",
+    "positional_alignment", "synth_constraint_check",
     # round-1 errors, now fixed (nanos session fix / canonicalizer fix)
     "doc_filter_sort_limit", "sequential_event_ids", "json_props_stats",
     "hll_users_by_type", "events_hourly", "user_sessions",
     "distinct_events", "events_asof_snapshots", "user_event_deltas",
     "pivot_event_values", "fill_nulls_events", "events_sliding",
     "profile_documents_full",
-    # representative already-green slice (regression guard)
+    # representative already-green slice (regression guard; the rest of
+    # the r1-green set sits in the registry tail, covered by r1 rows)
     "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "curation_pipeline", "exact_dedup_documents", "cosine_top10",
-    "upsert_customer_balances", "top_orders_per_customer",
-    "token_quality_by_lang", "price_percentiles", "delegated_sql_query",
+    "curation_pipeline", "exact_dedup_documents",
+    "upsert_customer_balances",
 ]
 assert set(_PRIORITY_R2) <= set(QUERIES), sorted(set(_PRIORITY_R2) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R2} | {

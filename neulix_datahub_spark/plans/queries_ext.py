@@ -6,7 +6,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.functions.cleaning import (
@@ -476,7 +476,209 @@ ORDER BY band
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: driver-visible forms of previously unit-only
+# operators (SC4 coercing parse, SC8 JSON serialize, F2 column resolver,
+# J3 positional alignment, U1 synthetic-data constraints).
+# ---------------------------------------------------------------------------
+
+def coerced_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC4 driver-visible: a deterministically 'messy' string column
+    (every 7th order corrupted) pushed through the coercing parse
+    (``try_timestamp`` — invalid → NULL, the reference's
+    pd.to_datetime(errors='coerce'), ``db_core.py:52``), then aggregated
+    so the oracle checks both the parse and the null-coercion counts."""
+    from neulix_datahub_spark.functions.cleaning import try_timestamp
+
+    orders = _t(spark, sf_dir, "orders")
+    messy = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("not-a-date")
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+    parsed = orders.select(
+        "o_orderstatus", try_timestamp(messy).alias("__ts")
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("__ts").alias("n_parsed"),
+            F.date_format(F.min("__ts"), "yyyy-MM-dd").alias("min_day"),
+            F.date_format(F.max("__ts"), "yyyy-MM-dd").alias("max_day"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+COERCED_TS_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(ts) AS BIGINT) AS n_parsed,
+       strftime(min(ts), '%Y-%m-%d') AS min_day,
+       strftime(max(ts), '%Y-%m-%d') AS max_day
+FROM (
+    SELECT o_orderstatus,
+           TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                         ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                    END AS TIMESTAMP) AS ts
+    FROM orders
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def json_serialized_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SC8 driver-visible: row → JSON document (``to_json(struct(...))``),
+    hash-compared byte-for-byte against DuckDB's serializer (both emit
+    compact key:value form; payload restricted to int/string/date — float
+    repr differs between engines and belongs in SC7's parse direction)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return orders.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                "o_orderkey",
+                "o_orderstatus",
+                # pre-format: engines disagree on raw-timestamp JSON text
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderday"),
+            )
+        ).alias("doc"),
+    ).orderBy("o_orderkey")
+
+
+JSON_SERIALIZE_SQL = """
+SELECT o_orderkey,
+       to_json({'o_orderkey': o_orderkey,
+                'o_orderstatus': o_orderstatus,
+                'o_orderday': strftime(o_orderdate, '%Y-%m-%d')}) AS doc
+FROM orders
+WHERE o_orderkey % 50 = 0
+ORDER BY o_orderkey
+"""
+
+
+def resolved_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 driver-visible: case-insensitive + substring column resolution
+    (``find_col``, reference ``sheets_core.py:55-66``) actually driving a
+    projection — 'O_TOTALPRICE' resolves exact-insensitively,
+    'orderpri' by substring; the oracle pins what they resolved to."""
+    from neulix_datahub_spark.functions.cleaning import find_col
+
+    orders = _t(spark, sf_dir, "orders")
+    price = find_col(orders, "O_TOTALPRICE")
+    prio = find_col(orders, "orderpri")
+    return orders.select(
+        "o_orderkey",
+        F.col(price).alias("resolved_price"),
+        F.col(prio).alias("resolved_priority"),
+    ).orderBy("o_orderkey")
+
+
+RESOLVED_SQL = """
+SELECT o_orderkey,
+       o_totalprice AS resolved_price,
+       o_orderpriority AS resolved_priority
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+def positional_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 driver-visible: the reference's positional zip (synthetic row i
+    inherits original row i's frozen columns, ``data_core.py:163-166``) as
+    an explicit row_number alignment join — i-th customer by key paired
+    with i-th order by key. Sort keys are unique, so the alignment is
+    deterministic at any parallelism."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name")
+        .withColumn("__rn", F.row_number().over(Window.orderBy("c_custkey")))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("__rn", F.row_number().over(Window.orderBy("o_orderkey")))
+    )
+    return (
+        cust.join(orders, "__rn")
+        .select(
+            F.col("__rn").alias("pos"),
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice",
+        )
+        .orderBy("pos")
+    )
+
+
+ALIGN_SQL = """
+SELECT c.rn AS pos, c_custkey, c_name, o_orderkey, o_totalprice
+FROM (SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_custkey) AS rn FROM customer) c
+JOIN (SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders) o
+  ON c.rn = o.rn
+ORDER BY pos
+"""
+
+
+def synth_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 driver-visible: the synthetic-data generator's *contract*,
+    checked as one row of invariants the oracle can pin as constants —
+    the sampled values themselves are seeded-random (not portable), but
+    the constraints are exact: requested row count, id continuation from
+    max(source)+1 with contiguous unique ids (W1), bootstrap values drawn
+    from the source domain, frozen columns preserved positionally (J3)."""
+    from neulix_datahub_spark.operators.synth import generate_synthetic_data
+
+    src = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    n_req = 500
+    synth = generate_synthetic_data(
+        src, n_req, mutable_columns=["c_acctbal", "c_mktsegment"],
+        id_column="c_custkey",
+    )
+    bounds = src.agg(
+        F.max("c_custkey").alias("max_id"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.collect_set("c_mktsegment").alias("segs"),
+        F.collect_set("c_name").alias("names"),
+    )
+    return synth.join(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count_distinct("c_custkey") == n_req).alias("ids_unique"),
+        (
+            (F.min("c_custkey") == F.first("max_id") + 1)
+            & (F.max("c_custkey") == F.first("max_id") + n_req)
+        ).alias("ids_contiguous_from_max"),
+        F.every(
+            F.col("c_acctbal").between(F.col("lo"), F.col("hi"))
+        ).alias("acctbal_in_domain"),
+        F.every(
+            F.array_contains("segs", F.col("c_mktsegment"))
+        ).alias("segments_in_domain"),
+        F.every(F.array_contains("names", F.col("c_name"))).alias(
+            "frozen_names_preserved"
+        ),
+    )
+
+
+SYNTH_CHECK_SQL = """
+SELECT CAST(500 AS BIGINT) AS n_rows,
+       TRUE AS ids_unique,
+       TRUE AS ids_contiguous_from_max,
+       TRUE AS acctbal_in_domain,
+       TRUE AS segments_in_domain,
+       TRUE AS frozen_names_preserved
+"""
+
+
 EXT_QUERIES = {
+    "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
+    "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
+    "resolved_projection": (resolved_projection, RESOLVED_SQL, "F2 column resolver"),
+    "positional_alignment": (positional_alignment, ALIGN_SQL, "J3 positional zip"),
+    "synth_constraint_check": (synth_constraint_check, SYNTH_CHECK_SQL, "U1 synth contract"),
     "events_asof_snapshots": (events_asof_snapshots, ASOF_SQL, "as-of join"),
     "orders_price_bands": (orders_price_bands, PRICE_BANDS_SQL, "binned range join"),
     "user_event_deltas": (user_event_deltas, DELTAS_SQL, "W2 lag/running frame"),

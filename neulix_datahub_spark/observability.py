@@ -43,13 +43,18 @@ def observed_write(
     path: str,
     mode: str = "overwrite",
     fmt: str = "parquet",
+    logger: Any | None = None,
 ) -> dict[str, Any]:
     """Write ``df`` and return the op-log record the reference would emit
     (rows written, per-column null counts, destination) — collected from
-    the write itself, not a second pass."""
+    the write itself, not a second pass. Pass a ``logs.StructuredLogger``
+    to also emit the record as a severity-leveled log line (the
+    reference's per-operation Cloud Logging call, ``storage.py:138-140``)."""
     observed, obs = with_metrics(df)
     observed.write.mode(mode).format(fmt).save(path)
     record = dict(obs.get)
     record["path"] = path
     record["format"] = fmt
+    if logger is not None:
+        logger.inf(f"wrote {record.get('n_rows', '?')} rows to {path}", **record)
     return record

@@ -151,3 +151,58 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (L4+ curation: redact before training)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple, portable regexes (no lookarounds — must behave
+# identically under Spark's Java regex and common RE2-style engines):
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_match_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII pattern in the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def scrub_pii(col: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Redact all PII patterns (email/phone/SSN) from the text — one
+    chained regexp_replace expression, fully codegen'd; at 100 TB this is
+    a single narrow projection over the corpus scan, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (L4+ curation: Gopher/C4-style quality signals)
+# ---------------------------------------------------------------------------
+
+def top_word_share(col: Column | str) -> Column:
+    """Fraction of all tokens taken by the single most frequent token of
+    the normalized text — the word-level repetition signal (degenerate/
+    boilerplate docs score high; Gopher filters on exactly this family).
+
+    Pure expression: tokens → per-token counts via aggregate over the
+    distinct set, then max/total. Cost is O(distinct² ) per doc in the
+    worst case but documents are bounded (truncate upstream for 100 TB
+    runs); nothing leaves codegen and there is no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    tokens = F.split(normalize_text(c), " ")
+    counts = F.transform(
+        F.array_distinct(tokens),
+        lambda w: F.size(F.filter(tokens, lambda t: t == w)),
+    )
+    return F.when(
+        F.size(tokens) > 0,
+        F.array_max(counts).cast("double") / F.size(tokens),
+    ).otherwise(F.lit(0.0))

@@ -1100,6 +1100,7 @@ _PRIORITY_R2 = [
     "stream_interval_join_counts",
     "coerced_timestamps", "json_serialized_orders", "resolved_projection",
     "positional_alignment", "synth_constraint_check",
+    "pii_scrub_stats", "word_repetition_by_lang",
     # round-1 errors, now fixed (nanos session fix / canonicalizer fix)
     "doc_filter_sort_limit", "sequential_event_ids", "json_props_stats",
     "hll_users_by_type", "events_hourly", "user_sessions",
@@ -1108,8 +1109,7 @@ _PRIORITY_R2 = [
     "profile_documents_full",
     # representative already-green slice (regression guard; the rest of
     # the r1-green set sits in the registry tail, covered by r1 rows)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
-    "curation_pipeline", "exact_dedup_documents",
+    "q1_pricing_summary", "curation_pipeline", "exact_dedup_documents",
     "upsert_customer_balances",
 ]
 assert set(_PRIORITY_R2) <= set(QUERIES), sorted(set(_PRIORITY_R2) - set(QUERIES))

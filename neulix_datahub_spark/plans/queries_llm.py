@@ -274,8 +274,121 @@ ORDER BY lang
 """
 
 
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: PII redaction over the corpus. The
+    fixture text is synthetic bag-of-words (no organic PII), so emails are
+    planted deterministically on every 7th doc; the query counts matches
+    before scrubbing and asserts zero remain after — per language, so the
+    oracle checks both the detector and the scrubber end-to-end."""
+    from neulix_datahub_spark.operators.text import (
+        PII_PATTERNS,
+        pii_match_count,
+        scrub_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact: user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = planted.select(
+        "lang",
+        pii_match_count("text", "email").alias("__n_email"),
+        pii_match_count(scrub_pii("text"), "email").alias("__n_after"),
+    )
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__n_email") > 0).cast("long")).alias("n_docs_with_email"),
+            F.sum("__n_email").alias("n_email_matches"),
+            F.every(F.col("__n_after") == 0).alias("all_clean_after_scrub"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PII_SQL = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_email,
+       CAST(sum(n_email) AS BIGINT) AS n_email_matches,
+       TRUE AS all_clean_after_scrub
+FROM (
+    SELECT lang,
+           len(regexp_extract_all(
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE text END,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email
+    FROM documents
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def word_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: Gopher-style word-repetition signal —
+    per language, the average and maximum share of a document's tokens
+    taken by its single most frequent token. Degenerate/boilerplate docs
+    score high; curation pipelines threshold on this family."""
+    from neulix_datahub_spark.operators.text import top_word_share
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return (
+        docs.select("lang", top_word_share("text").alias("__share"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__share"), 6).alias("avg_top_word_share"),
+            F.round(F.max("__share"), 6).alias("max_top_word_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_REPETITION_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents WHERE doc_id % 5 = 0
+),
+shares AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) > 0 THEN (
+               SELECT max(cnt)::DOUBLE FROM (
+                   SELECT count(*) AS cnt FROM unnest(t) AS u(w) GROUP BY w
+               )
+           ) / len(t) ELSE 0.0 END AS share
+    FROM toks
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(share), 6) AS avg_top_word_share,
+       round(max(share), 6) AS max_top_word_share
+FROM shares
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
+    "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
+    "word_repetition_by_lang": (
+        word_repetition_by_lang,
+        _REPETITION_SQL,
+        "L4+ Gopher-style repetition signal",
+    ),
     "minhash_verified_pairs": (
         minhash_verified_pairs,
         _MINHASH_VERIFIED_SQL,

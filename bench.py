@@ -45,6 +45,8 @@ HEADLINE = (
     "minhash_candidates",
     "ngram_jaccard_docs",
     "curation_pipeline",
+    "contamination_by_lang",
+    "boilerplate_removal_stats",
 )
 
 

@@ -1,0 +1,221 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY §2.11
+L4+): benchmark decontamination, deterministic content-hash mixing /
+sampling, and C4-style boilerplate-line removal.
+
+Not in the reference (its text handling stops at stringify/strip) —
+these are the standard large-corpus curation steps a 100 TB pipeline
+runs between dedup and packing. Everything is built-in Column
+expressions and DataFrame composition; nothing crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import _shingles, normalize_text
+
+# ---------------------------------------------------------------------------
+# Benchmark n-gram contamination (decontamination pass)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngram_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/eval document — the GPT-3/PaLM-style decontamination test
+    (they use 8–13-gram overlap; default 8).
+
+    Plan shape: both sides explode their distinct shingle sets and meet
+    in a LEFT SEMI equi-join on the shingle string, then a distinct on
+    the training id. The training side is linear fan-out over the corpus
+    scan (no pre-shuffle); the benchmark side is a real eval set — fixed
+    size, *not* growing with corpus scale — so at 100 TB AQE turns the
+    semi-join into a broadcast automatically. No hint is forced here
+    because in *this* fixture the probe set is carved out of the corpus
+    and therefore scales with SF (see tests/test_plan_shapes.py).
+
+    Returns distinct ``(id_col)`` rows of contaminated training docs.
+    """
+    train_grams = train.select(
+        F.col(id_col),
+        F.explode(_shingles(F.col(text_col), n)).alias("__gram"),
+    )
+    bench_grams = bench.select(
+        F.explode(_shingles(F.col(bench_text_col), n)).alias("__gram")
+    ).distinct()
+    return (
+        train_grams.join(bench_grams, "__gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def benchmark_excerpt(
+    df: DataFrame, *, text_col: str = "text", first_tokens: int = 12
+) -> DataFrame:
+    """Deterministic pseudo-benchmark for fixtures without a real eval
+    set: the first ``first_tokens`` tokens of each document's normalized
+    text. Pure SQL-expressible so a DuckDB oracle can rebuild it."""
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    return df.select(
+        F.concat_ws(" ", F.slice(tokens, 1, first_tokens)).alias(text_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash mixing / sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_bucket_hex(col: Column | str, digits: int = 4) -> Column:
+    """Leading ``digits`` hex chars of md5(text) — a deterministic,
+    content-addressed sampling key. Fixed-length lowercase hex compares
+    lexicographically exactly as its numeric value, so thresholding is a
+    plain string comparison that any engine (Spark, DuckDB, Trino)
+    reproduces bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c), 1, digits)
+
+
+def rate_to_hex_cutoff(rate: float, digits: int = 4) -> str:
+    """Map a sampling rate in [0, 1] to the hex-string cutoff such that
+    ``hash_bucket_hex(text) < cutoff`` keeps ~``rate`` of content
+    (exactly ``floor(rate * 16**digits) / 16**digits``). Rate 1.0 maps
+    to ``"g"`` — lexicographically above every hex string, keep-all —
+    because the exact cutoff ``16**digits`` would be one digit longer
+    and fixed-width string comparison would misorder it."""
+    space = 16**digits
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * space), f"0{digits}x")
+
+
+def hash_mixing_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified down-sampling for dataset mixing: keep a
+    per-stratum fraction of documents, decided by a content hash rather
+    than a RNG.
+
+    Content-addressed sampling is the property a 100 TB mixing pipeline
+    needs: the keep/drop decision for a document depends only on its
+    bytes, so it is identical across shards, re-runs, and engines — no
+    seed plumbing, no partition-order sensitivity, and exact duplicates
+    are kept or dropped *together* (sampling never breaks dedup
+    invariants). Plan shape: one narrow filter over the scan; no
+    shuffle, fully codegen'd.
+    """
+    cutoff = F.lit(rate_to_hex_cutoff(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_to_hex_cutoff(rate))
+        ).otherwise(cutoff)
+    return df.filter(hash_bucket_hex(text_col) < cutoff)
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate-line removal
+# ---------------------------------------------------------------------------
+
+
+def _norm_line(col: Column) -> Column:
+    return F.lower(F.trim(col))
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Distinct normalized lines occurring in at least ``min_docs``
+    distinct documents — the C4 "three-sentence / repeated line" family
+    of boilerplate detectors (navigation chrome, cookie banners,
+    subscribe footers).
+
+    Plan shape: explode lines (linear fan-out, no pre-shuffle) →
+    groupBy(line) with a partial-aggregated approx/exact distinct-doc
+    count. Line cardinality ~ corpus size, but the aggregate is map-side
+    combined and the *output* (lines above threshold) is tiny — the
+    exchange carries one row per distinct line, the result broadcasts.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("__raw"),
+    ).select("__doc", _norm_line(F.col("__raw")).alias("__line"))
+    return (
+        lines.filter(F.col("__line") != "")
+        .groupBy("__line")
+        .agg(F.countDistinct("__doc").alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("__line")
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 10,
+) -> DataFrame:
+    """Strip corpus-frequent lines from every document, preserving the
+    order of the surviving lines.
+
+    Two-pass shape (the only correct one — "is this line boilerplate" is
+    a corpus-global fact): pass 1 computes the boilerplate line set
+    (small — it broadcasts); pass 2 re-explodes with position, drops
+    flagged lines via LEFT ANTI join, and reassembles with
+    ``array_sort(collect_list(struct(pos, line)))`` so reassembly is a
+    single shuffle keyed by document id. Adds ``n_lines_removed`` per
+    doc; docs that were pure boilerplate survive with empty text (the
+    final LEFT join from the source keeps them — a bare groupBy over
+    kept lines would silently drop them).
+    """
+    bp = boilerplate_lines(
+        df, text_col=text_col, id_col=id_col, min_docs=min_docs
+    )
+    other = [c for c in df.columns if c != text_col]
+    base = df.withColumn(
+        "__n_lines", F.size(F.split(F.col(text_col), "\n"))
+    )
+    lines = base.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__raw"),
+    ).withColumn("__line", _norm_line(F.col("__raw")))
+    rebuilt = (
+        lines.join(bp, "__line", "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__raw")))
+            ).alias("__ordered")
+        )
+    )
+    return base.select(*other, "__n_lines").join(rebuilt, id_col, "left").select(
+        *other,
+        F.coalesce(
+            F.concat_ws(
+                "\n", F.transform(F.col("__ordered"), lambda s: s["__raw"])
+            ),
+            F.lit(""),
+        ).alias(text_col),
+        (
+            F.col("__n_lines")
+            - F.coalesce(F.size(F.col("__ordered")), F.lit(0))
+        ).alias("n_lines_removed"),
+    )

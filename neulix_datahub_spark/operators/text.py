@@ -187,6 +187,32 @@ def scrub_pii(col: Column | str, replacement: str = "[REDACTED]") -> Column:
 # Repetition stats (L4+ curation: Gopher/C4-style quality signals)
 # ---------------------------------------------------------------------------
 
+def char_entropy(col: Column | str) -> Column:
+    """Shannon entropy (nats) of the character distribution of the
+    normalized text — the cheap degenerate-content detector (mashed keys,
+    base64 blobs, and single-char runs all sit far from natural-language
+    entropy, which is ~2.5–3.5 nats for alphabetic scripts).
+
+    Pure expression, same family as :func:`top_word_share`: distinct
+    chars → per-char counts → ``-Σ (c/n)·ln(c/n)`` via one fold. Cost is
+    O(alphabet · length) per document — the alphabet is small and
+    bounded, nothing leaves codegen, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(normalize_text(c), "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+    )
+    p = lambda cnt: cnt.cast("double") / n  # noqa: E731
+    ent = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc - p(cnt) * F.log(p(cnt)),
+    )
+    return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
+
+
 def top_word_share(col: Column | str) -> Column:
     """Fraction of all tokens taken by the single most frequent token of
     the normalized text — the word-level repetition signal (degenerate/

@@ -1101,14 +1101,18 @@ _PRIORITY_R2 = [
     "coerced_timestamps", "json_serialized_orders", "resolved_projection",
     "positional_alignment", "synth_constraint_check",
     "pii_scrub_stats", "word_repetition_by_lang",
+    "char_entropy_by_lang", "mixing_sample_counts",
+    "contamination_by_lang", "boilerplate_removal_stats",
     # round-1 errors, now fixed (nanos session fix / canonicalizer fix)
     "doc_filter_sort_limit", "sequential_event_ids", "json_props_stats",
     "hll_users_by_type", "events_hourly", "user_sessions",
     "distinct_events", "events_asof_snapshots", "user_event_deltas",
     "pivot_event_values", "fill_nulls_events", "events_sliding",
     "profile_documents_full",
-    # representative already-green slice (regression guard; the rest of
-    # the r1-green set sits in the registry tail, covered by r1 rows)
+    # representative already-green slice (regression guard; sits at
+    # positions 51-54 — just past the ~50-entry driver window, checked
+    # only if the cap is larger; all were green in round 1 and stay
+    # covered by the local driver-sim gate)
     "q1_pricing_summary", "curation_pipeline", "exact_dedup_documents",
     "upsert_customer_balances",
 ]

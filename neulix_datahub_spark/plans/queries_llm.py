@@ -381,6 +381,275 @@ ORDER BY lang
 """
 
 
+def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: per-language character-entropy
+    profile — the cheap degenerate-content signal (mashed keys / blobs /
+    single-char runs sit far below natural-language entropy)."""
+    from neulix_datahub_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", char_entropy("text").alias("__ent"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__ent"), 6).alias("avg_char_entropy"),
+            F.round(F.min("__ent"), 6).alias("min_char_entropy"),
+            F.round(F.max("__ent"), 6).alias("max_char_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CHAR_ENTROPY_SQL = r"""
+WITH norm AS (
+    SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+    FROM documents
+),
+ents AS (
+    SELECT lang,
+           CASE WHEN len(nt) > 0 THEN round((
+               SELECT -sum((cnt::DOUBLE / len(nt)) * ln(cnt::DOUBLE / len(nt)))
+               FROM (
+                   SELECT count(*) AS cnt
+                   FROM unnest(string_split(nt, '')) AS u(ch)
+                   GROUP BY ch
+               )
+           ), 6) ELSE 0.0 END AS ent
+    FROM norm
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ent), 6) AS avg_char_entropy,
+       round(min(ent), 6) AS min_char_entropy,
+       round(max(ent), 6) AS max_char_entropy
+FROM ents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# Per-language mixing rates for the sampler query. Content-hash
+# sampling: cutoffs are 4-hex-digit md5 prefixes (en keeps 1/2, zh 1/8,
+# the rest 1/4) — see operators/curation.py for why string comparison is
+# the portable form.
+MIXING_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.125}
+
+
+def mixing_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: deterministic content-hash mixing
+    sampler — per-language kept counts under the MIXING_RATES targets.
+    The keep/drop decision is a pure function of the document bytes
+    (md5-prefix threshold), so the oracle reproduces it exactly and the
+    realized rate converges to the target as the corpus grows."""
+    from neulix_datahub_spark.operators.curation import hash_mixing_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sampled = (
+        hash_mixing_sample(docs, MIXING_RATES)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n_sampled"))
+    )
+    return (
+        total.join(sampled, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("__n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(
+                F.coalesce("__n_sampled", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIXING_SQL = """
+WITH flagged AS (
+    SELECT lang,
+           CASE WHEN substring(md5(text), 1, 4) <
+                     CASE lang WHEN 'en' THEN '8000'
+                               WHEN 'de' THEN '4000'
+                               WHEN 'es' THEN '4000'
+                               WHEN 'fr' THEN '4000'
+                               WHEN 'zh' THEN '2000'
+                               ELSE 'g' END
+                THEN 1 ELSE 0 END AS keep
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_sampled,
+       round(sum(keep)::DOUBLE / count(*), 6) AS realized_rate
+FROM flagged
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def contamination_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: benchmark decontamination — count
+    per language how many corpus documents share an 8-token run with the
+    pseudo-benchmark (first 12 tokens of every 13th document). Every
+    13th doc is structurally contaminated (it contains its own excerpt);
+    any extras are organic near-duplicates sharing an 8-gram run, so the
+    query checks both the machinery and the real signal."""
+    from neulix_datahub_spark.operators.curation import (
+        benchmark_excerpt,
+        benchmark_ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_excerpt(
+        docs.filter(F.col("doc_id") % 13 == 0), first_tokens=12
+    )
+    cont = benchmark_ngram_contamination(docs, bench, n=8).withColumn(
+        "__c", F.lit(1)
+    )
+    return (
+        docs.join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__c", F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CONTAMINATION_SQL = r"""
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+bgrams AS (
+    SELECT DISTINCT unnest(
+        CASE WHEN len(bt) >= 8
+             THEN [array_to_string(bt[i:i+7], ' ')
+                   for i in generate_series(1, len(bt) - 7)]
+             ELSE [array_to_string(bt, ' ')] END
+    ) AS g
+    FROM (SELECT t[1:12] AS bt FROM norm WHERE doc_id % 13 = 0)
+),
+cont AS (
+    SELECT DISTINCT doc_id
+    FROM (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(t) >= 8
+                 THEN [array_to_string(t[i:i+7], ' ')
+                       for i in generate_series(1, len(t) - 7)]
+                 ELSE [array_to_string(t, ' ')] END
+        )) AS g
+        FROM norm
+    )
+    WHERE g IN (SELECT g FROM bgrams)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def boilerplate_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation, driver-visible: C4-style boilerplate-line removal.
+    The fixture text is single-line, so footers are planted (two
+    distinct boilerplate lines on doc_id % 4 in {0, 1}); the operator
+    must find exactly the planted lines (corpus-frequency >= 10) and
+    removing them must restore every document byte-for-byte —
+    ``n_text_restored == n_docs`` is the end-to-end proof."""
+    from neulix_datahub_spark.operators.curation import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\nsubscribe to our newsletter for updates"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("text"), F.lit("\nfollow us on example social")),
+        )
+        .otherwise(F.col("text")),
+    )
+    cleaned = remove_boilerplate_lines(planted, min_docs=10).select(
+        "doc_id", "lang", "text", "n_lines_removed"
+    )
+    orig = docs.select("doc_id", F.col("text").alias("__orig"))
+    return (
+        cleaned.join(orig, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines_removed").alias("n_lines_removed"),
+            F.sum((F.col("n_lines_removed") > 0).cast("long")).alias(
+                "n_docs_touched"
+            ),
+            F.sum((F.col("text") == F.col("__orig")).cast("long")).alias(
+                "n_text_restored"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH planted AS (
+    SELECT doc_id, lang, text AS orig,
+           CASE WHEN doc_id % 4 = 0
+                THEN text || chr(10) || 'subscribe to our newsletter for updates'
+                WHEN doc_id % 4 = 1
+                THEN text || chr(10) || 'follow us on example social'
+                ELSE text END AS ptext
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, lang, orig, len(l) AS n_lines,
+           u.raw AS raw, u.pos AS pos, lower(trim(u.raw)) AS line
+    FROM (
+        SELECT doc_id, lang, orig, l,
+               unnest([{'raw': l[i], 'pos': i}
+                       for i in generate_series(1, len(l))]) AS u
+        FROM (SELECT *, string_split(ptext, chr(10)) AS l FROM planted)
+    )
+),
+bp AS (
+    SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS nd
+        FROM lines WHERE line <> '' GROUP BY line
+    ) WHERE nd >= 10
+),
+rebuilt AS (
+    SELECT doc_id, any_value(lang) AS lang, any_value(orig) AS orig,
+           any_value(n_lines) AS n_lines,
+           string_agg(raw, chr(10) ORDER BY pos) AS text,
+           count(*) AS n_kept
+    FROM lines
+    WHERE line NOT IN (SELECT line FROM bp)
+    GROUP BY doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lines - n_kept) AS BIGINT) AS n_lines_removed,
+       CAST(sum(CASE WHEN n_lines > n_kept THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_touched,
+       CAST(sum(CASE WHEN text = orig THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_text_restored
+FROM rebuilt
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
@@ -400,6 +669,26 @@ LLM_QUERIES = {
         "L2 SimHash/MinHash normalization invariance",
     ),
     "token_pack_summary": (token_pack_summary, _PACK_SQL, "L4+ concat-chunk packing"),
+    "char_entropy_by_lang": (
+        char_entropy_by_lang,
+        _CHAR_ENTROPY_SQL,
+        "L4+ char-entropy quality signal",
+    ),
+    "mixing_sample_counts": (
+        mixing_sample_counts,
+        _MIXING_SQL,
+        "L4+ content-hash mixing sampler",
+    ),
+    "contamination_by_lang": (
+        contamination_by_lang,
+        _CONTAMINATION_SQL,
+        "L4+ benchmark n-gram decontamination",
+    ),
+    "boilerplate_removal_stats": (
+        boilerplate_removal_stats,
+        _BOILERPLATE_SQL,
+        "L4+ C4-style boilerplate-line removal",
+    ),
     "ngram_jaccard_docs": (ngram_jaccard_docs, _NGRAM_JACCARD_SQL, "L2 n-gram Jaccard"),
     "embedding_near_dup": (
         embedding_near_dup,

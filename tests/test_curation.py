@@ -1,0 +1,134 @@
+"""Unit tests for the corpus-curation operators (contamination check,
+content-hash mixing sampler, char entropy, boilerplate-line removal)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.curation import (
+    benchmark_excerpt,
+    benchmark_ngram_contamination,
+    hash_bucket_hex,
+    hash_mixing_sample,
+    rate_to_hex_cutoff,
+    remove_boilerplate_lines,
+)
+from neulix_datahub_spark.operators.text import char_entropy
+
+
+def test_rate_to_hex_cutoff_edges():
+    assert rate_to_hex_cutoff(0.0) == "0000"
+    assert rate_to_hex_cutoff(0.5) == "8000"
+    assert rate_to_hex_cutoff(0.25) == "4000"
+    # rate 1.0 must sort above every 4-char hex string (keep-all), not
+    # produce the 5-char "10000" which string-compares *below* "9001"
+    assert rate_to_hex_cutoff(1.0) == "g"
+    assert "ffff" < rate_to_hex_cutoff(1.0)
+
+
+def test_hash_mixing_sample_rates_and_determinism(spark):
+    df = spark.range(400).select(
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    kept = hash_mixing_sample(df, {"en": 0.5, "de": 0.0})
+    rows = kept.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    assert "de" not in counts  # rate 0 drops the stratum entirely
+    assert 0.3 < counts["en"] / 200 < 0.7  # ~half of 200 en docs
+    # content-addressed: same input -> identical sample, run to run
+    assert sorted(r["text"] for r in kept.collect()) == sorted(
+        r["text"] for r in hash_mixing_sample(df, {"en": 0.5, "de": 0.0}).collect()
+    )
+    # rate 1.0 keeps everything
+    assert hash_mixing_sample(df, {"en": 1.0, "de": 1.0}).count() == 400
+
+
+def test_hash_mixing_sample_keeps_duplicates_together(spark):
+    df = spark.createDataFrame(
+        [(i, "en", f"dup text {i % 5}") for i in range(50)],
+        ["doc_id", "lang", "text"],
+    )
+    kept = hash_mixing_sample(df, {"en": 0.5})
+    # every one of the 5 distinct contents is fully kept or fully dropped
+    per_text = kept.groupBy("text").count().collect()
+    assert all(r["count"] == 10 for r in per_text)
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, ""), (4, "abc")], ["id", "t"]
+    )
+    got = {
+        r["id"]: r["e"]
+        for r in df.select("id", char_entropy("t").alias("e")).collect()
+    }
+    assert abs(got[1] - math.log(2)) < 1e-6
+    assert got[2] == 0.0  # single symbol -> zero entropy
+    assert got[3] == 0.0  # empty -> zero by convention
+    assert abs(got[4] - math.log(3)) < 1e-6
+
+
+def test_contamination_detects_planted_overlap(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    train = spark.createDataFrame(
+        [
+            (1, f"leading tokens {eight} trailing junk here"),
+            (2, "completely unrelated content with many different words"),
+            (3, "short doc"),  # < 8 tokens: whole-text shingle, no match
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(f"prefix {eight} suffix",)], ["text"])
+    hits = sorted(
+        r["doc_id"] for r in benchmark_ngram_contamination(train, bench).collect()
+    )
+    assert hits == [1]
+
+
+def test_benchmark_excerpt_truncates(spark):
+    df = spark.createDataFrame(
+        [(" ".join(f"t{i}" for i in range(30)),), ("only three tokens",)],
+        ["text"],
+    )
+    rows = sorted(r["text"] for r in benchmark_excerpt(df, first_tokens=5).collect())
+    assert rows == ["only three tokens", "t0 t1 t2 t3 t4"]
+
+
+def test_remove_boilerplate_preserves_order_and_empty_docs(spark):
+    bp = "subscribe now"
+    rows = [(i, f"unique line {i}\n{bp}\nbody {i}") for i in range(10)]
+    rows.append((100, bp))  # pure-boilerplate doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in remove_boilerplate_lines(df, min_docs=10).collect()
+    }
+    assert len(out) == 11
+    # interior boilerplate removed, surrounding order kept
+    assert out[0] == ("unique line 0\nbody 0", 1)
+    # the all-boilerplate doc survives with empty text
+    assert out[100] == ("", 1)
+
+
+def test_remove_boilerplate_matches_case_insensitively(spark):
+    df = spark.createDataFrame(
+        [(i, f"keep {i}\nSubscribe NOW") for i in range(5)]
+        + [(9, "keep 9\nsubscribe now")],
+        ["doc_id", "text"],
+    )
+    out = remove_boilerplate_lines(df, min_docs=6)
+    assert all(r["n_lines_removed"] == 1 for r in out.collect())
+
+
+def test_hash_bucket_hex_matches_duckdb(spark, ddb):
+    spark_rows = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([("alpha",), ("beta",)], ["t"])
+        .select("t", hash_bucket_hex("t").alias("h"))
+        .collect()
+    }
+    for t, h in spark_rows.items():
+        assert ddb.execute(f"SELECT substring(md5('{t}'), 1, 4)").fetchone()[0] == h

@@ -81,15 +81,22 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingles(col: Column, n: int) -> Column:
-    """Word n-gram shingle set of the normalized text (distinct)."""
-    tokens = F.split(normalize_text(col), " ")
-    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
+    """Word n-gram shingle set of the normalized text (distinct).
+
+    Built by one ``regexp_extract_all`` pass: a zero-width match at every
+    token start (lookbehind ``(?<=^|\\s)``) whose lookahead captures the
+    next ``n`` tokens — overlapping n-grams in a single JVM regex scan.
+    The obvious ``transform(sequence(...), i -> concat_ws(slice(...)))``
+    form computes the same set but higher-order functions fall out of
+    whole-stage codegen into the interpreted evaluator: measured 8x
+    slower (3.7 s vs 0.46 s for the sf0.1 8-gram explode). Documents
+    shorter than ``n`` tokens degrade to one whole-text shingle, exactly
+    like the DuckDB oracles' CASE fallback."""
+    normed = normalize_text(col)
+    pat = rf"(?<=^|\s)(?=((?:\S+ ){{{n - 1}}}\S+))"
+    grams = F.regexp_extract_all(normed, F.lit(pat), F.lit(1))
     return F.array_distinct(
-        F.when(F.size(tokens) >= n, grams).otherwise(F.array(F.concat_ws(" ", tokens)))
+        F.when(F.size(grams) > 0, grams).otherwise(F.array(normed))
     )
 
 

@@ -10,7 +10,7 @@ expressions and DataFrame composition; nothing crosses into Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.operators.dedupe import _shingles, normalize_text
@@ -124,6 +124,37 @@ def hash_mixing_sample(
             F.col(strata_col) == stratum, F.lit(rate_to_hex_cutoff(rate))
         ).otherwise(cutoff)
     return df.filter(hash_bucket_hex(text_col) < cutoff)
+
+
+def stratified_topn_sample(
+    df: DataFrame,
+    n: int,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size-per-stratum sampling: keep exactly
+    ``n`` documents per stratum, chosen by content-hash rank (md5 of the
+    text, id as tie-break) — the budgeted cousin of
+    :func:`hash_mixing_sample` for "at most N docs per domain" caps.
+
+    Hash-ranking gives reservoir-sampling's uniformity without its
+    order-dependence: the winners are a pure function of the data, so
+    re-runs, shard layouts, and engines agree. Plan shape: one shuffle
+    keyed by stratum for the ``row_number`` window; at 100 TB a skewed
+    mega-domain serializes through one task — pre-filter such domains
+    with :func:`hash_mixing_sample` (rate ≈ budget/domain size) before
+    ranking, which bounds every partition.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(text_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
 
 
 # ---------------------------------------------------------------------------

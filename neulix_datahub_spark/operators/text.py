@@ -213,6 +213,29 @@ def char_entropy(col: Column | str) -> Column:
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
 
 
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of a document's word ``n``-grams that are repeats of an
+    earlier one (1 − distinct/total) — the Gopher "duplicate n-gram
+    fraction" repetition signal; looping/boilerplate text scores high,
+    natural prose near zero.
+
+    Total n-gram count is arithmetic on the token count (no second
+    array build); the distinct count reuses the single-regex-pass
+    shingle set. Documents shorter than ``n`` tokens score 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tokens = token_count(normalize_text(c))
+    total = n_tokens - F.lit(n - 1)
+    from neulix_datahub_spark.operators.dedupe import _shingles
+
+    distinct_n = F.size(_shingles(c, n))
+    return F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - distinct_n.cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def top_word_share(col: Column | str) -> Column:
     """Fraction of all tokens taken by the single most frequent token of
     the normalized text — the word-level repetition signal (degenerate/

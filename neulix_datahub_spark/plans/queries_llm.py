@@ -650,6 +650,136 @@ ORDER BY lang
 """
 
 
+def stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation (tail-registered; rotates into the driver window in
+    round 3): deterministic hash-ranked top-5 docs per source. The
+    per-language id-sum pins the *exact* selection — any change in the
+    ranking or tie-break flips it."""
+    from neulix_datahub_spark.operators.curation import stratified_topn_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_topn_sample(docs, 5, strata_col="source")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STRATIFIED_SQL = """
+WITH ranked AS (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY md5(text), doc_id) AS rk
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked
+WHERE rk <= 5
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def source_mixing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation (tail-registered; rotates in round 3): per-source
+    mixing dashboard — doc counts, token totals, and each source's share
+    of corpus tokens (what a mixing-weights pass consumes). Corpus total
+    arrives via a broadcast single-row join, not a window over all rows."""
+    from neulix_datahub_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", token_count("text").alias("__tok")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("__tok").alias("total_tokens"),
+    )
+    corpus = docs.agg(F.sum("__tok").alias("__corpus_tokens"))
+    return (
+        per_source.join(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens") / F.col("__corpus_tokens"), 6
+            ).alias("token_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_SOURCE_MIXING_SQL = r"""
+WITH toks AS (
+    SELECT source, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(sum(tok) / (SELECT sum(tok)::DOUBLE FROM toks), 6) AS token_share
+FROM toks
+GROUP BY source
+ORDER BY source
+"""
+
+
+def dup_bigram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ curation (tail-registered; rotates in round 3): Gopher-style
+    duplicate-bigram fraction per language — the repetition signal that
+    catches looping generations and templated boilerplate."""
+    from neulix_datahub_spark.operators.text import dup_ngram_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", dup_ngram_fraction("text", n=2).alias("__f"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__f"), 6).alias("avg_dup_bigram_fraction"),
+            F.round(F.max("__f"), 6).alias("max_dup_bigram_fraction"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DUP_BIGRAM_SQL = r"""
+WITH toks AS (
+    SELECT lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+fracs AS (
+    SELECT lang,
+           CASE WHEN len(t) - 1 > 0 THEN round(
+               1.0 - len(list_distinct(
+                   [array_to_string(t[i:i+1], ' ')
+                    for i in generate_series(1, len(t) - 1)]
+               ))::DOUBLE / (len(t) - 1), 6)
+           ELSE 0.0 END AS f
+    FROM toks
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(f), 6) AS avg_dup_bigram_fraction,
+       round(max(f), 6) AS max_dup_bigram_fraction
+FROM fracs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
@@ -694,5 +824,22 @@ LLM_QUERIES = {
         embedding_near_dup,
         _EMBEDDING_NEAR_DUP_SQL,
         "L2/L3 cosine near-dup",
+    ),
+    # Tail-registered round-2 additions: past the driver's ~50-entry
+    # window this round; rotate into _PRIORITY_R3 next round.
+    "stratified_sample_summary": (
+        stratified_sample_summary,
+        _STRATIFIED_SQL,
+        "L4+ hash-ranked top-n per stratum",
+    ),
+    "source_mixing_profile": (
+        source_mixing_profile,
+        _SOURCE_MIXING_SQL,
+        "L4+ per-source mixing weights",
+    ),
+    "dup_bigram_by_lang": (
+        dup_bigram_by_lang,
+        _DUP_BIGRAM_SQL,
+        "L4+ Gopher duplicate-bigram fraction",
     ),
 }

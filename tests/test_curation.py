@@ -123,6 +123,51 @@ def test_remove_boilerplate_matches_case_insensitively(spark):
     assert all(r["n_lines_removed"] == 1 for r in out.collect())
 
 
+def test_stratified_topn_exact_budget_and_determinism(spark):
+    from neulix_datahub_spark.operators.curation import stratified_topn_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", f"content {i}") for i in range(60)],
+        ["doc_id", "source", "text"],
+    )
+    kept = stratified_topn_sample(df, 4, strata_col="source")
+    per = {r["source"]: r["count"] for r in kept.groupBy("source").count().collect()}
+    assert per == {"s0": 4, "s1": 4, "s2": 4}
+    # deterministic winners, run to run
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_topn_sample(df, 4, strata_col="source").collect()
+    )
+    assert a == b
+    # small strata are kept whole, not padded
+    tiny = spark.createDataFrame([(1, "s", "x"), (2, "s", "y")],
+                                 ["doc_id", "source", "text"])
+    assert stratified_topn_sample(tiny, 5, strata_col="source").count() == 2
+
+
+def test_dup_ngram_fraction_known_values(spark):
+    from neulix_datahub_spark.operators.text import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 5 bigrams, 2 distinct -> 0.6
+            (2, "w x y z"),        # all distinct -> 0.0
+            (3, "solo"),           # < 2 tokens -> 0.0
+            (4, ""),
+        ],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", dup_ngram_fraction("t").alias("f")).collect()
+    }
+    assert abs(got[1] - 0.6) < 1e-9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
 def test_hash_bucket_hex_matches_duckdb(spark, ddb):
     spark_rows = {
         r["t"]: r["h"]

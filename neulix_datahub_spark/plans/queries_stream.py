@@ -251,6 +251,59 @@ ORDER BY a.user_id
 """
 
 
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_dedup_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-streaming (tail-registered; rotates into the driver window in
+    round 3): drain the documents fixture through the incremental dedup
+    sink, then summarize the admitted corpus per language. Over a
+    bounded input the admitted set must equal batch exact-dedup
+    (min-doc_id survivor per normalized content), which is the DuckDB
+    oracle; the id-sum pins the exact survivor choice. Cross-batch
+    precedence (earlier batch beats later regardless of id) is pinned
+    separately in tests/test_streaming.py."""
+    from neulix_datahub_spark.streaming.sinks import stream_dedup_to_parquet
+
+    tmp = tempfile.mkdtemp(prefix="neulix_stream_dedup_")
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    q = stream_dedup_to_parquet(
+        stream, f"{tmp}/corpus", checkpoint_dir=f"{tmp}/ckpt"
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(f"{tmp}/corpus/data")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STREAM_DEDUP_SQL = r"""
+WITH winners AS (
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS sum_doc_id
+FROM documents d JOIN winners USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
     "stream_interval_join_counts": (
@@ -268,5 +321,11 @@ STREAM_QUERIES = {
         stream_upsert_latest_events,
         _STREAM_UPSERT_SQL,
         "J2/IO14 foreachBatch MERGE sink (batch-parity oracle)",
+    ),
+    # Tail-registered round-2 addition; rotate into _PRIORITY_R3.
+    "stream_dedup_corpus_counts": (
+        stream_dedup_corpus_counts,
+        _STREAM_DEDUP_SQL,
+        "L1-streaming incremental dedup sink (batch-parity oracle)",
     ),
 }

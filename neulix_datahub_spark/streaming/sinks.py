@@ -18,6 +18,7 @@ import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from neulix_datahub_spark.operators.upsert import upsert
@@ -66,6 +67,66 @@ def stream_upsert_to_parquet(
         merged.write.mode("overwrite").parquet(os.path.join(path, f"snapshot={batch_id}"))
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def stream_dedup_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Incremental corpus dedup: drain a document stream into an
+    append-only parquet corpus that never admits a content duplicate —
+    the continuously-ingesting form of :func:`~neulix_datahub_spark.
+    operators.dedupe.exact_dedup`.
+
+    Per micro-batch: (1) within-batch exact dedup (min-``id_col``
+    survivor per content fingerprint); (2) LEFT ANTI join against the
+    persistent fingerprint store, so content seen in *any* earlier batch
+    is dropped — arrival order wins across batches, the streaming-native
+    precedence; (3) append the admitted docs to ``data/`` and write the
+    union of fingerprints as the next ``_fingerprints/snapshot=<n>/``.
+    Readers always see a committed snapshot (same protocol as
+    :func:`stream_upsert_to_parquet`).
+
+    Scale: the store holds one 64-char fingerprint per distinct doc —
+    at 10^10 docs ~0.6 TB, a fine anti-join build side partitioned the
+    same way as the batch. Rewriting the full store each batch is the
+    no-Delta concession; with Delta/Iceberg the snapshot becomes a
+    MERGE-on-read append and nothing is rewritten.
+    """
+    from neulix_datahub_spark.operators.dedupe import (
+        content_fingerprint,
+        exact_dedup,
+    )
+
+    spark = stream_df.sparkSession
+    fp_dir = os.path.join(path, "_fingerprints")
+    data_dir = os.path.join(path, "data")
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = exact_dedup(batch_df, text_col, id_col).withColumn(
+            "__fp", content_fingerprint(text_col)
+        )
+        seen = read_upsert_table(spark, fp_dir)
+        if seen is not None:
+            batch = batch.join(
+                seen, batch["__fp"] == seen["fingerprint"], "left_anti"
+            )
+        # one evaluation feeds two writes (corpus append + store snapshot)
+        batch = batch.localCheckpoint()
+        batch.drop("__fp").write.mode("append").parquet(data_dir)
+        new_fps = batch.select(F.col("__fp").alias("fingerprint"))
+        all_fps = new_fps if seen is None else seen.unionByName(new_fps)
+        all_fps.write.mode("overwrite").parquet(
+            os.path.join(fp_dir, f"snapshot={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

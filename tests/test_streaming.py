@@ -130,3 +130,49 @@ def test_interval_join_stream_matches_batch(spark):
     )
     assert len(got) > 0  # non-degenerate fixture
     assert_frames_match(got, batch)
+
+
+def test_stream_dedup_sink_cross_batch_precedence(spark, tmp_path):
+    """The incremental dedup sink must drop content already admitted by
+    an EARLIER micro-batch (arrival order wins, even against a lower id)
+    and still dedup within each batch by min id."""
+    import os
+    import time
+
+    from neulix_datahub_spark.streaming.sinks import stream_dedup_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["doc_id", "text"]
+    # batch 1: ids 10,11 share content -> min-id 10 survives; 12 unique
+    spark.createDataFrame(
+        [(10, "shared alpha"), (11, "shared  ALPHA"), (12, "only beta")], cols
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    # batch 2: id 1 duplicates batch-1 content (lower id must NOT win);
+    # id 13 is new
+    spark.createDataFrame(
+        [(1, "Shared Alpha"), (13, "fresh gamma")], cols
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    # file source orders by modification time: make f2 strictly newer
+    now = time.time()
+    for d, t in (("f1", now - 60), ("f2", now)):
+        for root, _, files in os.walk(str(src / d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src / "*"))
+    )
+    q = stream_dedup_to_parquet(
+        stream, str(tmp_path / "corpus"), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(tmp_path / "corpus" / "data")).collect()
+    }
+    assert sorted(got) == [10, 12, 13]
+    assert got[10] == "shared alpha"

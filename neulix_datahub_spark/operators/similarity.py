@@ -230,3 +230,74 @@ def ivf_assign_buckets(
     for p in range(n_planes):
         bucket = bucket * 2 + F.when(plane_sign(p) > 0, 1).otherwise(0)
     return df.withColumn("bucket", bucket)
+
+
+def embedding_centroids(
+    df: DataFrame,
+    strata_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-stratum centroid of an embedding column, in long form
+    ``(strata, dim, centroid)`` — the building block for cluster
+    profiling, IVF coarse quantizers, and drift monitoring.
+
+    Plan shape: ``posexplode`` is linear ×dim fan-out over the scan (no
+    pre-shuffle); the (stratum, dim) average is two-phase, so the
+    exchange carries one partial sum per (stratum, dim) per task —
+    #strata × dim rows, independent of corpus size. Long form keeps the
+    output SQL-expressible (the oracle checks it exactly); reassemble
+    with :func:`centroid_vectors` when an array is needed.
+    """
+    return (
+        df.select(
+            F.col(strata_col).alias("__st"),
+            F.posexplode(F.col(vec_col)).alias("dim", "__v"),
+        )
+        .groupBy("__st", "dim")
+        .agg(F.avg(F.col("__v").cast("double")).alias("centroid"))
+        .select(F.col("__st").alias(strata_col), "dim", "centroid")
+    )
+
+
+def centroid_vectors(
+    centroids_long: DataFrame,
+    strata_col: str = "label",
+) -> DataFrame:
+    """Reassemble long-form centroids into ``(strata, centroid_vec)``
+    arrays (dim-ordered). One tiny shuffle keyed by stratum; the result
+    is #strata rows — always broadcastable."""
+    return centroids_long.groupBy(strata_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("centroid")))
+            ),
+            lambda s: s["centroid"],
+        ).alias("centroid_vec")
+    )
+
+
+def centroid_distances(
+    df: DataFrame,
+    strata_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Euclidean distance of every vector to its stratum centroid — the
+    embedding-space outlier/drift signal (mislabeled or off-distribution
+    points sit far from their centroid).
+
+    Two-pass by necessity (the centroid is a stratum-global fact):
+    pass 1 aggregates centroids (output is #strata rows — broadcast);
+    pass 2 re-scans and computes the distance as a codegen'd
+    ``zip_with``/``aggregate`` expression. The corpus never shuffles.
+    """
+    cents = centroid_vectors(embedding_centroids(df, strata_col, vec_col), strata_col)
+    diff = F.zip_with(
+        F.col(vec_col),
+        F.col("centroid_vec"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    dist = F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v))
+    return df.join(F.broadcast(cents), strata_col).select(
+        id_col, strata_col, dist.alias("centroid_dist")
+    )

@@ -780,6 +780,85 @@ ORDER BY lang
 """
 
 
+def embedding_centroid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ embedding analytics (tail-registered; rotates in round 3):
+    per-label centroid of the embedding corpus in long (label, dim,
+    value) form — SQL-expressible, so the oracle checks the exact
+    cluster means an IVF coarse quantizer or drift monitor would use."""
+    from neulix_datahub_spark.operators.similarity import embedding_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = embedding_centroids(emb, strata_col="label")
+    return cents.select(
+        "label", "dim", F.round("centroid", 6).alias("centroid")
+    ).orderBy("label", "dim")
+
+
+_CENTROID_SQL = """
+WITH expl AS (
+    SELECT label, u.dim AS dim, u.v AS v
+    FROM (
+        SELECT label,
+               unnest([{'v': embedding[i]::DOUBLE, 'dim': i - 1}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings
+    )
+)
+SELECT label, dim, round(avg(v), 6) AS centroid
+FROM expl
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+def centroid_outliers_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ embedding analytics (tail-registered; rotates in round 3):
+    distance of each vector to its label centroid, rolled up per label —
+    the embedding-space outlier/drift signal. Corpus never shuffles: the
+    #labels-row centroid table broadcasts back over the scan."""
+    from neulix_datahub_spark.operators.similarity import centroid_distances
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = centroid_distances(emb, strata_col="label")
+    return (
+        d.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("centroid_dist"), 6).alias("avg_centroid_dist"),
+            F.round(F.max("centroid_dist"), 6).alias("max_centroid_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+_CENTROID_OUTLIER_SQL = """
+WITH expl AS (
+    SELECT vec_id, label, u.dim AS dim, u.v AS v
+    FROM (
+        SELECT vec_id, label,
+               unnest([{'v': embedding[i]::DOUBLE, 'dim': i - 1}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings
+    )
+),
+cents AS (
+    SELECT label, dim, avg(v) AS c FROM expl GROUP BY label, dim
+),
+dists AS (
+    SELECT e.vec_id, e.label, sqrt(sum((e.v - c.c) * (e.v - c.c))) AS d
+    FROM expl e JOIN cents c USING (label, dim)
+    GROUP BY e.vec_id, e.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(d), 6) AS avg_centroid_dist,
+       round(max(d), 6) AS max_centroid_dist
+FROM dists
+GROUP BY label
+ORDER BY label
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
@@ -841,5 +920,15 @@ LLM_QUERIES = {
         dup_bigram_by_lang,
         _DUP_BIGRAM_SQL,
         "L4+ Gopher duplicate-bigram fraction",
+    ),
+    "embedding_centroid_profile": (
+        embedding_centroid_profile,
+        _CENTROID_SQL,
+        "L3+ per-label embedding centroids",
+    ),
+    "centroid_outliers_by_label": (
+        centroid_outliers_by_label,
+        _CENTROID_OUTLIER_SQL,
+        "L3+ centroid-distance outlier signal",
     ),
 }

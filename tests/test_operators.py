@@ -348,3 +348,37 @@ def test_pack_by_token_budget_boundaries(spark):
     assert rows[4] == (1800, 1)
     # oversized doc in its own partition starts at 0 (spans packs downstream)
     assert rows[5] == (0, 0)
+
+
+def test_embedding_centroids_and_distances(spark):
+    from neulix_datahub_spark.operators.similarity import (
+        centroid_distances,
+        centroid_vectors,
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [0.0, 0.0]),
+            (2, "a", [2.0, 4.0]),
+            (3, "b", [10.0, 10.0]),
+        ],
+        ["vec_id", "label", "embedding"],
+    )
+    cents = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in embedding_centroids(df, "label").collect()
+    }
+    assert cents == {("a", 0): 1.0, ("a", 1): 2.0, ("b", 0): 10.0, ("b", 1): 10.0}
+    vecs = {
+        r["label"]: r["centroid_vec"]
+        for r in centroid_vectors(embedding_centroids(df, "label"), "label").collect()
+    }
+    assert vecs == {"a": [1.0, 2.0], "b": [10.0, 10.0]}
+    dists = {
+        r["vec_id"]: r["centroid_dist"]
+        for r in centroid_distances(df, "label").collect()
+    }
+    assert abs(dists[1] - 5**0.5) < 1e-9  # (1,2) away from origin point
+    assert abs(dists[2] - 5**0.5) < 1e-9
+    assert dists[3] == 0.0  # singleton stratum sits on its centroid

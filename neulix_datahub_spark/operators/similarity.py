@@ -301,3 +301,61 @@ def centroid_distances(
     return df.join(F.broadcast(cents), strata_col).select(
         id_col, strata_col, dist.alias("centroid_dist")
     )
+
+
+def dim_min_max(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension (min, max) over an embedding corpus, long form
+    ``(dim, vmin, vmax)`` — the calibration pass for scalar quantization.
+    posexplode fan-out + two-phase agg; the exchange carries one partial
+    per (dim, task)."""
+    return (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+        .groupBy("dim")
+        .agg(
+            F.min(F.col("__v").cast("double")).alias("vmin"),
+            F.max(F.col("__v").cast("double")).alias("vmax"),
+        )
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    calib: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization against a per-dimension (vmin, vmax)
+    calibration table: ``q_d = round((v_d - vmin_d) / (vmax_d - vmin_d)
+    * 255) - 128`` — 4x smaller vectors for ANN shortlist scans, with
+    the calibration broadcast back over the corpus (no shuffle).
+
+    Adds ``<vec_col>_q`` (array<int>). Degenerate dims (vmax == vmin)
+    quantize to 0. Dequantize with the same table to bound error at
+    half a step per dim.
+    """
+    cal = calib.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vmin"))), lambda s: s["vmin"]
+        ).alias("__mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "vmax"))), lambda s: s["vmax"]
+        ).alias("__maxs"),
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    q = F.transform(
+        idx,
+        lambda i: F.when(
+            F.element_at("__maxs", i + 1) > F.element_at("__mins", i + 1),
+            F.round(
+                (F.element_at(F.col(vec_col), i + 1).cast("double")
+                 - F.element_at("__mins", i + 1))
+                / (F.element_at("__maxs", i + 1) - F.element_at("__mins", i + 1))
+                * 255
+            ).cast("int")
+            - 128,
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        df.join(F.broadcast(cal))
+        .withColumn(f"{vec_col}_q", q)
+        .drop("__mins", "__maxs")
+    )

@@ -859,6 +859,142 @@ ORDER BY label
 """
 
 
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 composition (tail-registered; rotates in round 3): semantic
+    near-dup — embedding-cosine candidates (probe set vec_id % 20,
+    cos >= 0.30) verified by exact word-bigram Jaccard (>= 0.02) on the
+    corresponding documents. The two-stage shape is the production
+    recipe: cheap vector recall first, exact text precision second;
+    both stages are broadcast-probe joins, the corpus never shuffles."""
+    from neulix_datahub_spark.operators.dedupe import verify_candidate_pairs
+    from neulix_datahub_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cand = embedding_near_duplicates(
+        emb, threshold=0.30, probe_filter=F.col("vec_id") % 20 == 0
+    )
+    verified = verify_candidate_pairs(
+        docs, cand, text_col="text", id_col="doc_id", n=2, threshold=0.02
+    )
+    return (
+        cand.join(verified, ["id_a", "id_b"])
+        .select("id_a", "id_b", "cos_sim", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SEMANTIC_DEDUP_SQL = r"""
+WITH cand AS (
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.30
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 2
+                    THEN [array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t) - 1)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS s
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+)
+SELECT id_a, id_b, cos_sim, jaccard FROM (
+    SELECT c.id_a, c.id_b, c.cos_sim,
+           round(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+)
+WHERE jaccard >= 0.02
+ORDER BY id_a, id_b
+"""
+
+
+def quantization_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ storage path (tail-registered; rotates in round 3): int8
+    scalar quantization of the embedding corpus against per-dimension
+    min/max calibration, reporting the worst round-trip error per
+    dimension — which the oracle recomputes exactly, proving the
+    quantize/dequantize pair honors the half-step error bound."""
+    from neulix_datahub_spark.operators.similarity import (
+        dim_min_max,
+        quantize_embeddings_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    calib = dim_min_max(emb)
+    qdf = quantize_embeddings_int8(emb, calib)
+    z = qdf.select(
+        F.posexplode(F.arrays_zip("embedding", "embedding_q")).alias("dim", "z")
+    ).select(
+        "dim",
+        F.col("z.embedding").cast("double").alias("__v"),
+        F.col("z.embedding_q").alias("__q"),
+    )
+    err = z.join(calib, "dim").select(
+        "dim",
+        F.abs(
+            (F.col("__q") + 128) / 255.0 * (F.col("vmax") - F.col("vmin"))
+            + F.col("vmin")
+            - F.col("__v")
+        ).alias("__e"),
+    )
+    return (
+        err.groupBy("dim")
+        .agg(F.round(F.max("__e"), 6).alias("max_abs_err"))
+        .join(calib, "dim")
+        .select(
+            "dim",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("vmax", 6).alias("vmax"),
+            "max_abs_err",
+        )
+        .orderBy("dim")
+    )
+
+
+_QUANTIZATION_SQL = """
+WITH expl AS (
+    SELECT vec_id, u.dim AS dim, u.v AS v
+    FROM (
+        SELECT vec_id,
+               unnest([{'v': embedding[i]::DOUBLE, 'dim': i - 1}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings
+    )
+),
+calib AS (
+    SELECT dim, min(v) AS vmin, max(v) AS vmax FROM expl GROUP BY dim
+),
+err AS (
+    SELECT e.dim,
+           abs((CASE WHEN c.vmax > c.vmin
+                     THEN round((e.v - c.vmin) / (c.vmax - c.vmin) * 255) - 128
+                     ELSE 0 END + 128) / 255.0 * (c.vmax - c.vmin)
+               + c.vmin - e.v) AS ae
+    FROM expl e JOIN calib c USING (dim)
+)
+SELECT c.dim, round(c.vmin, 6) AS vmin, round(c.vmax, 6) AS vmax,
+       round(max(ae), 6) AS max_abs_err
+FROM err JOIN calib c USING (dim)
+GROUP BY c.dim, c.vmin, c.vmax
+ORDER BY c.dim
+"""
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
@@ -930,5 +1066,15 @@ LLM_QUERIES = {
         centroid_outliers_by_label,
         _CENTROID_OUTLIER_SQL,
         "L3+ centroid-distance outlier signal",
+    ),
+    "semantic_dedup_pairs": (
+        semantic_dedup_pairs,
+        _SEMANTIC_DEDUP_SQL,
+        "L2/L3 embedding-recall + text-verify near-dup",
+    ),
+    "quantization_error_profile": (
+        quantization_error_profile,
+        _QUANTIZATION_SQL,
+        "L3+ int8 scalar quantization round-trip bound",
     ),
 }

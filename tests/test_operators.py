@@ -382,3 +382,38 @@ def test_embedding_centroids_and_distances(spark):
     assert abs(dists[1] - 5**0.5) < 1e-9  # (1,2) away from origin point
     assert abs(dists[2] - 5**0.5) < 1e-9
     assert dists[3] == 0.0  # singleton stratum sits on its centroid
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    from neulix_datahub_spark.operators.similarity import (
+        dim_min_max,
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 5.0, 7.0]),
+            (2, [1.0, -5.0, 7.0]),   # dim 2 is degenerate (constant)
+            (3, [0.5, 0.0, 7.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    calib = dim_min_max(df)
+    cal = {r["dim"]: (r["vmin"], r["vmax"]) for r in calib.collect()}
+    assert cal == {0: (0.0, 1.0), 1: (-5.0, 5.0), 2: (7.0, 7.0)}
+    rows = {
+        r["vec_id"]: r["embedding_q"]
+        for r in quantize_embeddings_int8(df, calib).collect()
+    }
+    # endpoints hit the int8 extremes; degenerate dim quantizes to 0
+    assert rows[1] == [-128, 127, 0]
+    assert rows[2] == [127, -128, 0]
+    assert rows[3][2] == 0
+    # round-trip error bounded by half a step on every non-degenerate dim
+    for vid, (vec, q) in {1: ([0.0, 5.0], rows[1][:2]),
+                          2: ([1.0, -5.0], rows[2][:2]),
+                          3: ([0.5, 0.0], rows[3][:2])}.items():
+        for d, (v, qv) in enumerate(zip(vec, q)):
+            lo, hi = cal[d]
+            recon = (qv + 128) / 255.0 * (hi - lo) + lo
+            assert abs(recon - v) <= (hi - lo) / 255.0 / 2 + 1e-12

@@ -995,6 +995,22 @@ ORDER BY c.dim
 """
 
 
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3+ clustering (tail-registered, rows-only: Lloyd iterations are
+    not SQL-expressible — convergence semantics are pinned by unit tests
+    on separable fixtures instead): deterministic k-means (k=8, 5
+    iterations, hash-seeded init) over the embedding corpus, reporting
+    per-cluster size and inertia."""
+    from neulix_datahub_spark.operators.clustering import (
+        kmeans_inertia,
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_lloyd(emb, k=8, iters=5)
+    return kmeans_inertia(assigned, centroids).orderBy("cluster")
+
+
 LLM_QUERIES = {
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
@@ -1076,5 +1092,10 @@ LLM_QUERIES = {
         quantization_error_profile,
         _QUANTIZATION_SQL,
         "L3+ int8 scalar quantization round-trip bound",
+    ),
+    "kmeans_cluster_profile": (
+        kmeans_cluster_profile,
+        None,
+        "L3+ distributed Lloyd k-means (rows-only, unit-pinned)",
     ),
 }

@@ -417,3 +417,35 @@ def test_int8_quantization_roundtrip_bound(spark):
             lo, hi = cal[d]
             recon = (qv + 128) / 255.0 * (hi - lo) + lo
             assert abs(recon - v) <= (hi - lo) / 255.0 / 2 + 1e-12
+
+
+def test_kmeans_lloyd_recovers_separable_clusters(spark):
+    from neulix_datahub_spark.operators.clustering import (
+        kmeans_inertia,
+        kmeans_lloyd,
+    )
+
+    # three tight, well-separated blobs in 2D
+    pts = []
+    for base, (cx, cy) in enumerate([(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]):
+        for j in range(5):
+            pts.append((base * 10 + j, [cx + j * 0.1, cy - j * 0.1]))
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    assigned, centroids = kmeans_lloyd(df, k=3, iters=5)
+    rows = assigned.select("vec_id", "cluster").collect()
+    # every ground-truth blob maps to exactly one k-means cluster
+    blobs = {}
+    for r in rows:
+        blobs.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+    assert all(len(c) == 1 for c in blobs.values())
+    assert len({next(iter(c)) for c in blobs.values()}) == 3
+    # converged centroids are the blob means -> tiny inertia
+    total = sum(
+        r["inertia"] for r in kmeans_inertia(assigned, centroids).collect()
+    )
+    assert total < 1.0
+    # determinism: same input -> same assignment
+    again, _ = kmeans_lloyd(df, k=3, iters=5)
+    assert sorted((r["vec_id"], r["cluster"]) for r in again.collect()) == sorted(
+        (r["vec_id"], r["cluster"]) for r in rows
+    )

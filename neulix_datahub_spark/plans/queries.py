@@ -1082,6 +1082,19 @@ for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES):
 # representative slice of already-green queries fills the remaining
 # prefix; everything else (all green or rows-only-ran in round 1) follows.
 # Rotate this list each round until every query has had a green row.
+#
+# ROUND-3 ROTATION PLAN (for the next builder): _PRIORITY_R3 should lead
+# with the round-2 tail additions that have never had a driver row —
+# stratified_sample_summary, source_mixing_profile, dup_bigram_by_lang,
+# embedding_centroid_profile, centroid_outliers_by_label,
+# semantic_dedup_pairs, quantization_error_profile,
+# stream_dedup_corpus_counts, kmeans_cluster_profile — then the four
+# rows-only L2/L3 generators (minhash_candidates, simhash_documents,
+# embedding_buckets, ivf_top10) and the r1-green tail slice
+# (q3/q5/q6/q10/q14, rollup/cube, profile/top10, set ops, SC queries,
+# delegated_sql_query, ...) so every registered query has a green row
+# within rounds 1-3. All tail queries already pass the local driver-sim
+# at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY_R2 = [
     # never checked in round 1 (registered past the prefix cap)

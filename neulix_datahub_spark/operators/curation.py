@@ -250,3 +250,51 @@ def remove_boilerplate_lines(
             - F.coalesce(F.size(F.col("__ordered")), F.lit(0))
         ).alias("n_lines_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    splits: dict[str, float],
+    *,
+    text_col: str = "text",
+    split_col: str = "split",
+    digits: int = 4,
+) -> DataFrame:
+    """Assign every row to a named split (e.g. train/val/test) by
+    content hash: the first ``digits`` hex chars of md5(text) partition
+    hash space into contiguous ranges sized by the given weights.
+
+    Content-keyed (not id-keyed or RNG-keyed) splitting is the
+    leakage-safe choice for a training corpus: exact duplicates hash
+    identically and therefore land in the SAME split, so a val/test
+    document can never have a byte-identical twin in train. The
+    assignment is a pure function of the bytes — stable across re-runs,
+    shards, engines, and corpus growth (adding documents never moves an
+    existing one between splits).
+
+    Weights must sum to ~1; the last listed split absorbs the hash-space
+    remainder from cutoff rounding. Plan shape: one narrow projection —
+    no shuffle, no RNG, fully codegen'd.
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    names = list(splits)
+    bucket = hash_bucket_hex(text_col, digits)
+    expr: Column | None = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < F.lit(rate_to_hex_cutoff(acc, digits))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    label = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, label)

@@ -1,0 +1,204 @@
+"""Probabilistic sketches as pure Column expressions: Bloom-filter join
+pruning and count-min frequency estimation.
+
+The reference engine has no sketch tier — its joins and counts are eager
+pandas merges at laptop scale (``core/utils/db_core.py``'s merge-based
+upserts). At 100 TB the dominant cost of a selective join is shuffling
+big-side rows that can never match; the classic fix is a Bloom filter
+built from the small side's keys, broadcast, and applied *before* the
+shuffle. Spark's own runtime row-level filtering does this only for
+specific plan shapes; here it is an explicit, composable operator so any
+pipeline stage can prune early.
+
+Everything below is expression-only (md5 / xxhash64, bit ops, map
+lookups): no Python UDFs, no driver-side state, fully codegen'd. The
+Bloom bitmap rides in ONE broadcast row as ``map<int, long>`` (word
+index → 64-bit word), so memory is O(set bits), not O(m), and the probe
+is two map lookups short of free.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build from the small side, prune the big side pre-shuffle
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k independent bit positions via seeded xxhash64 (JVM-side, 64-bit
+    avalanche; seeds folded in as a literal first argument)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits)).cast("int")
+        for i in range(num_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Aggregate the distinct keys of ``df`` into a single-row Bloom
+    bitmap: ``{bitmap: map<int,long>}`` where entry ``w`` holds the 64
+    bits ``[64w, 64w+64)``. Absent words are all-zero (map lookup
+    ``coalesce``s to 0 at probe time), so a sparse filter costs memory
+    proportional to its population, not its size.
+
+    Plan shape: one narrow projection (k positions per key), one
+    partial-aggregated ``bit_or`` groupBy over at most ``num_bits/64``
+    words, one 1-row collect into a map. The result is broadcast-joined
+    by :func:`bloom_prefilter`; at 2^20 bits the row is ≤128 KB — always
+    broadcastable, regardless of how large the build side's *row* data
+    was.
+    """
+    key = F.col(key_col)
+    pos = F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes)))
+    words = (
+        df.select(pos.alias("pos"))
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, pos & 63)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bitmap")
+    )
+
+
+def bloom_might_contain(
+    key: Column, bitmap: Column, *, num_bits: int, num_hashes: int
+) -> Column:
+    """True iff every one of the key's k bits is set — i.e. the key *may*
+    be in the build set (false positives possible, negatives exact)."""
+    checks = []
+    for p in _bloom_positions(key, num_bits, num_hashes):
+        # try_element_at, not element_at: ANSI mode (Spark 4 default)
+        # makes a missing map key THROW; absent words must read as 0.
+        word = F.coalesce(
+            F.try_element_at(bitmap, F.shiftright(p, 6)), F.lit(0).cast("long")
+        )
+        # call_function: the Python shiftleft wrapper only takes an int
+        # literal shift; the SQL function accepts a Column.
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), p.bitwiseAND(F.lit(63))
+        )
+        checks.append(word.bitwiseAND(mask) != F.lit(0))
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prefilter(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Drop big-side rows whose key is provably absent from the build
+    set, BEFORE any shuffle. The bitmap row is cross-broadcast (1 row),
+    the probe is a pure expression, and the surviving superset still goes
+    through the exact join — the filter only changes *how much data
+    moves*, never the answer. This is the standard 100 TB semi-join
+    shape: shuffle volume drops from |big| to |matches| + ε·|big|.
+    """
+    probed = df.crossJoin(F.broadcast(bloom))
+    keep = bloom_might_contain(
+        F.col(key_col), F.col("bitmap"), num_bits=num_bits, num_hashes=num_hashes
+    )
+    return probed.filter(keep).drop("bitmap")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable approximate frequencies
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(key: Column, seed: int, width: int) -> Column:
+    """Row ``seed``'s bucket for ``key``: first 8 hex chars of
+    md5(seed:key) mod width. md5-on-string is engine-portable (DuckDB
+    reproduces it byte-for-byte), which is what lets the driver's oracle
+    recompute the *same* sketch rather than trusting ours."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution as a
+    ``(seed, bucket, cnt)`` relation — ``depth`` hash rows of ``width``
+    counters. The relational encoding (vs an opaque binary blob) keeps
+    it queryable, mergeable (union + re-sum), and oracle-checkable.
+
+    Plan shape: explode ×depth (narrow), one partially-aggregated
+    groupBy over ``depth·width`` cells — the shuffle moves at most
+    ``depth·width·partitions`` partial counts no matter how many input
+    rows, which is the whole point of a sketch at 100 TB.
+    """
+    key = F.col(key_col)
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("seed"),
+                    _cms_bucket(key, s, width).alias("bucket"),
+                )
+                for s in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cell.alias("cell"))
+        .select("cell.seed", "cell.bucket")
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for each probe key: min over the sketch
+    rows of the probed counter. Guarantees estimate ≥ true count, with
+    overshoot ≤ e·N/width at the usual confidence — the estimate is a
+    *deterministic* function of (data, seeds), so two engines computing
+    it agree exactly.
+
+    The probe side re-derives each key's (seed, bucket) with the same
+    expression used at build time — no skew or drift between build and
+    probe hashing — then a broadcast-sized join picks up the counters.
+    """
+    key = F.col(key_col)
+    probe_cells = probes.select(
+        key.alias(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        _cms_bucket(key, s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "cell.seed", "cell.bucket")
+    return (
+        probe_cells.join(sketch, ["seed", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

@@ -1067,10 +1067,11 @@ QUERIES: dict[str, QuerySpec] = {
 
 from neulix_datahub_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_llm import LLM_QUERIES  # noqa: E402
+from neulix_datahub_spark.plans.queries_sketch import SKETCH_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_stream import STREAM_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_tpch import TPCH_QUERIES  # noqa: E402
 
-for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES):
+for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES, SKETCH_QUERIES):
     for _name, (_fn, _sql, _doc) in _registry.items():
         QUERIES[_name] = QuerySpec(_fn, _sql, _doc)
 

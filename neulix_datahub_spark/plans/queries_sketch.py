@@ -1,0 +1,201 @@
+"""Driver-checked queries for the sketch / fuzzy-match / split tier.
+
+Each query pairs a Spark plan with a DuckDB oracle that recomputes the
+same answer from first principles — including the sketches themselves
+(count-min buckets are md5-derived precisely so a second engine can
+rebuild the identical sketch; the Bloom filter needs no oracle mirror
+because it is *transparent*: the exact join after the prefilter makes
+the final answer independent of the bitmap).
+
+Reference parity: the reference has no sketch tier (eager pandas joins,
+``core/utils/db_core.py``); these operators are the scale-path additions
+the brief's 100 TB design point requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.curation import hash_split
+from neulix_datahub_spark.operators.fuzzy import fuzzy_self_pairs
+from neulix_datahub_spark.operators.sketches import (
+    bloom_build,
+    bloom_prefilter,
+    cms_build,
+    cms_estimate,
+)
+from neulix_datahub_spark.sources.tables import load_table
+
+
+def bloom_semi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join lineitem to urgent orders with a Bloom prefilter ahead
+    of the exact join. The bitmap prunes ~4/5 of lineitem before any
+    shuffle; the exact semi-join then removes false positives, so the
+    aggregate equals the plain semi-join bit-for-bit — which is exactly
+    what the oracle checks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    bloom = bloom_build(urgent, "o_orderkey", num_bits=1 << 16, num_hashes=3)
+    pre = bloom_prefilter(li, "l_orderkey", bloom, num_bits=1 << 16, num_hashes=3)
+    keys = urgent.withColumnRenamed("o_orderkey", "l_orderkey")
+    return (
+        pre.join(keys, "l_orderkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_extendedprice").alias("gross_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_SEMI_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       sum(l_extendedprice) AS gross_revenue
+FROM lineitem
+WHERE l_orderkey IN (
+    SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min estimates vs exact counts for the top-10 event users.
+    The sketch is deterministic (md5-seeded buckets), so the oracle
+    rebuilds the identical (seed, bucket, cnt) relation in SQL and must
+    land on the same estimates — a hash-checked sketch, not a
+    rows-only one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", width=256, depth=4)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(
+        sketch, top.select("user_id"), "user_id", width=256, depth=4
+    )
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "exact_count", F.col("cms_count").cast("long").alias("cms_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
+
+
+_CMS_SQL = """
+WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+cells AS (
+    SELECT s.seed,
+           CAST('0x' || substr(md5(s.seed::VARCHAR || ':' || e.user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS bucket
+    FROM events e CROSS JOIN seeds s
+),
+sketch AS (
+    SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY seed, bucket
+),
+top AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+    FROM events GROUP BY user_id
+    ORDER BY exact_count DESC, user_id LIMIT 10
+),
+probe AS (
+    SELECT t.user_id, t.exact_count, s.seed,
+           CAST('0x' || substr(md5(s.seed::VARCHAR || ':' || t.user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS bucket
+    FROM top t CROSS JOIN seeds s
+)
+SELECT p.user_id, p.exact_count,
+       CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_count
+FROM probe p LEFT JOIN sketch sk USING (seed, bucket)
+GROUP BY p.user_id, p.exact_count
+ORDER BY exact_count DESC, user_id
+"""
+
+
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names (edit distance ≤ 3) found by a blocked
+    fuzzy self-join: first-token blocking, JVM ``levenshtein`` verifier
+    as the join residual. DuckDB's levenshtein implements the same
+    metric, so the pair set hash-matches.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        fuzzy_self_pairs(part, "p_name", max_dist=3)
+        .select("name_a", "name_b", F.col("dist").cast("long").alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
+
+
+_FUZZY_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a
+JOIN names b
+  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+ORDER BY name_a, name_b
+"""
+
+
+def hash_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split of the documents
+    corpus, keyed by content hash (duplicates co-locate → no train/test
+    leakage), profiled per split. The oracle re-derives the same split
+    from the same md5 prefix cutoffs (0.9 → 'e666', 0.95 → 'f333' over
+    a 16-bit hash space).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_HASH_SPLIT_SQL = """
+SELECT CASE WHEN substr(md5(text), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(md5(text), 1, 4) < 'f333' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       avg(n_chars) AS avg_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+SKETCH_QUERIES = {
+    "bloom_semi_join_revenue": (
+        bloom_semi_join_revenue,
+        _BLOOM_SEMI_SQL,
+        "Bloom-prefiltered semi-join (sketch tier)",
+    ),
+    "cms_user_counts": (
+        cms_user_counts,
+        _CMS_SQL,
+        "Count-min sketch point estimates, oracle rebuilds sketch",
+    ),
+    "fuzzy_part_pairs": (
+        fuzzy_part_pairs,
+        _FUZZY_SQL,
+        "Blocked Levenshtein fuzzy self-join",
+    ),
+    "hash_split_profile": (
+        hash_split_profile,
+        _HASH_SPLIT_SQL,
+        "Content-hash train/val/test split profile",
+    ),
+}

@@ -1084,55 +1084,46 @@ for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES, SKETCH
 # prefix; everything else (all green or rows-only-ran in round 1) follows.
 # Rotate this list each round until every query has had a green row.
 #
-# ROUND-3 ROTATION PLAN (for the next builder): _PRIORITY_R3 should lead
-# with the round-2 tail additions that have never had a driver row —
-# stratified_sample_summary, source_mixing_profile, dup_bigram_by_lang,
-# embedding_centroid_profile, centroid_outliers_by_label,
-# semantic_dedup_pairs, quantization_error_profile,
-# stream_dedup_corpus_counts, kmeans_cluster_profile — then the four
-# rows-only L2/L3 generators (minhash_candidates, simhash_documents,
-# embedding_buckets, ivf_top10) and the r1-green tail slice
-# (q3/q5/q6/q10/q14, rollup/cube, profile/top10, set ops, SC queries,
-# delegated_sql_query, ...) so every registered query has a green row
-# within rounds 1-3. All tail queries already pass the local driver-sim
-# at sf0.01.
+# ROUND 3: _PRIORITY_R3 leads with the 13 round-2 tail additions that
+# have never had a driver row, then new round-3 queries, then the full
+# round-1-green slice as a regression guard (these had green rows in r1
+# but sat past round 2's prefix). Everything checked in round 2's prefix
+# (the _PRIORITY_R2 head: TPC-H tail, r2 additions, nanos-fixed events
+# queries) moves to the tail — each already has a driver row. The four
+# oracle-less generators (minhash_candidates, simhash_documents,
+# embedding_buckets, ivf_top10) stay in the tail: their rows-only check
+# ran in r1 and their oracle-checked twins (minhash_verified_pairs,
+# simhash_invariance, embedding_near_dup, cosine_top10) carry the
+# correctness signal.
 # ---------------------------------------------------------------------------
-_PRIORITY_R2 = [
-    # never checked in round 1 (registered past the prefix cap)
-    "q11_important_part_values", "q20_excess_share_suppliers",
-    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q9_profit_by_nation", "q12_late_shipments",
-    "q13_order_count_distribution", "q15_top_suppliers",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    "tfidf_top20", "token_pack_summary", "ngram_jaccard_docs",
-    "embedding_near_dup", "multimodal_features", "lsh_dedup_pipeline",
-    "stateful_user_totals", "stream_upsert_latest_events",
-    # new this round
-    "minhash_verified_pairs", "simhash_invariance",
-    "stream_interval_join_counts",
-    "coerced_timestamps", "json_serialized_orders", "resolved_projection",
-    "positional_alignment", "synth_constraint_check",
-    "pii_scrub_stats", "word_repetition_by_lang",
-    "char_entropy_by_lang", "mixing_sample_counts",
-    "contamination_by_lang", "boilerplate_removal_stats",
-    # round-1 errors, now fixed (nanos session fix / canonicalizer fix)
-    "doc_filter_sort_limit", "sequential_event_ids", "json_props_stats",
-    "hll_users_by_type", "events_hourly", "user_sessions",
-    "distinct_events", "events_asof_snapshots", "user_event_deltas",
-    "pivot_event_values", "fill_nulls_events", "events_sliding",
-    "profile_documents_full",
-    # representative already-green slice (regression guard; sits at
-    # positions 51-54 — just past the ~50-entry driver window, checked
-    # only if the cap is larger; all were green in round 1 and stay
-    # covered by the local driver-sim gate)
-    "q1_pricing_summary", "curation_pipeline", "exact_dedup_documents",
-    "upsert_customer_balances",
+_PRIORITY_R3 = [
+    # round-2 tail additions — never had a driver row (registered past
+    # round 2's ~50-entry prefix)
+    "stratified_sample_summary", "source_mixing_profile",
+    "dup_bigram_by_lang", "embedding_centroid_profile",
+    "centroid_outliers_by_label", "semantic_dedup_pairs",
+    "quantization_error_profile", "kmeans_cluster_profile",
+    "stream_dedup_corpus_counts", "bloom_semi_join_revenue",
+    "cms_user_counts", "fuzzy_part_pairs", "hash_split_profile",
+    # new round-3 queries get inserted here as they land
+    # round-1-green slice (last driver row: round 1) — regression guard
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q6_forecast_revenue", "q4_order_priority_count",
+    "rollup_order_status", "profile_orders_stats",
+    "top10_order_priorities", "customers_without_orders",
+    "upsert_customer_balances", "top_orders_per_customer",
+    "building_customers_without_orders", "rich_buyers",
+    "parse_flag_distribution", "iso_order_dates",
+    "exact_dedup_documents", "cosine_top10", "token_quality_by_lang",
+    "lang_id_distribution", "document_fingerprints", "price_percentiles",
+    "curation_pipeline", "orders_price_bands", "salted_flag_revenue",
+    "describe_lineitem", "cube_order_status", "header_projection",
+    "sanitized_projection", "stats_by_returnflag", "delegated_sql_query",
+    "q10_returned_revenue", "q14_promo_share", "q4_order_priority",
 ]
-assert set(_PRIORITY_R2) <= set(QUERIES), sorted(set(_PRIORITY_R2) - set(QUERIES))
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R2} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R2)
+assert set(_PRIORITY_R3) <= set(QUERIES), sorted(set(_PRIORITY_R3) - set(QUERIES))
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R3} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R3)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

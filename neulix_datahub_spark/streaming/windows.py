@@ -36,9 +36,24 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# Any epoch long above this is nanoseconds: 1e17 µs is year 5138, while
+# 1e17 ns is 1973 — the two unit regimes never overlap for real data.
+_NANOS_MAGNITUDE = 100_000_000_000_000_000
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S-source: the events fixture as an unbounded stream. The nanos→µs
-    conversion mirrors sources/tables.py so streaming and batch agree."""
+    """S-source: the events fixture as an unbounded stream.
+
+    The parquet file stores ``ts`` as TIMESTAMP(NANOS); reading it through
+    an explicit ``LongType`` schema yields epoch **micro**second longs
+    (the streaming reader converts, unlike the batch ``nanosAsLong`` path
+    which yields raw nanos). Rather than hard-code either unit — round 2
+    shipped an unconditional ``DIV 1000`` that put every streamed event in
+    1970 — convert by observed magnitude, so batch and stream agree under
+    both reader behaviors. An absolute-value unit test (min(ts) lands in
+    2024) pins this; batch==stream parity alone cannot catch a symmetric
+    unit error.
+    """
     # File-stream sources take a directory; select just the events table.
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -46,7 +61,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    micros = F.when(F.col("ts") > F.lit(_NANOS_MAGNITUDE), F.expr("ts DIV 1000")).otherwise(
+        F.col("ts")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(micros))
 
 
 def tumbling_counts(

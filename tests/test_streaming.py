@@ -20,6 +20,19 @@ from tests.compare import assert_frames_match
 from tests.conftest import SF_DIR
 
 
+def test_stream_timestamps_are_absolute(spark):
+    """Regression for the round-2 double nanos→µs division: a symmetric
+    unit error on both sides passes batch==stream parity, so pin an
+    ABSOLUTE value — the fixture's earliest event is in 2024, not 1970
+    (nanos over-division) nor year ~5e4 (missed conversion)."""
+    stream = read_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        stream.groupBy().agg(F.min("ts").alias("m")), "ts_pin_out", output_mode="complete"
+    )
+    m = spark.sql("SELECT m FROM ts_pin_out").first().m
+    assert m.year == 2024
+
+
 def test_tumbling_stream_matches_batch(spark):
     stream = tumbling_counts(read_events_stream(spark, SF_DIR))
     run_stream_to_memory(stream, "tumbling_out", output_mode="complete")

@@ -10,11 +10,12 @@ date-lag predicates (Q12/Q21) use ``l_shipdate - o_orderdate`` in place
 of commit/receipt dates.
 
 Scale notes (100 TB design point), applied throughout:
-- only bounded-size dimensions (region/nation/supplier — BROADCAST_TABLES
-  in sources/tables.py) carry explicit broadcast hints; customer/part grow
-  with scale factor, so their join strategy is left to AQE (a forced
-  broadcast of a multi-hundred-GB table at the 100 TB design point is an
-  executor OOM, and the hint would override AQE's runtime choice);
+- only CONSTANT-size dimensions (region/nation — BROADCAST_TABLES in
+  sources/tables.py) carry explicit broadcast hints; supplier/customer/
+  part all grow with scale factor (TPC-H: SF x 10k/150k/200k rows), so
+  their join strategy is left to AQE (a forced broadcast of a
+  multi-hundred-GB table at the 100 TB design point is an executor OOM,
+  and the hint would override AQE's runtime choice);
 - fact⋈fact joins (orders⋈lineitem) shuffle on the join key once and
   aggregate partially map-side;
 - LIMIT queries carry a deterministic id tiebreak so the cut is stable
@@ -67,7 +68,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
     best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        best.join(supp, best.l_suppkey == supp.s_suppkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -118,7 +119,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -173,7 +174,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -218,7 +219,7 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -319,7 +320,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("supplier_no", F.col("s_name").alias("supplier_name"), "total_revenue")
     )
 
@@ -498,7 +499,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lone_late = per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     return (
-        lone_late.join(F.broadcast(supp), F.col("late_supp") == supp.s_suppkey)
+        lone_late.join(supp, F.col("late_supp") == supp.s_suppkey)
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -626,7 +627,7 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = _t(spark, sf_dir, "lineitem")
     per_part = (
-        li.join(F.broadcast(supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(

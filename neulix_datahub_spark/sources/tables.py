@@ -27,7 +27,11 @@ TABLES = (
 )
 
 # Dimension tables small enough to broadcast at any realistic scale factor.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+# Only the CONSTANT-size dimensions qualify: region (5 rows) and nation (25)
+# never grow with scale factor. Supplier does (TPC-H: SF x 10k — ~10^9 rows
+# at the 100 TB design point), so it must never carry a forced broadcast
+# hint; AQE picks broadcast at runtime when the side is actually small.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 # Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as

@@ -32,19 +32,25 @@ def test_rows_only_runs(spark, name):
 
 def test_no_broadcast_hints_on_scaling_tables(spark):
     """Scale invariant (SCALE.md): explicit broadcast hints are allowed
-    only for constant-size dimensions (BROADCAST_TABLES). A hint on a
-    table that grows with scale factor would force an executor OOM at
-    the 100 TB design point and override AQE's runtime choice — assert
-    the analyzed plans carry no hint over customer/part/orders/lineitem
-    scans."""
-    from neulix_datahub_spark.plans.queries_tpch import TPCH_QUERIES
+    only for CONSTANT-size dimensions (BROADCAST_TABLES = region/nation).
+    A hint on a table that grows with scale factor — supplier included:
+    TPC-H scales it SF x 10k, it is NOT a fixed dimension — would force
+    an executor OOM at the 100 TB design point and override AQE's
+    runtime choice. Audits EVERY registry (round 2 hid violations in
+    queries.py/queries_ext.py because only queries_tpch.py was checked);
+    the streaming registry is excluded only because its fns execute
+    eagerly — their batch twins are all audited here."""
+    from neulix_datahub_spark.plans.queries_stream import STREAM_QUERIES
 
     # Relation lines print column lists, not paths — identify the hinted
     # table by its lead column. Scaling tables (forbidden under a hint):
     forbidden = {"c_custkey": "customer", "p_partkey": "part",
-                 "o_orderkey": "orders", "l_orderkey": "lineitem"}
-    for name, (fn, _sql, _doc) in TPCH_QUERIES.items():
-        df = fn(spark, SF_DIR)
+                 "o_orderkey": "orders", "l_orderkey": "lineitem",
+                 "s_suppkey": "supplier"}
+    for name, spec in QUERIES.items():
+        if name in STREAM_QUERIES:
+            continue
+        df = spec.fn(spark, SF_DIR)
         lines = df._jdf.queryExecution().analyzed().toString().splitlines()
         for i, line in enumerate(lines):
             if "ResolvedHint (strategy=broadcast)" not in line:

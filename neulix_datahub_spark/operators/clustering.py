@@ -55,16 +55,22 @@ def kmeans_lloyd(
 ) -> tuple[DataFrame, list[list[float]]]:
     """Lloyd's algorithm: returns (assigned DataFrame, final centroids).
 
-    Init is deterministic: the ``k`` vectors with the smallest
-    ``xxhash64(id)`` (a content-independent pseudo-random draw that every
-    re-run and engine reproduces). Each iteration runs one distributed
-    assignment + one (cluster, dim) two-phase aggregate; empty clusters
-    keep their previous centroid. The driver only ever holds k × dim
-    floats — never data rows.
+    Init is deterministic AND engine-portable: the ``k`` vectors with the
+    smallest ``md5(cast(id as string))`` (a content-independent
+    pseudo-random draw every re-run reproduces; md5 rather than xxhash64
+    so the DuckDB oracle can replay the identical seed choice — the same
+    portability trick the bloom/CMS sketch oracles use). Each iteration
+    runs one distributed assignment + one (cluster, dim) two-phase
+    aggregate; empty clusters keep their previous centroid. The driver
+    only ever holds k × dim floats — never data rows.
     """
     seeds = (
-        df.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__h"))
-        .orderBy("__h")
+        df.select(
+            F.col(vec_col),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+        )
+        .orderBy("__h", "__id")
         .limit(k)
         .collect()
     )

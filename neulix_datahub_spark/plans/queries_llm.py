@@ -996,11 +996,13 @@ ORDER BY c.dim
 
 
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3+ clustering (tail-registered, rows-only: Lloyd iterations are
-    not SQL-expressible — convergence semantics are pinned by unit tests
-    on separable fixtures instead): deterministic k-means (k=8, 5
-    iterations, hash-seeded init) over the embedding corpus, reporting
-    per-cluster size and inertia."""
+    """L3+ clustering: deterministic k-means (k=8, 5 iterations,
+    md5-seeded init) over the embedding corpus, reporting per-cluster
+    size and inertia. Fully hash-checked: the DuckDB oracle REPLAYS the
+    whole Lloyd run as unrolled CTEs (portable md5 seed order, argmin
+    assignment, per-dim avg update with empty-cluster carry-over), so
+    every assignment decision across all 5 iterations must agree across
+    engines — far stronger than pinning output constants."""
     from neulix_datahub_spark.operators.clustering import (
         kmeans_inertia,
         kmeans_lloyd,
@@ -1009,6 +1011,57 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = kmeans_lloyd(emb, k=8, iters=5)
     return kmeans_inertia(assigned, centroids).orderBy("cluster")
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
+    """Unrolled Lloyd in pure SQL, mirroring kmeans_lloyd exactly:
+    c0 = k seeds by md5(id) → (assign, update) × iters → final assign +
+    per-cluster inertia against the last centroids. Distances order by
+    Euclidean (monotone with the squared form Spark folds); update is
+    the per-(cluster, dim) mean; an empty cluster keeps its previous
+    centroid via the LEFT JOIN + coalesce."""
+    seed_order = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    assign = (
+        "SELECT vec_id, v, cluster FROM (\n"
+        "    SELECT e.vec_id, e.v, c.cluster,\n"
+        "           row_number() OVER (PARTITION BY e.vec_id\n"
+        "                              ORDER BY list_distance(e.v, c.c), c.cluster) AS rn\n"
+        "    FROM e CROSS JOIN {prev} c) WHERE rn = 1"
+    )
+    ctes = [
+        "e AS (\n  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings)",
+        f"c0 AS (\n  SELECT row_number() OVER (ORDER BY {seed_order}) - 1 AS cluster, v AS c\n"
+        f"  FROM e ORDER BY {seed_order} LIMIT {k})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"a{i} AS (\n  " + assign.format(prev=prev) + ")")
+        ctes.append(
+            f"u{i} AS (\n"
+            "  SELECT cluster, list(m ORDER BY d) AS c FROM (\n"
+            "    SELECT cluster, d, avg(x) AS m FROM (\n"
+            f"      SELECT cluster, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM a{i})\n"
+            "    GROUP BY cluster, d)\n"
+            "  GROUP BY cluster)"
+        )
+        ctes.append(
+            f"c{i} AS (\n  SELECT p.cluster, coalesce(u.c, p.c) AS c\n"
+            f"  FROM {prev} p LEFT JOIN u{i} u ON p.cluster = u.cluster)"
+        )
+        prev = f"c{i}"
+    ctes.append("afinal AS (\n  " + assign.format(prev=prev) + ")")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT a.cluster, count(*) AS n_vecs,\n"
+        "       round(sum(power(list_distance(a.v, c.c), 2)), 4) AS inertia\n"
+        f"FROM afinal a JOIN {prev} c ON a.cluster = c.cluster\n"
+        "GROUP BY a.cluster\n"
+        "ORDER BY a.cluster"
+    )
+
+
+_KMEANS_SQL = _kmeans_oracle_sql()
 
 
 LLM_QUERIES = {
@@ -1095,7 +1148,7 @@ LLM_QUERIES = {
     ),
     "kmeans_cluster_profile": (
         kmeans_cluster_profile,
-        None,
-        "L3+ distributed Lloyd k-means (rows-only, unit-pinned)",
+        _KMEANS_SQL,
+        "L3+ distributed Lloyd k-means (oracle replays the full run)",
     ),
 }

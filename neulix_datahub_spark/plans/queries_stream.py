@@ -304,8 +304,44 @@ ORDER BY d.lang
 """
 
 
+def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-ext stream-static enrichment: the events stream joins the static
+    customer dimension per micro-batch (streaming/joins.py
+    ``stream_static_enrich``), then aggregates by market segment and
+    event type. Over the bounded fixture the drained result equals the
+    same join+groupBy as a batch query — the DuckDB oracle."""
+    import uuid
+
+    from neulix_datahub_spark.streaming.joins import stream_static_enrich
+
+    name = f"enriched_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(ev, cust, stream_key="user_id", dim_key="c_custkey")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    run_stream_to_memory(agg, name, output_mode="complete")
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+_ENRICHED_SQL = """
+SELECT c_mktsegment, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment, event_type
+"""
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
+    "stream_enriched_segment_counts": (
+        stream_enriched_segment_counts,
+        _ENRICHED_SQL,
+        "S-ext stream-static dimension join (batch-parity oracle)",
+    ),
     "stream_interval_join_counts": (
         stream_interval_join_counts,
         _INTERVAL_JOIN_SQL,
@@ -322,7 +358,6 @@ STREAM_QUERIES = {
         _STREAM_UPSERT_SQL,
         "J2/IO14 foreachBatch MERGE sink (batch-parity oracle)",
     ),
-    # Tail-registered round-2 addition; rotate into _PRIORITY_R3.
     "stream_dedup_corpus_counts": (
         stream_dedup_corpus_counts,
         _STREAM_DEDUP_SQL,

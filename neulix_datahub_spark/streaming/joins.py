@@ -54,3 +54,24 @@ def stream_interval_join(
         F.col(f"r.{ts_col}").alias("right_ts"),
         *[F.col(f"r.{c}").alias(f"right_{c}") for c in right_extra],
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension join — the standard streaming enrichment
+    pattern: each micro-batch of ``stream`` joins against the batch-side
+    ``dim`` (re-planned per batch, so a refreshed dimension table is
+    picked up between batches without restarting the query).
+
+    No forced broadcast: the per-batch planner broadcasts a dim that is
+    actually small, and a dim that scales (customer at the 100 TB design
+    point) shuffle-joins — the same invariant the batch registries
+    enforce via the plan-shape test. Stateless (no watermark needed):
+    only the stream side is unbounded."""
+    cond = stream[stream_key] == dim[dim_key]
+    return stream.join(dim, cond, how).drop(dim[dim_key])

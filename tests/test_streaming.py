@@ -145,6 +145,30 @@ def test_interval_join_stream_matches_batch(spark):
     assert_frames_match(got, batch)
 
 
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static dimension join: the drained micro-batch join over
+    the bounded fixture equals the same join as one batch query."""
+    from neulix_datahub_spark.sources.tables import load_table
+    from neulix_datahub_spark.streaming.joins import stream_static_enrich
+
+    ev = read_events_stream(spark, SF_DIR)
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_static_enrich(ev, cust, stream_key="user_id", dim_key="c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    run_stream_to_memory(agg, "enrich_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM enrich_out").toPandas()
+
+    bev = load_table(spark, SF_DIR, "events")
+    batch = (
+        bev.join(cust, bev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert len(got) > 0
+    assert_frames_match(got, batch)
+
+
 def test_stream_dedup_sink_cross_batch_precedence(spark, tmp_path):
     """The incremental dedup sink must drop content already admitted by
     an EARLIER micro-batch (arrival order wins, even against a lower id)

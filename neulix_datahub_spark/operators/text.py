@@ -241,17 +241,31 @@ def top_word_share(col: Column | str) -> Column:
     the normalized text — the word-level repetition signal (degenerate/
     boilerplate docs score high; Gopher filters on exactly this family).
 
-    Pure expression: tokens → per-token counts via aggregate over the
-    distinct set, then max/total. Cost is O(distinct² ) per doc in the
-    worst case but documents are bounded (truncate upstream for 100 TB
-    runs); nothing leaves codegen and there is no shuffle."""
+    Pure expression: the most-frequent-token count equals the longest
+    run of equal adjacent tokens after an array_sort — one O(n log n)
+    sort plus a single O(n) fold tracking (prev, current-run, best-run),
+    replacing the earlier O(distinct x total) count-per-distinct-token
+    form. Nothing leaves codegen and there is no shuffle."""
     c = F.col(col) if isinstance(col, str) else col
     tokens = F.split(normalize_text(c), " ")
-    counts = F.transform(
-        F.array_distinct(tokens),
-        lambda w: F.size(F.filter(tokens, lambda t: t == w)),
+
+    def _step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(
+        F.array_sort(tokens),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _step,
+        lambda acc: acc["best"],
     )
     return F.when(
         F.size(tokens) > 0,
-        F.array_max(counts).cast("double") / F.size(tokens),
+        best.cast("double") / F.size(tokens),
     ).otherwise(F.lit(0.0))

@@ -788,7 +788,7 @@ def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path: bucketed approximate top-k for the vec_id=0 probe —
     scans only Hamming-adjacent LSH buckets, then exact cosine inside
     (rows-only: approximate by design; recall vs brute force is asserted
-    in tests/test_operators.py)."""
+    in tests/test_operators.py and driver-checked via ivf_recall_check)."""
     from neulix_datahub_spark.operators.similarity import ivf_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -797,6 +797,73 @@ def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0), qvec, k=10, num_buckets=16, hamming_probe=2
     )
     return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, oracle-checked like the HLL/approx-percentile
+    sketches: the IVF probe search is approximate by design, so the
+    query emits the EXACT brute-force top-10 (SQL-expressible — the
+    oracle recomputes it) plus a recall verdict on the bucketed search
+    the oracle pins true. Recall@10 >= 0.8 holds at every fixture SF
+    (measured 0.8 / 1.0 / 1.0 at sf0.001/0.01/0.1 with 16 buckets,
+    Hamming-2 probing ~= 69% of buckets scanned)."""
+    from neulix_datahub_spark.operators.similarity import cosine_top_k, ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_top_k(corpus, qvec, k=10).select(
+        "vec_id", F.lit(1).alias("is_exact"), F.lit(0).alias("is_ivf")
+    )
+    ivf = ivf_top_k(
+        corpus, qvec, k=10, num_buckets=16, hamming_probe=2
+    ).select("vec_id", F.lit(0).alias("is_exact"), F.lit(1).alias("is_ivf"))
+    per_id = (
+        exact.unionByName(ivf)
+        .groupBy("vec_id")
+        .agg(F.max("is_exact").alias("e"), F.max("is_ivf").alias("i"))
+    )
+    return per_id.agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("e") == 1, F.col("vec_id")))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("exact_top10_ids"),
+        F.sum("e").cast("bigint").alias("n_exact"),
+        ((F.sum(F.col("e") * F.col("i")) / F.lit(10.0)) >= 0.8).alias(
+            "ivf_recall_ge_80pct"
+        ),
+    )
+
+
+_IVF_RECALL_SQL = """
+WITH q AS (
+    SELECT generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS qval
+    FROM embeddings WHERE vec_id = 0
+),
+e AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS eval
+    FROM embeddings WHERE vec_id <> 0
+),
+top AS (
+    SELECT e.vec_id,
+           sum(e.eval * q.qval)
+           / (sqrt(sum(e.eval * e.eval)) * sqrt(sum(q.qval * q.qval))) AS score
+    FROM e JOIN q USING (i)
+    GROUP BY e.vec_id
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+)
+SELECT string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS exact_top10_ids,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS ivf_recall_ge_80pct
+FROM top
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1106,6 +1173,9 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_documents": QuerySpec(simhash_documents, None, "L2 (rows-only)"),
     "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
     "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
+    "ivf_recall_check": QuerySpec(
+        ivf_recall_check, _IVF_RECALL_SQL, "L3 IVF recall vs exact w/ tolerance oracle"
+    ),
     "price_percentiles": QuerySpec(price_percentiles, _PERCENTILES_SQL, "A1 exact percentiles"),
     "approx_price_percentiles": QuerySpec(
         approx_price_percentiles,
@@ -1182,9 +1252,11 @@ _PRIORITY_R3 = [
     "positional_alignment", "synth_constraint_check",
     # -- new round-3 queries --
     "approx_price_percentiles", "stream_enriched_segment_counts",
-    # -- regression guards (green in r1+r2; kmeans re-checked because its
-    #    oracle upgraded from rows-only to full-replay this round) --
-    "q1_pricing_summary", "kmeans_cluster_profile",
+    "ivf_recall_check",
+    # -- regression guard: kmeans re-checked because its oracle upgraded
+    #    from rows-only to full-replay this round (q1 needs no slot — the
+    #    driver's entry() smoke-check runs it every round) --
+    "kmeans_cluster_profile",
 ]
 assert set(_PRIORITY_R3) <= set(QUERIES), sorted(set(_PRIORITY_R3) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R3} | {

@@ -269,3 +269,40 @@ def top_word_share(col: Column | str) -> Column:
         F.size(tokens) > 0,
         best.cast("double") / F.size(tokens),
     ).otherwise(F.lit(0.0))
+
+
+def doc_unigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """L4+ LM-quality signal (the CCNet recipe, unigram form): score each
+    document by the perplexity of a unigram language model trained on the
+    corpus itself — ``exp(-mean_t ln p(t))`` over the document's tokens.
+    Low = in-distribution text, high = noise/garble; the standard
+    pretraining-corpus quality filter (KenLM in CCNet; the unigram form
+    keeps the whole computation inside Spark SQL).
+
+    Plan shape for 100 TB: tokenize once into per-doc term frequencies
+    (one explode + groupBy with map-side combine), derive the vocabulary
+    from the TF table (sub-linear in corpus size, Heaps' law), join TF
+    against vocab on the token key (one shuffle), and carry the 1-row
+    token total via a broadcast join. No Python anywhere.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("__tok"),
+    )
+    tf = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab = tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__n"))
+    scored = (
+        tf.join(vocab, "__tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(F.col("__tf") * F.log(F.col("__cnt") / F.col("__n")))
+                / F.sum("__tf")
+            ).alias("__avg_lp")
+        )
+    )
+    return scored.select(F.col(id_col), F.exp(-F.col("__avg_lp")).alias("perplexity"))

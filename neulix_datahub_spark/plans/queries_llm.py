@@ -1064,7 +1064,60 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
 _KMEANS_SQL = _kmeans_oracle_sql()
 
 
+def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ LM-quality filter (CCNet recipe, unigram form): per-doc
+    perplexity under a corpus-trained unigram LM, profiled per language.
+    Fully SQL-expressible, so the oracle recomputes the LM and every
+    per-doc score. Tail-registered: rotates into the driver window next
+    round; locally oracle-green at sf0.001 and sf0.01."""
+    from neulix_datahub_spark.operators.text import doc_unigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = doc_unigram_perplexity(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(ppl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+            F.round(F.min("perplexity"), 4).alias("min_ppl"),
+            F.round(F.max("perplexity"), 4).alias("max_ppl"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PERPLEXITY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY tok),
+total AS (SELECT sum(cnt) AS n FROM vocab),
+scored AS (
+    SELECT doc_id, exp(-(sum(tf * ln(cnt / n)) / sum(tf))) AS ppl
+    FROM tf JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 4) AS avg_ppl,
+       round(min(ppl), 4) AS min_ppl,
+       round(max(ppl), 4) AS max_ppl
+FROM scored JOIN documents USING (doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
+    "unigram_perplexity_by_lang": (
+        unigram_perplexity_by_lang,
+        _PERPLEXITY_SQL,
+        "L4+ unigram-LM perplexity quality filter (CCNet recipe)",
+    ),
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),
     "word_repetition_by_lang": (

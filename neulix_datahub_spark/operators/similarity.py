@@ -49,6 +49,20 @@ def cosine_similarity_expr(a: Column | str, b: Column | str) -> Column:
     return _dot(ca, cb) / (_norm(ca) * _norm(cb))
 
 
+def _cosine_to_literal(vec: Column, query_vector: list[float]) -> Column:
+    """Cosine of an array column against a CONSTANT query vector: the
+    query's norm folds to a Python scalar (same left-to-right double
+    accumulation Spark's fold performs, so the value is bit-identical),
+    leaving one dot + one row-norm fold per row instead of three."""
+    import math
+
+    acc = 0.0
+    for x in query_vector:
+        acc += float(x) * float(x)
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return _dot(vec, q) / (_norm(vec) * F.lit(math.sqrt(acc)))
+
+
 def cosine_top_k(
     df: DataFrame,
     query_vector: list[float],
@@ -64,11 +78,10 @@ def cosine_top_k(
     ``TakeOrderedAndProject`` — each partition keeps only its local top-k,
     so the driver sees #partitions·k rows regardless of corpus size.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         df.select(
             F.col(id_col),
-            cosine_similarity_expr(F.col(vec_col), q).alias("score"),
+            _cosine_to_literal(F.col(vec_col), query_vector).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -90,14 +103,18 @@ def cosine_self_join_top_k(
     from pyspark.sql import Window
 
     probes = df.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("__q")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__q"),
+        _norm(F.col(vec_col)).alias("__qn"),
     )
-    scored = df.crossJoin(F.broadcast(probes)).filter(
+    scored = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn")
+    ).crossJoin(F.broadcast(probes)).filter(
         F.col(id_col) != F.col("probe_id")
     ).select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity_expr(F.col(vec_col), F.col("__q")).alias("score"),
+        (_dot(F.col(vec_col), F.col("__q")) / (F.col("__vn") * F.col("__qn"))).alias("score"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -143,12 +160,11 @@ def ivf_top_k(
                 b ^= 1 << bit
             probe_buckets.add(b)
 
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
     return (
         bucketed.filter(F.col("bucket").isin(*probe_buckets))
         .select(
             F.col(id_col),
-            cosine_similarity_expr(F.col(vec_col), q).alias("score"),
+            _cosine_to_literal(F.col(vec_col), query_vector).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
@@ -169,22 +185,29 @@ def embedding_near_duplicates(
     side is broadcast against the full corpus scan, so the corpus never
     shuffles. For full-corpus near-dup at 100 TB, bucket first
     (``ivf_assign_buckets``) and run this within buckets.
+
+    Norms are computed once per ROW in the pre-join projections, so the
+    per-PAIR work is just the dot product — a 3x cut in the pairwise
+    expression cost versus recomputing both norms for every pair.
     """
-    probes = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    side = df if probe_filter is None else df.filter(probe_filter)
+    probes = side.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
     )
-    if probe_filter is not None:
-        probes = df.filter(probe_filter).select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-        )
-    corpus = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    corpus = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         corpus.join(F.broadcast(probes), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
             F.round(
-                cosine_similarity_expr(F.col("__va"), F.col("__vb")), 6
+                _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

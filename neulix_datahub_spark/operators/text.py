@@ -193,23 +193,37 @@ def char_entropy(col: Column | str) -> Column:
     base64 blobs, and single-char runs all sit far from natural-language
     entropy, which is ~2.5–3.5 nats for alphabetic scripts).
 
-    Pure expression, same family as :func:`top_word_share`: distinct
-    chars → per-char counts → ``-Σ (c/n)·ln(c/n)`` via one fold. Cost is
-    O(alphabet · length) per document — the alphabet is small and
-    bounded, nothing leaves codegen, no shuffle."""
+    Pure expression, same family as :func:`top_word_share`: sort the
+    character array, then one linear fold over equal-adjacent runs
+    accumulating ``S = Σ c·ln(c)`` per run; entropy follows from the
+    identity ``-Σ (c/n)·ln(c/n) = ln(n) - S/n``. O(n log n) per doc —
+    replaces the earlier O(alphabet · length) count-per-distinct-char
+    form; nothing leaves codegen, no shuffle."""
     c = F.col(col) if isinstance(col, str) else col
     chars = F.split(normalize_text(c), "")
     n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda ch: F.size(F.filter(chars, lambda x: x == ch)),
+
+    def _term(run: Column) -> Column:
+        r = run.cast("double")
+        return F.when(run > 0, r * F.log(r)).otherwise(F.lit(0.0))
+
+    def _step(acc: Column, ch: Column) -> Column:
+        is_run = ch == acc["prev"]
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))
+        s = F.when(is_run, acc["s"]).otherwise(acc["s"] + _term(acc["run"]))
+        return F.struct(ch.alias("prev"), run.alias("run"), s.alias("s"))
+
+    big_s = F.aggregate(
+        F.array_sort(chars),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        _step,
+        lambda acc: acc["s"] + _term(acc["run"]),
     )
-    p = lambda cnt: cnt.cast("double") / n  # noqa: E731
-    ent = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, cnt: acc - p(cnt) * F.log(p(cnt)),
-    )
+    ent = F.log(n.cast("double")) - big_s / n.cast("double")
     return F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0))
 
 

@@ -984,13 +984,23 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     true. Accuracy 10000 bounds rank error at 0.01% — a 1% value
     tolerance is generous for any non-pathological distribution."""
     li = _t(spark, sf_dir, "lineitem")
+    # Array-form aggregates: ONE percentile sort and ONE GK sketch per
+    # group serve both probe points (two scalar calls each built their
+    # own state — 2x the aggregation work for identical answers).
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.percentile("l_extendedprice", F.lit(0.5)).alias("__e50"),
-            F.percentile("l_extendedprice", F.lit(0.95)).alias("__e95"),
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("__a50"),
-            F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("__a95"),
+            F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))).alias("__e"),
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+            ).alias("__a"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("__e", 1).alias("__e50"),
+            F.element_at("__e", 2).alias("__e95"),
+            F.element_at("__a", 1).alias("__a50"),
+            F.element_at("__a", 2).alias("__a95"),
         )
         .select(
             "l_returnflag",

@@ -209,6 +209,49 @@ ORDER BY p_brand
 """
 
 
+def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join, driver-visible (SCALE.md layout
+    strategy): write orders and lineitem bucketed by the join key with
+    the same bucket count, join the bucketed tables — Catalyst plans the
+    join with NO Exchange (asserted in tests/test_io.py; the shuffle is
+    paid once at layout time, the 100 TB recipe for fact-fact joins) —
+    and aggregate revenue per order priority. The oracle recomputes the
+    aggregate from the raw tables, proving the bucketed layout
+    round-trips every row."""
+    import uuid
+
+    from neulix_datahub_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    run = uuid.uuid4().hex[:8]
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(orders, f"b_orders_{run}", ["o_orderkey"], 16)
+    write_bucketed(li, f"b_lineitem_{run}", ["o_orderkey"], 16)
+    return (
+        bucketed_join(spark, f"b_orders_{run}", f"b_lineitem_{run}", on=["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+BUCKETED_REVENUE_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def delegated_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP2 (db_core.py:119-135): arbitrary SQL over the registered catalog
     — parse/optimize/execute entirely inside Catalyst, no translation."""
@@ -691,6 +734,11 @@ EXT_QUERIES = {
     "sanitized_projection": (sanitized_projection, SANITIZED_SQL, "F3"),
     "stats_by_returnflag": (stats_by_returnflag, STATS_SQL, "SC10"),
     "delegated_sql_query": (delegated_sql_query, DELEGATED_SQL, "IO8/EP2"),
+    "bucketed_revenue_by_priority": (
+        bucketed_revenue_by_priority,
+        BUCKETED_REVENUE_SQL,
+        "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),
     "events_sliding": (events_sliding, SLIDING_SQL, "S1 sliding parity"),

@@ -30,7 +30,6 @@ from neulix_datahub_spark.operators.dedupe import (
 from neulix_datahub_spark.operators.profile import profile_stats, profile_table, top_k_values
 from neulix_datahub_spark.operators.sequence import with_sequential_id
 from neulix_datahub_spark.operators.similarity import (
-    cosine_similarity_expr,
     cosine_top_k,
     ivf_assign_buckets,
 )

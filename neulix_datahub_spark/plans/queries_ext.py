@@ -209,6 +209,77 @@ ORDER BY p_brand
 """
 
 
+def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
+    read it back through the delimiter-SNIFFING loader (one-line probe,
+    then the real scan), and aggregate. The oracle recomputes the
+    aggregate from the parquet table, so a green row proves the CSV
+    sink, the sniffer, and the PERMISSIVE scan round-trip every row and
+    type (inferSchema must land c_acctbal back on double)."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.io import read_csv_sniffed, write_csv
+
+    tmp = tempfile.mkdtemp(prefix="neulix_csv_rt_")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    write_csv(cust, f"{tmp}/customer_csv", delimiter=";")
+    back = read_csv_sniffed(spark, f"{tmp}/customer_csv")
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def json_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO6 driver-visible: orders → JSON-lines sink → scan → aggregate;
+    the oracle recomputes from parquet, proving the JSON sink/scan
+    round-trips rows and numeric types."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.io import read_json, write_json
+
+    tmp = tempfile.mkdtemp(prefix="neulix_json_rt_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_json(orders, f"{tmp}/orders_json")
+    back = read_json(spark, f"{tmp}/orders_json")
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+JSON_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join, driver-visible (SCALE.md layout
     strategy): write orders and lineitem bucketed by the join key with
@@ -738,6 +809,16 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "csv_roundtrip_stats": (
+        csv_roundtrip_stats,
+        CSV_ROUNDTRIP_SQL,
+        "IO3/IO4/IO5 CSV sink + sniffed scan round-trip",
+    ),
+    "json_roundtrip_stats": (
+        json_roundtrip_stats,
+        JSON_ROUNDTRIP_SQL,
+        "IO6 JSON sink + scan round-trip",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

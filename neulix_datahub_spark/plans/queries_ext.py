@@ -280,6 +280,90 @@ ORDER BY o_orderstatus
 """
 
 
+def update_rewrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO9 driver-visible: copy customer to a scratch parquet table, run
+    the SQL-UPDATE rewrite (+500 balance for the BUILDING segment), scan
+    the rewritten table and aggregate. The oracle recomputes the
+    post-update aggregate with CASE WHEN over the pristine parquet, so a
+    green row proves the read → conditional-replace → staging-swap cycle
+    touched exactly the matched rows."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.io import update_parquet_table
+
+    tmp = tempfile.mkdtemp(prefix="neulix_upd_")
+    path = f"{tmp}/customer_copy"
+    _t(spark, sf_dir, "customer").write.mode("overwrite").parquet(path)
+    update_parquet_table(
+        spark,
+        path,
+        set_exprs={"c_acctbal": F.round(F.col("c_acctbal") + 500.0, 4)},
+        where=F.col("c_mktsegment") == "BUILDING",
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+UPDATE_REWRITE_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN round(c_acctbal + 500.0, 4)
+                      ELSE c_acctbal END), 4) AS sum_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def bulk_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO10/IO12 driver-visible: load a {source: destination} manifest
+    (the reference's upload_raw_files_to_bq loop) pointing two fixture
+    tables at scratch destinations with replace behavior, then aggregate
+    the loaded tables; the oracle recomputes from the originals — a
+    green row proves the manifest loop landed every row of every entry."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.io import bulk_load
+
+    tmp = tempfile.mkdtemp(prefix="neulix_bulk_")
+    manifest = {
+        f"{sf_dir}/region.parquet": f"{tmp}/region_dest",
+        f"{sf_dir}/nation.parquet": f"{tmp}/nation_dest",
+    }
+    results = bulk_load(spark, manifest, loading_behavior="replace")
+    assert all(v == "ok" for v in results.values()), results
+    region = spark.read.parquet(f"{tmp}/region_dest").select(
+        F.col("r_regionkey").alias("key")
+    )
+    nation = spark.read.parquet(f"{tmp}/nation_dest").select(
+        F.col("n_nationkey").alias("key")
+    )
+    return (
+        region.withColumn("table", F.lit("region"))
+        .unionByName(nation.withColumn("table", F.lit("nation")))
+        .groupBy("table")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("key").alias("key_sum"))
+        .orderBy("table")
+    )
+
+
+BULK_MANIFEST_SQL = """
+SELECT 'region' AS "table", CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
+UNION ALL
+SELECT 'nation', CAST(count(*) AS BIGINT), CAST(sum(n_nationkey) AS BIGINT) FROM nation
+ORDER BY "table"
+"""
+
+
 def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join, driver-visible (SCALE.md layout
     strategy): write orders and lineitem bucketed by the join key with
@@ -819,6 +903,16 @@ EXT_QUERIES = {
         json_roundtrip_stats,
         JSON_ROUNDTRIP_SQL,
         "IO6 JSON sink + scan round-trip",
+    ),
+    "update_rewrite_stats": (
+        update_rewrite_stats,
+        UPDATE_REWRITE_SQL,
+        "IO9 UPDATE rewrite (read -> conditional replace -> swap)",
+    ),
+    "bulk_manifest_stats": (
+        bulk_manifest_stats,
+        BULK_MANIFEST_SQL,
+        "IO10/IO12 manifest bulk load",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

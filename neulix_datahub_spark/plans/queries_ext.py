@@ -364,6 +364,56 @@ ORDER BY "table"
 """
 
 
+def grid_dedupe_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO18/IO19 + F1/F2 + J1 driver-visible: the reference's Sheets
+    homologation composite end-to-end. A driver-side grid (header row +
+    the 10 lowest-key customers, with a deliberately messy header
+    ' C_CustKey ' the case-insensitive resolver must match) plays the
+    existing sheet; the 30 lowest-key customers stream in; the composite
+    anti-joins, projects to the grid header and appends through the
+    injected writer. The appended batch goes back through
+    grid_to_dataframe and is aggregated; the oracle derives ranks 11-30
+    independently. Grid contents are driver-side lists — bounded by
+    construction, exactly like the Sheets API they model."""
+    from neulix_datahub_spark.sources.adapters import (
+        dedupe_append_to_grid,
+        grid_to_dataframe,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    header = [" C_CustKey ", "c_name"]
+    top10 = cust.orderBy("c_custkey").limit(10).collect()
+    existing_rows = [header] + [[str(r.c_custkey), r.c_name] for r in top10]
+    incoming = cust.orderBy("c_custkey").limit(30)
+
+    appended: list[list[str]] = []
+
+    def append(batch: list[list[str]]) -> int:
+        appended.extend(batch)
+        return len(batch)
+
+    dedupe_append_to_grid(existing_rows, incoming, "c_custkey", append)
+    back = grid_to_dataframe(spark, [header] + appended)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_appended"),
+        F.min(F.col(" C_CustKey ").cast("bigint")).alias("min_key"),
+        F.max(F.col(" C_CustKey ").cast("bigint")).alias("max_key"),
+    )
+
+
+GRID_DEDUPE_SQL = """
+WITH ranked AS (
+    SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+    FROM customer
+)
+SELECT CAST(count(*) AS BIGINT) AS n_appended,
+       CAST(min(c_custkey) AS BIGINT) AS min_key,
+       CAST(max(c_custkey) AS BIGINT) AS max_key
+FROM ranked
+WHERE rn BETWEEN 11 AND 30
+"""
+
+
 def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located bucketed join, driver-visible (SCALE.md layout
     strategy): write orders and lineitem bucketed by the join key with
@@ -913,6 +963,11 @@ EXT_QUERIES = {
         bulk_manifest_stats,
         BULK_MANIFEST_SQL,
         "IO10/IO12 manifest bulk load",
+    ),
+    "grid_dedupe_append_stats": (
+        grid_dedupe_append_stats,
+        GRID_DEDUPE_SQL,
+        "IO18/IO19+F1/F2+J1 Sheets homologation composite",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

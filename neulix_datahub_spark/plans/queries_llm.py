@@ -1068,6 +1068,66 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
 _KMEANS_SQL = _kmeans_oracle_sql()
 
 
+def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ exact-substring-dedup signal (the Lee et al. "Deduplicating
+    Training Data" passage-level check, aggregate form): which fraction
+    of each language's distinct word 8-grams also appear in at least one
+    OTHER document. High shared-share marks boilerplate/templated
+    passages that near-dup document matching misses.
+
+    Plan: one shingle explode (single-regex-pass 8-grams), a gram-key
+    aggregate with map-side combine, one join back on the gram key, one
+    lang aggregate. At 100 TB the gram JOIN key would be xxhash64(gram)
+    to shrink shuffle width — identical result modulo hash collisions;
+    the string key keeps the DuckDB oracle exact here."""
+    from neulix_datahub_spark.operators.dedupe import _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "lang", F.explode(_shingles(F.col("text"), 8)).alias("g")
+    )
+    gram_docs = grams.groupBy("g").agg(F.count_distinct("doc_id").alias("__nd"))
+    shared = (F.col("__nd") >= 2).cast("bigint")
+    return (
+        grams.join(gram_docs, "g")
+        .groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(shared).alias("n_shared_grams"),
+            F.round(F.sum(shared) / F.count(F.lit(1)), 6).alias("shared_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DUP_PASSAGE_SQL = r"""
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, lang, unnest(list_distinct(
+        CASE WHEN len(t) >= 8
+             THEN [array_to_string(t[i:i+7], ' ')
+                   for i in generate_series(1, len(t) - 7)]
+             ELSE [array_to_string(t, ' ')] END)) AS g
+    FROM norm
+),
+gd AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+       round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS shared_share
+FROM grams JOIN gd USING (g)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+ LM-quality filter (CCNet recipe, unigram form): per-doc
     perplexity under a corpus-trained unigram LM, profiled per language.
@@ -1121,6 +1181,11 @@ LLM_QUERIES = {
         unigram_perplexity_by_lang,
         _PERPLEXITY_SQL,
         "L4+ unigram-LM perplexity quality filter (CCNet recipe)",
+    ),
+    "duplicate_passage_stats": (
+        duplicate_passage_stats,
+        _DUP_PASSAGE_SQL,
+        "L2+ exact-substring (passage) dedup signal",
     ),
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),

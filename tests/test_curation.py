@@ -71,6 +71,45 @@ def test_char_entropy_known_values(spark):
     assert abs(got[4] - math.log(3)) < 1e-6
 
 
+def test_entropy_and_top_word_share_match_naive_reference(spark):
+    """Property check for the round-3 sorted-run folds: on arbitrary
+    token soups, the fold forms must equal the naive count-per-distinct
+    Python computations they replaced (same normalization first)."""
+    import collections
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.text import top_word_share
+
+    token = st.text(alphabet="abcXY12! ", min_size=0, max_size=6)
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=12))
+    def check(tokens):
+        raw = " ".join(tokens)
+        df = spark.createDataFrame([(raw,)], ["t"])
+        row = df.select(
+            char_entropy("t").alias("e"), top_word_share("t").alias("w")
+        ).first()
+
+        norm = re.sub(r"\s+", " ", raw.lower()).strip()
+        chars = list(norm)
+        if chars:
+            n = len(chars)
+            counts = collections.Counter(chars)
+            want_e = -sum((c / n) * math.log(c / n) for c in counts.values())
+        else:
+            want_e = 0.0
+        words = norm.split(" ")
+        want_w = max(collections.Counter(words).values()) / len(words) if words else 0.0
+        assert abs(row["e"] - want_e) < 1e-5, (raw, row["e"], want_e)
+        assert abs(row["w"] - want_w) < 1e-9, (raw, row["w"], want_w)
+
+    check()
+
+
 def test_contamination_detects_planted_overlap(spark):
     eight = "w1 w2 w3 w4 w5 w6 w7 w8"
     train = spark.createDataFrame(

@@ -64,3 +64,28 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
             cols = lines[j].split("Relation [", 1)[1]
             bad = [t for c, t in forbidden.items() if cols.startswith(c)]
             assert not bad, f"{name}: broadcast hint over scaling table {bad}"
+
+
+def test_pushdown_and_pruning_reach_the_scan(spark):
+    """Scale invariant (SCALE.md): filters reach the parquet scan and
+    projections prune it. q6's selective predicates must appear in
+    PushedFilters and its scan must read exactly the four used columns;
+    header_projection's 2-column projection must prune the 8-column
+    customer scan to those two."""
+    def scan_line(name):
+        plan = (
+            QUERIES[name].fn(spark, SF_DIR)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        return next(l for l in plan.splitlines() if "FileScan parquet" in l)
+
+    q6 = scan_line("q6_forecast_revenue")
+    assert "PushedFilters: [" in q6 and "PushedFilters: []" not in q6, q6
+    cols = q6.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert {c.split("#")[0] for c in cols.split(",")} == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, cols
+
+    hdr = scan_line("header_projection")
+    cols = hdr.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+    assert {c.split("#")[0] for c in cols.split(",")} == {"c_name", "c_acctbal"}, cols

@@ -364,6 +364,42 @@ ORDER BY "table"
 """
 
 
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted JOIN, driver-visible (operators/skew.py salted_join —
+    the manual remedy when one join key dominates and the right side is
+    too big to broadcast but small enough to replicate salt times; AQE's
+    skew split covers most cases, this is the explicit form). The salt
+    only routes rows, so the result must equal a plain join — which is
+    exactly what the oracle computes."""
+    from neulix_datahub_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, orders, on=["o_orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def grid_dedupe_append_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO18/IO19 + F1/F2 + J1 driver-visible: the reference's Sheets
     homologation composite end-to-end. A driver-side grid (header row +
@@ -968,6 +1004,11 @@ EXT_QUERIES = {
         grid_dedupe_append_stats,
         GRID_DEDUPE_SQL,
         "IO18/IO19+F1/F2+J1 Sheets homologation composite",
+    ),
+    "salted_join_revenue": (
+        salted_join_revenue,
+        SALTED_JOIN_SQL,
+        "skew-salted join == plain join (routing-only salt)",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

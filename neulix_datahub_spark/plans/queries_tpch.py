@@ -65,8 +65,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
         )
     )
-    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_cost"), F.asc("l_suppkey"))
-    best = offers.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Rank-1-per-part as a struct-min hash aggregate, not a sort window:
+    # min(struct(unit_cost, l_suppkey)) is lexicographic — the same row
+    # the `row_number() OVER (ORDER BY unit_cost, l_suppkey) = 1` window
+    # picks — but aggregates with map-side combine instead of sorting
+    # every partition's offers, the difference between a hash agg and a
+    # full per-key sort at the 100 TB design point.
+    best = (
+        offers.groupBy("p_partkey", "p_brand")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("__best"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("__best.l_suppkey").alias("l_suppkey"),
+            F.col("__best.unit_cost").alias("unit_cost"),
+        )
+    )
     return (
         best.join(supp, best.l_suppkey == supp.s_suppkey)
         .select(

@@ -364,6 +364,49 @@ ORDER BY "table"
 """
 
 
+def task_exchange_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO24 + IO20/IO21 + F7 driver-visible: a two-task pipeline
+    exchanging a PATH manifest, never data (the 100 TB orchestration
+    rule — Airflow XCom carries the parquet location). Task 1 derives a
+    messy SIM/NAO flag column from orders and writes it through
+    task_output; task 2 reads it back via task_input, runs the
+    ONE_OF_LIST validation (check_allowed_values) and the messy-boolean
+    parse (flag_columns), and aggregates. The oracle recomputes the
+    aggregate straight from orders, proving the exchange + validation +
+    parse round-trip."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.adapters import (
+        check_allowed_values,
+        flag_columns,
+        task_input,
+        task_output,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="neulix_xchg_")
+    stage1 = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "SIM").otherwise("NAO").alias("Homologado"),
+    )
+    manifest = task_output(stage1, f"{tmp}/stage1")
+
+    stage2 = task_input(spark, manifest)
+    assert check_allowed_values(stage2, "Homologado", allowed=("SIM", "NAO"))
+    flagged = flag_columns(stage2, {"is_approved": "homologado"})
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_approved").cast("bigint")).alias("n_approved"),
+    )
+
+
+TASK_EXCHANGE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_approved
+FROM orders
+"""
+
+
 def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted JOIN, driver-visible (operators/skew.py salted_join —
     the manual remedy when one join key dominates and the right side is
@@ -1009,6 +1052,11 @@ EXT_QUERIES = {
         salted_join_revenue,
         SALTED_JOIN_SQL,
         "skew-salted join == plain join (routing-only salt)",
+    ),
+    "task_exchange_stats": (
+        task_exchange_stats,
+        TASK_EXCHANGE_SQL,
+        "IO24+IO20/IO21+F7 path-not-data task exchange w/ validation",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -364,6 +364,69 @@ ORDER BY "table"
 """
 
 
+def fetch_hook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/IO22 driver-visible: the per-row fetch hook over a URL column,
+    run through the REAL mapInPandas plumbing (Arrow batches, output
+    schema suffix) with the injectable deterministic fetcher — the
+    driver gate has no network, and determinism is the point: the stub
+    derives title/content from sha256(url), which the DuckDB oracle
+    replays bit-for-bit. Swapping in http_fetch/selenium_fetch changes
+    the injected callable only."""
+    from neulix_datahub_spark.sources.web import fetch_url_column
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias("url"),
+    )
+    return fetch_url_column(urls).select(
+        "doc_id", "status", "title", "content_sha256", "n_bytes"
+    )
+
+
+FETCH_HOOK_SQL = """
+SELECT doc_id,
+       200 AS status,
+       'title:' || substr(sha256('https://example.com/doc/' || CAST(doc_id AS VARCHAR)), 1, 12) AS title,
+       sha256(sha256('https://example.com/doc/' || CAST(doc_id AS VARCHAR))) AS content_sha256,
+       CAST(64 AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 25 = 0
+"""
+
+
+def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO7 driver-visible: document texts → text-file sink → text scan →
+    aggregate. Text files split records on newlines, so the write
+    projects to one newline-free string column (the IO7 contract); the
+    oracle recomputes the aggregate from the parquet table."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.io import read_text, write_text
+
+    tmp = tempfile.mkdtemp(prefix="neulix_text_rt_")
+    lines = load_table(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    write_text(lines, f"{tmp}/docs_txt")
+    back = read_text(spark, f"{tmp}/docs_txt")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_chars"),
+        F.max(F.length("value")).alias("max_chars"),
+    )
+
+
+TEXT_ROUNDTRIP_SQL = r"""
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(len(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS BIGINT) AS total_chars,
+       CAST(min(len(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS BIGINT) AS min_chars,
+       CAST(max(len(regexp_replace(text, '[\r\n]+', ' ', 'g'))) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
 def task_exchange_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO24 + IO20/IO21 + F7 driver-visible: a two-task pipeline
     exchanging a PATH manifest, never data (the 100 TB orchestration
@@ -1057,6 +1120,16 @@ EXT_QUERIES = {
         task_exchange_stats,
         TASK_EXCHANGE_SQL,
         "IO24+IO20/IO21+F7 path-not-data task exchange w/ validation",
+    ),
+    "fetch_hook_profile": (
+        fetch_hook_profile,
+        FETCH_HOOK_SQL,
+        "U2/IO22 per-row fetch hook (oracle replays the stub fetcher)",
+    ),
+    "text_roundtrip_stats": (
+        text_roundtrip_stats,
+        TEXT_ROUNDTRIP_SQL,
+        "IO7 text sink + scan round-trip",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

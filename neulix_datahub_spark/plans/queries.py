@@ -1275,13 +1275,13 @@ _PRIORITY_R3 = [
 ]
 # ROUND 4 NOTE: rotate ONLY AFTER this prefix is consumed by the round-3
 # driver run (round 2's mistake was committing a rotation before the run
-# that then consumed it). The round-4 prefix should lead with the twelve
+# that then consumed it). The round-4 prefix should lead with the thirteen
 # round-3 tail additions that will still lack driver rows:
 # unigram_perplexity_by_lang, duplicate_passage_stats,
 # bucketed_revenue_by_priority, csv_roundtrip_stats,
 # json_roundtrip_stats, update_rewrite_stats, bulk_manifest_stats,
 # grid_dedupe_append_stats, salted_join_revenue, task_exchange_stats,
-# fetch_hook_profile, text_roundtrip_stats —
+# fetch_hook_profile, text_roundtrip_stats, doc_store_upsert_stats —
 # then a regression slice of the oldest green rows.
 assert set(_PRIORITY_R3) <= set(QUERIES), sorted(set(_PRIORITY_R3) - set(QUERIES))
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R3} | {

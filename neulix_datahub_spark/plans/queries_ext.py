@@ -364,6 +364,56 @@ ORDER BY "table"
 """
 
 
+def doc_store_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO14 driver-visible: the batched document-store upsert sink
+    (foreachPartition, commit every 500 ops, injected client callable)
+    with a file-backed write_batch standing in for the Firestore client:
+    each committed batch lands as one JSON-lines file, executor-side.
+    Reading the landed store back and aggregating proves every row
+    arrived exactly once with its derived string __doc_id; the oracle
+    recomputes from the orders table."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from neulix_datahub_spark.sources.adapters import upsert_to_document_store
+
+    store = tempfile.mkdtemp(prefix="neulix_docstore_")
+
+    def write_batch(batch: list[dict]) -> None:
+        path = os.path.join(store, f"{uuid.uuid4().hex}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            for d in batch:
+                f.write(json.dumps(d) + "\n")
+
+    sel = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upsert_to_document_store(sel, "o_orderkey", write_batch, batch_size=500)
+    back = spark.read.json(store)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("__doc_id").alias("n_distinct_ids"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DOC_STORE_UPSERT_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_ids,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def fetch_hook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/IO22 driver-visible: the per-row fetch hook over a URL column,
     run through the REAL mapInPandas plumbing (Arrow batches, output
@@ -1130,6 +1180,11 @@ EXT_QUERIES = {
         text_roundtrip_stats,
         TEXT_ROUNDTRIP_SQL,
         "IO7 text sink + scan round-trip",
+    ),
+    "doc_store_upsert_stats": (
+        doc_store_upsert_stats,
+        DOC_STORE_UPSERT_SQL,
+        "IO14 batched document upsert sink (file-backed client)",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

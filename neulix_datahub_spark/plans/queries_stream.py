@@ -34,7 +34,7 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy over the same bounded input (the DuckDB oracle)."""
     name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
     stream = running_user_totals(read_events_stream(spark, sf_dir))
-    run_stream_to_memory(stream, name, output_mode="update")
+    run_stream_to_memory(stream, name, output_mode="update", shuffle_partitions=8)
     return spark.sql(
         f"""SELECT user_id, n_events, sum_value, max_value FROM (
                 SELECT *, row_number() OVER (
@@ -225,7 +225,7 @@ def stream_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="24 hours",
     )
     name = f"interval_join_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(joined, name, output_mode="append")
+    run_stream_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -322,7 +322,7 @@ def stream_enriched_segment_counts(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
-    run_stream_to_memory(agg, name, output_mode="complete")
+    run_stream_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
     return spark.sql(f"SELECT * FROM {name}")
 
 

@@ -126,19 +126,30 @@ def ivf_top_k(
     k: int = 10,
     num_buckets: int = 64,
     hamming_probe: int = 1,
+    n_probes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """L3 scale path: approximate top-k — search only the LSH buckets
-    within ``hamming_probe`` bit-flips of the query's bucket, then exact
-    cosine inside them.
+    """L3 scale path: approximate top-k — search only a few LSH buckets,
+    then exact cosine inside them.
 
-    With B buckets and Hamming-1 probing, the scan touches ~(1+log2 B)/B
-    of the corpus (≈11% at B=64) instead of all of it — the recall/cost
-    dial is (num_buckets, hamming_probe). The query's bucket is computed
-    by running the SAME bucketing expression over a one-row DataFrame, so
-    corpus and probe can never disagree on hash semantics.
+    Two probe policies:
+
+    - ``n_probes=P`` (preferred, classic multi-probe LSH): probe the P
+      buckets with the smallest *flip cost* — the cost of a candidate
+      bucket is the sum of |hyperplane margin| over the planes flipped to
+      reach it, so the search visits the buckets most likely to hold
+      near-boundary neighbors first. P buckets of B means a ~P/B corpus
+      scan with recall far above the same-budget Hamming-ball probe,
+      because a large-margin plane is almost never worth flipping.
+    - ``hamming_probe=h`` (fallback when ``n_probes`` is None): probe
+      every bucket within h bit-flips, margin-blind.
+
+    The query's plane margins/bucket come from running the SAME bucketing
+    expressions over a one-row DataFrame, so corpus and probe can never
+    disagree on hash semantics. Driver-side work is one 1-row job plus a
+    2^log2(B)=B-entry sort — independent of corpus size.
     """
     from itertools import combinations
 
@@ -147,18 +158,42 @@ def ivf_top_k(
     qdf = spark.createDataFrame(
         [(query_vector,)], f"{vec_col} array<double>"
     )
-    q_bucket = ivf_assign_buckets(qdf, num_buckets, vec_col, seed).first()["bucket"]
 
     import math
 
     n_planes = int(math.log2(num_buckets))
-    probe_buckets = {q_bucket}
-    for r in range(1, hamming_probe + 1):
-        for bits in combinations(range(n_planes), r):
+    if n_probes is not None:
+        projs = qdf.select(
+            F.array(
+                *[_plane_projection(F.col(vec_col), p, seed) for p in range(n_planes)]
+            ).alias("pr")
+        ).first()["pr"]
+        q_bucket = 0
+        for p in range(n_planes):
+            q_bucket = q_bucket * 2 + (1 if projs[p] > 0 else 0)
+        # Enumerate all B candidate buckets by flip cost; plane p owns bit
+        # (n_planes-1-p) of the bucket id (MSB-first, matching
+        # ivf_assign_buckets' bucket*2+bit construction).
+        cands = []
+        for mask in range(2**n_planes):
+            cost = 0.0
             b = q_bucket
-            for bit in bits:
-                b ^= 1 << bit
-            probe_buckets.add(b)
+            for p in range(n_planes):
+                if (mask >> p) & 1:
+                    cost += abs(projs[p])
+                    b ^= 1 << (n_planes - 1 - p)
+            cands.append((cost, b))
+        cands.sort()
+        probe_buckets = {b for _, b in cands[: max(1, n_probes)]}
+    else:
+        q_bucket = ivf_assign_buckets(qdf, num_buckets, vec_col, seed).first()["bucket"]
+        probe_buckets = {q_bucket}
+        for r in range(1, hamming_probe + 1):
+            for bits in combinations(range(n_planes), r):
+                b = q_bucket
+                for bit in bits:
+                    b ^= 1 << bit
+                probe_buckets.add(b)
 
     return (
         bucketed.filter(F.col("bucket").isin(*probe_buckets))
@@ -214,6 +249,25 @@ def embedding_near_duplicates(
     )
 
 
+def _plane_projection(vec: Column, plane: int, seed: int) -> Column:
+    """Signed projection of ``vec`` onto pseudo-random hyperplane
+    ``plane``: sign_{plane,dim} = ±1 from xxhash64(plane, dim, seed) — a
+    fixed hyperplane without materializing vectors. The sign of the
+    result is the plane's bucket bit; its magnitude is the margin
+    multi-probe ranks flip candidates by."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    prods = F.zip_with(
+        vec,
+        idx,
+        lambda x, i: x.cast("double")
+        * F.when(
+            F.xxhash64(F.lit(plane), i, F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def ivf_assign_buckets(
     df: DataFrame,
     num_buckets: int = 64,
@@ -226,7 +280,7 @@ def ivf_assign_buckets(
     seed via per-dimension xxhash64 signs.
 
     This is the shuffle-free index build: one narrow projection. Probing
-    searches only matching (or Hamming-adjacent) buckets.
+    searches only matching (or multi-probe/Hamming-adjacent) buckets.
     """
     import math
 
@@ -234,24 +288,11 @@ def ivf_assign_buckets(
     if 2**n_planes != num_buckets:
         raise ValueError("num_buckets must be a power of two")
 
-    def plane_sign(plane: int) -> Column:
-        # sign_{plane,dim} = ±1 from xxhash64(plane, dim, seed): a fixed
-        # pseudo-random hyperplane without materializing vectors.
-        idx = F.sequence(F.lit(0), F.size(vec_col) - 1)
-        prods = F.zip_with(
-            F.col(vec_col),
-            idx,
-            lambda x, i: x.cast("double")
-            * F.when(
-                F.xxhash64(F.lit(plane), i, F.lit(seed)).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
-
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        bucket = bucket * 2 + F.when(plane_sign(p) > 0, 1).otherwise(0)
+        bucket = bucket * 2 + F.when(
+            _plane_projection(F.col(vec_col), p, seed) > 0, 1
+        ).otherwise(0)
     return df.withColumn("bucket", bucket)
 
 

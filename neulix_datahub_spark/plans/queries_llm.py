@@ -1020,16 +1020,29 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     """Unrolled Lloyd in pure SQL, mirroring kmeans_lloyd exactly:
     c0 = k seeds by md5(id) → (assign, update) × iters → final assign +
-    per-cluster inertia against the last centroids. Distances order by
-    Euclidean (monotone with the squared form Spark folds); update is
+    per-cluster inertia against the last centroids. The assignment ranks
+    on the SQUARED distance as an explicit per-dim sum of squares — the
+    same quantity Spark's fold argmins — NOT list_distance: a
+    correctly-rounded sqrt can compare equal for two distinct squared
+    distances, flipping one assignment that cascades through every
+    unrolled iteration. (Residual flake risk: both engines accumulate
+    doubles sequentially but a different summation ORDER over dims could
+    still reorder exact near-ties; dims are summed in index order on both
+    sides, so this only bites if an engine changes fold order.) Update is
     the per-(cluster, dim) mean; an empty cluster keeps its previous
     centroid via the LEFT JOIN + coalesce."""
     seed_order = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
     assign = (
         "SELECT vec_id, v, cluster FROM (\n"
         "    SELECT e.vec_id, e.v, c.cluster,\n"
         "           row_number() OVER (PARTITION BY e.vec_id\n"
-        "                              ORDER BY list_distance(e.v, c.c), c.cluster) AS rn\n"
+        "                              ORDER BY "
+        + d2.format(v="e.v", c="c.c")
+        + ", c.cluster) AS rn\n"
         "    FROM e CROSS JOIN {prev} c) WHERE rn = 1"
     )
     ctes = [
@@ -1058,7 +1071,9 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 5) -> str:
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         "SELECT a.cluster, count(*) AS n_vecs,\n"
-        "       round(sum(power(list_distance(a.v, c.c), 2)), 4) AS inertia\n"
+        "       round(sum("
+        + d2.format(v="a.v", c="c.c")
+        + "), 4) AS inertia\n"
         f"FROM afinal a JOIN {prev} c ON a.cluster = c.cluster\n"
         "GROUP BY a.cluster\n"
         "ORDER BY a.cluster"

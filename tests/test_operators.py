@@ -163,6 +163,41 @@ def test_ivf_top_k_overlaps_brute_force(spark):
     assert got == again
 
 
+def test_ivf_multi_probe_full_budget_is_exact(spark):
+    """n_probes = num_buckets probes every bucket, so multi-probe must
+    reproduce the brute-force top-10 exactly (ids AND order)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_top_k(corpus, qvec, k=10).collect()]
+    full = [
+        r.vec_id
+        for r in ivf_top_k(corpus, qvec, k=10, num_buckets=16, n_probes=16).collect()
+    ]
+    assert full == exact
+
+
+def test_ivf_multi_probe_budget_monotone(spark):
+    """A larger probe budget scans a superset of buckets, so overlap with
+    the exact top-10 can only grow; the n_probes=1 result is drawn from
+    the query's own bucket and deterministic."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in cosine_top_k(corpus, qvec, k=10).collect()}
+    overlaps = []
+    for n_probes in (1, 5, 11, 16):
+        got = {
+            r.vec_id
+            for r in ivf_top_k(
+                corpus, qvec, k=10, num_buckets=16, n_probes=n_probes
+            ).collect()
+        }
+        overlaps.append(len(got & exact))
+    assert overlaps == sorted(overlaps)
+    assert overlaps[-1] == 10
+
+
 # --- skew tools ---------------------------------------------------------------
 
 def test_salted_join_equals_plain_join(spark):

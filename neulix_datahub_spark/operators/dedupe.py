@@ -208,6 +208,7 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.02,
     block_col: str | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """L2 variant: exact word n-gram Jaccard over document pairs.
 
@@ -218,6 +219,15 @@ def ngram_jaccard_pairs(
     them exactly). Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``
     and ``jaccard >= threshold``.
 
+    ``max_block`` bounds the quadratic blow-up of a hot block (a
+    boilerplate-heavy language at 100 TB): blocks are split into
+    ≤max_block chunks and the self-join runs per chunk-PAIR task via
+    :func:`~neulix_datahub_spark.operators.skew.with_pair_tasks` — output
+    identical to the unbounded join (asserted in tests), per-task pair
+    count ≤ max_block², shuffle volume ×ceil(B/max_block) for a B-row
+    block. Leave None only when the blocking key is already
+    bounded-by-construction (e.g. an LSH band bucket).
+
     Plan: one scan computes shingle sets (narrow), self-join shuffles both
     sides on the block key, Jaccard is a pure array expression — no UDF.
     The per-pair intersection runs over xxhash64'd shingles, not strings:
@@ -226,6 +236,8 @@ def ngram_jaccard_pairs(
     arrays shrink to 8 bytes/shingle — measured 2.3x on the sf0.1 probe
     self-join with bit-identical output.
     """
+    if max_block is not None and block_col is None:
+        raise ValueError("max_block requires block_col")
     sh = df.select(
         F.col(id_col).alias("__id"),
         *( [F.col(block_col).alias("__blk")] if block_col else [] ),
@@ -235,23 +247,44 @@ def ngram_jaccard_pairs(
     ).withColumn("__sz", F.size("__sh"))
     # Materialization barrier: otherwise Catalyst inlines the shingling
     # expression into both sides of the self-join and recomputes it per
-    # PAIR instead of per document (measured 34s -> ~2s at sf0.1).
-    sh = sh.repartition(F.col("__blk") if block_col else F.col("__id"))
+    # PAIR instead of per document (measured 34s -> ~2s at sf0.1). The
+    # bounded path gets the same barrier from with_pair_tasks' window
+    # exchange (ReusedExchange dedupes it across the join's two sides).
+    task_cols: list[str] = []
+    if max_block is not None:
+        from neulix_datahub_spark.operators.skew import with_pair_tasks
+
+        sh = with_pair_tasks(sh, ["__blk"], max_block, "__id")
+        task_cols = ["__chunk", "__task_i", "__task_j"]
+    else:
+        sh = sh.repartition(F.col("__blk") if block_col else F.col("__id"))
     left = sh.select(
         F.col("__id").alias("id_a"),
         *( [F.col("__blk").alias("__blk_a")] if block_col else [] ),
+        *[F.col(c).alias(f"{c}_a") for c in task_cols],
         F.col("__sh").alias("__sh_a"),
         F.col("__sz").alias("__sz_a"),
     )
     right = sh.select(
         F.col("__id").alias("id_b"),
         *( [F.col("__blk").alias("__blk_b")] if block_col else [] ),
+        *[F.col(c).alias(f"{c}_b") for c in task_cols],
         F.col("__sh").alias("__sh_b"),
         F.col("__sz").alias("__sz_b"),
     )
     cond = F.col("id_a") < F.col("id_b")
     if block_col:
         cond = cond & (F.col("__blk_a") == F.col("__blk_b"))
+    if max_block is not None:
+        cond = (
+            cond
+            & (F.col("__task_i_a") == F.col("__task_i_b"))
+            & (F.col("__task_j_a") == F.col("__task_j_b"))
+            & (
+                (F.col("__chunk_a") != F.col("__chunk_b"))
+                | (F.col("__task_i_a") == F.col("__task_j_a"))
+            )
+        )
     # Shingle arrays are distinct, so |A∪B| = |A|+|B|-|A∩B|: one
     # array_intersect per pair (CSE merges the two references in codegen)
     # instead of intersect + union — halves the per-pair hash-set work.

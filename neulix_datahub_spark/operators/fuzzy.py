@@ -28,6 +28,7 @@ def fuzzy_self_pairs(
     *,
     max_dist: int = 2,
     block: Column | None = None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Distinct unordered pairs of ``text_col`` values within a block
     whose Levenshtein distance is ≤ ``max_dist``.
@@ -37,6 +38,13 @@ def fuzzy_self_pairs(
     every comparison inside a same-prefix bucket. Returns
     ``(name_a, name_b, dist)`` with ``name_a < name_b`` so each pair
     appears once and output order is deterministic up to sort.
+
+    ``max_block`` bounds the hot-block quadratic (every "John ..." in a
+    100 TB catalog sharing one first-token block): blocks split into
+    ≤max_block chunks, comparisons run per chunk-pair task
+    (:func:`~neulix_datahub_spark.operators.skew.with_pair_tasks`) —
+    output identical to the unbounded join, per-task comparisons
+    ≤ max_block².
 
     Plan shape: distinct-project (one shuffle over unique values — tiny
     relative to the corpus), then a per-block equi-join with the
@@ -51,14 +59,26 @@ def fuzzy_self_pairs(
     names = df.select(
         F.col(text_col).alias("name"), blk.alias("__blk")
     ).distinct()
+    cond = (F.col("a.__blk") == F.col("b.__blk")) & (
+        F.col("a.name") < F.col("b.name")
+    )
+    if max_block is not None:
+        from neulix_datahub_spark.operators.skew import with_pair_tasks
+
+        names = with_pair_tasks(names, ["__blk"], max_block, "name")
+        cond = (
+            cond
+            & (F.col("a.__task_i") == F.col("b.__task_i"))
+            & (F.col("a.__task_j") == F.col("b.__task_j"))
+            & (
+                (F.col("a.__chunk") != F.col("b.__chunk"))
+                | (F.col("a.__task_i") == F.col("a.__task_j"))
+            )
+        )
     a = names.alias("a")
     b = names.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.__blk") == F.col("b.__blk"))
-            & (F.col("a.name") < F.col("b.name")),
-        )
+        a.join(b, cond)
         .select(
             F.col("a.name").alias("name_a"),
             F.col("b.name").alias("name_b"),

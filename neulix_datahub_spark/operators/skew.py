@@ -9,8 +9,66 @@ and high-cardinality aggregations where one key dominates a partition.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def with_pair_tasks(
+    df: DataFrame,
+    block_cols: list[str],
+    max_block_size: int,
+    order_col: str,
+) -> DataFrame:
+    """Triangular pair-task decomposition: make a blocked SELF-JOIN's
+    per-task work bounded without changing its output.
+
+    A block of B rows generates B² join pairs on ONE reducer — the
+    quadratic bomb of every block-then-verify similarity operator. This
+    splits each block into m = ceil(B / max_block_size) chunks and fans
+    every row out to the m pair-tasks its chunk participates in: chunk c
+    covers the diagonal task (c, c) plus cross tasks (i, c) for i < c and
+    (c, j) for j > c. Joining on ``block_cols + [__task_i, __task_j]``
+    and keeping a pair iff ``(__chunk_a != __chunk_b) OR (__task_i ==
+    __task_j)`` yields EXACTLY the blocked self-join's pairs — each
+    cross-chunk pair meets only in its single shared task, and same-chunk
+    pairs are claimed by the diagonal — while no task holds more than
+    2·max_block_size rows (≤ max_block_size² pairs). The cost is the
+    standard triangle replication: each row shuffles m times instead of
+    once, i.e. linear fan-out buys the quadratic bound.
+
+    Adds ``__chunk`` (this row's chunk), ``__task_i``/``__task_j`` (one
+    row per task, exploded). ``order_col`` makes chunk assignment
+    deterministic; ANY assignment yields identical join output, so it
+    only pins test/explain reproducibility. The chunking row_number
+    shuffles on ``block_cols`` — the same exchange the join itself needs,
+    so no extra shuffle stage at equal key granularity.
+    """
+    w = Window.partitionBy(*block_cols).orderBy(order_col)
+    wc = Window.partitionBy(*block_cols)
+    c = F.floor((F.row_number().over(w) - 1) / max_block_size).cast("int")
+    m = F.ceil(F.count(F.lit(1)).over(wc) / max_block_size).cast("int")
+    out = df.withColumn("__chunk", c).withColumn("__m", m)
+    task_t = "array<struct<__task_i:int,__task_j:int>>"
+    low = F.transform(
+        F.sequence(F.lit(0), F.col("__chunk")),
+        lambda i: F.struct(
+            i.cast("int").alias("__task_i"), F.col("__chunk").alias("__task_j")
+        ),
+    )
+    high = F.when(
+        F.col("__chunk") + 1 <= F.col("__m") - 1,
+        F.transform(
+            F.sequence(F.col("__chunk") + 1, F.col("__m") - 1),
+            lambda j: F.struct(
+                F.col("__chunk").alias("__task_i"), j.cast("int").alias("__task_j")
+            ),
+        ),
+    ).otherwise(F.array().cast(task_t))
+    return (
+        out.withColumn("__task", F.explode(F.concat(low.cast(task_t), high)))
+        .select("*", "__task.__task_i", "__task.__task_j")
+        .drop("__task", "__m")
+    )
 
 
 def salted_join(

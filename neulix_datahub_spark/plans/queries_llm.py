@@ -42,10 +42,21 @@ def planted_near_dup_corpus(spark: SparkSession, sf_dir: str, n_docs: int = 100)
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard over same-language doc pairs (probe set:
-    doc_id % 10 == 0)."""
+    doc_id % 10 == 0). ``max_block=128`` routes the language blocks
+    through the triangular pair-task decomposition (with_pair_tasks), so
+    the driver row also certifies the bounded path: output is identical
+    to the all-pairs block join the oracle computes, but no task ever
+    holds more than 128² pairs — the shape that survives a
+    boilerplate-heavy language at 100 TB. (The cap splits the 215-doc en
+    block at sf0.1 — measured +0.3s vs the unbounded join there, the
+    price of the extra task-key exchange; multi-chunk output-identity is
+    additionally driver-certified by fuzzy_part_pairs at sf0.01 and
+    unit-asserted on a 60-row hot block at caps 7/16. At 100 TB the cap
+    would sit in the thousands.)"""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", n=2, threshold=0.02, block_col="lang"
+        docs, text_col="text", id_col="doc_id", n=2, threshold=0.02,
+        block_col="lang", max_block=128,
     )
 
 
@@ -82,7 +93,15 @@ WHERE jaccard >= 0.02
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine near-duplicate pairs: probe set vec_id % 20 == 0 against the
-    full corpus, threshold 0.30."""
+    full corpus, threshold 0.30.
+
+    This is deliberately the probe×corpus BRUTE-FORCE form — it exists
+    because it is exactly SQL-expressible, so the DuckDB oracle can pin
+    the arithmetic the approximate paths are verified against. It is NOT
+    the 100 TB path: a full-corpus near-dup run buckets first
+    (``ivf_assign_buckets``) and pairs within buckets, exactly as
+    dedupe.py routes text near-dup through MinHash bands — see
+    ``ivf_recall_check`` for the bucketed path's driver-checked recall."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
         emb,

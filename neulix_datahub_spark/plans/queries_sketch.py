@@ -123,11 +123,13 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part names (edit distance ≤ 3) found by a blocked
     fuzzy self-join: first-token blocking, JVM ``levenshtein`` verifier
     as the join residual. DuckDB's levenshtein implements the same
-    metric, so the pair set hash-matches.
+    metric, so the pair set hash-matches. ``max_block=5`` splits each
+    first-token block (8 distinct names per token in the fixture) into
+    chunk-pair tasks — identical output, bounded per-task comparisons.
     """
     part = load_table(spark, sf_dir, "part")
     return (
-        fuzzy_self_pairs(part, "p_name", max_dist=3)
+        fuzzy_self_pairs(part, "p_name", max_dist=3, max_block=5)
         .select("name_a", "name_b", F.col("dist").cast("long").alias("dist"))
         .orderBy("name_a", "name_b")
     )

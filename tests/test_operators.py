@@ -130,6 +130,108 @@ def test_ngram_jaccard_identical_and_disjoint(spark):
     assert (1, 4) not in got  # blocked by lang
 
 
+def _skewed_docs(spark):
+    """One pathologically hot block (60 'en' docs with heavy shared
+    bigrams) plus two small blocks — the shape that quadratic-bombs an
+    unbounded block join at scale."""
+    rows = []
+    for i in range(60):
+        rows.append((i, f"common words shared by many docs variant {i % 7}", "en"))
+    for i in range(60, 64):
+        rows.append((i, f"petit texte numero {i}", "fr"))
+    rows.append((64, "einzelnes dokument", "de"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ngram_jaccard_bounded_blocks_identical_output(spark):
+    df = _skewed_docs(spark)
+    unbounded = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0,
+                                    block_col="lang")
+    for cap in (7, 16, 100):
+        bounded = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0,
+                                      block_col="lang", max_block=cap)
+        a = sorted((r.id_a, r.id_b, r.jaccard) for r in unbounded.collect())
+        b = sorted((r.id_a, r.id_b, r.jaccard) for r in bounded.collect())
+        assert a == b, f"cap={cap}"
+
+
+def test_ngram_jaccard_max_block_requires_block_col(spark):
+    import pytest
+
+    df = _skewed_docs(spark)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, "text", "doc_id", max_block=8)
+
+
+def test_with_pair_tasks_bounds_and_coverage(spark):
+    """Chunk occupancy ≤ cap, every block has exactly m(m+1)/2 distinct
+    tasks, each row fans out to exactly m tasks, and each unordered pair
+    co-occurs in exactly ONE task under the diagonal-claims-same-chunk
+    rule — the no-dup/no-loss invariant the join residual relies on."""
+    from neulix_datahub_spark.operators.skew import with_pair_tasks
+
+    df = _skewed_docs(spark).select("doc_id", "lang")
+    cap = 7
+    out = with_pair_tasks(df, ["lang"], cap, "doc_id").collect()
+    import math
+    from collections import defaultdict
+
+    by_block_chunk = defaultdict(set)
+    row_tasks = defaultdict(set)
+    chunk_of = {}
+    for r in out:
+        by_block_chunk[(r.lang, r["__chunk"])].add(r.doc_id)
+        row_tasks[r.doc_id].add((r["__task_i"], r["__task_j"]))
+        chunk_of[r.doc_id] = (r.lang, r["__chunk"])
+    for (_, _), ids in by_block_chunk.items():
+        assert len(ids) <= cap
+    n_per_block = defaultdict(set)
+    for r in out:
+        n_per_block[r.lang].add(r.doc_id)
+    for lang, ids in n_per_block.items():
+        m = math.ceil(len(ids) / cap)
+        tasks = {(r["__task_i"], r["__task_j"]) for r in out if r.lang == lang}
+        assert len(tasks) == m * (m + 1) // 2
+        for i in ids:
+            assert len(row_tasks[i]) == m
+    # pair co-occurrence: exactly one shared task per unordered pair
+    # after the residual rule (diff-chunk anywhere, same-chunk diagonal)
+    task_members = defaultdict(list)
+    for r in out:
+        task_members[(r.lang, r["__task_i"], r["__task_j"])].append(r.doc_id)
+    seen = defaultdict(int)
+    for (lang, ti, tj), members in task_members.items():
+        for x in members:
+            for y in members:
+                if x < y and (chunk_of[x] != chunk_of[y] or ti == tj):
+                    seen[(x, y)] += 1
+    for lang, ids in n_per_block.items():
+        ids = sorted(ids)
+        for i, x in enumerate(ids):
+            for y in ids[i + 1:]:
+                assert seen[(x, y)] == 1, (x, y, seen[(x, y)])
+
+
+def test_fuzzy_self_pairs_bounded_identical_output(spark):
+    from neulix_datahub_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rows = [(f"alpha name{i:02d}",) for i in range(40)] + [
+        ("beta one",), ("beta obe",), ("gamma x",)
+    ]
+    df = spark.createDataFrame(rows, "name string")
+    unbounded = sorted(
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_pairs(df, "name", max_dist=2).collect()
+    )
+    for cap in (6, 40):
+        bounded = sorted(
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_self_pairs(df, "name", max_dist=2, max_block=cap).collect()
+        )
+        assert bounded == unbounded, f"cap={cap}"
+    assert any(a == "beta obe" and b == "beta one" for a, b, _ in unbounded)
+
+
 def test_embedding_near_duplicates_pairs(spark):
     df = spark.createDataFrame(
         [

@@ -115,6 +115,14 @@ def salted_aggregate(
     expressed as sum+count and divided afterwards).
     """
     mergers = {"sum": F.sum, "min": F.min, "max": F.max}
+    for name, (_, merge) in aggs.items():
+        if merge not in mergers:
+            raise ValueError(
+                f"non-decomposable merge {merge!r} for {name!r}: only "
+                f"{sorted(mergers)} re-aggregate correctly over salted "
+                "partials — express avg as sum+count and divide after, "
+                "countDistinct via a two-phase distinct-then-count"
+            )
     phase1 = (
         df.withColumn("__salt", F.floor(F.rand(seed) * salt).cast("int"))
         .groupBy(*keys, "__salt")

@@ -197,33 +197,6 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 analogue: EXISTS → left-semi join + count per priority."""
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
-    return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-
-
-_Q4_SQL = """
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
 def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 grouping-sets surface: ROLLUP(status, priority) with subtotal
     rows; group keys coalesced so the lattice levels are explicit."""
@@ -1235,7 +1208,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_SQL, "J4 3-way join + top-k"),
     "q5_nation_revenue": QuerySpec(q5_nation_revenue, _Q5_SQL, "J4 star join"),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, _Q6_SQL, "F4 pushdown + A5"),
-    "q4_order_priority_count": QuerySpec(order_priority_count, _Q4_SQL, "J4 semi-join"),
     "rollup_order_status": QuerySpec(rollup_order_status, _ROLLUP_SQL, "A7 rollup"),
     "doc_filter_sort_limit": QuerySpec(doc_filter_sort_limit, _EP3_SQL, "EP3/F4/SO1/SO2"),
     "profile_orders_stats": QuerySpec(profile_orders_stats, _PROFILE_STATS_SQL, "A2/A3/A5"),
@@ -1315,53 +1287,65 @@ for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES, SKETCH
 # ivf_top10) stay in the tail: their oracle-checked twins carry the
 # correctness signal.
 # ---------------------------------------------------------------------------
-_PRIORITY_R3 = [
-    # -- TPC-H tail: zero driver rows after two rounds --
-    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q9_profit_by_nation", "q11_important_part_values",
-    "q12_late_shipments", "q13_order_count_distribution",
-    "q15_top_suppliers", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_excess_share_suppliers",
-    "q21_waiting_suppliers", "q22_idle_customers",
-    # -- events tier: round-1 row was the nanos ERR, fixed in r2 --
-    "events_hourly", "user_sessions", "distinct_events",
-    "fill_nulls_events", "pivot_event_values", "user_event_deltas",
-    "events_asof_snapshots", "events_sliding", "hll_users_by_type",
-    # -- streaming oracles: green locally after the r3 nanos fix --
-    "stream_interval_join_counts", "stream_upsert_latest_events",
-    "stateful_user_totals",
-    # -- LLM-curation tail: never checked --
-    "tfidf_top20", "pii_scrub_stats", "word_repetition_by_lang",
-    "minhash_verified_pairs", "simhash_invariance", "token_pack_summary",
-    "char_entropy_by_lang", "mixing_sample_counts",
-    "contamination_by_lang", "boilerplate_removal_stats",
-    "ngram_jaccard_docs", "embedding_near_dup", "lsh_dedup_pipeline",
-    "multimodal_features",
-    # -- misc cleaning/synth: never checked --
-    "coerced_timestamps", "json_serialized_orders", "resolved_projection",
-    "positional_alignment", "synth_constraint_check",
-    # -- new round-3 queries --
-    "approx_price_percentiles", "stream_enriched_segment_counts",
-    "ivf_recall_check",
-    # -- regression guard: kmeans re-checked because its oracle upgraded
-    #    from rows-only to full-replay this round (q1 needs no slot — the
-    #    driver's entry() smoke-check runs it every round) --
-    "kmeans_cluster_profile",
+# ROUND 4 rotation (the round-3 driver run consumed _PRIORITY_R3 — all
+# 50 rows green in CORRECTNESS_r03, so rotating is safe):
+#   1-13:  the thirteen round-3 tail additions that are sim-green but
+#          have never been consumed by a driver window;
+#   14:    sequential_ids_two_phase — NEW this round, driver-checks the
+#          scalable two-phase W1 path (VERDICT r3 "What's wrong" #1);
+#   15-18: re-checks for queries whose code or oracle materially changed
+#          this round: ivf_recall_check (multi-probe + planted
+#          neighbors + 0.95 gate), kmeans_cluster_profile
+#          (squared-distance oracle), ngram_jaccard_docs and
+#          fuzzy_part_pairs (bounded pair-task path);
+#   19-22: the four oracle-less generators whose only driver row was the
+#          round-1 nanos ERR — a clean rows-only row each (their
+#          oracle-checked twins carry the correctness signal);
+#   23-50: regression slice of the OLDEST greens (last verified r1/r2,
+#          not re-checked in r3), flagship + join surface first.
+# After this window is consumed, every registry entry will have a green
+# (or by-design rows-only) driver row — round-5+ rotation becomes pure
+# oldest-first regression cycling.
+_PRIORITY_R4 = [
+    # -- never driver-checked (round-3 tail) --
+    "unigram_perplexity_by_lang", "duplicate_passage_stats",
+    "bucketed_revenue_by_priority", "csv_roundtrip_stats",
+    "json_roundtrip_stats", "update_rewrite_stats", "bulk_manifest_stats",
+    "grid_dedupe_append_stats", "salted_join_revenue",
+    "task_exchange_stats", "fetch_hook_profile", "text_roundtrip_stats",
+    "doc_store_upsert_stats",
+    # -- new round-4 query --
+    "sequential_ids_two_phase",
+    # -- materially changed this round --
+    "ivf_recall_check", "kmeans_cluster_profile", "ngram_jaccard_docs",
+    "fuzzy_part_pairs",
+    # -- clean rows-only rows for the oracle-less generators --
+    "minhash_candidates", "simhash_documents", "embedding_buckets",
+    "ivf_top10",
+    # -- oldest-green regression slice (r1/r2 era; q1 needs no slot —
+    #    the driver's entry() smoke-check runs it every round) --
+    "q3_shipping_priority", "q5_nation_revenue", "q6_forecast_revenue",
+    "q10_returned_revenue", "q14_promo_share", "q4_order_priority",
+    "profile_orders_stats", "profile_documents_full",
+    "top10_order_priorities", "customers_without_orders",
+    "upsert_customer_balances", "sequential_event_ids",
+    "top_orders_per_customer", "building_customers_without_orders",
+    "rich_buyers", "parse_flag_distribution", "iso_order_dates",
+    "json_props_stats", "exact_dedup_documents", "cosine_top10",
+    "token_quality_by_lang", "lang_id_distribution", "describe_lineitem",
+    "delegated_sql_query", "doc_filter_sort_limit", "header_projection",
+    "sanitized_projection", "stats_by_returnflag",
 ]
-# ROUND 4 NOTE: rotate ONLY AFTER this prefix is consumed by the round-3
-# driver run (round 2's mistake was committing a rotation before the run
-# that then consumed it). The round-4 prefix should lead with the thirteen
-# round-3 tail additions that will still lack driver rows:
-# unigram_perplexity_by_lang, duplicate_passage_stats,
-# bucketed_revenue_by_priority, csv_roundtrip_stats,
-# json_roundtrip_stats, update_rewrite_stats, bulk_manifest_stats,
-# grid_dedupe_append_stats, salted_join_revenue, task_exchange_stats,
-# fetch_hook_profile, text_roundtrip_stats, doc_store_upsert_stats —
-# then a regression slice of the oldest green rows.
-assert set(_PRIORITY_R3) <= set(QUERIES), sorted(set(_PRIORITY_R3) - set(QUERIES))
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R3} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R3)
+# ROUND 5 NOTE: rotate ONLY AFTER the round-4 driver run consumes this
+# prefix. Once it does, no registry entry lacks a driver row: build the
+# round-5 prefix from whatever has gone longest without re-verification
+# (the r2-era greens not in this slice — rollup/cube, curation_pipeline,
+# price_percentiles, document_fingerprints, orders_price_bands,
+# salted_flag_revenue, the sketch/centroid tier — then the r3 greens).
+assert set(_PRIORITY_R4) <= set(QUERIES), sorted(set(_PRIORITY_R4) - set(QUERIES))
+assert len(_PRIORITY_R4) == 50, len(_PRIORITY_R4)
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R4} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R4)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

@@ -371,7 +371,15 @@ def doc_store_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     each committed batch lands as one JSON-lines file, executor-side.
     Reading the landed store back and aggregating proves every row
     arrived exactly once with its derived string __doc_id; the oracle
-    recomputes from the orders table."""
+    recomputes from the orders table.
+
+    LOCAL-MODE assumption (like grid_dedupe_append_stats): write_batch
+    runs inside foreachPartition on executors and writes to a
+    tempfile.mkdtemp path the driver then reads back — valid only while
+    executors share the driver's filesystem. In deployment the callable
+    is a real document-store client (the point of the injection seam),
+    so no shared path exists; a cluster-side test would derive the
+    scratch dir from a shared root (e.g. the warehouse dir) instead."""
     import json
     import os
     import tempfile

@@ -115,7 +115,14 @@ def run_stream_to_memory(
     small bounded runs — measured 8.5s -> 2.3s on the sf0.1 interval
     join moving 32 -> 8 — while a production deployment sizes it to key
     cardinality/throughput, not to this fixture. The session conf is
-    restored after the drain."""
+    restored after the drain.
+
+    CONCURRENCY caveat: there is no per-query spelling of this conf, so
+    the override mutates the session-global value for the drain's
+    duration — any query PLANNED concurrently in the same session picks
+    it up, and the save/restore races. Drains must be serialized within
+    a session (the test suite and driver both run them serially; a
+    parallel harness should use one session per drain)."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

@@ -328,6 +328,44 @@ def test_salted_join_equals_plain_join(spark):
     assert got == expect
 
 
+def test_salted_aggregate_skewed_parity_and_guard(spark):
+    """One key holding 90% of rows (the shape salting exists for): the
+    salted two-phase result must equal the plain groupBy for every
+    decomposable merge, and a non-decomposable merge ('avg') must be
+    rejected loudly instead of silently averaging partials."""
+    import pytest
+
+    from neulix_datahub_spark.operators.skew import salted_aggregate
+
+    rows = [(0, i) for i in range(900)] + [(k, k * 10) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    salted = salted_aggregate(
+        df, ["k"],
+        {
+            "n": (F.count(F.lit(1)), "sum"),
+            "vsum": (F.sum("v"), "sum"),
+            "vmin": (F.min("v"), "min"),
+            "vmax": (F.max("v"), "max"),
+        },
+        salt=8,
+    )
+    got = {(r.k, r.n, r.vsum, r.vmin, r.vmax) for r in salted.collect()}
+    expect = {
+        (r.k, r.n, r.vsum, r.vmin, r.vmax)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("vsum"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == expect
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_aggregate(df, ["k"], {"vavg": (F.avg("v"), "avg")})
+
+
 # --- IO9 UPDATE rewrite -------------------------------------------------------
 
 def test_update_parquet_table(spark, tmp_path):

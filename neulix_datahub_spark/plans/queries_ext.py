@@ -422,6 +422,67 @@ ORDER BY o_orderstatus
 """
 
 
+def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO9/J2 transactional tier (round 4): the versioned snapshot table
+    (sources/snapshots.py — immutable snapshot dirs + atomic pointer
+    publish, the engine-neutral stand-in for Delta/Iceberg MERGE the
+    environment can't install). Publishes customer as v1, applies the
+    same keyed upsert as upsert_customer_balances via upsert_snapshot
+    (v2), re-reads THROUGH the pointer and aggregates per segment; also
+    asserts the v1 reader still sees the pre-upsert table (the isolation
+    property the staged swap lacks). The oracle recomputes the post-
+    upsert aggregate from the raw customer table."""
+    import tempfile
+
+    from neulix_datahub_spark.sources.snapshots import (
+        current_version,
+        read_snapshot_table,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="neulix_snap_")
+    cust = _t(spark, sf_dir, "customer")
+    v1 = write_snapshot(cust, root)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 4)
+    )
+    v2 = upsert_snapshot(spark, root, updates, key="c_custkey")
+    assert (v1, v2) == ("v00000001", "v00000002"), (v1, v2)
+    assert current_version(root) == v2
+    # isolation: the pre-upsert snapshot is still intact by name
+    n_before = read_snapshot_table(spark, root, version=v1).count()
+    assert n_before == cust.count(), n_before
+    return (
+        read_snapshot_table(spark, root)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("c_custkey").alias("n_distinct_keys"),
+            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SNAPSHOT_UPSERT_SQL = """
+WITH upserted AS (
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_custkey % 10 = 0
+                THEN round(c_acctbal + 1000.0, 4)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys,
+       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+FROM upserted
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def fetch_hook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/IO22 driver-visible: the per-row fetch hook over a URL column,
     run through the REAL mapInPandas plumbing (Arrow batches, output
@@ -1193,6 +1254,11 @@ EXT_QUERIES = {
         doc_store_upsert_stats,
         DOC_STORE_UPSERT_SQL,
         "IO14 batched document upsert sink (file-backed client)",
+    ),
+    "snapshot_upsert_stats": (
+        snapshot_upsert_stats,
+        SNAPSHOT_UPSERT_SQL,
+        "IO9/J2 versioned snapshot table: atomic pointer publish + upsert",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -1,0 +1,209 @@
+"""Versioned snapshot tables: atomic publish on plain parquet (IO9/J2
+hardening — SURVEY §7.4.4).
+
+The staged-swap in ``io.update_parquet_table`` (rmtree + rename) is not
+atomic under concurrent readers: a reader that lists the directory
+mid-swap sees a missing or half-gone table. The reference sidesteps the
+problem by delegating DML to a warehouse (``core/utils/db_core.py:
+187-200``); a lakehouse deployment puts Delta/Iceberg in front. This
+module is the engine-neutral middle ground, built from the same public
+pattern those formats use (Iceberg's version-hint file, Hive's
+pointer-to-partition): IMMUTABLE snapshot directories plus one tiny
+pointer file published with an atomic rename.
+
+Layout::
+
+    root/
+      _VERSION          # text file: name of the current snapshot dir
+      v00000001/        # immutable parquet snapshot
+      v00000002/
+
+Guarantees (local/POSIX filesystems; see caveat):
+
+- A reader resolves ``_VERSION`` once, then reads an immutable directory
+  — it can NEVER observe a half-written table, because data dirs are
+  fully written before the pointer moves and are never modified after.
+- Publish is ``os.replace`` of the pointer — atomic on POSIX renames.
+- Writers are optimistic: ``publish`` re-reads the pointer and refuses
+  (ConcurrentSnapshotError) if it moved since the writer's snapshot was
+  resolved — last-write-wins silent lost updates become loud conflicts.
+- Old snapshots remain until ``vacuum_snapshots`` removes them, so
+  long-running readers of a previous version keep working through any
+  number of publishes (time travel for free: ``read_snapshot_table(...,
+  version=...)``).
+
+Object-store caveat: rename is not atomic on S3/GCS — there the pointer
+publish maps to a conditional PUT (if-generation-match), which is the
+same one-key atomic primitive. The layout and reader protocol carry
+over unchanged; only ``_publish_pointer`` would swap implementations.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+POINTER = "_VERSION"
+
+
+class ConcurrentSnapshotError(RuntimeError):
+    """The table advanced while this writer was preparing its snapshot."""
+
+
+def _pointer_path(root: str) -> str:
+    return os.path.join(root, POINTER)
+
+
+def current_version(root: str) -> str | None:
+    """Name of the published snapshot dir, or None for an empty table."""
+    try:
+        with open(_pointer_path(root), encoding="utf-8") as f:
+            return f.read().strip() or None
+    except FileNotFoundError:
+        return None
+
+
+def snapshot_versions(root: str) -> list[str]:
+    """All snapshot dir names under ``root``, oldest first."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(d for d in os.listdir(root) if d.startswith("v") and d[1:].isdigit())
+
+
+def _next_version(root: str) -> str:
+    versions = snapshot_versions(root)
+    n = int(versions[-1][1:]) + 1 if versions else 1
+    return f"v{n:08d}"
+
+
+def _publish_pointer(root: str, version: str, expected: str | None) -> None:
+    """Atomically move the pointer to ``version`` iff it still reads
+    ``expected`` (optimistic CAS; on an object store this is a
+    conditional PUT on the pointer key)."""
+    if current_version(root) != expected:
+        raise ConcurrentSnapshotError(
+            f"snapshot table {root} moved from {expected!r} to "
+            f"{current_version(root)!r} during the write; re-read and retry"
+        )
+    fd, tmp = tempfile.mkstemp(prefix=f".{POINTER}.", dir=root)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, _pointer_path(root))  # atomic on POSIX
+
+
+def read_snapshot_table(
+    spark: SparkSession, root: str, version: str | None = None
+) -> DataFrame:
+    """Read the current (or a pinned historical) snapshot. An unpublished
+    root raises — use ``write_snapshot`` to initialize (mirrors the scan
+    behavior of a missing lakehouse table, and keeps 'empty table' an
+    explicit state rather than a silent empty frame)."""
+    v = version or current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no published snapshot under {root}")
+    return spark.read.parquet(os.path.join(root, v))
+
+
+_UNSET = object()
+
+
+def write_snapshot(df: DataFrame, root: str, expected=_UNSET) -> str:
+    """Full-table publish: write ``df`` as the next immutable snapshot,
+    then atomically move the pointer. Returns the new version name.
+
+    ``expected`` is the version this writer's input was derived from
+    (pass what you read); the publish CAS-fails if the pointer moved off
+    it — closing the read→write window a read-modify-publish cycle
+    opens. Left unset, the pointer at call time is used (fine for blind
+    full-table overwrites).
+
+    The parquet write lands in the final snapshot dir directly — that
+    dir is invisible to readers until the pointer moves, so a crashed
+    write leaves only an unreferenced orphan for vacuum to sweep.
+    """
+    os.makedirs(root, exist_ok=True)
+    if expected is _UNSET:
+        expected = current_version(root)
+    # uuid suffix while writing so a concurrent writer never collides on
+    # the dir name; renamed to the clean version name before publish.
+    version = _next_version(root)
+    staging = os.path.join(root, f".{version}_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    final = os.path.join(root, version)
+    try:
+        os.rename(staging, final)
+    except OSError as exc:  # version name taken: a concurrent writer won
+        raise ConcurrentSnapshotError(
+            f"snapshot {version} already exists under {root}"
+        ) from exc
+    _publish_pointer(root, version, expected)
+    return version
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    tiebreak: str | None = None,
+) -> str:
+    """J2 keyed upsert as a snapshot publish: read current → last-write-
+    wins merge (``operators.upsert.upsert``) → publish. Readers see the
+    pre- or post-upsert table, never a mixture."""
+    from neulix_datahub_spark.operators.upsert import upsert
+
+    based_on = current_version(root)
+    target = read_snapshot_table(spark, root, version=based_on)
+    return write_snapshot(
+        upsert(target, updates, key, tiebreak=tiebreak), root, expected=based_on
+    )
+
+
+def update_snapshot(
+    spark: SparkSession,
+    root: str,
+    set_exprs: dict[str, Column],
+    where: Column | None = None,
+) -> str:
+    """IO9 UPDATE semantics as a snapshot publish (the transactional
+    sibling of ``io.update_parquet_table``'s staged swap)."""
+    from pyspark.sql import functions as F
+
+    based_on = current_version(root)
+    df = read_snapshot_table(spark, root, version=based_on)
+    cond = where if where is not None else F.lit(True)
+    updated = df.select(
+        *[
+            F.when(cond, set_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+    return write_snapshot(updated, root, expected=based_on)
+
+
+def vacuum_snapshots(root: str, keep: int = 2) -> list[str]:
+    """Remove snapshot dirs older than the ``keep`` most recent (never
+    the published one) plus any crashed-write staging orphans. Returns
+    the removed names. ``keep >= 1`` enforced: the pointer target always
+    survives."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    versions = snapshot_versions(root)
+    cur = current_version(root)
+    removable = [v for v in versions[:-keep] if v != cur]
+    for v in removable:
+        shutil.rmtree(os.path.join(root, v))
+    orphans = [
+        d for d in os.listdir(root)
+        if d.startswith(".v") and os.path.isdir(os.path.join(root, d))
+    ]
+    for d in orphans:
+        shutil.rmtree(os.path.join(root, d))
+    return removable + orphans

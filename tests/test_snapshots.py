@@ -1,0 +1,108 @@
+"""Versioned snapshot tables (sources/snapshots.py): atomic publish,
+reader isolation across publishes, optimistic-concurrency conflicts,
+vacuum retention — the guarantees the staged-swap path can't give."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.sources.snapshots import (
+    ConcurrentSnapshotError,
+    current_version,
+    read_snapshot_table,
+    snapshot_versions,
+    update_snapshot,
+    upsert_snapshot,
+    vacuum_snapshots,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return sorted((r.id, r.v) for r in df.collect())
+
+
+def test_write_read_roundtrip_and_versioning(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    with pytest.raises(FileNotFoundError):
+        read_snapshot_table(spark, root)
+    v1 = write_snapshot(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root)
+    assert v1 == "v00000001" and current_version(root) == v1
+    assert _rows(read_snapshot_table(spark, root)) == [(1, "a"), (2, "b")]
+    v2 = write_snapshot(spark.createDataFrame([(3, "c")], "id long, v string"), root)
+    assert v2 == "v00000002" and current_version(root) == v2
+    assert _rows(read_snapshot_table(spark, root)) == [(3, "c")]
+    # time travel: the old version stays readable by name
+    assert _rows(read_snapshot_table(spark, root, version=v1)) == [(1, "a"), (2, "b")]
+    assert snapshot_versions(root) == [v1, v2]
+
+
+def test_reader_isolation_across_publish(spark, tmp_path):
+    """A DataFrame resolved against v1 keeps returning v1 rows after v2
+    publishes — the property the rmtree+rename swap violates."""
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    old_reader = read_snapshot_table(spark, root)
+    write_snapshot(spark.createDataFrame([(9, "z")], "id long, v string"), root)
+    assert _rows(old_reader) == [(1, "a")]
+    assert _rows(read_snapshot_table(spark, root)) == [(9, "z")]
+
+
+def test_upsert_snapshot_last_write_wins_and_idempotent(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    updates = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, v string")
+    upsert_snapshot(spark, root, updates, "id")
+    assert _rows(read_snapshot_table(spark, root)) == [(1, "a"), (2, "b2"), (3, "c")]
+    upsert_snapshot(spark, root, updates, "id")  # idempotent re-apply
+    assert _rows(read_snapshot_table(spark, root)) == [(1, "a"), (2, "b2"), (3, "c")]
+    assert current_version(root) == "v00000003"
+
+
+def test_update_snapshot_matches_update_semantics(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, k string, v double",
+        ),
+        root,
+    )
+    update_snapshot(spark, root, {"v": F.col("v") * 2}, where=F.col("k") == "a")
+    got = sorted((r.id, r.v) for r in read_snapshot_table(spark, root).collect())
+    assert got == [(1, 20.0), (2, 20.0), (3, 60.0)]
+
+
+def test_concurrent_publish_conflict_is_loud(spark, tmp_path):
+    """A writer whose base version moved mid-cycle must CAS-fail instead
+    of silently clobbering the other writer's publish."""
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    stale_base = current_version(root)
+    # another writer sneaks a publish in
+    write_snapshot(spark.createDataFrame([(2, "b")], "id long, v string"), root)
+    with pytest.raises(ConcurrentSnapshotError):
+        write_snapshot(
+            spark.createDataFrame([(3, "c")], "id long, v string"),
+            root,
+            expected=stale_base,
+        )
+    # the interloper's publish survives untouched
+    assert _rows(read_snapshot_table(spark, root)) == [(2, "b")]
+
+
+def test_vacuum_keeps_recent_and_published(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for i in range(4):
+        write_snapshot(
+            spark.createDataFrame([(i, "x")], "id long, v string"), root
+        )
+    removed = vacuum_snapshots(root, keep=2)
+    assert removed == ["v00000001", "v00000002"]
+    assert snapshot_versions(root) == ["v00000003", "v00000004"]
+    assert _rows(read_snapshot_table(spark, root)) == [(3, "x")]
+    with pytest.raises(ValueError):
+        vacuum_snapshots(root, keep=0)

@@ -206,6 +206,119 @@ def ivf_top_k(
     )
 
 
+def ivf_batch_top_k(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    num_buckets: int = 64,
+    n_probes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """L3 scale path for MANY probes in one job: each probe searches its
+    own bucket plus the ``n_probes - 1`` cheapest single-plane flips,
+    ranked by that probe's hyperplane margins — the distributed sibling
+    of ``ivf_top_k``'s driver-side multi-probe.
+
+    Everything probe-side is a narrow expression (projections → bucket →
+    margin-sorted flip candidates → explode), so the probe table can be
+    any size; it is then BROADCAST against the bucketed corpus scan —
+    the corpus never shuffles, exactly like ``cosine_self_join_top_k``
+    but touching only ~n_probes/num_buckets of it per probe. Top-k is a
+    per-probe ``row_number`` window over the candidate scores.
+
+    Candidates are limited to Hamming ≤ 1 of the probe's bucket (origin
+    + margin-ranked single flips): multi-flip subsets would need a
+    per-row subset sort that codegen can't express cheaply, and a
+    near-boundary neighbor differs from the probe almost always on
+    low-margin planes one at a time. For deeper probe sequences on a
+    single query, use ``ivf_top_k(n_probes=...)`` which enumerates all
+    2^planes subsets driver-side. With ``num_buckets=2`` the candidate
+    set covers the whole space, so the result equals brute force
+    (asserted in tests).
+
+    Returns ``(probe_id, neighbor_id, score)``, ``score`` = cosine,
+    ≤ k rows per probe ordered by (score desc, neighbor_id).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    n_planes = int(math.log2(num_buckets))
+    if 2**n_planes != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, {n_planes + 1}] (origin + one flip "
+            "per plane); deeper sequences are the driver-side ivf_top_k's job"
+        )
+
+    bucketed = ivf_assign_buckets(corpus, num_buckets, vec_col, seed).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        "bucket",
+    )
+
+    projs = F.array(
+        *[_plane_projection(F.col(vec_col), p, seed) for p in range(n_planes)]
+    )
+    p_side = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__pv"),
+        _norm(F.col(vec_col)).alias("__pn"),
+        projs.alias("__projs"),
+    )
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bucket = bucket * 2 + F.when(
+            F.element_at("__projs", p + 1) > 0, 1
+        ).otherwise(0)
+    p_side = p_side.withColumn("__bucket", bucket)
+    flips = F.array(
+        *[
+            F.struct(
+                F.abs(F.element_at("__projs", p + 1)).alias("cost"),
+                F.col("__bucket")
+                .bitwiseXOR(F.lit(1 << (n_planes - 1 - p)))
+                .alias("b"),
+            )
+            for p in range(n_planes)
+        ]
+    )
+    cands = F.concat(
+        F.array(F.struct(F.lit(0.0).alias("cost"), F.col("__bucket").alias("b"))),
+        F.slice(F.array_sort(flips), 1, n_probes - 1) if n_probes > 1 else F.array().cast(
+            "array<struct<cost:double,b:long>>"
+        ),
+    )
+    p_side = p_side.select(
+        "probe_id", "__pv", "__pn",
+        F.explode(F.transform(cands, lambda s: s["b"])).alias("__cand_bucket"),
+    )
+
+    scored = bucketed.join(
+        F.broadcast(p_side), F.col("bucket") == F.col("__cand_bucket")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("__cid") != F.col("probe_id"))
+    scored = scored.select(
+        "probe_id",
+        F.col("__cid").alias("neighbor_id"),
+        (_dot(F.col("__cv"), F.col("__pv")) / (F.col("__cn") * F.col("__pn"))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.3,

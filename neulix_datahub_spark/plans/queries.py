@@ -911,6 +911,117 @@ FROM top
 """
 
 
+def ivf_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, batched: ``ivf_batch_top_k`` answers MANY probes in
+    one job (probe-side bucket+margin expressions broadcast against the
+    bucketed corpus scan — the corpus never shuffles). Like
+    ``ivf_recall_check``, each probe (vec_id % 200 == 0) gets 5 planted
+    near-copies (i*0.002 per-dim shift, cosine ~0.99 vs ~0.45 max for
+    random pairs) — the findable neighbors the index must recover. The
+    query emits the exact per-probe top-5 (SQL-expressible; the oracle
+    recomputes it) plus a per-probe full-recall verdict on the batched
+    search, pinned true: margin-ranked single-flip probing (5 of 16
+    buckets, a ~31% scan) recovers every plant at every fixture SF."""
+    from neulix_datahub_spark.operators.similarity import (
+        cosine_self_join_top_k,
+        ivf_batch_top_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    probe_ids = [r.vec_id for r in probes.select("vec_id").collect()]
+    planted = probes.crossJoin(spark.range(1, 6)).select(
+        (F.lit(2_000_000) + F.col("vec_id") * 100 + F.col("id")).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(planted)
+    exact = cosine_self_join_top_k(corpus, probe_ids, k=5).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("e"), F.lit(0).alias("i")
+    )
+    ivf = ivf_batch_top_k(
+        corpus,
+        probes.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        ),
+        k=5,
+        num_buckets=16,
+        n_probes=5,
+    ).select("probe_id", "neighbor_id", F.lit(0).alias("e"), F.lit(1).alias("i"))
+    per_pair = (
+        exact.unionByName(ivf)
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("e").alias("e"), F.max("i").alias("i"))
+    )
+    return (
+        per_pair.groupBy("probe_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("e") == 1, F.col("neighbor_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("exact_top5_ids"),
+            F.sum("e").cast("bigint").alias("n_exact"),
+            (F.sum(F.col("e") * F.col("i")) >= 5).alias("batch_recall_full"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+_IVF_BATCH_RECALL_SQL = """
+WITH pv AS (
+    SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id % 200 = 0
+),
+corpus AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT 2000000 + pv.probe_id * 100 + t.i,
+           list_transform(pv.v, x -> x + t.i * 0.002)
+    FROM pv, range(1, 6) t(i)
+),
+q AS (
+    SELECT probe_id, generate_subscripts(v, 1) AS d, unnest(v) AS qval FROM pv
+),
+e AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS eval FROM corpus
+),
+scores AS (
+    SELECT q.probe_id, e.vec_id,
+           sum(e.eval * q.qval)
+           / (sqrt(sum(e.eval * e.eval)) * sqrt(sum(q.qval * q.qval))) AS score
+    FROM e JOIN q USING (d)
+    WHERE e.vec_id <> q.probe_id
+    GROUP BY q.probe_id, e.vec_id
+),
+top AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM scores
+    ) WHERE rn <= 5
+)
+SELECT probe_id,
+       string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS exact_top5_ids,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       TRUE AS batch_recall_full
+FROM top
+GROUP BY probe_id
+ORDER BY probe_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming batch parity (S1/S2/S4 — the batch halves of SURVEY §2.9)
 # ---------------------------------------------------------------------------
@@ -1238,6 +1349,11 @@ QUERIES: dict[str, QuerySpec] = {
     "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
     "ivf_recall_check": QuerySpec(
         ivf_recall_check, _IVF_RECALL_SQL, "L3 IVF recall vs exact w/ tolerance oracle"
+    ),
+    "ivf_batch_recall_check": QuerySpec(
+        ivf_batch_recall_check,
+        _IVF_BATCH_RECALL_SQL,
+        "L3 batched multi-probe IVF join: per-probe planted recall pinned",
     ),
     "price_percentiles": QuerySpec(price_percentiles, _PERCENTILES_SQL, "A1 exact percentiles"),
     "approx_price_percentiles": QuerySpec(

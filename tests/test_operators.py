@@ -300,6 +300,70 @@ def test_ivf_multi_probe_budget_monotone(spark):
     assert overlaps[-1] == 10
 
 
+def test_ivf_batch_full_coverage_equals_brute_force(spark):
+    """With num_buckets=2 and n_probes=2 every probe's candidate set is
+    the whole corpus, so the batched IVF join must reproduce the
+    brute-force per-probe top-k exactly."""
+    from neulix_datahub_spark.operators.similarity import (
+        cosine_self_join_top_k,
+        ivf_batch_top_k,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe_ids = [0, 7, 21]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids))
+    got = {
+        (r.probe_id, r.neighbor_id)
+        for r in ivf_batch_top_k(
+            emb, probes, k=5, num_buckets=2, n_probes=2
+        ).collect()
+    }
+    want = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_self_join_top_k(emb, probe_ids, k=5).collect()
+    }
+    assert got == want
+
+
+def test_ivf_batch_recovers_planted_neighbors(spark):
+    """Each probe gets 3 planted near-copies (tiny per-dim shift); the
+    margin-ranked single-flip probe must recover them all — they can
+    only leave the probe's bucket across a low-margin plane."""
+    from neulix_datahub_spark.operators.similarity import ivf_batch_top_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probe_ids = [0, 7, 21]
+    probes = emb.filter(F.col("vec_id").isin(probe_ids))
+    planted = probes.crossJoin(spark.range(1, 4)).select(
+        (F.col("vec_id") * 100 + F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.col("id").cast("double") * 0.002
+        ).alias("embedding"),
+        F.lit(0).alias("label"),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    ).unionByName(planted)
+    out = ivf_batch_top_k(corpus, probes, k=3, num_buckets=16, n_probes=5)
+    got = {(r.probe_id, r.neighbor_id) for r in out.collect()}
+    want = {
+        (p, p * 100 + i + 1_000_000) for p in probe_ids for i in (1, 2, 3)
+    }
+    assert got == want
+
+
+def test_ivf_batch_n_probes_validation(spark):
+    import pytest
+
+    from neulix_datahub_spark.operators.similarity import ivf_batch_top_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="n_probes"):
+        ivf_batch_top_k(emb, emb.limit(1), num_buckets=16, n_probes=9)
+
+
 # --- skew tools ---------------------------------------------------------------
 
 def test_salted_join_equals_plain_join(spark):

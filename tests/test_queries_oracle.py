@@ -56,7 +56,7 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
         "doc_store_upsert_stats", "fetch_hook_profile",
         "snapshot_upsert_stats",
         "bucketed_revenue_by_priority", "kmeans_cluster_profile",
-        "ivf_top10", "ivf_recall_check", "cosine_top10",
+        "ivf_top10", "ivf_recall_check", "ivf_batch_recall_check", "cosine_top10",
     }
 
     # Relation lines print column lists, not paths — identify the hinted

@@ -1453,11 +1453,14 @@ _PRIORITY_R4 = [
     "sanitized_projection", "stats_by_returnflag",
 ]
 # ROUND 5 NOTE: rotate ONLY AFTER the round-4 driver run consumes this
-# prefix. Once it does, no registry entry lacks a driver row: build the
-# round-5 prefix from whatever has gone longest without re-verification
-# (the r2-era greens not in this slice — rollup/cube, curation_pipeline,
-# price_percentiles, document_fingerprints, orders_price_bands,
-# salted_flag_revenue, the sketch/centroid tier — then the r3 greens).
+# prefix. The round-5 prefix should lead with the two queries added
+# AFTER this window was frozen (sim-green at sf0.01, no driver row yet):
+# snapshot_upsert_stats, ivf_batch_recall_check. After those, no
+# registry entry lacks a driver row: fill from whatever has gone longest
+# without re-verification (the r2-era greens not in this slice —
+# rollup/cube, curation_pipeline, price_percentiles,
+# document_fingerprints, orders_price_bands, salted_flag_revenue, the
+# sketch/centroid tier — then the r3 greens).
 assert set(_PRIORITY_R4) <= set(QUERIES), sorted(set(_PRIORITY_R4) - set(QUERIES))
 assert len(_PRIORITY_R4) == 50, len(_PRIORITY_R4)
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R4} | {

@@ -1,49 +1,42 @@
 """Streaming upsert sink (SURVEY §2.3 J2 streaming path, §2.1 IO14):
-``foreachBatch`` + keyed MERGE onto a snapshot-versioned parquet table.
+``foreachBatch`` + keyed MERGE published onto a versioned snapshot
+table (``sources/snapshots.py`` — immutable snapshot dirs + atomic
+pointer publish).
 
 The reference upserts row-by-row into Firestore with 500-op batches
 (``core/utils/db_core.py:272-337``); the streaming engine replaces that
-with per-micro-batch set-based MERGE. Without Delta Lake in the
-container, the table is a directory of immutable snapshots
-(``snapshot=<n>/``) — each batch merges into the latest snapshot and
-writes the next one, so readers never see a half-written table and the
-merge never reads the files it is overwriting. With Delta available the
-same ``foreachBatch`` body becomes ``MERGE INTO`` and the snapshot
+with per-micro-batch set-based MERGE. Each batch merges into the
+current snapshot and publishes the next one with an atomic pointer
+move, so readers never see a half-written table, concurrent readers of
+the previous version keep working, and a checkpoint-replayed batch
+re-publishes idempotently (the keyed MERGE is idempotent, so the extra
+version carries identical content). With Delta available the same
+``foreachBatch`` body becomes ``MERGE INTO`` and the snapshot
 bookkeeping disappears.
 """
 
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from neulix_datahub_spark.operators.upsert import upsert
-
-_SNAP_RE = re.compile(r"^snapshot=(\d+)$")
-
-
-def latest_snapshot_dir(path: str) -> str | None:
-    """Highest-numbered committed snapshot directory, or None."""
-    if not os.path.isdir(path):
-        return None
-    best: tuple[int, str] | None = None
-    for name in os.listdir(path):
-        m = _SNAP_RE.match(name)
-        if m and os.path.exists(os.path.join(path, name, "_SUCCESS")):
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, os.path.join(path, name))
-    return best[1] if best else None
+from neulix_datahub_spark.sources.snapshots import (
+    current_version,
+    read_snapshot_table,
+    write_snapshot,
+)
 
 
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame | None:
-    """Current contents of a snapshot-versioned upsert table."""
-    snap = latest_snapshot_dir(path)
-    return spark.read.parquet(snap) if snap else None
+    """Current contents of a snapshot-versioned upsert table (None while
+    nothing has been published)."""
+    if current_version(path) is None:
+        return None
+    return read_snapshot_table(spark, path)
 
 
 def stream_upsert_to_parquet(
@@ -53,10 +46,11 @@ def stream_upsert_to_parquet(
     tiebreak: str | None = None,
     checkpoint_dir: str | None = None,
 ) -> StreamingQuery:
-    """Drive ``stream_df`` into a keyed parquet table with MERGE semantics:
-    within and across micro-batches, the last/greatest-``tiebreak`` row
-    per ``key`` wins. Runs with ``Trigger.AvailableNow`` (bounded drain);
-    long-lived deployments drop that trigger and keep the checkpoint.
+    """Drive ``stream_df`` into a keyed snapshot table with MERGE
+    semantics: within and across micro-batches, the last/greatest-
+    ``tiebreak`` row per ``key`` wins. Runs with ``Trigger.AvailableNow``
+    (bounded drain); long-lived deployments drop that trigger and keep
+    the checkpoint.
     """
     spark = stream_df.sparkSession
 
@@ -64,7 +58,7 @@ def stream_upsert_to_parquet(
         existing = read_upsert_table(spark, path)
         merged = upsert(existing, batch_df, key, tiebreak) if existing is not None \
             else upsert(batch_df.limit(0), batch_df, key, tiebreak)
-        merged.write.mode("overwrite").parquet(os.path.join(path, f"snapshot={batch_id}"))
+        write_snapshot(merged, path)
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
     if checkpoint_dir:
@@ -89,7 +83,8 @@ def stream_dedup_to_parquet(
     persistent fingerprint store, so content seen in *any* earlier batch
     is dropped — arrival order wins across batches, the streaming-native
     precedence; (3) append the admitted docs to ``data/`` and write the
-    union of fingerprints as the next ``_fingerprints/snapshot=<n>/``.
+    union of fingerprints as the next ``_fingerprints`` snapshot
+    version (atomic pointer publish).
     Readers always see a committed snapshot (same protocol as
     :func:`stream_upsert_to_parquet`).
 
@@ -122,9 +117,7 @@ def stream_dedup_to_parquet(
         batch.drop("__fp").write.mode("append").parquet(data_dir)
         new_fps = batch.select(F.col("__fp").alias("fingerprint"))
         all_fps = new_fps if seen is None else seen.unionByName(new_fps)
-        all_fps.write.mode("overwrite").parquet(
-            os.path.join(fp_dir, f"snapshot={batch_id}")
-        )
+        write_snapshot(all_fps, fp_dir)
 
     writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -106,3 +106,23 @@ def test_pushdown_and_pruning_reach_the_scan(spark):
     hdr = scan_line("header_projection")
     cols = hdr.split("FileScan parquet [", 1)[1].split("]", 1)[0]
     assert {c.split("#")[0] for c in cols.split(",")} == {"c_name", "c_acctbal"}, cols
+
+
+def test_ivf_batch_join_broadcasts_probe_side(spark):
+    """Scale invariant (SCALE.md): the batched IVF join broadcasts the
+    exploded probe side against the bucketed corpus scan — the corpus
+    must never shuffle for the join. The executed plan therefore
+    contains a BroadcastHashJoin and no SortMergeJoin; the only shuffle
+    is the per-probe top-k window AFTER the join."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.similarity import ivf_batch_top_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id").isin([0, 7]))
+    plan = (
+        ivf_batch_top_k(emb, probes, k=5, num_buckets=16, n_probes=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -41,3 +41,58 @@ def pack_by_token_budget(
     offset = F.coalesce(F.sum(tok).over(w), F.lit(0)).alias("pack_offset")
     out = df.withColumn("pack_offset", offset)
     return out.withColumn("pack_id", F.floor(F.col("pack_offset") / budget))
+
+
+def chunk_by_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Per-document sliding-window chunking: split each document's
+    whitespace token sequence into fixed-``chunk_size`` windows where
+    consecutive chunks share ``overlap`` tokens — the RAG/eval-context
+    prep that complements :func:`pack_by_token_budget`'s cross-document
+    tape packing.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` with
+    ``stride = chunk_size - overlap``; a document of ``n`` tokens yields
+    ``1 + ceil((n - chunk_size) / stride)`` chunks (always ≥ 1 — an
+    empty document keeps one empty chunk so no doc silently disappears).
+    Tokenization matches ``text.token_count`` (trim, collapse
+    whitespace, split on space).
+
+    Output: one row per chunk — the input columns plus ``chunk_id``
+    (0-based), ``chunk_text``, ``n_chunk_tokens`` (< chunk_size only on
+    a document's last chunk).
+
+    Plan shape: pure narrow expressions — split, an exploded
+    ``sequence`` of ×(n/stride) fan-out, and a per-chunk ``slice`` — no
+    shuffle, no UDF; scales embarrassingly like every per-document map.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    stride = chunk_size - overlap
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    n = F.size("__toks")
+    # 1 base chunk + ceil((n - size)/stride) continuation chunks, with
+    # ceil spelled floor((n - size + stride - 1)/stride) in int math.
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / stride).cast("int") + 1
+    )
+    out = (
+        df.withColumn("__toks", toks)
+        .withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .withColumn(
+            "__chunk_toks",
+            F.slice(F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_size),
+        )
+        .withColumn("chunk_text", F.array_join("__chunk_toks", " "))
+        .withColumn("n_chunk_tokens", F.size("__chunk_toks"))
+        .drop("__toks", "__chunk_toks")
+    )
+    return out

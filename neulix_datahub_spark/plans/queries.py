@@ -1453,9 +1453,11 @@ _PRIORITY_R4 = [
     "sanitized_projection", "stats_by_returnflag",
 ]
 # ROUND 5 NOTE: rotate ONLY AFTER the round-4 driver run consumes this
-# prefix. The round-5 prefix should lead with the two queries added
-# AFTER this window was frozen (sim-green at sf0.01, no driver row yet):
-# snapshot_upsert_stats, ivf_batch_recall_check. After those, no
+# prefix. The round-5 prefix should lead with the queries added AFTER
+# this window was frozen (sim-green at sf0.01, no driver row yet):
+# snapshot_upsert_stats, ivf_batch_recall_check, doc_chunk_stats,
+# and re-check stream_upsert_latest_events / stream_dedup_corpus_counts
+# (their sink moved onto the unified snapshot table). After those, no
 # registry entry lacks a driver row: fill from whatever has gone longest
 # without re-verification (the r2-era greens not in this slice —
 # rollup/cube, curation_pipeline, price_percentiles,

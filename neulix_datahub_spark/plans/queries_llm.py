@@ -204,6 +204,64 @@ ORDER BY lang, pack_id
 """
 
 
+def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ sliding-window chunking (round 4): chunk_by_tokens splits
+    each document into 64-token windows overlapping by 8 — the RAG /
+    eval-context prep sibling of token_pack_summary's tape packing.
+    Aggregates per language over every chunk row; the oracle replays
+    the identical chunk geometry (count, coverage, partials) with
+    DuckDB list slicing, so any boundary/overlap drift hash-fails.
+    Plan: narrow split + sequence-explode + slice, one shuffle for the
+    final aggregate — scales like any per-document map."""
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=8)
+    return (
+        ch.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("sum_chunk_tokens"),
+            F.sum(F.when(F.col("n_chunk_tokens") < 64, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_partial_chunks"),
+        )
+        .orderBy("lang")
+    )
+
+
+_CHUNK_SQL = """
+WITH t AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+           END AS toks
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, lang, toks,
+           CASE WHEN len(toks) <= 64 THEN 1
+                ELSE (len(toks) - 64 + 55) // 56 + 1 END AS n_chunks
+    FROM t
+),
+chunks AS (
+    SELECT doc_id, lang,
+           len(toks[u.i * 56 + 1 : u.i * 56 + 64]) AS n_chunk_tokens
+    FROM sized, unnest(generate_series(0, n_chunks - 1)) u(i)
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(count(*) FILTER (WHERE n_chunk_tokens < 64) AS BIGINT) AS n_partial_chunks
+FROM chunks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 candidates→verify, oracle-checked: MinHash LSH candidates over
     the planted near-dup corpus, verified with exact 3-gram Jaccard and
@@ -1239,6 +1297,11 @@ LLM_QUERIES = {
         "L2 SimHash/MinHash normalization invariance",
     ),
     "token_pack_summary": (token_pack_summary, _PACK_SQL, "L4+ concat-chunk packing"),
+    "doc_chunk_stats": (
+        doc_chunk_stats,
+        _CHUNK_SQL,
+        "L4+ sliding-window chunking (64-token windows, 8 overlap)",
+    ),
     "char_entropy_by_lang": (
         char_entropy_by_lang,
         _CHAR_ENTROPY_SQL,

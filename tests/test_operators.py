@@ -589,6 +589,61 @@ def test_pack_by_token_budget_boundaries(spark):
     assert rows[5] == (0, 0)
 
 
+def test_chunk_by_tokens_boundaries_and_overlap(spark):
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b c"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_by_tokens(df, "text", "doc_id", chunk_size=4, overlap=1)
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens) for r in out.collect()
+    )
+    # doc 1: stride 3, windows [0:4) [3:7) [6:10) -> 3 chunks
+    doc1 = [r for r in rows if r[0] == 1]
+    assert [r[2] for r in doc1] == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert [r[3] for r in doc1] == [4, 4, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    assert doc1[0][2].split()[-1:] == doc1[1][2].split()[:1]
+    # short doc: one partial chunk; empty/whitespace docs: one empty chunk
+    assert [(r[1], r[2], r[3]) for r in rows if r[0] == 2] == [(0, "a b c", 3)]
+    assert [(r[2], r[3]) for r in rows if r[0] == 3] == [("", 0)]
+    assert [(r[2], r[3]) for r in rows if r[0] == 4] == [("", 0)]
+
+
+def test_chunk_by_tokens_lossless_reconstruction(spark):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0)
+    and concatenating in chunk order must rebuild every document's
+    exact token sequence — no token lost or duplicated, for lengths
+    around every boundary (n % stride in all phases)."""
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+
+    docs = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(0, 24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_by_tokens(df, "text", "doc_id", chunk_size=5, overlap=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n, text in docs:
+        rebuilt: list[str] = []
+        for r in by_doc[n]:
+            toks = r.chunk_text.split() if r.chunk_text else []
+            rebuilt.extend(toks if r.chunk_id == 0 else toks[2:])
+        assert rebuilt == text.split(), (n, rebuilt)
+
+
+def test_chunk_by_tokens_overlap_validation(spark):
+    import pytest
+
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "text", "doc_id", chunk_size=4, overlap=4)
+
+
 def test_embedding_centroids_and_distances(spark):
     from neulix_datahub_spark.operators.similarity import (
         centroid_distances,

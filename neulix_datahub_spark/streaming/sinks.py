@@ -27,6 +27,7 @@ from neulix_datahub_spark.operators.upsert import upsert
 from neulix_datahub_spark.sources.snapshots import (
     current_version,
     read_snapshot_table,
+    vacuum_snapshots,
     write_snapshot,
 )
 
@@ -45,12 +46,19 @@ def stream_upsert_to_parquet(
     key: str,
     tiebreak: str | None = None,
     checkpoint_dir: str | None = None,
+    retain_versions: int | None = 8,
 ) -> StreamingQuery:
     """Drive ``stream_df`` into a keyed snapshot table with MERGE
     semantics: within and across micro-batches, the last/greatest-
     ``tiebreak`` row per ``key`` wins. Runs with ``Trigger.AvailableNow``
     (bounded drain); long-lived deployments drop that trigger and keep
     the checkpoint.
+
+    ``retain_versions`` vacuums all but the N newest snapshot versions
+    after each publish — a long-lived stream publishes one version per
+    micro-batch, so without retention the table grows without bound.
+    The default keeps 8 (long-running readers of recent versions stay
+    valid through ~8 further batches); ``None`` disables vacuuming.
     """
     spark = stream_df.sparkSession
 
@@ -59,6 +67,8 @@ def stream_upsert_to_parquet(
         merged = upsert(existing, batch_df, key, tiebreak) if existing is not None \
             else upsert(batch_df.limit(0), batch_df, key, tiebreak)
         write_snapshot(merged, path)
+        if retain_versions is not None:
+            vacuum_snapshots(path, keep=retain_versions)
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
     if checkpoint_dir:
@@ -72,6 +82,7 @@ def stream_dedup_to_parquet(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_dir: str | None = None,
+    retain_versions: int | None = 8,
 ) -> StreamingQuery:
     """Incremental corpus dedup: drain a document stream into an
     append-only parquet corpus that never admits a content duplicate —
@@ -118,6 +129,8 @@ def stream_dedup_to_parquet(
         new_fps = batch.select(F.col("__fp").alias("fingerprint"))
         all_fps = new_fps if seen is None else seen.unionByName(new_fps)
         write_snapshot(all_fps, fp_dir)
+        if retain_versions is not None:
+            vacuum_snapshots(fp_dir, keep=retain_versions)
 
     writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -103,6 +103,44 @@ def test_stream_upsert_sink_merges_by_key(spark, tmp_path):
     assert {(r.user_id, r.ts) for r in rows} <= latest
 
 
+def test_stream_upsert_sink_retains_bounded_versions(spark, tmp_path):
+    """Each micro-batch publishes one snapshot version; retention must
+    cap the table at `keep` versions while the pointer still reads the
+    newest — a multi-batch drain (maxFilesPerTrigger=1) ends with at
+    most 2 versions and correct merged contents."""
+    import glob
+    import os
+
+    from neulix_datahub_spark.sources.snapshots import snapshot_versions
+
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([[(1, 10), (2, 20)], [(2, 21), (3, 30)], [(1, 11)]]):
+        spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(
+            f"{src}/part{i}"
+        )
+    # one file per trigger -> several micro-batches
+    files = sorted(glob.glob(f"{src}/part*/*.parquet"))
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    for i, f in enumerate(files):
+        os.link(f, f"{flat}/{i}.parquet")
+    stream = (
+        spark.readStream.schema("k long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    table = str(tmp_path / "tbl")
+    q = stream_upsert_to_parquet(
+        stream, table, key="k", checkpoint_dir=str(tmp_path / "ck"),
+        retain_versions=2,
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(table)) <= 2
+    got = {(r.k, r.v) for r in read_upsert_table(spark, table).collect()}
+    # last-write-wins per key across all batches (file order = batch order)
+    assert {k for k, _ in got} == {1, 2, 3}
+
+
 def test_sliding_window_runs(spark):
     stream = tumbling_counts(read_events_stream(spark, SF_DIR), "1 hour", slide="30 minutes")
     run_stream_to_memory(stream, "sliding_out", output_mode="complete")

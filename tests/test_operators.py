@@ -147,7 +147,8 @@ def test_ngram_jaccard_bounded_blocks_identical_output(spark):
     df = _skewed_docs(spark)
     unbounded = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0,
                                     block_col="lang")
-    for cap in (7, 16, 100):
+    # caps: many tiny chunks (3 -> m=20 on the hot block), mid, one-chunk
+    for cap in (3, 7, 16, 100):
         bounded = ngram_jaccard_pairs(df, "text", "doc_id", n=2, threshold=0.0,
                                       block_col="lang", max_block=cap)
         a = sorted((r.id_a, r.id_b, r.jaccard) for r in unbounded.collect())

@@ -47,12 +47,18 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver row also certifies the bounded path: output is identical
     to the all-pairs block join the oracle computes, but no task ever
     holds more than 128² pairs — the shape that survives a
-    boilerplate-heavy language at 100 TB. (The cap splits the 215-doc en
-    block at sf0.1 — measured +0.3s vs the unbounded join there, the
-    price of the extra task-key exchange; multi-chunk output-identity is
-    additionally driver-certified by fuzzy_part_pairs at sf0.01 and
-    unit-asserted on a 60-row hot block at caps 7/16. At 100 TB the cap
-    would sit in the thousands.)"""
+    boilerplate-heavy language at 100 TB. The price is real and
+    accepted: the task-key exchange + per-side window put the bench
+    sample at ~1.4s vs ~0.85s for the unbounded join at sf0.1 (warm
+    deltas ~0.3-0.4s; the two join sides each compute the windowed
+    explode — alias-renamed subtrees defeat ReusedExchange, and a
+    lineage-breaking localCheckpoint was measured to claw back only
+    ~0.25s, rejected). Language blocks GROW with the corpus, so the
+    unbounded form is a quadratic bomb at the design point — fixed
+    overhead at toy scale buys the bound that matters. Multi-chunk
+    output-identity is additionally driver-certified by
+    fuzzy_part_pairs at sf0.01 and unit-asserted on a 60-row hot block
+    at caps 3/7/16. At 100 TB the cap would sit in the thousands."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(
         docs, text_col="text", id_col="doc_id", n=2, threshold=0.02,

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 
 from neulix_datahub_spark.functions.cleaning import iso_timestamp, parse_flag
 from neulix_datahub_spark.operators.dedupe import (
+    _shingles,
     dedupe_append,
     exact_dedup,
+    jaccard_expr,
     minhash_near_duplicates,
     simhash,
 )
@@ -753,50 +755,261 @@ FROM documents WHERE doc_id % 10 = 0
 
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: MinHash+LSH near-dup candidates. The fixture has no near-dups,
-    so the query plants them (id+1e6 copies with the first token dropped);
-    every planted pair must surface. No SQL oracle (xxhash64 is
-    Spark-specific) → rows-only check; pytest asserts recall."""
+    """L2: MinHash+LSH near-dup candidate generation, oracle-pinned
+    (the ``ivf_recall_check`` pattern — formerly rows-only).
+
+    The fixture has no near-dups, so the query plants them: an id+1e6
+    copy of every doc_id<100 document with its first token dropped.
+    The emitted row mixes values the oracle RECOMPUTES with verdicts it
+    pins:
+
+    - ``planted_total`` — #planted pairs; oracle recomputes from the
+      same doc_id<100 filter.
+    - ``min_planted_jaccard`` — the minimum exact 3-gram Jaccard between
+      a doc and its perturbed twin, the real similarity the LSH index
+      must recover; the oracle recomputes the full shingling + set
+      arithmetic in SQL (measured 0.875/0.875/0.9 at sf0.001/0.01/0.1).
+    - ``lsh_recall_ge_95pct`` — the banding (64 hashes, 16 bands) must
+      surface ≥95% of the planted pairs; pinned TRUE (measured 1.0 at
+      all three SFs — a Jaccard≈0.9 pair misses a 4-row band with
+      p≈(1-0.9^4)^16 ≈ 0.002, and every slot is deterministic).
+
+    The candidate-pair *relation* itself stays covered by
+    ``minhash_verified_pairs`` / ``lsh_dedup_pipeline`` (green r3)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     perturbed = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
         "text", F.expr("substring(text, instr(text, ' ') + 1)")
     )
     corpus = docs.unionByName(perturbed)
-    return minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    cands = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    found = cands.filter(F.col("id_b") == F.col("id_a") + 1_000_000).agg(
+        F.count(F.lit(1)).alias("planted_found")
+    )
+    sh_a = docs.select("doc_id", _shingles(F.col("text"), 3).alias("__sa"))
+    sh_b = perturbed.select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        _shingles(F.col("text"), 3).alias("__sb"),
+    )
+    planted = sh_a.join(sh_b, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("planted_total"),
+        F.min(F.round(jaccard_expr(F.col("__sa"), F.col("__sb")), 6)).alias(
+            "min_planted_jaccard"
+        ),
+    )
+    return planted.crossJoin(found).select(
+        "planted_total",
+        "min_planted_jaccard",
+        (F.col("planted_found") / F.col("planted_total") >= 0.95).alias(
+            "lsh_recall_ge_95pct"
+        ),
+    )
+
+
+# The oracle mirrors the Spark side exactly: the perturbation drops the
+# first raw-text token (strpos==0 → whole text, same as instr==0), then
+# 3-gram shingles over the normalized text (whole-text fallback for
+# <3-token docs, as in _shingles), set-semantics Jaccard, round 6.
+_MINHASH_CANDIDATES_SQL = """
+WITH pairs AS (
+    SELECT doc_id, text AS text_a,
+           substr(text, strpos(text, ' ') + 1) AS text_b
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(ta) >= 3
+                THEN list_distinct([array_to_string(ta[i:i+2], ' ')
+                                    for i in generate_series(1, len(ta) - 2)])
+                ELSE [array_to_string(ta, ' ')] END AS sa,
+           CASE WHEN len(tb) >= 3
+                THEN list_distinct([array_to_string(tb[i:i+2], ' ')
+                                    for i in generate_series(1, len(tb) - 2)])
+                ELSE [array_to_string(tb, ' ')] END AS sb
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text_a), '\\s+', ' ', 'g')), ' ') AS ta,
+               string_split(trim(regexp_replace(lower(text_b), '\\s+', ' ', 'g')), ' ') AS tb
+        FROM pairs
+    )
+)
+SELECT CAST(count(*) AS BIGINT) AS planted_total,
+       min(round(len(list_intersect(sa, sb))::DOUBLE
+                 / len(list_distinct(list_concat(sa, sb))), 6)) AS min_planted_jaccard,
+       TRUE AS lsh_recall_ge_95pct
+FROM sh
+"""
 
 
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 variant: 64-bit SimHash per document (deterministic; rows-only —
-    xxhash64 has no DuckDB equivalent)."""
+    """L2 variant: 64-bit SimHash fingerprints, oracle-pinned (formerly
+    rows-only — the raw xxhash64-based hashes have no DuckDB equivalent,
+    but their defining *properties* do).
+
+    One row over the doc_id<200 slice:
+
+    - ``n_docs`` — oracle recomputes from the same filter.
+    - ``all_hashes_distinct`` — 64-bit fingerprints of 200 distinct docs
+      must not collide; pinned TRUE.
+    - ``max_self_hamming_le_20`` — simhash(text) vs simhash(text with
+      the first token dropped) — a near-dup — differ in ≤20 of 64 bits;
+      pinned TRUE (measured max 18/12/12 at sf0.001/0.01/0.1).
+    - ``avg_cross_hamming_ge_24`` — consecutive-doc_id pairs (unrelated
+      docs) average ≥24 bits apart (random 64-bit hashes average 32;
+      shared corpus vocabulary pulls it down a little — measured
+      31.8/31.3/30.4); pinned TRUE.
+
+    Together these pin the locality property that makes SimHash a
+    near-dup index: perturbed copies land close, unrelated docs far.
+    Byte-level determinism of the hash itself is driver-checked by
+    ``simhash_invariance`` (green r3)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return docs.select("doc_id", simhash("text").alias("simhash64"))
+    sh = docs.select(
+        "doc_id",
+        simhash("text").alias("__h"),
+        simhash(F.expr("substring(text, instr(text, ' ') + 1)")).alias("__hp"),
+    )
+    self_stats = sh.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.count_distinct(F.col("__h")) == F.count(F.lit(1))).alias(
+            "all_hashes_distinct"
+        ),
+        (F.max(F.bit_count(F.col("__h").bitwiseXOR(F.col("__hp")))) <= 20).alias(
+            "max_self_hamming_le_20"
+        ),
+    )
+    lhs = sh.select("doc_id", "__h")
+    cross = (
+        lhs.alias("l")
+        .join(lhs.alias("r"), F.col("l.doc_id") + 1 == F.col("r.doc_id"))
+        .agg(
+            (
+                F.avg(F.bit_count(F.col("l.__h").bitwiseXOR(F.col("r.__h")))) >= 24
+            ).alias("avg_cross_hamming_ge_24")
+        )
+    )
+    return self_stats.crossJoin(cross)
+
+
+_SIMHASH_DOCUMENTS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       TRUE AS all_hashes_distinct,
+       TRUE AS max_self_hamming_le_20,
+       TRUE AS avg_cross_hamming_ge_24
+FROM documents WHERE doc_id < 200
+"""
 
 
 def embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: IVF/LSH bucket assignment histogram (rows-only)."""
+    """L3 scale path: IVF/LSH bucket assignment, oracle-pinned (formerly
+    a rows-only histogram — bucket ids are xxhash64-derived, but the
+    *population invariants* of a healthy index are SQL-expressible).
+
+    One row over the whole embeddings table, 16 buckets:
+
+    - ``total_vecs`` — every vector gets exactly one bucket, so the
+      histogram total must equal the table count the oracle recomputes.
+    - ``n_buckets_used`` — sign-LSH over 4 random hyperplanes spreads a
+      random corpus across all 16 buckets; pinned 16 (measured 16 at
+      sf0.001/0.01/0.1 — ≥500 uniform vectors miss a bucket with
+      p ≈ 16·(15/16)^500 ≈ 1e-13).
+    - ``max_bucket_share_le_20pct`` — no bucket hogs the corpus (the
+      skew guarantee probing relies on); pinned TRUE (measured max
+      share 0.086/0.100/0.086)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return (
+    hist = (
         ivf_assign_buckets(emb, num_buckets=16)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    return hist.agg(
+        F.sum("__cnt").cast("bigint").alias("total_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        (F.max("__cnt") / F.sum("__cnt") <= 0.20).alias(
+            "max_bucket_share_le_20pct"
+        ),
+    )
+
+
+_EMBEDDING_BUCKETS_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS total_vecs,
+       CAST(16 AS BIGINT) AS n_buckets_used,
+       TRUE AS max_bucket_share_le_20pct
+FROM embeddings
+"""
 
 
 def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: bucketed approximate top-k for the vec_id=0 probe —
-    multi-probe LSH scans only the 11 lowest-flip-cost buckets of 16,
-    then exact cosine inside (rows-only: approximate by design; recall vs
-    brute force is asserted in tests/test_operators.py and driver-checked
-    via ivf_recall_check)."""
-    from neulix_datahub_spark.operators.similarity import ivf_top_k
+    """L3 scale path: multi-probe search on the RAW fixture, oracle-pinned
+    (formerly rows-only). Complements ``ivf_recall_check``, which plants
+    findable cosine≈0.99 neighbors and gates at 0.95 with 5/16 probes;
+    this query keeps the fixture unplanted — uniform-random vectors whose
+    "neighbors" are barely above the noise floor (cosine ≈0.45), the
+    worst case for any ANN index — and gates the 11-of-16-probe search
+    (a ~69% corpus scan) at overlap ≥70% with the exact answer.
+
+    Emits the EXACT brute-force top-10 for the vec_id=0 probe (rank,
+    vec_id, 6-dp score — all recomputed by the oracle) plus
+    ``ivf_overlap_ge_70pct``, pinned TRUE (measured overlap 8/10/9 of 10
+    at sf0.001/0.01/0.1 — deterministic per fixture)."""
+    from neulix_datahub_spark.operators.similarity import (
+        _cosine_to_literal,
+        ivf_top_k,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    out = ivf_top_k(
-        emb.filter(F.col("vec_id") != 0), qvec, k=10, num_buckets=16, n_probes=11
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = (
+        rest.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))),
+        )
     )
-    return out.select("vec_id", F.round("score", 6).alias("score"))
+    ivf = ivf_top_k(rest, qvec, k=10, num_buckets=16, n_probes=11).select(
+        "vec_id", F.lit(1).alias("__hit")
+    )
+    verdict = (
+        exact.join(ivf, "vec_id", "left")
+        .agg((F.sum("__hit") / F.count(F.lit(1)) >= 0.70).alias("ok"))
+    )
+    return exact.crossJoin(verdict).select(
+        "rank", "vec_id", "score", F.col("ok").alias("ivf_overlap_ge_70pct")
+    )
+
+
+_IVF_TOP10_SQL = """
+WITH qv AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id = 0
+),
+q AS (
+    SELECT generate_subscripts(v, 1) AS i, unnest(v) AS qval FROM qv
+),
+e AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS eval
+    FROM embeddings WHERE vec_id <> 0
+),
+top AS (
+    SELECT e.vec_id,
+           round(sum(e.eval * q.qval)
+                 / (sqrt(sum(e.eval * e.eval)) * sqrt(sum(q.qval * q.qval))), 6) AS score
+    FROM e JOIN q USING (i)
+    GROUP BY e.vec_id
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+)
+SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+       vec_id, score,
+       TRUE AS ivf_overlap_ge_70pct
+FROM top
+"""
 
 
 def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,10 +1556,18 @@ QUERIES: dict[str, QuerySpec] = {
     "token_quality_by_lang": QuerySpec(token_quality_by_lang, _TOKEN_QUALITY_SQL, "L4"),
     "lang_id_distribution": QuerySpec(lang_id_distribution, _LANG_ID_SQL, "L4"),
     "document_fingerprints": QuerySpec(document_fingerprints, _FINGERPRINT_SQL, "L4"),
-    "minhash_candidates": QuerySpec(minhash_candidates, None, "L2 (rows-only)"),
-    "simhash_documents": QuerySpec(simhash_documents, None, "L2 (rows-only)"),
-    "embedding_buckets": QuerySpec(embedding_buckets, None, "L3 scale path (rows-only)"),
-    "ivf_top10": QuerySpec(ivf_top10, None, "L3 IVF probe search (rows-only)"),
+    "minhash_candidates": QuerySpec(
+        minhash_candidates, _MINHASH_CANDIDATES_SQL, "L2 (oracle-pinned recall)"
+    ),
+    "simhash_documents": QuerySpec(
+        simhash_documents, _SIMHASH_DOCUMENTS_SQL, "L2 (oracle-pinned locality)"
+    ),
+    "embedding_buckets": QuerySpec(
+        embedding_buckets, _EMBEDDING_BUCKETS_SQL, "L3 scale path (oracle-pinned)"
+    ),
+    "ivf_top10": QuerySpec(
+        ivf_top10, _IVF_TOP10_SQL, "L3 IVF probe search (oracle-pinned overlap)"
+    ),
     "ivf_recall_check": QuerySpec(
         ivf_recall_check, _IVF_RECALL_SQL, "L3 IVF recall vs exact w/ tolerance oracle"
     ),

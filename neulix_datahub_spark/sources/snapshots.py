@@ -42,11 +42,17 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
 POINTER = "_VERSION"
+_LOCK = "_VERSION.lock"
+# A lock abandoned by a crashed publisher is broken after this long; a
+# live publish holds the lock only for a pointer read + two renames
+# (milliseconds), so any lock this old is dead.
+_LOCK_STALE_SECONDS = 60.0
 
 
 class ConcurrentSnapshotError(RuntimeError):
@@ -79,19 +85,58 @@ def _next_version(root: str) -> str:
     return f"v{n:08d}"
 
 
+def _acquire_pointer_lock(root: str, timeout: float = 5.0) -> str:
+    """Take the publish lock via O_CREAT|O_EXCL — the POSIX one-key
+    atomic primitive (exactly one creator wins). Returns the lock path.
+
+    Spins briefly if another publish holds it (a publish holds the lock
+    for milliseconds); a lock older than ``_LOCK_STALE_SECONDS`` is a
+    crashed publisher's and is broken."""
+    path = os.path.join(root, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > _LOCK_STALE_SECONDS:
+                    os.unlink(path)  # break a dead publisher's lock
+                    continue
+            except FileNotFoundError:
+                continue  # holder just released; retry immediately
+            if time.monotonic() > deadline:
+                raise ConcurrentSnapshotError(
+                    f"could not acquire publish lock {path} within {timeout}s"
+                ) from None
+            time.sleep(0.005)
+
+
 def _publish_pointer(root: str, version: str, expected: str | None) -> None:
     """Atomically move the pointer to ``version`` iff it still reads
-    ``expected`` (optimistic CAS; on an object store this is a
-    conditional PUT on the pointer key)."""
-    if current_version(root) != expected:
-        raise ConcurrentSnapshotError(
-            f"snapshot table {root} moved from {expected!r} to "
-            f"{current_version(root)!r} during the write; re-read and retry"
-        )
-    fd, tmp = tempfile.mkstemp(prefix=f".{POINTER}.", dir=root)
-    with os.fdopen(fd, "w", encoding="utf-8") as f:
-        f.write(version)
-    os.replace(tmp, _pointer_path(root))  # atomic on POSIX
+    ``expected``. The check+replace pair runs under an O_EXCL lock file
+    so the compare-and-swap is genuinely atomic — without it, two
+    writers whose snapshots were both staged could pass the check in
+    the TOCTOU window and the loser's publish would be silently
+    clobbered. (On an object store the whole CAS maps to a conditional
+    PUT on the pointer key instead; no lock file needed.)"""
+    lock = _acquire_pointer_lock(root)
+    try:
+        if current_version(root) != expected:
+            raise ConcurrentSnapshotError(
+                f"snapshot table {root} moved from {expected!r} to "
+                f"{current_version(root)!r} during the write; re-read and retry"
+            )
+        fd, tmp = tempfile.mkstemp(prefix=f".{POINTER}.", dir=root)
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, _pointer_path(root))  # atomic on POSIX
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def read_snapshot_table(
@@ -186,11 +231,23 @@ def update_snapshot(
     return write_snapshot(updated, root, expected=based_on)
 
 
-def vacuum_snapshots(root: str, keep: int = 2) -> list[str]:
+def vacuum_snapshots(
+    root: str, keep: int = 2, staging_grace_seconds: float = 3600.0
+) -> list[str]:
     """Remove snapshot dirs older than the ``keep`` most recent (never
-    the published one) plus any crashed-write staging orphans. Returns
-    the removed names. ``keep >= 1`` enforced: the pointer target always
-    survives."""
+    the published one) plus crashed-write staging orphans. Returns the
+    removed names. ``keep >= 1`` enforced: the pointer target always
+    survives.
+
+    Staging dirs (``.v*``) are swept only when their mtime is older
+    than ``staging_grace_seconds``: the module is designed for
+    concurrent optimistic writers (and the streaming sinks vacuum after
+    every micro-batch), so a *recent* staging dir is almost certainly a
+    live writer's in-flight parquet write — deleting it would fail or
+    corrupt that publish. An abandoned orphan stops getting mtime
+    updates the moment its writer dies and is collected on the first
+    vacuum after the grace window. Pass ``0`` only when writers are
+    known quiescent (e.g. offline maintenance)."""
     import shutil
 
     if keep < 1:
@@ -200,10 +257,17 @@ def vacuum_snapshots(root: str, keep: int = 2) -> list[str]:
     removable = [v for v in versions[:-keep] if v != cur]
     for v in removable:
         shutil.rmtree(os.path.join(root, v))
-    orphans = [
-        d for d in os.listdir(root)
-        if d.startswith(".v") and os.path.isdir(os.path.join(root, d))
-    ]
+    cutoff = time.time() - staging_grace_seconds
+    orphans = []
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if not (d.startswith(".v") and os.path.isdir(p)):
+            continue
+        try:
+            if os.path.getmtime(p) <= cutoff:
+                orphans.append(d)
+        except FileNotFoundError:
+            continue  # the writer renamed it to final mid-listing
     for d in orphans:
         shutil.rmtree(os.path.join(root, d))
     return removable + orphans

@@ -106,3 +106,77 @@ def test_vacuum_keeps_recent_and_published(spark, tmp_path):
     assert _rows(read_snapshot_table(spark, root)) == [(3, "x")]
     with pytest.raises(ValueError):
         vacuum_snapshots(root, keep=0)
+
+
+def test_threaded_double_publish_one_loser(spark, tmp_path):
+    """The CAS must be atomic under real thread interleaving: two writers
+    derived from the same base race their publishes through the O_EXCL
+    publish lock — exactly one wins, the loser gets a loud
+    ConcurrentSnapshotError (never a silent clobber), and the published
+    table is exactly the winner's."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "tbl")
+    base = write_snapshot(
+        spark.createDataFrame([(0, "base")], "id long, v string"), root
+    )
+
+    def publish(tag):
+        df = spark.createDataFrame([(1, tag)], "id long, v string")
+        try:
+            return ("ok", write_snapshot(df, root, expected=base), tag)
+        except ConcurrentSnapshotError:
+            return ("conflict", None, tag)
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        results = list(ex.map(publish, ["a", "b"]))
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["conflict", "ok"], results
+    winner_tag = next(r[2] for r in results if r[0] == "ok")
+    assert _rows(read_snapshot_table(spark, root)) == [(1, winner_tag)]
+    # the losing staging dir (if any survived) is invisible to readers
+    assert current_version(root) == next(r[1] for r in results if r[0] == "ok")
+
+
+def test_vacuum_spares_live_staging_dirs(spark, tmp_path):
+    """A fresh `.v*` staging dir is a concurrent writer's in-flight
+    parquet write: vacuum must NOT sweep it inside the grace window, and
+    must sweep it once it ages past the window (a crashed writer's
+    orphan)."""
+    import os
+
+    root = str(tmp_path / "tbl")
+    write_snapshot(spark.createDataFrame([(1, "a")], "id long, v string"), root)
+    staging = os.path.join(root, ".v00000002_inflight")
+    os.makedirs(staging)
+    # default grace: the fresh dir survives
+    removed = vacuum_snapshots(root, keep=1)
+    assert removed == [] and os.path.isdir(staging)
+    # age it past the window -> swept
+    old = 1_000_000_000.0
+    os.utime(staging, (old, old))
+    removed = vacuum_snapshots(root, keep=1)
+    assert removed == [".v00000002_inflight"] and not os.path.isdir(staging)
+    # grace=0 (declared writer quiescence) sweeps even a fresh orphan
+    os.makedirs(staging)
+    removed = vacuum_snapshots(root, keep=1, staging_grace_seconds=0)
+    assert removed == [".v00000002_inflight"] and not os.path.isdir(staging)
+
+
+def test_vacuum_vs_time_travel_reader(spark, tmp_path):
+    """A reader pinned to a retained historical version keeps working
+    across publishes and a vacuum; a vacuumed-away version fails loudly
+    at read time, not silently."""
+    root = str(tmp_path / "tbl")
+    versions = [
+        write_snapshot(
+            spark.createDataFrame([(i, "x")], "id long, v string"), root
+        )
+        for i in range(4)
+    ]
+    pinned = read_snapshot_table(spark, root, version=versions[2])  # v3, retained
+    vacuum_snapshots(root, keep=2)  # removes v1, v2
+    assert _rows(pinned) == [(2, "x")]  # lazy plan still resolves post-vacuum
+    assert _rows(read_snapshot_table(spark, root, version=versions[2])) == [(2, "x")]
+    with pytest.raises(Exception):  # noqa: B017 - vacuumed dir: AnalysisException
+        read_snapshot_table(spark, root, version=versions[0]).collect()

@@ -373,21 +373,23 @@ def doc_store_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrived exactly once with its derived string __doc_id; the oracle
     recomputes from the orders table.
 
-    LOCAL-MODE assumption (like grid_dedupe_append_stats): write_batch
-    runs inside foreachPartition on executors and writes to a
-    tempfile.mkdtemp path the driver then reads back — valid only while
-    executors share the driver's filesystem. In deployment the callable
-    is a real document-store client (the point of the injection seam),
-    so no shared path exists; a cluster-side test would derive the
-    scratch dir from a shared root (e.g. the warehouse dir) instead."""
+    The scratch store is derived from ``spark.sql.warehouse.dir`` — the
+    root every deployment already shares between driver and executors
+    (local FS here, NFS/HDFS/fuse mount on a cluster) — so the
+    executor-side write_batch files and the driver's read-back resolve
+    to the same store everywhere, not just in local mode. In deployment
+    the injected callable is a real document-store client (the point of
+    the seam) and no filesystem path is involved at all."""
     import json
     import os
-    import tempfile
     import uuid
 
     from neulix_datahub_spark.sources.adapters import upsert_to_document_store
 
-    store = tempfile.mkdtemp(prefix="neulix_docstore_")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    store = os.path.join(wh, f"_neulix_docstore_{uuid.uuid4().hex}")
+    os.makedirs(store, exist_ok=True)
 
     def write_batch(batch: list[dict]) -> None:
         path = os.path.join(store, f"{uuid.uuid4().hex}.json")

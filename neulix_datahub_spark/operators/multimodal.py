@@ -10,11 +10,14 @@ typed metadata struct — the schema a 100 TB media lake actually uses
 
 The Spark-side plumbing here is real and tested: binaryFile ingestion,
 metadata derivation, Arrow-batched ``mapInPandas`` transforms with the
-right schemas and partitioning. The actual codec work (image decode,
-resample, frame extraction) requires media libraries not present in this
-container — those steps are deterministic fakes behind the same
-signatures, clearly marked, so swapping in PIL/ffmpeg later changes one
-function body, not the pipeline.
+right schemas and partitioning. Container-format HEADER parsing is also
+real where the format allows stdlib-only work: PNG IHDR and JPEG SOF
+dimensions, WAV fmt/data sample-rate/channels/duration (``struct``
+unpacking, no PIL/ffmpeg needed). Only pixel/sample DECODE work (image
+resample, video frame extraction, mp3 decode) falls back to
+deterministic fakes behind the same signatures, clearly marked, so
+swapping in PIL/ffmpeg later changes one function body, not the
+pipeline.
 """
 
 from __future__ import annotations
@@ -67,10 +70,93 @@ def read_binary_assets(spark: SparkSession, path: str, glob: str = "*") -> DataF
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """REAL codec-free parse: (width, height) from the PNG IHDR chunk.
+
+    The spec fixes the layout — 8-byte signature, then the IHDR chunk
+    (4-byte length=13, b"IHDR", width u32be, height u32be) MUST come
+    first — so the dimensions live at fixed offsets 16..24. Returns
+    None for anything that isn't a well-formed PNG head."""
+    import struct
+
+    if len(payload) < 24 or not payload.startswith(_PNG_SIG):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def parse_jpeg_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """REAL codec-free parse: (width, height) from the first JPEG SOFn
+    marker segment (precision u8, height u16be, width u16be). Walks the
+    marker stream; returns None if the stream is malformed or ends
+    before a frame header."""
+    import struct
+
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        if i + 4 > len(payload):
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if seg_len < 2:
+            return None
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame size
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return (w, h) if w > 0 and h > 0 else None
+        i += 2 + seg_len
+    return None
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """REAL codec-free parse: (sample_rate, channels, duration_ms) from
+    the RIFF/WAVE fmt and data chunks (all fields little-endian). Walks
+    the chunk list, so extra chunks (LIST, fact, ...) in any order are
+    fine. Returns None unless both fmt and data are present and sane."""
+    import struct
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    sample_rate = channels = byte_rate = None
+    data_size = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 20 <= len(payload):
+            _fmt, channels, sample_rate, byte_rate = struct.unpack(
+                "<HHII", payload[i + 8 : i + 20]
+            )
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not sample_rate or not byte_rate or channels is None or data_size is None:
+        return None
+    return sample_rate, channels, data_size * 1000 // byte_rate
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic fake for image decode (no PIL/opencv in this
-    container). Derives a stable (width, height) from the payload bytes so
-    the pipeline is testable end-to-end. Swap body for
+    """STUB — deterministic fallback for image formats whose dimensions
+    need a real decoder (no PIL/opencv in this container). Derives a
+    stable (width, height) from the payload bytes so the pipeline is
+    testable end-to-end. Swap body for
     ``PIL.Image.open(io.BytesIO(payload)).size`` in a full environment."""
     import hashlib
 
@@ -80,11 +166,21 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int]:
     return 64 + h % 1024, 64 + (h >> 10) % 1024
 
 
+def _image_dimensions(payload: bytes) -> tuple[int, int]:
+    """Real PNG/JPEG header parse first; deterministic fake for the rest."""
+    return (
+        parse_png_dimensions(payload)
+        or parse_jpeg_dimensions(payload)
+        or _fake_decode_image(payload)
+    )
+
+
 def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     """L5 transform: per-asset feature extraction via Arrow-batched
-    mapInPandas — the batch shape (one pdf per ~few MB of payloads) is the
-    real design; only the codec inside is faked. Output adds
-    ``width/height/n_bytes``."""
+    mapInPandas — the batch shape (one pdf per ~few MB of payloads) is
+    the real design. PNG and JPEG dimensions are parsed for real from
+    the container headers (stdlib struct); other formats fall back to
+    the deterministic fake decode. Output adds ``width/height/n_bytes``."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -96,10 +192,47 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_decode_image(bytes(b)) for b in pdf[content_col]]
+            dims = [_image_dimensions(bytes(b)) for b in pdf[content_col]]
             pdf = pdf.assign(
                 width=[d[0] for d in dims],
                 height=[d[1] for d in dims],
+                n_bytes=[len(bytes(b)) for b in pdf[content_col]],
+            )
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """L5 transform, audio tier: adds ``sample_rate/channels/duration_ms/
+    n_bytes`` per asset via Arrow-batched mapInPandas. WAV headers are
+    parsed for real (RIFF fmt/data chunks, stdlib struct); compressed
+    formats (mp3 et al.) need a real decoder and get nulls — explicit
+    "unparsed", never a fake number that could be mistaken for a
+    measurement."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_wav_header(bytes(b)) for b in pdf[content_col]]
+            pdf = pdf.assign(
+                sample_rate=pd.array(
+                    [p[0] if p else None for p in parsed], dtype="Int32"
+                ),
+                channels=pd.array(
+                    [p[1] if p else None for p in parsed], dtype="Int32"
+                ),
+                duration_ms=pd.array(
+                    [p[2] if p else None for p in parsed], dtype="Int64"
+                ),
                 n_bytes=[len(bytes(b)) for b in pdf[content_col]],
             )
             yield pdf

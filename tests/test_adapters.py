@@ -210,3 +210,82 @@ def test_partition_pruning_and_compaction(spark, tmp_path):
     assert n_files_after <= n_dirs  # ~1 file per partition dir
     assert n_files_after < n_files_before
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_real_png_jpeg_header_parse(spark, tmp_path):
+    """PNG IHDR and JPEG SOF dimensions are parsed for REAL (stdlib
+    struct over the container headers) — pinned on handcrafted but
+    spec-valid fixture binaries; non-image payloads still fall back to
+    the deterministic fake."""
+    import struct
+
+    from neulix_datahub_spark.operators.multimodal import (
+        parse_jpeg_dimensions,
+        parse_png_dimensions,
+    )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)
+        + b"\x00\x00\x00\x00"  # CRC not checked by the header parser
+    )
+    assert parse_png_dimensions(png) == (640, 480)
+
+    jpeg = (
+        b"\xff\xd8"                                     # SOI
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)  # APP0
+        + b"\xff\xc0" + struct.pack(">H", 17)           # SOF0, seg len
+        + struct.pack(">BHH", 8, 1080, 1920)            # precision, H, W
+        + bytes(10)
+    )
+    assert parse_jpeg_dimensions(jpeg) == (1920, 1080)
+    assert parse_png_dimensions(b"not a png") is None
+    assert parse_jpeg_dimensions(b"\xff\xd8\x00garbage") is None
+
+    (tmp_path / "real.png").write_bytes(png)
+    (tmp_path / "real.jpg").write_bytes(jpeg)
+    (tmp_path / "fake.png").write_bytes(b"\x89PNG but not really" + bytes(100))
+    assets = read_binary_assets(spark, str(tmp_path))
+    feats = {
+        r.path.rsplit("/", 1)[-1]: (r.width, r.height)
+        for r in extract_image_features(assets).collect()
+    }
+    assert feats["real.png"] == (640, 480)
+    assert feats["real.jpg"] == (1920, 1080)
+    w, h = feats["fake.png"]  # fallback: deterministic fake, stable range
+    assert 64 <= w < 64 + 1024 and 64 <= h < 64 + 1024
+
+
+def test_real_wav_header_parse(spark, tmp_path):
+    """WAV sample-rate/channels/duration are parsed from the real RIFF
+    chunks — the fixture is written by the stdlib `wave` module, so the
+    header is a genuine encoder's output, not hand-assembled; an mp3
+    payload gets explicit nulls (needs a real decoder)."""
+    import wave
+
+    from neulix_datahub_spark.operators.multimodal import (
+        extract_audio_features,
+        parse_wav_header,
+    )
+
+    p = tmp_path / "tone.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x00" * 2 * 44100)  # exactly 1 s of stereo s16
+    assert parse_wav_header(p.read_bytes()) == (44100, 2, 1000)
+    (tmp_path / "song.mp3").write_bytes(b"ID3" + bytes(300))
+
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in extract_audio_features(assets).collect()
+    }
+    wav = rows["tone.wav"]
+    assert (wav.sample_rate, wav.channels, wav.duration_ms) == (44100, 2, 1000)
+    assert wav.n_bytes == p.stat().st_size
+    mp3 = rows["song.mp3"]
+    assert mp3.sample_rate is None and mp3.duration_ms is None
+    assert rows["tone.wav"].media.kind == "audio"

@@ -20,9 +20,15 @@ parquet fixture drives them via ``readStream.format("parquet")``.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Serializes run_stream_to_memory's session-conf mutate+drain+restore —
+# see its docstring.
+_DRAIN_LOCK = threading.Lock()
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -114,28 +120,31 @@ def run_stream_to_memory(
     (fixed at first checkpoint): per-instance store maintenance dominates
     small bounded runs — measured 8.5s -> 2.3s on the sf0.1 interval
     join moving 32 -> 8 — while a production deployment sizes it to key
-    cardinality/throughput, not to this fixture. The session conf is
-    restored after the drain.
+    cardinality/throughput, not to this fixture.
 
-    CONCURRENCY caveat: there is no per-query spelling of this conf, so
-    the override mutates the session-global value for the drain's
-    duration — any query PLANNED concurrently in the same session picks
-    it up, and the save/restore races. Drains must be serialized within
-    a session (the test suite and driver both run them serially; a
-    parallel harness should use one session per drain)."""
+    There is no per-query spelling of this conf, so the override
+    mutates the session-global value for the drain's duration. That
+    mutate+drain+restore critical section is therefore ENFORCED
+    serialized under a module lock: concurrent drains from a parallel
+    harness queue instead of racing the save/restore (a memory-sink
+    clash on ``name`` stays the caller's responsibility — pick distinct
+    table names). Batch queries planned concurrently in the same
+    session during a drain would still observe the override; a harness
+    mixing those with drains should give drains their own session."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = (
-            df.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
+    with _DRAIN_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
         if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        try:
+            q = (
+                df.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -251,3 +251,34 @@ def test_stream_dedup_sink_cross_batch_precedence(spark, tmp_path):
     }
     assert sorted(got) == [10, 12, 13]
     assert got[10] == "shared alpha"
+
+
+def test_concurrent_drains_serialize_and_restore_conf(spark):
+    """The drain helper's session-conf override is serialized under a
+    module lock: two drains racing from different threads (with
+    different state-partition overrides) must both complete, never
+    observe each other's override mid-drain, and leave the session conf
+    exactly where it started."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    observed = []
+
+    def drain(args):
+        name, parts = args
+        stream = read_events_stream(spark, SF_DIR).groupBy("event_type").count()
+        run_stream_to_memory(
+            stream, name, output_mode="complete", shuffle_partitions=parts
+        )
+        # under the lock the conf was parts during OUR drain; by the time
+        # we can look (post-release) it must be restored
+        observed.append(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(drain, [("drain_a", 3), ("drain_b", 5)]))
+
+    assert observed == [before, before]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    a = spark.sql("SELECT sum(count) AS s FROM drain_a").first().s
+    b = spark.sql("SELECT sum(count) AS s FROM drain_b").first().s
+    assert a == b and a > 0

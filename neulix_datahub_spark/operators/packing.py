@@ -65,7 +65,10 @@ def chunk_by_tokens(
 
     Output: one row per chunk — the input columns plus ``chunk_id``
     (0-based), ``chunk_text``, ``n_chunk_tokens`` (< chunk_size only on
-    a document's last chunk).
+    a document's last chunk). ``id_col`` names the document-identity
+    column that keys the output — ``(id_col, chunk_id)`` is the unique
+    chunk key downstream reassembly relies on; its presence is
+    validated here so a typo fails at plan time, not at join time.
 
     Plan shape: pure narrow expressions — split, an exploded
     ``sequence`` of ×(n/stride) fan-out, and a per-chunk ``slice`` — no
@@ -73,6 +76,11 @@ def chunk_by_tokens(
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}")
+    if id_col not in df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in input columns {df.columns} — it must "
+            "name the document-identity column keying (id, chunk_id)"
+        )
     stride = chunk_size - overlap
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     toks = F.when(norm == "", F.array().cast("array<string>")).otherwise(

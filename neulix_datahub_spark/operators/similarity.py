@@ -216,6 +216,7 @@ def ivf_batch_top_k(
     id_col: str = "vec_id",
     exclude_self: bool = True,
     seed: int = 42,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """L3 scale path for MANY probes in one job: each probe searches its
     own bucket plus the ``n_probes - 1`` cheapest single-plane flips,
@@ -223,11 +224,19 @@ def ivf_batch_top_k(
     of ``ivf_top_k``'s driver-side multi-probe.
 
     Everything probe-side is a narrow expression (projections → bucket →
-    margin-sorted flip candidates → explode), so the probe table can be
-    any size; it is then BROADCAST against the bucketed corpus scan —
-    the corpus never shuffles, exactly like ``cosine_self_join_top_k``
-    but touching only ~n_probes/num_buckets of it per probe. Top-k is a
-    per-probe ``row_number`` window over the candidate scores.
+    margin-sorted flip candidates → explode). With
+    ``broadcast_probes=True`` (default) the exploded probe side is
+    BROADCAST against the bucketed corpus scan — the corpus never
+    shuffles, exactly like ``cosine_self_join_top_k`` but touching only
+    ~n_probes/num_buckets of it per probe. A broadcast build side is
+    bounded by executor memory and Spark's broadcast limit (~8 GB /
+    512M rows), so the default is right only while
+    |probes| × n_probes × (vector + margins) fits those bounds — for a
+    genuinely large probe set pass ``broadcast_probes=False`` to run
+    the same plan as a shuffle hash join on the candidate-bucket key
+    (both sides exchange on ``bucket``; identical output, asserted in
+    tests). Top-k is a per-probe ``row_number`` window over the
+    candidate scores either way.
 
     Candidates are limited to Hamming ≤ 1 of the probe's bucket (origin
     + margin-ranked single flips): multi-flip subsets would need a
@@ -299,9 +308,8 @@ def ivf_batch_top_k(
         F.explode(F.transform(cands, lambda s: s["b"])).alias("__cand_bucket"),
     )
 
-    scored = bucketed.join(
-        F.broadcast(p_side), F.col("bucket") == F.col("__cand_bucket")
-    )
+    p_join = F.broadcast(p_side) if broadcast_probes else p_side
+    scored = bucketed.join(p_join, F.col("bucket") == F.col("__cand_bucket"))
     if exclude_self:
         scored = scored.filter(F.col("__cid") != F.col("probe_id"))
     scored = scored.select(

@@ -748,3 +748,39 @@ def test_kmeans_lloyd_recovers_separable_clusters(spark):
     assert sorted((r["vec_id"], r["cluster"]) for r in again.collect()) == sorted(
         (r["vec_id"], r["cluster"]) for r in rows
     )
+
+
+def test_ivf_batch_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_probes=False (the large-probe-set escape hatch for the
+    ~8 GB broadcast cap) must produce byte-identical results via a
+    shuffle hash join on the candidate-bucket key, and its plan must
+    not carry a FORCED broadcast hint (AQE may still pick broadcast at
+    runtime when the side measures small — that choice stays with the
+    optimizer, which is the point)."""
+    from neulix_datahub_spark.operators.similarity import ivf_batch_top_k
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(k=5, num_buckets=16, n_probes=4)
+    bc = ivf_batch_top_k(emb, probes, **kw)
+    sh = ivf_batch_top_k(emb, probes, broadcast_probes=False, **kw)
+    got_bc = sorted((r.probe_id, r.neighbor_id, round(r.score, 9)) for r in bc.collect())
+    got_sh = sorted((r.probe_id, r.neighbor_id, round(r.score, 9)) for r in sh.collect())
+    assert got_bc == got_sh and len(got_bc) > 0
+    analyzed = sh._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint (strategy=broadcast)" not in analyzed
+    assert "ResolvedHint (strategy=broadcast)" in (
+        bc._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_chunk_by_tokens_validates_id_col(spark):
+    """A typo'd id_col fails at plan time with a named error, not at
+    join time downstream."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="id_col 'docid' not in"):
+        chunk_by_tokens(df, "text", "docid", chunk_size=2)

@@ -1643,51 +1643,72 @@ for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES, SKETCH
 # After this window is consumed, every registry entry will have a green
 # (or by-design rows-only) driver row — round-5+ rotation becomes pure
 # oldest-first regression cycling.
-_PRIORITY_R4 = [
-    # -- never driver-checked (round-3 tail) --
-    "unigram_perplexity_by_lang", "duplicate_passage_stats",
-    "bucketed_revenue_by_priority", "csv_roundtrip_stats",
-    "json_roundtrip_stats", "update_rewrite_stats", "bulk_manifest_stats",
-    "grid_dedupe_append_stats", "salted_join_revenue",
-    "task_exchange_stats", "fetch_hook_profile", "text_roundtrip_stats",
-    "doc_store_upsert_stats",
-    # -- new round-4 query --
-    "sequential_ids_two_phase",
-    # -- materially changed this round --
-    "ivf_recall_check", "kmeans_cluster_profile", "ngram_jaccard_docs",
-    "fuzzy_part_pairs",
-    # -- clean rows-only rows for the oracle-less generators --
+# ROUND 5 rotation (the round-4 driver run consumed _PRIORITY_R4 — 46
+# hash-green + the 4 then-rows-only generators in CORRECTNESS_r04, so
+# rotating is safe). Composition, per the frozen round-5 note:
+#   1-5:   the three post-freeze queries with no driver row yet
+#          (snapshot_upsert_stats, ivf_batch_recall_check,
+#          doc_chunk_stats) and the two streaming sinks whose storage
+#          moved onto the snapshot table in round 4
+#          (stream_upsert_latest_events, stream_dedup_corpus_counts) —
+#          after these five, EVERY registry entry has a driver row;
+#   6-9:   the four generators upgraded THIS round from rows-only to
+#          oracle-pinned self-verdicts (new oracle => new hash row);
+#   10-11: re-checks for queries whose code changed this round:
+#          doc_store_upsert_stats (warehouse-derived scratch),
+#          multimodal_features (real PNG/JPEG header parse in the
+#          image-features path);
+#   12-29: the r2-era greens never re-checked since round 2, oldest
+#          first (flagship q1, rollup/cube, curation/sketch/centroid
+#          tier) — stream_dedup_corpus_counts is already in slot 5;
+#   30-50: r3-era greens, streaming tier first (the drain helper
+#          changed this round: serialized under a module lock), then
+#          the TPC-H join surface and the LLM tier.
+# Still r3-green and deferred to round 6 (window is 50):
+# approx_price_percentiles, hll_users_by_type, coerced_timestamps,
+# json_serialized_orders, resolved_projection, positional_alignment,
+# synth_constraint_check, events_asof_snapshots, user_event_deltas,
+# pivot_event_values, fill_nulls_events, q16-q22, word_repetition /
+# char_entropy / mixing / contamination / boilerplate, embedding_near_dup.
+_PRIORITY_R5 = [
+    # -- no driver row yet / storage moved in r4 --
+    "snapshot_upsert_stats", "ivf_batch_recall_check", "doc_chunk_stats",
+    "stream_upsert_latest_events", "stream_dedup_corpus_counts",
+    # -- upgraded rows-only -> oracle-pinned this round --
     "minhash_candidates", "simhash_documents", "embedding_buckets",
     "ivf_top10",
-    # -- oldest-green regression slice (r1/r2 era; q1 needs no slot —
-    #    the driver's entry() smoke-check runs it every round) --
-    "q3_shipping_priority", "q5_nation_revenue", "q6_forecast_revenue",
-    "q10_returned_revenue", "q14_promo_share", "q4_order_priority",
-    "profile_orders_stats", "profile_documents_full",
-    "top10_order_priorities", "customers_without_orders",
-    "upsert_customer_balances", "sequential_event_ids",
-    "top_orders_per_customer", "building_customers_without_orders",
-    "rich_buyers", "parse_flag_distribution", "iso_order_dates",
-    "json_props_stats", "exact_dedup_documents", "cosine_top10",
-    "token_quality_by_lang", "lang_id_distribution", "describe_lineitem",
-    "delegated_sql_query", "doc_filter_sort_limit", "header_projection",
-    "sanitized_projection", "stats_by_returnflag",
+    # -- code changed this round --
+    "doc_store_upsert_stats", "multimodal_features",
+    # -- r2-era greens, not re-checked since round 2 --
+    "q1_pricing_summary", "rollup_order_status", "cube_order_status",
+    "document_fingerprints", "price_percentiles", "curation_pipeline",
+    "orders_price_bands", "salted_flag_revenue",
+    "stratified_sample_summary", "source_mixing_profile",
+    "dup_bigram_by_lang", "embedding_centroid_profile",
+    "centroid_outliers_by_label", "semantic_dedup_pairs",
+    "quantization_error_profile", "bloom_semi_join_revenue",
+    "cms_user_counts", "hash_split_profile",
+    # -- r3-era greens: streaming tier first (drain helper changed) --
+    "events_hourly", "user_sessions", "distinct_events", "events_sliding",
+    "stream_enriched_segment_counts", "stream_interval_join_counts",
+    "stateful_user_totals",
+    # -- r3-era greens: TPC-H join surface --
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q9_profit_by_nation", "q11_important_part_values",
+    "q12_late_shipments", "q13_order_count_distribution",
+    "q15_top_suppliers",
+    # -- r3-era greens: LLM tier --
+    "tfidf_top20", "pii_scrub_stats", "minhash_verified_pairs",
+    "lsh_dedup_pipeline", "simhash_invariance", "token_pack_summary",
 ]
-# ROUND 5 NOTE: rotate ONLY AFTER the round-4 driver run consumes this
-# prefix. The round-5 prefix should lead with the queries added AFTER
-# this window was frozen (sim-green at sf0.01, no driver row yet):
-# snapshot_upsert_stats, ivf_batch_recall_check, doc_chunk_stats,
-# and re-check stream_upsert_latest_events / stream_dedup_corpus_counts
-# (their sink moved onto the unified snapshot table). After those, no
-# registry entry lacks a driver row: fill from whatever has gone longest
-# without re-verification (the r2-era greens not in this slice —
-# rollup/cube, curation_pipeline, price_percentiles,
-# document_fingerprints, orders_price_bands, salted_flag_revenue, the
-# sketch/centroid tier — then the r3 greens).
-assert set(_PRIORITY_R4) <= set(QUERIES), sorted(set(_PRIORITY_R4) - set(QUERIES))
-assert len(_PRIORITY_R4) == 50, len(_PRIORITY_R4)
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R4} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R4)
+# ROUND 6 NOTE: rotate ONLY AFTER the round-5 driver run consumes this
+# prefix. Every registry entry then has a driver row no older than two
+# rounds except the round-6 list above — lead with those (they'll be
+# three rounds stale), then cycle the r4 greens oldest-first.
+assert set(_PRIORITY_R5) <= set(QUERIES), sorted(set(_PRIORITY_R5) - set(QUERIES))
+assert len(_PRIORITY_R5) == 50, len(_PRIORITY_R5)
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R5} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R5)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

@@ -1702,9 +1702,10 @@ _PRIORITY_R5 = [
     "lsh_dedup_pipeline", "simhash_invariance", "token_pack_summary",
 ]
 # ROUND 6 NOTE: rotate ONLY AFTER the round-5 driver run consumes this
-# prefix. Every registry entry then has a driver row no older than two
-# rounds except the round-6 list above — lead with those (they'll be
-# three rounds stale), then cycle the r4 greens oldest-first.
+# prefix. Lead with any post-freeze additions that lack a driver row
+# (so far: partitioned_events_stats — sim-green at sf0.01), then the
+# deferred r3 greens listed above (three rounds stale by then), then
+# cycle the r4 greens oldest-first.
 assert set(_PRIORITY_R5) <= set(QUERIES), sorted(set(_PRIORITY_R5) - set(QUERIES))
 assert len(_PRIORITY_R5) == 50, len(_PRIORITY_R5)
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R5} | {

@@ -424,6 +424,56 @@ ORDER BY o_orderstatus
 """
 
 
+def partitioned_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO2 layout tier, driver-visible: events written to a Hive-style
+    DATE-partitioned parquet layout (``event_date=2024-01-DD/`` — the
+    100 TB layout SURVEY §6 prescribes for the fact tables), then read
+    back with a one-week filter and aggregated per event_type. The
+    filter matches the partition DIRECTORIES, so the scan lists and
+    reads 7 of the 30 date partitions and zero data files outside them
+    — PartitionFilters-only pruning, asserted on the physical plan and
+    on the scanned-file list in tests/test_io.py. The oracle recomputes
+    the aggregate from the raw events table under the same date window,
+    so a green row proves the partitioned sink round-trips every row
+    (including the partition column's value<->directory encoding) and
+    that pruning dropped nothing it shouldn't."""
+    import os
+    import uuid
+
+    from neulix_datahub_spark.sources.io import write_partitioned_parquet
+
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    path = os.path.join(wh, f"_neulix_events_parted_{uuid.uuid4().hex}")
+    write_partitioned_parquet(ev, path, ["event_date"])
+    back = spark.read.parquet(path).filter(
+        (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-14").cast("date"))
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("event_date")).alias("n_days"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PARTITIONED_EVENTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       round(sum(value), 4) AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO9/J2 transactional tier (round 4): the versioned snapshot table
     (sources/snapshots.py — immutable snapshot dirs + atomic pointer
@@ -1261,6 +1311,11 @@ EXT_QUERIES = {
         snapshot_upsert_stats,
         SNAPSHOT_UPSERT_SQL,
         "IO9/J2 versioned snapshot table: atomic pointer publish + upsert",
+    ),
+    "partitioned_events_stats": (
+        partitioned_events_stats,
+        PARTITIONED_EVENTS_SQL,
+        "IO2 date-partitioned layout: directory-pruned scan round-trip",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -49,6 +49,35 @@ def write_parquet(
     return path
 
 
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...],
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> str:
+    """IO2 at the 100 TB layout tier: Hive-style partitioned parquet
+    (``path/col=value/part-*.parquet``) — the date-partitioned layout
+    SURVEY §6 names for events/orders at scale. A filter on a partition
+    column prunes whole directories at PLANNING time (``PartitionFilters``
+    on the scan, no file of a non-matching partition is even listed), and
+    joins against a partition-column filter prune dynamically at runtime
+    (DPP). The reference's flat per-table objects
+    (``core/utils/storage.py:99-127``) have no equivalent — every scan
+    reads the full table.
+
+    Choose LOW-cardinality columns (a date: ~365 dirs/year); a
+    high-cardinality partition column explodes into millions of tiny
+    files and kills the listing phase."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return path
+
+
 def read_parquet_or_empty(spark: SparkSession, path: str) -> DataFrame:
     """IO17: parquet scan that yields an EMPTY (zero-column) DataFrame on a
     missing path instead of raising — the reference's GCS-read guard

@@ -136,3 +136,53 @@ def test_bulk_load_manifest(spark, tmp_path):
     assert res[src] == "ok"
     assert res[str(tmp_path / "missing.csv")].startswith("error:")
     assert spark.read.parquet(str(tmp_path / "dest")).count() == 5
+
+
+def test_partitioned_parquet_prunes_directories(spark, tmp_path):
+    """The date-partitioned layout must (a) round-trip rows including
+    the value<->directory encoding of the partition column, and (b)
+    PRUNE: a partition-column filter shows up as PartitionFilters on
+    the scan and the executed scan reads files ONLY from the matching
+    date directories."""
+    from neulix_datahub_spark.sources.io import write_partitioned_parquet
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_parted")
+    write_partitioned_parquet(ev, path, ["event_date"])
+
+    # layout: one directory per date
+    dirs = sorted(d.name for d in (tmp_path / "events_parted").iterdir()
+                  if d.name.startswith("event_date="))
+    assert len(dirs) >= 25 and dirs[0] == "event_date=2024-01-01"
+
+    back = spark.read.parquet(path).filter(
+        (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("event_date") <= F.lit("2024-01-14").cast("date"))
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    # pruning dropped nothing: equals the unpartitioned filter
+    want = ev.filter(
+        (F.to_date("ts") >= "2024-01-08") & (F.to_date("ts") <= "2024-01-14")
+    ).count()
+    assert back.count() == want > 0
+
+    # hard proof the scan never TOUCHES non-matching directories: plant a
+    # corrupt file in a pruned-away partition — the filtered query still
+    # runs (never reads it), while an unfiltered scan of the same layout
+    # fails on it (so absent pruning it WOULD have been read). Schema
+    # given explicitly so footer inference doesn't read files either.
+    (tmp_path / "events_parted" / "event_date=2024-01-20"
+     / "zzz_corrupt.parquet").write_bytes(b"this is not parquet")
+    fixed = spark.read.schema(ev.schema).parquet(path)
+    week = (F.col("event_date") >= F.lit("2024-01-08").cast("date")) & (
+        F.col("event_date") <= F.lit("2024-01-14").cast("date")
+    )
+    assert fixed.filter(week).count() == want
+    with pytest.raises(Exception, match="[Pp]arquet|FAILED_READ_FILE"):
+        fixed.count()

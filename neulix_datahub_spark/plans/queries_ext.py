@@ -424,6 +424,45 @@ ORDER BY o_orderstatus
 """
 
 
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO1/IO2 sibling, driver-visible: part → ORC sink → ORC scan →
+    aggregate per brand. The oracle recomputes from the parquet table,
+    so a green row proves the ORC sink/scan round-trips every row and
+    type (long keys, double prices, strings) through Spark's native
+    vectorized ORC path."""
+    import os
+    import uuid
+
+    from neulix_datahub_spark.sources.io import read_orc, write_orc
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    path = os.path.join(wh, f"_neulix_orc_rt_{uuid.uuid4().hex}")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    write_orc(part, path)
+    back = read_orc(spark, path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORC_ROUNDTRIP_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(p_retailprice), 4) AS sum_price
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 def partitioned_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO2 layout tier, driver-visible: events written to a Hive-style
     DATE-partitioned parquet layout (``event_date=2024-01-DD/`` — the
@@ -1316,6 +1355,11 @@ EXT_QUERIES = {
         partitioned_events_stats,
         PARTITIONED_EVENTS_SQL,
         "IO2 date-partitioned layout: directory-pruned scan round-trip",
+    ),
+    "orc_roundtrip_stats": (
+        orc_roundtrip_stats,
+        ORC_ROUNDTRIP_SQL,
+        "IO1/IO2 sibling: native ORC sink + scan round-trip",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -78,6 +78,25 @@ def write_partitioned_parquet(
     return path
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """IO1 sibling: ORC scan — the second columnar format Spark ships
+    natively (vectorized reader, predicate pushdown via ORC
+    min/max/bloom indexes). No reference analogue (its storage tier is
+    parquet/CSV objects, ``storage.py:99-127``); provided so a
+    warehouse standardized on ORC (Hive estates, typically) can land on
+    this engine without a format migration."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+) -> str:
+    """IO2 sibling: ORC sink (see :func:`read_orc`). Same committer
+    semantics as the parquet sink — parallel, atomic per directory."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+    return path
+
+
 def read_parquet_or_empty(spark: SparkSession, path: str) -> DataFrame:
     """IO17: parquet scan that yields an EMPTY (zero-column) DataFrame on a
     missing path instead of raising — the reference's GCS-read guard

@@ -186,3 +186,55 @@ def test_partitioned_parquet_prunes_directories(spark, tmp_path):
     assert fixed.filter(week).count() == want
     with pytest.raises(Exception, match="[Pp]arquet|FAILED_READ_FILE"):
         fixed.count()
+
+
+def test_orc_roundtrip_types(spark, tmp_path):
+    """ORC sink/scan round-trips long/double/string/date/bool exactly."""
+    from neulix_datahub_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a", True), (2, -0.125, "b;c", False)],
+        "k long, x double, s string, f boolean",
+    ).withColumn("d", F.to_date(F.lit("2024-03-01")))
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dynamic_partition_pruning_on_date_join(spark, tmp_path):
+    """The date-partitioned layout also prunes DYNAMICALLY: joining the
+    fact on its partition column against a *filtered* small dim makes
+    Spark inject a runtime partition filter (the build side's dates),
+    so the fact scan reads only the dim-selected partitions even though
+    no literal date predicate exists on the fact side. This is the plan
+    shape a calendar/dim-driven 100 TB query relies on."""
+    from neulix_datahub_spark.sources.io import write_partitioned_parquet
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_parted")
+    write_partitioned_parquet(ev, path, ["event_date"])
+    fact = spark.read.parquet(path)
+
+    date_dim = (
+        spark.createDataFrame(
+            [(f"2024-01-{d:02d}", "peak" if d in (9, 10) else "off")
+             for d in range(1, 31)],
+            "ds string, day_kind string",
+        )
+        .select(F.col("ds").cast("date").alias("event_date"), "day_kind")
+    )
+    # NB: the dim filter must be "likely selective" for the PartitionPruning
+    # rule (equality/IN qualify; a bare boolean attribute does not)
+    joined = fact.join(
+        F.broadcast(date_dim.filter(F.col("day_kind") == "peak")), "event_date"
+    ).groupBy().count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = ev.filter(F.to_date("ts").isin("2024-01-09", "2024-01-10")).count()
+    assert joined.first()["count"] == want > 0

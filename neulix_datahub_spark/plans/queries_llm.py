@@ -49,11 +49,13 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds more than 128² pairs — the shape that survives a
     boilerplate-heavy language at 100 TB. The price is real and
     accepted: the task-key exchange + per-side window put the bench
-    sample at ~1.4s vs ~0.85s for the unbounded join at sf0.1 (warm
-    deltas ~0.3-0.4s; the two join sides each compute the windowed
-    explode — alias-renamed subtrees defeat ReusedExchange, and a
-    lineage-breaking localCheckpoint was measured to claw back only
-    ~0.25s, rejected). Language blocks GROW with the corpus, so the
+    sample at ~1.3s vs ~0.85s for the unbounded join at sf0.1 (round 5
+    moved the self-join to canonically identical dataset-alias sides —
+    interleaved A/B measured 1.32s vs 1.44s for the renamed-projection
+    form, and 1.17s under a forced shuffle join where the shared
+    exchange is realized; the hint stays unforced because AQE reaches
+    the shuffle join on its own at real scale. A lineage-breaking
+    localCheckpoint was measured to claw back only ~0.25s, rejected). Language blocks GROW with the corpus, so the
     unbounded form is a quadratic bomb at the design point — fixed
     overhead at toy scale buys the bound that matters. Multi-chunk
     output-identity is additionally driver-certified by

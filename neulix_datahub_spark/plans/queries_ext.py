@@ -522,8 +522,11 @@ def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (v2), re-reads THROUGH the pointer and aggregates per segment; also
     asserts the v1 reader still sees the pre-upsert table (the isolation
     property the staged swap lacks). The oracle recomputes the post-
-    upsert aggregate from the raw customer table."""
-    import tempfile
+    upsert aggregate from the raw customer table. The snapshot root is
+    derived from the shared warehouse dir (executors write the snapshot
+    parquet), like every scratch path in this module."""
+    import os
+    import uuid
 
     from neulix_datahub_spark.sources.snapshots import (
         current_version,
@@ -532,7 +535,9 @@ def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    root = tempfile.mkdtemp(prefix="neulix_snap_")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    root = os.path.join(wh, f"_neulix_snap_{uuid.uuid4().hex}")
     cust = _t(spark, sf_dir, "customer")
     v1 = write_snapshot(cust, root)
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
@@ -571,6 +576,75 @@ SELECT c_mktsegment,
 FROM upserted
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
+"""
+
+
+def snapshot_changes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tier (round 5): ``snapshot_diff`` — the change feed between
+    two versions of a snapshot table, the engine-neutral analogue of
+    Delta/Iceberg CDF. Three versions are published: customer (v1); a
+    keyed upsert of modified balances (+1000 for custkey%10==0) plus
+    genuinely new rows (custkey+2e6 clones of the %100==0 slice) (v2);
+    and a delete of the custkey%100==50 slice (v3). ``snapshot_diff(v1
+    -> current)`` must classify every row as exactly one of
+    insert/update/delete — updates carrying the NEW balance, deletes
+    the OLD — which the oracle recomputes from the raw customer table
+    with the same CASE arithmetic. One full-outer join on the key; the
+    value comparison is a single struct eqNullSafe."""
+    import os
+    import uuid
+
+    from neulix_datahub_spark.sources.snapshots import (
+        read_snapshot_table,
+        snapshot_diff,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    root = os.path.join(wh, f"_neulix_snapdiff_{uuid.uuid4().hex}")
+    cust = _t(spark, sf_dir, "customer")
+    v1 = write_snapshot(cust, root)
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 4)
+    )
+    inserts = cust.filter(F.col("c_custkey") % 100 == 0).withColumn(
+        "c_custkey", F.col("c_custkey") + 2_000_000
+    )
+    upsert_snapshot(spark, root, updates.unionByName(inserts), key="c_custkey")
+    write_snapshot(
+        read_snapshot_table(spark, root).filter(F.col("c_custkey") % 100 != 50),
+        root,
+    )
+    diff = snapshot_diff(spark, root, from_version=v1, key="c_custkey")
+    return (
+        diff.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+        )
+        .orderBy("_change_type")
+    )
+
+
+SNAPSHOT_CHANGES_SQL = """
+WITH ch AS (
+    SELECT 'insert' AS _change_type, c_acctbal
+    FROM customer WHERE c_custkey % 100 = 0
+    UNION ALL
+    SELECT 'delete', c_acctbal
+    FROM customer WHERE c_custkey % 100 = 50
+    UNION ALL
+    SELECT 'update', round(c_acctbal + 1000.0, 4)
+    FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 100 <> 50
+)
+SELECT _change_type,
+       CAST(count(*) AS BIGINT) AS n_changes,
+       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+FROM ch
+GROUP BY _change_type
+ORDER BY _change_type
 """
 
 
@@ -1360,6 +1434,11 @@ EXT_QUERIES = {
         orc_roundtrip_stats,
         ORC_ROUNDTRIP_SQL,
         "IO1/IO2 sibling: native ORC sink + scan round-trip",
+    ),
+    "snapshot_changes_stats": (
+        snapshot_changes_stats,
+        SNAPSHOT_CHANGES_SQL,
+        "CDC: snapshot_diff change feed (insert/update/delete) across versions",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

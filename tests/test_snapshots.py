@@ -180,3 +180,38 @@ def test_vacuum_vs_time_travel_reader(spark, tmp_path):
     assert _rows(read_snapshot_table(spark, root, version=versions[2])) == [(2, "x")]
     with pytest.raises(Exception):  # noqa: B017 - vacuumed dir: AnalysisException
         read_snapshot_table(spark, root, version=versions[0]).collect()
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """snapshot_diff yields exactly the insert/update/delete rows between
+    two versions — updates carry the NEW value, deletes the OLD, and
+    unchanged rows (including null-for-null columns) are dropped."""
+    from neulix_datahub_spark.sources.snapshots import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], "id long, v string"
+        ),
+        root,
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            # 1 unchanged, 2 updated, 3 unchanged (null==null), 4 deleted,
+            # 5 inserted
+            [(1, "a"), (2, "B"), (3, None), (5, "e")], "id long, v string"
+        ),
+        root,
+    )
+    got = {
+        (r.id, r.v, r._change_type)
+        for r in snapshot_diff(spark, root, from_version=v1, key="id").collect()
+    }
+    assert got == {
+        (2, "B", "update"),
+        (4, "d", "delete"),
+        (5, "e", "insert"),
+    }
+    with pytest.raises(ValueError, match="schemas diverge"):
+        write_snapshot(spark.createDataFrame([(9, 1.0)], "id long, x double"), root)
+        snapshot_diff(spark, root, from_version=v1, key="id").collect()

@@ -78,6 +78,54 @@ def write_partitioned_parquet(
     return path
 
 
+def compact_partitioned_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    partition_cols: list[str] | tuple[str, ...],
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Small-file compaction for the Hive-partitioned layout: rewrite
+    ``src`` into ``dst`` with exactly ``files_per_partition`` parquet
+    files per partition value. Every incremental writer (streaming
+    micro-batches, per-task commits) fragments a partition into
+    task-count files; at 100 TB the listing + footer overhead of
+    millions of small files dominates scan setup, and compaction is the
+    standard maintenance job (Delta OPTIMIZE / Iceberg rewrite_data_files
+    do exactly this rewrite).
+
+    One shuffle: rows repartition on (partition cols + a deterministic
+    hash-salt in [0, files_per_partition)), so each output task holds
+    complete output files — no post-hoc merge. Raise
+    ``files_per_partition`` when single partitions exceed a healthy
+    file size (~1 GB). Returns {"files_before", "files_after",
+    "rows"} for the maintenance log. ``dst`` must differ from ``src``
+    (immutable rewrite; swap via rename or snapshot pointer publish)."""
+    import glob as _glob
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        raise ValueError("compaction rewrites immutably: dst must differ from src")
+    df = spark.read.parquet(src)
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in data_cols]), F.lit(files_per_partition)
+    )
+    (
+        df.repartition(*[F.col(c) for c in partition_cols], salt)
+        .write.mode("errorifexists")
+        .partitionBy(*partition_cols)
+        .parquet(dst)
+    )
+    count_files = lambda p: len(  # noqa: E731
+        [f for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)]
+    )
+    return {
+        "files_before": count_files(src),
+        "files_after": count_files(dst),
+        "rows": spark.read.parquet(dst).count(),
+    }
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """IO1 sibling: ORC scan — the second columnar format Spark ships
     natively (vectorized reader, predicate pushdown via ORC

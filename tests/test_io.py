@@ -238,3 +238,44 @@ def test_dynamic_partition_pruning_on_date_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     want = ev.filter(F.to_date("ts").isin("2024-01-09", "2024-01-10")).count()
     assert joined.first()["count"] == want > 0
+
+
+def test_compact_partitioned_parquet(spark, tmp_path):
+    """Compaction rewrites a fragmented date-partitioned layout to
+    exactly files_per_partition files per partition with identical
+    rows; src==dst is refused."""
+    import glob
+
+    from neulix_datahub_spark.sources.io import (
+        compact_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    src = str(tmp_path / "frag")
+    # fragment: repartition(8) spreads every date over ~8 tasks
+    write_partitioned_parquet(ev.repartition(8), src, ["event_date"])
+    n_dates = len([d for d in (tmp_path / "frag").iterdir()
+                   if d.name.startswith("event_date=")])
+    frag_files = len(glob.glob(f"{src}/**/*.parquet", recursive=True))
+    assert frag_files > n_dates  # genuinely fragmented
+
+    dst = str(tmp_path / "compact")
+    stats = compact_partitioned_parquet(spark, src, dst, ["event_date"])
+    assert stats["files_before"] == frag_files
+    assert stats["files_after"] == n_dates  # exactly 1 per partition
+    assert stats["rows"] == ev.count()
+    # per-partition: one file each, content preserved
+    for d in (tmp_path / "compact").iterdir():
+        if d.name.startswith("event_date="):
+            assert len(list(d.glob("*.parquet"))) == 1
+    a = spark.read.parquet(src).orderBy("event_id").collect()
+    b = spark.read.parquet(dst).orderBy("event_id").collect()
+    assert a == b
+
+    with pytest.raises(ValueError, match="dst must differ"):
+        compact_partitioned_parquet(spark, src, src, ["event_date"])

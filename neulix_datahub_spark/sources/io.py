@@ -55,6 +55,8 @@ def write_partitioned_parquet(
     partition_cols: list[str] | tuple[str, ...],
     mode: str = "overwrite",
     compression: str = "snappy",
+    cluster_cols: list[str] | tuple[str, ...] | None = None,
+    bloom_filter_cols: list[str] | tuple[str, ...] | None = None,
 ) -> str:
     """IO2 at the 100 TB layout tier: Hive-style partitioned parquet
     (``path/col=value/part-*.parquet``) — the date-partitioned layout
@@ -68,13 +70,34 @@ def write_partitioned_parquet(
 
     Choose LOW-cardinality columns (a date: ~365 dirs/year); a
     high-cardinality partition column explodes into millions of tiny
-    files and kills the listing phase."""
-    (
-        df.write.mode(mode)
-        .option("compression", compression)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    files and kills the listing phase.
+
+    Two optional DATA-SKIPPING knobs for filters on non-partition
+    columns (directory pruning can't help those):
+
+    - ``cluster_cols``: sort rows by these columns within each output
+      task. Parquet stores min/max per row group; clustering makes
+      those ranges narrow and disjoint, so a selective filter on a
+      clustered column skips whole row groups at scan time (the poor
+      man's Z-order — exact for one column, still effective for a
+      short prefix list).
+    - ``bloom_filter_cols``: write a parquet bloom filter per listed
+      column — point-lookup (`=`/IN) skipping for high-cardinality
+      columns where min/max ranges are too wide to help.
+    """
+    w = df
+    if cluster_cols:
+        # The dynamic-partition writer requires rows ordered by the
+        # partition columns and inserts its own (non-stable) sort when
+        # they aren't — which would destroy the clustering. Sorting by
+        # (partition cols, cluster cols) satisfies that requirement, so
+        # the writer skips its sort and the cluster order survives into
+        # the files.
+        w = w.sortWithinPartitions(*partition_cols, *cluster_cols)
+    writer = w.write.mode(mode).option("compression", compression)
+    for c in bloom_filter_cols or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    writer.partitionBy(*partition_cols).parquet(path)
     return path
 
 

@@ -279,3 +279,51 @@ def test_compact_partitioned_parquet(spark, tmp_path):
 
     with pytest.raises(ValueError, match="dst must differ"):
         compact_partitioned_parquet(spark, src, src, ["event_date"])
+
+
+def test_layout_clustering_and_bloom_filters(spark, tmp_path):
+    """Data-skipping knobs on the partitioned writer: cluster_cols sorts
+    rows within each output file (narrow per-row-group min/max => range
+    skipping on non-partition filters) and bloom_filter_cols embeds
+    parquet bloom filters (observable as a file-size increase for the
+    same rows; pyarrow has no bloom read API)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from neulix_datahub_spark.sources.io import write_partitioned_parquet
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    plain = str(tmp_path / "plain")
+    clustered = str(tmp_path / "clustered")
+    write_partitioned_parquet(ev, plain, ["event_date"])
+    write_partitioned_parquet(
+        ev, clustered, ["event_date"],
+        cluster_cols=["user_id"], bloom_filter_cols=["user_id"],
+    )
+
+    files = glob.glob(f"{clustered}/**/*.parquet", recursive=True)
+    assert files
+    for f in files[:5]:
+        t = pq.read_table(f, columns=["user_id"])
+        vals = t.column("user_id").to_pylist()
+        assert vals == sorted(vals), f"rows not clustered in {f}"
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "user_id"
+        )
+        st = md.row_group(0).column(col_idx).statistics
+        assert st is not None and st.has_min_max  # skipping metadata exists
+
+    # bloom filters really landed: same rows, strictly more bytes
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/**/*.parquet", recursive=True)
+    )
+    assert size(clustered) > size(plain)
+    assert spark.read.parquet(clustered).count() == ev.count()

@@ -648,6 +648,83 @@ ORDER BY _change_type
 """
 
 
+def quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint tier (round 5, operators/quality.py): the
+    engine-side generalization of the reference's homologation flag
+    checks (``sheets_core.py:86-92``) — declarative constraints, all
+    row-level checks fused into ONE aggregation pass, uniqueness one
+    distinct-count, referential integrity one anti-join. The fixture is
+    clean, so the query PLANTS violations (the o_orderkey%1000==7 slice
+    re-unioned with null custkey, negative total, bogus status —
+    duplicating its keys): every check's violation count is then a
+    non-trivial number the oracle recomputes from the same planted
+    arithmetic, and two checks stay green to prove `passed` isn't
+    hardwired false."""
+    from neulix_datahub_spark.operators import quality as Q
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    bad = (
+        orders.filter(F.col("o_orderkey") % 1000 == 7)
+        .withColumn("o_custkey", F.lit(None).cast("long"))
+        .withColumn("o_totalprice", F.lit(-1.0))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    dirty = orders.unionByName(bad)
+    checks = [
+        *Q.not_null("o_orderkey", "o_custkey"),
+        Q.unique("o_orderkey"),
+        Q.in_range("o_totalprice", lo=0.0),
+        Q.values_in("o_orderstatus", ["O", "F", "P"]),
+        Q.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        Q.foreign_key("o_custkey", cust, "c_custkey"),
+    ]
+    return Q.run_checks(dirty, checks)
+
+
+# The oracle rebuilds the dirty table and recomputes every check's
+# SEMANTICS from the data (not the planted arithmetic), so a green row
+# proves the fused-agg counts, the distinct-count and the anti-join all
+# mean what the constraint says.
+QUALITY_REPORT_SQL = """
+WITH dirty AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, NULL, 'X', -1.0, o_orderpriority
+    FROM orders WHERE o_orderkey % 1000 = 7
+),
+t AS (SELECT count(*) AS total FROM dirty)
+SELECT "check", violations = 0 AS passed,
+       CAST(violations AS BIGINT) AS violations,
+       CAST(t.total AS BIGINT) AS total_rows
+FROM (
+    SELECT 'not_null_o_orderkey' AS "check",
+           (SELECT count(*) FROM dirty WHERE o_orderkey IS NULL) AS violations
+    UNION ALL SELECT 'not_null_o_custkey',
+           (SELECT count(*) FROM dirty WHERE o_custkey IS NULL)
+    UNION ALL SELECT 'unique_o_orderkey',
+           (SELECT count(*) - count(DISTINCT o_orderkey) FROM dirty)
+    UNION ALL SELECT 'range_o_totalprice',
+           (SELECT count(*) FROM dirty
+            WHERE o_totalprice < 0 OR o_totalprice IS NULL)
+    UNION ALL SELECT 'values_o_orderstatus',
+           (SELECT count(*) FROM dirty
+            WHERE o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL)
+    UNION ALL SELECT 'matches_o_orderpriority',
+           (SELECT count(*) FROM dirty
+            WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+               OR o_orderpriority IS NULL)
+    UNION ALL SELECT 'fk_o_custkey',
+           (SELECT count(*) FROM dirty d
+            WHERE d.o_custkey IS NULL
+               OR NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = d.o_custkey))
+), t
+ORDER BY "check"
+"""
+
+
 def fetch_hook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/IO22 driver-visible: the per-row fetch hook over a URL column,
     run through the REAL mapInPandas plumbing (Arrow batches, output
@@ -1439,6 +1516,11 @@ EXT_QUERIES = {
         snapshot_changes_stats,
         SNAPSHOT_CHANGES_SQL,
         "CDC: snapshot_diff change feed (insert/update/delete) across versions",
+    ),
+    "quality_report_orders": (
+        quality_report_orders,
+        QUALITY_REPORT_SQL,
+        "declarative data-quality constraints (fused single-pass checks)",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -784,3 +784,42 @@ def test_chunk_by_tokens_validates_id_col(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="id_col 'docid' not in"):
         chunk_by_tokens(df, "text", "docid", chunk_size=2)
+
+
+def test_quality_checks_semantics(spark):
+    """Each constraint kind counts exactly its violations; the row-level
+    checks share one agg pass; a fully clean frame passes everything."""
+    from neulix_datahub_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "OK"),
+            (2, "b", -5.0, "OK"),     # range violation
+            (2, "c", 20.0, "BAD"),    # dup id + enum violation
+            (None, "d", None, "OK"),  # null id + null amount
+        ],
+        "id long, name string, amount double, status string",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    checks = [
+        *Q.not_null("id", "name"),
+        Q.unique("id"),
+        Q.in_range("amount", lo=0.0),
+        Q.values_in("status", ["OK"]),
+        Q.matches("name", "^[a-z]$"),
+        Q.foreign_key("id", dim, "k"),
+    ]
+    got = {r.check: (r.passed, r.violations, r.total_rows)
+           for r in Q.run_checks(df, checks).collect()}
+    assert got == {
+        "not_null_id": (False, 1, 4),
+        "not_null_name": (True, 0, 4),
+        "unique_id": (False, 1, 4),
+        "range_amount": (False, 2, 4),  # -5 and null
+        "values_status": (False, 1, 4),
+        "matches_name": (True, 0, 4),
+        "fk_id": (False, 1, 4),  # the null id has no match
+    }
+
+    clean = spark.createDataFrame([(1, "a", 1.0, "OK")], df.schema)
+    assert all(r.passed for r in Q.run_checks(clean, checks).collect())

@@ -136,3 +136,37 @@ def stream_dedup_to_parquet(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_to_partitioned_parquet(
+    stream_df: DataFrame,
+    path: str,
+    partition_cols: list[str] | tuple[str, ...],
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Native exactly-once streaming landing into the Hive-partitioned
+    layout (``sources/io.py::write_partitioned_parquet``'s streaming
+    sibling): the built-in parquet streaming sink commits every
+    micro-batch through its ``_spark_metadata`` transaction log, so a
+    checkpoint-replayed batch re-commits the same entry and Spark
+    readers (which consult the log) never see duplicates — the
+    exactly-once guarantee the foreachBatch sinks above have to
+    reimplement via snapshot publishes.
+
+    ``partitionBy`` yields the same directory-pruned date layout as the
+    batch writer. Each micro-batch appends one file per touched
+    partition, so a long-lived stream fragments the layout — schedule
+    ``compact_partitioned_parquet`` as the maintenance job (reading
+    through Spark keeps consistency while compacting into a NEW root).
+
+    ``checkpoint_dir`` is mandatory: the sink's exactly-once story IS
+    the checkpoint + metadata log pair.
+    """
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy(*partition_cols)
+        .trigger(availableNow=True)
+        .start()
+    )

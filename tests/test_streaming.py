@@ -282,3 +282,39 @@ def test_concurrent_drains_serialize_and_restore_conf(spark):
     a = spark.sql("SELECT sum(count) AS s FROM drain_a").first().s
     b = spark.sql("SELECT sum(count) AS s FROM drain_b").first().s
     assert a == b and a > 0
+
+
+def test_stream_to_partitioned_parquet_exactly_once(spark, tmp_path):
+    """The native parquet streaming sink lands the date-partitioned
+    layout with its _spark_metadata transaction log; a second drain from
+    the same checkpoint (nothing new to process) adds no rows — the
+    exactly-once restart behavior."""
+    import os
+
+    from neulix_datahub_spark.streaming.sinks import stream_to_partitioned_parquet
+
+    stream = read_events_stream(spark, SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream_to_partitioned_parquet(
+        stream, out, ["event_date"], ckpt
+    ).awaitTermination()
+
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) >= 25
+    landed = spark.read.parquet(out)
+    want = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert landed.count() == want
+
+    # restart from the same checkpoint: already-committed input is not
+    # re-landed
+    stream2 = read_events_stream(spark, SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    stream_to_partitioned_parquet(
+        stream2, out, ["event_date"], ckpt
+    ).awaitTermination()
+    assert spark.read.parquet(out).count() == want

@@ -179,6 +179,65 @@ ORDER BY split
 """
 
 
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-algorithm tier (round 5, like kmeans_cluster_profile):
+    weighted PageRank over the event-type TRANSITION graph — edges are
+    consecutive events per user (ordered by ts, event_id), weights the
+    transition counts. Five power iterations, damping 0.85, on
+    ``operators/graph.py::pagerank`` (one join + one agg per iteration,
+    nothing driver-side but the loop counter). The oracle UNROLLS all
+    five iterations as CTEs from the same edge derivation — every
+    intermediate rank is recomputed exactly, so a green row pins the
+    join/agg arithmetic of the whole fixed-point, not just the final
+    ordering. Final ranks rounded to 6 dp (engine summation order)."""
+    from neulix_datahub_spark.operators.graph import pagerank
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("__dst", F.lead("event_type").over(w))
+        .filter(F.col("__dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("__dst").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    out = pagerank(edges, iterations=5, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+    SELECT nodes.node,
+           0.15 / mx.n + 0.85 * coalesce(s.contrib, 0) AS rank
+    FROM nodes CROSS JOIN n mx
+    LEFT JOIN (
+        SELECT ed.dst AS node, sum(rp.rank * ed.p) AS contrib
+        FROM trans ed JOIN {prev} rp ON rp.node = ed.src
+        GROUP BY ed.dst
+    ) s USING (node)
+)"""
+
+
+_PAGERANK_SQL = """
+WITH seq AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+),
+edges AS (
+    SELECT src, dst, count(*)::DOUBLE AS w FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+trans AS (
+    SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+n AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / mx.n AS rank FROM nodes CROSS JOIN n mx),
+""" + ",\n".join(_pr_iter(f"r{i}", f"r{i+1}") for i in range(5)) + """
+SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_semi_join_revenue": (
         bloom_semi_join_revenue,
@@ -199,5 +258,10 @@ SKETCH_QUERIES = {
         hash_split_profile,
         _HASH_SPLIT_SQL,
         "Content-hash train/val/test split profile",
+    ),
+    "event_pagerank": (
+        event_pagerank,
+        _PAGERANK_SQL,
+        "Weighted PageRank, 5 unrolled power iterations vs CTE oracle",
     ),
 }

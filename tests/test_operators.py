@@ -823,3 +823,25 @@ def test_quality_checks_semantics(spark):
 
     clean = spark.createDataFrame([(1, "a", 1.0, "OK")], df.schema)
     assert all(r.passed for r in Q.run_checks(clean, checks).collect())
+
+
+def test_pagerank_semantics(spark):
+    """A symmetric 2-cycle stays uniform at 0.5/0.5; a weighted graph
+    ranks the heavier-cited node higher; ranks stay in (0,1) and sum
+    to ~1 on a dangling-free graph."""
+    from neulix_datahub_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, weight double"
+    )
+    got = {r.node: r.rank for r in pagerank(cyc, iterations=4).collect()}
+    assert abs(got["a"] - 0.5) < 1e-12 and abs(got["b"] - 0.5) < 1e-12
+
+    g = spark.createDataFrame(
+        [("a", "c", 3.0), ("b", "c", 3.0), ("c", "a", 1.0),
+         ("a", "b", 1.0), ("c", "b", 1.0)],
+        "src string, dst string, weight double",
+    )
+    ranks = {r.node: r.rank for r in pagerank(g, iterations=8).collect()}
+    assert ranks["c"] > ranks["a"] and ranks["c"] > ranks["b"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling nodes

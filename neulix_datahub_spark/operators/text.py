@@ -320,3 +320,40 @@ def doc_unigram_perplexity(
         )
     )
     return scored.select(F.col(id_col), F.exp(-F.col("__avg_lp")).alias("perplexity"))
+
+
+def winnow_fingerprints(
+    col: Column | str, k: int = 3, window: int = 4, seed: int = 42
+) -> Column:
+    """L4: winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS rolling-hash scheme) as ONE array expression.
+
+    Ordered word ``k``-grams (duplicates kept — position matters, unlike
+    the distinct shingle SET MinHash uses) are hashed, then every
+    sliding window of ``window`` consecutive gram hashes contributes its
+    minimum; the distinct selected minima are the document's
+    fingerprint set. The winnowing guarantee: any shared run of at
+    least ``window + k - 1`` tokens between two documents yields at
+    least one shared fingerprint — robust passage-level matching with a
+    sketch ~|tokens|/window long, the localized complement of MinHash's
+    whole-document similarity.
+
+    Stays in codegen: one regex pass for the ordered grams, one
+    transform for the hashes, one transform-over-sequence of array_min
+    slices. Documents shorter than ``k`` tokens degrade to one
+    whole-text hash.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    normed = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    pat = rf"(?<=^|\s)(?=((?:\S+ ){{{k - 1}}}\S+))"
+    grams = F.regexp_extract_all(normed, F.lit(pat), F.lit(1))
+    hashes = F.when(F.size(grams) > 0, F.transform(
+        grams, lambda g: F.xxhash64(g, F.lit(seed))
+    )).otherwise(F.array(F.xxhash64(normed, F.lit(seed))))
+    n = F.size(hashes)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - window, F.lit(0))),
+            lambda i: F.array_min(F.slice(hashes, i + 1, F.least(F.lit(window), n))),
+        )
+    )

@@ -845,3 +845,28 @@ def test_pagerank_semantics(spark):
     ranks = {r.node: r.rank for r in pagerank(g, iterations=8).collect()}
     assert ranks["c"] > ranks["a"] and ranks["c"] > ranks["b"]
     assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling nodes
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """The winnowing guarantee: two texts sharing a run of >= window+k-1
+    tokens share at least one fingerprint; disjoint-vocabulary texts
+    share none; a short (<k tokens) doc degrades to one whole-text
+    hash."""
+    from neulix_datahub_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # shares the 6-token run "gamma delta epsilon zeta eta theta"
+            (2, "xx yy gamma delta epsilon zeta eta theta zz"),
+            (3, "one two three four five six seven eight"),
+            (4, "hi"),
+        ],
+        "id long, text string",
+    )
+    fps = {r.id: set(r.f) for r in df.select(
+        "id", winnow_fingerprints("text", k=3, window=4).alias("f")
+    ).collect()}
+    assert fps[1] & fps[2], "shared >=w+k-1 run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert len(fps[4]) == 1

@@ -153,3 +153,61 @@ def profile_table(
             "unique_count", "sample_values", "top_10",
         )
     )
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """A1 extension: Pearson correlation for every column pair in ONE
+    aggregation pass — ``len(cols)²/2`` ``corr`` expressions share one
+    scan and one (1-row) reduce, instead of the O(k²) separate jobs a
+    naive loop issues. ``F.corr`` is the engine's numerically stable
+    (Welford-style) implementation — never the naive
+    sum-of-products formula, which catastrophically cancels at 100 TB
+    row counts. Returns long-form ``(col_a, col_b, corr)`` with
+    ``col_a <= col_b``, rounded to 6 dp."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    row = df.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"{a}\x00{b}") for a, b in pairs]
+    )
+    melted = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"`{a}\x00{b}`").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    )
+    return melted.select("p.col_a", "p.col_b", "p.corr").orderBy("col_a", "col_b")
+
+
+def value_histogram(
+    df: DataFrame, col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """A1 extension: fixed-range equi-width histogram in one pass —
+    bucket index is a pure expression (no sampling, no second scan for
+    bounds; pass literals so the plan stays single-scan — derive them
+    from a prior ``describe`` when unknown). Values at ``hi`` land in
+    the last bucket; out-of-range and null values are dropped. Returns
+    ``(bucket, lo_edge, hi_edge, cnt)`` for NON-EMPTY buckets."""
+    width = (hi - lo) / bins
+    x = F.col(col).cast("double")
+    bucket = F.least(
+        F.lit(bins - 1), F.floor((x - lo) / width).cast("int")
+    )
+    return (
+        df.filter(x.isNotNull() & (x >= lo) & (x <= hi))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.round(F.lit(lo) + F.col("bucket") * width, 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bucket") + 1) * width, 6).alias("hi_edge"),
+            "cnt",
+        )
+        .orderBy("bucket")
+    )

@@ -1424,6 +1424,57 @@ SELECT CAST(500 AS BIGINT) AS n_rows,
 """
 
 
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 extension (round 5): Pearson correlation matrix over the four
+    lineitem measures in ONE aggregation pass (all pairs share one scan
+    and a 1-row reduce — operators/profile.py::correlation_matrix).
+    The oracle recomputes every pair with DuckDB's corr(); both engines
+    run numerically stable covariance updates, so 6-dp rounding
+    absorbs the summation-order difference."""
+    from neulix_datahub_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    )
+
+
+_COLS_CORR = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+LINEITEM_CORR_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS corr FROM lineitem"
+    for i, a in enumerate(_COLS_CORR)
+    for b in _COLS_CORR[i:]
+) + "\nORDER BY col_a, col_b"
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 extension (round 5): fixed-range equi-width histogram of
+    o_totalprice — 20 buckets over [0, 600000], bucket assignment a
+    pure expression so the whole thing is one scan + one shuffle on
+    <=20 keys. The oracle replays the identical bucket arithmetic."""
+    from neulix_datahub_spark.operators.profile import value_histogram
+
+    return value_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", bins=20, lo=0.0, hi=600_000.0
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT bucket,
+       round(bucket * 30000.0, 6) AS lo_edge,
+       round((bucket + 1) * 30000.0, 6) AS hi_edge,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (
+    SELECT least(19, CAST(floor(o_totalprice / 30000.0) AS INT)) AS bucket
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0 AND o_totalprice <= 600000
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1521,6 +1572,16 @@ EXT_QUERIES = {
         quality_report_orders,
         QUALITY_REPORT_SQL,
         "declarative data-quality constraints (fused single-pass checks)",
+    ),
+    "lineitem_correlations": (
+        lineitem_correlations,
+        LINEITEM_CORR_SQL,
+        "A1: one-pass Pearson correlation matrix (long form)",
+    ),
+    "price_histogram": (
+        price_histogram,
+        PRICE_HISTOGRAM_SQL,
+        "A1: one-pass fixed-range equi-width histogram",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

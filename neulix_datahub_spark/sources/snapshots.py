@@ -288,6 +288,28 @@ def snapshot_diff(
     )
 
 
+def apply_change_feed(target: DataFrame, feed: DataFrame, key: str) -> DataFrame:
+    """Consume a :func:`snapshot_diff`-shaped feed (rows +
+    ``_change_type`` in insert/update/delete): delete the delete-keys,
+    last-write-wins upsert the rest. The algebraic inverse of the diff —
+    ``apply_change_feed(v_old, snapshot_diff(old→new)) == v_new``
+    row-for-row (unit-asserted) — which is what makes the feed a
+    replication/incremental-consumption protocol rather than a report.
+
+    One anti-join (deletes ∪ updated keys) + one union; the feed is the
+    small side at scale and AQE broadcasts it."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.upsert import upsert
+
+    if "_change_type" not in feed.columns:
+        raise ValueError("feed must carry _change_type (see snapshot_diff)")
+    deletes = feed.filter(F.col("_change_type") == "delete").select(key)
+    upserts = feed.filter(F.col("_change_type") != "delete").drop("_change_type")
+    kept = target.join(deletes, on=key, how="left_anti")
+    return upsert(kept, upserts.select(*target.columns), key)
+
+
 def vacuum_snapshots(
     root: str, keep: int = 2, staging_grace_seconds: float = 3600.0
 ) -> list[str]:

@@ -215,3 +215,27 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     with pytest.raises(ValueError, match="schemas diverge"):
         write_snapshot(spark.createDataFrame([(9, 1.0)], "id long, x double"), root)
         snapshot_diff(spark, root, from_version=v1, key="id").collect()
+
+
+def test_apply_change_feed_inverts_diff(spark, tmp_path):
+    """The CDC round-trip law: applying snapshot_diff(old -> new) onto
+    the old table reproduces the new table exactly — inserts landed,
+    updates overwritten, deletes gone, unchanged rows untouched."""
+    from neulix_datahub_spark.sources.snapshots import (
+        apply_change_feed,
+        snapshot_diff,
+    )
+
+    root = str(tmp_path / "tbl")
+    old_rows = [(1, "a"), (2, "b"), (3, None), (4, "d")]
+    new_rows = [(1, "a"), (2, "B"), (3, None), (5, "e"), (6, "f")]
+    v1 = write_snapshot(
+        spark.createDataFrame(old_rows, "id long, v string"), root
+    )
+    write_snapshot(spark.createDataFrame(new_rows, "id long, v string"), root)
+    feed = snapshot_diff(spark, root, from_version=v1, key="id")
+    old = read_snapshot_table(spark, root, version=v1)
+    replayed = apply_change_feed(old, feed, key="id")
+    assert _rows(replayed) == sorted(new_rows)
+    with pytest.raises(ValueError, match="_change_type"):
+        apply_change_feed(old, old, key="id")

@@ -1475,6 +1475,89 @@ ORDER BY bucket
 
 
 
+def copurchased_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket tier (round 5): top-10 brand pairs co-occurring in
+    the same order — the pairwise-co-occurrence aggregation every
+    recommender feature pipeline runs. Plan: lineitem⋈part projects
+    (order, brand), dedupes to distinct pairs per order (a brand bought
+    twice in one order is one co-occurrence), self-joins within the
+    order key (orders are small baskets, so the per-key pair blow-up is
+    bounded by basket size — the with_pair_tasks cap exists for when it
+    is not), counts pairs, takes an ordered top-10."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    l, r = ob.alias("l"), ob.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+        & (F.col("l.p_brand") < F.col("r.p_brand")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("l.p_brand").alias("brand_a"), F.col("r.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(10)
+    )
+
+
+COPURCHASED_SQL = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 10
+"""
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 breadth (round 5): ntile(4) over account balance per market
+    segment, aggregated per (segment, quartile) — the windowed
+    bucketing HR/finance-style reports run. The window's ORDER BY
+    carries the key tiebreak so tile boundaries are deterministic."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+QUARTILES_SQL = """
+SELECT c_mktsegment, quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(c_acctbal), 4) AS min_bal,
+       round(max(c_acctbal), 4) AS max_bal
+FROM (
+    SELECT c_mktsegment, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+)
+GROUP BY 1, 2
+ORDER BY c_mktsegment, quartile
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1582,6 +1665,16 @@ EXT_QUERIES = {
         price_histogram,
         PRICE_HISTOGRAM_SQL,
         "A1: one-pass fixed-range equi-width histogram",
+    ),
+    "copurchased_brand_pairs": (
+        copurchased_brand_pairs,
+        COPURCHASED_SQL,
+        "market-basket pairwise co-occurrence, bounded-basket self-join",
+    ),
+    "customer_balance_quartiles": (
+        customer_balance_quartiles,
+        QUARTILES_SQL,
+        "W2: ntile windowed bucketing per segment",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -10,7 +10,6 @@ tests/test_streaming.py.)
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,7 +24,22 @@ from neulix_datahub_spark.streaming.stateful import running_user_totals
 from neulix_datahub_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
+    tumbling_counts,
 )
+
+
+def _scratch(spark: SparkSession, prefix: str) -> str:
+    """Scratch root under the shared warehouse dir (executors write the
+    snapshot parquet, so the path must resolve cluster-wide — same
+    convention as the batch snapshot queries in queries_ext.py)."""
+    import os
+    import uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    path = os.path.join(wh, f"{prefix}{uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +71,7 @@ GROUP BY user_id
 def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch MERGE sink: latest event per user after draining the
     stream into a snapshot-versioned parquet table."""
-    tmp = tempfile.mkdtemp(prefix="neulix_stream_upsert_")
+    tmp = _scratch(spark, "neulix_stream_upsert_")
     stream = read_events_stream(spark, sf_dir)
     q = stream_upsert_to_parquet(
         stream, f"{tmp}/table", key="user_id", tiebreak="ts",
@@ -267,7 +281,7 @@ def stream_dedup_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     separately in tests/test_streaming.py."""
     from neulix_datahub_spark.streaming.sinks import stream_dedup_to_parquet
 
-    tmp = tempfile.mkdtemp(prefix="neulix_stream_dedup_")
+    tmp = _scratch(spark, "neulix_stream_dedup_")
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .format("parquet")
@@ -335,6 +349,43 @@ GROUP BY c_mktsegment, event_type
 """
 
 
+def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate tier (round 5) — the "hypertable rollup"
+    analogue: the tumbling hourly aggregate maintained INCREMENTALLY as
+    a materialized table. The windowed count/sum runs in update mode,
+    so each micro-batch hands only the changed (window, type) totals to
+    the foreachBatch MERGE, which upserts them into the
+    snapshot-versioned rollup table (composite rollup key; latest total
+    wins). Reading the materialized table back must equal the from-
+    scratch batch aggregate — the oracle recomputes exactly
+    ``events_hourly``. At 100 TB the rollup table is touched
+    per-changed-window, never rebuilt."""
+    tmp = _scratch(spark, "neulix_rollup_")
+    stream = tumbling_counts(read_events_stream(spark, sf_dir)).withColumn(
+        "rollup_key",
+        F.concat_ws("|", F.col("window_start").cast("string"), "event_type"),
+    )
+    q = stream_upsert_to_parquet(
+        stream, f"{tmp}/table", key="rollup_key",
+        checkpoint_dir=f"{tmp}/ckpt", output_mode="update",
+    )
+    q.awaitTermination()
+    out = read_upsert_table(spark, f"{tmp}/table")
+    return out.select(
+        "window_start", "event_type", "n_events", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+_STREAM_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
     "stream_enriched_segment_counts": (
@@ -352,6 +403,11 @@ STREAM_QUERIES = {
         stateful_user_totals,
         _STATEFUL_TOTALS_SQL,
         "U3 applyInPandasWithState (batch-parity oracle)",
+    ),
+    "stream_hourly_rollup": (
+        stream_hourly_rollup,
+        _STREAM_ROLLUP_SQL,
+        "continuous aggregate: incrementally materialized hourly rollup",
     ),
     "stream_upsert_latest_events": (
         stream_upsert_latest_events,

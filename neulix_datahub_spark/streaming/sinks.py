@@ -47,6 +47,7 @@ def stream_upsert_to_parquet(
     tiebreak: str | None = None,
     checkpoint_dir: str | None = None,
     retain_versions: int | None = 8,
+    output_mode: str | None = None,
 ) -> StreamingQuery:
     """Drive ``stream_df`` into a keyed snapshot table with MERGE
     semantics: within and across micro-batches, the last/greatest-
@@ -71,6 +72,12 @@ def stream_upsert_to_parquet(
             vacuum_snapshots(path, keep=retain_versions)
 
     writer = stream_df.writeStream.foreachBatch(_merge_batch).trigger(availableNow=True)
+    if output_mode:
+        # "update" turns an AGGREGATED stream into a continuous rollup:
+        # each micro-batch hands the changed (key, latest-total) rows to
+        # the MERGE, materializing the aggregate incrementally (append
+        # mode would hold rows back until the watermark finalizes them).
+        writer = writer.outputMode(output_mode)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -1558,6 +1558,89 @@ ORDER BY c_mktsegment, quartile
 
 
 
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 tier (round 5, operators/scd.py): history-keeping
+    dimension maintenance, the sibling of the Type 1 upsert the
+    reference has. Bootstraps customer as the open first version
+    (2024-01-01), applies TWO change batches — balances +1000 for
+    custkey%10==0 at 2024-03-01 (a batch that also carries UNCHANGED
+    %7==0 rows, which must no-op), then a segment move to 'MOVED' for
+    %20==0 at 2024-06-01 — and aggregates the resulting version table
+    per is_current. The oracle rebuilds the expected current/closed
+    version sets with CASE arithmetic: every key one current row;
+    %10==0 keys one closed v1; %20==0 keys additionally a closed v2
+    carrying the +1000 balance but the ORIGINAL segment."""
+    from neulix_datahub_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = _t(spark, sf_dir, "customer")
+    attrs = ["c_mktsegment", "c_acctbal"]
+    dim = scd2_init(
+        cust.select("c_custkey", *attrs), "c_custkey", attrs, "2024-01-01"
+    )
+    b1 = cust.filter(
+        (F.col("c_custkey") % 10 == 0) | (F.col("c_custkey") % 7 == 0)
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 1000.0, 4)
+        ).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        F.lit("2024-03-01").cast("date").alias("ts"),
+    )
+    dim = scd2_apply(dim, b1, "c_custkey", "ts", attrs)
+    b2 = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000.0, 4).alias("c_acctbal"),
+        F.lit("2024-06-01").cast("date").alias("ts"),
+    )
+    dim = scd2_apply(dim, b2, "c_custkey", "ts", attrs)
+    return (
+        dim.groupBy("is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("c_custkey").alias("n_keys"),
+            F.count_if(F.col("c_mktsegment") == "MOVED").alias("n_moved"),
+            F.round(F.sum(F.round("c_acctbal", 4)), 4).alias("sum_bal"),
+        )
+        .orderBy("is_current")
+    )
+
+
+SCD2_SQL = """
+WITH cur AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 20 = 0 THEN 'MOVED' ELSE c_mktsegment END AS seg,
+           CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000.0, 4)
+                ELSE c_acctbal END AS bal
+    FROM customer
+),
+closed AS (
+    SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, round(c_acctbal + 1000.0, 4)
+    FROM customer WHERE c_custkey % 20 = 0
+)
+SELECT is_current, n_rows, n_keys, n_moved, sum_bal
+FROM (
+    SELECT TRUE AS is_current, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           CAST(count(*) FILTER (seg = 'MOVED') AS BIGINT) AS n_moved,
+           round(sum(round(bal, 4)), 4) AS sum_bal
+    FROM cur
+    UNION ALL
+    SELECT FALSE, CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT c_custkey) AS BIGINT),
+           CAST(count(*) FILTER (seg = 'MOVED') AS BIGINT),
+           round(sum(round(bal, 4)), 4)
+    FROM closed
+)
+ORDER BY is_current
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1675,6 +1758,11 @@ EXT_QUERIES = {
         customer_balance_quartiles,
         QUARTILES_SQL,
         "W2: ntile windowed bucketing per segment",
+    ),
+    "scd2_customer_history": (
+        scd2_customer_history,
+        SCD2_SQL,
+        "SCD Type 2 dimension maintenance across two change batches",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -870,3 +870,40 @@ def test_winnow_fingerprints_guarantee(spark):
     assert fps[1] & fps[2], "shared >=w+k-1 run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert len(fps[4]) == 1
+
+
+def test_scd2_apply_semantics(spark):
+    """Per-row SCD2: changed attrs close the old version and open a new
+    one; unchanged updates no-op; new keys open a first version; the
+    latest update in a batch supersedes earlier ones; history passes
+    through untouched."""
+    from neulix_datahub_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        "id", ["v"], "2024-01-01",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "a2", "2024-02-01"),  # superseded within the batch...
+            (1, "a3", "2024-03-01"),  # ...by this later row
+            (2, "b", "2024-03-01"),   # unchanged -> no-op
+            (9, "n", "2024-03-01"),   # new key
+        ],
+        "id long, v string, ts string",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    out = scd2_apply(dim, updates, "id", "ts", ["v"])
+    rows = {(r.id, r.v): (str(r.valid_from), str(r.valid_to), r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, "a"): ("2024-01-01", "2024-03-01", False),
+        (1, "a3"): ("2024-03-01", "None", True),
+        (2, "b"): ("2024-01-01", "None", True),
+        (3, "c"): ("2024-01-01", "None", True),
+        (9, "n"): ("2024-03-01", "None", True),
+    }
+    # a second identical batch is a full no-op (idempotence)
+    again = scd2_apply(out, updates, "id", "ts", ["v"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))

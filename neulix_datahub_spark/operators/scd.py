@@ -96,3 +96,32 @@ def scd2_init(
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+) -> DataFrame:
+    """Point-in-time (as-of) join: each fact row picks the dimension
+    VERSION that was valid at its own timestamp — the query pattern SCD2
+    exists for. Join on the key plus the validity interval
+    (``valid_from <= ts < valid_to``, open-ended current rows match
+    everything after their ``valid_from``).
+
+    Plan shape: the interval predicate rides as a residual on the KEY
+    hash join — never a cartesian range join — because versions of one
+    key are few; per fact row at most one version matches (intervals
+    are disjoint by construction of :func:`scd2_apply`). Facts earlier
+    than a key's first version drop out (inner semantics); left-join
+    via ``how``-style needs would wrap this."""
+    ts = F.col(f"__f.{fact_ts}").cast("date")
+    cond = (
+        (F.col(f"__f.{key}") == F.col(f"__d.{key}"))
+        & (ts >= F.col("__d.valid_from"))
+        & (F.col("__d.valid_to").isNull() | (ts < F.col("__d.valid_to")))
+    )
+    return facts.alias("__f").join(dim.alias("__d"), cond).drop(
+        F.col(f"__d.{key}")
+    )

@@ -1641,6 +1641,69 @@ ORDER BY is_current
 
 
 
+def orders_at_dimension_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 point-in-time join (round 5): revenue attributed to the
+    customer segment AS OF each order's date, against a three-era
+    dimension history (bootstrap 1990-01-01; balance change for
+    custkey%10==0 at 1997-01-01; segment move to 'MOVED' for %20==0 at
+    1999-07-01 — the fixture's orders span 1995..2001, so all three
+    eras receive orders). The interval predicate rides as a residual on
+    the key hash join. The oracle resolves the same versioning with
+    CASE logic on (custkey, o_orderdate) directly."""
+    from neulix_datahub_spark.operators.scd import (
+        scd2_apply,
+        scd2_asof_join,
+        scd2_init,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    attrs = ["c_mktsegment", "c_acctbal"]
+    dim = scd2_init(
+        cust.select("c_custkey", *attrs), "c_custkey", attrs, "1990-01-01"
+    )
+    b1 = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.round(F.col("c_acctbal") + 1000.0, 4).alias("c_acctbal"),
+        F.lit("1997-01-01").cast("date").alias("ts"),
+    )
+    dim = scd2_apply(dim, b1, "c_custkey", "ts", attrs)
+    b2 = cust.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000.0, 4).alias("c_acctbal"),
+        F.lit("1999-07-01").cast("date").alias("ts"),
+    )
+    dim = scd2_apply(dim, b2, "c_custkey", "ts", attrs)
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    joined = scd2_asof_join(orders, dim, "c_custkey", "o_orderdate")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORDERS_ASOF_SQL = """
+SELECT seg AS c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM (
+    SELECT CASE WHEN c.c_custkey % 20 = 0
+                 AND CAST(o.o_orderdate AS DATE) >= DATE '1999-07-01'
+                THEN 'MOVED' ELSE c.c_mktsegment END AS seg,
+           o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1763,6 +1826,11 @@ EXT_QUERIES = {
         scd2_customer_history,
         SCD2_SQL,
         "SCD Type 2 dimension maintenance across two change batches",
+    ),
+    "orders_at_dimension_time": (
+        orders_at_dimension_time,
+        ORDERS_ASOF_SQL,
+        "SCD2 point-in-time (as-of) join: segment as of order date",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -907,3 +907,34 @@ def test_scd2_apply_semantics(spark):
     # a second identical batch is a full no-op (idempotence)
     again = scd2_apply(out, updates, "id", "ts", ["v"])
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_scd2_asof_join_picks_version_at_fact_time(spark):
+    """Each fact resolves the dimension version valid at its own ts:
+    facts before the first version drop out; boundary date belongs to
+    the NEW version (valid_from inclusive, valid_to exclusive)."""
+    from neulix_datahub_spark.operators.scd import (
+        scd2_apply,
+        scd2_asof_join,
+        scd2_init,
+    )
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "old")], "id long, v string"),
+        "id", ["v"], "2024-01-01",
+    )
+    upd = spark.createDataFrame(
+        [(1, "new", "2024-06-01")], "id long, v string, ts string"
+    ).withColumn("ts", F.col("ts").cast("date"))
+    dim = scd2_apply(dim, upd, "id", "ts", ["v"])
+    facts = spark.createDataFrame(
+        [(1, "2023-12-31"), (1, "2024-01-01"), (1, "2024-05-31"),
+         (1, "2024-06-01"), (1, "2025-01-01")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    got = sorted((str(r.ts), r.v) for r in
+                 scd2_asof_join(facts, dim, "id", "ts").collect())
+    assert got == [
+        ("2024-01-01", "old"), ("2024-05-31", "old"),
+        ("2024-06-01", "new"), ("2025-01-01", "new"),
+    ]

@@ -57,6 +57,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         contrib = (

@@ -938,3 +938,44 @@ def test_scd2_asof_join_picks_version_at_fact_time(spark):
         ("2024-01-01", "old"), ("2024-05-31", "old"),
         ("2024-06-01", "new"), ("2025-01-01", "new"),
     ]
+
+
+def test_round5_operators_empty_input_behavior(spark):
+    """Empty inputs degrade cleanly, never throw: quality checks report
+    zero violations over zero rows; pagerank of an empty edge list is
+    an empty rank table; an identical-version snapshot diff is empty;
+    a histogram over an empty slice has no buckets; winnowing an empty
+    string yields the single whole-text hash."""
+    from neulix_datahub_spark.operators import quality as Q
+    from neulix_datahub_spark.operators.graph import pagerank
+    from neulix_datahub_spark.operators.profile import value_histogram
+    from neulix_datahub_spark.operators.text import winnow_fingerprints
+
+    empty = spark.createDataFrame([], "id long, v double, s string")
+    rep = Q.run_checks(
+        empty, [*Q.not_null("id"), Q.unique("id"), Q.in_range("v", lo=0.0)]
+    ).collect()
+    assert all(r.passed and r.violations == 0 and r.total_rows == 0 for r in rep)
+
+    no_edges = spark.createDataFrame([], "src string, dst string, weight double")
+    assert pagerank(no_edges, iterations=2).count() == 0
+
+    hist = value_histogram(empty, "v", bins=4, lo=0.0, hi=1.0)
+    assert hist.count() == 0
+
+    one = spark.createDataFrame([("",)], "text string")
+    fps = one.select(winnow_fingerprints("text").alias("f")).first()["f"]
+    assert len(fps) == 1
+
+
+def test_snapshot_diff_identical_versions_is_empty(spark, tmp_path):
+    from neulix_datahub_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    v1 = write_snapshot(df, root)
+    write_snapshot(df, root)
+    assert snapshot_diff(spark, root, from_version=v1, key="id").count() == 0

@@ -188,20 +188,68 @@ def write_snapshot(df: DataFrame, root: str, expected=_UNSET) -> str:
     return version
 
 
+def align_schemas(target: DataFrame, updates: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for a MERGE: widen both sides to the UNION of
+    their columns, null-filling what a side lacks (new columns typed
+    from the side that has them — the Delta ``mergeSchema`` additive
+    rule). Columns present on both sides must already agree in type;
+    changing a column's type is a rewrite, not an upsert, and raises."""
+    from pyspark.sql import functions as F
+
+    t_fields = {f.name: f.dataType for f in target.schema.fields}
+    u_fields = {f.name: f.dataType for f in updates.schema.fields}
+    for name in t_fields.keys() & u_fields.keys():
+        if t_fields[name] != u_fields[name]:
+            raise ValueError(
+                f"column {name!r} changes type {t_fields[name].simpleString()} "
+                f"-> {u_fields[name].simpleString()}: type changes need a "
+                "full-table write_snapshot, not an upsert"
+            )
+    cols = list(t_fields) + [c for c in u_fields if c not in t_fields]
+    widen = lambda df, have, types: df.select(  # noqa: E731
+        *[
+            F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+            for c in cols
+        ]
+    )
+    return (
+        widen(target, t_fields, u_fields),
+        widen(updates, u_fields, t_fields),
+    )
+
+
 def upsert_snapshot(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
     key: str,
     tiebreak: str | None = None,
+    allow_new_columns: bool = False,
 ) -> str:
     """J2 keyed upsert as a snapshot publish: read current → last-write-
     wins merge (``operators.upsert.upsert``) → publish. Readers see the
-    pre- or post-upsert table, never a mixture."""
+    pre- or post-upsert table, never a mixture.
+
+    ``allow_new_columns=True`` turns on additive schema evolution
+    (:func:`align_schemas`): updates may carry columns the table lacks
+    (existing rows read null there) and may omit columns the table has
+    (upserted rows get null). Off by default so a typo'd column fails
+    loudly instead of silently forking the schema. Time travel is
+    unaffected — historical versions keep their own schema."""
     from neulix_datahub_spark.operators.upsert import upsert
 
     based_on = current_version(root)
     target = read_snapshot_table(spark, root, version=based_on)
+    if allow_new_columns:
+        target, updates = align_schemas(target, updates)
+    else:
+        extra = set(updates.columns) - set(target.columns)
+        if extra:
+            raise ValueError(
+                f"updates carry columns the table lacks: {sorted(extra)} — "
+                "pass allow_new_columns=True for additive schema evolution "
+                "(the plain upsert would silently drop them)"
+            )
     return write_snapshot(
         upsert(target, updates, key, tiebreak=tiebreak), root, expected=based_on
     )

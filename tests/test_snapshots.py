@@ -239,3 +239,41 @@ def test_apply_change_feed_inverts_diff(spark, tmp_path):
     assert _rows(replayed) == sorted(new_rows)
     with pytest.raises(ValueError, match="_change_type"):
         apply_change_feed(old, old, key="id")
+
+
+def test_upsert_snapshot_schema_evolution(spark, tmp_path):
+    """allow_new_columns widens the table additively: new columns arrive
+    null-filled for existing rows, updates missing old columns get
+    null, historical versions keep their own schema, type changes
+    refuse, and the default stays strict."""
+    from neulix_datahub_spark.sources.snapshots import upsert_snapshot
+
+    root = str(tmp_path / "tbl")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), root
+    )
+    updates = spark.createDataFrame(
+        [(2, "B2", 9.5), (3, None, 1.25)], "id long, v string, score double"
+    )
+    with pytest.raises(Exception):  # strict by default (unionByName fails)
+        upsert_snapshot(spark, root, updates, key="id")
+    upsert_snapshot(spark, root, updates, key="id", allow_new_columns=True)
+    got = {r.id: (r.v, r.score) for r in read_snapshot_table(spark, root).collect()}
+    assert got == {1: ("a", None), 2: ("B2", 9.5), 3: (None, 1.25)}
+    # updates may also OMIT table columns now
+    upsert_snapshot(
+        spark, root,
+        spark.createDataFrame([(4,)], "id long"),
+        key="id", allow_new_columns=True,
+    )
+    got = {r.id: (r.v, r.score) for r in read_snapshot_table(spark, root).collect()}
+    assert got[4] == (None, None) and got[1] == ("a", None)
+    # time travel: v1 keeps the original two-column schema
+    assert read_snapshot_table(spark, root, version=v1).columns == ["id", "v"]
+    # type change refuses with a named error
+    with pytest.raises(ValueError, match="changes type"):
+        upsert_snapshot(
+            spark, root,
+            spark.createDataFrame([(5, 1)], "id long, v int"),
+            key="id", allow_new_columns=True,
+        )

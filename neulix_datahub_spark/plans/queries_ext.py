@@ -385,11 +385,9 @@ def doc_store_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from neulix_datahub_spark.sources.adapters import upsert_to_document_store
+    from neulix_datahub_spark.sources.io import warehouse_scratch
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    store = os.path.join(wh, f"_neulix_docstore_{uuid.uuid4().hex}")
-    os.makedirs(store, exist_ok=True)
+    store = warehouse_scratch(spark, "_neulix_docstore_")
 
     def write_batch(batch: list[dict]) -> None:
         path = os.path.join(store, f"{uuid.uuid4().hex}.json")
@@ -430,14 +428,13 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a green row proves the ORC sink/scan round-trips every row and
     type (long keys, double prices, strings) through Spark's native
     vectorized ORC path."""
-    import os
-    import uuid
+    from neulix_datahub_spark.sources.io import (
+        read_orc,
+        warehouse_scratch,
+        write_orc,
+    )
 
-    from neulix_datahub_spark.sources.io import read_orc, write_orc
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    path = os.path.join(wh, f"_neulix_orc_rt_{uuid.uuid4().hex}")
+    path = warehouse_scratch(spark, "_neulix_orc_rt_")
     part = _t(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice"
     )
@@ -476,15 +473,13 @@ def partitioned_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a green row proves the partitioned sink round-trips every row
     (including the partition column's value<->directory encoding) and
     that pruning dropped nothing it shouldn't."""
-    import os
-    import uuid
-
-    from neulix_datahub_spark.sources.io import write_partitioned_parquet
+    from neulix_datahub_spark.sources.io import (
+        warehouse_scratch,
+        write_partitioned_parquet,
+    )
 
     ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    path = os.path.join(wh, f"_neulix_events_parted_{uuid.uuid4().hex}")
+    path = warehouse_scratch(spark, "_neulix_events_parted_")
     write_partitioned_parquet(ev, path, ["event_date"])
     back = spark.read.parquet(path).filter(
         (F.col("event_date") >= F.lit("2024-01-08").cast("date"))
@@ -525,9 +520,7 @@ def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert aggregate from the raw customer table. The snapshot root is
     derived from the shared warehouse dir (executors write the snapshot
     parquet), like every scratch path in this module."""
-    import os
-    import uuid
-
+    from neulix_datahub_spark.sources.io import warehouse_scratch
     from neulix_datahub_spark.sources.snapshots import (
         current_version,
         read_snapshot_table,
@@ -535,9 +528,7 @@ def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    root = os.path.join(wh, f"_neulix_snap_{uuid.uuid4().hex}")
+    root = warehouse_scratch(spark, "_neulix_snap_")
     cust = _t(spark, sf_dir, "customer")
     v1 = write_snapshot(cust, root)
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
@@ -591,9 +582,7 @@ def snapshot_changes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the OLD — which the oracle recomputes from the raw customer table
     with the same CASE arithmetic. One full-outer join on the key; the
     value comparison is a single struct eqNullSafe."""
-    import os
-    import uuid
-
+    from neulix_datahub_spark.sources.io import warehouse_scratch
     from neulix_datahub_spark.sources.snapshots import (
         read_snapshot_table,
         snapshot_diff,
@@ -601,9 +590,7 @@ def snapshot_changes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_snapshot,
     )
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    root = os.path.join(wh, f"_neulix_snapdiff_{uuid.uuid4().hex}")
+    root = warehouse_scratch(spark, "_neulix_snapdiff_")
     cust = _t(spark, sf_dir, "customer")
     v1 = write_snapshot(cust, root)
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(

@@ -30,16 +30,11 @@ from neulix_datahub_spark.streaming.windows import (
 
 def _scratch(spark: SparkSession, prefix: str) -> str:
     """Scratch root under the shared warehouse dir (executors write the
-    snapshot parquet, so the path must resolve cluster-wide — same
-    convention as the batch snapshot queries in queries_ext.py)."""
-    import os
-    import uuid
+    snapshot parquet, so the path must resolve cluster-wide), with
+    stale-sibling sweeping — see io.warehouse_scratch."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file://").removeprefix("file:")
-    path = os.path.join(wh, f"{prefix}{uuid.uuid4().hex}")
-    os.makedirs(path, exist_ok=True)
-    return path
+    return warehouse_scratch(spark, prefix)
 
 
 def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

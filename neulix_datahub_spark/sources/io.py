@@ -35,6 +35,37 @@ LOAD_BEHAVIORS = {
 }
 
 
+def warehouse_scratch(
+    spark: SparkSession, prefix: str, stale_seconds: float = 3600.0
+) -> str:
+    """Create a scratch directory under ``spark.sql.warehouse.dir`` — the
+    root every deployment shares between driver and executors, so
+    executor-side writes and driver read-backs resolve to the same
+    place (tempfile.mkdtemp only works in local mode). Each call also
+    opportunistically sweeps same-prefix siblings whose mtime is older
+    than ``stale_seconds``, so repeated demo/bench runs don't grow the
+    warehouse without bound (the grace window protects concurrent
+    runs, same policy as ``snapshots.vacuum_snapshots``)."""
+    import shutil
+    import time
+    import uuid as _uuid
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file://").removeprefix("file:")
+    cutoff = time.time() - stale_seconds
+    if os.path.isdir(wh):
+        for d in os.listdir(wh):
+            p = os.path.join(wh, d)
+            try:
+                if d.startswith(prefix) and os.path.getmtime(p) <= cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except FileNotFoundError:
+                continue
+    path = os.path.join(wh, f"{prefix}{_uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """IO1: parquet scan (reference ``data_core.py:73-79``)."""
     return spark.read.parquet(path)

@@ -327,3 +327,21 @@ def test_layout_clustering_and_bloom_filters(spark, tmp_path):
     )
     assert size(clustered) > size(plain)
     assert spark.read.parquet(clustered).count() == ev.count()
+
+
+def test_warehouse_scratch_sweeps_stale_siblings(spark):
+    import os
+    import shutil
+
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    a = warehouse_scratch(spark, "_neulix_scratchtest_")
+    assert os.path.isdir(a)
+    old = 1_000_000_000.0
+    os.utime(a, (old, old))
+    b = warehouse_scratch(spark, "_neulix_scratchtest_")
+    assert not os.path.isdir(a)  # stale sibling swept
+    assert os.path.isdir(b)      # fresh one kept
+    c = warehouse_scratch(spark, "_neulix_scratchtest_")
+    assert os.path.isdir(b) and os.path.isdir(c)  # fresh siblings survive
+    shutil.rmtree(b); shutil.rmtree(c)

@@ -1691,6 +1691,83 @@ ORDER BY seg
 
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 completion (round 5): explicit GROUPING SETS — the
+    non-hierarchical multi-grain aggregate rollup/cube can't express
+    ((status, priority), (status), (priority)) without also paying the
+    grand total. Spark spells it via SQL on a registered temp view (the
+    DataFrame API has rollup/cube only); grouping() flags distinguish
+    real nulls from subtotal rows."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), (o_orderpriority))
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 completion (round 5): UNPIVOT/melt — wide measures to long
+    (measure, value) rows via the native unpivot (Expand node: one scan,
+    no join, ×#measures fan-out), aggregated per (returnflag, measure)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    long = li.unpivot(
+        ["l_returnflag"], ["quantity", "extendedprice", "discount"],
+        "measure", "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_returnflag, measure,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value
+FROM (
+    SELECT l_returnflag, 'quantity' AS measure,
+           CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+GROUP BY 1, 2
+ORDER BY l_returnflag, measure
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1818,6 +1895,16 @@ EXT_QUERIES = {
         orders_at_dimension_time,
         ORDERS_ASOF_SQL,
         "SCD2 point-in-time (as-of) join: segment as of order date",
+    ),
+    "grouping_sets_revenue": (
+        grouping_sets_revenue,
+        GROUPING_SETS_SQL,
+        "A7: explicit GROUPING SETS with grouping() flags",
+    ),
+    "unpivot_lineitem_measures": (
+        unpivot_lineitem_measures,
+        UNPIVOT_SQL,
+        "A7: native unpivot (wide->long Expand, no join)",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

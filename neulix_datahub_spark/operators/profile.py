@@ -211,3 +211,42 @@ def value_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def winsorize(
+    df: DataFrame, col: str, lo_pct: float = 0.01, hi_pct: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """A1/F-cleaning extension: clamp ``col`` to its exact
+    [``lo_pct``, ``hi_pct``] percentiles — the standard heavy-tail
+    treatment before training-statistics aggregation. Two jobs: one
+    percentile aggregate (a bounded 2-value driver collect — the bounds
+    ARE driver state, like k-means centroids), one narrow map. At
+    100 TB swap ``F.percentile`` for ``F.percentile_approx`` (mergeable
+    GK sketch) — same two-job shape."""
+    p = df.agg(
+        F.percentile(col, F.array(F.lit(lo_pct), F.lit(hi_pct))).alias("p")
+    ).first()["p"]
+    lo, hi = float(p[0]), float(p[1])
+    return df.withColumn(
+        out_col or col, F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+    )
+
+
+def mad_outlier_flag(
+    df: DataFrame, col: str, threshold: float = 3.5, flag_col: str = "is_outlier"
+) -> DataFrame:
+    """Robust outlier flag via the Iglewicz–Hoaglin modified z-score:
+    ``|0.6745 · (x − median) / MAD| > threshold``. Median/MAD resist
+    the very outliers a mean/std rule would absorb. Two bounded
+    percentile jobs for the scalars, then a narrow map; the z-score is
+    rounded to 6 dp before the comparison so an engine-replay (the
+    DuckDB oracle) cannot flip a borderline row on 1e-12 noise. A
+    zero-MAD column (>=50% constant values) flags nothing rather than
+    dividing by zero."""
+    med = float(df.agg(F.percentile(col, F.lit(0.5))).first()[0])
+    mad = float(df.agg(F.percentile(F.abs(F.col(col) - med), F.lit(0.5))).first()[0])
+    if mad == 0.0:
+        return df.withColumn(flag_col, F.lit(False))
+    z = F.round(F.abs(0.6745 * (F.col(col) - med) / mad), 6)
+    return df.withColumn(flag_col, z > threshold)

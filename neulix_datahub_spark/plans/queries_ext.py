@@ -1768,6 +1768,56 @@ ORDER BY l_returnflag, measure
 
 
 
+def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-stats tier (round 5): winsorized revenue + MAD outlier
+    counts per order status — the heavy-tail treatment
+    (operators/profile.py winsorize / mad_outlier_flag) every
+    training-statistics pipeline applies before aggregating. The
+    oracle recomputes the exact percentile bounds, the clamped sum,
+    and the 6-dp-rounded modified z-scores from scratch."""
+    from neulix_datahub_spark.operators.profile import (
+        mad_outlier_flag,
+        winsorize,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    w = winsorize(orders, "o_totalprice", 0.05, 0.95, out_col="price_w")
+    flagged = mad_outlier_flag(w, "o_totalprice")
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price_w"), 4).alias("sum_winsorized"),
+            F.count_if(F.col("is_outlier")).alias("n_outliers"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ROBUST_PRICE_SQL = """
+WITH b AS (
+    SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+           quantile_cont(o_totalprice, 0.95) AS hi,
+           quantile_cont(o_totalprice, 0.5) AS med
+    FROM orders
+),
+d AS (
+    SELECT quantile_cont(abs(o_totalprice - b.med), 0.5) AS mad
+    FROM orders, b
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(least(greatest(o_totalprice, b.lo), b.hi)), 4) AS sum_winsorized,
+       CAST(count(*) FILTER (
+            round(abs(0.6745 * (o_totalprice - b.med) / d.mad), 6) > 3.5
+       ) AS BIGINT) AS n_outliers
+FROM orders, b, d
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1905,6 +1955,11 @@ EXT_QUERIES = {
         unpivot_lineitem_measures,
         UNPIVOT_SQL,
         "A7: native unpivot (wide->long Expand, no join)",
+    ),
+    "robust_price_stats": (
+        robust_price_stats,
+        ROBUST_PRICE_SQL,
+        "robust stats: winsorized sums + MAD modified-z outlier counts",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -87,3 +87,32 @@ def build_dag(dag_id: str = "neulix_capture", schedule: str = "@daily"):
     # corresponding *_task with paths from dag_run.conf / XCom manifests.
     PythonOperator  # referenced for the template; wiring is deployment-specific
     return dag
+
+
+def with_retries(fn, retries: int = 2, retry_delay_s: float = 5.0,
+                 backoff: float = 2.0, sleep=None):
+    """Standalone mirror of the reference DAG's retry policy
+    (``core/airflow/dags/data_capture/wikipedia_dag.py:11-14`` —
+    retries + retry_delay): wrap a task callable so transient failures
+    re-run with exponential backoff when no scheduler is supervising.
+    Under Airflow the operator's own retry config applies instead —
+    don't stack both. ``sleep`` is injectable for tests."""
+    import functools
+    import time as _time
+
+    do_sleep = sleep or _time.sleep
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        delay = retry_delay_s
+        for attempt in range(retries + 1):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:
+                if attempt == retries:
+                    raise
+                do_sleep(delay)
+                delay *= backoff
+        raise AssertionError("unreachable")
+
+    return wrapped

@@ -231,3 +231,28 @@ def test_smtp_config_from_secrets():
     assert cfg["smtp_host"] == "mail.internal"
     assert cfg["smtp_from"] == "noreply@example.com"
     assert cfg["smtp_user"] is None
+
+
+def test_with_retries_backoff_and_reraise():
+    from neulix_datahub_spark.orchestration.dag_template import with_retries
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, retries=3, retry_delay_s=1.0,
+                        sleep=sleeps.append)() == "ok"
+    assert calls["n"] == 3 and sleeps == [1.0, 2.0]
+
+    def always():
+        raise RuntimeError("permanent")
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="permanent"):
+        with_retries(always, retries=1, retry_delay_s=0.5, sleep=sleeps.append)()
+    assert sleeps == [1.0, 2.0, 0.5]

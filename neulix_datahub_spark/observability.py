@@ -58,3 +58,71 @@ def observed_write(
     if logger is not None:
         logger.inf(f"wrote {record.get('n_rows', '?')} rows to {path}", **record)
     return record
+
+
+def observe_stream(
+    df: DataFrame, name: str, metrics: dict[str, Column] | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`with_metrics`: attach named accumulator
+    metrics to a STREAMING DataFrame. Spark evaluates them per
+    micro-batch during the batch's own processing (zero extra passes);
+    collect them with :class:`StreamMetricsCollector` — the
+    ``Observation`` handle used batch-side does not support streams."""
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    first, *rest = [expr.alias(n) for n, expr in metrics.items()]
+    return df.observe(name, first, *rest)
+
+
+class StreamMetricsCollector:
+    """StreamingQueryListener that accumulates the observed-metrics rows
+    of every micro-batch for one observation ``name`` — the engine-side
+    feed for the reference-style per-operation op log, without a second
+    pass over the stream.
+
+    Usage::
+
+        col = StreamMetricsCollector(spark, "ingest")
+        try:
+            q = observe_stream(stream, "ingest").writeStream...start()
+            q.awaitTermination()
+        finally:
+            col.close()
+        col.batches  # [{'n_rows': ...}, ...] one dict per micro-batch
+
+    ``close()`` (or the context-manager exit) detaches the listener —
+    leaked listeners outlive the query and double-count the next one."""
+
+    def __init__(self, spark, name: str):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.batches: list[dict] = []
+        outer = self
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                om = event.progress.observedMetrics
+                if name in om:
+                    outer.batches.append(om[name].asDict())
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self._listener = _L()
+        self._spark = spark
+        spark.streams.addListener(self._listener)
+
+    def close(self) -> None:
+        self._spark.streams.removeListener(self._listener)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

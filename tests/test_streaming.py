@@ -318,3 +318,39 @@ def test_stream_to_partitioned_parquet_exactly_once(spark, tmp_path):
         stream2, out, ["event_date"], ckpt
     ).awaitTermination()
     assert spark.read.parquet(out).count() == want
+
+
+def test_stream_observed_metrics_per_batch(spark, tmp_path):
+    """observe_stream + StreamMetricsCollector capture per-micro-batch
+    accumulator metrics during the batch's own processing; the batch
+    totals sum to the fixture row count and carry the custom
+    aggregate."""
+    from neulix_datahub_spark.observability import (
+        StreamMetricsCollector,
+        observe_stream,
+    )
+
+    stream = observe_stream(
+        read_events_stream(spark, SF_DIR),
+        "ingest",
+        {"n_rows": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+    )
+    with StreamMetricsCollector(spark, "ingest") as col:
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously post-termination
+        import time
+
+        for _ in range(100):
+            if col.batches:
+                break
+            time.sleep(0.1)
+
+    want = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert sum(b["n_rows"] for b in col.batches) == want
+    assert all("sum_value" in b for b in col.batches)

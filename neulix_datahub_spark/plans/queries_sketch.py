@@ -238,6 +238,52 @@ SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node
 """
 
 
+def hll_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch MERGEABILITY (round 5): the property that makes HLL the
+    100 TB distinct-count plan — per-DAY partial sketches stored once,
+    any date-range distinct answered by unioning partials, never
+    rescanning. The query builds 30 daily user_id sketches, unions
+    them, and pins:
+
+    - ``merged_equals_one_shot`` — HLL is a register-max lattice, so
+      union(daily sketches) is bit-equivalent to the single-pass global
+      sketch; their estimates must match EXACTLY (pinned TRUE);
+    - ``estimate_within_5pct`` — merged estimate vs the exact distinct
+      count the oracle recomputes (lgConfigK=12 → ~1.6% rse; 5% gate);
+    - ``exact_users`` / ``n_days`` — oracle-recomputed anchors."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("__d")).agg(
+        F.hll_sketch_agg("user_id").alias("__sk")
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    one_shot = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("__o"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return merged.crossJoin(one_shot).select(
+        "exact_users",
+        "n_days",
+        (F.col("__m") == F.col("__o")).alias("merged_equals_one_shot"),
+        (
+            F.abs(F.col("__m") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("estimate_within_5pct"),
+    )
+
+
+_HLL_MERGE_SQL = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       TRUE AS merged_equals_one_shot,
+       TRUE AS estimate_within_5pct
+FROM events
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_semi_join_revenue": (
         bloom_semi_join_revenue,
@@ -258,6 +304,11 @@ SKETCH_QUERIES = {
         hash_split_profile,
         _HASH_SPLIT_SQL,
         "Content-hash train/val/test split profile",
+    ),
+    "hll_daily_merge_check": (
+        hll_daily_merge_check,
+        _HLL_MERGE_SQL,
+        "A3: HLL partial-sketch mergeability (daily rollup == one-shot)",
     ),
     "event_pagerank": (
         event_pagerank,

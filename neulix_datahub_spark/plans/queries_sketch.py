@@ -245,9 +245,12 @@ def hll_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescanning. The query builds 30 daily user_id sketches, unions
     them, and pins:
 
-    - ``merged_equals_one_shot`` — HLL is a register-max lattice, so
-      union(daily sketches) is bit-equivalent to the single-pass global
-      sketch; their estimates must match EXACTLY (pinned TRUE);
+    - ``merged_within_2pct_of_one_shot`` — the union is NOT guaranteed
+      bit-equivalent to the single-pass sketch (Datasketches promotes
+      sparse partials through a different mode ladder: measured
+      merged=1488 vs one-shot=1499 at sf0.1's 1500 users, identical at
+      low cardinality), but the estimates must agree tightly — gate 2%
+      vs the exact anchor, measured max divergence 0.74%;
     - ``estimate_within_5pct`` — merged estimate vs the exact distinct
       count the oracle recomputes (lgConfigK=12 → ~1.6% rse; 5% gate);
     - ``exact_users`` / ``n_days`` — oracle-recomputed anchors."""
@@ -266,7 +269,9 @@ def hll_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(one_shot).select(
         "exact_users",
         "n_days",
-        (F.col("__m") == F.col("__o")).alias("merged_equals_one_shot"),
+        (
+            F.abs(F.col("__m") - F.col("__o")) / F.col("exact_users") <= 0.02
+        ).alias("merged_within_2pct_of_one_shot"),
         (
             F.abs(F.col("__m") - F.col("exact_users"))
             / F.col("exact_users")
@@ -278,7 +283,7 @@ def hll_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_MERGE_SQL = """
 SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-       TRUE AS merged_equals_one_shot,
+       TRUE AS merged_within_2pct_of_one_shot,
        TRUE AS estimate_within_5pct
 FROM events
 """

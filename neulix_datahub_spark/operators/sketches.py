@@ -202,3 +202,16 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min partials: counters are pure sums, so the merge is
+    union + re-sum per (seed, bucket) cell — and unlike HLL's mode
+    ladder, the merged sketch is EXACTLY the sketch of the concatenated
+    input (asserted by the driver-checked merge query). This is what
+    lets per-day/per-shard sketches be stored once and any range be
+    answered by addition, never a rescan."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))

@@ -238,6 +238,44 @@ SELECT node, round(rank, 6) AS rank FROM r5 ORDER BY node
 """
 
 
+def cms_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch mergeability, exact tier (round 5): count-min counters
+    are sums, so per-day partial sketches merged by addition are
+    IDENTICAL to the one-shot sketch — the complement of
+    ``hll_daily_merge_check``, whose union is only tolerance-close.
+    Builds 30 daily sketches, merges them (``cms_merge``), estimates
+    the top-10 users, and emits those estimates alongside the exact
+    counts; the oracle rebuilds the ONE-SHOT sketch in SQL — a hash
+    match therefore proves merged == one-shot cell-for-cell on every
+    probed path, plus the estimate arithmetic."""
+    from neulix_datahub_spark.operators.sketches import cms_merge
+
+    ev = load_table(spark, sf_dir, "events")
+    # one partial per day-of-month (30 partials; the day list is a
+    # bounded driver collect, like a partition listing)
+    days = [r[0] for r in ev.select(F.dayofmonth("ts")).distinct().collect()]
+    daily = [
+        cms_build(ev.filter(F.dayofmonth("ts") == d), "user_id", width=256, depth=4)
+        for d in sorted(days)
+    ]
+    sketch = cms_merge(*daily)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id", width=256, depth=4)
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id", "exact_count",
+            F.col("cms_count").cast("long").alias("cms_count"),
+        )
+        .orderBy(F.desc("exact_count"), "user_id")
+    )
+
+
 def hll_daily_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 sketch MERGEABILITY (round 5): the property that makes HLL the
     100 TB distinct-count plan — per-DAY partial sketches stored once,
@@ -309,6 +347,11 @@ SKETCH_QUERIES = {
         hash_split_profile,
         _HASH_SPLIT_SQL,
         "Content-hash train/val/test split profile",
+    ),
+    "cms_daily_merge_check": (
+        cms_daily_merge_check,
+        _CMS_SQL,
+        "A3: CMS partial-sketch merge == one-shot sketch (exact, oracle-rebuilt)",
     ),
     "hll_daily_merge_check": (
         hll_daily_merge_check,

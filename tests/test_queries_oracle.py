@@ -57,6 +57,7 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
         "snapshot_upsert_stats", "partitioned_events_stats",
         "orc_roundtrip_stats", "snapshot_changes_stats",
         "quality_report_orders", "robust_price_stats",
+        "cms_daily_merge_check",
         "bucketed_revenue_by_priority", "kmeans_cluster_profile",
         "ivf_top10", "ivf_recall_check", "ivf_batch_recall_check", "cosine_top10",
     }

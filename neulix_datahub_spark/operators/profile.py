@@ -250,3 +250,46 @@ def mad_outlier_flag(
         return df.withColumn(flag_col, F.lit(False))
     z = F.round(F.abs(0.6745 * (F.col(col) - med) / mad), 6)
     return df.withColumn(flag_col, z > threshold)
+
+
+def population_stability_index(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Drift monitoring (the training-data op): PSI between a reference
+    and a current sample of ``col`` over a shared fixed-range bucketing
+    — ``Σ (p_i − q_i) · ln(p_i / q_i)`` with proportions clamped to
+    ``eps`` so an empty bucket contributes a large-but-finite term
+    (<0.1 stable, 0.1–0.25 drifting, >0.25 shifted, the usual reading).
+
+    One scan per side (the two histograms), a ≤``bins``-row join, and a
+    1-row reduce — sample sizes never meet in a shuffle. Returns one
+    row: ``(psi, n_ref, n_cur)``."""
+    hr = value_histogram(ref, col, bins, lo, hi).select(
+        "bucket", F.col("cnt").alias("__r")
+    )
+    hc = value_histogram(cur, col, bins, lo, hi).select(
+        "bucket", F.col("cnt").alias("__c")
+    )
+    allb = hr.join(hc, "bucket", "full_outer").select(
+        F.coalesce("__r", F.lit(0)).alias("__r"),
+        F.coalesce("__c", F.lit(0)).alias("__c"),
+    )
+    tot = allb.agg(
+        F.sum("__r").alias("nr"), F.sum("__c").alias("nc")
+    )
+    terms = allb.crossJoin(tot).select(
+        F.greatest(F.col("__r") / F.col("nr"), F.lit(eps)).alias("p"),
+        F.greatest(F.col("__c") / F.col("nc"), F.lit(eps)).alias("q"),
+        "nr", "nc",
+    )
+    return terms.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6).alias("psi"),
+        F.max("nr").cast("bigint").alias("n_ref"),
+        F.max("nc").cast("bigint").alias("n_cur"),
+    )

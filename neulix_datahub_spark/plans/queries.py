@@ -1713,7 +1713,7 @@ _PRIORITY_R5 = [
 # copurchased_brand_pairs, customer_balance_quartiles, stream_hourly_rollup,
 # scd2_customer_history, orders_at_dimension_time, grouping_sets_revenue,
 # unpivot_lineitem_measures, robust_price_stats, hll_daily_merge_check,
-# cms_daily_merge_check,
+# cms_daily_merge_check, price_drift_psi,
 # snapshot_changes_stats — all sim-green at sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

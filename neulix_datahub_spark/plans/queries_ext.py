@@ -1818,6 +1818,51 @@ ORDER BY o_orderstatus
 
 
 
+def price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring (round 5): population stability index of the
+    order-price distribution between the 1995–1997 era (reference) and
+    1998+ (current), over the shared 20-bucket [0, 600k] grid — the
+    check a training pipeline runs before mixing eras. Two histogram
+    scans, a ≤20-row join, one reduce; the oracle recomputes the
+    clamped-proportion PSI arithmetic exactly."""
+    from neulix_datahub_spark.operators.profile import (
+        population_stability_index,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.year("o_orderdate") <= 1997)
+    cur = orders.filter(F.year("o_orderdate") >= 1998)
+    return population_stability_index(
+        ref, cur, "o_totalprice", bins=20, lo=0.0, hi=600_000.0
+    )
+
+
+PRICE_DRIFT_SQL = """
+WITH b AS (
+    SELECT least(19, CAST(floor(o_totalprice / 30000.0) AS INT)) AS bucket,
+           CASE WHEN year(o_orderdate) <= 1997 THEN 1 ELSE 0 END AS is_ref
+    FROM orders
+    WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0 AND o_totalprice <= 600000
+),
+h AS (
+    SELECT bucket,
+           sum(is_ref) AS r, sum(1 - is_ref) AS c
+    FROM b GROUP BY bucket
+),
+t AS (SELECT sum(r)::DOUBLE AS nr, sum(c)::DOUBLE AS nc FROM h)
+SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(t.nr AS BIGINT) AS n_ref,
+       CAST(t.nc AS BIGINT) AS n_cur
+FROM (
+    SELECT greatest(h.r / t.nr, 1e-6) AS p,
+           greatest(h.c / t.nc, 1e-6) AS q
+    FROM h, t
+), t
+GROUP BY t.nr, t.nc
+"""
+
+
+
 EXT_QUERIES = {
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
@@ -1960,6 +2005,11 @@ EXT_QUERIES = {
         robust_price_stats,
         ROBUST_PRICE_SQL,
         "robust stats: winsorized sums + MAD modified-z outlier counts",
+    ),
+    "price_drift_psi": (
+        price_drift_psi,
+        PRICE_DRIFT_SQL,
+        "drift: population stability index between order-date eras",
     ),
     "q10_returned_revenue": (q10_returned_revenue, Q10_SQL, "J4 Q10"),
     "q14_promo_share": (q14_promo_share, Q14_SQL, "J4 Q14 conditional agg"),

@@ -979,3 +979,19 @@ def test_snapshot_diff_identical_versions_is_empty(spark, tmp_path):
     v1 = write_snapshot(df, root)
     write_snapshot(df, root)
     assert snapshot_diff(spark, root, from_version=v1, key="id").count() == 0
+
+
+def test_psi_semantics(spark):
+    """PSI is ~0 for identical samples and large for disjoint ones; the
+    eps clamp keeps one-sided-empty buckets finite."""
+    from neulix_datahub_spark.operators.profile import (
+        population_stability_index,
+    )
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "x double")
+    same = population_stability_index(a, a, "x", bins=10, lo=0.0, hi=10.0).first()
+    assert abs(same.psi) < 1e-9 and same.n_ref == same.n_cur == 100
+
+    b = spark.createDataFrame([(float(5 + i % 5),) for i in range(100)], "x double")
+    shifted = population_stability_index(a, b, "x", bins=10, lo=0.0, hi=10.0).first()
+    assert shifted.psi > 0.25  # "shifted" band

@@ -995,3 +995,25 @@ def test_psi_semantics(spark):
     b = spark.createDataFrame([(float(5 + i % 5),) for i in range(100)], "x double")
     shifted = population_stability_index(a, b, "x", bins=10, lo=0.0, hi=10.0).first()
     assert shifted.psi > 0.25  # "shifted" band
+
+
+def test_correlation_matrix_matches_numpy(spark):
+    """The fused one-pass corr matrix equals numpy's corrcoef pairwise
+    (engine-stable Welford accumulation vs numpy's centered product) and
+    covers the full upper triangle including the unit diagonal."""
+    import numpy as np
+
+    from neulix_datahub_spark.operators.profile import correlation_matrix
+
+    rng = [(float(i), float(i * i % 17), float((7 - i) % 5)) for i in range(50)]
+    df = spark.createDataFrame(rng, "a double, b double, c double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+    arr = np.array(rng)
+    cols = ["a", "b", "c"]
+    want = np.corrcoef(arr, rowvar=False)
+    assert len(got) == 6  # 3 diagonal + 3 upper
+    for i, x in enumerate(cols):
+        for j, y in enumerate(cols):
+            if i <= j:
+                assert abs(got[(x, y)] - round(float(want[i, j]), 6)) <= 1e-6, (x, y)

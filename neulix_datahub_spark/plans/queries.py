@@ -1597,10 +1597,18 @@ QUERIES: dict[str, QuerySpec] = {
 from neulix_datahub_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_llm import LLM_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_sketch import SKETCH_QUERIES  # noqa: E402
+from neulix_datahub_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_stream import STREAM_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_tpch import TPCH_QUERIES  # noqa: E402
 
-for _registry in (EXT_QUERIES, TPCH_QUERIES, LLM_QUERIES, STREAM_QUERIES, SKETCH_QUERIES):
+for _registry in (
+    EXT_QUERIES,
+    TPCH_QUERIES,
+    LLM_QUERIES,
+    STREAM_QUERIES,
+    SKETCH_QUERIES,
+    ANALYTICS_QUERIES,
+):
     for _name, (_fn, _sql, _doc) in _registry.items():
         QUERIES[_name] = QuerySpec(_fn, _sql, _doc)
 
@@ -1714,7 +1722,10 @@ _PRIORITY_R5 = [
 # scd2_customer_history, orders_at_dimension_time, grouping_sets_revenue,
 # unpivot_lineitem_measures, robust_price_stats, hll_daily_merge_check,
 # cms_daily_merge_check, price_drift_psi,
-# snapshot_changes_stats — all sim-green at sf0.01), then the
+# snapshot_changes_stats,
+# event_funnel_stats, cohort_retention, user_activity_streaks,
+# rolling_revenue_7d, gap_filled_daily_series, variant_props_stats
+# — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.
 assert set(_PRIORITY_R5) <= set(QUERIES), sorted(set(_PRIORITY_R5) - set(QUERIES))

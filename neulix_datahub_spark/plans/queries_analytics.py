@@ -1,0 +1,415 @@
+"""Event-analytics / time-series tier (round 5): the product-analytics
+queries every events warehouse runs — funnel conversion, cohort
+retention, activity streaks (gaps-and-islands), range-frame rolling
+aggregates, time-spine gap filling with LOCF, and the Spark-4 VARIANT
+path for semi-structured payloads.
+
+The reference's events surface is poll-based dashboards over SQL
+(``core/utils/db_core.py:119-135`` delegates arbitrary SQL to the
+warehouse); these are the canonical dashboard queries re-expressed as
+native DataFrame plans. Registered into the main QUERIES dict by
+plans/queries.py.
+
+Scale notes (100 TB design point):
+- Funnel/cohort/streak plans shuffle on ``user_id`` only — every join
+  and window is co-partitioned on the same key, so AQE reuses one
+  exchange layout; per-user state after the first aggregation is a few
+  rows regardless of raw event volume.
+- The rolling-window and gap-fill queries window over a DAILY
+  AGGREGATE, not raw rows: the distributed scan+agg reduces to one row
+  per calendar day, so the single-partition ordered window holds only
+  O(days) rows (365/year) no matter how many raw events feed it.
+- The VARIANT path keeps semi-structured extraction inside the JVM
+  (no Python UDF): ``parse_json``/``try_variant_get`` are Catalyst
+  expressions and benefit from Parquet variant shredding at rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: view -> click -> purchase, each step within 72 h of
+# the previous step's first completion. The "after the previous step"
+# constraint makes this non-expressible as one conditional aggregation:
+# it is a chain of per-user min-aggregations, each joined back to the
+# raw events on user_id (the same shuffle key throughout).
+# ---------------------------------------------------------------------------
+
+_FUNNEL_DEADLINE_HOURS = 72
+
+
+def _funnel_step(
+    events: DataFrame, prev: DataFrame, step_type: str, prev_ts: str, out_ts: str
+) -> DataFrame:
+    """First `step_type` event per user strictly after `prev_ts` and
+    within the deadline window — one user_id-keyed join + min-agg."""
+    return (
+        events.filter(F.col("event_type") == step_type)
+        .join(prev.select("user_id", prev_ts), "user_id")
+        .where(
+            (F.col("ts") > F.col(prev_ts))
+            & (
+                F.col("ts")
+                <= F.col(prev_ts) + F.expr(f"INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias(out_ts))
+    )
+
+
+def event_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis over the events stream: users reaching
+    view -> click -> purchase with a 72 h step deadline, plus step- and
+    end-to-end conversion rates. All joins/aggregations key on user_id
+    (one exchange layout end-to-end); the final agg is a 1-row reduce."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = _funnel_step(ev, v, "click", "t1", "t2")
+    p = _funnel_step(ev, c, "purchase", "t2", "t3")
+    wide = v.join(c.select("user_id", "t2"), "user_id", "left").join(
+        p.select("user_id", "t3"), "user_id", "left"
+    )
+    return wide.agg(
+        F.count("t1").alias("view_users"),
+        F.count("t2").alias("click_users"),
+        F.count("t3").alias("purchase_users"),
+        F.round(F.count("t2") * 100.0 / F.count("t1"), 4).alias("view_to_click_pct"),
+        F.round(F.count("t3") * 100.0 / F.count("t2"), 4).alias("click_to_purchase_pct"),
+        F.round(F.count("t3") * 100.0 / F.count("t1"), 4).alias("overall_pct"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+)
+SELECT CAST(nv AS BIGINT) AS view_users,
+       CAST(nc AS BIGINT) AS click_users,
+       CAST(np AS BIGINT) AS purchase_users,
+       round(nc * 100.0 / nv, 4) AS view_to_click_pct,
+       round(np * 100.0 / nc, 4) AS click_to_purchase_pct,
+       round(np * 100.0 / nv, 4) AS overall_pct
+FROM (SELECT (SELECT count(*) FROM v) AS nv,
+             (SELECT count(*) FROM c) AS nc,
+             (SELECT count(*) FROM p) AS np)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by the ISO week of their first event;
+# activity counted per (cohort week, whole weeks since cohort).
+# ---------------------------------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (long form). Per-user first-event
+    week (one user_id-keyed agg), joined back to raw events on the same
+    key, then a distinct-user count per (cohort_week, week_offset) —
+    the output is bounded by calendar weeks squared, not data size."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("__cw")) / 7
+                )
+            ).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_SQL = """
+WITH f AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1
+)
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(floor(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7.0) AS BIGINT)
+           AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user,
+# reported as a distribution (streak length -> user count).
+# ---------------------------------------------------------------------------
+
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user via the classic
+    day - row_number() island key. The only window partitions by
+    user_id over that user's DISTINCT active days (<= calendar days,
+    bounded state); everything else is user-keyed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("__day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("__day")
+    islands = days.withColumn(
+        "__island", F.date_sub(F.col("__day"), F.row_number().over(w))
+    )
+    longest = (
+        islands.groupBy("user_id", "__island")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .groupBy("user_id")
+        .agg(F.max("__len").alias("longest_streak_days"))
+    )
+    return (
+        longest.groupBy("longest_streak_days")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("longest_streak_days")
+    )
+
+
+STREAKS_SQL = """
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+    SELECT user_id,
+           day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                      AS INTEGER) AS island
+    FROM days
+),
+longest AS (
+    SELECT user_id, max(len) AS longest_streak_days
+    FROM (SELECT user_id, island, count(*) AS len FROM islands GROUP BY 1, 2)
+    GROUP BY 1
+)
+SELECT CAST(longest_streak_days AS BIGINT) AS longest_streak_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM longest
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling aggregate: 7-day trailing revenue over the daily
+# series. RANGE (value-based) framing, not ROWS, so missing days
+# genuinely narrow the window — the semantics ROWS BETWEEN gets wrong.
+# ---------------------------------------------------------------------------
+
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing revenue sum/avg over the 1996 daily order series.
+    The distributed scan+groupBy reduces raw orders to one row per day
+    first, so the ordered RANGE window runs over <=366 rows regardless
+    of raw scale (Spark range frames need a numeric ordering key, hence
+    the epoch-day ordinal; DuckDB expresses the same frame with
+    RANGE BETWEEN INTERVAL)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.to_date("o_orderdate").alias("__day"))
+        .agg(F.sum("o_totalprice").alias("__rev"))
+    )
+    w = (
+        Window.orderBy(F.datediff("__day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            F.round("__rev", 2).alias("revenue"),
+            F.round(F.sum("__rev").over(w), 2).alias("revenue_7d"),
+            F.round(F.avg("__rev").over(w), 2).alias("avg_daily_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+ROLLING_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(rev, 2) AS revenue,
+       round(sum(rev) OVER w, 2) AS revenue_7d,
+       round(avg(rev) OVER w, 2) AS avg_daily_7d
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-spine gap filling + LOCF: resample a sparse daily series onto a
+# dense calendar spine, zero-filling counts and carrying the last
+# observation forward for the price column.
+# ---------------------------------------------------------------------------
+
+def gap_filled_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series for 1996 urgent orders: a sequence()-generated
+    calendar spine left-joined to the sparse daily aggregate, counts
+    zero-filled, average price LOCF-filled via last(ignorenulls) over
+    the ordered spine. Spine generation is a narrow explode of one
+    bounds row; the window input is O(days), same argument as
+    rolling_revenue_7d."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("__day"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("o_totalprice").alias("__price"),
+        )
+    )
+    spine = (
+        daily.agg(F.min("__day").alias("__lo"), F.max("__day").alias("__hi"))
+        .select(
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("__day")
+        )
+    )
+    w = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "__day", "left")
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("__n", F.lit(0)).alias("n_orders"),
+            F.round(
+                F.last("__price", ignorenulls=True).over(w), 6
+            ).alias("locf_avg_price"),
+        )
+        .orderBy("day")
+    )
+
+
+GAP_FILL_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           count(*) AS n, avg(o_totalprice) AS price
+    FROM orders
+    WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+    GROUP BY 1
+),
+spine AS (
+    SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                  (SELECT max(day) FROM daily),
+                                  INTERVAL 1 DAY))::DATE AS day
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n_orders,
+       round(last_value(d.price IGNORE NULLS)
+             OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS locf_avg_price
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 VARIANT path for semi-structured payloads: parse_json ->
+# try_variant_get is the schema-flexible alternative to from_json with a
+# declared schema (SC7's scale form — variant values shred into Parquet
+# typed subcolumns at rest, and extraction stays a JVM expression).
+# ---------------------------------------------------------------------------
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over a field extracted from the JSON props
+    payload via the VARIANT type (parse_json + try_variant_get), no
+    declared schema and no Python UDF. try_variant_get nulls out
+    missing/mistyped paths instead of failing — the PERMISSIVE-mode
+    analogue for semi-structured extraction."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("__k").alias("n_present"),
+            F.round(F.avg("__k"), 6).alias("avg_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_present,
+       round(avg(k), 6) AS avg_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+    SELECT event_type,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ANALYTICS_QUERIES = {
+    "event_funnel_stats": (
+        event_funnel_stats,
+        FUNNEL_SQL,
+        "funnel conversion: chained per-user min-aggs, one shuffle key",
+    ),
+    "cohort_retention": (
+        cohort_retention,
+        COHORT_SQL,
+        "weekly cohort-retention matrix (long form)",
+    ),
+    "user_activity_streaks": (
+        user_activity_streaks,
+        STREAKS_SQL,
+        "gaps-and-islands longest-streak distribution",
+    ),
+    "rolling_revenue_7d": (
+        rolling_revenue_7d,
+        ROLLING_SQL,
+        "W2: RANGE-frame 7-day trailing window over the daily series",
+    ),
+    "gap_filled_daily_series": (
+        gap_filled_daily_series,
+        GAP_FILL_SQL,
+        "time-spine resample: zero-fill counts + LOCF price",
+    ),
+    "variant_props_stats": (
+        variant_props_stats,
+        VARIANT_SQL,
+        "SC7 scale form: VARIANT parse_json/try_variant_get extraction",
+    ),
+}

@@ -298,3 +298,55 @@ def hash_split(
         else expr.otherwise(names[-1])
     )
     return df.withColumn(split_col, label)
+
+
+def cluster_split(
+    df: DataFrame,
+    near_dup_pairs: DataFrame,
+    splits: dict[str, float],
+    *,
+    id_col: str,
+    text_col: str = "text",
+    split_col: str = "split",
+    cluster_col: str = "cluster",
+    digits: int = 4,
+) -> DataFrame:
+    """Near-dup-leakage-safe split: the whole near-duplicate CLUSTER
+    moves between splits as one unit.
+
+    ``hash_split`` already guarantees byte-identical twins co-locate
+    (same content hash). But after near-dedup the corpus still holds
+    clusters of ~equal documents with different bytes — content-hashing
+    each one independently can put a train document's 0.9-Jaccard twin
+    into test, which leaks. Fix: resolve the verified near-dup pairs
+    into connected components, then key every member's split off the
+    cluster REPRESENTATIVE's text hash (min-id member), so the whole
+    cluster lands together and the assignment stays content-addressed
+    (stable across re-runs, shards and engines; adding documents never
+    moves an existing singleton).
+
+    Plan shape: component resolution is the bounded iterative join in
+    operators/components.py (shuffles keyed on doc id); the rest is two
+    id-keyed joins (cluster -> representative text) + the same narrow
+    hash expression as ``hash_split``. Returns ``df`` plus
+    ``cluster_col`` (representative id) and ``split_col``.
+    """
+    from neulix_datahub_spark.operators.components import connected_components
+
+    comps = connected_components(near_dup_pairs).withColumnRenamed("id", id_col)
+    with_cluster = (
+        df.join(comps, on=id_col, how="left")
+        .withColumn(cluster_col, F.coalesce("component", F.col(id_col)))
+        .drop("component")
+    )
+    reps = df.select(
+        F.col(id_col).alias(cluster_col), F.col(text_col).alias("__rep_text")
+    )
+    labeled = hash_split(
+        with_cluster.join(reps, on=cluster_col),
+        splits,
+        text_col="__rep_text",
+        split_col=split_col,
+        digits=digits,
+    )
+    return labeled.drop("__rep_text")

@@ -1325,6 +1325,177 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def pca_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 adjunct (round 5): exact distributed PCA over the embedding
+    corpus, oracle-pinned in the self-verdict style. The Gram pass is
+    mapInPandas partial Xᵀ X sums (fixed-size per partition, merged over
+    ≤2 145 keys — see operators/decomposition.py); the 64×64 eigensolve
+    runs on the driver; a SECOND distributed pass projects the corpus on
+    the top-8 eigenvectors (codegen'd zip_with dot products) and checks
+    that the per-component sample variances equal the eigenvalues — an
+    end-to-end proof of Gram assembly + eigensolve + projection. The
+    oracle recomputes the exact anchor (total variance = Σ per-dim
+    var_samp) and pins every verdict true."""
+    import numpy as np
+
+    from neulix_datahub_spark.operators.decomposition import (
+        fit_pca,
+        projected_variances,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", dim=64)
+    pv = projected_variances(emb, "embedding", model, k=8)
+    ev = model.eigenvalues
+    ortho_err = float(
+        np.abs(model.components.T @ model.components - np.eye(model.dim)).max()
+    )
+    proj_ok = all(
+        abs(pv[i] - ev[i]) <= 1e-5 * max(abs(ev[i]), 1e-9) + 1e-9 for i in range(8)
+    )
+    row = (
+        model.n,
+        model.dim,
+        round(model.total_variance, 6),
+        bool(
+            abs(float(ev.sum()) - model.total_variance)
+            <= 1e-9 * max(model.total_variance, 1.0)
+        ),
+        bool(np.all(np.diff(ev) <= 1e-12)),
+        bool(ortho_err < 1e-8),
+        bool(proj_ok),
+        bool(float(ev[:8].sum()) / model.total_variance >= 8.0 / model.dim),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "n_vecs bigint, dim int, total_variance double, "
+            "eig_sum_matches_trace boolean, evr_monotone boolean, "
+            "components_orthonormal boolean, projected_var_matches_eigs boolean, "
+            "top8_evr_ge_uniform boolean"
+        ),
+    )
+
+
+_PCA_SQL = """
+SELECT CAST(n.n AS BIGINT) AS n_vecs,
+       CAST(64 AS INT) AS dim,
+       round(tv.tv, 6) AS total_variance,
+       TRUE AS eig_sum_matches_trace,
+       TRUE AS evr_monotone,
+       TRUE AS components_orthonormal,
+       TRUE AS projected_var_matches_eigs,
+       TRUE AS top8_evr_ge_uniform
+FROM (SELECT count(*) AS n FROM embeddings) n,
+     (SELECT sum(v) AS tv FROM (
+         SELECT var_samp(x) AS v FROM (
+             SELECT unnest(embedding)::DOUBLE AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings
+         ) GROUP BY i
+     )) tv
+"""
+
+
+def cluster_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/eval split (round 5,
+    operators/curation.py::cluster_split): MinHash LSH candidates →
+    exact 3-gram-Jaccard verify (>= 0.8) → connected components → every
+    cluster member inherits the split keyed off the REPRESENTATIVE's
+    content hash, so a test document can never have a 0.9-Jaccard twin
+    in train. The DuckDB oracle recomputes from first principles:
+    all-pairs exact Jaccard, recursive-CTE closure, the same md5-prefix
+    cutoff — so a green row proves the LSH surfaced every true pair AND
+    the cluster-keyed assignment matches exactly. The straddle count is
+    structural (split is a function of the cluster) but recomputed by
+    both engines as the invariant the operator exists to enforce."""
+    from neulix_datahub_spark.operators.curation import cluster_split
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    pairs = verify_candidate_pairs(
+        corpus, cand, text_col="text", id_col="doc_id", n=3, threshold=0.8
+    )
+    labeled = cluster_split(
+        corpus, pairs, {"train": 0.8, "eval": 0.2}, id_col="doc_id"
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster").alias("n_clusters"),
+    )
+    straddle = (
+        labeled.select("cluster", "split")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("__n_splits"))
+        .agg(
+            F.sum((F.col("__n_splits") > 1).cast("bigint")).alias(
+                "n_straddling_clusters"
+            )
+        )
+    )
+    return per_split.crossJoin(straddle).orderBy("split")
+
+
+# Mirrors cluster_split exactly: same 3-gram shingles/normalization as
+# the LSH-dedup oracle, closure by recursive CTE, split by the first 4
+# hex chars of md5(representative text) < 'cccc' (= rate_to_hex_cutoff
+# (0.8, 4)).
+_CLUSTER_SPLIT_SQL = """
+WITH RECURSIVE sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+),
+edges AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
+    UNION
+    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
+),
+comp AS (
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+),
+labeled AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+assigned AS (
+    SELECT l.doc_id, l.cluster,
+           CASE WHEN substring(md5(r.text), 1, 4) < 'cccc'
+                THEN 'train' ELSE 'eval' END AS split
+    FROM labeled l JOIN documents r ON l.cluster = r.doc_id
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT cluster FROM (SELECT DISTINCT cluster, split FROM assigned)
+            GROUP BY cluster HAVING count(*) > 1
+       )) AS n_straddling_clusters
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
 LLM_QUERIES = {
     "winnow_overlap_stats": (
         winnow_overlap_stats,
@@ -1431,5 +1602,15 @@ LLM_QUERIES = {
         kmeans_cluster_profile,
         _KMEANS_SQL,
         "L3+ distributed Lloyd k-means (oracle replays the full run)",
+    ),
+    "pca_embedding_check": (
+        pca_embedding_check,
+        _PCA_SQL,
+        "L3+ exact distributed PCA (Gram partials), self-verdict oracle",
+    ),
+    "cluster_split_stats": (
+        cluster_split_stats,
+        _CLUSTER_SPLIT_SQL,
+        "L2+ near-dup-leakage-safe cluster-keyed train/eval split",
     ),
 }

@@ -1017,3 +1017,87 @@ def test_correlation_matrix_matches_numpy(spark):
         for j, y in enumerate(cols):
             if i <= j:
                 assert abs(got[(x, y)] - round(float(want[i, j]), 6)) <= 1e-6, (x, y)
+
+
+def test_pca_matches_numpy_full_decomposition(spark):
+    """fit_pca's distributed Gram path must agree with numpy's reference
+    PCA (cov + eigh on the raw matrix) across a multi-partition input;
+    projected variances must equal the eigenvalues."""
+    import numpy as np
+
+    from neulix_datahub_spark.operators.decomposition import (
+        fit_pca,
+        projected_variances,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n = 6, 400
+    # anisotropic data so eigenvalues are well-separated
+    base = rng.normal(size=(n, dim)) * np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>").repartition(7)
+
+    model = fit_pca(df, "embedding", dim=dim)
+    ref_cov = np.cov(base, rowvar=False, ddof=1)
+    ref_w = np.sort(np.linalg.eigvalsh(ref_cov))[::-1]
+
+    assert model.n == n
+    np.testing.assert_allclose(model.eigenvalues, ref_w, rtol=1e-9)
+    np.testing.assert_allclose(model.mean, base.mean(axis=0), rtol=1e-9, atol=1e-12)
+    assert abs(model.total_variance - np.trace(ref_cov)) < 1e-9
+
+    pv = projected_variances(df, "embedding", model, k=3)
+    np.testing.assert_allclose(pv, ref_w[:3], rtol=1e-8)
+
+
+def test_pca_rejects_degenerate_input(spark):
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.decomposition import fit_pca
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "id long, embedding array<double>")
+    with _pytest.raises(ValueError, match=">= 2 rows"):
+        fit_pca(df, "embedding", dim=2)
+
+
+def test_cluster_split_colocates_near_dup_clusters(spark):
+    """cluster_split: every member of a near-dup cluster gets the
+    representative's split; singletons fall back to plain hash_split."""
+    from neulix_datahub_spark.operators.curation import cluster_split, hash_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo"),
+            (2, "alpha bravo charlie delta foxtrot"),   # near-dup of 1
+            (3, "completely different text body here"),
+            (4, "another singleton document entirely"),
+            (10, "golf hotel india juliet kilo"),
+            (11, "golf hotel india juliet lima"),        # near-dup of 10
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = cluster_split(
+        docs, pairs, {"train": 0.5, "eval": 0.5}, id_col="doc_id"
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # cluster members share cluster id and split
+    assert by_id[1].cluster == by_id[2].cluster == 1
+    assert by_id[10].cluster == by_id[11].cluster == 10
+    assert by_id[1].split == by_id[2].split
+    assert by_id[10].split == by_id[11].split
+    # no cluster straddles splits, ever
+    seen: dict[int, str] = {}
+    for r in out:
+        assert seen.setdefault(r.cluster, r.split) == r.split
+    # singletons match what hash_split alone would assign to their text
+    solo = {
+        r.text: r.split
+        for r in hash_split(
+            docs.filter("doc_id in (3, 4)"), {"train": 0.5, "eval": 0.5}
+        ).collect()
+    }
+    assert by_id[3].split == solo["completely different text body here"]
+    assert by_id[4].split == solo["another singleton document entirely"]

@@ -74,3 +74,51 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """Triangle count + global clustering coefficient over an
+    UNDIRECTED graph given as oriented edges (``src < dst``, one row
+    per edge). Each triangle {a<b<c} is counted exactly once by the
+    two-hop join (a,b)⋈(b,c) semi-probed against the closing edge
+    (a,c) — the standard distributed recipe. Degrees (and the open-
+    triad denominator) come from one aggregation over both endpoints.
+
+    Orientation bounds the join fan-out: at scale orient by DEGREE
+    (low-degree endpoint first, ties by id) so every key's fan-out is
+    O(sqrt(|E|)) — pass edges already re-oriented that way; the
+    counting logic is orientation-agnostic as long as each undirected
+    edge appears exactly once.
+
+    Returns one row: ``n_nodes, n_edges, n_triangles,
+    clustering_coeff`` (null when the graph has no open triads).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    x, y, z = e.alias("x"), e.alias("y"), e.alias("z")
+    tri = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .join(
+            z,
+            (F.col("z.a") == F.col("x.a")) & (F.col("z.b") == F.col("y.b")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("__d") * (F.col("__d") - 1)) / 2).alias("__triads"),
+    ).crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+    return summary.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("__triads"), 6).alias(
+            "clustering_coeff"
+        ),
+    )

@@ -1725,7 +1725,8 @@ _PRIORITY_R5 = [
 # snapshot_changes_stats,
 # event_funnel_stats, cohort_retention, user_activity_streaks,
 # rolling_revenue_7d, gap_filled_daily_series, variant_props_stats,
-# pca_embedding_check, cluster_split_stats
+# pca_embedding_check, cluster_split_stats,
+# customer_hierarchy_depths, brand_triangle_count
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

@@ -954,6 +954,56 @@ def delegated_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(DELEGATED_SQL)
 
 
+# Spark's recursive-CTE surface (Spark 4): same shape as the DuckDB
+# oracle below, differing only in the integer-division spelling
+# (`DIV` vs `//`). The synthetic parent edge is key DIV 10 — a
+# deterministic tree over the real customer table, the org-chart /
+# bill-of-materials workload the delegated-SQL surface (IO8) must
+# support now that warehouses run WITH RECURSIVE.
+_HIERARCHY_SPARK_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+    UNION ALL
+    SELECT node, cur DIV 10 AS cur, depth + 1 AS depth FROM chain WHERE cur > 0
+),
+depths AS (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM depths d JOIN customer c ON c.c_custkey = d.node
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def customer_hierarchy_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO8 breadth (round 5): native ``WITH RECURSIVE`` through
+    ``spark.sql`` — each customer walks a deterministic parent chain
+    (key DIV 10) to the root; per-depth member counts and balance
+    rollups. Recursion depth is O(log10 max key) (≤ 7 at sf1), far
+    under Spark's recursion-level limit; each recursion step is one
+    narrow projection+filter, so the plan scales like a handful of
+    scans, not like the closure of a general graph."""
+    register_tables(spark, sf_dir, ("customer",))
+    return spark.sql(_HIERARCHY_SPARK_SQL)
+
+
+HIERARCHY_SQL = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+    UNION ALL
+    SELECT node, cur // 10, depth + 1 FROM chain WHERE cur > 0
+),
+depths AS (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(c.c_acctbal), 2) AS total_balance
+FROM depths d JOIN customer c ON c.c_custkey = d.node
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q10 / Q14 analogues
 # ---------------------------------------------------------------------------
@@ -1881,6 +1931,11 @@ EXT_QUERIES = {
     "sanitized_projection": (sanitized_projection, SANITIZED_SQL, "F3"),
     "stats_by_returnflag": (stats_by_returnflag, STATS_SQL, "SC10"),
     "delegated_sql_query": (delegated_sql_query, DELEGATED_SQL, "IO8/EP2"),
+    "customer_hierarchy_depths": (
+        customer_hierarchy_depths,
+        HIERARCHY_SQL,
+        "IO8 breadth: native WITH RECURSIVE hierarchy rollup",
+    ),
     "bucketed_revenue_by_priority": (
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,

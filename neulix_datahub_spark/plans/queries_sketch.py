@@ -327,6 +327,78 @@ FROM events
 """
 
 
+def brand_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph tier (round 5, alongside PageRank/components): triangle
+    count and global clustering coefficient over the brand co-purchase
+    graph. Edges = brand pairs co-occurring in >= 0.8×max orders
+    (SF-adaptive threshold, recomputed identically by the oracle).
+
+    Plan: edges are kept ORIENTED low-brand→high-brand, so each
+    triangle {a<b<c} is counted exactly once by the two-hop join
+    (a,b)⋈(b,c) probed against (a,c) — the standard distributed
+    triangle recipe. At 100 TB the same shape applies after orienting
+    by DEGREE instead of id (every join key's fan-out is then bounded
+    by sqrt(|E|), which caps the skew a celebrity node causes); with
+    ~25 brand nodes the id orientation is the honest choice. Triads
+    for the coefficient come from one degree aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    l, r = ob.alias("l"), ob.alias("r")
+    pair_counts = (
+        l.join(
+            r,
+            (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+            & (F.col("l.p_brand") < F.col("r.p_brand")),
+        )
+        .groupBy(F.col("l.p_brand").alias("a"), F.col("r.p_brand").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    mx = pair_counts.agg(F.max("__n").alias("__m"))
+    edges = (
+        pair_counts.crossJoin(mx)
+        .filter(F.col("__n") >= 0.8 * F.col("__m"))
+        .select("a", "b")
+    )
+    from neulix_datahub_spark.operators.graph import triangle_stats
+
+    return triangle_stats(edges)
+
+
+_TRIANGLE_SQL = """
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+pc AS (
+    SELECT a.p_brand AS a, b.p_brand AS b, count(*) AS n
+    FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+),
+mx AS (SELECT max(n) AS m FROM pc),
+e AS (SELECT a, b FROM pc, mx WHERE n >= 0.8 * m),
+deg AS (
+    SELECT node, count(*) AS d
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+    GROUP BY 1
+),
+tri AS (
+    SELECT count(*) AS t
+    FROM e x JOIN e y ON x.b = y.a
+    WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = x.a AND z.b = y.b)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+       round(3.0 * (SELECT t FROM tri)
+             / (SELECT sum(d * (d - 1) / 2) FROM deg), 6) AS clustering_coeff
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_semi_join_revenue": (
         bloom_semi_join_revenue,
@@ -362,5 +434,10 @@ SKETCH_QUERIES = {
         event_pagerank,
         _PAGERANK_SQL,
         "Weighted PageRank, 5 unrolled power iterations vs CTE oracle",
+    ),
+    "brand_triangle_count": (
+        brand_triangle_count,
+        _TRIANGLE_SQL,
+        "Graph tier: oriented-edge triangle count + global clustering",
     ),
 }

@@ -1101,3 +1101,26 @@ def test_cluster_split_colocates_near_dup_clusters(spark):
     }
     assert by_id[3].split == solo["completely different text body here"]
     assert by_id[4].split == solo["another singleton document entirely"]
+
+
+def test_triangle_stats_on_known_graphs(spark):
+    """triangle_stats: a 4-clique has C(4,3)=4 triangles and clustering
+    1.0; removing one edge leaves 2 triangles; a path graph has none
+    (null coefficient stays well-defined via round's null propagation)."""
+    from neulix_datahub_spark.operators.graph import triangle_stats
+
+    def stats(pairs):
+        df = spark.createDataFrame(pairs, "a string, b string")
+        return triangle_stats(df).collect()[0]
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    r = stats(clique)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert abs(r.clustering_coeff - 1.0) < 1e-9
+
+    r = stats(clique[:-1])  # drop (c, d): triangles abc, abd survive
+    assert (r.n_edges, r.n_triangles) == (5, 2)
+
+    r = stats([("a", "b"), ("b", "c"), ("c", "d")])
+    assert r.n_triangles == 0
+    assert r.clustering_coeff == 0.0

@@ -357,3 +357,62 @@ def winnow_fingerprints(
             lambda i: F.array_min(F.slice(hashes, i + 1, F.least(F.lit(window), n))),
         )
     )
+
+
+def doc_bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """L4+ LM-quality signal, bigram form (one step closer to CCNet's
+    KenLM than :func:`doc_unigram_perplexity`): per-doc perplexity under
+    an interpolated bigram model trained on the corpus itself —
+    ``p(cur|prev) = lam·c(prev,cur)/c(prev) + (1-lam)·c(cur)/N`` with
+    the unigram corpus count as the context denominator (documented
+    simplification: no doc-boundary adjustment; the oracle mirrors it).
+    Documents with fewer than two tokens get no score (null-free output:
+    they are absent from the result).
+
+    Plan shape for 100 TB: tokenize once, derive adjacent pairs as a
+    NARROW array transform (no window, no self-join on position), then
+    three token-keyed aggregations (unigram counts, bigram counts, the
+    1-row total) joined back against the exploded pairs — every shuffle
+    is keyed on token text, the same sub-linear vocabulary argument as
+    the unigram model. No Python anywhere.
+    """
+    t = F.split(normalize_text(text_col), " ")
+    base = df.select(F.col(id_col), t.alias("__t"))
+    pairs = (
+        base.filter(F.size("__t") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(__t)), "
+                    "i -> struct(element_at(__t, i - 1) AS prev, "
+                    "element_at(__t, i) AS cur))"
+                )
+            ).alias("__pc"),
+        )
+        .select(id_col, F.col("__pc.prev").alias("__prev"), F.col("__pc.cur").alias("__cur"))
+    )
+    toks = base.select(F.explode("__t").alias("__tok"))
+    uni = toks.groupBy("__tok").agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    total = uni.agg(F.sum("__cnt").alias("__n"))
+    big = pairs.groupBy("__prev", "__cur").agg(
+        F.count(F.lit(1)).cast("double").alias("__bc")
+    )
+    up = uni.select(F.col("__tok").alias("__prev"), F.col("__cnt").alias("__pcnt"))
+    uc = uni.select(F.col("__tok").alias("__cur"), F.col("__cnt").alias("__ccnt"))
+    p = lam * F.col("__bc") / F.col("__pcnt") + (1.0 - lam) * F.col("__ccnt") / F.col(
+        "__n"
+    )
+    return (
+        pairs.join(big, ["__prev", "__cur"])
+        .join(up, "__prev")
+        .join(uc, "__cur")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.exp(-F.avg(F.log(p))).alias("perplexity"))
+    )

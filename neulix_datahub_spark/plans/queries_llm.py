@@ -1325,6 +1325,69 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def bigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ LM-quality filter, bigram form (round 5): per-doc perplexity
+    under a corpus-trained INTERPOLATED bigram model (λ=0.75 bigram MLE
+    + 0.25 unigram backoff — one step closer to CCNet's KenLM than the
+    unigram query), profiled per language. Fully SQL-expressible: the
+    oracle retrains the whole LM and rescores every document."""
+    from neulix_datahub_spark.operators.text import doc_bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = doc_bigram_perplexity(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(ppl, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+            F.round(F.min("perplexity"), 4).alias("min_ppl"),
+            F.round(F.max("perplexity"), 4).alias("max_ppl"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BIGRAM_PPL_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+toks AS (SELECT unnest(t) AS tok FROM base),
+uni AS (SELECT tok, count(*)::DOUBLE AS cnt FROM toks GROUP BY tok),
+n AS (SELECT sum(cnt) AS n FROM uni),
+pairs AS (
+  SELECT doc_id, pc.prev AS prev, pc.cur AS cur
+  FROM (
+    SELECT doc_id,
+           unnest([{'prev': t[i], 'cur': t[i+1]}
+                   for i in generate_series(1, len(t) - 1)]) AS pc
+    FROM base WHERE len(t) >= 2
+  )
+),
+big AS (SELECT prev, cur, count(*)::DOUBLE AS bc FROM pairs GROUP BY prev, cur),
+scored AS (
+  SELECT p.doc_id,
+         exp(-avg(ln(0.75 * b.bc / up.cnt + 0.25 * uc.cnt / n.n))) AS ppl
+  FROM pairs p
+  JOIN big b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN uni up ON up.tok = p.prev
+  JOIN uni uc ON uc.tok = p.cur
+  CROSS JOIN n
+  GROUP BY p.doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ppl), 4) AS avg_ppl,
+       round(min(ppl), 4) AS min_ppl,
+       round(max(ppl), 4) AS max_ppl
+FROM scored JOIN documents USING (doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def pca_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 adjunct (round 5): exact distributed PCA over the embedding
     corpus, oracle-pinned in the self-verdict style. The Gram pass is
@@ -1607,6 +1670,11 @@ LLM_QUERIES = {
         pca_embedding_check,
         _PCA_SQL,
         "L3+ exact distributed PCA (Gram partials), self-verdict oracle",
+    ),
+    "bigram_perplexity_by_lang": (
+        bigram_perplexity_by_lang,
+        _BIGRAM_PPL_SQL,
+        "L4+ interpolated bigram-LM perplexity, oracle retrains the LM",
     ),
     "cluster_split_stats": (
         cluster_split_stats,

@@ -1124,3 +1124,29 @@ def test_triangle_stats_on_known_graphs(spark):
     r = stats([("a", "b"), ("b", "c"), ("c", "d")])
     assert r.n_triangles == 0
     assert r.clustering_coeff == 0.0
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """doc_bigram_perplexity on a 3-doc toy corpus: unigram counts come
+    from ALL docs (including the 1-token doc), pairs only from docs with
+    >= 2 tokens, and the 1-token doc gets no score."""
+    import math
+
+    from neulix_datahub_spark.operators.text import doc_bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.perplexity for r in doc_bigram_perplexity(docs).collect()}
+
+    # uni: a=3, b=3, x=1, N=7; big: (a,b)=3, (b,a)=1
+    p_b_a = 0.75 * 3 / 3 + 0.25 * 3 / 7
+    p_a_b = 0.75 * 1 / 3 + 0.25 * 3 / 7
+    exp1 = math.exp(-(2 * math.log(p_b_a) + math.log(p_a_b)) / 3)
+    exp2 = math.exp(-math.log(p_b_a))
+    assert set(got) == {1, 2}
+    assert abs(got[1] - exp1) < 1e-12
+    assert abs(got[2] - exp2) < 1e-12
+    # repetitive text scores lower perplexity than the shorter doc's
+    # rarer transition mix only through the model — sanity: both finite
+    assert got[1] > 1.0 and got[2] > 1.0

@@ -20,7 +20,10 @@ from neulix_datahub_spark.streaming.sinks import (
     read_upsert_table,
     stream_upsert_to_parquet,
 )
-from neulix_datahub_spark.streaming.stateful import running_user_totals
+from neulix_datahub_spark.streaming.stateful import (
+    running_user_totals,
+    streaming_funnel,
+)
 from neulix_datahub_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -61,6 +64,42 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch funnel (event_funnel_stats) re-implemented as a
+    STATEFUL STREAM (streaming/stateful.py::streaming_funnel): per-user
+    view→click→purchase state machine with 72 h step deadlines,
+    arrival-order-proof via buffer-and-recompute. Drained over the
+    bounded fixture, each user's final emission (max n_seen) must
+    aggregate to exactly the batch funnel's numbers — the oracle IS the
+    batch funnel SQL, so the hash check proves the state machine
+    implements the same semantics end-to-end."""
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    stream = streaming_funnel(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, name, output_mode="update", shuffle_partitions=8)
+    final = spark.sql(
+        f"""SELECT user_id, t1, t2, t3 FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY n_seen DESC) AS rn
+                FROM {name})
+            WHERE rn = 1"""
+    )
+    return final.agg(
+        F.count("t1").alias("view_users"),
+        F.count("t2").alias("click_users"),
+        F.count("t3").alias("purchase_users"),
+        F.round(F.count("t2") * 100.0 / F.count("t1"), 4).alias("view_to_click_pct"),
+        F.round(F.count("t3") * 100.0 / F.count("t2"), 4).alias(
+            "click_to_purchase_pct"
+        ),
+        F.round(F.count("t3") * 100.0 / F.count("t1"), 4).alias("overall_pct"),
+    )
+
+
+from neulix_datahub_spark.plans.queries_analytics import (  # noqa: E402
+    FUNNEL_SQL as _STREAM_FUNNEL_SQL,
+)
 
 
 def stream_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,5 +452,10 @@ STREAM_QUERIES = {
         stream_dedup_corpus_counts,
         _STREAM_DEDUP_SQL,
         "L1-streaming incremental dedup sink (batch-parity oracle)",
+    ),
+    "stream_funnel_stats": (
+        stream_funnel_stats,
+        _STREAM_FUNNEL_SQL,
+        "U3 stateful streaming funnel == batch funnel (parity oracle)",
     ),
 }

@@ -71,3 +71,86 @@ def running_user_totals(events: DataFrame, watermark: str = "1 hour") -> DataFra
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming funnel (the batch event_funnel_stats semantics as a
+# per-user state machine)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, n_seen bigint, t1 double, t2 double, t3 double"
+)
+_FUNNEL_STATE_SCHEMA = (
+    "views array<double>, clicks array<double>, purchases array<double>"
+)
+_FUNNEL_DEADLINE_US = 72 * 3600 * 1_000_000.0  # 72 h in epoch-microseconds
+
+
+def _first_after(cands: list[float], lo: float) -> float | None:
+    """First candidate strictly after ``lo`` within the step deadline."""
+    hits = [t for t in cands if lo < t <= lo + _FUNNEL_DEADLINE_US]
+    return min(hits) if hits else None
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Buffer this user's funnel-relevant event times and recompute the
+    view→click→purchase chain from the buffer each batch.
+
+    Recompute-from-buffer (not incremental min-tracking) makes the
+    operator ARRIVAL-ORDER-PROOF: a late-arriving earlier view shifts
+    t1 and correctly invalidates/revises t2/t3, which monotone trackers
+    get wrong. State is bounded by the user's relevant-event count
+    inside the retention horizon (at 100 TB you bound the buffer by the
+    funnel window: anything older than first_view + 2×deadline can be
+    dropped at watermark time)."""
+    if state.exists:
+        views, clicks, purchases = (list(x) for x in state.get)
+    else:
+        views, clicks, purchases = [], [], []
+    for pdf in pdf_iter:
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").astype(float)
+        for t, et in zip(ts_us, pdf["event_type"]):
+            if et == "view":
+                views.append(t)
+            elif et == "click":
+                clicks.append(t)
+            elif et == "purchase":
+                purchases.append(t)
+    state.update((views, clicks, purchases))
+
+    t1 = min(views) if views else None
+    t2 = _first_after(clicks, t1) if t1 is not None else None
+    t3 = _first_after(purchases, t2) if t2 is not None else None
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [len(views) + len(clicks) + len(purchases)],
+            "t1": [t1],
+            "t2": [t2],
+            "t3": [t3],
+        }
+    )
+
+
+def streaming_funnel(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-user view→click→purchase funnel times as a stateful stream
+    (72 h step deadlines, identical semantics to the batch
+    event_funnel_stats query). Emits the user's current (t1, t2, t3)
+    each micro-batch in ``update`` mode with a monotone ``n_seen``
+    counter so a bounded drain can pick each user's final state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_funnel,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

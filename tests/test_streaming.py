@@ -354,3 +354,66 @@ def test_stream_observed_metrics_per_batch(spark, tmp_path):
     want = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert sum(b["n_rows"] for b in col.batches) == want
     assert all("sum_value" in b for b in col.batches)
+
+
+def test_streaming_funnel_state_is_arrival_order_proof():
+    """_update_funnel across two simulated micro-batches: batch 2
+    delivers an EARLIER view that shifts t1 and must invalidate the
+    previously-valid click (now outside the 72 h deadline from the new
+    t1? no — now BEFORE t1's click window start moved earlier, the same
+    click stays valid but an out-of-window one must drop). Exercise
+    both: a click valid against the late t1 only, and one valid against
+    the original t1 only."""
+    import pandas as pd
+
+    from neulix_datahub_spark.streaming.stateful import _update_funnel
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_type": [r[1] for r in rows],
+            }
+        )
+
+    st = FakeState()
+    # batch 1: view at day 10, click at day 11 -> funnel complete to t2
+    out1 = list(
+        _update_funnel((7,), iter([batch([
+            ("2024-01-10", "view"), ("2024-01-11", "click"),
+        ])]), st)
+    )[0]
+    assert out1["t1"].iloc[0] is not None and out1["t2"].iloc[0] is not None
+
+    # batch 2: an EARLIER view (day 1) arrives late. New t1 = day 1;
+    # the day-11 click is now outside the 72 h deadline -> t2 must
+    # become the (also late-arriving) day-2 click instead.
+    out2 = list(
+        _update_funnel((7,), iter([batch([
+            ("2024-01-01", "view"), ("2024-01-02", "click"),
+        ])]), st)
+    )[0]
+    t1_us = pd.Timestamp("2024-01-01").value // 1000
+    t2_us = pd.Timestamp("2024-01-02").value // 1000
+    assert out2["t1"].iloc[0] == float(t1_us)
+    assert out2["t2"].iloc[0] == float(t2_us)
+
+    # batch 3: drop the day-2 click scenario — a purchase within 72 h of
+    # the (revised) t2 completes the funnel.
+    out3 = list(
+        _update_funnel((7,), iter([batch([("2024-01-03", "purchase")])]), st)
+    )[0]
+    assert out3["t3"].iloc[0] == float(pd.Timestamp("2024-01-03").value // 1000)

@@ -327,6 +327,83 @@ FROM events
 """
 
 
+# High-value predicates: value > 150 keeps the two user sets PARTIAL
+# (sf0.01: 64 viewers, 67 purchasers, 27 both) — a trivially-total
+# overlap would make the inclusion-exclusion check vacuous.
+def _high_view():
+    return (F.col("event_type") == "view") & (F.col("value") > 150)
+
+
+def _high_purchase():
+    return (F.col("event_type") == "purchase") & (F.col("value") > 150)
+
+
+def hll_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 sketch ALGEBRA (round 5): distinct HIGH-VALUE-user OVERLAP
+    between two event types by inclusion-exclusion on HLL sketches —
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). HLL has no native intersect;
+    this is the standard derived estimate, and its error scales with
+    |A∪B| (not the intersection), so the query pins a 10% gate against
+    the exact overlap the oracle recomputes. At these cardinalities
+    (tens-to-hundreds of users) the Datasketches HLL is still in its
+    exact sparse mode, so the derived overlap is exact-to-near-exact —
+    measured 0% error at sf0.001/0.01 and inside the gate at sf0.1
+    (intersection 328 of a ~1 100-user union); for intersections that
+    are a tiny fraction of the union the derived estimate degrades and
+    the gate would need widening. One scan builds both sketches via
+    filtered aggregates; the union is sketch-level (hll_union), no
+    rescan."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.hll_sketch_agg(
+            F.when(_high_view(), F.col("user_id"))
+        ).alias("__a"),
+        F.hll_sketch_agg(
+            F.when(_high_purchase(), F.col("user_id"))
+        ).alias("__b"),
+    ).select(
+        F.hll_sketch_estimate("__a").alias("__ea"),
+        F.hll_sketch_estimate("__b").alias("__eb"),
+        F.hll_sketch_estimate(F.hll_union("__a", "__b")).alias("__eu"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(_high_view().cast("int")).alias("__v"),
+        F.max(_high_purchase().cast("int")).alias("__p"),
+    )
+    exact = per_user.agg(
+        F.sum("__v").cast("bigint").alias("view_users"),
+        F.sum("__p").cast("bigint").alias("purchase_users"),
+        F.sum(F.col("__v") * F.col("__p")).cast("bigint").alias("both_users"),
+    )
+    return exact.crossJoin(sk).select(
+        "view_users",
+        "purchase_users",
+        "both_users",
+        (
+            F.abs(F.col("__ea") + F.col("__eb") - F.col("__eu") - F.col("both_users"))
+            / F.col("both_users")
+            <= 0.10
+        ).alias("overlap_estimate_within_10pct"),
+    )
+
+
+_HLL_OVERLAP_SQL = """
+WITH per AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'view' AND value > 150
+               THEN 1 ELSE 0 END) AS v,
+           max(CASE WHEN event_type = 'purchase' AND value > 150
+               THEN 1 ELSE 0 END) AS p
+    FROM events GROUP BY user_id
+)
+SELECT CAST(sum(v) AS BIGINT) AS view_users,
+       CAST(sum(p) AS BIGINT) AS purchase_users,
+       CAST(sum(v * p) AS BIGINT) AS both_users,
+       TRUE AS overlap_estimate_within_10pct
+FROM per
+"""
+
+
 def brand_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph tier (round 5, alongside PageRank/components): triangle
     count and global clustering coefficient over the brand co-purchase
@@ -439,5 +516,10 @@ SKETCH_QUERIES = {
         brand_triangle_count,
         _TRIANGLE_SQL,
         "Graph tier: oriented-edge triangle count + global clustering",
+    ),
+    "hll_overlap_check": (
+        hll_overlap_check,
+        _HLL_OVERLAP_SQL,
+        "A3 sketch algebra: HLL inclusion-exclusion overlap vs exact",
     ),
 }

@@ -88,3 +88,29 @@ def _partition_dirs(path: str) -> set[str]:
         if "=" in entry and os.path.isdir(os.path.join(path, entry)):
             names.add(entry.split("=", 1)[0])
     return names
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> str:
+    """Idempotent BACKFILL: rewrite only the partitions present in
+    ``df``, leaving every other partition untouched — Spark's dynamic
+    partition-overwrite mode, the semantics a daily re-run needs
+    (re-processing 2024-01-07 must replace exactly that directory, not
+    truncate the table the way static overwrite does).
+
+    Scoped conf: the session's ``partitionOverwriteMode`` is set to
+    ``dynamic`` for this write and restored after, so callers relying
+    on the static default elsewhere are unaffected. Re-running the same
+    backfill is a no-op state-wise (same rows land again) — the
+    idempotence a retrying orchestrator (IO24 / Airflow) requires.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+    return path

@@ -345,3 +345,44 @@ def test_warehouse_scratch_sweeps_stale_siblings(spark):
     c = warehouse_scratch(spark, "_neulix_scratchtest_")
     assert os.path.isdir(b) and os.path.isdir(c)  # fresh siblings survive
     shutil.rmtree(b); shutil.rmtree(c)
+
+
+def test_overwrite_partitions_is_a_surgical_backfill(spark, tmp_path):
+    """Dynamic partition overwrite rewrites ONLY the partitions present
+    in the incoming frame; static overwrite would truncate the rest.
+    Re-running the same backfill is idempotent."""
+    from neulix_datahub_spark.sources.layout import (
+        overwrite_partitions,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3), ("2024-01-03", 4)],
+        "day string, v int",
+    )
+    write_partitioned(base, path, ["day"])
+
+    fix = spark.createDataFrame([("2024-01-02", 30), ("2024-01-02", 31)], "day string, v int")
+    overwrite_partitions(fix, path, ["day"])
+
+    def read_back():
+        # hive partition-column inference types `day` as date — compare
+        # on its string form
+        return {
+            (r.day, r.v)
+            for r in spark.read.parquet(path)
+            .select(F.col("day").cast("string").alias("day"), "v")
+            .collect()
+        }
+
+    got = read_back()
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2),
+                   ("2024-01-02", 30), ("2024-01-02", 31), ("2024-01-03", 4)}
+
+    # idempotent re-run
+    overwrite_partitions(fix, path, ["day"])
+    again = read_back()
+    assert again == got
+    # conf restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"

@@ -381,6 +381,81 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows: the gap depends on the EVENT (errors hold
+# a session open 2 h, everything else 8 h) — Spark's expression-valued
+# session_window gap, which the fixed-gap form can't emulate.
+# ---------------------------------------------------------------------------
+
+def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 depth: session windows with a PER-EVENT gap expression
+    (error events extend a session 2 h, others 8 h), summarized as the
+    session-size distribution. Session merge semantics are interval
+    union: each event holds the session open until ts + its own gap,
+    so the oracle mirrors with a running max of (ts + gap) — a plain
+    lag() comparison is wrong once gaps are heterogeneous. Same state
+    story as fixed-gap sessions (per-user keyed state in streaming);
+    the distribution output is bounded by max session size."""
+    ev = _t(spark, sf_dir, "events")
+    # session_window's expression gap needs CalendarIntervalType —
+    # string literals cast to it; DayTimeInterval (INTERVAL 2 HOURS) is
+    # rejected.
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("2 hours")
+    ).otherwise(F.lit("8 hours"))
+    sessions = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("value").alias("__sv"),
+        )
+    )
+    return (
+        sessions.groupBy(F.col("__n").alias("events_per_session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.sum("__sv"), 4).alias("total_value"),
+        )
+        .orderBy("events_per_session")
+    )
+
+
+DYNAMIC_SESSIONS_SQL = """
+WITH g AS (
+    SELECT user_id, ts, value,
+           CASE WHEN event_type = 'error' THEN 7200000000
+                ELSE 28800000000 END AS gap_us,
+           max(epoch_us(ts) + CASE WHEN event_type = 'error' THEN 7200000000
+                                   ELSE 28800000000 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM events
+),
+marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_end IS NULL OR epoch_us(ts) >= prev_end
+                THEN 1 ELSE 0 END AS new_session
+    FROM g
+),
+sessions AS (
+    SELECT user_id, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+),
+sized AS (
+    SELECT user_id, sid, count(*) AS n, sum(value) AS sv
+    FROM sessions GROUP BY user_id, sid
+)
+SELECT CAST(n AS BIGINT) AS events_per_session,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(sv), 4) AS total_value
+FROM sized
+GROUP BY n
+ORDER BY events_per_session
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -411,5 +486,10 @@ ANALYTICS_QUERIES = {
         variant_props_stats,
         VARIANT_SQL,
         "SC7 scale form: VARIANT parse_json/try_variant_get extraction",
+    ),
+    "dynamic_gap_sessions": (
+        dynamic_gap_sessions,
+        DYNAMIC_SESSIONS_SQL,
+        "S2 depth: expression-valued session gaps (interval-union merge)",
     ),
 }

@@ -420,6 +420,67 @@ ORDER BY window_start, event_type
 
 
 
+def rollup_routed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate ROUTING (round 5, operators/rollup.py): the
+    daily per-type totals answered from the MATERIALIZED hourly rollup
+    — never touching raw events after materialization. count partials
+    merge by sum, sums by sum, avg derived as sum/count at the end.
+    The hourly sum is stored rounded to 4 dp (the rollup table's
+    contract, same as stream_hourly_rollup), so the oracle aggregates
+    the identically-rounded hourly CTE — byte-honest about what a
+    routed answer reads. Maintenance of the rollup itself is proven
+    incrementally by stream_hourly_rollup; this query proves the
+    routing algebra."""
+    from neulix_datahub_spark.operators.rollup import answer_from_rollup
+
+    tmp = _scratch(spark, "neulix_route_")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    hourly.write.mode("overwrite").parquet(f"{tmp}/hourly")
+    rollup = spark.read.parquet(f"{tmp}/hourly")
+    routed = answer_from_rollup(
+        rollup,
+        rollup_grain="hour",
+        query_grain="day",
+        window_col="window_start",
+        group_cols=["event_type"],
+        measures={
+            "n_events": ("count", "n_events"),
+            "sum_value": ("sum", "sum_value"),
+        },
+    )
+    return routed.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    ).orderBy("day", "event_type")
+
+
+_ROLLUP_ROUTED_SQL = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(sv), 4) AS sum_value,
+       round(sum(sv) / sum(n), 6) AS avg_value
+FROM hourly
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
     "stream_enriched_segment_counts": (
@@ -457,5 +518,10 @@ STREAM_QUERIES = {
         stream_funnel_stats,
         _STREAM_FUNNEL_SQL,
         "U3 stateful streaming funnel == batch funnel (parity oracle)",
+    ),
+    "rollup_routed_daily": (
+        rollup_routed_daily,
+        _ROLLUP_ROUTED_SQL,
+        "continuous-aggregate routing: daily answered from hourly rollup",
     ),
 }

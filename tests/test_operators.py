@@ -1150,3 +1150,39 @@ def test_bigram_perplexity_hand_computed(spark):
     # repetitive text scores lower perplexity than the shorter doc's
     # rarer transition mix only through the model — sanity: both finite
     assert got[1] > 1.0 and got[2] > 1.0
+
+
+def test_rollup_router_guards(spark):
+    """answer_from_rollup refuses finer-than-rollup grains and
+    non-decomposable merge fns; count partials merge by SUM."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.rollup import answer_from_rollup
+
+    rollup = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 2, 10.0), ("2024-01-01 05:00:00", "a", 3, 20.0),
+         ("2024-01-02 01:00:00", "a", 1, 5.0)],
+        "window_start string, k string, n bigint, sv double",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+
+    with _pytest.raises(ValueError, match="finer|cannot answer"):
+        answer_from_rollup(
+            rollup, rollup_grain="hour", query_grain="minute",
+            window_col="window_start", group_cols=["k"],
+            measures={"n": ("count", "n")},
+        )
+    with _pytest.raises(ValueError, match="not decomposable"):
+        answer_from_rollup(
+            rollup, rollup_grain="hour", query_grain="day",
+            window_col="window_start", group_cols=["k"],
+            measures={"a": ("avg", "sv")},
+        )
+    out = {
+        (str(r.window_start.date()), r.n, r.sv)
+        for r in answer_from_rollup(
+            rollup, rollup_grain="hour", query_grain="day",
+            window_col="window_start", group_cols=["k"],
+            measures={"n": ("count", "n"), "sv": ("sum", "sv")},
+        ).collect()
+    }
+    assert out == {("2024-01-01", 5, 30.0), ("2024-01-02", 1, 5.0)}

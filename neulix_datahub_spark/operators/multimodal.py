@@ -152,6 +152,31 @@ def parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
     return sample_rate, channels, data_size * 1000 // byte_rate
 
 
+def parse_gif_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """REAL codec-free parse: (width, height) from the GIF logical
+    screen descriptor — bytes 6..10, little-endian u16 pair, right
+    after the GIF87a/GIF89a signature."""
+    import struct
+
+    if len(payload) < 10 or payload[0:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    return (w, h) if w > 0 and h > 0 else None
+
+
+def parse_bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """REAL codec-free parse: (width, height) from the BMP
+    BITMAPINFOHEADER (signed little-endian i32 pair at offset 18; a
+    negative height encodes top-down row order, so its magnitude is the
+    height)."""
+    import struct
+
+    if len(payload) < 26 or payload[0:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", payload[18:26])
+    return (w, abs(h)) if w > 0 and h != 0 else None
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int]:
     """STUB — deterministic fallback for image formats whose dimensions
     need a real decoder (no PIL/opencv in this container). Derives a
@@ -167,10 +192,13 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int]:
 
 
 def _image_dimensions(payload: bytes) -> tuple[int, int]:
-    """Real PNG/JPEG header parse first; deterministic fake for the rest."""
+    """Real PNG/JPEG/GIF/BMP header parse first; deterministic fake for
+    the rest (TIFF/WebP/HEIC need a real decoder)."""
     return (
         parse_png_dimensions(payload)
         or parse_jpeg_dimensions(payload)
+        or parse_gif_dimensions(payload)
+        or parse_bmp_dimensions(payload)
         or _fake_decode_image(payload)
     )
 

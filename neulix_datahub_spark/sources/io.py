@@ -308,6 +308,29 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return path
 
 
+def read_json_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON scan with the reference's warn-don't-fail posture
+    (``on_bad_lines='warn'``, db_core.py:90) mapped to Spark's
+    PERMISSIVE mode: malformed lines land whole in ``corrupt_col``
+    (their typed columns null) instead of killing the 100 TB job;
+    callers split good/bad with ``corrupt_col IS NULL``. The corrupt
+    column must be declared in the schema — with an inferred schema
+    Spark silently drops unparseable rows under ANSI, which is exactly
+    the silent data loss this helper exists to prevent."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_text(spark: SparkSession, path: str) -> DataFrame:
     """IO7: text scan → one ``value`` string column (``data_core.py:89-97``)."""
     return spark.read.text(path)

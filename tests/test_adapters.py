@@ -289,3 +289,37 @@ def test_real_wav_header_parse(spark, tmp_path):
     mp3 = rows["song.mp3"]
     assert mp3.sample_rate is None and mp3.duration_ms is None
     assert rows["tone.wav"].media.kind == "audio"
+
+
+def test_real_gif_bmp_header_parse(spark, tmp_path):
+    """GIF logical-screen-descriptor and BMP BITMAPINFOHEADER dimensions
+    parse for real; a top-down BMP (negative height) reports the
+    magnitude."""
+    import struct
+
+    from neulix_datahub_spark.operators.multimodal import (
+        parse_bmp_dimensions,
+        parse_gif_dimensions,
+    )
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(4)
+    assert parse_gif_dimensions(gif) == (320, 200)
+    assert parse_gif_dimensions(b"GIF00a" + bytes(10)) is None
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 200, 0, 0, 54)      # file header
+        + struct.pack("<IiiHH", 40, 800, -600, 1, 24)    # info header head
+        + bytes(40)
+    )
+    assert parse_bmp_dimensions(bmp) == (800, 600)  # top-down -> magnitude
+    assert parse_bmp_dimensions(b"BM" + bytes(10)) is None
+
+    (tmp_path / "a.gif").write_bytes(gif + bytes(20))
+    (tmp_path / "b.bmp").write_bytes(bmp)
+    assets = read_binary_assets(spark, str(tmp_path))
+    feats = {
+        r.path.rsplit("/", 1)[-1]: (r.width, r.height)
+        for r in extract_image_features(assets).collect()
+    }
+    assert feats["a.gif"] == (320, 200)
+    assert feats["b.bmp"] == (800, 600)

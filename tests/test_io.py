@@ -386,3 +386,27 @@ def test_overwrite_partitions_is_a_surgical_backfill(spark, tmp_path):
     assert again == got
     # conf restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
+    """Malformed JSON lines land in _corrupt_record with typed columns
+    null; well-formed lines parse; nothing is silently dropped."""
+    from neulix_datahub_spark.sources.io import read_json_permissive
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": 1, "v": 2.5}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": "not-a-double"}\n'
+        '{"id": 3, "v": 9.0}\n'
+    )
+    df = read_json_permissive(spark, str(p), "id bigint, v double")
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    good = {r.id: r.v for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {1: 2.5, 3: 9.0}
+    assert len(bad) == 2
+    assert "not json at all" in bad[0] or "not json at all" in bad[1]
+    # type-mismatched row keeps its raw text for forensics
+    assert any("not-a-double" in b for b in bad)

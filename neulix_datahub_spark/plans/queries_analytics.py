@@ -456,6 +456,68 @@ ORDER BY events_per_session
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintiles per customer —
+# the standard marketing segmentation matrix.
+# ---------------------------------------------------------------------------
+
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per-customer recency (last order
+    date), frequency (order count) and monetary (total spend), each
+    quintiled by ntile(5) with the customer key as tiebreak (ntile
+    assigns deterministically given a total order, and both engines
+    give earlier tiles the remainder rows), then the (R, F) segment
+    matrix with sizes and average spend. One shuffle to the per-customer
+    aggregate; the ntile windows then order that one-row-per-customer
+    frame globally — exact quintiles are inherently a total order. At
+    100 TB customer counts the swap is percentile_approx cutoffs
+    (mergeable GK sketch, see approx_price_percentiles) + a bucket
+    expression: same matrix, no global sort; ntile is the exact,
+    oracle-checkable form."""
+    orders = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).alias("__freq"),
+        F.sum("o_totalprice").alias("__monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy("__last", "o_custkey")).alias("r_quintile"),
+        F.ntile(5).over(Window.orderBy("__freq", "o_custkey")).alias("f_quintile"),
+        "__monetary",
+    )
+    return (
+        scored.groupBy("r_quintile", "f_quintile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("__monetary"), 2).alias("avg_monetary"),
+        )
+        .orderBy("r_quintile", "f_quintile")
+    )
+
+
+RFM_SQL = """
+WITH rfm AS (
+    SELECT o_custkey,
+           max(o_orderdate) AS last_order,
+           count(*) AS freq,
+           sum(o_totalprice) AS monetary
+    FROM orders GROUP BY o_custkey
+),
+scored AS (
+    SELECT ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_quintile,
+           ntile(5) OVER (ORDER BY freq, o_custkey) AS f_quintile,
+           monetary
+    FROM rfm
+)
+SELECT r_quintile, f_quintile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(monetary), 2) AS avg_monetary
+FROM scored
+GROUP BY r_quintile, f_quintile
+ORDER BY r_quintile, f_quintile
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -491,5 +553,10 @@ ANALYTICS_QUERIES = {
         dynamic_gap_sessions,
         DYNAMIC_SESSIONS_SQL,
         "S2 depth: expression-valued session gaps (interval-union merge)",
+    ),
+    "rfm_segment_counts": (
+        rfm_segment_counts,
+        RFM_SQL,
+        "RFM quintile segmentation matrix over orders",
     ),
 }

@@ -86,20 +86,32 @@ def asof_join(
     on: str,
     by: str,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
-    """Left as-of join: latest ``right`` row with ``right.on <= left.on``
-    within each ``by`` group. Right columns (except ``by``/``on``) are
-    appended, suffixed on collision; left rows with no earlier right row
-    keep nulls (left-outer semantics).
+    """Left as-of join (pandas ``merge_asof`` surface): per ``by`` group,
+    ``backward`` picks the latest ``right`` row with ``right.on <=
+    left.on``; ``forward`` the earliest with ``right.on >= left.on``.
+    ``tolerance`` bounds the staleness — an interval string (``"2
+    hours"``) for timestamp keys or a number for numeric keys; matches
+    further away revert to null. Right columns (except ``by``/``on``)
+    are appended, suffixed on collision; unmatched left rows keep nulls
+    (left-outer semantics).
 
     Ties (equal ``on``): the right row sorts before the left probe (tag
-    0 < 1), so an exactly-simultaneous right row IS visible to the left
-    row — matching DuckDB ASOF (>=) semantics.
+    0 < 1 under either direction's ordering), so an exactly-simultaneous
+    right row IS visible — matching DuckDB ASOF (>=) semantics.
+
+    Plan shape is direction-independent: ONE shuffle on ``by`` for the
+    union + window carry; no interval product, no range join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     r_payload_cols = [c for c in right.columns if c not in (by, on)]
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in r_payload_cols
     }
+    r_on_type = right.schema[on].dataType.simpleString()
 
     l_tagged = left.select(
         F.col(by), F.col(on), F.lit(1).alias("__tag"),
@@ -109,6 +121,7 @@ def asof_join(
                 f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in r_payload_cols
             ) + ">"
         ).alias("__r"),
+        F.lit(None).cast(r_on_type).alias("__r_on"),
     )
     r_tagged = right.select(
         F.col(by), F.col(on), F.lit(0).alias("__tag"),
@@ -118,19 +131,34 @@ def asof_join(
             ) + ">"
         ).alias("__l"),
         F.struct(*[F.col(c) for c in r_payload_cols]).alias("__r"),
+        F.col(on).alias("__r_on"),
     )
 
+    order_on = F.col(on) if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("__tag"))
+        .orderBy(order_on, F.col("__tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
         l_tagged.unionByName(r_tagged)
-        .withColumn("__r_carried", F.last("__r", ignorenulls=True).over(w))
+        .withColumn("__rc", F.last("__r", ignorenulls=True).over(w))
+        .withColumn("__rc_on", F.last("__r_on", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)
     )
+    if tolerance is not None:
+        if isinstance(tolerance, str):
+            bound = F.expr(f"INTERVAL {tolerance}")
+        else:
+            bound = F.lit(tolerance)
+        if direction == "backward":
+            ok = F.col(on) <= F.col("__rc_on") + bound
+        else:
+            ok = F.col("__rc_on") <= F.col(on) + bound
+        carried = carried.withColumn(
+            "__rc", F.when(ok, F.col("__rc")).otherwise(F.lit(None))
+        )
     return carried.select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
-        *[F.col("__r_carried")[c].alias(out_names[c]) for c in r_payload_cols],
+        *[F.col("__rc")[c].alias(out_names[c]) for c in r_payload_cols],
     )

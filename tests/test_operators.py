@@ -1186,3 +1186,70 @@ def test_rollup_router_guards(spark):
         ).collect()
     }
     assert out == {("2024-01-01", 5, 30.0), ("2024-01-02", 1, 5.0)}
+
+
+def test_asof_join_direction_and_tolerance(spark):
+    """asof_join forward/tolerance surface (pandas merge_asof parity,
+    verified against an inline pandas mirror): backward picks the
+    latest earlier quote, forward the earliest later one, tolerance
+    nulls out stale matches; tie rows stay visible both ways."""
+    import pandas as pd
+
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    trades = spark.createDataFrame(
+        [("A", 10.0, "t1"), ("A", 25.0, "t2"), ("B", 5.0, "t3")],
+        "sym string, ts double, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8.0, 100.0), ("A", 10.0, 101.0), ("A", 30.0, 102.0),
+         ("B", 50.0, 200.0)],
+        "sym string, ts double, px double",
+    )
+
+    def run(**kw):
+        return {
+            (r.sym, r.ts): r.px
+            for r in asof_join(trades, quotes, on="ts", by="sym", **kw).collect()
+        }
+
+    back = run()
+    assert back == {("A", 10.0): 101.0,  # tie visible
+                    ("A", 25.0): 101.0,
+                    ("B", 5.0): None}
+    fwd = run(direction="forward")
+    assert fwd == {("A", 10.0): 101.0,  # tie visible forward too
+                   ("A", 25.0): 102.0,
+                   ("B", 5.0): 200.0}
+    tol = run(tolerance=10.0)
+    assert tol == {("A", 10.0): 101.0,
+                   ("A", 25.0): None,   # 25-10 > 10 -> stale
+                   ("B", 5.0): None}
+    # pandas mirror agrees on every case
+    tp = pd.DataFrame({"sym": ["A", "A", "B"], "ts": [10.0, 25.0, 5.0]})
+    qp = pd.DataFrame({"sym": ["A", "A", "A", "B"], "ts": [8.0, 10.0, 30.0, 50.0],
+                       "px": [100.0, 101.0, 102.0, 200.0]})
+    for kw, got in ((dict(direction="backward"), back),
+                    (dict(direction="forward"), fwd),
+                    (dict(direction="backward", tolerance=10.0), tol)):
+        ref = pd.merge_asof(tp.sort_values("ts"), qp.sort_values("ts"),
+                            on="ts", by="sym", **kw)
+        for _, r in ref.iterrows():
+            want = None if pd.isna(r.px) else r.px
+            assert got[(r.sym, r.ts)] == want, (kw, r.sym, r.ts)
+
+
+def test_asof_join_timestamp_tolerance(spark):
+    """Interval-string tolerance on timestamp keys."""
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00")], "k string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    snap = spark.createDataFrame(
+        [("u", "2024-01-01 06:00:00", 1.0)], "k string, ts string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wide = asof_join(ev, snap, on="ts", by="k", tolerance="6 hours").collect()[0]
+    assert wide.v == 1.0
+    narrow = asof_join(ev, snap, on="ts", by="k", tolerance="2 hours").collect()[0]
+    assert narrow.v is None

@@ -1728,7 +1728,8 @@ _PRIORITY_R5 = [
 # pca_embedding_check, cluster_split_stats,
 # customer_hierarchy_depths, brand_triangle_count,
 # bigram_perplexity_by_lang, stream_funnel_stats, hll_overlap_check,
-# dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts
+# dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts,
+# revenue_anomaly_days
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

@@ -518,6 +518,77 @@ ORDER BY r_quintile, f_quintile
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series anomaly detection: trailing-window z-score on the daily
+# revenue series (the monitoring query behind every ops dashboard).
+# ---------------------------------------------------------------------------
+
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue deviates >3 sigma from the TRAILING 28-day
+    window (window excludes the current day — self-inclusion dilutes
+    the very deviation being tested); days with under 14 trailing
+    observations are not scored (cold start). Same O(days) window
+    input argument as rolling_revenue_7d: the raw scan distributes,
+    the ordered window sees one row per calendar day."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.to_date("o_orderdate").alias("__day"))
+        .agg(F.sum("o_totalprice").alias("__rev"))
+    )
+    w = (
+        Window.orderBy(F.datediff("__day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-28, -1)
+    )
+    scored = daily.select(
+        "__day",
+        "__rev",
+        F.avg("__rev").over(w).alias("__mu"),
+        F.stddev_samp("__rev").over(w).alias("__sd"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    return (
+        scored.filter(
+            (F.col("__n") >= 14)
+            & (F.abs(F.col("__rev") - F.col("__mu")) > 3 * F.col("__sd"))
+        )
+        .select(
+            F.date_format("__day", "yyyy-MM-dd").alias("day"),
+            F.round("__rev", 2).alias("revenue"),
+            F.round("__mu", 2).alias("trailing_mean"),
+            F.round((F.col("__rev") - F.col("__mu")) / F.col("__sd"), 4).alias(
+                "z_score"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+    FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+scored AS (
+    SELECT day, rev,
+           avg(rev) OVER w AS mu,
+           stddev_samp(rev) OVER w AS sd,
+           count(*) OVER w AS n
+    FROM daily
+    WINDOW w AS (ORDER BY day
+                 RANGE BETWEEN INTERVAL 28 DAYS PRECEDING
+                           AND INTERVAL 1 DAY PRECEDING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(rev, 2) AS revenue,
+       round(mu, 2) AS trailing_mean,
+       round((rev - mu) / sd, 4) AS z_score
+FROM scored
+WHERE n >= 14 AND abs(rev - mu) > 3 * sd
+ORDER BY day
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -558,5 +629,10 @@ ANALYTICS_QUERIES = {
         rfm_segment_counts,
         RFM_SQL,
         "RFM quintile segmentation matrix over orders",
+    ),
+    "revenue_anomaly_days": (
+        revenue_anomaly_days,
+        ANOMALY_SQL,
+        "trailing-window 3-sigma anomaly days on daily revenue",
     ),
 }

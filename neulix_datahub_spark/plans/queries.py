@@ -1529,10 +1529,107 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Training-export composite: the full corpus pipeline in ONE declarative
+# plan — quality filter → exact dedup → deterministic shard assignment →
+# per-shard export manifest. The shard key is content-addressed (md5
+# prefix → mod), so shard membership is stable across re-runs, engines
+# and corpus growth — the same property the mixing sampler and splits
+# rely on, now closing the pipeline at the export boundary.
+# ---------------------------------------------------------------------------
+
+_N_EXPORT_SHARDS = 8
+
+
+def training_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data export manifest: quality-filter the
+    corpus (same thresholds as curation_pipeline), exact-dedup by
+    normalized-content fingerprint, assign each surviving doc a
+    deterministic content-hash shard, and emit the per-shard manifest
+    (doc/token counts, mean quality) a downstream trainer consumes.
+    One fused plan: narrow scoring projection → fingerprint groupBy →
+    narrow shard expression → 8-key aggregation; nothing materializes
+    between stages."""
+    from neulix_datahub_spark.functions.planning import filter_computed
+    from neulix_datahub_spark.operators.dedupe import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = filter_computed(
+        docs.select(
+            "doc_id",
+            "text",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+            content_fingerprint("text").alias("__fp"),
+        ),
+        (F.col("n_tokens") >= 30) & (F.col("quality") >= 0.75),
+    )
+    deduped = (
+        scored.groupBy("__fp")
+        .agg(F.min(F.struct("doc_id", "text", "n_tokens", "quality")).alias("__row"))
+        .select("__row.*")
+    )
+    shard = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+        % _N_EXPORT_SHARDS
+    )
+    return (
+        deduped.select(shard.alias("shard"), "n_tokens", "quality")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("shard")
+    )
+
+
+_EXPORT_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, text,
+           {_TOKENS_SQL} AS n_tokens,
+           round((
+             (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST(length(trim(text)) AS DOUBLE) / ({_TOKENS_SQL}) BETWEEN 3 AND 12
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_PUNCT_SQL} <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} > 0
+                   AND CAST({_STOPHITS_SQL} AS DOUBLE) / ({_TOKENS_SQL}) >= 0.01
+                   THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN {_TOKENS_SQL} >= 5 THEN 1.0 ELSE 0.0 END)
+           ) / 4.0, 6) AS quality
+    FROM documents
+),
+filtered AS (
+    SELECT * FROM scored WHERE n_tokens >= 30 AND quality >= 0.75
+),
+deduped AS (
+    SELECT arg_min(text, doc_id) AS text,
+           arg_min(n_tokens, doc_id) AS n_tokens,
+           arg_min(quality, doc_id) AS quality
+    FROM filtered
+    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+)
+SELECT CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM deduped
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, QuerySpec] = {
+    "training_export_stats": QuerySpec(
+        training_export_stats,
+        _EXPORT_SQL,
+        "composite: filter -> dedup -> content-hash shards -> manifest",
+    ),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL, "A7/§7.1 flagship"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_SQL, "J4 3-way join + top-k"),
     "q5_nation_revenue": QuerySpec(q5_nation_revenue, _Q5_SQL, "J4 star join"),
@@ -1729,7 +1826,7 @@ _PRIORITY_R5 = [
 # customer_hierarchy_depths, brand_triangle_count,
 # bigram_perplexity_by_lang, stream_funnel_stats, hll_overlap_check,
 # dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts,
-# revenue_anomaly_days
+# revenue_anomaly_days, training_export_stats
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

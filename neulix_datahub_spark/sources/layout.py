@@ -114,3 +114,45 @@ def overwrite_partitions(
     finally:
         spark.conf.set(key, prev)
     return path
+
+
+def zorder_key(
+    bounds: dict[str, tuple[float, float]], bits: int = 16
+) -> Column:
+    """Morton (Z-order) interleave key over N numeric columns — the
+    multi-column data-skipping complement to single-column clustering
+    (Delta's OPTIMIZE ZORDER BY analogue). Each column is min/max-scaled
+    to a ``bits``-bit integer rank, then the ranks' bits are interleaved
+    round-robin; sorting by the key gives every listed column LOCALLY
+    narrow parquet row-group min/max ranges, where a plain lexicographic
+    sort only narrows its first column.
+
+    Pure expression tree (shifts/ORs — ANSI-safe, no multiplication
+    overflow; N·bits must fit 63 bits). Bounds are caller-supplied:
+    at scale take them from table statistics or a cheap agg; values
+    outside clamp to the edge rank, so stale bounds degrade locality,
+    never correctness.
+    """
+    n = len(bounds)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed 64-bit key")
+    ranks = []
+    for col, (lo, hi) in bounds.items():
+        if not hi > lo:
+            raise ValueError(f"bounds for {col} must satisfy lo < hi")
+        span = float(hi) - float(lo)
+        scaled = F.floor(
+            (F.col(col).cast("double") - F.lit(float(lo))) / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        ).cast("long")
+        ranks.append(
+            F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), scaled))
+        )
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, r in enumerate(ranks):
+            key = key.bitwiseOR(
+                r.bitwiseAND(F.lit(1 << bit)).cast("long")
+                * F.lit(1 << (bit * (n - 1) + j))
+            )
+    return key

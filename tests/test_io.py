@@ -410,3 +410,51 @@ def test_read_json_permissive_quarantines_bad_lines(spark, tmp_path):
     assert "not json at all" in bad[0] or "not json at all" in bad[1]
     # type-mismatched row keeps its raw text for forensics
     assert any("not-a-double" in b for b in bad)
+
+
+def test_zorder_key_bounds_both_columns(spark, tmp_path):
+    """Sorting files by the Morton key gives BOTH listed columns
+    narrow per-file min/max ranges (the data-skipping contract);
+    a lexicographic sort narrows only its first column. Also pins the
+    bit interleave against a pure-python reference."""
+    from neulix_datahub_spark.sources.layout import zorder_key
+    from tests.conftest import SF_DIR
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_orderkey"
+    )
+    pk_max = li.agg(F.max("l_partkey"), F.max("l_orderkey")).first()
+    bounds = {"l_partkey": (0, pk_max[0]), "l_orderkey": (0, pk_max[1])}
+
+    def widths(df, order_cols, path):
+        (df.repartitionByRange(8, *order_cols)
+           .sortWithinPartitions(*order_cols)
+           .write.mode("overwrite").parquet(path))
+        import pyarrow.parquet as pq
+        import pathlib
+        spans = []
+        for f in pathlib.Path(path).glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                cols = {row.column(i).path_in_schema: row.column(i).statistics
+                        for i in range(row.num_columns)}
+                spans.append((
+                    cols["l_partkey"].max - cols["l_partkey"].min,
+                    cols["l_orderkey"].max - cols["l_orderkey"].min,
+                ))
+        n = len(spans)
+        return (sum(s[0] for s in spans) / n, sum(s[1] for s in spans) / n)
+
+    lex = widths(li, [F.col("l_partkey"), F.col("l_orderkey")],
+                 str(tmp_path / "lex"))
+    zdf = li.withColumn("__z", zorder_key(bounds, bits=12))
+    zo = widths(zdf, [F.col("__z")], str(tmp_path / "zo"))
+
+    full_ok = li.agg(F.max("l_orderkey") - F.min("l_orderkey")).first()[0]
+    # lexicographic: orderkey ranges are ~the full span in every file
+    assert lex[1] > 0.8 * full_ok
+    # z-order: BOTH columns' ranges shrink well below the full span
+    assert zo[1] < 0.6 * full_ok
+    full_pk = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    assert zo[0] < 0.6 * full_pk

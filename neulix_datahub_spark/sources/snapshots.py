@@ -398,3 +398,89 @@ def vacuum_snapshots(
     for d in orphans:
         shutil.rmtree(os.path.join(root, d))
     return removable + orphans
+
+
+# ---------------------------------------------------------------------------
+# Atomic multi-table commits (catalog layer)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import re as _re
+
+_TABLE_NAME = _re.compile(r"^(?!v\d+$)(?!_)[A-Za-z0-9_.-]+$")
+
+
+def commit_tables(
+    updates: dict[str, DataFrame], catalog_root: str, expected=_UNSET
+) -> str:
+    """Atomic MULTI-TABLE commit: publish new snapshots for every table
+    in ``updates`` under one catalog version, so readers that resolve
+    the catalog see the tables move TOGETHER — the cross-table
+    consistency a per-table pointer cannot give (fact and its dimension
+    must never be read from different commits).
+
+    Mechanics reuse the single-table machinery wholesale: each table is
+    a snapshot table at ``catalog_root/<name>/``; the catalog itself is
+    ANOTHER snapshot "table" at ``catalog_root`` whose snapshot dirs
+    hold a one-file json manifest {table: version}. Tables absent from
+    ``updates`` carry their manifest version forward unchanged. The
+    commit point is the catalog's lock-atomic pointer CAS — same
+    crash/conflict/time-travel guarantees, including ``expected`` (pass
+    the catalog version your inputs were read at; a concurrent commit
+    makes yours fail loudly instead of interleaving).
+
+    Per-table pointers still advance, so single-table readers keep
+    working; only catalog readers get the cross-table guarantee.
+    """
+    for name in updates:
+        if not _TABLE_NAME.match(name):
+            raise ValueError(
+                f"invalid table name {name!r} (must not look like a version "
+                "dir or start with underscore)"
+            )
+    os.makedirs(catalog_root, exist_ok=True)
+    if expected is _UNSET:
+        expected = current_version(catalog_root)
+    manifest: dict[str, str] = {}
+    if expected is not None:
+        manifest = read_catalog_manifest(catalog_root, expected)
+    for name, df in updates.items():
+        manifest[name] = write_snapshot(df, os.path.join(catalog_root, name))
+
+    version = _next_version(catalog_root)
+    staging = os.path.join(catalog_root, f".{version}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "manifest.json"), "w", encoding="utf-8") as f:
+        _json.dump({"tables": manifest}, f, sort_keys=True)
+    final = os.path.join(catalog_root, version)
+    try:
+        os.rename(staging, final)
+    except OSError as exc:
+        raise ConcurrentSnapshotError(
+            f"catalog version {version} already exists under {catalog_root}"
+        ) from exc
+    _publish_pointer(catalog_root, version, expected)
+    return version
+
+
+def read_catalog_manifest(catalog_root: str, version: str | None = None) -> dict[str, str]:
+    """The {table: snapshot version} map of a catalog commit."""
+    v = version or current_version(catalog_root)
+    if v is None:
+        raise FileNotFoundError(f"no published catalog under {catalog_root}")
+    with open(os.path.join(catalog_root, v, "manifest.json"), encoding="utf-8") as f:
+        return dict(_json.load(f)["tables"])
+
+
+def read_catalog(
+    spark: SparkSession, catalog_root: str, version: str | None = None
+) -> dict[str, DataFrame]:
+    """Open every table at the versions pinned by one catalog commit —
+    a consistent cross-table view (current or time-traveled)."""
+    manifest = read_catalog_manifest(catalog_root, version)
+    return {
+        name: read_snapshot_table(
+            spark, os.path.join(catalog_root, name), version=v
+        )
+        for name, v in manifest.items()
+    }

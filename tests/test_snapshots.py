@@ -277,3 +277,91 @@ def test_upsert_snapshot_schema_evolution(spark, tmp_path):
             spark.createDataFrame([(5, 1)], "id long, v int"),
             key="id", allow_new_columns=True,
         )
+
+
+def test_catalog_commit_is_cross_table_consistent(spark, tmp_path):
+    """Readers resolving the catalog see fact+dim move TOGETHER: every
+    observed pair is from the same commit (v fields always equal), under
+    concurrent commits on a background thread."""
+    import threading
+
+    from neulix_datahub_spark.sources.snapshots import (
+        commit_tables,
+        read_catalog,
+        read_catalog_manifest,
+    )
+
+    cat = str(tmp_path / "cat")
+
+    def tables(i):
+        return {
+            "fact": spark.createDataFrame([(i, i * 10)], "v int, x int"),
+            "dim": spark.createDataFrame([(i, f"gen{i}")], "v int, label string"),
+        }
+
+    commit_tables(tables(0), cat)
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def committer():
+        i = 1
+        while not stop.is_set() and i <= 4:
+            try:
+                commit_tables(tables(i), cat)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+            i += 1
+
+    t = threading.Thread(target=committer)
+    t.start()
+    try:
+        for _ in range(12):
+            view = read_catalog(spark, cat)
+            f = view["fact"].collect()[0]
+            d = view["dim"].collect()[0]
+            assert f.v == d.v, f"mixed commit observed: fact={f.v} dim={d.v}"
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    # time travel: the first commit still reads as the (0, 0) pair
+    manifest0 = read_catalog_manifest(cat, "v00000001")
+    assert set(manifest0) == {"fact", "dim"}
+    old = read_catalog(spark, cat, version="v00000001")
+    assert old["fact"].collect()[0].v == 0 == old["dim"].collect()[0].v
+
+
+def test_catalog_commit_conflicts_and_carry_forward(spark, tmp_path):
+    """CAS: two commits from the same expected catalog version — the
+    loser raises. Tables absent from a commit carry forward."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.snapshots import (
+        ConcurrentSnapshotError,
+        commit_tables,
+        read_catalog,
+        read_catalog_manifest,
+    )
+
+    cat = str(tmp_path / "cat2")
+    base = commit_tables(
+        {
+            "a": spark.createDataFrame([(1,)], "x int"),
+            "b": spark.createDataFrame([(1,)], "y int"),
+        },
+        cat,
+    )
+    # update only `a`; `b` carries forward
+    commit_tables({"a": spark.createDataFrame([(2,)], "x int")}, cat)
+    m = read_catalog_manifest(cat)
+    assert m["b"] == read_catalog_manifest(cat, base)["b"]
+    view = read_catalog(spark, cat)
+    assert view["a"].collect()[0].x == 2 and view["b"].collect()[0].y == 1
+
+    # stale expected -> loud conflict
+    with _pytest.raises(ConcurrentSnapshotError):
+        commit_tables(
+            {"a": spark.createDataFrame([(3,)], "x int")}, cat, expected=base
+        )
+    with _pytest.raises(ValueError):
+        commit_tables({"v123": spark.range(1)}, cat)

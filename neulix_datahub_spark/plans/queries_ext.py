@@ -570,6 +570,64 @@ ORDER BY c_mktsegment
 """
 
 
+def catalog_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic commit (round 5, snapshots.py::commit_tables):
+    commit a balances table and a segments table under catalog v1, then
+    commit ONLY an updated balances (+1000 on every 10th key) as v2 —
+    segments carries forward by manifest. Reading THROUGH the catalog
+    joins the two tables from one commit; the oracle recomputes the
+    joined aggregate from the raw customer table with the same update
+    applied. A green row proves commit/carry-forward/consistent-read
+    end-to-end, not just unit-level."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.snapshots import (
+        commit_tables,
+        read_catalog,
+    )
+
+    root = warehouse_scratch(spark, "_neulix_catalog_")
+    cust = _t(spark, sf_dir, "customer")
+    balances = cust.select("c_custkey", "c_acctbal")
+    segments = cust.select("c_custkey", "c_mktsegment")
+    v1 = commit_tables({"balances": balances, "segments": segments}, root)
+    updated = balances.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 10 == 0, F.round(F.col("c_acctbal") + 1000.0, 4)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    v2 = commit_tables({"balances": updated}, root)
+    assert (v1, v2) == ("v00000001", "v00000002"), (v1, v2)
+    view = read_catalog(spark, root)
+    return (
+        view["balances"]
+        .join(view["segments"], "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CATALOG_COMMIT_SQL = """
+WITH upserted AS (
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN c_custkey % 10 = 0
+                THEN round(c_acctbal + 1000.0, 4)
+                ELSE c_acctbal END AS c_acctbal
+    FROM customer
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+FROM upserted
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 def snapshot_changes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC tier (round 5): ``snapshot_diff`` — the change feed between
     two versions of a snapshot table, the engine-neutral analogue of
@@ -1935,6 +1993,11 @@ EXT_QUERIES = {
         customer_hierarchy_depths,
         HIERARCHY_SQL,
         "IO8 breadth: native WITH RECURSIVE hierarchy rollup",
+    ),
+    "catalog_commit_stats": (
+        catalog_commit_stats,
+        CATALOG_COMMIT_SQL,
+        "atomic multi-table commit + carry-forward + consistent read",
     ),
     "bucketed_revenue_by_priority": (
         bucketed_revenue_by_priority,

@@ -1826,7 +1826,8 @@ _PRIORITY_R5 = [
 # customer_hierarchy_depths, brand_triangle_count,
 # bigram_perplexity_by_lang, stream_funnel_stats, hll_overlap_check,
 # dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts,
-# revenue_anomaly_days, training_export_stats, catalog_commit_stats
+# revenue_anomaly_days, training_export_stats, catalog_commit_stats,
+# weekly_autocorr_by_type
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

@@ -589,6 +589,47 @@ ORDER BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped-map (batch applyInPandas) surface: per-type weekly
+# autocorrelation of the daily event series.
+# ---------------------------------------------------------------------------
+
+def weekly_autocorr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3's BATCH grouped-map form (operators/timeseries.py): per
+    event type, the lag-7 Pearson autocorrelation of the daily count
+    series — each group's calendar-aligned pairing runs as numpy inside
+    ``applyInPandas``. The oracle recomputes the identical statistic
+    with a calendar self-join + corr(); hash-matching proves the
+    grouped-map path end-to-end (Arrow exchange, per-group frame,
+    declared schema), not just that pandas ran."""
+    from neulix_datahub_spark.operators.timeseries import grouped_autocorr
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    return grouped_autocorr(
+        daily, key_col="event_type", day_col="day", value_col="cnt", lag=7
+    ).orderBy("event_type")
+
+
+AUTOCORR_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*)::DOUBLE AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM daily d
+         WHERE d.event_type = a.event_type) AS n_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(corr(b.cnt, a.cnt), 6) AS autocorr
+FROM daily a JOIN daily b
+  ON a.event_type = b.event_type AND b.day = a.day - 7
+GROUP BY a.event_type
+ORDER BY a.event_type
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -634,5 +675,10 @@ ANALYTICS_QUERIES = {
         revenue_anomaly_days,
         ANOMALY_SQL,
         "trailing-window 3-sigma anomaly days on daily revenue",
+    ),
+    "weekly_autocorr_by_type": (
+        weekly_autocorr_by_type,
+        AUTOCORR_SQL,
+        "U3 batch grouped-map: per-type lag-7 autocorrelation",
     ),
 }

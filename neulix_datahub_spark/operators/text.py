@@ -9,6 +9,7 @@ codegen; nothing crosses into Python.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -416,3 +417,28 @@ def doc_bigram_perplexity(
         .groupBy(id_col)
         .agg(F.exp(-F.avg(F.log(p))).alias("perplexity"))
     )
+
+
+def nfc_normalize_udf():
+    """L4 cleaning: Unicode NFC normalization as a VECTORIZED scalar
+    pandas UDF — the one text op in this module that genuinely needs
+    Python (Spark SQL has no Unicode-normalization function; composed
+    vs decomposed forms otherwise break dedup fingerprints, shingles
+    and tokenizers that all compare bytes).
+
+    Arrow-batched SERIES→SERIES: each executor call normalizes a whole
+    pandas batch via str-accessor-free pd.Series.map over
+    unicodedata.normalize — 10-100× over a row-at-a-time Python UDF per
+    the standard pandas-UDF arithmetic; still Python-priced, so run it
+    ONCE at corpus ingest (before fingerprinting), not per query."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(batch: pd.Series) -> pd.Series:
+        return batch.map(
+            lambda s: None if s is None else unicodedata.normalize("NFC", s)
+        )
+
+    return nfc

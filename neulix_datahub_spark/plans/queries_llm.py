@@ -1559,6 +1559,49 @@ ORDER BY split
 """
 
 
+def unicode_normalization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 cleaning via the VECTORIZED scalar pandas-UDF surface
+    (operators/text.py::nfc_normalize_udf — Spark SQL has no Unicode
+    normalization, so this is the one honest Python hot-path in the
+    text tier). A decomposed e+COMBINING-ACUTE suffix is planted on
+    every document identically in both engines; NFC must compose it,
+    shrinking each doc by exactly one character — the oracle recomputes
+    with DuckDB's native nfc_normalize, so the hash check pins the
+    UDF's Arrow batch path AND the normalization semantics."""
+    from neulix_datahub_spark.operators.text import nfc_normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    nfc = nfc_normalize_udf()
+    planted = docs.select(
+        "lang", F.concat("text", F.lit("e\u0301")).alias("__raw")
+    )
+    return (
+        planted.select(
+            "lang",
+            F.length("__raw").alias("__rawlen"),
+            F.length(nfc(F.col("__raw"))).alias("__nfclen"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__rawlen").alias("raw_chars"),
+            F.sum("__nfclen").alias("nfc_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NFC_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text || 'e' || chr(769))) AS BIGINT) AS raw_chars,
+       CAST(sum(length(nfc_normalize(text || 'e' || chr(769)))) AS BIGINT)
+           AS nfc_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 LLM_QUERIES = {
     "winnow_overlap_stats": (
         winnow_overlap_stats,
@@ -1680,5 +1723,10 @@ LLM_QUERIES = {
         cluster_split_stats,
         _CLUSTER_SPLIT_SQL,
         "L2+ near-dup-leakage-safe cluster-keyed train/eval split",
+    ),
+    "unicode_normalization_stats": (
+        unicode_normalization_stats,
+        _NFC_SQL,
+        "L4 vectorized pandas-UDF NFC normalization vs native oracle",
     ),
 }

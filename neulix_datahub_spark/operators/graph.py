@@ -92,8 +92,19 @@ def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
 
     Returns one row: ``n_nodes, n_edges, n_triangles,
     clustering_coeff`` (null when the graph has no open triads).
+
+    The edge list is referenced six times (two hop sides, the closing
+    probe, both degree projections, the edge count); localCheckpoint
+    materializes it ONCE so the plan doesn't re-derive the upstream
+    edge computation per reference — without it a derived edge list
+    (e.g. the co-purchase join) re-scans its fact table six times
+    (measured: 48 scans / 73 shuffles at sf0.1 collapses to one
+    derivation). Cost: one O(|E|) materialization, the same trade
+    connected_components makes for its iteration invariant.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -126,3 +126,38 @@ class StreamMetricsCollector:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def plan_summary(df) -> dict:
+    """Executed-plan shape counters for plan-regression guards: parquet
+    scans, shuffle exchanges, broadcast/sort-merge joins, Python
+    evaluation nodes, and whether any pushed filter reached a scan.
+    This is the measurement behind SCALE.md's plan-evidence table and
+    the tests that pin plan shapes — kept as engine API so a deployment
+    can alert when a code change regresses a plan (e.g. a lost
+    broadcast or a new Python hot path), not just when it slows down.
+
+    Uses the CURRENT query execution: call after an action for the
+    AQE-final plan, or directly for the static plan.
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "parquet_scans": len(re.findall(r"FileScan parquet", plan)),
+        "shuffles": len(
+            re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan
+            )
+        ),
+        "broadcast_joins": len(
+            re.findall(r"BroadcastHashJoin|BroadcastNestedLoop", plan)
+        ),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "python_eval_nodes": len(
+            re.findall(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)
+        ),
+        "has_pushed_filters": (
+            "PushedFilters: [" in plan and "PushedFilters: []" not in plan
+        ),
+    }

@@ -131,3 +131,16 @@ def salted_aggregate(
     return phase1.groupBy(*keys).agg(
         *[mergers[merge](name).alias(name) for name, (_, merge) in aggs.items()]
     )
+
+
+def rebalance_for_write(df: DataFrame, *cols: str) -> DataFrame:
+    """AQE REBALANCE hint — the write-side skew tool: before a
+    partitioned/bucketed write, ask AQE to split oversized shuffle
+    partitions AND coalesce tiny ones at runtime (optionally keyed by
+    ``cols`` so co-located data stays together). Unlike a fixed
+    ``repartition(n)`` this adapts to the actual data volume per key,
+    which is what prevents both straggler tasks and small-file spray
+    from one static guess. No-op semantics: row set is unchanged."""
+    return df.hint("rebalance", *[F.col(c) for c in cols]) if cols else df.hint(
+        "rebalance"
+    )

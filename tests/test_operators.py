@@ -1253,3 +1253,35 @@ def test_asof_join_timestamp_tolerance(spark):
     assert wide.v == 1.0
     narrow = asof_join(ev, snap, on="ts", by="k", tolerance="2 hours").collect()[0]
     assert narrow.v is None
+
+
+def test_plan_summary_and_rebalance(spark):
+    """plan_summary counts the shapes the plan tests rely on; the
+    REBALANCE hint survives into the optimized plan and changes no
+    rows."""
+    from neulix_datahub_spark.observability import plan_summary
+    from neulix_datahub_spark.operators.skew import rebalance_for_write
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    agg = orders.groupBy("o_orderpriority").count()
+    agg.collect()
+    s = plan_summary(agg)
+    # AQE's final-plan string can reprint materialized stages, so scan
+    # counts are lower-bounded, not exact
+    assert s["parquet_scans"] >= 1 and s["shuffles"] >= 1
+    assert s["python_eval_nodes"] == 0
+
+    reb = rebalance_for_write(orders, "o_orderpriority")
+    assert reb.count() == orders.count()
+    opt = reb._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in opt or "rebalance" in opt.lower()
+
+    from neulix_datahub_spark.operators.timeseries import grouped_autocorr
+    from pyspark.sql import functions as F
+    daily = orders.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    ac = grouped_autocorr(daily, "o_orderpriority", "day", "cnt")
+    ac.collect()
+    assert plan_summary(ac)["python_eval_nodes"] >= 1  # grouped map visible

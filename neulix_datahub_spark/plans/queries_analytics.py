@@ -630,6 +630,105 @@ ORDER BY a.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Journey mining + funnel latency: the two follow-on questions every
+# funnel dashboard asks next.
+# ---------------------------------------------------------------------------
+
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step user journeys: per-user event sequences (ordered by
+    ts with event_id tiebreak) sliced into overlapping trigrams via two
+    lead() windows — one user-keyed shuffle, top-k with deterministic
+    tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("__e2"),
+        F.lead("event_type", 2).over(w).alias("__e3"),
+    ).filter(F.col("__e2").isNotNull() & F.col("__e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "__e2", "__e3").alias("journey")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "journey")
+        .limit(10)
+    )
+
+
+TRIGRAMS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS e2,
+           lead(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS journey,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, journey
+LIMIT 10
+"""
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency profile of the funnel's completers: average and exact
+    median hours from first view to the completing purchase (same step
+    chain as event_funnel_stats). Microsecond-exact arithmetic in both
+    engines (unix_micros / epoch_us) so the interpolated median cannot
+    drift on integer-second truncation."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = _funnel_step(ev, v, "click", "t1", "t2")
+    p = _funnel_step(ev, c, "purchase", "t2", "t3")
+    # events ts is TIMESTAMP_NTZ (unix_micros wants TIMESTAMP); a cast
+    # through TIMESTAMP in the session's UTC zone is value-preserving
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    hours = (us("t3") - us("t1")) / 3.6e9
+    return (
+        p.join(v, "user_id")
+        .select(hours.alias("__h"))
+        .agg(
+            F.count(F.lit(1)).alias("converters"),
+            F.round(F.avg("__h"), 4).alias("avg_hours"),
+            F.round(F.percentile("__h", F.lit(0.5)), 4).alias("median_hours"),
+        )
+    )
+
+
+TIME_TO_CONVERT_SQL = f"""
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS converters,
+       round(avg((epoch_us(p.t3) - epoch_us(v.t1)) / 3.6e9), 4) AS avg_hours,
+       round(quantile_cont((epoch_us(p.t3) - epoch_us(v.t1)) / 3.6e9, 0.5), 4)
+           AS median_hours
+FROM p JOIN v ON p.user_id = v.user_id
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -680,5 +779,15 @@ ANALYTICS_QUERIES = {
         weekly_autocorr_by_type,
         AUTOCORR_SQL,
         "U3 batch grouped-map: per-type lag-7 autocorrelation",
+    ),
+    "top_event_trigrams": (
+        top_event_trigrams,
+        TRIGRAMS_SQL,
+        "journey mining: top-10 per-user event trigrams",
+    ),
+    "funnel_time_to_convert": (
+        funnel_time_to_convert,
+        TIME_TO_CONVERT_SQL,
+        "funnel latency: avg + exact-median view->purchase hours",
     ),
 }

@@ -729,6 +729,47 @@ FROM p JOIN v ON p.user_id = v.user_id
 """
 
 
+def daily_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W2 breadth: per-type linear trend of the daily event series
+    via the NATIVE regression aggregates (regr_slope / regr_intercept /
+    regr_r2 — single-pass, decomposable, shuffle bounded by group
+    count; the expression-only sibling of the grouped-map
+    autocorrelation). x is the day ordinal from the fixture epoch, so
+    slope reads as events/day drift."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("__day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+    x = F.datediff("__day", F.lit("2024-01-01").cast("date")).cast("double")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope(F.col("__cnt"), x), 6).alias("slope"),
+            F.round(F.regr_intercept(F.col("__cnt"), x), 6).alias("intercept"),
+            F.round(F.regr_r2(F.col("__cnt"), x), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TREND_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, count(*)::DOUBLE AS cnt
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_slope(cnt, date_diff('day', DATE '2024-01-01', day)), 6) AS slope,
+       round(regr_intercept(cnt, date_diff('day', DATE '2024-01-01', day)), 6)
+           AS intercept,
+       round(regr_r2(cnt, date_diff('day', DATE '2024-01-01', day)), 6) AS r2
+FROM daily
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -789,5 +830,10 @@ ANALYTICS_QUERIES = {
         funnel_time_to_convert,
         TIME_TO_CONVERT_SQL,
         "funnel latency: avg + exact-median view->purchase hours",
+    ),
+    "daily_trend_by_type": (
+        daily_trend_by_type,
+        TREND_SQL,
+        "A1: native regr_slope/intercept/r2 linear trend per type",
     ),
 }

@@ -350,3 +350,103 @@ def cluster_split(
         digits=digits,
     )
     return labeled.drop("__rep_text")
+
+
+def export_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> dict:
+    """Physical training-data EXPORT: land the curated corpus as
+    ``path/shard=N/`` parquet with a ``_MANIFEST.json`` recording per-
+    shard row counts and an order-insensitive content checksum
+    (sum of xxhash64(text) per shard, 64-bit wrapping) — what a trainer
+    needs to (a) consume shards independently and (b) verify integrity
+    after transfer without re-reading bytes twice.
+
+    Shard assignment is the content-addressed md5-prefix key
+    (hash_bucket_hex), so the layout is stable across re-runs and
+    engines — re-exporting an unchanged corpus is byte-stable modulo
+    parquet encoding. One narrow projection + one partitioned write +
+    one n_shards-row aggregate; returns the manifest dict.
+    """
+    import json
+
+    shard = (
+        F.conv(hash_bucket_hex(text_col, 4), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    out = df.withColumn("shard", shard)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    landed = out.sparkSession.read.parquet(path)
+    stats = (
+        landed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # wrapping 64-bit sum: stay in ANSI-safe territory by summing
+            # in decimal then taking mod 2^64 back into a string
+            F.sum(F.xxhash64(F.col(text_col)).cast("decimal(38,0)")).alias("__sum"),
+        )
+        .select(
+            "shard",
+            "n_rows",
+            F.pmod(F.col("__sum"), F.lit(2).cast("decimal(38,0)") ** 64)
+            .cast("string")
+            .alias("checksum"),
+        )
+        .collect()  # bounded: n_shards rows
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "shards": {
+            int(r["shard"]): {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+            for r in stats
+        },
+        "total_rows": int(sum(r["n_rows"] for r in stats)),
+    }
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, sort_keys=True)
+    return manifest
+
+
+def verify_export(spark, path: str, text_col: str = "text") -> bool:
+    """Re-derive the per-shard counts/checksums from the landed parquet
+    and compare against ``_MANIFEST.json`` — the post-transfer integrity
+    check. Raises ValueError naming the first mismatching shard."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    landed = spark.read.parquet(path)
+    stats = (
+        landed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.xxhash64(F.col(text_col)).cast("decimal(38,0)")).alias("__sum"),
+        )
+        .select(
+            "shard",
+            "n_rows",
+            F.pmod(F.col("__sum"), F.lit(2).cast("decimal(38,0)") ** 64)
+            .cast("string")
+            .alias("checksum"),
+        )
+        .collect()
+    )
+    got = {
+        int(r["shard"]): {"n_rows": r["n_rows"], "checksum": r["checksum"]}
+        for r in stats
+    }
+    for shard, want in manifest["shards"].items():
+        if got.get(int(shard)) != want:
+            raise ValueError(
+                f"shard {shard} integrity mismatch: manifest {want}, "
+                f"landed {got.get(int(shard))}"
+            )
+    if set(got) != {int(s) for s in manifest["shards"]}:
+        raise ValueError("landed shards differ from manifest shard set")
+    return True

@@ -177,6 +177,44 @@ def parse_bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
     return (w, abs(h)) if w > 0 and h != 0 else None
 
 
+def parse_mp4_duration(payload: bytes) -> tuple[int, int] | None:
+    """REAL codec-free parse: (timescale, duration_ms) from the MP4
+    moov/mvhd box — an ISO-BMFF box walk (size u32be + fourcc), one
+    level deep into moov, handling both mvhd versions (v0: u32 times,
+    v1: u64). Returns None unless the file leads with ftyp and carries
+    a sane mvhd."""
+    import struct
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", payload[i : i + 4])
+            box = payload[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return None
+            if box == b"moov" and depth == 0:
+                found = walk(i + 8, i + size, 1)
+                if found is not None:
+                    return found
+            elif box == b"mvhd" and depth == 1:
+                ver = payload[i + 8]
+                if ver == 0 and size >= 8 + 4 + 16:
+                    ts, dur = struct.unpack(">II", payload[i + 20 : i + 28])
+                elif ver == 1 and size >= 8 + 4 + 28:
+                    (ts,) = struct.unpack(">I", payload[i + 28 : i + 32])
+                    (dur,) = struct.unpack(">Q", payload[i + 32 : i + 40])
+                else:
+                    return None
+                return (ts, dur * 1000 // ts) if ts > 0 else None
+            i += size
+        return None
+
+    return walk(0, len(payload))
+
+
 def _fake_decode_image(payload: bytes) -> tuple[int, int]:
     """STUB — deterministic fallback for image formats whose dimensions
     need a real decoder (no PIL/opencv in this container). Derives a
@@ -271,9 +309,13 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         content_col: str = "content") -> DataFrame:
     """L5 transform: explode each video asset into frame rows
-    (asset_path, frame_idx, frame_ts_ms, frame binary). Frame extraction
-    itself is a STUB (no ffmpeg here) returning deterministic slices; the
-    explode shape, schema, and partition fan-out are the real design."""
+    (asset_path, frame_idx, frame_ts_ms, frame binary). The frame COUNT
+    is real for MP4 containers — parse_mp4_duration reads moov/mvhd, so
+    an asset yields ceil(duration / every_ms) frames like a genuine
+    sampler (capped at 64/asset); only the frame PIXELS are stub slices
+    (no ffmpeg here). Non-MP4 payloads fall back to the deterministic
+    1-frame-per-KB model. The explode shape, schema and partition
+    fan-out are the real design."""
     out_schema = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -288,8 +330,13 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r[content_col])
-                # STUB duration model: 1 frame per KB, capped at 16.
-                n_frames = min(16, max(1, len(payload) // 1024))
+                mv = parse_mp4_duration(payload)
+                if mv is not None:
+                    # REAL sampling grid from the parsed duration
+                    n_frames = min(64, mv[1] // every_ms + 1)
+                else:
+                    # STUB duration model: 1 frame per KB, capped at 16.
+                    n_frames = min(16, max(1, len(payload) // 1024))
                 for i in range(n_frames):
                     rows.append(
                         {

@@ -323,3 +323,46 @@ def test_real_gif_bmp_header_parse(spark, tmp_path):
     }
     assert feats["a.gif"] == (320, 200)
     assert feats["b.bmp"] == (800, 600)
+
+
+def test_real_mp4_duration_parse(spark, tmp_path):
+    """parse_mp4_duration reads moov/mvhd for real (both versions), and
+    the frame sampler's grid follows the PARSED duration for MP4
+    payloads — 3.5 s at 1 fps -> 4 frames."""
+    import struct
+
+    from neulix_datahub_spark.operators.multimodal import (
+        parse_mp4_duration,
+        sample_video_frames,
+    )
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    # mvhd v0: ver/flags + creation + modification + timescale + duration
+    mvhd_v0 = box(
+        b"mvhd",
+        bytes(4) + struct.pack(">II", 0, 0) + struct.pack(">II", 1000, 3500)
+        + bytes(80),
+    )
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd_v0)
+    assert parse_mp4_duration(mp4) == (1000, 3500)
+
+    # v1 variant: 64-bit times, timescale 600, duration 1200 ticks = 2 s
+    mvhd_v1 = box(
+        b"mvhd",
+        b"\x01" + bytes(3) + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 600) + struct.pack(">Q", 1200) + bytes(80),
+    )
+    assert parse_mp4_duration(box(b"ftyp", b"isom") + box(b"moov", mvhd_v1)) == (600, 2000)
+    assert parse_mp4_duration(b"nonsense" * 4) is None
+
+    (tmp_path / "clip.mp4").write_bytes(mp4 + bytes(4096))
+    (tmp_path / "blob.bin").write_bytes(bytes(3000))
+    assets = read_binary_assets(spark, str(tmp_path))
+    frames = sample_video_frames(assets, every_ms=1000).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.frame_ts_ms)
+    assert sorted(per["clip.mp4"]) == [0, 1000, 2000, 3000]  # real 3.5 s grid
+    assert len(per["blob.bin"]) == 2  # stub model: 3000 // 1024 -> 2 frames

@@ -484,3 +484,66 @@ def read_catalog(
         )
         for name, v in manifest.items()
     }
+
+
+def vacuum_catalog(
+    catalog_root: str, keep: int = 2, staging_grace_seconds: float = 3600.0
+) -> dict[str, list[str]]:
+    """Reference-aware vacuum for a multi-table catalog: trim catalog
+    manifests to the ``keep`` most recent, then vacuum each member
+    table keeping every snapshot version STILL REFERENCED by a
+    surviving manifest (plus the table's own current pointer).
+
+    This exists because plain per-table ``vacuum_snapshots`` is UNSAFE
+    under a catalog: a table version may be old by the table's own
+    history yet still referenced by a retained catalog manifest —
+    deleting it breaks catalog time travel exactly the way deleting a
+    Delta file still referenced by an old table version would. Use this
+    entry point (never per-table vacuum) for catalog members.
+
+    Returns {"<catalog>": removed manifest versions, table: removed
+    snapshot versions, ...}.
+    """
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    removed: dict[str, list[str]] = {}
+
+    versions = snapshot_versions(catalog_root)
+    cur = current_version(catalog_root)
+    drop = [v for v in versions[:-keep] if v != cur]
+    for v in drop:
+        shutil.rmtree(os.path.join(catalog_root, v))
+    removed["<catalog>"] = drop
+
+    # referenced set across surviving manifests
+    referenced: dict[str, set[str]] = {}
+    for v in snapshot_versions(catalog_root):
+        for table, tv in read_catalog_manifest(catalog_root, v).items():
+            referenced.setdefault(table, set()).add(tv)
+
+    for table, keep_versions in referenced.items():
+        troot = os.path.join(catalog_root, table)
+        tcur = current_version(troot)
+        if tcur:
+            keep_versions.add(tcur)
+        drop_t = [
+            tv for tv in snapshot_versions(troot) if tv not in keep_versions
+        ]
+        for tv in drop_t:
+            shutil.rmtree(os.path.join(troot, tv))
+        # sweep the table's crashed-write staging orphans with the same
+        # grace window as the single-table vacuum
+        cutoff = time.time() - staging_grace_seconds
+        for d in os.listdir(troot):
+            p = os.path.join(troot, d)
+            if d.startswith(".v") and os.path.isdir(p):
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        shutil.rmtree(p)
+                        drop_t.append(d)
+                except FileNotFoundError:
+                    continue
+        removed[table] = drop_t
+    return removed

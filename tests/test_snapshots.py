@@ -365,3 +365,34 @@ def test_catalog_commit_conflicts_and_carry_forward(spark, tmp_path):
         )
     with _pytest.raises(ValueError):
         commit_tables({"v123": spark.range(1)}, cat)
+
+
+def test_vacuum_catalog_preserves_referenced_versions(spark, tmp_path):
+    """Catalog-aware vacuum keeps table versions referenced by retained
+    manifests (catalog time travel survives) and drops the rest; plain
+    per-table vacuum would have broken the retained old commit."""
+    from neulix_datahub_spark.sources.snapshots import (
+        commit_tables,
+        read_catalog,
+        snapshot_versions,
+        vacuum_catalog,
+    )
+
+    cat = str(tmp_path / "cat")
+    for i in range(4):  # catalog v1..v4, table a v1..v4
+        commit_tables(
+            {"a": spark.createDataFrame([(i,)], "x int")}, cat
+        )
+    assert snapshot_versions(cat) == [f"v0000000{i}" for i in range(1, 5)]
+
+    removed = vacuum_catalog(cat, keep=2)
+    # catalog keeps v3, v4 -> table versions v3, v4 stay; v1, v2 dropped
+    assert removed["<catalog>"] == ["v00000001", "v00000002"]
+    assert sorted(removed["a"]) == ["v00000001", "v00000002"]
+    assert snapshot_versions(f"{cat}/a") == ["v00000003", "v00000004"]
+
+    # retained old commit still reads consistently
+    old = read_catalog(spark, cat, version="v00000003")
+    assert old["a"].collect()[0].x == 2
+    new = read_catalog(spark, cat)
+    assert new["a"].collect()[0].x == 3

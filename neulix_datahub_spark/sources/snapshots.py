@@ -547,3 +547,37 @@ def vacuum_catalog(
                     continue
         removed[table] = drop_t
     return removed
+
+
+def snapshot_history(root: str) -> list[dict]:
+    """``DESCRIBE HISTORY`` analogue: one dict per snapshot version,
+    oldest first — version name, publish mtime (ISO-8601 UTC), row
+    count and byte size read from the parquet FOOTERS (no data scan),
+    and whether it is the currently published version. Driver-side
+    metadata walk; cost is O(files), not O(rows)."""
+    import datetime
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    cur = current_version(root)
+    out = []
+    for v in snapshot_versions(root):
+        vdir = os.path.join(root, v)
+        n_rows = 0
+        n_bytes = 0
+        for f in _glob.glob(os.path.join(vdir, "*.parquet")):
+            n_rows += pq.ParquetFile(f).metadata.num_rows
+            n_bytes += os.path.getsize(f)
+        out.append(
+            {
+                "version": v,
+                "published_at": datetime.datetime.fromtimestamp(
+                    os.path.getmtime(vdir), tz=datetime.timezone.utc
+                ).isoformat(timespec="seconds"),
+                "n_rows": n_rows,
+                "n_bytes": n_bytes,
+                "is_current": v == cur,
+            }
+        )
+    return out

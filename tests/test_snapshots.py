@@ -396,3 +396,19 @@ def test_vacuum_catalog_preserves_referenced_versions(spark, tmp_path):
     assert old["a"].collect()[0].x == 2
     new = read_catalog(spark, cat)
     assert new["a"].collect()[0].x == 3
+
+
+def test_snapshot_history_describes_versions(spark, tmp_path):
+    from neulix_datahub_spark.sources.snapshots import (
+        snapshot_history,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.range(10), root)
+    write_snapshot(spark.range(25), root)
+    hist = snapshot_history(root)
+    assert [h["version"] for h in hist] == ["v00000001", "v00000002"]
+    assert [h["n_rows"] for h in hist] == [10, 25]
+    assert [h["is_current"] for h in hist] == [False, True]
+    assert all(h["n_bytes"] > 0 and "T" in h["published_at"] for h in hist)

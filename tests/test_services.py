@@ -256,3 +256,17 @@ def test_with_retries_backoff_and_reraise():
     with _pytest.raises(RuntimeError, match="permanent"):
         with_retries(always, retries=1, retry_delay_s=0.5, sleep=sleeps.append)()
     assert sleeps == [1.0, 2.0, 0.5]
+
+
+def test_cli_list_and_unknown_query(capsys):
+    """__main__ surface: list filters by substring; unknown names exit 2
+    with a did-you-mean hint (no Spark session started for either)."""
+    from neulix_datahub_spark.__main__ import main
+
+    assert main(["list", "funnel"]) == 0
+    out = capsys.readouterr().out
+    assert "event_funnel_stats" in out and "stream_funnel_stats" in out
+
+    assert main(["run", "funnel"]) == 2
+    err = capsys.readouterr().err
+    assert "did you mean" in err and "event_funnel_stats" in err

@@ -120,6 +120,64 @@ def cosine_self_join_top_k(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def probe_bucket_set(
+    spark,
+    query_vector: list[float],
+    num_buckets: int,
+    *,
+    n_probes: int | None = None,
+    hamming_probe: int = 1,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> set[int]:
+    """Which buckets a query should search — shared by the in-memory
+    probe (ivf_top_k) and the persisted index (query_ivf_index) so the
+    two paths can never disagree on probe policy. With ``n_probes``,
+    multi-probe by flip cost (sum of |margin| over flipped planes);
+    otherwise a Hamming ball. The query's margins come from running the
+    SAME bucketing expressions over a one-row frame; driver work is one
+    1-row job + a B-entry sort, corpus-independent."""
+    import math
+    from itertools import combinations
+
+    n_planes = int(math.log2(num_buckets))
+    if 2**n_planes != num_buckets:
+        raise ValueError("num_buckets must be a power of two")
+    qdf = spark.createDataFrame([(query_vector,)], f"{vec_col} array<double>")
+    if n_probes is not None:
+        projs = qdf.select(
+            F.array(
+                *[_plane_projection(F.col(vec_col), p, seed) for p in range(n_planes)]
+            ).alias("pr")
+        ).first()["pr"]
+        q_bucket = 0
+        for p in range(n_planes):
+            q_bucket = q_bucket * 2 + (1 if projs[p] > 0 else 0)
+        # Enumerate all B candidate buckets by flip cost; plane p owns bit
+        # (n_planes-1-p) of the bucket id (MSB-first, matching
+        # ivf_assign_buckets' bucket*2+bit construction).
+        cands = []
+        for mask in range(2**n_planes):
+            cost = 0.0
+            b = q_bucket
+            for p in range(n_planes):
+                if (mask >> p) & 1:
+                    cost += abs(projs[p])
+                    b ^= 1 << (n_planes - 1 - p)
+            cands.append((cost, b))
+        cands.sort()
+        return {b for _, b in cands[: max(1, n_probes)]}
+    q_bucket = ivf_assign_buckets(qdf, num_buckets, vec_col, seed).first()["bucket"]
+    probe_buckets = {q_bucket}
+    for r in range(1, hamming_probe + 1):
+        for bits in combinations(range(n_planes), r):
+            b = q_bucket
+            for bit in bits:
+                b ^= 1 << bit
+            probe_buckets.add(b)
+    return probe_buckets
+
+
 def ivf_top_k(
     df: DataFrame,
     query_vector: list[float],
@@ -151,49 +209,13 @@ def ivf_top_k(
     disagree on hash semantics. Driver-side work is one 1-row job plus a
     2^log2(B)=B-entry sort — independent of corpus size.
     """
-    from itertools import combinations
-
     spark = df.sparkSession
     bucketed = ivf_assign_buckets(df, num_buckets, vec_col, seed)
-    qdf = spark.createDataFrame(
-        [(query_vector,)], f"{vec_col} array<double>"
+    probe_buckets = probe_bucket_set(
+        spark, query_vector, num_buckets,
+        n_probes=n_probes, hamming_probe=hamming_probe,
+        vec_col=vec_col, seed=seed,
     )
-
-    import math
-
-    n_planes = int(math.log2(num_buckets))
-    if n_probes is not None:
-        projs = qdf.select(
-            F.array(
-                *[_plane_projection(F.col(vec_col), p, seed) for p in range(n_planes)]
-            ).alias("pr")
-        ).first()["pr"]
-        q_bucket = 0
-        for p in range(n_planes):
-            q_bucket = q_bucket * 2 + (1 if projs[p] > 0 else 0)
-        # Enumerate all B candidate buckets by flip cost; plane p owns bit
-        # (n_planes-1-p) of the bucket id (MSB-first, matching
-        # ivf_assign_buckets' bucket*2+bit construction).
-        cands = []
-        for mask in range(2**n_planes):
-            cost = 0.0
-            b = q_bucket
-            for p in range(n_planes):
-                if (mask >> p) & 1:
-                    cost += abs(projs[p])
-                    b ^= 1 << (n_planes - 1 - p)
-            cands.append((cost, b))
-        cands.sort()
-        probe_buckets = {b for _, b in cands[: max(1, n_probes)]}
-    else:
-        q_bucket = ivf_assign_buckets(qdf, num_buckets, vec_col, seed).first()["bucket"]
-        probe_buckets = {q_bucket}
-        for r in range(1, hamming_probe + 1):
-            for bits in combinations(range(n_planes), r):
-                b = q_bucket
-                for bit in bits:
-                    b ^= 1 << bit
-                probe_buckets.add(b)
 
     return (
         bucketed.filter(F.col("bucket").isin(*probe_buckets))
@@ -544,3 +566,97 @@ def quantize_embeddings_int8(
         .withColumn(f"{vec_col}_q", q)
         .drop("__mins", "__maxs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (index lifecycle: build / query / append)
+# ---------------------------------------------------------------------------
+
+_IVF_META = "_IVF_META.json"
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    num_buckets: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """Materialize the IVF index AT REST: assign buckets (one narrow
+    projection — the hyperplanes are seed-derived expressions, so there
+    is nothing to train or store beyond the seed) and write the corpus
+    partitioned by bucket, plus a metadata sidecar. A probe then reads
+    ONLY its probed bucket directories — partition pruning turns the
+    ~P/B candidate fraction into a P/B *disk-read* fraction, which is
+    the point of an at-rest index: the in-memory form still scans and
+    filters the full corpus file set.
+    """
+    import json
+    import os
+
+    bucketed = ivf_assign_buckets(df, num_buckets, vec_col, seed)
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {
+        "num_buckets": num_buckets,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "n_vecs": df.count(),
+    }
+    with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as f:
+        json.dump(meta, f, sort_keys=True)
+    return meta
+
+
+def read_ivf_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _IVF_META), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_probes: int | None = None,
+    hamming_probe: int = 1,
+) -> DataFrame:
+    """Search a persisted IVF index: compute the probe-bucket set
+    driver-side (same policy helper as ivf_top_k), scan ONLY those
+    bucket directories (the `bucket IN (...)` filter is a partition
+    filter — directory pruning, verified by unit), exact cosine within.
+    """
+    meta = read_ivf_meta(path)
+    probes = probe_bucket_set(
+        spark, query_vector, meta["num_buckets"],
+        n_probes=n_probes, hamming_probe=hamming_probe,
+        vec_col=meta["vec_col"], seed=meta["seed"],
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(*probes))
+        .select(
+            F.col(meta["id_col"]),
+            _cosine_to_literal(F.col(meta["vec_col"]), query_vector).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(meta["id_col"]))
+        .limit(k)
+    )
+
+
+def append_to_ivf_index(df: DataFrame, path: str) -> None:
+    """Incremental index maintenance: bucket the new vectors with the
+    index's OWN stored parameters and append — only the touched bucket
+    directories gain files; existing data never rewrites. (LSH buckets
+    need no re-training, so append never degrades the index structure —
+    the file-count growth inside hot buckets is what compaction
+    maintenance is for.)"""
+    meta = read_ivf_meta(path)
+    bucketed = ivf_assign_buckets(
+        df, meta["num_buckets"], meta["vec_col"], meta["seed"]
+    )
+    bucketed.write.mode("append").partitionBy("bucket").parquet(path)

@@ -1128,6 +1128,76 @@ FROM top
 """
 
 
+def ivf_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 index LIFECYCLE (round 5): the same planted-neighbor recall
+    gate as ``ivf_recall_check``, but answered through the PERSISTED
+    index — build_ivf_index writes the corpus partitioned by bucket
+    under the warehouse scratch, query_ivf_index probes it (the bucket
+    IN-filter is a partition filter: non-probed bucket DIRECTORIES are
+    never read — unit-proven with a planted corrupt file), and the
+    probe policy is the same helper the in-memory path uses. Same
+    oracle: exact top-10 recomputed in SQL, recall verdict pinned
+    true."""
+    from neulix_datahub_spark.operators.similarity import (
+        _cosine_to_literal,
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    planted = qrow.crossJoin(spark.range(1, 11)).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        .unionByName(planted)
+    )
+    root = warehouse_scratch(spark, "_neulix_ivf_index_")
+    build_ivf_index(corpus, f"{root}/index", num_buckets=16)
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.lit(1).alias("is_exact"), F.lit(0).alias("is_ivf"))
+    )
+    via_index = query_ivf_index(
+        spark, f"{root}/index", qvec, k=10, n_probes=5
+    ).select("vec_id", F.lit(0).alias("is_exact"), F.lit(1).alias("is_ivf"))
+    per_id = (
+        exact.unionByName(via_index)
+        .groupBy("vec_id")
+        .agg(F.max("is_exact").alias("e"), F.max("is_ivf").alias("i"))
+    )
+    return per_id.agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.when(F.col("e") == 1, F.col("vec_id")))),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("exact_top10_ids"),
+        F.sum("e").cast("bigint").alias("n_exact"),
+        ((F.sum(F.col("e") * F.col("i")) / F.lit(10.0)) >= 0.95).alias(
+            "ivf_recall_ge_95pct"
+        ),
+    )
+
+
 def ivf_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 scale path, batched: ``ivf_batch_top_k`` answers MANY probes in
     one job (probe-side bucket+margin expressions broadcast against the
@@ -1630,6 +1700,11 @@ QUERIES: dict[str, QuerySpec] = {
         _EXPORT_SQL,
         "composite: filter -> dedup -> content-hash shards -> manifest",
     ),
+    "ivf_index_recall_check": QuerySpec(
+        ivf_index_recall_check,
+        _IVF_RECALL_SQL,
+        "L3 persisted-index lifecycle: build/query with planted recall",
+    ),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, _Q1_SQL, "A7/§7.1 flagship"),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, _Q3_SQL, "J4 3-way join + top-k"),
     "q5_nation_revenue": QuerySpec(q5_nation_revenue, _Q5_SQL, "J4 star join"),
@@ -1828,7 +1903,8 @@ _PRIORITY_R5 = [
 # dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts,
 # revenue_anomaly_days, training_export_stats, catalog_commit_stats,
 # weekly_autocorr_by_type, unicode_normalization_stats,
-# top_event_trigrams, funnel_time_to_convert, daily_trend_by_type
+# top_event_trigrams, funnel_time_to_convert, daily_trend_by_type,
+# ivf_index_recall_check
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

@@ -1285,3 +1285,55 @@ def test_plan_summary_and_rebalance(spark):
     ac = grouped_autocorr(daily, "o_orderpriority", "day", "cnt")
     ac.collect()
     assert plan_summary(ac)["python_eval_nodes"] >= 1  # grouped map visible
+
+
+def test_persisted_ivf_index_lifecycle(spark, tmp_path):
+    """build/query/append on the at-rest IVF index: (a) querying the
+    index returns EXACTLY what the in-memory probe returns (shared
+    probe-policy helper), (b) the probe physically prunes non-probed
+    bucket directories (corrupt-file proof), (c) append lands new
+    vectors only in their buckets and they become searchable."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.similarity import (
+        build_ivf_index,
+        append_to_ivf_index,
+        ivf_top_k,
+        probe_bucket_set,
+        query_ivf_index,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, path, num_buckets=16)
+    assert meta["n_vecs"] == emb.count()
+
+    mem = [(r.vec_id, round(r.score, 9)) for r in
+           ivf_top_k(emb, qvec, k=10, num_buckets=16, n_probes=4).collect()]
+    idx = [(r.vec_id, round(r.score, 9)) for r in
+           query_ivf_index(spark, path, qvec, k=10, n_probes=4).collect()]
+    assert mem == idx
+
+    # pruning proof: corrupt a NON-probed bucket dir; the query still runs
+    probed = probe_bucket_set(spark, qvec, 16, n_probes=4)
+    cold = next(b for b in range(16) if b not in probed)
+    cold_dir = pathlib.Path(path) / f"bucket={cold}"
+    assert cold_dir.is_dir()
+    (cold_dir / "zzz_corrupt.parquet").write_bytes(b"not parquet")
+    assert [r.vec_id for r in query_ivf_index(spark, path, qvec, k=10, n_probes=4).collect()] \
+        == [v for v, _ in idx]
+
+    # append: a planted near-duplicate of the query becomes findable
+    (cold_dir / "zzz_corrupt.parquet").unlink()
+    twin = spark.createDataFrame(
+        [(999_999, [x + 0.001 for x in qvec])], "vec_id long, embedding array<double>"
+    )
+    append_to_ivf_index(twin, path)
+    after = [r.vec_id for r in query_ivf_index(spark, path, qvec, k=3, n_probes=4).collect()]
+    assert 999_999 in after

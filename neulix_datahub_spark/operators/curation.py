@@ -358,6 +358,7 @@ def export_corpus(
     *,
     text_col: str = "text",
     n_shards: int = 8,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Physical training-data EXPORT: land the curated corpus as
     ``path/shard=N/`` parquet with a ``_MANIFEST.json`` recording per-
@@ -378,6 +379,15 @@ def export_corpus(
         F.conv(hash_bucket_hex(text_col, 4), 16, 10).cast("long") % n_shards
     ).alias("shard")
     out = df.withColumn("shard", shard)
+    if shuffle_seed is not None:
+        # deterministic within-shard training order: sort by a seeded
+        # content hash — reproducible across re-runs/engines (unlike
+        # rand()) yet uncorrelated with any source ordering; trainers
+        # read shards sequentially and get the same "shuffle" every
+        # epoch-0 restart.
+        out = out.repartition("shard").sortWithinPartitions(
+            "shard", F.xxhash64(F.concat(F.lit(str(shuffle_seed)), F.col(text_col)))
+        )
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
     landed = out.sparkSession.read.parquet(path)
     stats = (
@@ -399,6 +409,7 @@ def export_corpus(
     )
     manifest = {
         "n_shards": n_shards,
+        "shuffle_seed": shuffle_seed,
         "shards": {
             int(r["shard"]): {"n_rows": r["n_rows"], "checksum": r["checksum"]}
             for r in stats

@@ -417,3 +417,111 @@ def test_streaming_funnel_state_is_arrival_order_proof():
         _update_funnel((7,), iter([batch([("2024-01-03", "purchase")])]), st)
     )[0]
     assert out3["t3"].iloc[0] == float(pd.Timestamp("2024-01-03").value // 1000)
+
+
+def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Keyed state survives a stop/restart: the funnel stream consumes a
+    4-file source one file per trigger, is STOPPED after the first
+    drain processes only half the files, then a NEW query on the SAME
+    checkpoint drains the rest — per-user funnel results must equal a
+    single uninterrupted batch computation (state restored, no events
+    reprocessed or lost)."""
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.tables import load_table
+    from neulix_datahub_spark.streaming.stateful import streaming_funnel
+    from tests.conftest import SF_DIR
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # 4 files; split by event_id ranges so arrival order ≠ time order for
+    # some users (exercises the arrival-order-proof recompute too)
+    ev.withColumn("part", F.col("event_id") % 4).repartition(1).write.mode(
+        "overwrite"
+    ).partitionBy("part").parquet(src)
+    files = sorted(glob.glob(f"{src}/part=*/**.parquet"))
+    assert len(files) >= 4
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_drain(max_files):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerMicroBatch", 1)
+            .parquet(src)
+            # the re-landed fixture stores TIMESTAMP_NTZ; watermarks need
+            # zoned TIMESTAMP (UTC session -> value-preserving cast)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        funnel = streaming_funnel(stream)
+
+        def land(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            funnel.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(land)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if max_files is None:
+            q.awaitTermination()
+        else:
+            # stop mid-drain once some (not all) batches committed
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                done = len(glob.glob(f"{ckpt}/commits/*"))
+                if 0 < done < 4:
+                    break
+                if not q.isActive:
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination()
+
+    run_drain(max_files=2)        # interrupted drain
+    committed_first = len(glob.glob(f"{ckpt}/commits/*"))
+    run_drain(max_files=None)     # resume from the same checkpoint
+    committed_total = len(glob.glob(f"{ckpt}/commits/*"))
+    assert committed_total >= 4 > committed_first >= 1
+
+    # final emission per user (max n_seen) must equal the batch funnel
+    landed = spark.read.parquet(out_dir)
+    final = (
+        landed.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .filter("rn = 1")
+    )
+    got = {
+        r.user_id: (r.t1, r.t2, r.t3) for r in final.collect()
+    }
+    # batch reference: reuse the batch funnel chain at the same deadline
+    from neulix_datahub_spark.plans.queries_analytics import _funnel_step
+
+    base = ev.select("user_id", "event_type", "ts")
+    v = base.filter("event_type = 'view'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = _funnel_step(base, v, "click", "t1", "t2")
+    p = _funnel_step(base, c, "purchase", "t2", "t3")
+    ref_rows = (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+        .collect()
+    )
+    to_us = lambda t: None if t is None else float(int(t.timestamp() * 1_000_000))
+    for r in ref_rows:
+        assert got[r.user_id] == (to_us(r.t1), to_us(r.t2), to_us(r.t3)), r.user_id

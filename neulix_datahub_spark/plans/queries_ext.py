@@ -209,6 +209,57 @@ ORDER BY p_brand
 """
 
 
+def load_behaviors_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO10/IO11 + IO16 driver-visible (round 5): the load-behavior
+    state machine run end-to-end — replace seeds the table (written
+    with GZIP compression to exercise the codec knob), append doubles
+    it, an EMPTY append is skipped by the guard (db_core.py:99-101),
+    replace resets it (back to snappy) — landing state re-read and
+    aggregated after each step. The oracle recomputes each step's
+    expected counts/sums from the raw table arithmetic, so a green row
+    pins the mode mapping, the empty-guard, and both codecs' round-trip
+    in one query."""
+    from neulix_datahub_spark.sources.io import (
+        warehouse_scratch,
+        write_parquet,
+        write_table,
+    )
+
+    root = warehouse_scratch(spark, "_neulix_load_")
+    path = f"{root}/tbl"
+    nation = _t(spark, sf_dir, "nation")
+    # step 1: replace (gzip)
+    write_parquet(nation, path, compression="gzip")
+    # step 2: append
+    write_table(nation, path, "append")
+    # step 3: empty append — guard must skip, not clobber
+    write_table(nation.filter(F.lit(False)), path, "append")
+    # materialize NOW: the step-4 replace deletes these files, and a
+    # lazy plan read after that would hit FILE_NOT_EXIST
+    d = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("n_nationkey")
+    ).first()
+    # step 4: replace resets
+    write_table(nation, path, "replace")
+    f = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum("n_nationkey")
+    ).first()
+    return spark.createDataFrame(
+        [(int(d[0]), int(d[1]), int(f[0]), int(f[1]))],
+        "rows_after_append bigint, keysum_after_append bigint, "
+        "rows_after_replace bigint, keysum_after_replace bigint",
+    )
+
+
+LOAD_BEHAVIORS_SQL = """
+SELECT CAST(2 * count(*) AS BIGINT) AS rows_after_append,
+       CAST(2 * sum(n_nationkey) AS BIGINT) AS keysum_after_append,
+       CAST(count(*) AS BIGINT) AS rows_after_replace,
+       CAST(sum(n_nationkey) AS BIGINT) AS keysum_after_replace
+FROM nation
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2003,6 +2054,11 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "load_behaviors_stats": (
+        load_behaviors_stats,
+        LOAD_BEHAVIORS_SQL,
+        "IO10/IO11/IO16: replace/append/empty-guard state machine + codecs",
     ),
     "csv_roundtrip_stats": (
         csv_roundtrip_stats,

@@ -78,11 +78,14 @@ def _gram_partials(dim: int):
     return emit
 
 
-def fit_pca(df: DataFrame, embedding_col: str, dim: int) -> PCAModel:
-    """Exact PCA of ``df[embedding_col]`` (array<float|double>, fixed
-    length ``dim``). Two distributed stages (partial Grams → 2 145-key
-    merge) and one bounded collect; see the module docstring for the
-    scale argument."""
+def collect_gram_partial(
+    df: DataFrame, embedding_col: str, dim: int
+) -> tuple[int, "np.ndarray", "np.ndarray"]:
+    """One shard's (n, column sums, Gram matrix) — the fixed-size,
+    ADDITIVELY MERGEABLE partial the whole design rests on: shards
+    (days, sources, backfills) each produce one, and the global model
+    is fit from their plain sums — exactly the HLL/CMS mergeability
+    story, but the merge is exact because the partials are sums."""
     merged = (
         df.select(embedding_col)
         .mapInPandas(_gram_partials(dim), schema="i int, j int, s double")
@@ -101,8 +104,19 @@ def fit_pca(df: DataFrame, embedding_col: str, dim: int) -> PCAModel:
         else:
             gram[row.i, row.j] = row.s
             gram[row.j, row.i] = row.s
+    return n, colsum, gram
+
+
+def model_from_partials(
+    partials: list[tuple[int, "np.ndarray", "np.ndarray"]], dim: int
+) -> PCAModel:
+    """Fit the exact PCA from any number of shard partials (merge =
+    elementwise sum, associative and commutative)."""
+    n = sum(p[0] for p in partials)
     if n < 2:
         raise ValueError(f"fit_pca needs >= 2 rows, got {n}")
+    colsum = np.sum([p[1] for p in partials], axis=0)
+    gram = np.sum([p[2] for p in partials], axis=0)
     mean = colsum / n
     cov = (gram - n * np.outer(mean, mean)) / (n - 1)
     eigenvalues, eigenvectors = np.linalg.eigh(cov)
@@ -114,6 +128,16 @@ def fit_pca(df: DataFrame, embedding_col: str, dim: int) -> PCAModel:
         eigenvalues=eigenvalues[order],
         components=eigenvectors[:, order],
         total_variance=float(np.trace(cov)),
+    )
+
+
+def fit_pca(df: DataFrame, embedding_col: str, dim: int) -> PCAModel:
+    """Exact PCA of ``df[embedding_col]`` (array<float|double>, fixed
+    length ``dim``). Two distributed stages (partial Grams → 2 145-key
+    merge) and one bounded collect; see the module docstring for the
+    scale argument."""
+    return model_from_partials(
+        [collect_gram_partial(df, embedding_col, dim)], dim
     )
 
 

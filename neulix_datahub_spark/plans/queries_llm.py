@@ -1602,6 +1602,70 @@ ORDER BY lang
 """
 
 
+def pca_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA MERGEABILITY (round 5, the HLL/CMS-merge-check pattern for
+    the Gram path): fit the model from TWO shard partials (vec_id
+    parity split, Grams merged by plain sums) and one-shot from the
+    full corpus — the eigenvalue spectra must agree to float roundoff
+    (the partials are sums, so merging is exact up to summation order;
+    gate 1e-9 relative). Oracle recomputes the exact total-variance
+    anchor and pins the verdicts. This is the invariant that lets a
+    100 TB deployment keep one small Gram partial per day/source and
+    refresh the global model without rescanning history."""
+    import numpy as np
+
+    from neulix_datahub_spark.operators.decomposition import (
+        collect_gram_partial,
+        model_from_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    even = collect_gram_partial(emb.filter(F.col("vec_id") % 2 == 0), "embedding", 64)
+    odd = collect_gram_partial(emb.filter(F.col("vec_id") % 2 == 1), "embedding", 64)
+    merged = model_from_partials([even, odd], 64)
+    one_shot = model_from_partials(
+        [collect_gram_partial(emb, "embedding", 64)], 64
+    )
+    rel = np.max(
+        np.abs(merged.eigenvalues - one_shot.eigenvalues)
+        / np.maximum(np.abs(one_shot.eigenvalues), 1e-12)
+    )
+    row = (
+        merged.n,
+        round(merged.total_variance, 6),
+        bool(merged.n == one_shot.n),
+        bool(rel <= 1e-9),
+        bool(
+            abs(merged.total_variance - one_shot.total_variance)
+            <= 1e-9 * max(one_shot.total_variance, 1.0)
+        ),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "n_vecs bigint, total_variance double, counts_match boolean, "
+            "eigs_match_1e9 boolean, trace_match_1e9 boolean"
+        ),
+    )
+
+
+_PCA_MERGE_SQL = """
+SELECT CAST(n.n AS BIGINT) AS n_vecs,
+       round(tv.tv, 6) AS total_variance,
+       TRUE AS counts_match,
+       TRUE AS eigs_match_1e9,
+       TRUE AS trace_match_1e9
+FROM (SELECT count(*) AS n FROM embeddings) n,
+     (SELECT sum(v) AS tv FROM (
+         SELECT var_samp(x) AS v FROM (
+             SELECT unnest(embedding)::DOUBLE AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings
+         ) GROUP BY i
+     )) tv
+"""
+
+
 LLM_QUERIES = {
     "winnow_overlap_stats": (
         winnow_overlap_stats,
@@ -1723,6 +1787,11 @@ LLM_QUERIES = {
         cluster_split_stats,
         _CLUSTER_SPLIT_SQL,
         "L2+ near-dup-leakage-safe cluster-keyed train/eval split",
+    ),
+    "pca_merge_check": (
+        pca_merge_check,
+        _PCA_MERGE_SQL,
+        "PCA Gram-partial mergeability (shard sums == one-shot spectrum)",
     ),
     "unicode_normalization_stats": (
         unicode_normalization_stats,

@@ -61,7 +61,7 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
         "bucketed_revenue_by_priority", "kmeans_cluster_profile",
         "ivf_top10", "ivf_recall_check", "ivf_batch_recall_check", "cosine_top10",
         "pca_embedding_check", "cluster_split_stats", "catalog_commit_stats",
-        "ivf_index_recall_check", "load_behaviors_stats",
+        "ivf_index_recall_check", "load_behaviors_stats", "pca_merge_check",
     }
 
     # Relation lines print column lists, not paths — identify the hinted

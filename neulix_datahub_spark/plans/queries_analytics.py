@@ -1,8 +1,11 @@
 """Event-analytics / time-series tier (round 5): the product-analytics
-queries every events warehouse runs — funnel conversion, cohort
-retention, activity streaks (gaps-and-islands), range-frame rolling
-aggregates, time-spine gap filling with LOCF, and the Spark-4 VARIANT
-path for semi-structured payloads.
+queries every events warehouse runs — funnel conversion (+ latency
+profile and journey trigram mining), cohort retention, activity
+streaks (gaps-and-islands), range-frame rolling aggregates, time-spine
+gap filling with LOCF, per-event dynamic session gaps, RFM
+segmentation, trailing-window anomaly days, native linear-trend
+regression aggregates, grouped-map autocorrelation, and the Spark-4
+VARIANT path for semi-structured payloads.
 
 The reference's events surface is poll-based dashboards over SQL
 (``core/utils/db_core.py:119-135`` delegates arbitrary SQL to the

@@ -1,8 +1,11 @@
-"""Training-data-pipeline near-dup queries (SURVEY §2.11 L2/L3): exact
-n-gram Jaccard pairs and embedding-cosine near-duplicates, both fully
-SQL-expressible so the DuckDB oracle hash-checks them (the MinHash /
-SimHash candidate generators in queries.py are the scale path for the
-same semantics and get the rows-only check).
+"""Training-data-pipeline queries (SURVEY §2.11): the near-dup tier
+(exact n-gram Jaccard, embedding-cosine, MinHash/SimHash pipelines),
+the LM-quality tier (unigram + interpolated-bigram perplexity), text
+curation (packing/chunking/decontamination/boilerplate/entropy/NFC
+normalization), exact distributed PCA (+ Gram-partial mergeability),
+k-means, and the leakage-safe splits. Everything here is
+oracle-hash-checked — approximate operators emit exact anchors plus
+measured-bound verdicts the oracle pins true.
 
 Pair generation is bounded deterministically (a doc_id / vec_id modulus
 picks the probe set) — the oracle needs an exact, enumerable pair set; at

@@ -30,15 +30,28 @@ def stream_interval_join(
     lower: str = "0 seconds",
     upper: str = "12 hours",
     watermark: str = "24 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: for each left row, right rows with the same
+    """Interval join: for each left row, right rows with the same
     ``key`` whose ``ts_col`` falls in ``[left.ts + lower, left.ts + upper]``.
+
+    ``how="left_outer"`` adds the null-extension semantics: a left row
+    with NO in-window partner emits once with null right columns — but
+    only after the watermark passes ``left.ts + upper`` (the engine
+    must be sure no partner can still arrive), so outer results trail
+    the inner ones by up to the watermark delay, and rows whose windows
+    are still open when a bounded drain ends are NOT emitted. That
+    emission timing is inherent to the model (matched rows stream out
+    immediately; absence is only provable at expiry) and is exactly
+    what the unit pins.
 
     Output columns: ``key``, ``left_ts``, ``right_ts`` plus the right
     side's non-key/non-ts columns (prefixed ``right_``) — explicit
     projection, so the ambiguous-column trap of self-joining the same
     source never reaches the caller.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     l = left.withWatermark(ts_col, watermark).alias("l")
     r = right.withWatermark(ts_col, watermark).alias("r")
     cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & F.expr(
@@ -48,7 +61,7 @@ def stream_interval_join(
     right_extra = [
         c for c in right.columns if c not in (key, ts_col)
     ]
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col(f"l.{key}").alias(key),
         F.col(f"l.{ts_col}").alias("left_ts"),
         F.col(f"r.{ts_col}").alias("right_ts"),

@@ -525,3 +525,78 @@ def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
     to_us = lambda t: None if t is None else float(int(t.timestamp() * 1_000_000))
     for r in ref_rows:
         assert got[r.user_id] == (to_us(r.t1), to_us(r.t2), to_us(r.t3)), r.user_id
+
+
+def test_stream_interval_join_left_outer_null_extension(spark, tmp_path):
+    """Outer interval join emission semantics, pinned deterministically
+    with a 2-batch file source: matched pairs emit immediately; an
+    unmatched left emits null-extended ONLY after the watermark passes
+    its join window (driven forward by batch 2); an unmatched left
+    whose window is still open when the bounded drain ends is NOT
+    emitted — the documented trailing-emission model."""
+    import glob
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.streaming.joins import stream_interval_join
+
+    src = str(tmp_path / "src")
+
+    def land(rows, fname):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "side", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: u1 click+purchase (match); u2 click alone (never matched);
+    # u3 click near the end (window still open at drain end)
+    land(
+        [
+            (1, "2024-01-01 00:00:00", "click", 1.0),
+            (1, "2024-01-01 01:00:00", "purchase", 5.0),
+            (2, "2024-01-01 00:00:00", "click", 2.0),
+            (3, "2024-01-05 00:00:00", "click", 3.0),
+        ],
+        "b1",
+    )
+    # batch 2: far-future rows on BOTH sides drive both watermarks past
+    # u1/u2's windows (12h window + 24h delay << 4 days)
+    land(
+        [
+            (9, "2024-01-05 00:00:00", "click", 0.0),
+            (9, "2024-01-05 00:00:01", "purchase", 0.0),
+        ],
+        "b2",
+    )
+
+    schema = "user_id long, ts timestamp, side string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    joined = stream_interval_join(
+        stream.filter("side = 'click'").select("user_id", "ts"),
+        stream.filter("side = 'purchase'").select("user_id", "ts", "value"),
+        key="user_id", ts_col="ts", lower="0 seconds", upper="12 hours",
+        watermark="24 hours", how="left_outer",
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda b, i: b.write.mode("append").parquet(out_dir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.read.parquet(out_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.right_ts)
+    assert by_user[1] == [pd.Timestamp("2024-01-01 01:00:00")]  # matched
+    assert by_user[2] == [None]       # expired unmatched -> null-extended
+    assert 3 not in by_user           # window still open at drain end
+    assert by_user[9][0] is not None  # batch-2 pair matched

@@ -366,3 +366,41 @@ def test_real_mp4_duration_parse(spark, tmp_path):
         per.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.frame_ts_ms)
     assert sorted(per["clip.mp4"]) == [0, 1000, 2000, 3000]  # real 3.5 s grid
     assert len(per["blob.bin"]) == 2  # stub model: 3000 // 1024 -> 2 frames
+
+
+def test_binary_parsers_total_on_arbitrary_bytes():
+    """All codec-free header parsers are TOTAL: arbitrary (including
+    adversarial signature-prefixed) byte strings return a value or None,
+    never raise — they run inside executors where an exception fails the
+    job. Hypothesis drives random payloads plus valid-signature
+    prefixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.multimodal import (
+        parse_bmp_dimensions,
+        parse_gif_dimensions,
+        parse_jpeg_dimensions,
+        parse_mp4_duration,
+        parse_png_dimensions,
+        parse_wav_header,
+    )
+
+    parsers = (
+        parse_png_dimensions, parse_jpeg_dimensions, parse_gif_dimensions,
+        parse_bmp_dimensions, parse_wav_header, parse_mp4_duration,
+    )
+    sigs = (
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"GIF89a", b"BM",
+        b"RIFF\x00\x00\x00\x00WAVE", b"\x00\x00\x00\x0cftyp",
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=256), st.sampled_from(list(range(len(sigs) + 1))))
+    def run(payload, sig_idx):
+        blob = (sigs[sig_idx] + payload) if sig_idx < len(sigs) else payload
+        for p in parsers:
+            out = p(blob)  # must not raise
+            assert out is None or isinstance(out, tuple)
+
+    run()

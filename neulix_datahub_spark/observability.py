@@ -143,6 +143,11 @@ def plan_summary(df) -> dict:
     import re
 
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # an executed AQE plan prints "== Final Plan ==" followed by
+    # "== Initial Plan ==" — counting both would double every metric,
+    # so keep only the final section when the marker is present
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==", 1)[0]
     return {
         "parquet_scans": len(re.findall(r"FileScan parquet", plan)),
         "shuffles": len(

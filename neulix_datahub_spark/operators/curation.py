@@ -339,8 +339,21 @@ def cluster_split(
         .withColumn(cluster_col, F.coalesce("component", F.col(id_col)))
         .drop("component")
     )
-    reps = df.select(
-        F.col(id_col).alias(cluster_col), F.col(text_col).alias("__rep_text")
+    # Representative = the minimum cluster member PRESENT IN df, not the
+    # raw component label: pairs may have been mined on a superset
+    # corpus (before a quality filter), in which case the component
+    # label can name a document df no longer contains — an inner join
+    # keyed on the label would then silently DROP the whole cluster.
+    # Recomputing the representative from df itself keeps the operator
+    # total and the co-location guarantee intact.
+    reps = (
+        with_cluster.groupBy(cluster_col)
+        .agg(F.min(id_col).alias("__rep_id"))
+        .join(
+            df.select(F.col(id_col).alias("__rep_id"), F.col(text_col).alias("__rep_text")),
+            on="__rep_id",
+        )
+        .drop("__rep_id")
     )
     labeled = hash_split(
         with_cluster.join(reps, on=cluster_col),
@@ -401,7 +414,14 @@ def export_corpus(
         .select(
             "shard",
             "n_rows",
-            F.pmod(F.col("__sum"), F.lit(2).cast("decimal(38,0)") ** 64)
+            # 2^64 as an exact DECIMAL literal — `lit(2)**64` is pow(),
+            # which returns DOUBLE and would round the checksum to 53
+            # bits, letting small corruptions cancel invisibly
+            F.pmod(
+                F.col("__sum"),
+                F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))"),
+            )
+            .cast("decimal(38,0)")
             .cast("string")
             .alias("checksum"),
         )
@@ -442,7 +462,14 @@ def verify_export(spark, path: str, text_col: str = "text") -> bool:
         .select(
             "shard",
             "n_rows",
-            F.pmod(F.col("__sum"), F.lit(2).cast("decimal(38,0)") ** 64)
+            # 2^64 as an exact DECIMAL literal — `lit(2)**64` is pow(),
+            # which returns DOUBLE and would round the checksum to 53
+            # bits, letting small corruptions cancel invisibly
+            F.pmod(
+                F.col("__sum"),
+                F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))"),
+            )
+            .cast("decimal(38,0)")
             .cast("string")
             .alias("checksum"),
         )

@@ -165,16 +165,24 @@ def parse_gif_dimensions(payload: bytes) -> tuple[int, int] | None:
 
 
 def parse_bmp_dimensions(payload: bytes) -> tuple[int, int] | None:
-    """REAL codec-free parse: (width, height) from the BMP
-    BITMAPINFOHEADER (signed little-endian i32 pair at offset 18; a
-    negative height encodes top-down row order, so its magnitude is the
-    height)."""
+    """REAL codec-free parse: (width, height) from the BMP DIB header.
+    The DIB size at offset 14 discriminates the two layouts: 12 is the
+    legacy BITMAPCOREHEADER (u16 dims at 18/20 — reading it as i32
+    would return garbage, not None); >=40 is BITMAPINFOHEADER (signed
+    i32 pair at 18; a negative height encodes top-down row order, so
+    its magnitude is the height)."""
     import struct
 
-    if len(payload) < 26 or payload[0:2] != b"BM":
+    if len(payload) < 22 or payload[0:2] != b"BM":
         return None
-    w, h = struct.unpack("<ii", payload[18:26])
-    return (w, abs(h)) if w > 0 and h != 0 else None
+    (dib_size,) = struct.unpack("<I", payload[14:18])
+    if dib_size == 12:
+        w, h = struct.unpack("<HH", payload[18:22])
+        return (w, h) if w > 0 and h > 0 else None
+    if dib_size >= 40 and len(payload) >= 26:
+        w, h = struct.unpack("<ii", payload[18:26])
+        return (w, abs(h)) if w > 0 and h != 0 else None
+    return None
 
 
 def parse_mp4_duration(payload: bytes) -> tuple[int, int] | None:

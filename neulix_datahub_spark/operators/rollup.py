@@ -16,10 +16,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# date_trunc grains ordered fine → coarse; a query grain is routable iff
-# it is the rollup grain or coarser (every coarser bucket is a union of
-# whole finer buckets for this chain).
-_GRAIN_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
+# date_trunc grains ordered fine → coarse. "week" is deliberately OUT of
+# this chain: ISO weeks straddle month boundaries, so month/quarter/year
+# buckets are NOT unions of whole week buckets — routing week→month would
+# silently misattribute the straddling days. Week participates only via
+# the explicit rules in _routable below.
+_GRAIN_ORDER = ("minute", "hour", "day", "month", "quarter", "year")
+_SUB_DAY = ("minute", "hour", "day")
+
+
+def _routable(rollup_grain: str, query_grain: str) -> bool:
+    """Every query bucket must be a union of whole rollup buckets."""
+    if rollup_grain == "week":
+        return query_grain == "week"  # nothing coarser aligns with weeks
+    if query_grain == "week":
+        return rollup_grain in _SUB_DAY  # weeks are unions of whole days
+    try:
+        return _GRAIN_ORDER.index(query_grain) >= _GRAIN_ORDER.index(rollup_grain)
+    except ValueError as exc:
+        raise ValueError(f"unknown grain: {exc}") from exc
 
 _MERGEABLE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
 
@@ -39,16 +54,14 @@ def answer_from_rollup(
     merge by SUM — re-counting rows would count buckets, the classic
     routing bug). Raises when the query grain is finer than the rollup
     (unanswerable) or a merge fn is non-decomposable."""
-    try:
-        fine, coarse = _GRAIN_ORDER.index(rollup_grain), _GRAIN_ORDER.index(
-            query_grain
-        )
-    except ValueError as exc:
-        raise ValueError(f"unknown grain: {exc}") from exc
-    if coarse < fine:
+    for g in (rollup_grain, query_grain):
+        if g != "week" and g not in _GRAIN_ORDER:
+            raise ValueError(f"unknown grain: {g!r}")
+    if not _routable(rollup_grain, query_grain):
         raise ValueError(
-            f"cannot answer {query_grain}-grain from a {rollup_grain} rollup — "
-            "route to the raw table instead"
+            f"cannot answer {query_grain}-grain from a {rollup_grain} rollup "
+            "(finer than the rollup, or buckets don't align — e.g. weeks "
+            "straddle months) — route to the raw table instead"
         )
     aggs: list[Column] = []
     for out_name, (fn, src_col) in measures.items():

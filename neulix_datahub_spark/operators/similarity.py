@@ -597,12 +597,16 @@ def build_ivf_index(
 
     bucketed = ivf_assign_buckets(df, num_buckets, vec_col, seed)
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark = df.sparkSession
     meta = {
         "num_buckets": num_buckets,
         "seed": seed,
         "vec_col": vec_col,
         "id_col": id_col,
-        "n_vecs": df.count(),
+        # count the LANDED files (parquet-footer metadata, near-free)
+        # instead of df.count(), which would re-execute the whole input
+        # lineage a second time right after writing it
+        "n_vecs": spark.read.parquet(path).count(),
     }
     with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as f:
         json.dump(meta, f, sort_keys=True)

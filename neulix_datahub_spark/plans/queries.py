@@ -1016,30 +1016,16 @@ FROM top
 """
 
 
-def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path, oracle-checked like the HLL/approx-percentile
-    sketches: the IVF probe search is approximate by design, so the
-    query emits the EXACT brute-force top-10 (SQL-expressible — the
-    oracle recomputes it) plus a recall verdict on the bucketed search
-    the oracle pins true.
 
-    The fixture embeddings are uniform-random (no cluster structure), so
-    raw recall@10 saturates ~0.9 only near a full scan — that measures
-    the fixture, not the index. Like ``minhash_candidates``, the query
-    therefore PLANTS the findable neighbors: 10 copies of the probe
-    shifted by i*0.002 per dim (cosine ~0.99 vs ~0.45 max for random
-    pairs), which are exactly what an ANN index must recover. Multi-probe
-    with the 5 lowest-flip-cost buckets of 16 (a ~31% corpus scan, vs
-    69% for the old Hamming-2 ball at a LOWER recall) recovers them —
-    gate pinned at recall@10 >= 0.95, measured 1.0 at sf0.001/0.01/0.1.
-
-    Both engines take the top-10 cut on the score ROUNDED to 6 decimals
-    (tie-broken by vec_id) so a raw-double near-tie at rank 10/11 cannot
-    make the engines pick different ids."""
-    from neulix_datahub_spark.operators.similarity import (
-        _cosine_to_literal,
-        ivf_top_k,
-    )
+def _planted_recall_result(spark, sf_dir, search):
+    """Shared harness for the IVF recall checks: plant 10 near-copies of
+    probe vec 0 (i*0.002 per-dim shift), compute the exact 6-dp-rounded
+    brute-force top-10, run ``search(corpus, qvec)`` (-> DataFrame with
+    a vec_id column), and emit the shared verdict row. ONE body for
+    both the in-memory and the persisted-index checks so their planting
+    geometry / rounding / verdict can never drift from the shared
+    _IVF_RECALL_SQL oracle."""
+    from neulix_datahub_spark.operators.similarity import _cosine_to_literal
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -1069,11 +1055,11 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", F.lit(1).alias("is_exact"), F.lit(0).alias("is_ivf"))
     )
-    ivf = ivf_top_k(
-        corpus, qvec, k=10, num_buckets=16, n_probes=5
-    ).select("vec_id", F.lit(0).alias("is_exact"), F.lit(1).alias("is_ivf"))
+    approx = search(corpus, qvec).select(
+        "vec_id", F.lit(0).alias("is_exact"), F.lit(1).alias("is_ivf")
+    )
     per_id = (
-        exact.unionByName(ivf)
+        exact.unionByName(approx)
         .groupBy("vec_id")
         .agg(F.max("is_exact").alias("e"), F.max("is_ivf").alias("i"))
     )
@@ -1088,6 +1074,36 @@ def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("e").cast("bigint").alias("n_exact"),
         ((F.sum(F.col("e") * F.col("i")) / F.lit(10.0)) >= 0.95).alias(
             "ivf_recall_ge_95pct"
+        ),
+    )
+
+
+def ivf_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path, oracle-checked like the HLL/approx-percentile
+    sketches: the IVF probe search is approximate by design, so the
+    query emits the EXACT brute-force top-10 (SQL-expressible — the
+    oracle recomputes it) plus a recall verdict on the bucketed search
+    the oracle pins true.
+
+    The fixture embeddings are uniform-random (no cluster structure), so
+    raw recall@10 saturates ~0.9 only near a full scan — that measures
+    the fixture, not the index. Like ``minhash_candidates``, the query
+    therefore PLANTS the findable neighbors: 10 copies of the probe
+    shifted by i*0.002 per dim (cosine ~0.99 vs ~0.45 max for random
+    pairs), which are exactly what an ANN index must recover. Multi-probe
+    with the 5 lowest-flip-cost buckets of 16 (a ~31% corpus scan, vs
+    69% for the old Hamming-2 ball at a LOWER recall) recovers them —
+    gate pinned at recall@10 >= 0.95, measured 1.0 at sf0.001/0.01/0.1.
+
+    Both engines take the top-10 cut on the score ROUNDED to 6 decimals
+    (tie-broken by vec_id) so a raw-double near-tie at rank 10/11 cannot
+    make the engines pick different ids."""
+    from neulix_datahub_spark.operators.similarity import ivf_top_k
+
+    return _planted_recall_result(
+        spark, sf_dir,
+        lambda corpus, qvec: ivf_top_k(
+            corpus, qvec, k=10, num_buckets=16, n_probes=5
         ),
     )
 
@@ -1139,63 +1155,18 @@ def ivf_index_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: exact top-10 recomputed in SQL, recall verdict pinned
     true."""
     from neulix_datahub_spark.operators.similarity import (
-        _cosine_to_literal,
         build_ivf_index,
         query_ivf_index,
     )
     from neulix_datahub_spark.sources.io import warehouse_scratch
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    qrow = emb.filter(F.col("vec_id") == 0).select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
-    )
-    planted = qrow.crossJoin(spark.range(1, 11)).select(
-        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
-        F.transform(
-            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
-        ).alias("embedding"),
-    )
-    corpus = (
-        emb.filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        )
-        .unionByName(planted)
-    )
     root = warehouse_scratch(spark, "_neulix_ivf_index_")
-    build_ivf_index(corpus, f"{root}/index", num_buckets=16)
-    exact = (
-        corpus.select(
-            "vec_id",
-            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
-        .select("vec_id", F.lit(1).alias("is_exact"), F.lit(0).alias("is_ivf"))
-    )
-    via_index = query_ivf_index(
-        spark, f"{root}/index", qvec, k=10, n_probes=5
-    ).select("vec_id", F.lit(0).alias("is_exact"), F.lit(1).alias("is_ivf"))
-    per_id = (
-        exact.unionByName(via_index)
-        .groupBy("vec_id")
-        .agg(F.max("is_exact").alias("e"), F.max("is_ivf").alias("i"))
-    )
-    return per_id.agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.when(F.col("e") == 1, F.col("vec_id")))),
-                lambda x: x.cast("string"),
-            ),
-        ).alias("exact_top10_ids"),
-        F.sum("e").cast("bigint").alias("n_exact"),
-        ((F.sum(F.col("e") * F.col("i")) / F.lit(10.0)) >= 0.95).alias(
-            "ivf_recall_ge_95pct"
-        ),
-    )
+
+    def search(corpus, qvec):
+        build_ivf_index(corpus, f"{root}/index", num_buckets=16)
+        return query_ivf_index(spark, f"{root}/index", qvec, k=10, n_probes=5)
+
+    return _planted_recall_result(spark, sf_dir, search)
 
 
 def ivf_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:

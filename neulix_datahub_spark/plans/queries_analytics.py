@@ -47,7 +47,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # raw events on user_id (the same shuffle key throughout).
 # ---------------------------------------------------------------------------
 
-_FUNNEL_DEADLINE_HOURS = 72
+from neulix_datahub_spark.streaming.stateful import (  # noqa: E402
+    FUNNEL_DEADLINE_HOURS as _FUNNEL_DEADLINE_HOURS,
+)
 
 
 def _funnel_step(
@@ -616,20 +618,35 @@ def weekly_autocorr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# Mirrors grouped_autocorr exactly, including the sparse edges: a type
+# with ZERO lag pairs still gets a row (left join), and fewer than 3
+# pairs nulls the statistic rather than computing a degenerate corr —
+# the inner-join-only formulation would drop/keep those types
+# differently from the operator.
 AUTOCORR_SQL = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day, count(*)::DOUBLE AS cnt
     FROM events GROUP BY 1, 2
+),
+per_type AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+),
+pairs AS (
+    SELECT a.event_type, b.cnt AS prev, a.cnt AS cur
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND b.day = a.day - 7
+),
+stats AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN count(*) >= 3 THEN round(corr(prev, cur), 6) END AS ac
+    FROM pairs GROUP BY 1
 )
-SELECT a.event_type,
-       (SELECT CAST(count(*) AS BIGINT) FROM daily d
-         WHERE d.event_type = a.event_type) AS n_days,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       round(corr(b.cnt, a.cnt), 6) AS autocorr
-FROM daily a JOIN daily b
-  ON a.event_type = b.event_type AND b.day = a.day - 7
-GROUP BY a.event_type
-ORDER BY a.event_type
+SELECT t.event_type, t.n_days,
+       coalesce(s.n_pairs, 0) AS n_pairs,
+       s.ac AS autocorr
+FROM per_type t LEFT JOIN stats s USING (event_type)
+ORDER BY t.event_type
 """
 
 

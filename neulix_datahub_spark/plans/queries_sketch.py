@@ -381,7 +381,9 @@ def hll_overlap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "both_users",
         (
             F.abs(F.col("__ea") + F.col("__eb") - F.col("__eu") - F.col("both_users"))
-            / F.col("both_users")
+            # greatest(both, 1): a zero intersection must yield a real
+            # boolean (abs error <= 0.1 vote), not a null from 0-division
+            / F.greatest(F.col("both_users"), F.lit(1))
             <= 0.10
         ).alias("overlap_estimate_within_10pct"),
     )

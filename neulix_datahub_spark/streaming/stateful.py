@@ -84,7 +84,12 @@ _FUNNEL_OUT_SCHEMA = (
 _FUNNEL_STATE_SCHEMA = (
     "views array<double>, clicks array<double>, purchases array<double>"
 )
-_FUNNEL_DEADLINE_US = 72 * 3600 * 1_000_000.0  # 72 h in epoch-microseconds
+# Single source of truth for the funnel step deadline — the batch query
+# (plans/queries_analytics.py) imports this so the stream==batch parity
+# oracle can never silently desynchronize. (The dependency points this
+# way because plans already imports streaming; the reverse would cycle.)
+FUNNEL_DEADLINE_HOURS = 72
+_FUNNEL_DEADLINE_US = FUNNEL_DEADLINE_HOURS * 3600 * 1_000_000.0
 
 
 def _first_after(cands: list[float], lo: float) -> float | None:

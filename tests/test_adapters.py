@@ -313,6 +313,16 @@ def test_real_gif_bmp_header_parse(spark, tmp_path):
     )
     assert parse_bmp_dimensions(bmp) == (800, 600)  # top-down -> magnitude
     assert parse_bmp_dimensions(b"BM" + bytes(10)) is None
+    # legacy BITMAPCOREHEADER: DIB size 12, u16 dims — must parse, not
+    # misread as i32 garbage
+    core = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 100, 50, 1, 24)
+    )
+    assert parse_bmp_dimensions(core) == (100, 50)
+    # unknown DIB size -> None, never garbage
+    weird = b"BM" + struct.pack("<IHHI", 100, 0, 0, 26) + struct.pack("<I", 16) + bytes(12)
+    assert parse_bmp_dimensions(weird) is None
 
     (tmp_path / "a.gif").write_bytes(gif + bytes(20))
     (tmp_path / "b.bmp").write_bytes(bmp)

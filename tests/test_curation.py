@@ -296,6 +296,11 @@ def test_export_corpus_roundtrip_and_integrity(spark, tmp_path):
     assert manifest["total_rows"] == docs.count()
     assert set(manifest["shards"]) == {0, 1, 2, 3}
     assert verify_export(spark, path) is True
+    # checksums are exact 64-bit integers rendered as digits — a double
+    # would print scientific notation and lose low bits
+    for sh in manifest["shards"].values():
+        assert sh["checksum"].isdigit(), sh["checksum"]
+        assert int(sh["checksum"]) < 2**64
     # manifest on disk matches the returned dict (keys stringified by json)
     on_disk = json.loads((tmp_path / "export" / "_MANIFEST.json").read_text())
     assert on_disk["total_rows"] == manifest["total_rows"]

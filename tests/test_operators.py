@@ -1171,6 +1171,19 @@ def test_rollup_router_guards(spark):
             window_col="window_start", group_cols=["k"],
             measures={"n": ("count", "n")},
         )
+    # weeks straddle months: week->month must refuse (silent-wrong
+    # otherwise), week->week and day->week are the only week routes
+    with _pytest.raises(ValueError, match="cannot answer"):
+        answer_from_rollup(
+            rollup, rollup_grain="week", query_grain="month",
+            window_col="window_start", group_cols=["k"],
+            measures={"n": ("count", "n")},
+        )
+    answer_from_rollup(  # day->week is a legal whole-bucket union
+        rollup, rollup_grain="day", query_grain="week",
+        window_col="window_start", group_cols=["k"],
+        measures={"n": ("count", "n")},
+    )
     with _pytest.raises(ValueError, match="not decomposable"):
         answer_from_rollup(
             rollup, rollup_grain="hour", query_grain="day",
@@ -1267,9 +1280,9 @@ def test_plan_summary_and_rebalance(spark):
     agg = orders.groupBy("o_orderpriority").count()
     agg.collect()
     s = plan_summary(agg)
-    # AQE's final-plan string can reprint materialized stages, so scan
-    # counts are lower-bounded, not exact
-    assert s["parquet_scans"] >= 1 and s["shuffles"] >= 1
+    # final-plan-only counting: exactly one scan and one shuffle for a
+    # single-scan groupBy (the Initial Plan reprint must not double it)
+    assert s["parquet_scans"] == 1 and s["shuffles"] == 1
     assert s["python_eval_nodes"] == 0
 
     reb = rebalance_for_write(orders, "o_orderpriority")
@@ -1337,3 +1350,42 @@ def test_persisted_ivf_index_lifecycle(spark, tmp_path):
     append_to_ivf_index(twin, path)
     after = [r.vec_id for r in query_ivf_index(spark, path, qvec, k=3, n_probes=4).collect()]
     assert 999_999 in after
+
+
+def test_grouped_autocorr_sparse_groups(spark):
+    """Groups with <3 lag pairs get autocorr NULL (not a degenerate
+    corr); a group with zero pairs still emits its row."""
+    from neulix_datahub_spark.operators.timeseries import grouped_autocorr
+
+    rows = [
+        # "a": 9 consecutive days -> 2 lag-7 pairs -> null
+        *[("a", f"2024-01-{d:02d}", float(d)) for d in range(1, 10)],
+        # "b": 3 isolated days, no day has a t-7 partner -> 0 pairs
+        ("b", "2024-01-01", 1.0), ("b", "2024-01-03", 2.0), ("b", "2024-01-06", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day string, v double").select(
+        "k", F.to_date("day").alias("day"), "v"
+    )
+    got = {r.k: r for r in grouped_autocorr(df, "k", "day", "v").collect()}
+    assert got["a"].n_pairs == 2 and got["a"].autocorr is None
+    assert got["b"].n_pairs == 0 and got["b"].autocorr is None
+    assert got["a"].n_days == 9 and got["b"].n_days == 3
+
+
+def test_cluster_split_total_under_superset_pairs(spark):
+    """Pairs mined on a superset corpus may reference documents the
+    filtered df no longer contains; no row may be dropped, and the
+    cluster still co-locates under the min PRESENT member."""
+    from neulix_datahub_spark.operators.curation import cluster_split
+
+    docs = spark.createDataFrame(
+        [(17, "seventeen text"), (20, "twenty text"), (9, "solo")],
+        "doc_id long, text string",
+    )
+    # doc 3 was filtered out of df but its pairs survive
+    pairs = spark.createDataFrame([(3, 17), (3, 20)], "id_a long, id_b long")
+    out = cluster_split(docs, pairs, {"train": 0.5, "eval": 0.5}, id_col="doc_id")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {17, 20, 9}          # nothing dropped
+    assert rows[17].split == rows[20].split  # cluster co-located
+    assert rows[17].cluster == rows[20].cluster == 3

@@ -790,6 +790,65 @@ ORDER BY 1
 """
 
 
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution — the canonical as-of-join
+    application: each purchase is credited to the user's latest prior
+    touch within a 6 h window (operators/asof.py with ``tolerance``;
+    stale or missing touches fall to 'direct'). Touches are deduped to
+    one row per (user, ts) first so an equal-timestamp tie cannot make
+    the carried payload nondeterministic in either engine. One
+    user-keyed shuffle for the as-of carry, then a channel-cardinality
+    aggregation."""
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch"))
+    )
+    attributed = asof_join(
+        purchases, touches, on="ts", by="user_id", tolerance="6 hours"
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("touch", F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_SQL = """
+WITH purchases AS (
+    SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id, ts, max(event_type) AS touch
+    FROM events WHERE event_type <> 'purchase'
+    GROUP BY 1, 2
+),
+attributed AS (
+    SELECT p.user_id, p.ts, p.value, t.touch, t.ts AS touch_ts
+    FROM purchases p ASOF LEFT JOIN touches t
+      ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT CASE WHEN touch IS NULL OR touch_ts < ts - INTERVAL 6 HOURS
+            THEN 'direct' ELSE touch END AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 4) AS attributed_value
+FROM attributed
+GROUP BY 1
+ORDER BY channel
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -855,5 +914,10 @@ ANALYTICS_QUERIES = {
         daily_trend_by_type,
         TREND_SQL,
         "A1: native regr_slope/intercept/r2 linear trend per type",
+    ),
+    "last_touch_attribution": (
+        last_touch_attribution,
+        ATTRIBUTION_SQL,
+        "as-of tolerance application: last-touch purchase attribution",
     ),
 }

@@ -849,6 +849,68 @@ ORDER BY channel
 """
 
 
+def funnel_steps_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generalized N-step funnel operator (operators/funnel.py)
+    driven with a FOUR-step chain (view→click→signup→purchase, 72 h
+    step deadline), long-form conversion table — one row per step with
+    users reached, percent of the previous step and of the entry. The
+    oracle chains the same four min-aggregations and unions the step
+    rows."""
+    from neulix_datahub_spark.operators.funnel import build_funnel, funnel_summary
+
+    steps = ["view", "click", "signup", "purchase"]
+    ev = _t(spark, sf_dir, "events")
+    wide = build_funnel(ev, steps, deadline_hours=_FUNNEL_DEADLINE_HOURS)
+    return funnel_summary(wide, steps).orderBy("step_idx")
+
+
+FUNNEL_LONG_SQL = f"""
+WITH s0 AS (
+    SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > s0.t AND e.ts <= s0.t + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'signup'
+      AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts) AS t
+    FROM events e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL {_FUNNEL_DEADLINE_HOURS} HOURS
+    GROUP BY 1
+),
+n AS (
+    SELECT (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1,
+           (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3
+)
+SELECT * FROM (
+    SELECT 0 AS step_idx, 'view' AS step, CAST(n0 AS BIGINT) AS users,
+           round(n0 * 100.0 / n0, 4) AS pct_of_prev,
+           round(n0 * 100.0 / n0, 4) AS pct_of_entry FROM n
+    UNION ALL
+    SELECT 1, 'click', CAST(n1 AS BIGINT),
+           round(n1 * 100.0 / n0, 4), round(n1 * 100.0 / n0, 4) FROM n
+    UNION ALL
+    SELECT 2, 'signup', CAST(n2 AS BIGINT),
+           round(n2 * 100.0 / n1, 4), round(n2 * 100.0 / n0, 4) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+           round(n3 * 100.0 / n2, 4), round(n3 * 100.0 / n0, 4) FROM n
+)
+ORDER BY step_idx
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -919,5 +981,10 @@ ANALYTICS_QUERIES = {
         last_touch_attribution,
         ATTRIBUTION_SQL,
         "as-of tolerance application: last-touch purchase attribution",
+    ),
+    "funnel_steps_long": (
+        funnel_steps_long,
+        FUNNEL_LONG_SQL,
+        "N-step funnel operator: 4-step long-form conversion table",
     ),
 }

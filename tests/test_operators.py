@@ -1389,3 +1389,33 @@ def test_cluster_split_total_under_superset_pairs(spark):
     assert set(rows) == {17, 20, 9}          # nothing dropped
     assert rows[17].split == rows[20].split  # cluster co-located
     assert rows[17].cluster == rows[20].cluster == 3
+
+
+def test_build_funnel_matches_query_chain_and_validates(spark):
+    """The generalized operator reproduces the 3-step query chain's
+    per-user times exactly and rejects degenerate step lists."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.funnel import build_funnel
+    from neulix_datahub_spark.plans.queries_analytics import _funnel_step
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "event_type", "ts")
+    wide = build_funnel(ev, ["view", "click", "purchase"], deadline_hours=72)
+
+    v = ev.filter("event_type = 'view'").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    c = _funnel_step(ev, v, "click", "t1", "t2")
+    p = _funnel_step(ev, c, "purchase", "t2", "t3")
+    ref = (
+        v.join(c.select("user_id", "t2"), "user_id", "left")
+        .join(p.select("user_id", "t3"), "user_id", "left")
+    )
+    got = {r.user_id: (r.t0, r.t1, r.t2) for r in wide.collect()}
+    want = {r.user_id: (r.t1, r.t2, r.t3) for r in ref.collect()}
+    assert got == want
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        build_funnel(ev, ["view"], deadline_hours=72)

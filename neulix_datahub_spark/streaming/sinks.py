@@ -177,3 +177,54 @@ def stream_to_partitioned_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_json_quarantine(
+    stream_df: DataFrame,
+    json_col: str,
+    schema: str,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming SC7 with the warn-don't-fail posture: parse
+    ``json_col`` against ``schema`` per micro-batch; rows that parse
+    land in ``good_path`` with typed columns, rows that DON'T (non-null
+    payload, null parse — from_json's corrupt signal) land WHOLE in
+    ``quarantine_path`` with their batch id — the streaming counterpart
+    of sources.io.read_json_permissive, so one poison message can
+    neither kill a 24/7 pipeline nor vanish silently. Null payloads
+    count as good (nothing to parse). Exactly-once per sink comes from
+    the checkpointed foreachBatch + append-only parquet writes."""
+
+    # from_json in PERMISSIVE mode yields a struct of NULL FIELDS for a
+    # malformed payload (not a null struct), so corruption must be
+    # detected via an explicit corrupt-record column — a null-struct
+    # check would wave garbage through as all-null "good" rows.
+    full = f"{schema}, _corrupt_record string"
+    opts = {"columnNameOfCorruptRecord": "_corrupt_record", "mode": "PERMISSIVE"}
+
+    def split(batch_df: DataFrame, batch_id: int) -> None:
+        parsed = batch_df.withColumn(
+            "__p", F.from_json(F.col(json_col), full, opts)
+        )
+        corrupt = F.col("__p._corrupt_record").isNotNull()
+        bad = parsed.filter(corrupt).select(
+            F.lit(batch_id).alias("batch_id"),
+            F.col(json_col).alias("raw_payload"),
+        )
+        good = (
+            parsed.filter(~corrupt | F.col(json_col).isNull())
+            .select("*", F.col("__p.*"))
+            .drop("__p", "_corrupt_record")
+        )
+        bad.write.mode("append").parquet(quarantine_path)
+        good.write.mode("append").parquet(good_path)
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(split)
+        .trigger(availableNow=True)
+        .start()
+    )

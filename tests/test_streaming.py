@@ -600,3 +600,36 @@ def test_stream_interval_join_left_outer_null_extension(spark, tmp_path):
     assert by_user[2] == [None]       # expired unmatched -> null-extended
     assert 3 not in by_user           # window still open at drain end
     assert by_user[9][0] is not None  # batch-2 pair matched
+
+
+def test_stream_json_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed JSON payloads land whole in the quarantine with their
+    batch id; parseable rows land typed; nothing is lost or doubled."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.streaming.sinks import stream_json_quarantine
+
+    src = str(tmp_path / "src")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "props": ['{"k": 7}', "not json", '{"k": 9}', None],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, props string").parquet(src)
+    q = stream_json_quarantine(
+        stream, "props", "k bigint",
+        good_path=str(tmp_path / "good"),
+        quarantine_path=str(tmp_path / "bad"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    good = {r.event_id: r.k for r in spark.read.parquet(str(tmp_path / "good")).collect()}
+    bad = [r.raw_payload for r in spark.read.parquet(str(tmp_path / "bad")).collect()]
+    assert good == {1: 7, 3: 9, 4: None}  # null payload passes as good
+    assert bad == ["not json"]

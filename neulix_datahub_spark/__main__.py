@@ -21,6 +21,9 @@ def main(argv: list[str] | None = None) -> int:
     ls = sub.add_parser("list", help="list registered queries")
     ls.add_argument("substring", nargs="?", default="", help="name filter")
 
+    orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    orc.add_argument("query")
+
     run = sub.add_parser("run", help="run one registered query")
     run.add_argument("query")
     run.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
@@ -35,6 +38,14 @@ def main(argv: list[str] | None = None) -> int:
         for name, spec in QUERIES.items():
             if args.substring in name:
                 print(f"{name}\t{spec.doc}")
+        return 0
+
+    if args.cmd == "oracle":
+        spec = QUERIES.get(args.query)
+        if spec is None:
+            print(f"unknown query {args.query!r}", file=sys.stderr)
+            return 2
+        print(spec.oracle.strip())
         return 0
 
     if args.query not in QUERIES:

@@ -270,3 +270,7 @@ def test_cli_list_and_unknown_query(capsys):
     assert main(["run", "funnel"]) == 2
     err = capsys.readouterr().err
     assert "did you mean" in err and "event_funnel_stats" in err
+
+    assert main(["oracle", "q1_pricing_summary"]) == 0
+    assert "l_returnflag" in capsys.readouterr().out
+    assert main(["oracle", "nope"]) == 2

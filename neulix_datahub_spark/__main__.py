@@ -45,6 +45,9 @@ def main(argv: list[str] | None = None) -> int:
         if spec is None:
             print(f"unknown query {args.query!r}", file=sys.stderr)
             return 2
+        if spec.oracle is None:  # rows-only entries existed in rounds 1-4
+            print(f"{args.query} has no oracle (rows-only)", file=sys.stderr)
+            return 1
         print(spec.oracle.strip())
         return 0
 

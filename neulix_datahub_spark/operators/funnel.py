@@ -67,14 +67,17 @@ def funnel_summary(wide: DataFrame, steps: list[str]) -> DataFrame:
                 F.lit(i).alias("step_idx"),
                 F.lit(steps[i]).alias("step"),
                 F.col(f"__n{i}").alias("users"),
+                # try_divide: an empty step (or empty funnel) yields null
+                # percentages instead of ANSI's DIVIDE_BY_ZERO abort
                 F.round(
-                    F.col(f"__n{i}") * 100.0
-                    / F.col(f"__n{max(i - 1, 0)}"),
+                    F.try_divide(
+                        F.col(f"__n{i}") * 100.0, F.col(f"__n{max(i - 1, 0)}")
+                    ),
                     4,
                 ).alias("pct_of_prev"),
-                F.round(F.col(f"__n{i}") * 100.0 / F.col("__n0"), 4).alias(
-                    "pct_of_entry"
-                ),
+                F.round(
+                    F.try_divide(F.col(f"__n{i}") * 100.0, F.col("__n0")), 4
+                ).alias("pct_of_entry"),
             )
             for i in range(len(steps))
         ]

@@ -179,6 +179,38 @@ def stream_to_partitioned_parquet(
     )
 
 
+def _quarantine_split(
+    batch_df: DataFrame,
+    batch_id: int,
+    json_col: str,
+    schema: str,
+    good_path: str,
+    quarantine_path: str,
+) -> None:
+    """One micro-batch of the quarantine sink, REPLAY-IDEMPOTENT: both
+    sinks write into a ``batch_id=N`` subdirectory with overwrite, so a
+    checkpoint-replayed batch rewrites its own directory instead of
+    appending duplicates (foreachBatch is at-least-once; idempotent
+    per-batch output is the sink's job — same rule the dedup sink in
+    this module documents). The batch is localCheckpoint'ed once so the
+    two writes share one evaluation instead of re-parsing the source
+    twice."""
+    full = f"{schema}, _corrupt_record string"
+    opts = {"columnNameOfCorruptRecord": "_corrupt_record", "mode": "PERMISSIVE"}
+    parsed = batch_df.withColumn(
+        "__p", F.from_json(F.col(json_col), full, opts)
+    ).localCheckpoint(eager=True)
+    corrupt = F.col("__p._corrupt_record").isNotNull()
+    bad = parsed.filter(corrupt).select(F.col(json_col).alias("raw_payload"))
+    good = (
+        parsed.filter(~corrupt | F.col(json_col).isNull())
+        .select("*", F.col("__p.*"))
+        .drop("__p", "_corrupt_record")
+    )
+    bad.write.mode("overwrite").parquet(f"{quarantine_path}/batch_id={batch_id}")
+    good.write.mode("overwrite").parquet(f"{good_path}/batch_id={batch_id}")
+
+
 def stream_json_quarantine(
     stream_df: DataFrame,
     json_col: str,
@@ -189,37 +221,25 @@ def stream_json_quarantine(
 ) -> StreamingQuery:
     """Streaming SC7 with the warn-don't-fail posture: parse
     ``json_col`` against ``schema`` per micro-batch; rows that parse
-    land in ``good_path`` with typed columns, rows that DON'T (non-null
-    payload, null parse — from_json's corrupt signal) land WHOLE in
-    ``quarantine_path`` with their batch id — the streaming counterpart
-    of sources.io.read_json_permissive, so one poison message can
-    neither kill a 24/7 pipeline nor vanish silently. Null payloads
-    count as good (nothing to parse). Exactly-once per sink comes from
-    the checkpointed foreachBatch + append-only parquet writes."""
+    land under ``good_path`` with typed columns, rows that DON'T
+    (detected via an explicit ``_corrupt_record`` column — from_json's
+    PERMISSIVE mode returns a struct of null FIELDS for garbage, which
+    a null-struct check would wave through) land WHOLE under
+    ``quarantine_path`` — the streaming counterpart of
+    sources.io.read_json_permissive, so one poison message can neither
+    kill a 24/7 pipeline nor vanish silently. Null payloads count as
+    good (nothing to parse).
 
-    # from_json in PERMISSIVE mode yields a struct of NULL FIELDS for a
-    # malformed payload (not a null struct), so corruption must be
-    # detected via an explicit corrupt-record column — a null-struct
-    # check would wave garbage through as all-null "good" rows.
-    full = f"{schema}, _corrupt_record string"
-    opts = {"columnNameOfCorruptRecord": "_corrupt_record", "mode": "PERMISSIVE"}
+    Effectively-once per sink: outputs land in hive-style
+    ``batch_id=N`` directories written with overwrite, so an
+    at-least-once foreachBatch replay rewrites its own directory
+    rather than duplicating rows (see _quarantine_split). Readers scan
+    the root path; ``batch_id`` arrives as a partition column."""
 
     def split(batch_df: DataFrame, batch_id: int) -> None:
-        parsed = batch_df.withColumn(
-            "__p", F.from_json(F.col(json_col), full, opts)
+        _quarantine_split(
+            batch_df, batch_id, json_col, schema, good_path, quarantine_path
         )
-        corrupt = F.col("__p._corrupt_record").isNotNull()
-        bad = parsed.filter(corrupt).select(
-            F.lit(batch_id).alias("batch_id"),
-            F.col(json_col).alias("raw_payload"),
-        )
-        good = (
-            parsed.filter(~corrupt | F.col(json_col).isNull())
-            .select("*", F.col("__p.*"))
-            .drop("__p", "_corrupt_record")
-        )
-        bad.write.mode("append").parquet(quarantine_path)
-        good.write.mode("append").parquet(good_path)
 
     return (
         stream_df.writeStream.outputMode("append")

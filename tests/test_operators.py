@@ -1419,3 +1419,24 @@ def test_build_funnel_matches_query_chain_and_validates(spark):
 
     with _pytest.raises(ValueError, match="at least 2"):
         build_funnel(ev, ["view"], deadline_hours=72)
+
+
+def test_funnel_summary_empty_step_yields_null_pcts(spark):
+    """An empty step must produce null percentages, not an ANSI
+    DIVIDE_BY_ZERO abort."""
+    from neulix_datahub_spark.operators.funnel import build_funnel, funnel_summary
+
+    ev = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00")], "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type", F.to_timestamp("ts").alias("ts"))
+    steps = ["view", "refund"]  # refund never happens
+    out = {r.step: r for r in funnel_summary(
+        build_funnel(ev, steps, deadline_hours=72), steps).collect()}
+    assert out["view"].users == 1 and out["view"].pct_of_prev == 100.0
+    assert out["refund"].users == 0
+    assert out["refund"].pct_of_prev == 0.0  # 0/1 — defined
+    # fully-empty funnel: entry step absent -> 0/0 -> nulls, no crash
+    empty = {r.step: r for r in funnel_summary(
+        build_funnel(ev.filter("event_type = 'x'"), steps, deadline_hours=72),
+        steps).collect()}
+    assert empty["view"].users == 0 and empty["view"].pct_of_prev is None

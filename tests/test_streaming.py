@@ -633,3 +633,16 @@ def test_stream_json_quarantine_splits_good_and_bad(spark, tmp_path):
     bad = [r.raw_payload for r in spark.read.parquet(str(tmp_path / "bad")).collect()]
     assert good == {1: 7, 3: 9, 4: None}  # null payload passes as good
     assert bad == ["not json"]
+
+    # replay idempotence: foreachBatch is at-least-once, so re-running
+    # the SAME batch id must rewrite its directory, not duplicate rows
+    from neulix_datahub_spark.streaming.sinks import _quarantine_split
+
+    batch = spark.createDataFrame(pdf)
+    for _ in range(2):
+        _quarantine_split(
+            batch, 0, "props", "k bigint",
+            str(tmp_path / "good"), str(tmp_path / "bad"),
+        )
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 3
+    assert spark.read.parquet(str(tmp_path / "bad")).count() == 1

@@ -260,6 +260,43 @@ FROM nation
 """
 
 
+def price_quartiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 grouped exact percentiles (round 5): p25/median/p75 + IQR of
+    order value PER priority via the exact ``percentile`` aggregate —
+    both engines interpolate linearly, so 4-dp rounding matches. The
+    global exact form is `price_percentiles`; this is the grouped
+    surface. At 100 TB swap to percentile_approx (mergeable GK) exactly
+    as approx_price_percentiles demonstrates — exact grouped
+    percentiles materialize each group's values."""
+    orders = _t(spark, sf_dir, "orders")
+    q = lambda p: F.percentile("o_totalprice", F.lit(p))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(q(0.25), 4).alias("p25"),
+            F.round(q(0.5), 4).alias("median"),
+            F.round(q(0.75), 4).alias("p75"),
+            F.round(q(0.75) - q(0.25), 4).alias("iqr"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PRICE_QUARTILES_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.75)
+             - quantile_cont(o_totalprice, 0.25), 4) AS iqr
+FROM orders
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2054,6 +2091,11 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "price_quartiles_by_priority": (
+        price_quartiles_by_priority,
+        PRICE_QUARTILES_SQL,
+        "A1: grouped exact percentiles (p25/median/p75 + IQR)",
     ),
     "load_behaviors_stats": (
         load_behaviors_stats,

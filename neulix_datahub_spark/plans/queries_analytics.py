@@ -911,6 +911,65 @@ ORDER BY step_idx
 """
 
 
+def cohort_retention_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cohort_retention normalized to RATES: percent of each cohort's
+    size active at every week offset — the form a retention dashboard
+    renders (offset 0 is 100% by construction: every member is active
+    in their first-event week). Same two user-keyed aggregations plus
+    a broadcastable cohort-size join."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("__cw")
+    )
+    sizes = first.groupBy("__cw").agg(F.count(F.lit(1)).alias("__size"))
+    active = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "__cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("__cw")) / 7
+            ).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("__active"))
+    )
+    return (
+        active.join(sizes, "__cw")
+        .select(
+            F.date_format("__cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("__size").alias("cohort_size"),
+            F.col("__active").alias("active_users"),
+            F.round(F.col("__active") * 100.0 / F.col("__size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RATES_SQL = """
+WITH f AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1
+),
+sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS size FROM f GROUP BY 1),
+active AS (
+    SELECT f.cw,
+           CAST(floor(date_diff('day', f.cw, date_trunc('week', e.ts)) / 7.0)
+                AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+)
+SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+       a.week_offset,
+       s.size AS cohort_size,
+       a.active_users,
+       round(a.active_users * 100.0 / s.size, 4) AS retention_pct
+FROM active a JOIN sizes s ON a.cw = s.cw
+ORDER BY cohort_week, week_offset
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -986,5 +1045,10 @@ ANALYTICS_QUERIES = {
         funnel_steps_long,
         FUNNEL_LONG_SQL,
         "N-step funnel operator: 4-step long-form conversion table",
+    ),
+    "cohort_retention_rates": (
+        cohort_retention_rates,
+        COHORT_RATES_SQL,
+        "cohort retention normalized to percent-of-cohort rates",
     ),
 }

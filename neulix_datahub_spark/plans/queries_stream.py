@@ -481,6 +481,61 @@ ORDER BY day, event_type
 """
 
 
+def rollup_routed_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing across the WEEK boundary case (round 5): weeks straddle
+    months, so the router refuses week->month — but day->week is a
+    legal whole-bucket union, and this query drives exactly that route
+    through the oracle gate: a materialized DAILY rollup answers the
+    weekly per-type totals. Complements rollup_routed_daily (hour->day)
+    and the guard unit that pins the refusals."""
+    from neulix_datahub_spark.operators.rollup import answer_from_rollup
+
+    tmp = _scratch(spark, "neulix_route_wk_")
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    daily.write.mode("overwrite").parquet(f"{tmp}/daily")
+    rollup = spark.read.parquet(f"{tmp}/daily")
+    routed = answer_from_rollup(
+        rollup,
+        rollup_grain="day",
+        query_grain="week",
+        window_col="window_start",
+        group_cols=["event_type"],
+        measures={
+            "n_events": ("count", "n_events"),
+            "sum_value": ("sum", "sum_value"),
+        },
+    )
+    return routed.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("week_start", "event_type")
+
+
+_ROLLUP_WEEKLY_SQL = """
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS d, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
+    FROM events GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start,
+       event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(sv), 4) AS sum_value
+FROM daily
+GROUP BY 1, 2
+ORDER BY week_start, event_type
+"""
+
+
 STREAM_QUERIES = {
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
     "stream_enriched_segment_counts": (
@@ -523,5 +578,10 @@ STREAM_QUERIES = {
         rollup_routed_daily,
         _ROLLUP_ROUTED_SQL,
         "continuous-aggregate routing: daily answered from hourly rollup",
+    ),
+    "rollup_routed_weekly": (
+        rollup_routed_weekly,
+        _ROLLUP_WEEKLY_SQL,
+        "routing the week boundary case: day->week legal union",
     ),
 }

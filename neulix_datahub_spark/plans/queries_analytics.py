@@ -970,6 +970,51 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov view of the event stream: P(next | current)
+    for every observed transition — the probabilistic form of the edge
+    table event_pagerank ranks. One user-keyed lead() window, one
+    pair-count aggregation, row-normalized by a window sum (25 keys)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("cur")
+    return (
+        pairs.select(
+            "cur",
+            "nxt",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+    SELECT event_type AS cur,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+counts AS (
+    SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM counts
+ORDER BY cur, nxt
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -1050,5 +1095,10 @@ ANALYTICS_QUERIES = {
         cohort_retention_rates,
         COHORT_RATES_SQL,
         "cohort retention normalized to percent-of-cohort rates",
+    ),
+    "event_transition_matrix": (
+        event_transition_matrix,
+        TRANSITION_SQL,
+        "first-order Markov transition probabilities per event type",
     ),
 }

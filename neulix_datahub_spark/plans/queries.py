@@ -1877,7 +1877,8 @@ _PRIORITY_R5 = [
 # top_event_trigrams, funnel_time_to_convert, daily_trend_by_type,
 # ivf_index_recall_check, load_behaviors_stats, pca_merge_check,
 # last_touch_attribution, funnel_steps_long, price_quartiles_by_priority,
-# rollup_routed_weekly, cohort_retention_rates, event_transition_matrix
+# rollup_routed_weekly, cohort_retention_rates, event_transition_matrix,
+# revenue_concentration
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

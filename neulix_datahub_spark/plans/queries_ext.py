@@ -297,6 +297,71 @@ ORDER BY o_orderpriority
 """
 
 
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration analysis (round 5): the Pareto question — what
+    share of revenue do the top 10%/20% of customers carry — plus the
+    exact Gini coefficient via the rank formula
+    G = 2·Σ(rank·sᵢ)/(n·Σs) − (n+1)/n over spend ranked ascending with
+    a customer-key tiebreak (deterministic ranks, so both engines
+    compute identical sums). One customer-keyed aggregation; the
+    ordered window runs over the per-customer frame (O(customers)
+    rows); at 100 TB swap the exact rank for percentile_approx-bucketed
+    shares exactly as the RFM scale note prescribes."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__s"))
+    w = Window.orderBy("__s", "o_custkey")
+    all_w = Window.partitionBy()
+    ranked = spend.select(
+        "__s",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(all_w).alias("__n"),
+        F.sum("__s").over(all_w).alias("__total"),
+    )
+    return ranked.agg(
+        F.max("__n").cast("bigint").alias("n_customers"),
+        F.round(F.max("__total"), 2).alias("total_revenue"),
+        F.round(
+            F.sum(F.when(F.col("__rk") > 0.9 * F.col("__n"), F.col("__s")).otherwise(0.0))
+            / F.max("__total"),
+            6,
+        ).alias("top10pct_share"),
+        F.round(
+            F.sum(F.when(F.col("__rk") > 0.8 * F.col("__n"), F.col("__s")).otherwise(0.0))
+            / F.max("__total"),
+            6,
+        ).alias("top20pct_share"),
+        F.round(
+            (2.0 * F.sum(F.col("__rk") * F.col("__s")))
+            / (F.max("__n") * F.max("__total"))
+            - (F.max("__n") + 1.0) / F.max("__n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+CONCENTRATION_SQL = """
+WITH spend AS (
+    SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT s, o_custkey,
+           row_number() OVER (ORDER BY s, o_custkey) AS rk,
+           count(*) OVER () AS n,
+           sum(s) OVER () AS total
+    FROM spend
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round(max(total), 2) AS total_revenue,
+       round(sum(CASE WHEN rk > 0.9 * n THEN s ELSE 0 END) / max(total), 6)
+           AS top10pct_share,
+       round(sum(CASE WHEN rk > 0.8 * n THEN s ELSE 0 END) / max(total), 6)
+           AS top20pct_share,
+       round((2.0 * sum(rk * s) / (max(n) * max(total))) - (max(n) + 1.0) / max(n), 6)
+           AS gini
+FROM ranked
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2091,6 +2156,11 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "revenue_concentration": (
+        revenue_concentration,
+        CONCENTRATION_SQL,
+        "Pareto shares + exact Gini over per-customer spend",
     ),
     "price_quartiles_by_priority": (
         price_quartiles_by_priority,

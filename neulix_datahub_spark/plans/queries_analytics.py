@@ -1015,6 +1015,50 @@ ORDER BY cur, nxt
 """
 
 
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase latency: the gap between a user's consecutive
+    purchases, day-bucketed into a distribution with per-bucket counts
+    and average value of the repeat order — one lag() window over the
+    purchase subset (user-keyed), then a <=31-key aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "value", F.lag("ts").over(w).alias("__prev")
+        )
+        .filter(F.col("__prev").isNotNull())
+    )
+    gap_days = F.floor(
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("__prev").cast("timestamp"))) / 86_400_000_000
+    )
+    return (
+        p.groupBy(gap_days.alias("gap_days"))
+        .agg(
+            F.count(F.lit(1)).alias("n_repeats"),
+            F.round(F.avg("value"), 4).alias("avg_repeat_value"),
+        )
+        .orderBy("gap_days")
+    )
+
+
+REPEAT_SQL = """
+WITH p AS (
+    SELECT user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(floor((epoch_us(ts) - epoch_us(prev)) / 86400000000.0) AS BIGINT)
+           AS gap_days,
+       CAST(count(*) AS BIGINT) AS n_repeats,
+       round(avg(value), 4) AS avg_repeat_value
+FROM p WHERE prev IS NOT NULL
+GROUP BY 1
+ORDER BY gap_days
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -1100,5 +1144,10 @@ ANALYTICS_QUERIES = {
         event_transition_matrix,
         TRANSITION_SQL,
         "first-order Markov transition probabilities per event type",
+    ),
+    "repeat_purchase_intervals": (
+        repeat_purchase_intervals,
+        REPEAT_SQL,
+        "repeat-purchase latency distribution (lag gap, day buckets)",
     ),
 }

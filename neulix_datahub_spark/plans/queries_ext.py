@@ -362,6 +362,77 @@ FROM ranked
 """
 
 
+def ship_delay_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment lead time per priority: days from order date to line
+    shipment (the operational KPI behind Q12's late-shipment check) —
+    avg, exact median and max over the fact-fact join. One shuffle for
+    the join (AQE-planned), one 5-key aggregation; exact median at
+    toy scale, percentile_approx at 100 TB as usual."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(delay), 4).alias("avg_days"),
+            F.round(F.percentile(delay, F.lit(0.5)), 4).alias("median_days"),
+            F.max(delay).cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_DELAY_SQL = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_days,
+       round(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 4)
+           AS median_days,
+       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Items-per-order histogram with percentage shares — the basket
+    profile the co-purchase miner's bounded-blowup argument rests on.
+    Two aggregations (order-keyed, then <=max-basket keys); the share
+    normalizer is a window over the tiny histogram frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__n"))
+    hist = sizes.groupBy(F.col("__n").alias("items_per_order")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        hist.select(
+            "items_per_order",
+            "n_orders",
+            F.round(
+                100.0 * F.col("n_orders") / F.sum("n_orders").over(Window.partitionBy()),
+                4,
+            ).alias("pct"),
+        )
+        .orderBy("items_per_order")
+    )
+
+
+BASKET_SQL = """
+WITH sizes AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS items_per_order,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+FROM sizes
+GROUP BY n
+ORDER BY items_per_order
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2156,6 +2227,16 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "ship_delay_by_priority": (
+        ship_delay_by_priority,
+        SHIP_DELAY_SQL,
+        "fulfilment lead time per priority (avg/median/max days)",
+    ),
+    "basket_size_distribution": (
+        basket_size_distribution,
+        BASKET_SQL,
+        "items-per-order histogram with percentage shares",
     ),
     "revenue_concentration": (
         revenue_concentration,

@@ -1879,7 +1879,8 @@ _PRIORITY_R5 = [
 # last_touch_attribution, funnel_steps_long, price_quartiles_by_priority,
 # rollup_routed_weekly, cohort_retention_rates, event_transition_matrix,
 # revenue_concentration, repeat_purchase_intervals,
-# ship_delay_by_priority, basket_size_distribution
+# ship_delay_by_priority, basket_size_distribution,
+# monthly_seasonality_index, customer_tenure_profile
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

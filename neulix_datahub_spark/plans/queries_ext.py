@@ -433,6 +433,79 @@ ORDER BY items_per_order
 """
 
 
+def monthly_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality over the 6.5-year order history: each
+    month-of-year's revenue against the uniform 1/12 expectation
+    (index > 1 = hot month). One scan + 12-key aggregation; the
+    normalizer is a window over the 12-row frame."""
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.month("o_orderdate").alias("month")).agg(
+        F.sum("o_totalprice").alias("__rev")
+    )
+    return (
+        monthly.select(
+            F.col("month").cast("bigint").alias("month"),
+            F.round("__rev", 2).alias("revenue"),
+            F.round(
+                F.col("__rev")
+                / (F.sum("__rev").over(Window.partitionBy()) / 12.0),
+                6,
+            ).alias("seasonality_index"),
+        )
+        .orderBy("month")
+    )
+
+
+SEASONALITY_SQL = """
+WITH monthly AS (
+    SELECT month(o_orderdate) AS m, sum(o_totalprice) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT CAST(m AS BIGINT) AS month, round(rev, 2) AS revenue,
+       round(rev / (sum(rev) OVER () / 12.0), 6) AS seasonality_index
+FROM monthly
+ORDER BY month
+"""
+
+
+def customer_tenure_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime span: years between first and last order,
+    bucketed, with cohort sizes and average order counts — the
+    engagement-longevity profile. One customer-keyed aggregation, then
+    a <=7-key histogram."""
+    orders = _t(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("__d"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        span.groupBy(
+            F.floor(F.col("__d") / 365.0).cast("bigint").alias("tenure_years")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("__n"), 4).alias("avg_orders"),
+        )
+        .orderBy("tenure_years")
+    )
+
+
+TENURE_SQL = """
+WITH span AS (
+    SELECT o_custkey,
+           date_diff('day', min(o_orderdate), max(o_orderdate)) AS d,
+           count(*) AS n
+    FROM orders GROUP BY 1
+)
+SELECT CAST(floor(d / 365.0) AS BIGINT) AS tenure_years,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(n), 4) AS avg_orders
+FROM span
+GROUP BY 1
+ORDER BY tenure_years
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2227,6 +2300,16 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "monthly_seasonality_index": (
+        monthly_seasonality_index,
+        SEASONALITY_SQL,
+        "month-of-year revenue seasonality vs uniform expectation",
+    ),
+    "customer_tenure_profile": (
+        customer_tenure_profile,
+        TENURE_SQL,
+        "customer lifetime-span histogram with order intensity",
     ),
     "ship_delay_by_priority": (
         ship_delay_by_priority,

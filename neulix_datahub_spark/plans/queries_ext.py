@@ -506,6 +506,75 @@ ORDER BY tenure_years
 """
 
 
+def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returns analysis: per-brand return percentage and returned value
+    (the merchandising KPI behind Q10's returned-revenue ranking) —
+    fact⋈dim join, conditional aggregation, 25-key result."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    returned = (F.col("l_returnflag") == "R").cast("int")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(100.0 * F.sum(returned) / F.count(F.lit(1)), 4).alias(
+                "return_pct"
+            ),
+            F.round(
+                F.sum(F.col("l_extendedprice") * returned), 2
+            ).alias("returned_value"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+RETURN_RATE_SQL = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(100.0 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             / count(*), 4) AS return_pct,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+           AS returned_value
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+
+def discount_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-policy profile: average discount and net revenue per
+    10-unit quantity band — the volume-discount curve Q19's disjunctive
+    predicates slice. One scan, <=6-key aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("net_revenue"),
+        )
+        .orderBy("qty_band")
+    )
+
+
+DISCOUNT_BAND_SQL = """
+SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(l_discount), 6) AS avg_discount,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+FROM lineitem
+GROUP BY 1
+ORDER BY qty_band
+"""
+
+
 def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO3/IO4/IO5 driver-visible: write customer to a ';'-delimited CSV,
     read it back through the delimiter-SNIFFING loader (one-line probe,
@@ -2300,6 +2369,16 @@ EXT_QUERIES = {
         bucketed_revenue_by_priority,
         BUCKETED_REVENUE_SQL,
         "co-located bucketed fact-fact join (Exchange-free plan)",
+    ),
+    "return_rate_by_brand": (
+        return_rate_by_brand,
+        RETURN_RATE_SQL,
+        "per-brand return rate and returned value",
+    ),
+    "discount_by_quantity_band": (
+        discount_by_quantity_band,
+        DISCOUNT_BAND_SQL,
+        "volume-discount curve per 10-unit quantity band",
     ),
     "monthly_seasonality_index": (
         monthly_seasonality_index,

@@ -1881,7 +1881,7 @@ _PRIORITY_R5 = [
 # revenue_concentration, repeat_purchase_intervals,
 # ship_delay_by_priority, basket_size_distribution,
 # monthly_seasonality_index, customer_tenure_profile,
-# return_rate_by_brand, discount_by_quantity_band
+# return_rate_by_brand, discount_by_quantity_band, hourly_activity_profile
 # — all sim-green at sf0.001 AND sf0.01), then the
 # deferred r3 greens listed above (three rounds stale by then), then
 # cycle the r4 greens oldest-first.

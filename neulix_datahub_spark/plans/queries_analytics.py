@@ -1059,6 +1059,44 @@ ORDER BY gap_days
 """
 
 
+def hourly_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daypart profile: event volume, average value and share per
+    hour-of-day — the load-shape query capacity planning and
+    bot-detection both start from. One scan, 24-key aggregation,
+    window normalizer over the 24-row frame."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    return (
+        hourly.select(
+            "hour_of_day",
+            "n_events",
+            "avg_value",
+            F.round(
+                100.0 * F.col("n_events")
+                / F.sum("n_events").over(Window.partitionBy()),
+                4,
+            ).alias("pct"),
+        )
+        .orderBy("hour_of_day")
+    )
+
+
+DAYPART_SQL = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+FROM events
+GROUP BY 1
+ORDER BY hour_of_day
+"""
+
+
 ANALYTICS_QUERIES = {
     "event_funnel_stats": (
         event_funnel_stats,
@@ -1149,5 +1187,10 @@ ANALYTICS_QUERIES = {
         repeat_purchase_intervals,
         REPEAT_SQL,
         "repeat-purchase latency distribution (lag gap, day buckets)",
+    ),
+    "hourly_activity_profile": (
+        hourly_activity_profile,
+        DAYPART_SQL,
+        "daypart load shape: per-hour volume, value and share",
     ),
 }

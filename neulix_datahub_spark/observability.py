@@ -138,11 +138,31 @@ def plan_summary(df) -> dict:
     broadcast or a new Python hot path), not just when it slows down.
 
     Uses the CURRENT query execution: call after an action for the
-    AQE-final plan, or directly for the static plan.
+    AQE-final plan, or directly for the static plan. On classic
+    sessions this reads ``queryExecution().executedPlan()`` via py4j;
+    under Spark Connect (no ``_jdf``) it falls back to capturing the
+    public ``explain()`` output in "simple" mode, which renders the
+    physical plan with the same inline tokens the counters match
+    (``Exchange hashpartitioning(...)``, ``FileScan parquet``,
+    ``PushedFilters: [...]``) — "formatted" mode would NOT work, it
+    splits node names from their arguments.
     """
     import re
 
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    try:
+        jdf = df._jdf  # classic py4j session
+    except Exception:
+        jdf = None
+    if jdf is not None:
+        plan = jdf.queryExecution().executedPlan().toString()
+    else:  # Spark Connect: capture the public explain output
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
     # an executed AQE plan prints "== Final Plan ==" followed by
     # "== Initial Plan ==" — counting both would double every metric,
     # so keep only the final section when the marker is present

@@ -129,7 +129,7 @@ def triangle_stats(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFram
         "n_nodes",
         "n_edges",
         "n_triangles",
-        F.round(3.0 * F.col("n_triangles") / F.col("__triads"), 6).alias(
+        F.round(F.try_divide(3.0 * F.col("n_triangles"), F.col("__triads")), 6).alias(
             "clustering_coeff"
         ),
     )

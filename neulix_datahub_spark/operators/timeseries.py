@@ -35,7 +35,10 @@ def grouped_autocorr(
     """
     import numpy as np
 
-    out_schema = f"{key_col} string, n_days bigint, n_pairs bigint, autocorr double"
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, n_days bigint, n_pairs bigint, autocorr double"
+    )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf[key_col].iloc[0]

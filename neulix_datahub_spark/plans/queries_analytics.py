@@ -92,9 +92,15 @@ def event_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("view_users"),
         F.count("t2").alias("click_users"),
         F.count("t3").alias("purchase_users"),
-        F.round(F.count("t2") * 100.0 / F.count("t1"), 4).alias("view_to_click_pct"),
-        F.round(F.count("t3") * 100.0 / F.count("t2"), 4).alias("click_to_purchase_pct"),
-        F.round(F.count("t3") * 100.0 / F.count("t1"), 4).alias("overall_pct"),
+        F.round(F.try_divide(F.count("t2") * 100.0, F.count("t1")), 4).alias(
+            "view_to_click_pct"
+        ),
+        F.round(F.try_divide(F.count("t3") * 100.0, F.count("t2")), 4).alias(
+            "click_to_purchase_pct"
+        ),
+        F.round(F.try_divide(F.count("t3") * 100.0, F.count("t1")), 4).alias(
+            "overall_pct"
+        ),
     )
 
 
@@ -119,9 +125,9 @@ p AS (
 SELECT CAST(nv AS BIGINT) AS view_users,
        CAST(nc AS BIGINT) AS click_users,
        CAST(np AS BIGINT) AS purchase_users,
-       round(nc * 100.0 / nv, 4) AS view_to_click_pct,
-       round(np * 100.0 / nc, 4) AS click_to_purchase_pct,
-       round(np * 100.0 / nv, 4) AS overall_pct
+       round(nc * 100.0 / NULLIF(nv, 0), 4) AS view_to_click_pct,
+       round(np * 100.0 / NULLIF(nc, 0), 4) AS click_to_purchase_pct,
+       round(np * 100.0 / NULLIF(nv, 0), 4) AS overall_pct
 FROM (SELECT (SELECT count(*) FROM v) AS nv,
              (SELECT count(*) FROM c) AS nc,
              (SELECT count(*) FROM p) AS np)

@@ -89,11 +89,15 @@ def stream_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").alias("view_users"),
         F.count("t2").alias("click_users"),
         F.count("t3").alias("purchase_users"),
-        F.round(F.count("t2") * 100.0 / F.count("t1"), 4).alias("view_to_click_pct"),
-        F.round(F.count("t3") * 100.0 / F.count("t2"), 4).alias(
+        F.round(F.try_divide(F.count("t2") * 100.0, F.count("t1")), 4).alias(
+            "view_to_click_pct"
+        ),
+        F.round(F.try_divide(F.count("t3") * 100.0, F.count("t2")), 4).alias(
             "click_to_purchase_pct"
         ),
-        F.round(F.count("t3") * 100.0 / F.count("t1"), 4).alias("overall_pct"),
+        F.round(F.try_divide(F.count("t3") * 100.0, F.count("t1")), 4).alias(
+            "overall_pct"
+        ),
     )
 
 

@@ -515,6 +515,20 @@ def vacuum_catalog(
     drop = [v for v in versions[:-keep] if v != cur]
     for v in drop:
         shutil.rmtree(os.path.join(catalog_root, v))
+    # the catalog is itself a snapshot table, so it gets the same
+    # crashed-write staging sweep as its members: a commit_tables crash
+    # between makedirs(staging) and rename leaves ".vNNNNNNNN_*"
+    # directly under catalog_root
+    cutoff = time.time() - staging_grace_seconds
+    for d in os.listdir(catalog_root):
+        p = os.path.join(catalog_root, d)
+        if d.startswith(".v") and os.path.isdir(p):
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    shutil.rmtree(p)
+                    drop.append(d)
+            except FileNotFoundError:
+                continue
     removed["<catalog>"] = drop
 
     # referenced set across surviving manifests

@@ -1125,6 +1125,13 @@ def test_triangle_stats_on_known_graphs(spark):
     assert r.n_triangles == 0
     assert r.clustering_coeff == 0.0
 
+    # only isolated edges: every degree is 1, so zero open triads; the
+    # coefficient must degrade to null (try_divide), not DIVIDE_BY_ZERO
+    # under the session's ANSI mode
+    r = stats([("a", "b"), ("c", "d")])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 2, 0)
+    assert r.clustering_coeff is None
+
 
 def test_bigram_perplexity_hand_computed(spark):
     """doc_bigram_perplexity on a 3-doc toy corpus: unigram counts come
@@ -1300,6 +1307,36 @@ def test_plan_summary_and_rebalance(spark):
     assert plan_summary(ac)["python_eval_nodes"] >= 1  # grouped map visible
 
 
+def test_plan_summary_connect_fallback(spark):
+    """Without the classic ``_jdf`` py4j surface (Spark Connect), the
+    summary falls back to the public explain(mode="formatted") text and
+    still counts scans/shuffles — the guard keeps working on connect
+    deployments."""
+    from neulix_datahub_spark.observability import plan_summary
+    from tests.conftest import SF_DIR
+
+    agg = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+
+    class _ConnectLike:
+        """Proxy exposing only the public DataFrame API (no _jdf)."""
+
+        def __init__(self, df):
+            self.__dict__["_df"] = df
+
+        def __getattr__(self, name):
+            if name == "_jdf":
+                raise AttributeError("_jdf")  # what connect raises
+            return getattr(self.__dict__["_df"], name)
+
+    s = plan_summary(_ConnectLike(agg))
+    assert s["parquet_scans"] == 1 and s["shuffles"] >= 1
+    assert s["python_eval_nodes"] == 0
+
+
 def test_persisted_ivf_index_lifecycle(spark, tmp_path):
     """build/query/append on the at-rest IVF index: (a) querying the
     index returns EXACTLY what the in-memory probe returns (shared
@@ -1372,6 +1409,22 @@ def test_grouped_autocorr_sparse_groups(spark):
     assert got["a"].n_days == 9 and got["b"].n_days == 3
 
 
+def test_grouped_autocorr_nonstring_key(spark):
+    """The output schema derives the key's type from the input frame, so
+    a bigint group key (e.g. user_id) round-trips without an Arrow
+    schema mismatch — the operator is generic, not string-keyed."""
+    from neulix_datahub_spark.operators.timeseries import grouped_autocorr
+
+    rows = [(7, f"2024-01-{d:02d}", float(d % 3)) for d in range(1, 20)]
+    df = spark.createDataFrame(rows, "k bigint, day string, v double").select(
+        "k", F.to_date("day").alias("day"), "v"
+    )
+    out = grouped_autocorr(df, "k", "day", "v")
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    row = out.collect()[0]
+    assert row.k == 7 and row.n_days == 19 and row.n_pairs == 12
+
+
 def test_cluster_split_total_under_superset_pairs(spark):
     """Pairs mined on a superset corpus may reference documents the
     filtered df no longer contains; no row may be dropped, and the
@@ -1440,3 +1493,25 @@ def test_funnel_summary_empty_step_yields_null_pcts(spark):
         build_funnel(ev.filter("event_type = 'x'"), steps, deadline_hours=72),
         steps).collect()}
     assert empty["view"].users == 0 and empty["view"].pct_of_prev is None
+
+
+def test_event_funnel_stats_zero_converters(spark, tmp_path):
+    """event_funnel_stats on an events set with zero click/purchase
+    converters: the three pct columns degrade to null via try_divide
+    instead of aborting with ANSI DIVIDE_BY_ZERO — same contract
+    funnel_summary already pins."""
+    from neulix_datahub_spark.plans.queries_analytics import event_funnel_stats
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, "view", 1.0, "{}"),
+         (2, "2024-01-01 01:00:00", 11, "view", 2.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+
+    row = event_funnel_stats(spark, str(tmp_path)).collect()[0]
+    assert (row.view_users, row.click_users, row.purchase_users) == (2, 0, 0)
+    assert row.view_to_click_pct == 0.0
+    assert row.click_to_purchase_pct is None  # 0/0 -> null, not a crash
+    assert row.overall_pct == 0.0

@@ -398,6 +398,33 @@ def test_vacuum_catalog_preserves_referenced_versions(spark, tmp_path):
     assert new["a"].collect()[0].x == 3
 
 
+def test_vacuum_catalog_sweeps_root_staging_orphans(spark, tmp_path):
+    """A commit_tables crash between makedirs(staging) and the rename
+    leaves a ``.vNNNNNNNN_*`` dir directly under catalog_root; the
+    catalog is itself a snapshot table, so vacuum_catalog sweeps it with
+    the same grace window as member tables — recent staging survives
+    (might be in-flight), aged staging goes."""
+    import os
+    import time as _time
+
+    from neulix_datahub_spark.sources.snapshots import commit_tables, vacuum_catalog
+
+    cat = str(tmp_path / "cat")
+    commit_tables({"a": spark.createDataFrame([(1,)], "x int")}, cat)
+
+    aged = os.path.join(cat, ".v00000099_deadbeef")
+    fresh = os.path.join(cat, ".v00000098_cafebabe")
+    os.makedirs(aged)
+    os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(aged, (old, old))
+
+    removed = vacuum_catalog(cat, keep=2, staging_grace_seconds=3600.0)
+    assert ".v00000099_deadbeef" in removed["<catalog>"]
+    assert not os.path.exists(aged)
+    assert os.path.exists(fresh)  # inside the grace window
+
+
 def test_snapshot_history_describes_versions(spark, tmp_path):
     from neulix_datahub_spark.sources.snapshots import (
         snapshot_history,

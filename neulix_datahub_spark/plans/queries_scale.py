@@ -127,10 +127,125 @@ ORDER BY window_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: maintain GROUP BY o_orderpriority
+# (count, sum totalprice) across a v1 -> v2 snapshot transition using
+# ONLY the change feed (with pre-images), then compare in-plan against
+# a full recompute of v2. The deterministic v1/v2 derivation from the
+# orders fixture makes the whole experiment SQL-expressible, so the
+# oracle pins both the v2 aggregate AND the match verdict.
+#
+#   v1 membership: o_orderkey % 7 != 3        (the %7==3 rows insert later)
+#   v2 membership: o_orderkey % 9 != 4        (the %9==4 rows get deleted)
+#   v2 updates:    %5==0 rows gain +1000.00   (in-group value update)
+#   v2 migrations: %15==0 rows also move to priority '9-MOVED'
+#                  (group-key change: pre-image leaves the old group,
+#                  post-image enters the new one — the case a naive
+#                  key-overwrite consumer gets wrong)
+# ---------------------------------------------------------------------------
+
+
+def _orders_versions(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 7 != 3).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v2 = (
+        orders.filter(k % 9 != 4)
+        .select(
+            "o_orderkey",
+            F.when(k % 15 == 0, F.lit("9-MOVED"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(k % 5 == 0, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return v1, v2
+
+
+def incremental_agg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance end-to-end: publish v1 and v2 as
+    snapshot-table versions, read the pre-image change feed
+    (snapshot_diff, Delta-CDF row protocol), maintain the v1 aggregate
+    with operators/incremental.py, and emit the maintained per-priority
+    aggregate with a per-row verdict against the v2 full recompute.
+
+    Scale shape: feed aggregation shuffles O(|changes|) rows; the merge
+    join touches one row per TOUCHED group. The full recompute here
+    exists only to pin correctness — production consumers run just the
+    delta path. Counts must match exactly; float sums within 1e-9
+    relative (see the operator's float-order caveat).
+    """
+    from neulix_datahub_spark.operators.incremental import apply_agg_delta
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.snapshots import snapshot_diff, write_snapshot
+
+    orders = _t(spark, sf_dir, "orders")
+    v1, v2 = _orders_versions(orders)
+
+    root = f"{warehouse_scratch(spark, 'neulix_incr_agg_')}/orders_mv"
+    ver1 = write_snapshot(v1, root)
+    write_snapshot(v2, root)
+    feed = snapshot_diff(spark, root, ver1, key="o_orderkey", pre_image=True)
+
+    agg_v1 = v1.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_totalprice").alias("sum_price"),
+    )
+    maintained = apply_agg_delta(
+        agg_v1, feed, ["o_orderpriority"], "n_orders", {"sum_price": "o_totalprice"}
+    )
+    recomputed = v2.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("__rcnt"),
+        F.sum("o_totalprice").alias("__rsum"),
+    )
+    return (
+        maintained.join(recomputed, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.col("n_orders"),
+            F.round("sum_price", 2).alias("sum_price"),
+            (
+                (F.col("n_orders") == F.col("__rcnt"))
+                & (
+                    F.abs(F.col("sum_price") - F.col("__rsum"))
+                    <= 1e-9 * F.abs(F.col("__rsum"))
+                )
+            ).alias("matches_recompute"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_INCR_AGG_SQL = """
+WITH v2 AS (
+    SELECT CASE WHEN o_orderkey % 15 = 0 THEN '9-MOVED'
+                ELSE o_orderpriority END AS o_orderpriority,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 9 != 4
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       true AS matches_recompute
+FROM v2
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = {
     "promo_window_revenue": (
         promo_window_revenue,
         _PROMO_SQL,
         "range join: bucketed equi-join decomposition vs BETWEEN oracle",
+    ),
+    "incremental_agg_check": (
+        incremental_agg_check,
+        _INCR_AGG_SQL,
+        "materialized-agg maintenance from a pre-image change feed",
     ),
 }

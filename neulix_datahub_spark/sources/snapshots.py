@@ -285,6 +285,7 @@ def snapshot_diff(
     from_version: str,
     to_version: str | None = None,
     key: str = "id",
+    pre_image: bool = False,
 ) -> DataFrame:
     """Change feed between two snapshot versions — the engine-neutral
     analogue of Delta/Iceberg CDF, free here because snapshots are
@@ -293,6 +294,15 @@ def snapshot_diff(
     older), ``update`` (both sides, any non-key column differs) or is
     dropped as unchanged. Returns the NEWER version's columns (older
     values for deletes) plus ``_change_type``.
+
+    ``pre_image=True`` switches to the Delta-CDF row protocol: every
+    update emits TWO rows, ``update_preimage`` (old values) and
+    ``update_postimage`` (new values), instead of one ``update`` row.
+    Pre-images are what make the feed ALGEBRAICALLY consumable — a
+    downstream materialized aggregate can subtract the old contribution
+    and add the new one (see operators/incremental.py), including rows
+    that migrate between groups. Same single-join plan: the two rows
+    come from exploding a conditionally-built array, not a second scan.
 
     Plan shape: two immutable-snapshot scans → one shuffle each on
     ``key`` → join; the equality test is a single struct comparison of
@@ -319,6 +329,31 @@ def snapshot_diff(
         F.col(key), F.struct(*[F.col(c) for c in data_cols]).alias("__o")
     )
     joined = n.join(o, on=key, how="full_outer")
+    if pre_image:
+        tagged = lambda img, tag: F.struct(  # noqa: E731
+            F.col(img).alias("row"), F.lit(tag).alias("t")
+        )
+        # unchanged rows contribute an EMPTY array (built by slicing a
+        # same-typed one-element array — a bare F.array() can't carry
+        # the nested row type)
+        rows = (
+            F.when(F.col("__o").isNull(), F.array(tagged("__n", "insert")))
+            .when(F.col("__n").isNull(), F.array(tagged("__o", "delete")))
+            .when(
+                ~F.col("__n").eqNullSafe(F.col("__o")),
+                F.array(
+                    tagged("__o", "update_preimage"),
+                    tagged("__n", "update_postimage"),
+                ),
+            )
+            .otherwise(F.slice(F.array(tagged("__n", "x")), 1, 0))
+        )
+        exploded = joined.select(F.col(key), F.explode(rows).alias("__e"))
+        return exploded.select(
+            F.col(key),
+            *[F.col("__e.row")[c].alias(c) for c in data_cols],
+            F.col("__e.t").alias("_change_type"),
+        )
     change = (
         F.when(F.col("__o").isNull(), F.lit("insert"))
         .when(F.col("__n").isNull(), F.lit("delete"))

@@ -439,3 +439,93 @@ def test_snapshot_history_describes_versions(spark, tmp_path):
     assert [h["n_rows"] for h in hist] == [10, 25]
     assert [h["is_current"] for h in hist] == [False, True]
     assert all(h["n_bytes"] > 0 and "T" in h["published_at"] for h in hist)
+
+
+def test_snapshot_diff_pre_image_protocol(spark, tmp_path):
+    """pre_image=True switches to the Delta-CDF row protocol: updates
+    emit an update_preimage (old values) AND update_postimage (new
+    values) row; inserts/deletes are unchanged; unchanged rows emit
+    nothing."""
+    from neulix_datahub_spark.sources.snapshots import snapshot_diff, write_snapshot
+
+    root = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, g string, v double"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)], "id int, g string, v double"
+    )
+    ver1 = write_snapshot(v1, root)
+    write_snapshot(v2, root)
+
+    feed = snapshot_diff(spark, root, ver1, key="id", pre_image=True)
+    rows = {(r.id, r._change_type): (r.g, r.v) for r in feed.collect()}
+    assert rows == {
+        (1, "delete"): ("a", 10.0),
+        (2, "update_preimage"): ("b", 20.0),
+        (2, "update_postimage"): ("b", 25.0),
+        (4, "insert"): ("d", 40.0),
+    }
+
+
+def test_apply_agg_delta_maintenance_law(spark, tmp_path):
+    """apply_agg_delta(agg(v1), diff(v1->v2)) == agg(v2), including a
+    group-key MIGRATION (row moves between groups), a group that
+    disappears entirely (count reaches 0), and a brand-new group."""
+    from neulix_datahub_spark.operators.incremental import apply_agg_delta
+    from neulix_datahub_spark.sources.snapshots import snapshot_diff, write_snapshot
+
+    root = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id int, g string, v double",
+    )
+    v2 = spark.createDataFrame(
+        # id2: value update in-group; id3: MIGRATES b->a; id4 ("c")
+        # deleted -> group c disappears; id5: new group d
+        [(1, "a", 10.0), (2, "a", 22.0), (3, "a", 30.0), (5, "d", 50.0)],
+        "id int, g string, v double",
+    )
+    ver1 = write_snapshot(v1, root)
+    write_snapshot(v2, root)
+    feed = snapshot_diff(spark, root, ver1, key="id", pre_image=True)
+
+    def agg(df):
+        return df.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("v").alias("s")
+        )
+
+    got = {
+        r.g: (r.cnt, r.s)
+        for r in apply_agg_delta(agg(v1), feed, ["g"], "cnt", {"s": "v"}).collect()
+    }
+    want = {r.g: (r.cnt, r.s) for r in agg(v2).collect()}
+    assert got == want
+    assert "c" not in got and got["a"] == (3, 62.0) and got["d"] == (1, 50.0)
+
+
+def test_agg_delta_rejects_plain_feed(spark, tmp_path):
+    """A feed without pre-images (or without _change_type at all) can't
+    maintain sums — the operator refuses instead of silently drifting."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.incremental import agg_delta, apply_agg_delta
+    from neulix_datahub_spark.sources.snapshots import snapshot_diff, write_snapshot
+
+    with _pytest.raises(ValueError, match="_change_type"):
+        agg_delta(spark.createDataFrame([(1,)], "id int"), ["id"], {})
+
+    root = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a", 1.0)], "id int, g string, v double")
+    v2 = spark.createDataFrame([(1, "a", 2.0)], "id int, g string, v double")
+    ver1 = write_snapshot(v1, root)
+    write_snapshot(v2, root)
+    plain = snapshot_diff(spark, root, ver1, key="id")  # 'update' rows
+    with _pytest.raises(Exception, match="unknown _change_type"):
+        agg_delta(plain, ["g"], {"s": "v"}).collect()
+
+    # agg missing a maintained column is a loud error too
+    feed = snapshot_diff(spark, root, ver1, key="id", pre_image=True)
+    bad_agg = spark.createDataFrame([("a", 1)], "g string, cnt bigint")
+    with _pytest.raises(ValueError, match="missing columns"):
+        apply_agg_delta(bad_agg, feed, ["g"], "cnt", {"s": "v"})

@@ -237,6 +237,95 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order bucket histogram: the Morton-interleave expression
+# (sources/layout.py zorder_key — the clustering key behind
+# write_zordered's data-skipping layout) verified bit-for-bit against a
+# DuckDB oracle that unrolls the same shifts. Quantization bounds come
+# from the table's own min/max (the "cheap agg" the docstring
+# prescribes), so the check is scale-invariant.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 2 cols x 8 bits = 16-bit key; top 4 bits -> 16 buckets
+
+
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders along the 2-D z-curve over
+    (o_custkey, o_totalprice): per top-4-bit z-bucket row count and
+    revenue. The histogram is the layout-planning view (how evenly the
+    curve splits the table = how even the output files of a z-ordered
+    write will be), and hashing it against the oracle's unrolled
+    interleave proves the bit math — clamping, quantization, bit
+    placement — is exactly Morton order.
+
+    Driver cost: one 4-value min/max agg (collected to build literal
+    bounds); the histogram itself is one scan + 16-group hash agg.
+    """
+    from neulix_datahub_spark.sources.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    bounds = {
+        "o_custkey": (float(b[0]), float(b[1])),
+        "o_totalprice": (float(b[2]), float(b[3])),
+    }
+    z = zorder_key(bounds, bits=_Z_BITS)
+    return (
+        orders.withColumn("__z", z)
+        .groupBy(F.shiftright(F.col("__z"), 2 * _Z_BITS - 4).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+def _morton_sql() -> str:
+    """Unroll zorder_key's exact arithmetic for n=2, bits=_Z_BITS in
+    DuckDB SQL: rank_j = clamp(floor(((x - lo) / span) * (2^bits - 1)));
+    key |= (rank_j & (1 << bit)) * (1 << (bit * (n-1) + j))."""
+    mx = (1 << _Z_BITS) - 1
+    ranks = []
+    for j, (col, lo, hi) in enumerate(
+        [("o_custkey", "mn_ck", "mx_ck"), ("o_totalprice", "mn_tp", "mx_tp")]
+    ):
+        ranks.append(
+            f"greatest(0, least({mx}, CAST(floor(((CAST({col} AS DOUBLE) - {lo})"
+            f" / ({hi} - {lo})) * {float(mx)}) AS BIGINT)))"
+        )
+    terms = []
+    for bit in range(_Z_BITS):
+        for j in range(2):
+            terms.append(f"((r{j} & {1 << bit}) * {1 << (bit + j)})")
+    return (
+        "SELECT " + " | ".join(terms) + " AS z, o_totalprice FROM "
+        f"(SELECT {ranks[0]} AS r0, {ranks[1]} AS r1, o_totalprice "
+        "FROM orders CROSS JOIN bounds)"
+    )
+
+
+_ZORDER_SQL = f"""
+WITH bounds AS (
+    SELECT CAST(min(o_custkey) AS DOUBLE) AS mn_ck,
+           CAST(max(o_custkey) AS DOUBLE) AS mx_ck,
+           CAST(min(o_totalprice) AS DOUBLE) AS mn_tp,
+           CAST(max(o_totalprice) AS DOUBLE) AS mx_tp
+    FROM orders
+),
+keyed AS ({_morton_sql()})
+SELECT z >> {2 * _Z_BITS - 4} AS zbucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_revenue
+FROM keyed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 SCALE_QUERIES = {
     "promo_window_revenue": (
         promo_window_revenue,
@@ -247,5 +336,10 @@ SCALE_QUERIES = {
         incremental_agg_check,
         _INCR_AGG_SQL,
         "materialized-agg maintenance from a pre-image change feed",
+    ),
+    "zorder_bucket_stats": (
+        zorder_bucket_stats,
+        _ZORDER_SQL,
+        "Morton interleave bit-exact vs an unrolled-shift oracle",
     ),
 }

@@ -156,3 +156,38 @@ def zorder_key(
                 * F.lit(1 << (bit * (n - 1) + j))
             )
     return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    bounds: dict[str, tuple[float, float]],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Write ``df`` clustered by the Morton key of :func:`zorder_key` —
+    Delta's ``OPTIMIZE ZORDER BY`` as a plain-parquet write. Range
+    partitioning on the key splits the z-curve into contiguous spans
+    (one per output file), and the within-partition sort tightens
+    per-row-group min/max stats, so every listed column prunes files
+    AND row groups; the key itself is dropped before writing (it is a
+    layout artifact, not data).
+
+    ``n_files=None`` lets range partitioning use the session's shuffle
+    parallelism; at scale pass an explicit target (total_bytes /
+    desired_file_size)."""
+    key = zorder_key(bounds, bits)
+    tagged = df.withColumn("__zorder", key)
+    parted = (
+        tagged.repartitionByRange(n_files, "__zorder")
+        if n_files
+        else tagged.repartitionByRange("__zorder")
+    )
+    (
+        parted.sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return path

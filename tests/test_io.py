@@ -458,3 +458,50 @@ def test_zorder_key_bounds_both_columns(spark, tmp_path):
     assert zo[1] < 0.6 * full_ok
     full_pk = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
     assert zo[0] < 0.6 * full_pk
+
+
+def test_write_zordered_roundtrip_and_layout(spark, tmp_path):
+    """write_zordered: rows survive exactly, the layout key is dropped
+    from the data, and the files split the z-curve (multiple files, each
+    covering a narrow slice of BOTH clustered columns)."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from neulix_datahub_spark.sources.layout import write_zordered
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    bounds = {
+        "o_custkey": (float(b[0]), float(b[1])),
+        "o_totalprice": (float(b[2]), float(b[3])),
+    }
+    path = str(tmp_path / "zo")
+    write_zordered(orders, path, bounds, bits=10, n_files=8)
+
+    back = spark.read.parquet(path)
+    assert sorted(back.columns) == sorted(orders.columns)  # __zorder dropped
+    assert back.count() == orders.count()
+    assert (
+        back.exceptAll(orders).count() == 0 and orders.exceptAll(back).count() == 0
+    )
+
+    files = list(pathlib.Path(path).glob("part-*.parquet"))
+    assert len(files) == 8
+    ck_span = float(b[1]) - float(b[0])
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        st = {
+            md.row_group(0).column(i).path_in_schema: md.row_group(0)
+            .column(i)
+            .statistics
+            for i in range(md.row_group(0).num_columns)
+        }
+        spans.append(st["o_custkey"].max - st["o_custkey"].min)
+    # each file's first row group covers a narrow custkey slice
+    assert sum(spans) / len(spans) < 0.7 * ck_span

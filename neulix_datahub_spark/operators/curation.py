@@ -157,6 +157,82 @@ def stratified_topn_sample(
     )
 
 
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1 << 31
+
+
+def portable_uniform(id_col: Column | str, rounds: int = 2) -> Column:
+    """Deterministic pseudo-uniform in (0, 1] from an integer id, using
+    ONLY integer arithmetic both Spark and any SQL oracle evaluate
+    identically (glibc's LCG constants, iterated; no engine-specific
+    hash, no libm). ``id % M`` first keeps every product below 2^62 —
+    ANSI-mode overflow-safe for any bigint id. Low LCG bits are weak,
+    so two rounds decorrelate the value from the raw id; the output
+    (state+1)/(M+1) is never 0, making it safe as a divisor.
+
+    This is the seed discipline hash_mixing_sample applies to text,
+    transplanted to integer keys: the draw is a pure function of the
+    id, so shards, re-runs, and engines agree row-for-row.
+    """
+    state = F.col(id_col) if isinstance(id_col, str) else id_col
+    state = state % F.lit(_LCG_M)
+    for _ in range(rounds):
+        state = (state * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    return (state + F.lit(1)).cast("double") / F.lit(float(_LCG_M + 1))
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield–Lund–Thorup): each row draws priority ``w / u`` with
+    ``u = portable_uniform(id)``; the top ``k`` priorities (per stratum
+    when ``strata_col`` is given) are the sample. Inclusion probability
+    rises with weight, and the returned ``est_weight`` column —
+    ``max(w, tau)`` with ``tau`` the (k+1)-th priority — makes any
+    subset-sum over the sample an UNBIASED estimator of the same sum
+    over the full table (the DLT theorem), which is what a curation
+    pipeline needs to audit "how many tokens would this filter drop"
+    from a sample instead of a full pass.
+
+    Fully deterministic (integer LCG draw, priority ties impossible for
+    distinct ids with distinct draws, id tie-break regardless), so the
+    sample is reproducible across engines — the driver query hashes it
+    against a DuckDB re-derivation. Plan: one shuffle on the stratum for
+    the ranking window; same skew guidance as stratified_topn_sample.
+    """
+    u = portable_uniform(id_col)
+    pr = F.col(weight_col).cast("double") / u
+    parts = [F.col(strata_col)] if strata_col else []
+    w = Window.partitionBy(*parts).orderBy(F.desc("__priority"), F.col(id_col))
+    ranked = (
+        df.withColumn("__priority", pr)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "__tau",
+            F.max(F.when(F.col("__rk") == k + 1, F.col("__priority"))).over(
+                Window.partitionBy(*parts)
+            ),
+        )
+    )
+    return (
+        ranked.filter(F.col("__rk") <= k)
+        .withColumn(
+            "est_weight",
+            F.greatest(
+                F.col(weight_col).cast("double"), F.coalesce("__tau", F.lit(0.0))
+            ),
+        )
+        .drop("__priority", "__rk", "__tau")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style boilerplate-line removal
 # ---------------------------------------------------------------------------

@@ -326,6 +326,63 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling: priority sample of 10 documents per language,
+# weight = n_chars. Deterministic across engines because the draw is
+# pure integer arithmetic (operators/curation.py portable_uniform) and
+# the priority w/u is one IEEE division — the oracle re-derives the
+# SAME sample row-for-row, proving both the sampling design and its
+# est_weight unbiased-estimator column.
+# ---------------------------------------------------------------------------
+
+_PS_K = 10
+
+
+def priority_sample_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (k=10, weight=n_chars) with DLT
+    estimator weights. Longer documents are proportionally likelier to
+    be drawn; sum(est_weight) over the sample estimates sum(n_chars)
+    over the stratum unbiasedly — the audit-from-a-sample primitive.
+    One window shuffle on lang; everything else is expression-level."""
+    from neulix_datahub_spark.operators.curation import priority_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        priority_sample(docs, _PS_K, "n_chars", strata_col="lang")
+        .select("lang", "doc_id", "n_chars", F.round("est_weight", 4).alias("est_weight"))
+        .orderBy("lang", "doc_id")
+    )
+
+
+_PS_LCG = (
+    "((((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648)"
+    " * 1103515245 + 12345) % 2147483648"
+)
+
+_PS_SQL = f"""
+WITH d AS (
+    SELECT lang, doc_id, n_chars,
+           CAST(n_chars AS DOUBLE)
+             / (CAST(({_PS_LCG}) + 1 AS DOUBLE) / 2147483649.0) AS priority
+    FROM documents
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
+    FROM d
+),
+t AS (
+    SELECT lang, max(CASE WHEN rk = {_PS_K + 1} THEN priority END) AS tau
+    FROM r GROUP BY lang
+)
+SELECT r.lang, doc_id, n_chars,
+       round(greatest(CAST(n_chars AS DOUBLE), coalesce(tau, 0.0)), 4) AS est_weight
+FROM r JOIN t ON r.lang = t.lang
+WHERE rk <= {_PS_K}
+ORDER BY r.lang, doc_id
+"""
+
+
 SCALE_QUERIES = {
     "promo_window_revenue": (
         promo_window_revenue,
@@ -341,5 +398,10 @@ SCALE_QUERIES = {
         zorder_bucket_stats,
         _ZORDER_SQL,
         "Morton interleave bit-exact vs an unrolled-shift oracle",
+    ),
+    "priority_sample_check": (
+        priority_sample_check,
+        _PS_SQL,
+        "DLT weighted sampling, cross-engine-deterministic draw",
     ),
 }

@@ -347,3 +347,56 @@ def test_export_corpus_deterministic_shuffle_order(spark, tmp_path):
     assert a != c                      # different seed -> different order
     assert sorted(a[0] + a[1]) == sorted(c[0] + c[1])  # same rows
     assert a[0] != sorted(a[0])        # genuinely shuffled vs id order
+
+
+def test_priority_sample_invariants(spark):
+    """DLT priority sampling: exactly min(k, |stratum|) rows per
+    stratum; est_weight >= the row's own weight; strata smaller than k
+    return whole with est_weight == weight (tau undefined); and the
+    draw is a pure function of the id — two invocations agree
+    row-for-row."""
+    from neulix_datahub_spark.operators.curation import priority_sample
+
+    rows = [(i, "big", float(1 + i % 50)) for i in range(200)] + [
+        (1000 + i, "tiny", 5.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, w double")
+    got = priority_sample(df, 10, "w", strata_col="lang", id_col="doc_id")
+    by_lang = {}
+    for r in got.collect():
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang["big"]) == 10
+    assert len(by_lang["tiny"]) == 3
+    assert all(r.est_weight >= r.w for rs in by_lang.values() for r in rs)
+    # tiny stratum: the sample IS the population -> estimator is exact
+    assert all(r.est_weight == r.w for r in by_lang["tiny"])
+
+    again = priority_sample(df, 10, "w", strata_col="lang", id_col="doc_id")
+    key = lambda r: (r.lang, r.doc_id, r.est_weight)  # noqa: E731
+    assert sorted(map(key, got.collect())) == sorted(map(key, again.collect()))
+
+
+def test_priority_sample_favors_heavy_rows(spark):
+    """Weight-proportional inclusion: with weights 100 vs 1, the heavy
+    minority must dominate the sample (each heavy row's priority is
+    100x a light row's at equal draws)."""
+    from neulix_datahub_spark.operators.curation import priority_sample
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+    got = priority_sample(df, 25, "w", id_col="doc_id").collect()
+    heavy = sum(1 for r in got if r.w == 100.0)
+    assert len(got) == 25
+    assert heavy >= 20  # 50 heavy rows exist; they should crowd out the 450 light
+
+
+def test_portable_uniform_range_and_determinism(spark):
+    from neulix_datahub_spark.operators.curation import portable_uniform
+
+    df = spark.range(10_000).select(portable_uniform("id").alias("u"))
+    row = df.agg(
+        F.min("u"), F.max("u"), F.countDistinct("u"), F.avg("u")
+    ).first()
+    assert 0.0 < row[0] and row[1] <= 1.0
+    assert row[2] > 9_900  # essentially all distinct
+    assert 0.45 < row[3] < 0.55  # roughly uniform mean

@@ -383,6 +383,226 @@ ORDER BY r.lang, doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Additive schema drift across parquet shards, resolved by mergeSchema.
+# Old shards lack the columns newer producers added — the normal state
+# of any long-lived 100 TB table. The query writes two drifted shards
+# and reads them back unified; the oracle derives the same stats from
+# the base table, so the hash proves mergeSchema's null-fill semantics.
+# ---------------------------------------------------------------------------
+
+
+def schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer v1 wrote (o_orderkey, o_orderpriority, o_totalprice)
+    for even keys; producer v2 added o_channel + o_margin for odd keys.
+    A mergeSchema read unions the shards with nulls where v1 had no
+    column (additive evolution — the only kind plain parquet supports;
+    type CHANGES are refused upstream by snapshots.align_schemas).
+    Output: per-priority row count, how many carry the new columns,
+    and the margin sum over the rows that have it.
+
+    Scale: mergeSchema costs one footer read per FILE at planning time
+    (no data scan); the runtime plan is an ordinary union of scans with
+    constant-null projection on the old shards.
+    """
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    orders = _t(spark, sf_dir, "orders")
+    root = warehouse_scratch(spark, "neulix_drift_")
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 2 == 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v2 = orders.filter(k % 2 == 1).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.when(k % 3 == 0, F.lit("web")).otherwise(F.lit("store")).alias("o_channel"),
+        F.round(F.col("o_totalprice") * 0.05, 2).alias("o_margin"),
+    )
+    v1.write.mode("overwrite").parquet(f"{root}/shard=v1")
+    v2.write.mode("overwrite").parquet(f"{root}/shard=v2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/shard=v1", f"{root}/shard=v2"
+    )
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_margin").alias("n_with_margin"),
+            F.round(F.sum("o_margin"), 2).alias("sum_margin"),
+            F.countDistinct("o_channel").alias("n_channels"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_DRIFT_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_margin,
+       round(sum(CASE WHEN o_orderkey % 2 = 1
+                      THEN round(o_totalprice * 0.05, 2) END), 2) AS sum_margin,
+       CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN
+                (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
+            END) AS BIGINT) AS n_channels
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture planning: per-source sampling targets
+# n_i ∝ sqrt(c_i) (alpha = 0.5 — the multilingual-rebalancing exponent),
+# rounded to integers by largest remainder so the targets sum EXACTLY
+# to the requested budget. sqrt is IEEE-correctly-rounded, so both
+# engines compute bit-identical shares and the integer targets match
+# exactly — no tolerance needed on the thing that matters.
+# ---------------------------------------------------------------------------
+
+
+def mixture_resample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-weight oversampled sources: budget = floor(total/2) docs
+    re-allocated across sources by sqrt-temperature shares. Emits per
+    source its raw count, exact target, and the rounded integer target;
+    sum(target_n) == budget by construction (largest-remainder method,
+    fractional-part ties broken by source name).
+
+    Plan: one groupBy(source) count (the only scan), then all planning
+    math happens on the |sources|-row aggregate — window functions over
+    a frame whose size is independent of SF."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_docs"))
+    w = Window.partitionBy()
+    budget = F.floor(F.sum("c_docs").over(w) / 2).cast("long")
+    weighted = counts.select(
+        "source",
+        "c_docs",
+        budget.alias("__budget"),
+        (F.sqrt(F.col("c_docs")) / F.sum(F.sqrt(F.col("c_docs"))).over(w)).alias(
+            "__share"
+        ),
+    )
+    exact = F.col("__share") * F.col("__budget")
+    flo = F.floor(exact).cast("long")
+    planned = weighted.select(
+        "source",
+        "c_docs",
+        "__budget",
+        flo.alias("__floor"),
+        (exact - flo).alias("__frac"),
+    )
+    ranked = planned.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.desc("__frac"), F.col("source"))
+        ),
+    ).withColumn("__deficit", (F.col("__budget") - F.sum("__floor").over(w)))
+    return (
+        ranked.select(
+            "source",
+            "c_docs",
+            (
+                F.col("__floor")
+                + F.when(F.col("__rk") <= F.col("__deficit"), 1).otherwise(0)
+            ).alias("target_n"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = """
+WITH counts AS (
+    SELECT source, count(*) AS c_docs FROM documents GROUP BY source
+),
+weighted AS (
+    SELECT source, c_docs,
+           CAST(floor(sum(c_docs) OVER () / 2) AS BIGINT) AS budget,
+           sqrt(c_docs) / sum(sqrt(c_docs)) OVER () AS share
+    FROM counts
+),
+planned AS (
+    SELECT source, c_docs, budget,
+           CAST(floor(share * budget) AS BIGINT) AS flo,
+           share * budget - floor(share * budget) AS frac
+    FROM weighted
+),
+ranked AS (
+    SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rk,
+           budget - sum(flo) OVER () AS deficit
+    FROM planned
+)
+SELECT source, c_docs,
+       flo + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS target_n
+FROM ranked
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based content filtering: the word-list quarantine every
+# training-data pipeline runs before anything model-based. Pure
+# expression-level tokenize + array intersection — no Python in the
+# hot path, trivially parallel at any scale.
+# ---------------------------------------------------------------------------
+
+_LEXICON = ("slow", "crash", "spill", "skew", "fail")
+_LEX_RATIO = 0.03
+
+
+def lexicon_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quarantine profile under a flagged-word lexicon:
+    a document quarantines when flagged tokens exceed 3% of its tokens.
+    Tokenization is lower + split on non-letters (identical regex
+    semantics in both engines); the hit count is a JVM-side
+    filter-over-array, not a UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    lex = F.array(*[F.lit(x) for x in _LEXICON])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    scored = docs.select(
+        "lang",
+        F.size(toks).alias("__n_tok"),
+        hits.alias("__hits"),
+    ).withColumn(
+        "__quarantined",
+        (F.col("__hits").cast("double") > _LEX_RATIO * F.col("__n_tok")).cast("int"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__quarantined").alias("n_quarantined"),
+            F.round(
+                F.avg(F.col("__hits") / F.col("__n_tok")), 6
+            ).alias("avg_flag_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LEXICON_SQL = f"""
+WITH scored AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t != '')) AS n_tok,
+           len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t IN {tuple(_LEXICON)!r})) AS hits
+    FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN CAST(hits AS DOUBLE) > {_LEX_RATIO} * n_tok
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       round(avg(CAST(hits AS DOUBLE) / n_tok), 6) AS avg_flag_ratio
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 SCALE_QUERIES = {
     "promo_window_revenue": (
         promo_window_revenue,
@@ -403,5 +623,20 @@ SCALE_QUERIES = {
         priority_sample_check,
         _PS_SQL,
         "DLT weighted sampling, cross-engine-deterministic draw",
+    ),
+    "schema_drift_stats": (
+        schema_drift_stats,
+        _DRIFT_SQL,
+        "additive schema drift unified by mergeSchema, null-fill proven",
+    ),
+    "mixture_resample_plan": (
+        mixture_resample_plan,
+        _MIXTURE_SQL,
+        "sqrt-temperature mixture targets, largest-remainder exact",
+    ),
+    "lexicon_filter_stats": (
+        lexicon_filter_stats,
+        _LEXICON_SQL,
+        "word-list quarantine rates, expression-level tokenize",
     ),
 }

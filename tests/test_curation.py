@@ -400,3 +400,29 @@ def test_portable_uniform_range_and_determinism(spark):
     assert 0.0 < row[0] and row[1] <= 1.0
     assert row[2] > 9_900  # essentially all distinct
     assert 0.45 < row[3] < 0.55  # roughly uniform mean
+
+
+def test_mixture_resample_budget_exact(spark):
+    """Largest-remainder rounding: integer targets sum EXACTLY to the
+    budget (floor(total/2)), every target is >= 0, and sqrt-temperature
+    compresses shares (the biggest source's target share is below its
+    raw share; the smallest's is above)."""
+    from neulix_datahub_spark.plans.queries_scale import mixture_resample_plan
+    from tests.conftest import SF_DIR
+
+    rows = mixture_resample_plan(spark, SF_DIR).collect()
+    total = sum(r.c_docs for r in rows)
+    assert sum(r.target_n for r in rows) == total // 2
+    assert all(r.target_n >= 0 for r in rows)
+    big = max(rows, key=lambda r: r.c_docs)
+    small = min(rows, key=lambda r: r.c_docs)
+    budget = total // 2
+    # sqrt-compression shows through the ±1 largest-remainder noise
+    assert big.target_n / budget < big.c_docs / total + 1.5 / budget
+    assert small.target_n / budget > small.c_docs / total - 1.5 / budget
+    # and exactly (no rounding noise) on the pre-rounding shares
+    import math
+
+    sumw = sum(math.sqrt(r.c_docs) for r in rows)
+    assert math.sqrt(big.c_docs) / sumw <= big.c_docs / total
+    assert math.sqrt(small.c_docs) / sumw >= small.c_docs / total

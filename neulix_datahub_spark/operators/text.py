@@ -72,6 +72,49 @@ def quality_score(col: Column | str) -> Column:
     return F.round((len_ok + punct_ok + stop_ok + nonempty) / 4.0, 6)
 
 
+# Default weights for the model-based quality filter. In production
+# these come from a trained classifier (fastText/logreg distilled to a
+# linear head); the shape of the computation — broadcast weights applied
+# as one codegen'd expression over cheap features — is the part that
+# matters at 100 TB, and it is identical whatever the weights are.
+QUALITY_MODEL: dict[str, float] = {
+    "bias": -2.0,
+    "log_tokens": 0.55,
+    "punct_ratio": -6.0,
+    "stopword_ratio": 9.0,
+    "mean_word_len": 0.05,
+}
+
+
+def linear_quality_score(
+    col: Column | str, model: dict[str, float] | None = None
+) -> Column:
+    """Model-based document quality: logistic score over the cheap text
+    features (log token count, punctuation ratio, stopword ratio, mean
+    word length) with caller-supplied weights — the expression-level
+    analogue of running a distilled quality classifier, sitting between
+    the heuristic :func:`quality_score` gates and a real model UDF.
+
+    The weight dict is tiny and becomes literals in the expression tree
+    (the degenerate "broadcast the model" case), so the whole score is
+    one whole-stage-codegen projection: no UDF, no shuffle, no Python.
+    """
+    m = dict(QUALITY_MODEL, **(model or {}))
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    mean_word = F.when(
+        n_tok > 0, F.length(F.trim(c)).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(m["bias"])
+        + F.lit(m["log_tokens"]) * F.log1p(n_tok.cast("double"))
+        + F.lit(m["punct_ratio"]) * punct_ratio(c)
+        + F.lit(m["stopword_ratio"]) * stopword_ratio(c)
+        + F.lit(m["mean_word_len"]) * mean_word
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def lang_id(col: Column | str) -> Column:
     """N-gram-heuristic language ID: pick the language whose marker-word
     hit count is highest (ties broken by language code order,

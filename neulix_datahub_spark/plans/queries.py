@@ -705,6 +705,62 @@ ORDER BY lang
 """
 
 
+def quality_classifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ model-based quality filtering (round 6): logistic score over
+    cheap text features with broadcast-literal weights
+    (operators/text.py linear_quality_score — the distilled-classifier
+    shape), thresholded at 0.5. Per language: docs, kept docs, mean
+    score. One projection + one hash agg; the "model" is part of the
+    codegen'd expression, so scoring costs the same as any column math."""
+    from neulix_datahub_spark.operators.text import linear_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", linear_quality_score("text").alias("__score")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("__score") >= 0.5).cast("long")).alias("n_kept"),
+            F.round(F.avg("__score"), 6).alias("avg_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_CLF_SQL = f"""
+WITH feats AS (
+    SELECT lang, text,
+           {_TOKENS_SQL} AS n_tok,
+           {_PUNCT_SQL} AS punct,
+           {_STOPHITS_SQL} AS stophits
+    FROM documents
+),
+scored AS (
+    SELECT lang,
+           1.0 / (1.0 + exp(-(
+               -2.0
+               + 0.55 * ln(1 + CAST(n_tok AS DOUBLE))
+               + (-6.0) * punct
+               + 9.0 * (CASE WHEN n_tok > 0
+                             THEN CAST(stophits AS DOUBLE) / n_tok
+                             ELSE 0.0 END)
+               + 0.05 * (CASE WHEN n_tok > 0
+                              THEN CAST(length(trim(text)) AS DOUBLE) / n_tok
+                              ELSE 0.0 END)
+           ))) AS score
+    FROM feats
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(score), 6) AS avg_score
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: n-gram-heuristic language ID distribution."""
     docs = _t(spark, sf_dir, "documents")
@@ -1702,6 +1758,9 @@ QUERIES: dict[str, QuerySpec] = {
     "exact_dedup_documents": QuerySpec(exact_dedup_documents, _EXACT_DEDUP_SQL, "L1"),
     "cosine_top10": QuerySpec(cosine_top10, _COSINE_SQL, "L3"),
     "token_quality_by_lang": QuerySpec(token_quality_by_lang, _TOKEN_QUALITY_SQL, "L4"),
+    "quality_classifier_stats": QuerySpec(
+        quality_classifier_stats, _QUALITY_CLF_SQL, "L4+ logistic quality filter"
+    ),
     "lang_id_distribution": QuerySpec(lang_id_distribution, _LANG_ID_SQL, "L4"),
     "document_fingerprints": QuerySpec(document_fingerprints, _FINGERPRINT_SQL, "L4"),
     "minhash_candidates": QuerySpec(

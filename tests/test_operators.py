@@ -1515,3 +1515,32 @@ def test_event_funnel_stats_zero_converters(spark, tmp_path):
     assert row.view_to_click_pct == 0.0
     assert row.click_to_purchase_pct is None  # 0/0 -> null, not a crash
     assert row.overall_pct == 0.0
+
+
+def test_linear_quality_score_bounds_and_monotonicity(spark):
+    """Logistic score stays in (0,1); richer text (stopwords present,
+    low punctuation) scores higher than punctuation soup; empty text
+    gets the bias-only score."""
+    from neulix_datahub_spark.operators.text import linear_quality_score
+
+    df = spark.createDataFrame(
+        [
+            ("good", "the quick brown fox and the lazy dog met in the park"),
+            ("soup", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            ("empty", ""),
+        ],
+        "k string, text string",
+    ).select("k", linear_quality_score("text").alias("s"))
+    got = {r.k: r.s for r in df.collect()}
+    assert all(0.0 < v < 1.0 for v in got.values())
+    assert got["good"] > got["soup"]
+    import math
+
+    assert abs(got["empty"] - 1 / (1 + math.exp(2.0))) < 1e-9  # bias only
+
+    # custom weights override the default model
+    flat = linear_quality_score("text", {"log_tokens": 0.0, "stopword_ratio": 0.0,
+                                         "punct_ratio": 0.0, "mean_word_len": 0.0})
+    df2 = spark.createDataFrame([("x", "anything at all")], "k string, text string")
+    (only,) = df2.select(flat.alias("s")).collect()
+    assert abs(only.s - 1 / (1 + math.exp(2.0))) < 1e-9

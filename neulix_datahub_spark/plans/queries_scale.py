@@ -128,6 +128,118 @@ ORDER BY window_id
 
 
 # ---------------------------------------------------------------------------
+# Sweep-line interval coverage: "how many promotion windows are active
+# on each order date, and how much revenue lands under k-deep overlap".
+# The naive form is the BETWEEN join again; the sweep line instead
+# explodes each interval to two boundary EVENTS (+1 at lo, -1 at hi+1)
+# and takes a running sum — O(|intervals|) extra rows total, and the
+# coverage function is then a plain as-of/equi join against the facts.
+# This is the decomposition that survives when intervals are LONG
+# (bucket expansion would explode) — the dual of range_join's regime.
+# ---------------------------------------------------------------------------
+
+
+def window_coverage_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue and order counts grouped by promotion-overlap depth
+    (0..3): sweep-line running sum over the 25 nation windows gives each
+    date-segment its coverage depth; orders join to their segment by
+    bucket (the segment table is small and broadcastable at any SF —
+    its size depends on interval COUNT, never on facts).
+
+    Oracle computes depth per order the naive way (correlated BETWEEN
+    count), so the hash proves the sweep line's boundary arithmetic
+    (half-open +1/-1 at hi+1, running sum, segment assignment) exactly.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    epoch_day = F.datediff(
+        F.lit(_PROMO_EPOCH).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    lo = (epoch_day + F.col("n_nationkey") * _PROMO_SPACING_DAYS).alias("lo")
+    hi = (
+        epoch_day
+        + F.col("n_nationkey") * _PROMO_SPACING_DAYS
+        + F.lit(_PROMO_LEN_DAYS)
+    ).alias("hi")
+    iv = nation.select(lo, hi)
+    # boundary events: +1 at lo, -1 at hi+1 (windows are inclusive)
+    events = iv.select(F.col("lo").alias("day"), F.lit(1).alias("d")).unionByName(
+        iv.select((F.col("hi") + 1).alias("day"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    segments = (
+        events.groupBy("day")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("depth", F.sum("d").over(w))
+        .withColumn(
+            "next_day",
+            F.lead("day").over(Window.orderBy("day")),
+        )
+        .select(F.col("day").alias("seg_lo"), "next_day", "depth")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("order_day"),
+        "o_totalprice",
+    )
+    # segment assignment IS a range join — but against a tiny,
+    # non-overlapping, broadcastable segment table. The final segment
+    # (depth 0, unbounded) and the days before the first boundary are
+    # handled explicitly as depth-0 so every interval stays FINITE and
+    # the bucket expansion stays O(|segments|).
+    from neulix_datahub_spark.operators.rangejoin import range_join
+
+    finite = segments.filter(F.col("next_day").isNotNull()).select(
+        "seg_lo", (F.col("next_day") - 1).alias("seg_hi"), "depth"
+    )
+    in_range = range_join(
+        orders, finite, "order_day", "seg_lo", "seg_hi", 365
+    ).select("o_totalprice", "depth")
+    bounds = finite.agg(
+        F.min("seg_lo").alias("__lo"), F.max("seg_hi").alias("__hi")
+    )
+    outside = (
+        orders.crossJoin(bounds)
+        .filter((F.col("order_day") < F.col("__lo")) | (F.col("order_day") > F.col("__hi")))
+        .select("o_totalprice", F.lit(0).cast("long").alias("depth"))
+    )
+    return (
+        in_range.unionByName(outside)
+        .groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+        )
+        .orderBy("depth")
+    )
+
+
+_COVERAGE_SQL = f"""
+WITH intervals AS (
+    SELECT date_diff('day', DATE '1970-01-01', DATE '{_PROMO_EPOCH}')
+             + n_nationkey * {_PROMO_SPACING_DAYS} AS win_lo,
+           date_diff('day', DATE '1970-01-01', DATE '{_PROMO_EPOCH}')
+             + n_nationkey * {_PROMO_SPACING_DAYS} + {_PROMO_LEN_DAYS} AS win_hi
+    FROM nation
+),
+pts AS (
+    SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS order_day,
+           o_totalprice
+    FROM orders
+)
+SELECT depth, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_revenue
+FROM (
+    SELECT (SELECT count(*) FROM intervals i
+            WHERE pts.order_day BETWEEN i.win_lo AND i.win_hi) AS depth,
+           o_totalprice
+    FROM pts
+)
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: maintain GROUP BY o_orderpriority
 # (count, sum totalprice) across a v1 -> v2 snapshot transition using
 # ONLY the change feed (with pre-images), then compare in-plan against
@@ -623,6 +735,11 @@ SCALE_QUERIES = {
         priority_sample_check,
         _PS_SQL,
         "DLT weighted sampling, cross-engine-deterministic draw",
+    ),
+    "window_coverage_revenue": (
+        window_coverage_revenue,
+        _COVERAGE_SQL,
+        "sweep-line coverage depth vs a correlated-count oracle",
     ),
     "schema_drift_stats": (
         schema_drift_stats,

@@ -79,3 +79,29 @@ def test_range_join_plan_has_no_nested_loop(spark):
     assert "BroadcastNestedLoop" not in plan
     s = plan_summary(got)
     assert s["broadcast_joins"] + s["sort_merge_joins"] >= 1 or "ShuffledHashJoin" in plan
+
+
+def test_coverage_and_range_join_reconcile(spark):
+    """Conservation law between the two interval decompositions: each
+    order contributes once per covering window in promo_window_revenue
+    and exactly once (at its depth) in window_coverage_revenue, so
+    sum(n_orders) over windows == sum(depth * n_orders) over depths,
+    and the depth-weighted revenue reconciles the same way."""
+    from neulix_datahub_spark.plans.queries_scale import (
+        promo_window_revenue,
+        window_coverage_revenue,
+    )
+    from tests.conftest import SF_DIR
+
+    per_window = promo_window_revenue(spark, SF_DIR).collect()
+    per_depth = window_coverage_revenue(spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in per_window) == sum(
+        r.depth * r.n_orders for r in per_depth
+    )
+    assert abs(
+        sum(r.sum_revenue for r in per_window)
+        - sum(r.depth * r.sum_revenue for r in per_depth)
+    ) < 1.0  # rounded-at-2dp aggregates
+    # total orders across depths == table size (every order classified)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(r.n_orders for r in per_depth) == orders

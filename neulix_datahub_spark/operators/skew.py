@@ -144,3 +144,50 @@ def rebalance_for_write(df: DataFrame, *cols: str) -> DataFrame:
     return df.hint("rebalance", *[F.col(c) for c in cols]) if cols else df.hint(
         "rebalance"
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """The measurement that DECIDES between the tools above: per-key
+    distribution diagnostics for a prospective join/agg key, in one
+    aggregation pass over the key histogram.
+
+    Emits a single row: distinct keys, total rows, max/median key count,
+    the skew ratio (max / median — AQE's own skew-join trigger is this
+    shape), the top-``top_n`` keys' share of all rows, and the Shannon
+    entropy of the key distribution normalized to [0, 1] (1 = uniform;
+    near 0 = one key dominates). Rule of thumb wired into SCALE.md:
+    skew_ratio > 10 on a shuffle key means salt (salted_join /
+    salted_aggregate) or broadcast the other side; entropy is the
+    cheaper monitor to alert on over time.
+
+    Plan: groupBy(key) count (map-side combined), then a single-row
+    reduce over the histogram — the histogram, not the data, is what
+    crosses the second exchange, so the profile costs one scan at any
+    table size.
+    """
+    hist = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
+    total = F.sum("__c")
+    p = F.col("__c").cast("double") / F.sum("__c").over(Window.partitionBy())
+    hist = hist.withColumn("__p", p)
+    ranked = hist.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(F.desc("__c"), F.col(key_col)))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        total.alias("n_rows"),
+        F.max("__c").alias("max_key_rows"),
+        F.median("__c").alias("median_key_rows"),
+        F.round(F.max("__c") / F.median("__c"), 4).alias("skew_ratio"),
+        F.round(
+            F.sum(F.when(F.col("__rk") <= top_n, F.col("__c")).otherwise(0))
+            / total,
+            6,
+        ).alias(f"top{top_n}_share"),
+        F.round(
+            F.try_divide(
+                -F.sum(F.col("__p") * F.log2("__p")),
+                F.log2(F.count(F.lit(1)).cast("double")),
+            ),
+            6,
+        ).alias("norm_entropy"),
+    )

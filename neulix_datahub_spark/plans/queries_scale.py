@@ -715,6 +715,44 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Key-skew diagnostic: the measurement that decides between salting,
+# broadcasting, and doing nothing (operators/skew.py key_skew_profile).
+# One histogram pass; only the histogram crosses the second exchange.
+# ---------------------------------------------------------------------------
+
+
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of events.user_id — the key every sessionization /
+    funnel / stateful query in this repo shuffles on. skew_ratio and
+    normalized entropy are the alert thresholds; top5_share says whether
+    salting or an AQE skew split would even matter."""
+    from neulix_datahub_spark.operators.skew import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_n=5)
+
+
+_SKEW_PROFILE_SQL = """
+WITH hist AS (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+           CAST(c AS DOUBLE) / sum(c) OVER () AS p
+    FROM hist
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_key_rows,
+       median(c) AS median_key_rows,
+       round(max(c) / median(c), 4) AS skew_ratio,
+       round(sum(CASE WHEN rk <= 5 THEN c ELSE 0 END) / sum(c), 6) AS top5_share,
+       round((-sum(p * log2(p))) / log2(CAST(count(*) AS DOUBLE)), 6) AS norm_entropy
+FROM ranked
+"""
+
+
 SCALE_QUERIES = {
     "promo_window_revenue": (
         promo_window_revenue,
@@ -755,5 +793,10 @@ SCALE_QUERIES = {
         lexicon_filter_stats,
         _LEXICON_SQL,
         "word-list quarantine rates, expression-level tokenize",
+    ),
+    "key_skew_profile_events": (
+        key_skew_profile_events,
+        _SKEW_PROFILE_SQL,
+        "join/agg-key skew diagnostics from one histogram pass",
     ),
 }

@@ -1544,3 +1544,27 @@ def test_linear_quality_score_bounds_and_monotonicity(spark):
     df2 = spark.createDataFrame([("x", "anything at all")], "k string, text string")
     (only,) = df2.select(flat.alias("s")).collect()
     assert abs(only.s - 1 / (1 + math.exp(2.0))) < 1e-9
+
+
+def test_key_skew_profile_detects_hot_key(spark):
+    """A pathologically hot key shows up in every diagnostic: high skew
+    ratio, high top-share, low normalized entropy; a uniform key space
+    scores the opposite. Single-key edge: entropy undefined -> null."""
+    from neulix_datahub_spark.operators.skew import key_skew_profile
+
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id")).alias("k")
+    )
+    r = key_skew_profile(hot, "k").collect()[0]
+    assert r.n_keys == 101 and r.n_rows == 1000 and r.max_key_rows == 900
+    assert r.skew_ratio > 100 and r.top5_share > 0.9
+    assert r.norm_entropy < 0.3
+
+    uniform = spark.range(1000).select((F.col("id") % 100).alias("k"))
+    u = key_skew_profile(uniform, "k").collect()[0]
+    assert u.skew_ratio == 1.0 and abs(u.norm_entropy - 1.0) < 1e-9
+    assert abs(u.top5_share - 0.05) < 1e-9
+
+    single = spark.range(10).select(F.lit(7).alias("k"))
+    s = key_skew_profile(single, "k").collect()[0]
+    assert s.n_keys == 1 and s.norm_entropy is None  # log2(1)=0 -> null

@@ -540,7 +540,54 @@ ORDER BY week_start, event_type
 """
 
 
+def stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance (round 6): drain the
+    events stream through stream_agg_maintain_to_parquet, which folds
+    each micro-batch's per-type count/sum DELTA into an aggregate
+    snapshot table — no Spark aggregation state, exactly-once via the
+    _last_batch_id stamp. The final table must equal the batch groupBy
+    over the same bounded input (the oracle), proving the delta-fold
+    path end-to-end under real micro-batching."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+
+    tmp = _scratch(spark, "neulix_stream_mv_")
+    stream = read_events_stream(spark, sf_dir)
+    q = stream_agg_maintain_to_parquet(
+        stream,
+        f"{tmp}/agg",
+        group_cols=["event_type"],
+        count_col="n_events",
+        sum_map={"sum_value": "value"},
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    out = read_upsert_table(spark, f"{tmp}/agg")
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("event_type")
+
+
+_STREAM_MV_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 STREAM_QUERIES = {
+    "stream_incremental_agg": (
+        stream_incremental_agg,
+        _STREAM_MV_SQL,
+        "foreachBatch delta-fold materialized aggregate (parity oracle)",
+    ),
     "multimodal_features": (multimodal_features, _MULTIMODAL_SQL, "L5 multimodal plumbing"),
     "stream_enriched_segment_counts": (
         stream_enriched_segment_counts,

@@ -83,6 +83,69 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
+def stream_agg_maintain_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    group_cols: list[str],
+    count_col: str,
+    sum_map: dict[str, str],
+    checkpoint_dir: str | None = None,
+    retain_versions: int | None = 8,
+) -> StreamingQuery:
+    """Continuously maintain a count/sum MATERIALIZED AGGREGATE from an
+    append-only stream — the streaming face of
+    ``operators/incremental.py``: each micro-batch is treated as a pure
+    insert feed, collapsed map-side to one delta row per touched group,
+    and merged into the aggregate snapshot table. Unlike the
+    ``output_mode="update"`` + MERGE rollup (stream_upsert_to_parquet),
+    NO Spark aggregation state is held: the accumulated truth lives in
+    the snapshot table, so the aggregate survives checkpoint loss and
+    is readable (atomically, any version) by any outside consumer
+    mid-stream.
+
+    Exactly-once on top of foreachBatch's at-least-once: every publish
+    stamps ``_last_batch_id``; a checkpoint-replayed batch sees its own
+    id already committed and skips, so re-delivery cannot double-count
+    — the transactional-sink recipe from the Structured Streaming docs,
+    with the snapshot pointer as the transaction.
+    """
+    from neulix_datahub_spark.operators.incremental import apply_agg_delta
+
+    spark = stream_df.sparkSession
+
+    def _empty_agg(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.limit(0)
+            .groupBy(*group_cols)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(count_col),
+                *[F.sum(src).cast("double").alias(out) for out, src in sum_map.items()],
+            )
+        )
+
+    def _maintain(batch_df: DataFrame, batch_id: int) -> None:
+        existing = read_upsert_table(spark, path)
+        if existing is not None:
+            done = existing.agg(F.max("_last_batch_id")).first()[0]
+            if done is not None and done >= batch_id:
+                return  # replayed batch: already folded in
+            existing = existing.drop("_last_batch_id")
+        else:
+            existing = _empty_agg(batch_df)
+        feed = batch_df.withColumn("_change_type", F.lit("insert"))
+        updated = apply_agg_delta(existing, feed, group_cols, count_col, sum_map)
+        write_snapshot(
+            updated.withColumn("_last_batch_id", F.lit(batch_id)), path
+        )
+        if retain_versions is not None:
+            vacuum_snapshots(path, keep=retain_versions)
+
+    writer = stream_df.writeStream.foreachBatch(_maintain).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_dedup_to_parquet(
     stream_df: DataFrame,
     path: str,

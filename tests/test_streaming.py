@@ -646,3 +646,50 @@ def test_stream_json_quarantine_splits_good_and_bad(spark, tmp_path):
         )
     assert spark.read.parquet(str(tmp_path / "good")).count() == 3
     assert spark.read.parquet(str(tmp_path / "bad")).count() == 1
+
+
+def test_stream_agg_maintain_replay_cannot_double_count(spark, tmp_path):
+    """The _last_batch_id stamp makes the delta-fold sink exactly-once:
+    a full replay of the source (fresh checkpoint, same batch ids)
+    skips every already-committed batch, so the aggregate neither
+    double-counts nor drifts — and it equals the batch groupBy."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+    from neulix_datahub_spark.streaming.windows import read_events_stream
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "agg")
+
+    def drain(ckpt):
+        q = stream_agg_maintain_to_parquet(
+            read_events_stream(spark, SF_DIR),
+            path,
+            group_cols=["event_type"],
+            count_col="n",
+            sum_map={"s": "value"},
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    first = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in read_upsert_table(spark, path).collect()
+    }
+    drain("ckpt2")  # fresh checkpoint == full redelivery of all batches
+    second = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in read_upsert_table(spark, path).collect()
+    }
+    assert first == second
+
+    want = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert first == want

@@ -106,3 +106,24 @@ def range_join(
             c, F.lit(None).cast(dict(intervals.dtypes)[c])
         )
     return matched.unionByName(unmatched)
+
+
+def suggest_bucket_width(
+    intervals: DataFrame, lo_col: str, hi_col: str
+) -> float:
+    """Pick a bucket width from the interval-length distribution: the
+    median length (floored at 1). Rationale: expansion factor per
+    interval is len/W + 1, so W = median caps the typical interval at
+    ~2 bucket rows while keeping per-bucket fan-in low; long-tail
+    intervals expand proportionally more, which AQE's skew split
+    absorbs because the join stays a plain shuffled equi-join. One tiny
+    aggregation on the interval side (driver fetch of a single number —
+    the interval table is the small side by construction; if it isn't,
+    range_join is the wrong tool and you want the sweep-line form).
+    """
+    med = intervals.select(
+        F.median(F.col(hi_col) - F.col(lo_col)).alias("m")
+    ).first()["m"]
+    if med is None:
+        raise ValueError("empty interval table")
+    return max(1.0, float(med))

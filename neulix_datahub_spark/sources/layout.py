@@ -191,3 +191,54 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+def file_pruning_report(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> dict:
+    """Measure what a layout actually buys: fraction of parquet FILES a
+    conjunctive range predicate can skip using only footer min/max
+    statistics — the same decision Spark's parquet reader makes, read
+    directly from the footers so a layout change (write_zordered vs a
+    lexicographic sort vs no clustering) can be scored without running
+    a query. Driver-side metadata walk: O(files), no data scan.
+
+    ``predicates`` maps column -> (lo, hi) inclusive probe range; a file
+    survives only if EVERY probed column's [min, max] intersects its
+    range. Returns {"n_files", "n_scanned", "skipped_frac"}.
+    """
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    files = sorted(pathlib.Path(path).glob("**/part-*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet part-files under {path}")
+    scanned = 0
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        hit = False
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            stats = {
+                row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)
+            }
+            ok = True
+            for col, (lo, hi) in predicates.items():
+                st = stats.get(col)
+                if st is None or st.min is None:
+                    ok = True  # no stats -> cannot prune this column
+                    continue
+                if st.max < lo or st.min > hi:
+                    ok = False
+                    break
+            if ok:
+                hit = True
+                break
+        scanned += 1 if hit else 0
+    return {
+        "n_files": len(files),
+        "n_scanned": scanned,
+        "skipped_frac": round(1.0 - scanned / len(files), 6),
+    }

@@ -105,3 +105,75 @@ def test_coverage_and_range_join_reconcile(spark):
     # total orders across depths == table size (every order classified)
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
     assert sum(r.n_orders for r in per_depth) == orders
+
+
+def test_suggest_bucket_width_and_identity(spark):
+    """The auto width is the median interval length (>= 1) and the join
+    result with the suggested width is identical to the theta join."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.rangejoin import (
+        range_join,
+        suggest_bucket_width,
+    )
+
+    pts, iv = _frames(spark)
+    w = suggest_bucket_width(iv, "lo", "hi")
+    med = sorted(r.hi - r.lo for r in iv.collect())[len(iv.collect()) // 2]
+    assert w >= 1.0 and abs(w - max(1.0, med)) <= 1.0  # median-ish (even-count interp)
+    got = range_join(pts, iv, "x", "lo", "hi", w)
+    want = pts.join(iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+    assert got.count() == want.count()
+    with _pytest.raises(ValueError, match="empty"):
+        suggest_bucket_width(iv.limit(0), "lo", "hi")
+
+
+def test_file_pruning_report_scores_layouts(spark, tmp_path):
+    """The footer-stats pruning report distinguishes layouts: a z-order
+    by (custkey, totalprice) skips files for probes on EITHER column,
+    while a custkey-only sort cannot skip anything for a price probe."""
+    from neulix_datahub_spark.sources.layout import (
+        file_pruning_report,
+        write_zordered,
+    )
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    b = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    bounds = {
+        "o_custkey": (float(b[0]), float(b[1])),
+        "o_totalprice": (float(b[2]), float(b[3])),
+    }
+    zo = str(tmp_path / "zo")
+    write_zordered(orders, zo, bounds, bits=10, n_files=16)
+    lex = str(tmp_path / "lex")
+    (orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(lex))
+
+    # narrow price slab (middle 5% of the range)
+    lo_p = b[2] + 0.47 * (b[3] - b[2])
+    hi_p = b[2] + 0.52 * (b[3] - b[2])
+    z_price = file_pruning_report(zo, {"o_totalprice": (lo_p, hi_p)})
+    l_price = file_pruning_report(lex, {"o_totalprice": (lo_p, hi_p)})
+    assert l_price["skipped_frac"] == 0.0  # price spans every custkey file
+    assert z_price["skipped_frac"] > 0.2   # z-curve localizes price too
+
+    # custkey slab: both layouts prune (z somewhat, lex perfectly)
+    lo_c = b[0] + 0.47 * (b[1] - b[0])
+    hi_c = b[0] + 0.52 * (b[1] - b[0])
+    z_ck = file_pruning_report(zo, {"o_custkey": (lo_c, hi_c)})
+    l_ck = file_pruning_report(lex, {"o_custkey": (lo_c, hi_c)})
+    assert l_ck["skipped_frac"] > 0.8
+    assert z_ck["skipped_frac"] > 0.2
+    # The z-order contract is balanced WORST-CASE coverage: its worst
+    # single-dimension probe still prunes, while the 1-D layout's worst
+    # probe (the orthogonal column) prunes nothing. (On its own sort
+    # column the specialized 1-D layout rightly wins — z-order trades
+    # that peak for not having a blind spot.)
+    assert min(z_ck["skipped_frac"], z_price["skipped_frac"]) > min(
+        l_ck["skipped_frac"], l_price["skipped_frac"]
+    )

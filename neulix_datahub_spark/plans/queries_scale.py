@@ -753,7 +753,71 @@ FROM ranked
 """
 
 
+# ---------------------------------------------------------------------------
+# Bounded per-user contribution: cap each user at N events (deterministic
+# first-N by time) and measure the distortion per event type. The
+# standard robustness/DP-adjacent preprocessing step — no user may
+# dominate an aggregate — and at scale it doubles as hot-key abatement:
+# the cap bounds every window partition before the expensive work.
+# ---------------------------------------------------------------------------
+
+_CAP_N = 20
+
+
+def capped_contribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: rows and value-sum before vs after capping every
+    user at their first 20 events (ts, event_id order — deterministic).
+    kept_frac quantifies how much the heaviest users dominate. One
+    user-keyed window (the same exchange the downstream per-user
+    analytics need anyway) + one hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("__rk") <= _CAP_N).cast("long")).alias("n_capped"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(
+                F.sum(F.when(F.col("__rk") <= _CAP_N, F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("sum_value_capped"),
+            F.round(
+                F.sum((F.col("__rk") <= _CAP_N).cast("double")) / F.count(F.lit(1)),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CAPPED_SQL = f"""
+WITH ranked AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN rk <= {_CAP_N} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+       round(sum(value), 4) AS sum_value,
+       round(sum(CASE WHEN rk <= {_CAP_N} THEN value ELSE 0.0 END), 4)
+           AS sum_value_capped,
+       round(sum(CASE WHEN rk <= {_CAP_N} THEN 1.0 ELSE 0.0 END) / count(*), 6)
+           AS kept_frac
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 SCALE_QUERIES = {
+    "capped_contribution_stats": (
+        capped_contribution_stats,
+        _CAPPED_SQL,
+        "bounded per-user contribution, distortion quantified",
+    ),
     "promo_window_revenue": (
         promo_window_revenue,
         _PROMO_SQL,

@@ -1936,6 +1936,14 @@ _PRIORITY_R5 = [
 #          sketch merge laws, PCA/clustering, graph, sessionization/
 #          journey, then the analytic profiles.
 _PRIORITY_R6 = [
+    # -- NEW this round (round 6): the scale-pattern tier, each with a
+    #    fresh oracle — these must get their first driver row now --
+    "promo_window_revenue", "window_coverage_revenue",
+    "incremental_agg_check", "stream_incremental_agg",
+    "zorder_bucket_stats", "priority_sample_check",
+    "schema_drift_stats", "mixture_resample_plan",
+    "lexicon_filter_stats", "quality_classifier_stats",
+    "key_skew_profile_events", "capped_contribution_stats",
     # -- code changed this round --
     "event_funnel_stats", "stream_funnel_stats",
     "weekly_autocorr_by_type", "brand_triangle_count",
@@ -1959,33 +1967,34 @@ _PRIORITY_R6 = [
     # -- graph --
     "event_pagerank", "customer_hierarchy_depths",
     # -- journey / sessionization / attribution --
-    "cohort_retention", "cohort_retention_rates", "user_activity_streaks",
-    "funnel_time_to_convert", "funnel_steps_long",
-    "last_touch_attribution", "event_transition_matrix",
+    "cohort_retention", "user_activity_streaks",
+    "funnel_time_to_convert", "last_touch_attribution",
     # -- time series / anomaly --
-    "rolling_revenue_7d", "gap_filled_daily_series", "daily_trend_by_type",
-    "revenue_anomaly_days", "rollup_routed_daily", "rollup_routed_weekly",
-    # -- analytic profiles (plan shapes new enough to warrant a row) --
-    "lineitem_correlations", "price_histogram", "copurchased_brand_pairs",
-    "customer_balance_quartiles", "grouping_sets_revenue",
-    "unpivot_lineitem_measures", "variant_props_stats",
+    "rolling_revenue_7d", "gap_filled_daily_series",
+    "revenue_anomaly_days", "rollup_routed_daily",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
-# prefix. Lead with the 11 post-r5-freeze profiles deferred from this
-# window (rfm_segment_counts, revenue_concentration,
-# repeat_purchase_intervals, ship_delay_by_priority,
-# basket_size_distribution, monthly_seasonality_index,
-# customer_tenure_profile, return_rate_by_brand,
-# discount_by_quantity_band, hourly_activity_profile,
-# price_quartiles_by_priority — all sim-green at sf0.001 AND sf0.01)
-# plus any round-6 additions without a driver row, then the r3-era
-# greens deferred since round 5 (approx_price_percentiles,
-# hll_users_by_type, coerced_timestamps, json_serialized_orders,
-# resolved_projection, positional_alignment, synth_constraint_check,
-# events_asof_snapshots, user_event_deltas, pivot_event_values,
-# fill_nulls_events, q16-q22, word_repetition / char_entropy / mixing /
-# contamination / boilerplate, embedding_near_dup — four rounds stale
-# by then), then cycle the r4 greens oldest-first.
+# prefix. Lead with the 23 sim-green queries still without a driver row
+# (the 11 post-r5-freeze profiles: rfm_segment_counts,
+# revenue_concentration, repeat_purchase_intervals,
+# ship_delay_by_priority, basket_size_distribution,
+# monthly_seasonality_index, customer_tenure_profile,
+# return_rate_by_brand, discount_by_quantity_band,
+# hourly_activity_profile, price_quartiles_by_priority; plus the 12
+# displaced from this window to make room for the round-6 scale tier:
+# lineitem_correlations, price_histogram, copurchased_brand_pairs,
+# customer_balance_quartiles, grouping_sets_revenue,
+# unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
+# rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
+# event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus
+# any round-7 additions, then the r3-era greens deferred since round 5
+# (approx_price_percentiles, hll_users_by_type, coerced_timestamps,
+# json_serialized_orders, resolved_projection, positional_alignment,
+# synth_constraint_check, events_asof_snapshots, user_event_deltas,
+# pivot_event_values, fill_nulls_events, q16-q22, word_repetition /
+# char_entropy / mixing / contamination / boilerplate,
+# embedding_near_dup — four rounds stale by then), then cycle the r4
+# greens oldest-first.
 assert set(_PRIORITY_R6) <= set(QUERIES), sorted(set(_PRIORITY_R6) - set(QUERIES))
 assert len(_PRIORITY_R6) == 50, len(_PRIORITY_R6)
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R6} | {

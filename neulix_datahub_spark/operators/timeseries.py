@@ -66,3 +66,56 @@ def grouped_autocorr(
         )
 
     return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)
+
+
+def grouped_cov(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """Per-group population covariance matrix (long form: one row per
+    ordered pair incl. the diagonal variances) via the ARROW-native
+    grouped map (``applyInArrow`` — Spark 4's zero-pandas-conversion
+    sibling of the grouped_autocorr path above): each group arrives as
+    one pyarrow Table, numpy computes the matrix on a zero-copy column
+    stack, and the result goes back as a pyarrow Table. For wide
+    matrices this skips the pandas block-manager round-trip entirely,
+    which is the point of the API; the per-group memory bound and
+    scale guidance are the same as every grouped map here (aggregate
+    first; the group must fit an executor).
+
+    ``bias=True`` covariance matches SQL ``covar_pop`` — the driver
+    query hashes the full matrix against DuckDB's.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, var_x string, var_y string, "
+        "n bigint, cov double"
+    )
+
+    def stats(table: pa.Table) -> pa.Table:
+        key = table.column(key_col)[0].as_py()
+        cols = [
+            table.column(c).to_numpy(zero_copy_only=False).astype(float)
+            for c in value_cols
+        ]
+        x = np.column_stack(cols)
+        n = x.shape[0]
+        cov = np.cov(x, rowvar=False, bias=True) if n > 1 else np.zeros(
+            (len(value_cols), len(value_cols))
+        )
+        cov = np.atleast_2d(cov)
+        keys, xs, ys, ns, vs = [], [], [], [], []
+        for i, a in enumerate(value_cols):
+            for j, b in enumerate(value_cols):
+                if j < i:
+                    continue  # upper triangle + diagonal
+                keys.append(key)
+                xs.append(a)
+                ys.append(b)
+                ns.append(n)
+                vs.append(round(float(cov[i, j]), 6))
+        return pa.table(
+            {key_col: keys, "var_x": xs, "var_y": ys, "n": ns, "cov": vs}
+        )
+
+    return df.groupBy(key_col).applyInArrow(stats, schema=out_schema)

@@ -812,7 +812,56 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Arrow-native grouped map: per-returnflag covariance matrix of three
+# lineitem measures via applyInArrow (Spark 4's zero-pandas grouped-map
+# API — operators/timeseries.py grouped_cov), hashed against DuckDB's
+# covar_pop over the same pairs.
+# ---------------------------------------------------------------------------
+
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def grouped_cov_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix (upper triangle + diagonal) of
+    quantity/price/discount per l_returnflag, computed in the Arrow
+    grouped map. One shuffle on the 3-value group key; each group's
+    matrix is numpy on a zero-copy column stack."""
+    from neulix_datahub_spark.operators.timeseries import grouped_cov
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", *_COV_COLS)
+    return grouped_cov(li, "l_returnflag", _COV_COLS).orderBy(
+        "l_returnflag", "var_x", "var_y"
+    )
+
+
+def _cov_pairs_sql() -> str:
+    parts = []
+    for i, a in enumerate(_COV_COLS):
+        for j, b in enumerate(_COV_COLS):
+            if j < i:
+                continue
+            parts.append(
+                f"SELECT l_returnflag, '{a}' AS var_x, '{b}' AS var_y, "
+                f"count(*) AS n, round(covar_pop({a}, {b}), 6) AS cov "
+                "FROM lineitem GROUP BY l_returnflag"
+            )
+    return " UNION ALL ".join(parts)
+
+
+_GROUPED_COV_SQL = f"""
+SELECT l_returnflag, var_x, var_y, CAST(n AS BIGINT) AS n, cov
+FROM ({_cov_pairs_sql()})
+ORDER BY l_returnflag, var_x, var_y
+"""
+
+
 SCALE_QUERIES = {
+    "grouped_cov_check": (
+        grouped_cov_check,
+        _GROUPED_COV_SQL,
+        "applyInArrow grouped covariance vs covar_pop oracle",
+    ),
     "capped_contribution_stats": (
         capped_contribution_stats,
         _CAPPED_SQL,

@@ -1568,3 +1568,25 @@ def test_key_skew_profile_detects_hot_key(spark):
     single = spark.range(10).select(F.lit(7).alias("k"))
     s = key_skew_profile(single, "k").collect()[0]
     assert s.n_keys == 1 and s.norm_entropy is None  # log2(1)=0 -> null
+
+
+def test_grouped_cov_arrow_matches_sql_covariance(spark):
+    """The applyInArrow covariance matrix equals Spark's own covar_pop
+    per pair, the key column keeps its input type, and a single-row
+    group degenerates to zero covariance."""
+    from neulix_datahub_spark.operators.timeseries import grouped_cov
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0), (1, 2.0, 4.0), (1, 3.0, 7.0), (2, 5.0, 5.0)],
+        "g bigint, x double, y double",
+    )
+    out = grouped_cov(df, "g", ["x", "y"])
+    assert out.schema["g"].dataType.simpleString() == "bigint"
+    got = {(r.g, r.var_x, r.var_y): (r.n, r.cov) for r in out.collect()}
+    want_xy = df.filter("g = 1").agg(F.covar_pop("x", "y")).first()[0]
+    assert got[(1, "x", "y")] == (3, round(want_xy, 6))
+    assert got[(1, "x", "x")][1] == round(
+        df.filter("g = 1").agg(F.var_pop("x")).first()[0], 6
+    )
+    assert got[(2, "x", "y")] == (1, 0.0)
+    assert len(got) == 6  # 3 pairs per group x 2 groups

@@ -403,3 +403,111 @@ def simhash(col: Column | str, num_bits: int = 64, shingle_n: int = 2,
         lambda acc, b: acc.bitwiseOR(b),
     )
     return packed
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    set_expr: Column | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering):
+    every pair of documents whose word-set Jaccard is >= ``threshold``,
+    with zero false negatives — the deterministic complement to the
+    probabilistic MinHash-LSH path (which trades a small miss rate for
+    fewer candidates).
+
+    The prefix principle: order every document's distinct tokens by one
+    GLOBAL rarity order (corpus frequency asc, token asc); if
+    J(x, y) >= t, then x and y must share at least one token among each
+    side's first ``|s| - ceil(t * |s|) + 1`` tokens. So only prefix
+    tokens are exploded into the candidate join — and because the
+    prefix is taken from the RAREST tokens, the candidate blocks are
+    the smallest possible ones. A length filter (``t*|x| <= |y|``)
+    prunes further before the exact verify.
+
+    Plan: token-frequency agg (one shuffle) → rank join → per-doc
+    sorted token array → prefix explode → equi-join on token (id_a <
+    id_b dedup) → distinct candidates → exact Jaccard via
+    array_intersect on the two full token arrays. All expression-level;
+    the candidate join is an ordinary shuffled equi-join whose hot keys
+    are, by construction, the rarest tokens. At 100 TB the frequency
+    table is the only global state and it broadcast-joins.
+
+    Returns (id_a, id_b, jaccard) for pairs meeting the threshold.
+    Completeness (== brute force) is unit-proven; the driver query
+    hashes it against an all-pairs DuckDB oracle.
+
+    ``set_expr`` overrides the element set (default: distinct lowercase
+    words). Pass ``_shingles(col, n)`` for n-gram sets — on corpora with
+    a small shared vocabulary, word sets are near-degenerate (most pairs
+    qualify) while shingle sets isolate true near-duplicates; the choice
+    changes WHAT similarity means, not the algorithm.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    toks = (
+        set_expr
+        if set_expr is not None
+        else F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+            )
+        )
+    )
+    docs = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    freq = (
+        docs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked_toks = (
+        docs.select("id", F.explode("toks").alias("tok"))
+        .join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("freq", "tok"))
+                ),
+                lambda s: s["tok"],
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast(
+        "int"
+    )
+    prefixes = ranked_toks.select(
+        "id", "sz", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    a = prefixes.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = prefixes.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") * F.lit(threshold) <= F.col("sz_a"))
+            & (F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = ranked_toks.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = ranked_toks.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("jaccard", F.round(inter.cast("double") / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

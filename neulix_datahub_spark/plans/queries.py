@@ -1941,6 +1941,7 @@ _PRIORITY_R6 = [
     "promo_window_revenue", "window_coverage_revenue",
     "incremental_agg_check", "stream_incremental_agg",
     "zorder_bucket_stats", "priority_sample_check", "grouped_cov_check",
+    "prefix_filter_pairs",
     "schema_drift_stats", "mixture_resample_plan",
     "lexicon_filter_stats", "quality_classifier_stats",
     "key_skew_profile_events", "capped_contribution_stats",
@@ -1970,7 +1971,6 @@ _PRIORITY_R6 = [
     "cohort_retention", "user_activity_streaks",
     "funnel_time_to_convert", "last_touch_attribution",
     # -- time series / anomaly --
-    "rolling_revenue_7d",
     "revenue_anomaly_days", "rollup_routed_daily",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
@@ -1985,7 +1985,7 @@ _PRIORITY_R6 = [
 # lineitem_correlations, price_histogram, copurchased_brand_pairs,
 # customer_balance_quartiles, grouping_sets_revenue,
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
-# gap_filled_daily_series,
+# gap_filled_daily_series, rolling_revenue_7d,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus
 # any round-7 additions, then the r3-era greens deferred since round 5

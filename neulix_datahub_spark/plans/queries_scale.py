@@ -856,7 +856,66 @@ ORDER BY l_returnflag, var_x, var_y
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (PPJoin family):
+# zero-false-negative complement to the MinHash-LSH path. The oracle is
+# the brute-force all-pairs Jaccard — the hash match proves the prefix
+# principle pruned candidates WITHOUT losing a single qualifying pair.
+# ---------------------------------------------------------------------------
+
+_PF_THRESHOLD = 0.6
+
+
+def prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with trigram-shingle Jaccard >= 0.6, found by
+    rarest-element prefix filtering (operators/dedupe.py
+    prefix_filter_join over _shingles(text, 3) — word sets are
+    near-degenerate on this corpus's small vocabulary; shingles isolate
+    the true near-duplicates). Candidates explode only each doc's
+    |s|-ceil(t|s|)+1 RAREST shingles, so the equi-join blocks are the
+    smallest the corpus allows; the oracle enumerates every pair."""
+    from neulix_datahub_spark.operators.dedupe import _shingles, prefix_filter_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_join(
+        docs, _PF_THRESHOLD, set_expr=_shingles(F.col("text"), 3)
+    ).orderBy("id_a", "id_b")
+
+
+_PF_SQL = f"""
+WITH docs AS (
+    SELECT doc_id AS id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS toks
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+),
+sized AS (SELECT id, toks, len(toks) AS sz FROM docs WHERE len(toks) > 0)
+SELECT id_a, id_b, jaccard FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (a.sz + b.sz - len(list_intersect(a.toks, b.toks))),
+                 6) AS jaccard
+    FROM sized a JOIN sized b ON a.id < b.id
+)
+WHERE jaccard >= {_PF_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 SCALE_QUERIES = {
+    "prefix_filter_pairs": (
+        prefix_filter_pairs,
+        _PF_SQL,
+        "exact PPJoin-style similarity join vs brute-force oracle",
+    ),
     "grouped_cov_check": (
         grouped_cov_check,
         _GROUPED_COV_SQL,

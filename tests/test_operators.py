@@ -1590,3 +1590,51 @@ def test_grouped_cov_arrow_matches_sql_covariance(spark):
     )
     assert got[(2, "x", "y")] == (1, 0.0)
     assert len(got) == 6  # 3 pairs per group x 2 groups
+
+
+def test_prefix_filter_join_complete_vs_brute_force(spark):
+    """Zero false negatives AND zero false positives: the prefix-filter
+    join returns exactly the brute-force all-pairs result, at several
+    thresholds, on both word sets and shingle sets (real fixture docs)."""
+    from neulix_datahub_spark.operators.dedupe import (
+        _shingles,
+        prefix_filter_join,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def brute(set_expr, t):
+        toks = docs.select(F.col("doc_id").alias("id"), set_expr.alias("toks")) \
+            .filter(F.size("toks") > 0)
+        a = toks.select(F.col("id").alias("id_a"), F.col("toks").alias("ta"))
+        b = toks.select(F.col("id").alias("id_b"), F.col("toks").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb"))
+        union = F.size("ta") + F.size("tb") - inter
+        return {
+            (r.id_a, r.id_b, r.j)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("j", F.round(inter.cast("double") / union, 6))
+            .filter(F.col("j") >= t)
+            .collect()
+        }
+
+    words = F.array_distinct(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != "")
+    )
+    for set_expr, t in [
+        (words, 0.5),
+        (words, 0.9),
+        (_shingles(F.col("text"), 3), 0.6),
+        (_shingles(F.col("text"), 3), 1.0),
+    ]:
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in prefix_filter_join(docs, t, set_expr=set_expr).collect()
+        }
+        assert got == brute(set_expr, t), f"mismatch at t={t}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        prefix_filter_join(docs, 0.0)

@@ -1638,3 +1638,18 @@ def test_prefix_filter_join_complete_vs_brute_force(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         prefix_filter_join(docs, 0.0)
+
+
+def test_prefix_filter_join_plan_is_equi_join(spark):
+    """The candidate join is an ordinary shuffled/broadcast equi-join on
+    the prefix element — no CartesianProduct or nested loop anywhere in
+    the physical plan (the thing the prefix principle buys)."""
+    from neulix_datahub_spark.operators.dedupe import prefix_filter_join
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = prefix_filter_join(docs, 0.8)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

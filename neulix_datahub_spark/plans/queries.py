@@ -1985,7 +1985,8 @@ _PRIORITY_R6 = [
 # lineitem_correlations, price_histogram, copurchased_brand_pairs,
 # customer_balance_quartiles, grouping_sets_revenue,
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
-# gap_filled_daily_series, rolling_revenue_7d,
+# gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
+# linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus
 # any round-7 additions, then the r3-era greens deferred since round 5

@@ -1103,7 +1103,193 @@ ORDER BY hour_of_day
 """
 
 
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (round 6): recursive EWMA is not
+# window-expressible, but a BOUNDED calendar lookback is — each day
+# joins its trailing 28 days (on the tiny daily aggregate) with weight
+# (1-alpha)^distance, normalized over the weights actually present, so
+# calendar gaps stay honest instead of silently compounding.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25
+_EWMA_LOOKBACK = 28
+
+
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order revenue with a 28-day exponentially-weighted moving
+    average (alpha=0.25). The weighted self-join runs on the DAILY
+    aggregate — O(days × 28) rows regardless of raw order volume — the
+    same reduce-then-window discipline as rolling_revenue_7d. Emitted
+    for days with a full 28-day history only (cold-start rows excluded
+    so the smoothing level is comparable across the series)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    a = daily.select(F.col("day"), F.col("revenue"))
+    b = daily.select(
+        F.col("day").alias("prev_day"), F.col("revenue").alias("prev_revenue")
+    )
+    d = F.datediff(F.col("day"), F.col("prev_day"))
+    w = F.pow(F.lit(1.0 - _EWMA_ALPHA), d)
+    joined = a.join(
+        b,
+        (F.col("prev_day") <= F.col("day"))
+        & (F.col("prev_day") > F.date_sub(F.col("day"), _EWMA_LOOKBACK)),
+    )
+    first_day = daily.agg(F.min("day").alias("__first"))
+    return (
+        joined.groupBy("day", "revenue")
+        .agg(
+            F.round(
+                F.sum(w * F.col("prev_revenue")) / F.sum(w), 4
+            ).alias("ewma_revenue"),
+            F.count(F.lit(1)).alias("n_days_in_window"),
+        )
+        .crossJoin(first_day)
+        .filter(F.datediff(F.col("day"), F.col("__first")) >= _EWMA_LOOKBACK)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("revenue", 2).alias("revenue"),
+            "ewma_revenue",
+            "n_days_in_window",
+        )
+        .orderBy("day")
+    )
+
+
+_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS revenue
+    FROM orders GROUP BY 1
+),
+joined AS (
+    SELECT a.day, a.revenue,
+           pow({1.0 - _EWMA_ALPHA}, date_diff('day', b.day, a.day)) AS w,
+           b.revenue AS prev_revenue
+    FROM daily a JOIN daily b
+      ON b.day <= a.day AND b.day > a.day - INTERVAL {_EWMA_LOOKBACK} DAYS
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(revenue, 2) AS revenue,
+       round(sum(w * prev_revenue) / sum(w), 4) AS ewma_revenue,
+       count(*) AS n_days_in_window
+FROM joined
+WHERE date_diff('day', (SELECT min(day) FROM daily), day) >= {_EWMA_LOOKBACK}
+GROUP BY day, revenue
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (round 6): every touch in the 6 h
+# window before a purchase shares the credit EQUALLY — the fairness
+# counterpoint to last_touch_attribution, and the one that requires a
+# per-purchase fan-out + renormalization rather than an as-of carry.
+# ---------------------------------------------------------------------------
+
+
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per channel: purchases credited (fractionally) and value
+    attributed under equal-split multi-touch. Purchases with no touch in
+    the window credit 'direct' in full. Both joins key on user_id (the
+    per-user event volume bounds the fan-out); the per-purchase touch
+    count renormalizes via one window over the joined frame."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("value"))
+    )
+    touches = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", F.col("ts").alias("t_ts"))
+        .agg(F.max("event_type").alias("touch"))
+    )
+    in_window = purchases.join(touches, "user_id").filter(
+        (F.col("t_ts") <= F.col("ts"))
+        & (F.col("t_ts") > F.col("ts") - F.expr("INTERVAL 6 HOURS"))
+    )
+    # touches per (purchase, channel), then the purchase's total — the
+    # per-channel credit is n_channel / n_total (several same-channel
+    # touches accumulate, they must not collapse)
+    per_channel = in_window.groupBy("user_id", "ts", "value", "touch").agg(
+        F.count(F.lit(1)).alias("__n_ch")
+    )
+    w = Window.partitionBy("user_id", "ts")
+    credited = per_channel.withColumn(
+        "__credit", F.col("__n_ch") / F.sum("__n_ch").over(w)
+    ).select("value", F.col("touch").alias("channel"), "__credit")
+    direct = (
+        purchases.join(
+            per_channel.select("user_id", "ts").distinct(),
+            ["user_id", "ts"],
+            "left_anti",
+        )
+        .select("value", F.lit("direct").alias("channel"), F.lit(1.0).alias("__credit"))
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("__credit"), 4).alias("credited_purchases"),
+            F.round(F.sum(F.col("__credit") * F.col("value")), 4).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
+_LINEAR_ATTR_SQL = """
+WITH purchases AS (
+    SELECT user_id, ts, sum(value) AS value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+touches AS (
+    SELECT user_id, ts AS t_ts, max(event_type) AS touch
+    FROM events WHERE event_type != 'purchase' GROUP BY 1, 2
+),
+per_channel AS (
+    SELECT p.user_id, p.ts, p.value, t.touch, count(*) AS n_ch
+    FROM purchases p JOIN touches t
+      ON p.user_id = t.user_id
+     AND t.t_ts <= p.ts AND t.t_ts > p.ts - INTERVAL 6 HOURS
+    GROUP BY 1, 2, 3, 4
+),
+credited AS (
+    SELECT value, touch AS channel,
+           CAST(n_ch AS DOUBLE)
+             / sum(n_ch) OVER (PARTITION BY user_id, ts) AS credit
+    FROM per_channel
+),
+direct AS (
+    SELECT value, 'direct' AS channel, 1.0 AS credit
+    FROM purchases p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM per_channel c
+        WHERE c.user_id = p.user_id AND c.ts = p.ts)
+)
+SELECT channel,
+       round(sum(credit), 4) AS credited_purchases,
+       round(sum(credit * value), 4) AS attributed_value
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 ANALYTICS_QUERIES = {
+    "ewma_daily_revenue": (
+        ewma_daily_revenue,
+        _EWMA_SQL,
+        "bounded-lookback EWMA on the daily aggregate",
+    ),
+    "linear_attribution": (
+        linear_attribution,
+        _LINEAR_ATTR_SQL,
+        "equal-split multi-touch attribution (fan-out + renormalize)",
+    ),
     "event_funnel_stats": (
         event_funnel_stats,
         FUNNEL_SQL,

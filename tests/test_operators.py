@@ -1653,3 +1653,36 @@ def test_prefix_filter_join_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Equal-split credit is conservative: summed attributed value over
+    channels equals total purchase value, and summed fractional credits
+    equal the purchase count."""
+    from neulix_datahub_spark.plans.queries_analytics import linear_attribution
+    from tests.conftest import SF_DIR
+
+    rows = linear_attribution(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        "event_type = 'purchase'"
+    )
+    total_value = ev.agg(F.sum("value")).first()[0]
+    n_purchases = ev.select("user_id", "ts").distinct().count()
+    assert abs(sum(r.attributed_value for r in rows) - total_value) < 0.01
+    assert abs(sum(r.credited_purchases for r in rows) - n_purchases) < 0.01
+
+
+def test_ewma_stays_within_window_bounds(spark):
+    """The normalized EWMA is a convex combination of the trailing
+    window's revenues — every smoothed value lies within [min, max] of
+    the raw series, and windows count at most 28 days."""
+    from neulix_datahub_spark.plans.queries_analytics import ewma_daily_revenue
+    from tests.conftest import SF_DIR
+
+    rows = ewma_daily_revenue(spark, SF_DIR).collect()
+    assert rows and all(1 <= r.n_days_in_window <= 28 for r in rows)
+    daily = {
+        r.day: r.revenue for r in rows
+    }  # smoothed output also carries the raw value
+    lo, hi = min(daily.values()), max(daily.values())
+    assert all(lo - 0.01 <= r.ewma_revenue <= hi + 0.01 for r in rows)

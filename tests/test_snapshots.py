@@ -529,3 +529,50 @@ def test_agg_delta_rejects_plain_feed(spark, tmp_path):
     bad_agg = spark.createDataFrame([("a", 1)], "g string, cnt bigint")
     with _pytest.raises(ValueError, match="missing columns"):
         apply_agg_delta(bad_agg, feed, ["g"], "cnt", {"s": "v"})
+
+
+def test_result_cache_hits_and_misses(spark, tmp_path):
+    """Plan-fingerprint cache: two independently-built but identical
+    queries share one entry (the second call publishes nothing new); a
+    changed literal misses; refresh republishes; the cached read returns
+    the same rows as computing fresh."""
+    from neulix_datahub_spark.sources.result_cache import (
+        cache_entries,
+        cached_result,
+        plan_fingerprint,
+    )
+    from neulix_datahub_spark.sources.snapshots import snapshot_versions
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "cache")
+
+    def q(limit):
+        return (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter(F.col("o_totalprice") > limit)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    assert plan_fingerprint(q(1000.0)) == plan_fingerprint(q(1000.0))
+    assert plan_fingerprint(q(1000.0)) != plan_fingerprint(q(2000.0))
+
+    want = {(r.o_orderpriority, r.n) for r in q(1000.0).collect()}
+    got1 = {(r.o_orderpriority, r.n) for r in cached_result(q(1000.0), root).collect()}
+    assert got1 == want
+    entries = cache_entries(root)
+    assert len(entries) == 1 and entries[0]["n_versions"] == 1
+
+    # hit: rebuilt-from-scratch identical query, no new version published
+    got2 = {(r.o_orderpriority, r.n) for r in cached_result(q(1000.0), root).collect()}
+    assert got2 == want
+    assert cache_entries(root)[0]["n_versions"] == 1
+
+    # different literal -> second entry
+    cached_result(q(2000.0), root).collect()
+    assert len(cache_entries(root)) == 2
+
+    # refresh republishes a new version of the same entry
+    cached_result(q(1000.0), root, refresh=True).collect()
+    fp = plan_fingerprint(q(1000.0))
+    assert len(snapshot_versions(f"{root}/{fp}")) == 2

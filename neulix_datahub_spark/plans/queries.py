@@ -1942,7 +1942,7 @@ _PRIORITY_R6 = [
     "incremental_agg_check", "stream_incremental_agg",
     "zorder_bucket_stats", "priority_sample_check", "grouped_cov_check",
     "prefix_filter_pairs",
-    "schema_drift_stats", "mixture_resample_plan",
+    "schema_drift_stats", "mixture_resample_plan", "cached_query_stats",
     "lexicon_filter_stats", "quality_classifier_stats",
     "key_skew_profile_events", "capped_contribution_stats",
     # -- code changed this round --
@@ -1971,7 +1971,7 @@ _PRIORITY_R6 = [
     "cohort_retention", "user_activity_streaks",
     "funnel_time_to_convert", "last_touch_attribution",
     # -- time series / anomaly --
-    "revenue_anomaly_days", "rollup_routed_daily",
+    "revenue_anomaly_days",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
 # prefix. Lead with the 23 sim-green queries still without a driver row
@@ -1986,6 +1986,7 @@ _PRIORITY_R6 = [
 # customer_balance_quartiles, grouping_sets_revenue,
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
+# rollup_routed_daily,
 # linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus

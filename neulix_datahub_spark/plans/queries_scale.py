@@ -910,7 +910,68 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Result-cache lifecycle under the driver gate: publish-on-miss, serve
+# the SECOND call from the snapshot without republishing, and return
+# the cached rows — which must hash-equal the oracle running the
+# underlying SQL directly. cache_hit is an in-plan verdict the oracle
+# pins true (the ivf_recall_check pattern for non-SQL side effects).
+# ---------------------------------------------------------------------------
+
+
+def cached_query_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by priority served through the plan-fingerprint cache
+    (sources/result_cache.py): first call computes+publishes, second
+    call must hit (no new snapshot version — asserted in the emitted
+    cache_hit column). The returned rows come FROM THE CACHE, so the
+    oracle hash also proves the publish→read round-trip is lossless."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.result_cache import (
+        cached_result,
+        plan_fingerprint,
+    )
+    from neulix_datahub_spark.sources.snapshots import snapshot_versions
+
+    root = f"{warehouse_scratch(spark, 'neulix_result_cache_')}/cache"
+
+    def q() -> DataFrame:
+        return (
+            _t(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            )
+        )
+
+    cached_result(q(), root)  # miss: compute + publish
+    out = cached_result(q(), root)  # hit: served from the snapshot
+    n_versions = len(snapshot_versions(f"{root}/{plan_fingerprint(q())}"))
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        "sum_revenue",
+        F.lit(n_versions == 1).alias("cache_hit"),
+    ).orderBy("o_orderpriority")
+
+
+_CACHED_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_revenue,
+       true AS cache_hit
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SCALE_QUERIES = {
+    "cached_query_stats": (
+        cached_query_stats,
+        _CACHED_SQL,
+        "plan-fingerprint result cache: miss→publish, hit→no republish",
+    ),
     "prefix_filter_pairs": (
         prefix_filter_pairs,
         _PF_SQL,

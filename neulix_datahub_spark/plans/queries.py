@@ -1949,7 +1949,7 @@ _PRIORITY_R6 = [
     "event_funnel_stats", "stream_funnel_stats",
     "weekly_autocorr_by_type", "brand_triangle_count",
     # -- streaming tier --
-    "stream_hourly_rollup", "dynamic_gap_sessions",
+    "stream_hourly_rollup", "dynamic_gap_sessions", "stream_dynamic_sessions",
     # -- snapshot / catalog / export / load lifecycle --
     "snapshot_changes_stats", "catalog_commit_stats",
     "training_export_stats", "load_behaviors_stats",
@@ -1970,8 +1970,6 @@ _PRIORITY_R6 = [
     # -- journey / sessionization / attribution --
     "cohort_retention", "user_activity_streaks",
     "funnel_time_to_convert", "last_touch_attribution",
-    # -- time series / anomaly --
-    "revenue_anomaly_days",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
 # prefix. Lead with the 23 sim-green queries still without a driver row
@@ -1986,7 +1984,7 @@ _PRIORITY_R6 = [
 # customer_balance_quartiles, grouping_sets_revenue,
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
-# rollup_routed_daily,
+# rollup_routed_daily, revenue_anomaly_days,
 # linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus

@@ -25,6 +25,7 @@ from neulix_datahub_spark.streaming.stateful import (
     streaming_funnel,
 )
 from neulix_datahub_spark.streaming.windows import (
+    dynamic_sessionized,
     read_events_stream,
     run_stream_to_memory,
     tumbling_counts,
@@ -582,7 +583,39 @@ ORDER BY event_type
 """
 
 
+def stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-gap session windows under REAL micro-batching (round
+    6): drain the events stream through dynamic_sessionized
+    (streaming/windows.py — error events hold sessions open 2 h, others
+    8 h, per-user keyed state), then summarize to the same session-size
+    distribution as the batch dynamic_gap_sessions query. The oracle IS
+    the batch query's SQL, so the hash proves the streaming state
+    machine implements interval-union session merge identically."""
+    name = f"dynsess_{uuid.uuid4().hex[:8]}"
+    stream = dynamic_sessionized(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, name, output_mode="complete", shuffle_partitions=8)
+    sessions = spark.sql(f"SELECT n_events, sum_value FROM {name}")
+    return (
+        sessions.groupBy(F.col("n_events").alias("events_per_session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.sum("sum_value"), 4).alias("total_value"),
+        )
+        .orderBy("events_per_session")
+    )
+
+
+from neulix_datahub_spark.plans.queries_analytics import (  # noqa: E402
+    DYNAMIC_SESSIONS_SQL as _DYN_SESS_SQL,
+)
+
+
 STREAM_QUERIES = {
+    "stream_dynamic_sessions": (
+        stream_dynamic_sessions,
+        _DYN_SESS_SQL,
+        "S2 expression-gap sessions under micro-batching (parity oracle)",
+    ),
     "stream_incremental_agg": (
         stream_incremental_agg,
         _STREAM_MV_SQL,

@@ -100,6 +100,24 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 
     )
 
 
+def dynamic_sessionized(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """S2 depth, streaming form: session windows whose gap is a PER-EVENT
+    expression (error events hold the session open 2 h, everything else
+    8 h) — the same interval-union semantics as the batch
+    dynamic_gap_sessions query, state-backed under micro-batching. The
+    gap expression must be CalendarIntervalType (string literals cast;
+    DayTimeInterval is rejected by session_window)."""
+    gap = F.when(F.col("event_type") == "error", F.lit("2 hours")).otherwise(
+        F.lit("8 hours")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """S4: drop duplicate event_ids within the watermark horizon — the
     bounded-state form of exact dedup for unbounded input."""

@@ -150,3 +150,40 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         "check string, passed boolean, violations bigint, total_rows bigint",
     )
     return out.orderBy("check")
+
+
+def k_anonymity_profile(
+    df: DataFrame, quasi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Re-identification risk under a quasi-identifier set: every row
+    whose (quasi_cols) combination is shared by fewer than ``k`` rows is
+    re-identifiable to within that group — the k-anonymity criterion.
+    Emits one summary row: group/row totals, how many groups and rows
+    fall below k, the at-risk row fraction, and the minimum group size
+    (the table's effective k).
+
+    The privacy complement to the PII scrubbers in operators/text.py:
+    scrubbing removes direct identifiers; this measures whether the
+    remaining categorical shape still isolates individuals — the check a
+    training-data release runs before publishing per-group statistics.
+
+    Plan: one groupBy over the quasi columns (map-side combined), then a
+    single-row reduce over the group histogram — same cost envelope as
+    key_skew_profile, and at 100 TB only the histogram crosses the
+    second exchange.
+    """
+    hist = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("__c").alias("n_rows"),
+        F.sum((F.col("__c") < k).cast("long")).alias("groups_below_k"),
+        F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(F.col("__c") < k, F.col("__c")).otherwise(0))
+            / F.sum("__c"),
+            6,
+        ).alias("at_risk_frac"),
+        F.min("__c").alias("effective_k"),
+    )

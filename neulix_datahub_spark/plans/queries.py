@@ -1945,6 +1945,7 @@ _PRIORITY_R6 = [
     "schema_drift_stats", "mixture_resample_plan", "cached_query_stats",
     "lexicon_filter_stats", "quality_classifier_stats",
     "key_skew_profile_events", "capped_contribution_stats",
+    "k_anonymity_customers",
     # -- code changed this round --
     "event_funnel_stats", "stream_funnel_stats",
     "weekly_autocorr_by_type", "brand_triangle_count",
@@ -1969,7 +1970,7 @@ _PRIORITY_R6 = [
     "event_pagerank", "customer_hierarchy_depths",
     # -- journey / sessionization / attribution --
     "cohort_retention", "user_activity_streaks",
-    "funnel_time_to_convert", "last_touch_attribution",
+    "funnel_time_to_convert",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
 # prefix. Lead with the 23 sim-green queries still without a driver row
@@ -1984,7 +1985,7 @@ _PRIORITY_R6 = [
 # customer_balance_quartiles, grouping_sets_revenue,
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
-# rollup_routed_daily, revenue_anomaly_days,
+# rollup_routed_daily, revenue_anomaly_days, last_touch_attribution,
 # linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus

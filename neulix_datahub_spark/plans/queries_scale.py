@@ -966,7 +966,57 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity risk profile: the release check the PII tier leads into —
+# after direct identifiers are scrubbed, does the categorical shape
+# still isolate individuals?
+# ---------------------------------------------------------------------------
+
+_KANON_K = 10
+
+
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer re-identification risk under the quasi-identifier set
+    (nation, market segment, account-balance sign): groups smaller than
+    k=10 are re-identifiable. One histogram pass (operators/quality.py
+    k_anonymity_profile)."""
+    from neulix_datahub_spark.operators.quality import k_anonymity_profile
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") >= 0).alias("balance_nonneg"),
+    )
+    return k_anonymity_profile(
+        cust, ["c_nationkey", "c_mktsegment", "balance_nonneg"], k=_KANON_K
+    )
+
+
+_KANON_SQL = f"""
+WITH hist AS (
+    SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS balance_nonneg,
+           count(*) AS c
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS groups_below_k,
+       CAST(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END) AS BIGINT)
+           AS rows_at_risk,
+       round(sum(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END) / sum(c), 6)
+           AS at_risk_frac,
+       CAST(min(c) AS BIGINT) AS effective_k
+FROM hist
+"""
+
+
 SCALE_QUERIES = {
+    "k_anonymity_customers": (
+        k_anonymity_customers,
+        _KANON_SQL,
+        "k-anonymity release check over a quasi-identifier histogram",
+    ),
     "cached_query_stats": (
         cached_query_stats,
         _CACHED_SQL,

@@ -152,6 +152,37 @@ def read_snapshot_table(
     return spark.read.parquet(os.path.join(root, v))
 
 
+def version_at(root: str, timestamp: float) -> str:
+    """TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel form
+    users actually reach for): the latest version whose publish mtime is
+    <= ``timestamp`` (epoch seconds). Publish order and mtime order
+    agree because versions are created by a serialized pointer CAS.
+    Raises if the table didn't exist yet at that time — an explicit
+    error beats silently reading a later state."""
+    best = None
+    for v in snapshot_versions(root):
+        try:
+            mtime = os.path.getmtime(os.path.join(root, v))
+        except FileNotFoundError:  # pragma: no cover - racing vacuum
+            continue
+        if mtime <= timestamp:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no snapshot under {root} existed at ts={timestamp} "
+            "(or the versions from that era were vacuumed)"
+        )
+    return best
+
+
+def read_snapshot_table_as_of(
+    spark: SparkSession, root: str, timestamp: float
+) -> DataFrame:
+    """Read the table as it stood at ``timestamp`` (epoch seconds) —
+    :func:`version_at` + the ordinary pinned read."""
+    return read_snapshot_table(spark, root, version=version_at(root, timestamp))
+
+
 _UNSET = object()
 
 

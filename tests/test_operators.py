@@ -1686,3 +1686,20 @@ def test_ewma_stays_within_window_bounds(spark):
     }  # smoothed output also carries the raw value
     lo, hi = min(daily.values()), max(daily.values())
     assert all(lo - 0.01 <= r.ewma_revenue <= hi + 0.01 for r in rows)
+
+
+def test_k_anonymity_profile_flags_small_groups(spark):
+    """Synthetic control: one group of 2 (below k=5) among groups of 10
+    — exactly those 2 rows flag at risk; a uniformly large table has
+    zero risk and effective_k == its min group size."""
+    from neulix_datahub_spark.operators.quality import k_anonymity_profile
+
+    rows = [("a", "x")] * 10 + [("b", "x")] * 10 + [("c", "y")] * 2
+    df = spark.createDataFrame(rows, "g string, h string")
+    r = k_anonymity_profile(df, ["g", "h"], k=5).collect()[0]
+    assert (r.n_groups, r.n_rows) == (3, 22)
+    assert (r.groups_below_k, r.rows_at_risk, r.effective_k) == (1, 2, 2)
+    assert abs(r.at_risk_frac - 2 / 22) < 1e-6  # emitted rounded to 6dp
+
+    safe = k_anonymity_profile(df.filter("g != 'c'"), ["g", "h"], k=5).collect()[0]
+    assert safe.rows_at_risk == 0 and safe.effective_k == 10

@@ -576,3 +576,31 @@ def test_result_cache_hits_and_misses(spark, tmp_path):
     cached_result(q(1000.0), root, refresh=True).collect()
     fp = plan_fingerprint(q(1000.0))
     assert len(snapshot_versions(f"{root}/{fp}")) == 2
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the latest version published at
+    or before the given time; a pre-creation timestamp errors loudly."""
+    import os
+    import time as _time
+
+    from neulix_datahub_spark.sources.snapshots import (
+        read_snapshot_table_as_of,
+        version_at,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    t0 = _time.time()
+    write_snapshot(spark.createDataFrame([(1,)], "x int"), root)
+    # backdate v1's mtime so the ordering is unambiguous without sleeps
+    os.utime(f"{root}/v00000001", (t0 + 10, t0 + 10))
+    write_snapshot(spark.createDataFrame([(2,)], "x int"), root)
+    os.utime(f"{root}/v00000002", (t0 + 20, t0 + 20))
+
+    assert version_at(root, t0 + 15) == "v00000001"
+    assert version_at(root, t0 + 25) == "v00000002"
+    assert read_snapshot_table_as_of(spark, root, t0 + 15).collect()[0].x == 1
+    assert read_snapshot_table_as_of(spark, root, t0 + 25).collect()[0].x == 2
+    with pytest.raises(FileNotFoundError, match="existed at"):
+        version_at(root, t0 + 5)

@@ -1962,7 +1962,7 @@ _PRIORITY_R6 = [
     "price_drift_psi", "robust_price_stats", "quality_report_orders",
     # -- PCA / clustering / index lifecycle --
     "pca_embedding_check", "pca_merge_check", "cluster_split_stats",
-    "ivf_index_recall_check",
+    "ivf_index_recall_check", "pq_codebook_profile",
     # -- text / LLM additions --
     "bigram_perplexity_by_lang", "unicode_normalization_stats",
     "winnow_overlap_stats", "top_event_trigrams",
@@ -1970,7 +1970,6 @@ _PRIORITY_R6 = [
     "event_pagerank", "customer_hierarchy_depths",
     # -- journey / sessionization / attribution --
     "cohort_retention", "user_activity_streaks",
-    "funnel_time_to_convert",
 ]
 # ROUND 7 NOTE: rotate ONLY AFTER the round-6 driver run consumes this
 # prefix. Lead with the 23 sim-green queries still without a driver row
@@ -1986,6 +1985,7 @@ _PRIORITY_R6 = [
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
 # rollup_routed_daily, revenue_anomaly_days, last_touch_attribution,
+# funnel_time_to_convert,
 # linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus

@@ -1011,7 +1011,118 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the 64-dim embedding splits into two 32-dim
+# subspaces, each with its own k=8 codebook trained by the SAME
+# deterministic Lloyd machinery kmeans_cluster_profile already proved
+# cross-engine (md5 seeds, squared-distance argmin, empty-cluster
+# carry-over). A vector's PQ code is its (sub0, sub1) centroid pair —
+# 64 floats compress to 2 bytes; the per-subspace reconstruction error
+# (inertia) is the quantization-quality metric an ANN deployment
+# monitors. The oracle replays BOTH Lloyd runs as prefixed unrolled
+# CTEs and unions the profiles.
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = [(1, 32), (33, 32)]
+_PQ_K = 8
+_PQ_ITERS = 3
+
+
+def pq_codebook_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (subspace, code): vector count and reconstruction inertia of
+    the PQ codebooks. Subspace codebooks train independently (the defining
+    PQ property — memory k·m·(d/m) instead of k^m·d), each via
+    operators/clustering.py kmeans_lloyd on the sliced vector."""
+    from neulix_datahub_spark.operators.clustering import (
+        kmeans_inertia,
+        kmeans_lloyd,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = None
+    for s, (start, ln) in enumerate(_PQ_SUBSPACES):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", start, ln).alias("embedding")
+        )
+        assigned, cents = kmeans_lloyd(sub, k=_PQ_K, iters=_PQ_ITERS)
+        prof = kmeans_inertia(assigned, cents).withColumn(
+            "subspace", F.lit(s)
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out.select("subspace", "cluster", "n_vecs", "inertia").orderBy(
+        "subspace", "cluster"
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """Two prefixed unrolled-Lloyd blocks (the _kmeans_oracle_sql recipe
+    from queries_llm.py, parameterized by vector slice), unioned."""
+    seed_order = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    ctes, selects = [], []
+    for s, (start, ln) in enumerate(_PQ_SUBSPACES):
+        p = f"s{s}_"
+        assign = (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {p}e e CROSS JOIN {{prev}} c) WHERE rn = 1"
+        )
+        ctes.append(
+            f"{p}e AS (\n  SELECT vec_id,"
+            f" list_transform(embedding[{start}:{start + ln - 1}],"
+            " x -> CAST(x AS DOUBLE)) AS v\n  FROM embeddings)"
+        )
+        ctes.append(
+            f"{p}c0 AS (\n  SELECT row_number() OVER (ORDER BY {seed_order}) - 1"
+            f" AS cluster, v AS c\n  FROM {p}e ORDER BY {seed_order} LIMIT {_PQ_K})"
+        )
+        prev = f"{p}c0"
+        for i in range(1, _PQ_ITERS + 1):
+            ctes.append(f"{p}a{i} AS (\n  " + assign.format(prev=prev) + ")")
+            ctes.append(
+                f"{p}u{i} AS (\n"
+                "  SELECT cluster, list(m ORDER BY d) AS c FROM (\n"
+                "    SELECT cluster, d, avg(x) AS m FROM (\n"
+                f"      SELECT cluster, unnest(v) AS x,"
+                f" generate_subscripts(v, 1) AS d FROM {p}a{i})\n"
+                "    GROUP BY cluster, d)\n"
+                "  GROUP BY cluster)"
+            )
+            ctes.append(
+                f"{p}c{i} AS (\n  SELECT p.cluster, coalesce(u.c, p.c) AS c\n"
+                f"  FROM {prev} p LEFT JOIN {p}u{i} u ON p.cluster = u.cluster)"
+            )
+            prev = f"{p}c{i}"
+        ctes.append(f"{p}afinal AS (\n  " + assign.format(prev=prev) + ")")
+        selects.append(
+            f"SELECT {s} AS subspace, a.cluster, count(*) AS n_vecs,\n"
+            "       round(sum(" + d2.format(v="a.v", c="c.c") + "), 4) AS inertia\n"
+            f"FROM {p}afinal a JOIN {prev} c ON a.cluster = c.cluster\n"
+            "GROUP BY a.cluster"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT * FROM (" + " UNION ALL ".join(selects) + ")\n"
+        "ORDER BY subspace, cluster"
+    )
+
+
+_PQ_SQL = _pq_oracle_sql()
+
+
 SCALE_QUERIES = {
+    "pq_codebook_profile": (
+        pq_codebook_profile,
+        _PQ_SQL,
+        "product quantization: two sliced-subspace Lloyd replays",
+    ),
     "k_anonymity_customers": (
         k_anonymity_customers,
         _KANON_SQL,

@@ -186,3 +186,23 @@ def plan_summary(df) -> dict:
             "PushedFilters: [" in plan and "PushedFilters: []" not in plan
         ),
     }
+
+
+def plan_diff(before, after) -> dict:
+    """Plan-regression report between two versions of a query: the
+    plan_summary counter deltas plus named verdicts for the regressions
+    worth alerting on (lost broadcast, new shuffles, new Python nodes,
+    lost pushdown). Wire it across a refactor or a dependency bump —
+    the numbers come from the same executed-plan counters the plan
+    tests pin, so an alert here means the physical plan really moved."""
+    a, b = plan_summary(before), plan_summary(after)
+    deltas = {k: b[k] - a[k] for k in a if isinstance(a[k], int)}
+    return {
+        "before": a,
+        "after": b,
+        "deltas": deltas,
+        "lost_broadcast": b["broadcast_joins"] < a["broadcast_joins"],
+        "new_shuffles": b["shuffles"] > a["shuffles"],
+        "new_python_nodes": b["python_eval_nodes"] > a["python_eval_nodes"],
+        "lost_pushdown": a["has_pushed_filters"] and not b["has_pushed_filters"],
+    }

@@ -661,3 +661,59 @@ def snapshot_history(root: str) -> list[dict]:
             }
         )
     return out
+
+
+def catalog_diff(
+    spark: SparkSession,
+    catalog_root: str,
+    from_version: str,
+    to_version: str | None = None,
+    keys: dict[str, str] | None = None,
+) -> dict[str, dict]:
+    """What changed between two CATALOG commits: per table, whether its
+    pinned snapshot moved, row-count delta, and (when ``keys`` names the
+    table's key column) insert/update/delete counts from
+    :func:`snapshot_diff`. Tables added to or dropped from the manifest
+    report as such. The cross-table release-note view a catalog consumer
+    reads before deciding whether to reprocess — and cheap: unchanged
+    tables are detected by VERSION equality alone (no scan), so cost
+    scales with what actually moved, not catalog size."""
+    from pyspark.sql import functions as F
+
+    old_m = read_catalog_manifest(catalog_root, from_version)
+    new_m = read_catalog_manifest(catalog_root, to_version)
+    out: dict[str, dict] = {}
+    for name in sorted(set(old_m) | set(new_m)):
+        troot = os.path.join(catalog_root, name)
+        if name not in old_m:
+            n = read_snapshot_table(spark, troot, new_m[name]).count()
+            out[name] = {"status": "added", "rows_delta": n}
+        elif name not in new_m:
+            n = read_snapshot_table(spark, troot, old_m[name]).count()
+            out[name] = {"status": "dropped", "rows_delta": -n}
+        elif old_m[name] == new_m[name]:
+            out[name] = {"status": "unchanged", "rows_delta": 0}
+        else:
+            entry: dict = {
+                "status": "changed",
+                "rows_delta": (
+                    read_snapshot_table(spark, troot, new_m[name]).count()
+                    - read_snapshot_table(spark, troot, old_m[name]).count()
+                ),
+            }
+            key = (keys or {}).get(name)
+            if key:
+                feed = snapshot_diff(
+                    spark, troot, old_m[name], new_m[name], key=key
+                )
+                counts = {
+                    r._change_type: r.n
+                    for r in feed.groupBy("_change_type")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                entry["changes"] = {
+                    t: counts.get(t, 0) for t in ("insert", "update", "delete")
+                }
+            out[name] = entry
+    return out

@@ -604,3 +604,48 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert read_snapshot_table_as_of(spark, root, t0 + 25).collect()[0].x == 2
     with pytest.raises(FileNotFoundError, match="existed at"):
         version_at(root, t0 + 5)
+
+
+def test_catalog_diff_release_notes(spark, tmp_path):
+    """catalog_diff: unchanged tables detected by version equality (no
+    scan), changed tables report row deltas and keyed change counts,
+    added/dropped manifest entries report as such."""
+    from neulix_datahub_spark.sources.snapshots import catalog_diff, commit_tables
+
+    cat = str(tmp_path / "cat")
+    a1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    b1 = spark.createDataFrame([(7, "x")], "id int, s string")
+    v1 = commit_tables({"a": a1, "b": b1}, cat)
+    a2 = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 30.0)], "id int, v double"  # update + insert
+    )
+    c1 = spark.createDataFrame([(9,)], "id int")
+    v2 = commit_tables({"a": a2, "c": c1}, cat)  # b carries forward
+
+    d = catalog_diff(spark, cat, v1, v2, keys={"a": "id"})
+    assert d["b"]["status"] == "unchanged" and d["b"]["rows_delta"] == 0
+    assert d["c"]["status"] == "added" and d["c"]["rows_delta"] == 1
+    assert d["a"]["status"] == "changed" and d["a"]["rows_delta"] == 1
+    assert d["a"]["changes"] == {"insert": 1, "update": 1, "delete": 0}
+
+
+def test_plan_diff_flags_regressions(spark):
+    """plan_diff: a broadcast-join query vs the same query with the
+    broadcast disabled flags lost_broadcast/new_shuffles; identical
+    queries flag nothing."""
+    from neulix_datahub_spark.observability import plan_diff
+    from tests.conftest import SF_DIR
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    good = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    bad = orders.hint("merge").join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    good.collect()
+    bad.collect()
+
+    same = plan_diff(good, good)
+    assert not same["lost_broadcast"] and not same["new_shuffles"]
+    reg = plan_diff(good, bad)
+    assert reg["lost_broadcast"] and reg["new_shuffles"]

@@ -1985,7 +1985,7 @@ _PRIORITY_R6 = [
 # unpivot_lineitem_measures, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, rolling_revenue_7d, ewma_daily_revenue,
 # rollup_routed_daily, revenue_anomaly_days, last_touch_attribution,
-# funnel_time_to_convert,
+# funnel_time_to_convert, stream_catalog_consistency,
 # linear_attribution,
 # rollup_routed_weekly, cohort_retention_rates, funnel_steps_long,
 # event_transition_matrix — all sim-green at sf0.001 AND sf0.01) plus

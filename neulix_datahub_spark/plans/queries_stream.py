@@ -610,7 +610,104 @@ from neulix_datahub_spark.plans.queries_analytics import (  # noqa: E402
 )
 
 
+def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional multi-table streaming (round 6): the events stream
+    maintains TWO catalog members per micro-batch — the accumulated
+    clean rows (append) and their per-type count/sum aggregate (an
+    operators/incremental.py delta fold) — committed atomically by
+    stream_commit_tables. The events fixture is pre-split into 4 files
+    and streamed with maxFilesPerTrigger=1, so 4 real commits happen;
+    the emitted all_versions_consistent verdict time-travels to EVERY
+    catalog version and checks aggregate == groupBy(clean) there — the
+    cross-table invariant only atomic commits can hold at every point.
+    The oracle recomputes the final aggregate from the base table and
+    pins the verdict true."""
+    from neulix_datahub_spark.operators.incremental import apply_agg_delta
+    from neulix_datahub_spark.sources.snapshots import (
+        read_catalog,
+        snapshot_versions,
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_commit_tables
+
+    tmp = _scratch(spark, "neulix_stream_cat_")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.repartition(4).write.parquet(f"{tmp}/src")
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/src")
+    )
+
+    def clean(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        return batch if existing is None else existing.unionByName(batch)
+
+    def counts(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        feed = batch.withColumn("_change_type", F.lit("insert"))
+        base = existing if existing is not None else (
+            batch.limit(0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("value").cast("double").alias("sum_value"),
+            )
+        )
+        return apply_agg_delta(
+            base, feed, ["event_type"], "n_events", {"sum_value": "value"}
+        )
+
+    cat = f"{tmp}/catalog"
+    q = stream_commit_tables(
+        stream,
+        cat,
+        {"events_clean": clean, "counts_by_type": counts},
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+
+    consistent = True
+    for v in snapshot_versions(cat):
+        tables = read_catalog(spark, cat, version=v)
+        want = {
+            (r.event_type, r.n, round(r.s, 6))
+            for r in tables["events_clean"]
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("s"))
+            .collect()
+        }
+        got = {
+            (r.event_type, r.n_events, round(r.sum_value, 6))
+            for r in tables["counts_by_type"].collect()
+        }
+        consistent = consistent and got == want
+
+    final = read_catalog(spark, cat)["counts_by_type"]
+    return final.select(
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.lit(consistent and len(snapshot_versions(cat)) >= 4).alias(
+            "all_versions_consistent"
+        ),
+    ).orderBy("event_type")
+
+
+_STREAM_CAT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       true AS all_versions_consistent
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 STREAM_QUERIES = {
+    "stream_catalog_consistency": (
+        stream_catalog_consistency,
+        _STREAM_CAT_SQL,
+        "atomic multi-table commits: invariant holds at EVERY version",
+    ),
     "stream_dynamic_sessions": (
         stream_dynamic_sessions,
         _DYN_SESS_SQL,

@@ -146,6 +146,82 @@ def stream_agg_maintain_to_parquet(
     return writer.start()
 
 
+#: Reserved member name carrying the last committed batch id inside a
+#: stream-maintained catalog (exactly-once bookkeeping, committed in the
+#: SAME atomic manifest as the data members).
+STREAM_META_TABLE = "commit_meta"
+
+
+def stream_commit_tables(
+    stream_df: DataFrame,
+    catalog_root: str,
+    members: "dict[str, object]",
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """TRANSACTIONAL multi-table streaming sink: every micro-batch
+    derives new versions of several tables and publishes them in ONE
+    atomic catalog commit (sources/snapshots.py commit_tables) — a
+    reader can never observe member A updated without member B, at any
+    point, under any interleaving. This is the cross-table guarantee
+    foreachBatch sinks normally give up (two separate writes = a window
+    where the tables disagree).
+
+    ``members`` maps table name -> ``fn(batch_df, existing_df_or_None)
+    -> full new DataFrame`` (existing is the member at the catalog's
+    current commit; None before the first). Exactly-once rides the same
+    commit: the reserved ``commit_meta`` member records the batch id
+    ATOMICALLY WITH the data, so a checkpoint-replayed batch sees its id
+    already committed and skips — there is no state in which the data
+    committed but the bookkeeping didn't.
+
+    Works with incremental member functions (e.g. an
+    operators/incremental.py delta fold) so per-batch cost tracks batch
+    size, not table size. Trigger is AvailableNow (bounded drain);
+    long-lived deployments drop it.
+    """
+    from neulix_datahub_spark.sources.snapshots import (
+        commit_tables,
+        read_catalog_manifest,
+    )
+
+    if STREAM_META_TABLE in members:
+        raise ValueError(f"{STREAM_META_TABLE!r} is reserved")
+    spark = stream_df.sparkSession
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            manifest = read_catalog_manifest(catalog_root)
+        except FileNotFoundError:
+            manifest = {}
+        if STREAM_META_TABLE in manifest:
+            last = read_snapshot_table(
+                spark,
+                os.path.join(catalog_root, STREAM_META_TABLE),
+                manifest[STREAM_META_TABLE],
+            ).first()["last_batch_id"]
+            if last >= batch_id:
+                return  # replayed batch: the catalog already contains it
+        updates = {}
+        for name, fn in members.items():
+            existing = (
+                read_snapshot_table(
+                    spark, os.path.join(catalog_root, name), manifest[name]
+                )
+                if name in manifest
+                else None
+            )
+            updates[name] = fn(batch_df, existing)
+        updates[STREAM_META_TABLE] = spark.createDataFrame(
+            [(batch_id,)], "last_batch_id bigint"
+        )
+        commit_tables(updates, catalog_root)
+
+    writer = stream_df.writeStream.foreachBatch(_commit).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_dedup_to_parquet(
     stream_df: DataFrame,
     path: str,

@@ -177,3 +177,45 @@ def test_file_pruning_report_scores_layouts(spark, tmp_path):
     assert min(z_ck["skipped_frac"], z_price["skipped_frac"]) > min(
         l_ck["skipped_frac"], l_price["skipped_frac"]
     )
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    pts=st.lists(st.integers(min_value=-50, max_value=150), min_size=0, max_size=30),
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=-40, max_value=120),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    width=st.sampled_from([1, 3, 17, 200]),
+)
+@settings(max_examples=6, deadline=None)
+def test_range_join_identity_property(spark, pts, ivs, width):
+    """Hypothesis: for arbitrary points, arbitrary (possibly degenerate,
+    touching, nested, duplicate) intervals, and any bucket width, the
+    bucketed join equals the theta join — including empty sides."""
+    from neulix_datahub_spark.operators.rangejoin import range_join
+
+    p = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(pts)] or [(0, None)], "pid int, x int"
+    ).filter(F.col("x").isNotNull())
+    iv = spark.createDataFrame(
+        [(i, lo, lo + ln) for i, (lo, ln) in enumerate(ivs)] or [(0, None, None)],
+        "iid int, lo int, hi int",
+    ).filter(F.col("lo").isNotNull())
+    got = sorted(
+        (r.pid, r.iid) for r in range_join(p, iv, "x", "lo", "hi", width).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in p.join(
+            iv, (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+        ).collect()
+    )
+    assert got == want

@@ -68,7 +68,12 @@ def grouped_autocorr(
     return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)
 
 
-def grouped_cov(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+def grouped_cov(
+    df: DataFrame,
+    key_col: str,
+    value_cols: list[str],
+    fixed_point_scale: int | None = None,
+) -> DataFrame:
     """Per-group population covariance matrix (long form: one row per
     ordered pair incl. the diagonal variances) via the ARROW-native
     grouped map (``applyInArrow`` — Spark 4's zero-pandas-conversion
@@ -82,6 +87,22 @@ def grouped_cov(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame
 
     ``bias=True`` covariance matches SQL ``covar_pop`` — the driver
     query hashes the full matrix against DuckDB's.
+
+    ``fixed_point_scale`` makes the result DECIMAL-EXACT for inputs
+    that are fixed-point decimals stored as doubles (money, discounts):
+    each value is scaled to the nearest integer (``round(x*scale)``),
+    the sums ``n, Σa, Σb, Σa·b`` are accumulated as exact arbitrary-
+    precision integers, and the 6-dp-rounded covariance is derived by
+    PURE INTEGER half-up division — ``q = ⌊(2·|num|·10⁶ + den) /
+    (2·den)⌋`` with ``num = n·Σab − Σa·Σb`` and ``den = n²·scale²`` —
+    then emitted as the double ``±q / 10⁶``. ``q`` stays below 2⁵³ for
+    any money-scale variance, so the division of two exactly-
+    represented values is correctly rounded and BIT-IDENTICAL in every
+    engine that evaluates the same integer formula (the driver oracle
+    does, on HUGEINTs). Float summation-association error and cross-
+    engine ``round()`` asymmetry are both gone, not just reduced.
+    Accumulation is chunked int64 dot products folded into Python ints
+    (overflow-free at any group size).
     """
     import numpy as np
     import pyarrow as pa
@@ -92,18 +113,51 @@ def grouped_cov(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame
         "n bigint, cov double"
     )
 
+    def _exact_cov(cols: "list[np.ndarray]", n: int) -> "dict[tuple[int, int], float]":
+        # Scale to exact integers; values are k/scale so x*scale is
+        # within 1 ulp of integer k — never near the .5 boundary, so
+        # rint (half-even) and SQL round (half-up) agree.
+        scaled = [
+            np.rint(c * fixed_point_scale).astype(np.int64) for c in cols
+        ]
+        sums = [int(s.sum()) for s in scaled]
+        # |a*b| <= (max_scaled)^2; chunk so an int64 partial dot cannot
+        # overflow, then fold chunks into a Python int (exact).
+        peak = max(int(np.abs(s).max()) for s in scaled) if n else 0
+        chunk = max(1, min(n, (2**62) // max(1, peak * peak)))
+        den = n * n * fixed_point_scale * fixed_point_scale
+        out: dict[tuple[int, int], float] = {}
+        for i in range(len(cols)):
+            for j in range(i, len(cols)):
+                sab = 0
+                a, b = scaled[i], scaled[j]
+                for lo in range(0, n, chunk):
+                    sab += int(np.dot(a[lo : lo + chunk], b[lo : lo + chunk]))
+                num = n * sab - sums[i] * sums[j]
+                q = (2 * abs(num) * 1_000_000 + den) // (2 * den)
+                out[(i, j)] = (q if num >= 0 else -q) / 1_000_000.0
+        return out
+
     def stats(table: pa.Table) -> pa.Table:
         key = table.column(key_col)[0].as_py()
         cols = [
             table.column(c).to_numpy(zero_copy_only=False).astype(float)
             for c in value_cols
         ]
-        x = np.column_stack(cols)
-        n = x.shape[0]
-        cov = np.cov(x, rowvar=False, bias=True) if n > 1 else np.zeros(
-            (len(value_cols), len(value_cols))
-        )
-        cov = np.atleast_2d(cov)
+        n = len(cols[0])
+        if fixed_point_scale is not None and n >= 1:
+            vals = _exact_cov(cols, n)  # already 6-dp exact — no re-round
+        else:
+            x = np.column_stack(cols)
+            cov = np.cov(x, rowvar=False, bias=True) if n > 1 else np.zeros(
+                (len(value_cols), len(value_cols))
+            )
+            cov = np.atleast_2d(cov)
+            vals = {
+                (i, j): round(float(cov[i, j]), 6)
+                for i in range(len(value_cols))
+                for j in range(i, len(value_cols))
+            }
         keys, xs, ys, ns, vs = [], [], [], [], []
         for i, a in enumerate(value_cols):
             for j, b in enumerate(value_cols):
@@ -113,7 +167,7 @@ def grouped_cov(df: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame
                 xs.append(a)
                 ys.append(b)
                 ns.append(n)
-                vs.append(round(float(cov[i, j]), 6))
+                vs.append(vals[(i, j)])
         return pa.table(
             {key_col: keys, "var_x": xs, "var_y": ys, "n": ns, "cov": vs}
         )

@@ -525,12 +525,22 @@ def schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = orders.filter(k % 2 == 0).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # Margin in exact DECIMAL arithmetic: price is 2-dp money, so 5% of
+    # it is an exact 4-dp decimal whose half-up cut to 2 dp is well-
+    # defined — round(double*0.05, 2) instead lands on .005 ties that
+    # Spark (shortest-repr HALF_UP) and other engines (binary nearbyint)
+    # break differently. The final double is k/100, lossless to store.
+    margin = (
+        (F.col("o_totalprice").cast("decimal(18,2)") * F.lit("0.05").cast("decimal(3,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+    )
     v2 = orders.filter(k % 2 == 1).select(
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
         F.when(k % 3 == 0, F.lit("web")).otherwise(F.lit("store")).alias("o_channel"),
-        F.round(F.col("o_totalprice") * 0.05, 2).alias("o_margin"),
+        margin.alias("o_margin"),
     )
     v1.write.mode("overwrite").parquet(f"{root}/shard=v1")
     v2.write.mode("overwrite").parquet(f"{root}/shard=v2")
@@ -543,7 +553,14 @@ def schema_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count("o_margin").alias("n_with_margin"),
-            F.round(F.sum("o_margin"), 2).alias("sum_margin"),
+            # Sum as DECIMAL(18,2): o_margin is a 2-dp money value, so
+            # the decimal sum is exact and order-independent — a plain
+            # double sum of ~1e8 magnitude flips its last cent between
+            # engines on partial-agg association alone. Cast back to
+            # double (≤15 sig digits → correctly rounded, identical).
+            F.sum(F.col("o_margin").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_margin"),
             F.countDistinct("o_channel").alias("n_channels"),
         )
         .orderBy("o_orderpriority")
@@ -554,8 +571,12 @@ _DRIFT_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_rows,
        count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_margin,
-       round(sum(CASE WHEN o_orderkey % 2 = 1
-                      THEN round(o_totalprice * 0.05, 2) END), 2) AS sum_margin,
+       -- round(DECIMAL, 2) is HALF_UP like Spark's decimal cast;
+       -- a decimal CAST here would round half-to-even instead.
+       CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                     THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.05, 2)
+                               AS DECIMAL(18,2))
+                END) AS DOUBLE) AS sum_margin,
        CAST(count(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN
                 (CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE 'store' END)
             END) AS BIGINT) AS n_channels
@@ -826,25 +847,52 @@ def grouped_cov_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix (upper triangle + diagonal) of
     quantity/price/discount per l_returnflag, computed in the Arrow
     grouped map. One shuffle on the 3-value group key; each group's
-    matrix is numpy on a zero-copy column stack."""
+    matrix is numpy on a zero-copy column stack.
+
+    All three measures are 2-dp fixed-point decimals stored as doubles,
+    so ``fixed_point_scale=100`` makes the 6-dp covariance DECIMAL-
+    EXACT (integer sums + integer half-up division — see grouped_cov):
+    the oracle evaluates the identical integer formula on HUGEINTs, so
+    the hashed doubles are bit-identical by construction, immune to
+    summation association and cross-engine round() asymmetry."""
     from neulix_datahub_spark.operators.timeseries import grouped_cov
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag", *_COV_COLS)
-    return grouped_cov(li, "l_returnflag", _COV_COLS).orderBy(
-        "l_returnflag", "var_x", "var_y"
-    )
+    return grouped_cov(
+        li, "l_returnflag", _COV_COLS, fixed_point_scale=100
+    ).orderBy("l_returnflag", "var_x", "var_y")
 
 
 def _cov_pairs_sql() -> str:
+    # Mirrors grouped_cov's fixed_point_scale=100 integer formula:
+    # num = n·Σab − Σa·Σb, den = n²·100², q = half_up(|num|·10⁶ / den),
+    # cov = ±q / 10⁶.  q < 2⁵³ so the final double is exact.
     parts = []
     for i, a in enumerate(_COV_COLS):
         for j, b in enumerate(_COV_COLS):
             if j < i:
                 continue
             parts.append(
-                f"SELECT l_returnflag, '{a}' AS var_x, '{b}' AS var_y, "
-                f"count(*) AS n, round(covar_pop({a}, {b}), 6) AS cov "
-                "FROM lineitem GROUP BY l_returnflag"
+                f"""
+SELECT l_returnflag, '{a}' AS var_x, '{b}' AS var_y, n,
+       CAST(CASE WHEN num >= 0
+                 THEN (2 * num * 1000000 + den) // (2 * den)
+                 ELSE -((2 * (-num) * 1000000 + den) // (2 * den))
+            END AS DOUBLE) / 1000000.0 AS cov
+FROM (
+    SELECT l_returnflag, n, n * sab - sa * sb AS num,
+           n * n * 10000 AS den
+    FROM (
+        SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+               sum(ai) AS sa, sum(bi) AS sb, sum(ai * bi) AS sab
+        FROM (
+            SELECT l_returnflag,
+                   CAST(round({a} * 100) AS HUGEINT) AS ai,
+                   CAST(round({b} * 100) AS HUGEINT) AS bi
+            FROM lineitem
+        ) GROUP BY l_returnflag
+    )
+)"""
             )
     return " UNION ALL ".join(parts)
 

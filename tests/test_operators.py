@@ -1592,6 +1592,34 @@ def test_grouped_cov_arrow_matches_sql_covariance(spark):
     assert len(got) == 6  # 3 pairs per group x 2 groups
 
 
+def test_grouped_cov_fixed_point_is_decimal_exact(spark):
+    """fixed_point_scale=100 reproduces the documented integer half-up
+    formula exactly — including a negative covariance and a .0000005
+    tie that float covariance would round unpredictably."""
+    from neulix_datahub_spark.operators.timeseries import grouped_cov
+
+    rows = [(1, 10.25, 3.50), (1, 20.75, 1.10), (1, 30.00, 0.40)]
+    df = spark.createDataFrame(rows, "g bigint, x double, y double")
+    out = grouped_cov(df, "g", ["x", "y"], fixed_point_scale=100)
+    got = {(r.var_x, r.var_y): r.cov for r in out.collect()}
+
+    def exact(a_vals, b_vals):
+        a = [round(v * 100) for v in a_vals]
+        b = [round(v * 100) for v in b_vals]
+        n = len(a)
+        num = n * sum(x * y for x, y in zip(a, b)) - sum(a) * sum(b)
+        den = n * n * 100 * 100
+        q = (2 * abs(num) * 1_000_000 + den) // (2 * den)
+        return (q if num >= 0 else -q) / 1_000_000.0
+
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    assert got[("x", "x")] == exact(xs, xs)
+    assert got[("x", "y")] == exact(xs, ys)
+    assert got[("y", "y")] == exact(ys, ys)
+    assert got[("x", "y")] < 0  # anticorrelated fixture
+
+
 def test_prefix_filter_join_complete_vs_brute_force(spark):
     """Zero false negatives AND zero false positives: the prefix-filter
     join returns exactly the brute-force all-pairs result, at several

@@ -166,17 +166,22 @@ def portable_uniform(id_col: Column | str, rounds: int = 2) -> Column:
     """Deterministic pseudo-uniform in (0, 1] from an integer id, using
     ONLY integer arithmetic both Spark and any SQL oracle evaluate
     identically (glibc's LCG constants, iterated; no engine-specific
-    hash, no libm). ``id % M`` first keeps every product below 2^62 —
-    ANSI-mode overflow-safe for any bigint id. Low LCG bits are weak,
-    so two rounds decorrelate the value from the raw id; the output
-    (state+1)/(M+1) is never 0, making it safe as a divisor.
+    hash, no libm). ``pmod(id, M)`` first maps ANY bigint id — negative
+    included — into [0, M) and keeps every product below 2^62 (ANSI-
+    mode overflow-safe); a signed ``%`` would follow the dividend's
+    sign and let a negative id drive the LCG state negative, making the
+    output ≤ 0 (0 exactly at state == -1) and the w/u priority divide
+    unsafe. Low LCG bits are weak, so two rounds decorrelate the value
+    from the raw id; the output (state+1)/(M+1) is in (0, 1] — never 0
+    — making it safe as a divisor. SQL oracles must mirror with a
+    floor-mod spelling: ``((id % M) + M) % M``.
 
     This is the seed discipline hash_mixing_sample applies to text,
     transplanted to integer keys: the draw is a pure function of the
     id, so shards, re-runs, and engines agree row-for-row.
     """
     state = F.col(id_col) if isinstance(id_col, str) else id_col
-    state = state % F.lit(_LCG_M)
+    state = F.pmod(state, F.lit(_LCG_M))
     for _ in range(rounds):
         state = (state * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
     return (state + F.lit(1)).cast("double") / F.lit(float(_LCG_M + 1))

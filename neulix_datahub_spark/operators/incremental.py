@@ -29,6 +29,10 @@ order than a recompute, so equality is exact for counts/ints and
 within-1e-9-relative for doubles; long-running pipelines should
 periodically re-snapshot the aggregate (same answer, fresh float error)
 — standard practice for any incremental view maintenance system.
+Maintain money columns as DECIMAL to make the sums associative and the
+maintained value EXACTLY equal to a recompute forever (the fill zeros
+below are type-preserving, so decimal columns stay decimal through the
+merge).
 """
 
 from __future__ import annotations
@@ -97,8 +101,13 @@ def apply_agg_delta(
         ),
         *[
             (
-                F.coalesce(F.col(out_col), F.lit(0.0))
-                + F.coalesce(F.col(f"__d_{out_col}"), F.lit(0.0))
+                F.coalesce(
+                    F.col(out_col), F.lit(0).cast(agg.schema[out_col].dataType)
+                )
+                + F.coalesce(
+                    F.col(f"__d_{out_col}"),
+                    F.lit(0).cast(agg.schema[out_col].dataType),
+                )
             ).alias(out_col)
             for out_col in sum_map
         ],

@@ -99,16 +99,20 @@ def generate_synthetic_data(
     synth = shards.repartition(n_shards, "shard").mapInPandas(gen, schema=mutable_schema)
 
     # J3 positional alignment: zip synthetic rows with original immutable
-    # column values by row number (data_core.py:163-166).
+    # column values by row number (data_core.py:163-166). Both sides get
+    # their ordinal from the TWO-PHASE partition-offset numbering
+    # (sequence.with_sequential_id, order_by=None): per-partition local
+    # ranks plus a broadcast prefix-sum of partition counts — no
+    # unpartitioned window, so neither full table ever serializes
+    # through a single task (the naive row_number-over-nothing plan
+    # would, and at 100 TB that one task IS the job).
+    from neulix_datahub_spark.operators.sequence import with_sequential_id
+
     immutable = [c for c in df.columns if c not in mutable_columns and c != id_column]
-    w_s = Window.orderBy(F.monotonically_increasing_id())
-    synth_rn = synth.withColumn("__rn", F.row_number().over(w_s))
+    synth_rn = with_sequential_id(synth, "__rn", start=1)
     if immutable:
         n_orig = df.count()
-        orig_rn = (
-            df.select(*immutable)
-            .withColumn("__rn0", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1)
-        )
+        orig_rn = with_sequential_id(df.select(*immutable), "__rn0", start=0)
         synth_rn = synth_rn.withColumn("__rn0", (F.col("__rn") - 1) % F.lit(n_orig)).join(
             orig_rn, "__rn0"
         ).drop("__rn0")

@@ -25,6 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.functions.cleaning import iso_timestamp, parse_flag
+from neulix_datahub_spark.plans._exact import (
+    discount_revenue_sum,
+    discount_revenue_sum_sql,
+    money_sum,
+    revenue_sum,
+    revenue_sum_sql,
+)
 from neulix_datahub_spark.operators.dedupe import (
     _shingles,
     dedupe_append,
@@ -119,15 +126,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       {revenue_sum_sql("l_extendedprice", "l_discount")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey  = c_custkey
@@ -157,13 +164,13 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
-_Q5_SQL = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+_Q5_SQL = f"""
+SELECT n_name, {revenue_sum_sql("l_extendedprice", "l_discount")} AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
 JOIN customer ON o_custkey   = c_custkey
@@ -189,12 +196,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+        .agg(discount_revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
     )
 
 
-_Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+_Q6_SQL = f"""
+SELECT {discount_revenue_sum_sql("l_extendedprice", "l_discount")} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -211,7 +218,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -226,7 +233,7 @@ _ROLLUP_SQL = """
 SELECT coalesce(o_orderstatus, 'ALL')   AS status,
        coalesce(o_orderpriority, 'ALL') AS priority,
        count(*)                         AS n_orders,
-       round(sum(o_totalprice), 4)      AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """

@@ -14,6 +14,7 @@ from neulix_datahub_spark.functions.cleaning import (
     project_to_header,
     sanitize_columns,
 )
+from neulix_datahub_spark.plans._exact import money_sum, revenue_sum
 from neulix_datahub_spark.sources.tables import load_table, register_tables
 
 
@@ -523,9 +524,14 @@ def return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(100.0 * F.sum(returned) / F.count(F.lit(1)), 4).alias(
                 "return_pct"
             ),
-            F.round(
-                F.sum(F.col("l_extendedprice") * returned), 2
-            ).alias("returned_value"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_extendedprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit("0.00").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("returned_value"),
         )
         .orderBy("p_brand")
     )
@@ -536,7 +542,8 @@ SELECT p_brand,
        CAST(count(*) AS BIGINT) AS n_items,
        round(100.0 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
              / count(*), 4) AS return_pct,
-       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                     ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
            AS returned_value
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
@@ -556,9 +563,7 @@ def discount_by_quantity_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.round(F.avg("l_discount"), 6).alias("avg_discount"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("net_revenue"),
+            revenue_sum("l_extendedprice", "l_discount").alias("net_revenue"),
         )
         .orderBy("qty_band")
     )
@@ -568,7 +573,7 @@ DISCOUNT_BAND_SQL = """
 SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_band,
        CAST(count(*) AS BIGINT) AS n_items,
        round(avg(l_discount), 6) AS avg_discount,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net_revenue
 FROM lineitem
 GROUP BY 1
 ORDER BY qty_band
@@ -596,7 +601,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -605,7 +610,7 @@ def csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 CSV_ROUNDTRIP_SQL = """
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(c_acctbal), 4) AS sum_acctbal
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -630,7 +635,7 @@ def json_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            money_sum("o_totalprice").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -639,7 +644,7 @@ def json_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_ROUNDTRIP_SQL = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 4) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -671,7 +676,7 @@ def update_rewrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            money_sum("c_acctbal").alias("sum_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -680,9 +685,9 @@ def update_rewrite_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 UPDATE_REWRITE_SQL = """
 SELECT c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+       CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING'
                       THEN round(c_acctbal + 500.0, 4)
-                      ELSE c_acctbal END), 4) AS sum_acctbal
+                      ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -771,7 +776,7 @@ def doc_store_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_distinct("__doc_id").alias("n_distinct_ids"),
-            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+            money_sum("o_totalprice").alias("sum_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -781,7 +786,7 @@ DOC_STORE_UPSERT_SQL = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_ids,
-       round(sum(o_totalprice), 4) AS sum_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -810,7 +815,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
+            money_sum("p_retailprice").alias("sum_price"),
         )
         .orderBy("p_brand")
     )
@@ -819,7 +824,7 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORC_ROUNDTRIP_SQL = """
 SELECT p_brand,
        CAST(count(*) AS BIGINT) AS n_parts,
-       round(sum(p_retailprice), 4) AS sum_price
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM part
 GROUP BY p_brand
 ORDER BY p_brand
@@ -856,7 +861,7 @@ def partitioned_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct(F.col("event_date")).alias("n_days"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -866,7 +871,7 @@ PARTITIONED_EVENTS_SQL = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
 GROUP BY event_type
@@ -912,7 +917,9 @@ def snapshot_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.count_distinct("c_custkey").alias("n_distinct_keys"),
-            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+            F.sum(F.round(F.col("c_acctbal"), 4).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -929,7 +936,7 @@ WITH upserted AS (
 SELECT c_mktsegment,
        count(*) AS n_customers,
        CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct_keys,
-       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+       CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
 FROM upserted
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -971,7 +978,9 @@ def catalog_commit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+            F.sum(F.round(F.col("c_acctbal"), 4).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -987,7 +996,7 @@ WITH upserted AS (
 )
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+       CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
 FROM upserted
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -1033,7 +1042,9 @@ def snapshot_changes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         diff.groupBy("_change_type")
         .agg(
             F.count(F.lit(1)).alias("n_changes"),
-            F.round(F.sum(F.round(F.col("c_acctbal"), 4)), 4).alias("sum_balance"),
+            F.sum(F.round(F.col("c_acctbal"), 4).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_balance"),
         )
         .orderBy("_change_type")
     )
@@ -1052,7 +1063,7 @@ WITH ch AS (
 )
 SELECT _change_type,
        CAST(count(*) AS BIGINT) AS n_changes,
-       round(sum(round(c_acctbal, 4)), 4) AS sum_balance
+       CAST(sum(CAST(round(c_acctbal, 4) AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance
 FROM ch
 GROUP BY _change_type
 ORDER BY _change_type
@@ -1260,9 +1271,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1271,7 +1280,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SALTED_JOIN_SQL = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -1353,9 +1362,7 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1364,7 +1371,7 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_REVENUE_SQL = """
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -1393,7 +1400,7 @@ WITH RECURSIVE chain AS (
 depths AS (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
 SELECT depth,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_balance
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM depths d JOIN customer c ON c.c_custkey = d.node
 GROUP BY depth
 ORDER BY depth
@@ -1421,7 +1428,7 @@ WITH RECURSIVE chain AS (
 depths AS (SELECT node, max(depth) AS depth FROM chain GROUP BY node)
 SELECT depth,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(c.c_acctbal), 2) AS total_balance
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
 FROM depths d JOIN customer c ON c.c_custkey = d.node
 GROUP BY depth
 ORDER BY depth
@@ -1446,7 +1453,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(revenue_sum("l_extendedprice", "l_discount").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1454,7 +1461,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey  = o_orderkey
 JOIN customer ON o_custkey   = c_custkey
@@ -1671,14 +1678,15 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+            money_sum("o_totalprice").alias("total_value"),
         )
         .orderBy("band")
     )
 
 
 PRICE_BANDS_SQL = """
-SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_value
+SELECT band, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders
 JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
              (150000.0, 1e9, 'high')) AS bands(lo, hi, band)
@@ -2062,7 +2070,9 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("c_custkey").alias("n_keys"),
             F.count_if(F.col("c_mktsegment") == "MOVED").alias("n_moved"),
-            F.round(F.sum(F.round("c_acctbal", 4)), 4).alias("sum_bal"),
+            F.sum(F.round("c_acctbal", 4).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
         )
         .orderBy("is_current")
     )
@@ -2088,13 +2098,13 @@ FROM (
     SELECT TRUE AS is_current, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
            CAST(count(*) FILTER (seg = 'MOVED') AS BIGINT) AS n_moved,
-           round(sum(round(bal, 4)), 4) AS sum_bal
+           CAST(sum(CAST(round(bal, 4) AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM cur
     UNION ALL
     SELECT FALSE, CAST(count(*) AS BIGINT),
            CAST(count(DISTINCT c_custkey) AS BIGINT),
            CAST(count(*) FILTER (seg = 'MOVED') AS BIGINT),
-           round(sum(round(bal, 4)), 4)
+           CAST(sum(CAST(round(bal, 4) AS DECIMAL(18,2))) AS DOUBLE)
     FROM closed
 )
 ORDER BY is_current
@@ -2142,7 +2152,7 @@ def orders_at_dimension_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            money_sum("o_totalprice").alias("revenue"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2151,7 +2161,7 @@ def orders_at_dimension_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORDERS_ASOF_SQL = """
 SELECT seg AS c_mktsegment,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM (
     SELECT CASE WHEN c.c_custkey % 20 = 0
                  AND CAST(o.o_orderdate AS DATE) >= DATE '1999-07-01'
@@ -2179,7 +2189,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                grouping(o_orderstatus) AS g_status,
                grouping(o_orderpriority) AS g_priority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 4) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority))
@@ -2192,7 +2202,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(grouping(o_orderstatus) AS INT) AS g_status,
        CAST(grouping(o_orderpriority) AS INT) AS g_priority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 4) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                         (o_orderstatus), (o_orderpriority))
@@ -2218,7 +2228,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         long.groupBy("l_returnflag", "measure")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .orderBy("l_returnflag", "measure")
     )
@@ -2227,7 +2237,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNPIVOT_SQL = """
 SELECT l_returnflag, measure,
        CAST(count(*) AS BIGINT) AS n_rows,
-       round(sum(value), 4) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM (
     SELECT l_returnflag, 'quantity' AS measure,
            CAST(l_quantity AS DOUBLE) AS value FROM lineitem

@@ -42,6 +42,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _money_sum(col: str) -> F.Column:
+    """Exact checksum sum for a 2-dp money column stored as double:
+    sum as DECIMAL(18,2) (associative, order-independent — a plain
+    double sum of ~1e8+ magnitude flips its last cent between engines
+    on partial-agg association alone), then cast the exact 2-dp value
+    back to double (≤15 sig digits → correctly rounded, identical in
+    every engine). SQL mirror: CAST(sum(CAST(c AS DECIMAL(18,2))) AS
+    DOUBLE)."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Range join: overlapping promotion windows (one per nation, 180 days,
 # starting 60 days apart -> every day is covered by up to 3 windows)
@@ -97,7 +108,7 @@ def promo_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("window_id")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            _money_sum("o_totalprice").alias("sum_revenue"),
         )
         .orderBy("window_id")
     )
@@ -119,7 +130,7 @@ pts AS (
 )
 SELECT window_id,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue
 FROM pts JOIN intervals
   ON pts.order_day BETWEEN intervals.win_lo AND intervals.win_hi
 GROUP BY window_id
@@ -208,7 +219,7 @@ def window_coverage_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("depth")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            _money_sum("o_totalprice").alias("sum_revenue"),
         )
         .orderBy("depth")
     )
@@ -227,7 +238,7 @@ pts AS (
            o_totalprice
     FROM orders
 )
-SELECT depth, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_revenue
+SELECT depth, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue
 FROM (
     SELECT (SELECT count(*) FROM intervals i
             WHERE pts.order_day BETWEEN i.win_lo AND i.win_hi) AS depth,
@@ -258,9 +269,15 @@ ORDER BY depth
 
 
 def _orders_versions(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # Money flows through the snapshot/feed/maintenance machinery as
+    # DECIMAL(18,2): the sums are then associative, the maintained
+    # aggregate equals the recompute EXACTLY, and the emitted checksum
+    # cannot flip its last cent on partial-agg order (a double sum of
+    # ~1e9 magnitude can).
     k = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
     v1 = orders.filter(k % 7 != 3).select(
-        "o_orderkey", "o_orderpriority", "o_totalprice"
+        "o_orderkey", "o_orderpriority", price.alias("o_totalprice")
     )
     v2 = (
         orders.filter(k % 9 != 4)
@@ -269,8 +286,9 @@ def _orders_versions(orders: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.when(k % 15 == 0, F.lit("9-MOVED"))
             .otherwise(F.col("o_orderpriority"))
             .alias("o_orderpriority"),
-            F.when(k % 5 == 0, F.col("o_totalprice") + 1000.0)
-            .otherwise(F.col("o_totalprice"))
+            F.when(k % 5 == 0, price + F.lit("1000.00").cast("decimal(18,2)"))
+            .otherwise(price)
+            .cast("decimal(18,2)")
             .alias("o_totalprice"),
         )
     )
@@ -318,13 +336,12 @@ def incremental_agg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderpriority",
             F.col("n_orders"),
-            F.round("sum_price", 2).alias("sum_price"),
+            # decimal sums are exact — cast the 2-dp value to double
+            # losslessly; no rounding needed or wanted
+            F.col("sum_price").cast("double").alias("sum_price"),
             (
                 (F.col("n_orders") == F.col("__rcnt"))
-                & (
-                    F.abs(F.col("sum_price") - F.col("__rsum"))
-                    <= 1e-9 * F.abs(F.col("__rsum"))
-                )
+                & (F.col("sum_price") == F.col("__rsum"))  # exact: decimals
             ).alias("matches_recompute"),
         )
         .orderBy("o_orderpriority")
@@ -335,13 +352,14 @@ _INCR_AGG_SQL = """
 WITH v2 AS (
     SELECT CASE WHEN o_orderkey % 15 = 0 THEN '9-MOVED'
                 ELSE o_orderpriority END AS o_orderpriority,
-           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
-                ELSE o_totalprice END AS o_totalprice
+           CASE WHEN o_orderkey % 5 = 0
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST('1000.00' AS DECIMAL(18,2))
+                ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice
     FROM orders WHERE o_orderkey % 9 != 4
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(sum(o_totalprice) AS DOUBLE) AS sum_price,
        true AS matches_recompute
 FROM v2
 GROUP BY o_orderpriority
@@ -390,7 +408,7 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.shiftright(F.col("__z"), 2 * _Z_BITS - 4).alias("zbucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+            _money_sum("o_totalprice").alias("sum_revenue"),
         )
         .orderBy("zbucket")
     )
@@ -431,7 +449,7 @@ WITH bounds AS (
 keyed AS ({_morton_sql()})
 SELECT z >> {2 * _Z_BITS - 4} AS zbucket,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue
 FROM keyed
 GROUP BY 1
 ORDER BY 1
@@ -708,8 +726,10 @@ def lexicon_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__quarantined").alias("n_quarantined"),
+            # try_divide: a letterless document has __n_tok = 0, and a
+            # plain / would abort the whole query under ANSI mode
             F.round(
-                F.avg(F.col("__hits") / F.col("__n_tok")), 6
+                F.avg(F.try_divide(F.col("__hits"), F.col("__n_tok"))), 6
             ).alias("avg_flag_ratio"),
         )
         .orderBy("lang")
@@ -729,7 +749,7 @@ SELECT lang,
        count(*) AS n_docs,
        CAST(sum(CASE WHEN CAST(hits AS DOUBLE) > {_LEX_RATIO} * n_tok
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
-       round(avg(CAST(hits AS DOUBLE) / n_tok), 6) AS avg_flag_ratio
+       round(avg(CAST(hits AS DOUBLE) / NULLIF(n_tok, 0)), 6) AS avg_flag_ratio
 FROM scored
 GROUP BY lang
 ORDER BY lang
@@ -988,7 +1008,7 @@ def cached_query_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).alias("n_orders"),
-                F.round(F.sum("o_totalprice"), 2).alias("sum_revenue"),
+                _money_sum("o_totalprice").alias("sum_revenue"),
             )
         )
 
@@ -1006,7 +1026,7 @@ def cached_query_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CACHED_SQL = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_revenue,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue,
        true AS cache_hit
 FROM orders
 GROUP BY o_orderpriority

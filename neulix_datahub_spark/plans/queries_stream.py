@@ -630,10 +630,16 @@ def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neulix_datahub_spark.streaming.sinks import stream_commit_tables
 
     tmp = _scratch(spark, "neulix_stream_cat_")
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # value is 2-dp money: stream it as DECIMAL(18,2) so the delta-fold
+    # sums are associative and every catalog version's aggregate equals
+    # the recompute EXACTLY — a double sum checksum at ~1e5+ magnitude
+    # can flip its last digit on micro-batch order alone.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)").alias("value")
+    )
     ev.repartition(4).write.parquet(f"{tmp}/src")
     stream = (
-        spark.readStream.schema("event_type string, value double")
+        spark.readStream.schema("event_type string, value decimal(18,2)")
         .option("maxFilesPerTrigger", "1")
         .parquet(f"{tmp}/src")
     )
@@ -648,7 +654,7 @@ def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_events"),
-                F.sum("value").cast("double").alias("sum_value"),
+                F.sum("value").cast("decimal(28,2)").alias("sum_value"),
             )
         )
         return apply_agg_delta(
@@ -668,15 +674,20 @@ def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in snapshot_versions(cat):
         tables = read_catalog(spark, cat, version=v)
         want = {
-            (r.event_type, r.n, round(r.s, 6))
+            (r.event_type, r.n, r.s)  # decimal sums: exact, no rounding
             for r in tables["events_clean"]
             .groupBy("event_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("value").alias("s"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("value").cast("decimal(28,2)").alias("s"),
+            )
             .collect()
         }
         got = {
-            (r.event_type, r.n_events, round(r.sum_value, 6))
-            for r in tables["counts_by_type"].collect()
+            (r.event_type, r.n_events, r.sum_value)
+            for r in tables["counts_by_type"]
+            .select("event_type", "n_events", F.col("sum_value").cast("decimal(28,2)"))
+            .collect()
         }
         consistent = consistent and got == want
 
@@ -684,7 +695,7 @@ def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "event_type",
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
         F.lit(consistent and len(snapshot_versions(cat)) >= 4).alias(
             "all_versions_consistent"
         ),
@@ -694,7 +705,7 @@ def stream_catalog_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_CAT_SQL = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
        true AS all_versions_consistent
 FROM events
 GROUP BY event_type

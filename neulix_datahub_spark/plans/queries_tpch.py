@@ -29,6 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from neulix_datahub_spark.plans._exact import (
+    money_sum,
+    money_sum_sql,
+    revenue_sum_sql,
+)
 from neulix_datahub_spark.sources.tables import load_table
 
 
@@ -40,6 +45,16 @@ def _rev():
     """Discounted revenue expression (built once per query — F.col needs
     an active session in classic mode, so this cannot be a module constant)."""
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _rev_dec():
+    """Decimal-exact discounted revenue term: price (2-dp money) times
+    (1 - discount) (2-dp fraction) is an exact 4-dp decimal, so sums of
+    it are associative — the driver-hashed revenue checksums cannot
+    flip their last digit on partial-agg order (plans/_exact.py)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit("1.00").cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -140,14 +155,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.round(F.sum(_rev()), 4).alias("volume"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("volume"))
     )
 
 
-Q7_SQL = """
+Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+       {revenue_sum_sql("l_extendedprice", "l_discount")} AS volume
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -192,9 +207,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # both sums decimal-exact → the double ratio is the same
+            # division of the same two doubles in every engine
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(0.0))
-                / F.sum(_rev()),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", _rev_dec()).otherwise(
+                        F.lit("0.00").cast("decimal(6,4)")
+                    )
+                ).cast("double")
+                / F.sum(_rev_dec()).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -203,9 +224,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n1.n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST('0.00' AS DECIMAL(6,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             6) AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN orders   ON l_orderkey = o_orderkey
@@ -239,13 +264,13 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(F.round(F.sum(_rev()), 4).alias("profit"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("profit"))
     )
 
 
-Q9_SQL = """
+Q9_SQL = f"""
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit
+       {revenue_sum_sql("l_extendedprice", "l_discount")} AS profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -329,7 +354,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 4).alias("total_revenue")
+        F.sum(_rev_dec()).cast("double").alias("total_revenue")
     )
     top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -339,10 +364,10 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q15_SQL = """
+Q15_SQL = f"""
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+           {revenue_sum_sql("l_extendedprice", "l_discount")} AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
     GROUP BY l_suppkey
@@ -394,12 +419,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(F.round(money_sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
 
 
-Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+Q17_SQL = f"""
+SELECT round({money_sum_sql("l_extendedprice")} / 7.0, 4) AS avg_yearly
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#2'
   AND l_quantity < 0.5 * (
@@ -472,11 +497,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(20, 30)
         )
     )
-    return j.filter(cond).agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+    return j.filter(cond).agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
 
 
-Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+Q19_SQL = f"""
+SELECT {revenue_sum_sql("l_extendedprice", "l_discount")} AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -552,8 +577,10 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    # avg from the exact decimal sum: identical double in every engine,
+    # so the c_acctbal > avg_bal row membership cannot drift
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (money_sum("c_acctbal") / F.count(F.lit(1))).alias("avg_bal")
     )
     rich = cust.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
@@ -565,15 +592,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        money_sum("c_acctbal").alias("totacctbal"),
     )
 
 
-Q22_SQL = """
+Q22_SQL = f"""
 SELECT c_mktsegment AS segment, count(*) AS numcust,
-       round(sum(c_acctbal), 4) AS totacctbal
+       {money_sum_sql("c_acctbal")} AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT {money_sum_sql("c_acctbal")} / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
@@ -640,17 +668,24 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     li = _t(spark, sf_dir, "lineitem")
+    # part_value is an exact 2-dp decimal (money × integral quantity)
+    # and the 0.1% threshold derives from its exact sum — the
+    # part_value > min_value row membership is then identical in every
+    # engine, instead of hinging on double-sum association.
     per_part = (
         li.join(supp.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
-                "part_value"
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(4,0)")
             )
+            .cast("double")
+            .alias("part_value")
         )
     )
     threshold = per_part.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("min_value")
+        (money_sum("part_value") * F.lit(0.001)).alias("min_value")
     )
     return (
         per_part.join(F.broadcast(threshold))
@@ -663,7 +698,8 @@ def q11_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_SQL = """
 WITH per_part AS (
     SELECT l_partkey,
-           round(sum(l_extendedprice * l_quantity), 4) AS part_value
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS part_value
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -673,7 +709,9 @@ WITH per_part AS (
 )
 SELECT l_partkey, part_value
 FROM per_part
-WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+WHERE part_value > (SELECT CAST(sum(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE)
+                           * CAST(0.001 AS DOUBLE)
+                    FROM per_part)
 ORDER BY part_value DESC, l_partkey
 """
 

@@ -83,6 +83,30 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
+def _batch_fingerprint(batch_df: DataFrame) -> tuple[int, int]:
+    """Order-independent content fingerprint of a micro-batch:
+    (row count, bit-XOR of per-row xxhash64 over all columns). XOR is
+    commutative and overflow-free, so the pair is a pure function of the
+    batch's multiset of rows (up to XOR-cancelling duplicates) at the
+    cost of one aggregate.
+
+    Used by the exactly-once sinks to tell a checkpoint REPLAY of an
+    already-committed batch id (same content → safe to skip) from a
+    fresh run whose batch ids restarted at 0 over an ADVANCED source
+    (different content under the same id → refusing loudly beats
+    silently dropping data). A monotonic batch id alone cannot make
+    that distinction — ids are only comparable within one continuous
+    checkpoint lineage."""
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in batch_df.columns])),
+            F.lit(0),
+        ).alias("x"),
+    ).first()
+    return int(row["n"]), int(row["x"])
+
+
 def stream_agg_maintain_to_parquet(
     stream_df: DataFrame,
     path: str,
@@ -103,11 +127,25 @@ def stream_agg_maintain_to_parquet(
     is readable (atomically, any version) by any outside consumer
     mid-stream.
 
-    Exactly-once on top of foreachBatch's at-least-once: every publish
-    stamps ``_last_batch_id``; a checkpoint-replayed batch sees its own
-    id already committed and skips, so re-delivery cannot double-count
-    — the transactional-sink recipe from the Structured Streaming docs,
-    with the snapshot pointer as the transaction.
+    Exactly-once on top of foreachBatch's at-least-once, in BOTH replay
+    regimes (batch ids are only comparable within one continuous
+    checkpoint lineage, so the id alone cannot carry the guarantee):
+
+    - continuous checkpoint, in-flight batch re-delivered after a
+      crash: its id equals the committed ``_last_batch_id`` and its
+      content fingerprint matches the stamped one → skip.
+    - checkpoint lost/reset (ids restart at 0, the whole source is
+      re-delivered): the sink accumulates the re-run's cumulative
+      content fingerprint and skips until it EQUALS the committed
+      cumulative stamp — the already-folded prefix — then folds every
+      batch after it. A source that grew past the old checkpoint is
+      therefore drained without loss OR double count; a re-run whose
+      prefix content diverges from what was committed raises instead
+      of guessing.
+
+    Fingerprints are order-independent (count + XOR of row hashes,
+    ``_batch_fingerprint``) and ride on the snapshot rows, so they
+    commit atomically with the data they describe.
     """
     from neulix_datahub_spark.operators.incremental import apply_agg_delta
 
@@ -123,20 +161,58 @@ def stream_agg_maintain_to_parquet(
             )
         )
 
+    _STAMPS = ("_last_batch_id", "_last_batch_fp_n", "_last_batch_fp_x",
+               "_content_fp_n", "_content_fp_x")
+    # per-run replay tracker (foreachBatch calls arrive sequentially)
+    run = {"mode": "normal", "cum_n": 0, "cum_x": 0}
+
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
         existing = read_upsert_table(spark, path)
+        meta = None
         if existing is not None:
-            done = existing.agg(F.max("_last_batch_id")).first()[0]
-            if done is not None and done >= batch_id:
-                return  # replayed batch: already folded in
-            existing = existing.drop("_last_batch_id")
-        else:
+            meta = existing.agg(
+                F.max("_last_batch_id").alias("id"),
+                F.max("_last_batch_fp_n").alias("n"),
+                F.max("_last_batch_fp_x").alias("x"),
+                F.max("_content_fp_n").alias("cn"),
+                F.max("_content_fp_x").alias("cx"),
+            ).first()
+            existing = existing.drop(*_STAMPS)
+        done = meta["id"] if meta is not None else None
+        fp_n, fp_x = _batch_fingerprint(batch_df)
+        if done is not None and batch_id <= done and run["mode"] == "normal":
+            if batch_id == done and (fp_n, fp_x) == (meta["n"], meta["x"]):
+                return  # continuous-checkpoint replay of the in-flight batch
+            run["mode"] = "replay"  # ids restarted: full re-delivery
+        if run["mode"] == "replay":
+            run["cum_n"] += fp_n
+            run["cum_x"] ^= fp_x
+            if run["cum_n"] < meta["cn"]:
+                return  # still inside the already-committed prefix
+            if run["cum_n"] == meta["cn"] and run["cum_x"] == meta["cx"]:
+                run["mode"] = "normal"  # prefix fully re-delivered
+                return  # batches after this one are genuinely new
+            raise RuntimeError(
+                "checkpoint lineage restarted but the re-delivered content "
+                f"diverges from the committed prefix at batch {batch_id} "
+                f"(seen {run['cum_n']} rows vs committed {meta['cn']}). "
+                "Refusing to skip (data loss) or fold (double count) — "
+                "restart with a fresh table + checkpoint."
+            )
+        if existing is None:
             existing = _empty_agg(batch_df)
         feed = batch_df.withColumn("_change_type", F.lit("insert"))
         updated = apply_agg_delta(existing, feed, group_cols, count_col, sum_map)
-        write_snapshot(
-            updated.withColumn("_last_batch_id", F.lit(batch_id)), path
+        prev_cn = meta["cn"] if meta is not None and meta["cn"] is not None else 0
+        prev_cx = meta["cx"] if meta is not None and meta["cx"] is not None else 0
+        stamped = (
+            updated.withColumn("_last_batch_id", F.lit(batch_id))
+            .withColumn("_last_batch_fp_n", F.lit(fp_n))
+            .withColumn("_last_batch_fp_x", F.lit(fp_x))
+            .withColumn("_content_fp_n", F.lit(prev_cn + fp_n))
+            .withColumn("_content_fp_x", F.lit(prev_cx ^ fp_x))
         )
+        write_snapshot(stamped, path)
         if retain_versions is not None:
             vacuum_snapshots(path, keep=retain_versions)
 
@@ -170,9 +246,13 @@ def stream_commit_tables(
     -> full new DataFrame`` (existing is the member at the catalog's
     current commit; None before the first). Exactly-once rides the same
     commit: the reserved ``commit_meta`` member records the batch id
-    ATOMICALLY WITH the data, so a checkpoint-replayed batch sees its id
-    already committed and skips — there is no state in which the data
-    committed but the bookkeeping didn't.
+    AND content fingerprints ATOMICALLY WITH the data, so there is no
+    state in which the data committed but the bookkeeping didn't. Both
+    replay regimes are covered (see stream_agg_maintain_to_parquet):
+    an in-flight batch re-delivered under a continuous checkpoint skips
+    by (id, fingerprint); a fresh checkpoint over a possibly-advanced
+    source skips the re-delivered prefix by cumulative fingerprint,
+    folds the new tail, and raises on divergent content.
 
     Works with incremental member functions (e.g. an
     operators/incremental.py delta fold) so per-batch cost tracks batch
@@ -187,20 +267,42 @@ def stream_commit_tables(
     if STREAM_META_TABLE in members:
         raise ValueError(f"{STREAM_META_TABLE!r} is reserved")
     spark = stream_df.sparkSession
+    run = {"mode": "normal", "cum_n": 0, "cum_x": 0}
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         try:
             manifest = read_catalog_manifest(catalog_root)
         except FileNotFoundError:
             manifest = {}
+        meta = None
         if STREAM_META_TABLE in manifest:
-            last = read_snapshot_table(
+            meta = read_snapshot_table(
                 spark,
                 os.path.join(catalog_root, STREAM_META_TABLE),
                 manifest[STREAM_META_TABLE],
-            ).first()["last_batch_id"]
-            if last >= batch_id:
-                return  # replayed batch: the catalog already contains it
+            ).first().asDict()
+        fp_n, fp_x = _batch_fingerprint(batch_df)
+        if meta is not None and batch_id <= meta["last_batch_id"] and run["mode"] == "normal":
+            if batch_id == meta["last_batch_id"] and (fp_n, fp_x) == (
+                meta.get("last_fp_n"), meta.get("last_fp_x")
+            ):
+                return  # continuous-checkpoint replay of the in-flight batch
+            run["mode"] = "replay"  # ids restarted: full re-delivery
+        if run["mode"] == "replay":
+            run["cum_n"] += fp_n
+            run["cum_x"] ^= fp_x
+            cn, cx = meta.get("content_n"), meta.get("content_x")
+            if cn is not None and run["cum_n"] < cn:
+                return  # still inside the already-committed prefix
+            if run["cum_n"] == cn and run["cum_x"] == cx:
+                run["mode"] = "normal"  # prefix fully re-delivered
+                return
+            raise RuntimeError(
+                "checkpoint lineage restarted but the re-delivered content "
+                f"diverges from the committed prefix at batch {batch_id}. "
+                "Refusing to skip (data loss) or fold (double count) — "
+                "start a fresh catalog with the fresh checkpoint."
+            )
         updates = {}
         for name, fn in members.items():
             existing = (
@@ -211,8 +313,12 @@ def stream_commit_tables(
                 else None
             )
             updates[name] = fn(batch_df, existing)
+        prev_cn = meta.get("content_n") if meta else 0
+        prev_cx = meta.get("content_x") if meta else 0
         updates[STREAM_META_TABLE] = spark.createDataFrame(
-            [(batch_id,)], "last_batch_id bigint"
+            [(batch_id, fp_n, fp_x, (prev_cn or 0) + fp_n, (prev_cx or 0) ^ fp_x)],
+            "last_batch_id bigint, last_fp_n bigint, last_fp_x bigint, "
+            "content_n bigint, content_x bigint",
         )
         commit_tables(updates, catalog_root)
 

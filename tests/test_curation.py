@@ -401,6 +401,18 @@ def test_portable_uniform_range_and_determinism(spark):
     assert row[2] > 9_900  # essentially all distinct
     assert 0.45 < row[3] < 0.55  # roughly uniform mean
 
+    # negative ids: pmod keeps the LCG state non-negative, so the draw
+    # stays in (0, 1] — a signed % would emit u <= 0 and corrupt (or
+    # ANSI-abort) the w/u priority divide downstream
+    neg = (
+        spark.range(10_000)
+        .select((F.col("id") * -1 - 1).alias("id"))
+        .select(portable_uniform("id").alias("u"))
+    )
+    nrow = neg.agg(F.min("u"), F.max("u"), F.avg("u")).first()
+    assert 0.0 < nrow[0] and nrow[1] <= 1.0
+    assert 0.45 < nrow[2] < 0.55
+
 
 def test_mixture_resample_budget_exact(spark):
     """Largest-remainder rounding: integer targets sum EXACTLY to the

@@ -467,6 +467,33 @@ def test_synth_constraints(spark):
     assert {r.name for r in rows} <= {f"name{i}" for i in range(20)}
 
 
+def test_synth_plan_stays_distributed(spark):
+    """The J3 positional alignment must use the two-phase partition-
+    offset numbering, NOT an unpartitioned row_number window: with the
+    naive plan the entire synthetic frame serializes through ONE task
+    and the output collapses to a single partition — at 100 TB that one
+    task is the job. Generate across multiple shards with no immutable
+    columns (no join to re-shuffle afterwards) and assert the shard
+    parallelism survives to the output."""
+    orig = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id long, amount double"
+    )
+    # AQE legitimately coalesces a 200-row shuffle to one partition at
+    # test scale — switch it off so the partitioning the PLAN prescribes
+    # (what a 100 TB run would see) is observable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = generate_synthetic_data(
+            orig, num_rows=200, mutable_columns=["amount"], id_column="id"
+        )
+        assert out.rdd.getNumPartitions() > 1
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert len(rows) == 200
+    assert sorted(r.id for r in rows) == list(range(50, 250))  # still gap-free
+
+
 # --- HLL sketch tolerance (A3 scale path) -------------------------------------
 
 def test_hll_estimate_within_tolerance(spark):

@@ -693,3 +693,102 @@ def test_stream_agg_maintain_replay_cannot_double_count(spark, tmp_path):
         .collect()
     }
     assert first == want
+
+
+def _write_src_file(path, rows, mtime):
+    """One parquet file in the streaming source dir, with a pinned mtime
+    so the file source's (timestamp, path) ordering is deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": [r[0] for r in rows],
+                "value": [float(r[1]) for r in rows],
+            }
+        ),
+        path,
+    )
+    os.utime(path, (mtime, mtime))
+
+
+def test_stream_agg_maintain_survives_checkpoint_loss_over_grown_source(
+    spark, tmp_path
+):
+    """Checkpoint loss over an ADVANCED source: the fresh run restarts
+    at batch 0 and re-delivers everything. The cumulative content
+    fingerprint skips exactly the already-committed prefix and folds
+    the new tail — no data loss (the naive id guard would drop the new
+    files whose batch ids collide with committed ones) and no double
+    count."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_src_file(str(src / "f0.parquet"), [("a", 1.0), ("b", 2.0)], 1_000)
+    _write_src_file(str(src / "f1.parquet"), [("a", 3.0)], 2_000)
+    path = str(tmp_path / "agg")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = stream_agg_maintain_to_parquet(
+            stream, path, group_cols=["event_type"], count_col="n",
+            sum_map={"s": "value"}, checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    got1 = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got1 == {"a": (2, 4.0), "b": (1, 2.0)}
+
+    # source grows; the old checkpoint is "lost" (fresh dir)
+    _write_src_file(str(src / "f2.parquet"), [("b", 5.0), ("c", 7.0)], 3_000)
+    drain("ckpt2")
+    got2 = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got2 == {"a": (2, 4.0), "b": (2, 7.0), "c": (1, 7.0)}
+
+
+def test_stream_agg_maintain_refuses_divergent_replay(spark, tmp_path):
+    """A fresh checkpoint whose re-delivered content DIVERGES from the
+    committed prefix must raise, not silently skip or double-fold."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from neulix_datahub_spark.streaming.sinks import stream_agg_maintain_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_src_file(str(src / "f0.parquet"), [("a", 1.0), ("b", 2.0)], 1_000)
+    path = str(tmp_path / "agg")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = stream_agg_maintain_to_parquet(
+            stream, path, group_cols=["event_type"], count_col="n",
+            sum_map={"s": "value"}, checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    # rewrite f0 with different content, then replay from scratch
+    _write_src_file(str(src / "f0.parquet"), [("a", 9.0), ("b", 9.0)], 1_000)
+    with pytest.raises(StreamingQueryException, match="diverges"):
+        drain("ckpt2")

@@ -72,6 +72,7 @@ def main() -> None:
     # re-run measured 2.7-2.9s. A third sample halves the odds that
     # contention covers every window.)
     timings: dict[str, float] = {}
+    per_query_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         for _ in range(2):
@@ -81,14 +82,24 @@ def main() -> None:
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+        per_query_samples[name] = [round(s, 4) for s in samples]
         timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
+    # `samples` exposes the spread (sum over queries of the k-th sample),
+    # so a recorded number can be told apart from host contention — the
+    # round-6 drift ambiguity (13.53 recorded vs 13.86 at round close)
+    # is answerable from the artifact alone.
     print(json.dumps({
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
+        "samples": [
+            round(sum(per_query_samples[n][k] for n in HEADLINE), 4)
+            for k in range(3)
+        ],
         "queries": timings,
+        "query_samples": per_query_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

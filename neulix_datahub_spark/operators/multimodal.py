@@ -10,14 +10,19 @@ typed metadata struct — the schema a 100 TB media lake actually uses
 
 The Spark-side plumbing here is real and tested: binaryFile ingestion,
 metadata derivation, Arrow-batched ``mapInPandas`` transforms with the
-right schemas and partitioning. Container-format HEADER parsing is also
-real where the format allows stdlib-only work: PNG IHDR and JPEG SOF
-dimensions, WAV fmt/data sample-rate/channels/duration (``struct``
-unpacking, no PIL/ffmpeg needed). Only pixel/sample DECODE work (image
-resample, video frame extraction, mp3 decode) falls back to
-deterministic fakes behind the same signatures, clearly marked, so
-swapping in PIL/ffmpeg later changes one function body, not the
-pipeline.
+right schemas and partitioning. Container-format HEADER parsing is real
+where the format allows stdlib-only work: PNG IHDR / JPEG SOF / GIF /
+BMP dimensions, WAV fmt/data sample-rate/channels/duration, MP4
+moov/mvhd duration (``struct`` unpacking, no PIL/ffmpeg needed). Two
+modalities also have REAL content decode, pure stdlib+numpy:
+uncompressed 24/32-bpp BMP pixels (``decode_bmp_pixels`` → mean RGB /
+brightness / contrast features) and PCM 8/16-bit WAV samples
+(``decode_wav_samples`` → RMS / peak / zero-crossing features, plus a
+linear-interpolation ``resample_pcm_wav``). Formats that genuinely need
+a codec library (JPEG pixels, mp3, video frame pixels) emit explicit
+nulls or clearly-marked stub slices — never a fabricated number that
+could be mistaken for a measurement — so swapping in PIL/ffmpeg later
+changes one function body, not the pipeline.
 """
 
 from __future__ import annotations
@@ -223,54 +228,191 @@ def parse_mp4_duration(payload: bytes) -> tuple[int, int] | None:
     return walk(0, len(payload))
 
 
-def _fake_decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic fallback for image formats whose dimensions
-    need a real decoder (no PIL/opencv in this container). Derives a
-    stable (width, height) from the payload bytes so the pipeline is
-    testable end-to-end. Swap body for
-    ``PIL.Image.open(io.BytesIO(payload)).size`` in a full environment."""
-    import hashlib
+def decode_bmp_pixels(payload: bytes):
+    """REAL pixel decode, pure stdlib+numpy: uncompressed (BI_RGB)
+    24/32-bpp BITMAPINFOHEADER BMPs → uint8 array of shape (height,
+    width, 3) in RGB order. Handles the spec's bottom-up row order
+    (positive height), top-down (negative height), and 4-byte row
+    padding. Returns None for any other BMP flavor (paletted, RLE,
+    bitfields) or non-BMP payload — never a fake pixel."""
+    import struct
 
-    # hashlib, not hash(): builtin hash of bytes is salted per process, so
-    # it would disagree across executors.
-    h = int.from_bytes(hashlib.sha1(payload[:64]).digest()[:4], "big")
-    return 64 + h % 1024, 64 + (h >> 10) % 1024
+    import numpy as np
+
+    if len(payload) < 54 or payload[0:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack("<I", payload[10:14])
+    (dib_size,) = struct.unpack("<I", payload[14:18])
+    if dib_size < 40:
+        return None
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    _planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if w <= 0 or h_signed == 0 or compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(h_signed)
+    bytes_per_px = bpp // 8
+    stride = (w * bytes_per_px + 3) & ~3  # rows pad to 4 bytes
+    need = pix_off + stride * h
+    if need > len(payload):
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = raw.reshape(h, stride)[:, : w * bytes_per_px].reshape(h, w, bytes_per_px)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down array
+    # BMP stores BGR(A); emit RGB
+    return rows[:, :, 2::-1].copy()
 
 
-def _image_dimensions(payload: bytes) -> tuple[int, int]:
-    """Real PNG/JPEG/GIF/BMP header parse first; deterministic fake for
-    the rest (TIFF/WebP/HEIC need a real decoder)."""
+def decode_wav_samples(payload: bytes):
+    """REAL sample decode, pure stdlib+numpy: PCM 8-bit (unsigned) and
+    16-bit (signed LE) WAV data → (sample_rate, float64 array of shape
+    (n_frames, channels) scaled to [-1, 1]). Returns None for
+    non-PCM/float/24-bit payloads — never a fake sample."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(payload):
+            audio_fmt, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            (bits,) = struct.unpack("<H", payload[i + 22 : i + 24])
+            fmt = (audio_fmt, channels, rate, bits)
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, channels, rate, bits = fmt
+    if audio_fmt != 1 or channels < 1 or rate <= 0:
+        return None  # only uncompressed PCM
+    if bits == 16:
+        x = np.frombuffer(data[: len(data) - (len(data) % (2 * channels))],
+                          dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data[: len(data) - (len(data) % channels)],
+                           dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    return rate, x.reshape(-1, channels)
+
+
+def resample_pcm_wav(payload: bytes, target_rate: int) -> bytes | None:
+    """REAL resample, pure numpy: linear interpolation of a PCM WAV's
+    samples onto the target rate, re-encoded as 16-bit PCM WAV. The
+    DSP is the honest minimum (no anti-alias filter — linear interp is
+    what a first-pass media pipeline stage does before a real DSP lib
+    lands), but every byte of the output derives from the input's
+    actual samples. None for undecodable payloads."""
+    import struct
+
+    import numpy as np
+
+    decoded = decode_wav_samples(payload)
+    if decoded is None or target_rate <= 0:
+        return None
+    rate, x = decoded
+    n_in, channels = x.shape
+    if n_in == 0:
+        n_out = 0
+        y = x
+    else:
+        n_out = max(1, int(round(n_in * target_rate / rate)))
+        t_in = np.arange(n_in, dtype=np.float64) / rate
+        t_out = np.arange(n_out, dtype=np.float64) / target_rate
+        y = np.column_stack(
+            [np.interp(t_out, t_in, x[:, c]) for c in range(channels)]
+        )
+    pcm = np.clip(np.rint(y * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    hdr = b"".join(
+        [
+            b"RIFF", struct.pack("<I", 36 + len(pcm)), b"WAVE",
+            b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, target_rate,
+                                 target_rate * channels * 2, channels * 2, 16),
+            b"data", struct.pack("<I", len(pcm)),
+        ]
+    )
+    return hdr + pcm
+
+
+def _image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Real PNG/JPEG/GIF/BMP header parse; None for the rest (TIFF/
+    WebP/HEIC need a real decoder) — an explicit "unparsed" null, never
+    a fabricated number that could be mistaken for a measurement."""
     return (
         parse_png_dimensions(payload)
         or parse_jpeg_dimensions(payload)
         or parse_gif_dimensions(payload)
         or parse_bmp_dimensions(payload)
-        or _fake_decode_image(payload)
     )
 
 
 def extract_image_features(df: DataFrame, content_col: str = "content") -> DataFrame:
     """L5 transform: per-asset feature extraction via Arrow-batched
     mapInPandas — the batch shape (one pdf per ~few MB of payloads) is
-    the real design. PNG and JPEG dimensions are parsed for real from
-    the container headers (stdlib struct); other formats fall back to
-    the deterministic fake decode. Output adds ``width/height/n_bytes``."""
+    the real design. PNG/JPEG/GIF/BMP dimensions are parsed for real
+    from the container headers (stdlib struct); uncompressed BMPs get
+    REAL pixel-content features (mean R/G/B, brightness, contrast) from
+    decode_bmp_pixels. Formats needing a full decoder emit nulls —
+    explicit "unparsed", never a fabricated measurement. Output adds
+    ``width/height/n_bytes/mean_r/mean_g/mean_b/brightness/contrast``."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
             T.StructField("width", T.IntegerType()),
             T.StructField("height", T.IntegerType()),
             T.StructField("n_bytes", T.LongType()),
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("brightness", T.DoubleType()),
+            T.StructField("contrast", T.DoubleType()),
         ]
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_image_dimensions(bytes(b)) for b in pdf[content_col]]
+            dims, rgb = [], []
+            for b in pdf[content_col]:
+                payload = bytes(b)
+                dims.append(_image_dimensions(payload))
+                px = decode_bmp_pixels(payload)
+                if px is None or px.size == 0:
+                    rgb.append((None, None, None, None, None))
+                else:
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    # ITU-R BT.601 luma for brightness; its std is the
+                    # contrast proxy
+                    luma = px.reshape(-1, 3) @ [0.299, 0.587, 0.114]
+                    rgb.append(
+                        (
+                            float(round(means[0], 4)),
+                            float(round(means[1], 4)),
+                            float(round(means[2], 4)),
+                            float(round(luma.mean(), 4)),
+                            float(round(luma.std(), 4)),
+                        )
+                    )
             pdf = pdf.assign(
-                width=[d[0] for d in dims],
-                height=[d[1] for d in dims],
+                width=pd.array(
+                    [d[0] if d else None for d in dims], dtype="Int32"
+                ),
+                height=pd.array(
+                    [d[1] if d else None for d in dims], dtype="Int32"
+                ),
                 n_bytes=[len(bytes(b)) for b in pdf[content_col]],
+                mean_r=[t[0] for t in rgb],
+                mean_g=[t[1] for t in rgb],
+                mean_b=[t[2] for t in rgb],
+                brightness=[t[3] for t in rgb],
+                contrast=[t[4] for t in rgb],
             )
             yield pdf
 
@@ -308,6 +450,58 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
                     [p[2] if p else None for p in parsed], dtype="Int64"
                 ),
                 n_bytes=[len(bytes(b)) for b in pdf[content_col]],
+            )
+            yield pdf
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def extract_audio_content_features(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """L5 transform, REAL sample-domain audio features: decodes PCM WAV
+    payloads (decode_wav_samples — 8/16-bit, any channel count) and
+    computes ``rms`` (loudness), ``peak``, ``zero_crossing_rate``
+    (crossings per second on the channel-mean signal — a crude pitch /
+    voicedness proxy) and ``n_samples`` from the ACTUAL samples. Non-PCM
+    payloads emit nulls. Same Arrow-batched mapInPandas shape as the
+    header-level extractor."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_crossing_rate", T.DoubleType()),
+            T.StructField("n_samples", T.LongType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[content_col]:
+                decoded = decode_wav_samples(bytes(b))
+                if decoded is None or decoded[1].shape[0] == 0:
+                    feats.append((None, None, None, None))
+                    continue
+                rate, x = decoded
+                mono = x.mean(axis=1)
+                crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                feats.append(
+                    (
+                        float(round(float(np.sqrt((x * x).mean())), 6)),
+                        float(round(float(np.abs(x).max()), 6)),
+                        float(round(crossings * rate / max(1, len(mono)), 4)),
+                        int(x.shape[0]),
+                    )
+                )
+            pdf = pdf.assign(
+                rms=[t[0] for t in feats],
+                peak=[t[1] for t in feats],
+                zero_crossing_rate=[t[2] for t in feats],
+                n_samples=pd.array([t[3] for t in feats], dtype="Int64"),
             )
             yield pdf
 

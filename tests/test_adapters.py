@@ -121,16 +121,30 @@ def test_task_exchange_roundtrip(spark, tmp_path):
 
 
 def test_binary_assets_pipeline(spark, tmp_path):
-    # synthesize a couple of fake media files
-    (tmp_path / "a.png").write_bytes(b"\x89PNG" + bytes(range(200)))
+    import struct
+
+    # one spec-valid PNG, one truncated/broken payload with a png name
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 320, 240, 8, 6, 0, 0, 0)
+        + b"\x00\x00\x00\x00"
+    )
+    (tmp_path / "a.png").write_bytes(png)
     (tmp_path / "b.jpg").write_bytes(b"\xff\xd8" + bytes(range(100)) * 30)
     assets = read_binary_assets(spark, str(tmp_path))
     rows = {r.media.kind for r in assets.collect()}
     assert rows == {"image"}
 
     feats = extract_image_features(assets)
-    got = feats.select("width", "height", "n_bytes").collect()
-    assert all(r.width >= 64 and r.height >= 64 and r.n_bytes > 0 for r in got)
+    got = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in feats.select("path", "width", "height", "n_bytes").collect()
+    }
+    assert (got["a.png"].width, got["a.png"].height) == (320, 240)
+    # undecodable payload: explicit nulls, never a fabricated number
+    assert got["b.jpg"].width is None and got["b.jpg"].height is None
+    assert all(r.n_bytes > 0 for r in got.values())
 
     frames = sample_video_frames(assets)
     f = frames.collect()
@@ -215,8 +229,8 @@ def test_partition_pruning_and_compaction(spark, tmp_path):
 def test_real_png_jpeg_header_parse(spark, tmp_path):
     """PNG IHDR and JPEG SOF dimensions are parsed for REAL (stdlib
     struct over the container headers) — pinned on handcrafted but
-    spec-valid fixture binaries; non-image payloads still fall back to
-    the deterministic fake."""
+    spec-valid fixture binaries; undecodable payloads emit explicit
+    nulls (no fabricated fallback)."""
     import struct
 
     from neulix_datahub_spark.operators.multimodal import (
@@ -253,8 +267,7 @@ def test_real_png_jpeg_header_parse(spark, tmp_path):
     }
     assert feats["real.png"] == (640, 480)
     assert feats["real.jpg"] == (1920, 1080)
-    w, h = feats["fake.png"]  # fallback: deterministic fake, stable range
-    assert 64 <= w < 64 + 1024 and 64 <= h < 64 + 1024
+    assert feats["fake.png"] == (None, None)  # unparsed: nulls, not fakes
 
 
 def test_real_wav_header_parse(spark, tmp_path):
@@ -289,6 +302,112 @@ def test_real_wav_header_parse(spark, tmp_path):
     mp3 = rows["song.mp3"]
     assert mp3.sample_rate is None and mp3.duration_ms is None
     assert rows["tone.wav"].media.kind == "audio"
+
+
+def _bmp_fixture(pixels_rgb, top_down=False):
+    """Hand-assemble a spec-valid uncompressed 24-bpp BMP from an RGB
+    row-major pixel list-of-lists (row 0 = top row)."""
+    import struct
+
+    h = len(pixels_rgb)
+    w = len(pixels_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    rows = pixels_rgb if top_down else pixels_rgb[::-1]  # file storage order
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row) + bytes(stride - w * 3)
+        for row in rows
+    )
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24,
+                      0, len(body), 2835, 2835, 0, 0)
+    )
+    return hdr + body
+
+
+def test_bmp_pixel_decode_is_real(spark, tmp_path):
+    """decode_bmp_pixels returns the ACTUAL pixels: a handcrafted 2x2
+    24-bpp BMP round-trips exactly (both bottom-up and top-down row
+    orders), and extract_image_features derives the true mean RGB /
+    brightness from them — not a fake."""
+    import numpy as np
+
+    from neulix_datahub_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        extract_image_features,
+    )
+
+    px = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    for td in (False, True):
+        arr = decode_bmp_pixels(_bmp_fixture(px, top_down=td))
+        assert arr.shape == (2, 2, 3)
+        assert [[tuple(int(v) for v in c) for c in row] for row in arr] == px, td
+
+    # paletted/RLE/truncated payloads refuse, never guess
+    assert decode_bmp_pixels(b"BM" + bytes(60)) is None
+
+    (tmp_path / "quad.bmp").write_bytes(_bmp_fixture(px))
+    assets = read_binary_assets(spark, str(tmp_path))
+    r = extract_image_features(assets).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (127.5, 127.5, 127.5)
+    want_luma = float(
+        np.mean([0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2] for row in px for p in row])
+    )
+    assert abs(r.brightness - want_luma) < 1e-3
+    assert r.contrast > 0
+
+
+def test_wav_sample_decode_and_resample_are_real(spark, tmp_path):
+    """decode_wav_samples returns the ACTUAL samples (sine fixture →
+    RMS amp/√2, ZCR 2·freq) and resample_pcm_wav re-times them by
+    linear interpolation (length scales, content preserved, output is
+    itself a decodable PCM WAV)."""
+    import math
+    import wave
+
+    import numpy as np
+
+    from neulix_datahub_spark.operators.multimodal import (
+        decode_wav_samples,
+        extract_audio_content_features,
+        resample_pcm_wav,
+    )
+
+    rate, freq, amp, secs = 8000, 440, 0.5, 1.0
+    n = int(rate * secs)
+    samples = [
+        int(32767 * amp * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)
+    ]
+    p = tmp_path / "sine.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(s.to_bytes(2, "little", signed=True) for s in samples))
+
+    got_rate, x = decode_wav_samples(p.read_bytes())
+    assert got_rate == rate and x.shape == (n, 1)
+    assert abs(float(np.sqrt((x**2).mean())) - amp / math.sqrt(2)) < 0.01
+    (tmp_path / "noise.mp3").write_bytes(b"ID3" + bytes(200))
+
+    assets = read_binary_assets(spark, str(tmp_path))
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in extract_audio_content_features(assets).collect()
+    }
+    sine = rows["sine.wav"]
+    assert abs(sine.rms - amp / math.sqrt(2)) < 0.01
+    assert abs(sine.peak - amp) < 0.01
+    assert abs(sine.zero_crossing_rate - 2 * freq) < 25  # crossings/s ≈ 2f
+    assert sine.n_samples == n
+    assert rows["noise.mp3"].rms is None  # non-PCM: nulls, not fakes
+
+    down = resample_pcm_wav(p.read_bytes(), 4000)
+    got2_rate, y = decode_wav_samples(down)
+    assert got2_rate == 4000 and abs(y.shape[0] - n // 2) <= 1
+    # a 440 Hz tone is far under the 2 kHz Nyquist: energy survives
+    assert abs(float(np.sqrt((y**2).mean())) - amp / math.sqrt(2)) < 0.02
 
 
 def test_real_gif_bmp_header_parse(spark, tmp_path):

@@ -304,6 +304,49 @@ def decode_wav_samples(payload: bytes):
     return rate, x.reshape(-1, channels)
 
 
+def encode_bmp(pixels) -> bytes:
+    """Inverse of decode_bmp_pixels: uint8 RGB array of shape (h, w, 3)
+    → spec-valid uncompressed 24-bpp bottom-up BMP (4-byte row stride).
+    Pure stdlib+numpy; round-trips exactly through the decoder."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    body = rows.tobytes()
+    return (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + body
+    )
+
+
+def encode_pcm_wav(rate: int, samples) -> bytes:
+    """int16 sample array of shape (n,) or (n, channels) → spec-valid
+    16-bit PCM WAV. Pure stdlib+numpy; round-trips exactly through
+    decode_wav_samples."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    channels = x.shape[1]
+    pcm = x.tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
+                                rate * channels * 2, channels * 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
 def resample_pcm_wav(payload: bytes, target_rate: int) -> bytes | None:
     """REAL resample, pure numpy: linear interpolation of a PCM WAV's
     samples onto the target rate, re-encoded as 16-bit PCM WAV. The
@@ -311,8 +354,6 @@ def resample_pcm_wav(payload: bytes, target_rate: int) -> bytes | None:
     what a first-pass media pipeline stage does before a real DSP lib
     lands), but every byte of the output derives from the input's
     actual samples. None for undecodable payloads."""
-    import struct
-
     import numpy as np
 
     decoded = decode_wav_samples(payload)
@@ -330,16 +371,9 @@ def resample_pcm_wav(payload: bytes, target_rate: int) -> bytes | None:
         y = np.column_stack(
             [np.interp(t_out, t_in, x[:, c]) for c in range(channels)]
         )
-    pcm = np.clip(np.rint(y * 32767.0), -32768, 32767).astype("<i2").tobytes()
-    hdr = b"".join(
-        [
-            b"RIFF", struct.pack("<I", 36 + len(pcm)), b"WAVE",
-            b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, target_rate,
-                                 target_rate * channels * 2, channels * 2, 16),
-            b"data", struct.pack("<I", len(pcm)),
-        ]
+    return encode_pcm_wav(
+        target_rate, np.clip(np.rint(y * 32767.0), -32768, 32767).astype("<i2")
     )
-    return hdr + pcm
 
 
 def _image_dimensions(payload: bytes) -> tuple[int, int] | None:
@@ -387,17 +421,23 @@ def extract_image_features(df: DataFrame, content_col: str = "content") -> DataF
                 if px is None or px.size == 0:
                     rgb.append((None, None, None, None, None))
                 else:
+                    # raw doubles, deliberately un-rounded: the channel
+                    # means are exact binary fractions (int sum / pixel
+                    # count), so they compare bit-exactly across engines
+                    # — a cosmetic round() would land 1/16 of them on
+                    # exact decimal ties where rounding conventions
+                    # diverge
                     means = px.reshape(-1, 3).mean(axis=0)
                     # ITU-R BT.601 luma for brightness; its std is the
                     # contrast proxy
                     luma = px.reshape(-1, 3) @ [0.299, 0.587, 0.114]
                     rgb.append(
                         (
-                            float(round(means[0], 4)),
-                            float(round(means[1], 4)),
-                            float(round(means[2], 4)),
-                            float(round(luma.mean(), 4)),
-                            float(round(luma.std(), 4)),
+                            float(means[0]),
+                            float(means[1]),
+                            float(means[2]),
+                            float(luma.mean()),
+                            float(luma.std()),
                         )
                     )
             pdf = pdf.assign(
@@ -489,11 +529,16 @@ def extract_audio_content_features(
                 rate, x = decoded
                 mono = x.mean(axis=1)
                 crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                # raw doubles, deliberately un-rounded: peak is an exact
+                # binary fraction (|s|max/2^15) and rms derives from an
+                # exactly-representable sum of squares, so both compare
+                # bit-exactly across engines; rounding would land peaks
+                # on exact decimal ties where conventions diverge
                 feats.append(
                     (
-                        float(round(float(np.sqrt((x * x).mean())), 6)),
-                        float(round(float(np.abs(x).max()), 6)),
-                        float(round(crossings * rate / max(1, len(mono)), 4)),
+                        float(np.sqrt((x * x).mean())),
+                        float(np.abs(x).max()),
+                        float(crossings * rate / max(1, len(mono))),
                         int(x.shape[0]),
                     )
                 )

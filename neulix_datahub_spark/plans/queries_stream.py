@@ -460,12 +460,24 @@ def rollup_routed_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value": ("sum", "sum_value"),
         },
     )
+    # Hashed columns via exact integer arithmetic: the routed daily sum
+    # is a true 2-dp money value carried in a double whose accumulated
+    # float error (~1e-12) is far under half a cent, so round(x*100)
+    # recovers the exact integer CENTS in any engine; sum_value and the
+    # 6-dp avg then derive by integer half-up division — identical
+    # everywhere. (round(sum/count, 6) instead diverged between
+    # engines: with bit-identical inputs, a multiply-based round impl
+    # crosses the .5 boundary that a correctly-rounded one doesn't.)
+    cents = 'CAST(round(sum_value * 100) AS BIGINT)'
+    avg_q = (
+        f"(2 * {cents} * 1000000 + n_events * 100) div (2 * n_events * 100)"
+    )
     return routed.select(
         F.date_format("window_start", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+        (F.expr(cents) / F.lit(100.0)).alias("sum_value"),
+        (F.expr(avg_q) / F.lit(1_000_000.0)).alias("avg_value"),
     ).orderBy("day", "event_type")
 
 
@@ -474,14 +486,20 @@ WITH hourly AS (
     SELECT date_trunc('hour', ts) AS h, event_type,
            CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sv
     FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT date_trunc('day', h) AS d, event_type,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(round(sum(sv) * 100) AS BIGINT) AS cents
+    FROM hourly GROUP BY 1, 2
 )
-SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+SELECT strftime(d, '%Y-%m-%d') AS day,
        event_type,
-       CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(sv), 4) AS sum_value,
-       round(sum(sv) / sum(n), 6) AS avg_value
-FROM hourly
-GROUP BY 1, 2
+       n_events,
+       cents / 100.0 AS sum_value,
+       ((2 * cents * 1000000 + n_events * 100) // (2 * n_events * 100))
+           / 1000000.0 AS avg_value
+FROM daily
 ORDER BY day, event_type
 """
 
@@ -521,7 +539,10 @@ def rollup_routed_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd").alias("week_start"),
         "event_type",
         "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
+        # exact cents recovery — see rollup_routed_daily
+        (F.expr("CAST(round(sum_value * 100) AS BIGINT)") / F.lit(100.0)).alias(
+            "sum_value"
+        ),
     ).orderBy("week_start", "event_type")
 
 
@@ -534,7 +555,7 @@ WITH daily AS (
 SELECT strftime(date_trunc('week', d), '%Y-%m-%d') AS week_start,
        event_type,
        CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(sv), 4) AS sum_value
+       CAST(round(sum(sv) * 100) AS BIGINT) / 100.0 AS sum_value
 FROM daily
 GROUP BY 1, 2
 ORDER BY week_start, event_type

@@ -215,3 +215,39 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
 
     merged = reduce(lambda a, b: a.unionByName(b), sketches)
     return merged.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """AMS/CMS join-cardinality estimate from two sketches built with
+    the SAME (width, depth, seeds): per hash row, the dot product of the
+    counter vectors upper-bounds the true equi-join size
+    ``Σ_k f_A(k)·f_B(k)``; the row-wise MIN is the estimate. Guarantees:
+    always ≥ the true size (counters only over-count), and within
+    ``e·N_A·N_B/width`` of it with probability ``1 - e^-depth`` — and
+    for FIXED data+seeds the estimate is a pure integer function both
+    engines reproduce exactly, so the driver can hash it.
+
+    This is the 100 TB join planner's cardinality probe: the answer
+    costs one join over ``depth·width`` cells — the base tables are
+    never touched, so estimating "how big is A ⋈ B" before committing
+    to a shuffle strategy is O(sketch), not O(data). Sketch the two
+    sides once (mergeable per-partition/per-day, see ``cms_merge``),
+    then any pairwise join size is a dot product. The same self-join
+    form (sketch against itself) is the classic AMS F2 / second-moment
+    estimate — the skew statistic behind salting decisions
+    (``operators/skew.py``).
+
+    Reference trace: the reference delegates planning to its warehouse
+    (``core/utils/db_core.py`` passthrough); this is the engine-side
+    primitive a planner needs when there is no warehouse to ask.
+    """
+    a = sketch_a.select("seed", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("seed", "bucket", F.col("cnt").alias("__cb"))
+    # inner join: a cell missing from either side contributes 0 to the
+    # dot product, exactly as if its counter were present with cnt=0
+    return (
+        a.join(b, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+        .agg(F.min("__dot").cast("long").alias("est_join_size"))
+    )

@@ -173,3 +173,69 @@ def grouped_cov(
         )
 
     return df.groupBy(key_col).applyInArrow(stats, schema=out_schema)
+
+
+def grouped_holt(
+    df: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Per-group Holt double-exponential smoothing (level + trend) via
+    the batch grouped map — the sequential recurrence no window
+    function expresses:
+
+        l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+        b_t = β·(l_t - l_{t-1}) + (1-β)·b_{t-1}
+
+    initialized l_1 = x_1, b_1 = 0. Emits every step plus the one-step
+    forecast ``l_t + b_t`` — the trend-aware anomaly baseline EWMA
+    (level-only) cannot give.
+
+    Cross-engine exactness (the driver hashes this): the recurrence is
+    evaluated in scalar IEEE doubles in EXACTLY the spelled order, so
+    any engine replaying the same expressions on the same inputs (a
+    recursive CTE in the oracle) lands on bit-identical doubles at
+    every step — no rounding tolerance anywhere. The default
+    α = β = 0.5 makes the coefficient literals trivially identical too
+    (0.5 and 1-0.5 are the same double; 0.3 and 1-0.3=0.7 are NOT).
+
+    Scale: shuffle key is the group; per-group state is O(steps) and
+    callers pre-aggregate to a bounded grain (daily), so group size is
+    calendar-bounded regardless of raw volume — same contract as
+    grouped_autocorr above.
+    """
+    key_type = df.schema[key_col].dataType.simpleString()
+    ord_type = df.schema[ord_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ord_col} {ord_type}, "
+        "level double, trend double, forecast double"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(ord_col).reset_index(drop=True)
+        xs = [float(v) for v in s[value_col]]
+        levels, trends = [], []
+        l = xs[0]
+        b = 0.0
+        levels.append(l)
+        trends.append(b)
+        for x in xs[1:]:
+            l_new = alpha * x + (1.0 - alpha) * (l + b)
+            b_new = beta * (l_new - l) + (1.0 - beta) * b
+            l, b = l_new, b_new
+            levels.append(l)
+            trends.append(b)
+        return pd.DataFrame(
+            {
+                key_col: s[key_col],
+                ord_col: s[ord_col],
+                "level": levels,
+                "trend": trends,
+                "forecast": [lv + tr for lv, tr in zip(levels, trends)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)

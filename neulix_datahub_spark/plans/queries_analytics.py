@@ -1279,7 +1279,82 @@ ORDER BY channel
 """
 
 
+def holt_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) of the daily
+    per-type event value — the sequential recurrence that needs the
+    grouped map (operators/timeseries.py grouped_holt, U3), hashed
+    bit-exactly against a DuckDB RECURSIVE CTE replaying the identical
+    IEEE expression sequence. Inputs are made engine-identical first
+    (daily sums recovered as exact integer cents), α = β = 0.5 keeps
+    every coefficient literal the same double in both engines, and the
+    outputs ship UN-rounded — the strongest form of the cross-engine
+    determinism discipline (SCALE.md round-7 notes).
+
+    Last 10 steps per type are emitted (bounded output; the recurrence
+    still runs the full series)."""
+    from neulix_datahub_spark.operators.timeseries import grouped_holt
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.sum("value").alias("__sv"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.expr("CAST(round(__sv * 100) AS BIGINT)") / F.lit(100.0)).alias("x"),
+        )
+    )
+    smoothed = grouped_holt(daily, "event_type", "day", "x")
+    w = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    return (
+        smoothed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 10)
+        .select("event_type", "day", "level", "trend", "forecast")
+        .orderBy("event_type", "day")
+    )
+
+
+_HOLT_SQL = """
+WITH daily AS (
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(round(sum(value) * 100) AS BIGINT) / 100.0 AS x
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, day, x,
+           row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+    FROM daily
+),
+hw AS (
+    WITH RECURSIVE rec AS (
+        SELECT event_type, day, t, x AS level, CAST(0.0 AS DOUBLE) AS trend
+        FROM s WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, s.day, s.t,
+               0.5 * s.x + (1.0 - 0.5) * (rec.level + rec.trend) AS level,
+               0.5 * ((0.5 * s.x + (1.0 - 0.5) * (rec.level + rec.trend)) - rec.level)
+                   + (1.0 - 0.5) * rec.trend AS trend
+        FROM rec JOIN s ON s.event_type = rec.event_type AND s.t = rec.t + 1
+    )
+    SELECT * FROM rec
+),
+ranked AS (
+    SELECT event_type, day, level, trend, level + trend AS forecast,
+           row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rk
+    FROM hw
+)
+SELECT event_type, day, level, trend, forecast
+FROM ranked WHERE rk <= 10
+ORDER BY event_type, day
+"""
+
+
 ANALYTICS_QUERIES = {
+    "holt_daily_by_type": (
+        holt_daily_by_type,
+        _HOLT_SQL,
+        "Holt level+trend smoothing via grouped map, bit-exact recursive-CTE oracle",
+    ),
     "ewma_daily_revenue": (
         ewma_daily_revenue,
         _EWMA_SQL,

@@ -478,11 +478,82 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+def cms_join_size_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone (the 100 TB
+    planner probe): the CMS inner product estimates the events⋈events
+    self-join size on user_id — the AMS F2 skew statistic Σ_u c_u² —
+    without re-touching the table. The oracle rebuilds the identical
+    sketch in SQL, replays the dot-product-and-min, computes the exact
+    Σ c_u², and pins BOTH structural guarantees: the estimate never
+    undershoots, and it lands within the e·N²/width Markov bound (a
+    deterministic fact of this data+seeds that both engines must agree
+    on). All hashed values are integers — nothing to round."""
+    from neulix_datahub_spark.operators.sketches import cms_inner_product
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", width=512, depth=4)
+    est = cms_inner_product(sketch, sketch)
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    ).agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("true_join_size"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    slack = F.ceil(F.lit(2.718281828459045) * F.col("n_rows") * F.col("n_rows") / 512)
+    return (
+        exact.crossJoin(est)
+        .select(
+            "n_rows",
+            "true_join_size",
+            "est_join_size",
+            (F.col("est_join_size") >= F.col("true_join_size")).alias("never_undershoots"),
+            (
+                F.col("est_join_size") - F.col("true_join_size")
+                <= slack.cast("long")
+            ).alias("within_markov_bound"),
+        )
+    )
+
+
+_CMS_JOIN_SQL = """
+WITH seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+cells AS (
+    SELECT s.seed,
+           CAST('0x' || substr(md5(s.seed::VARCHAR || ':' || e.user_id::VARCHAR), 1, 8) AS BIGINT) % 512 AS bucket
+    FROM events e CROSS JOIN seeds s
+),
+sketch AS (
+    SELECT seed, bucket, CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY seed, bucket
+),
+est AS (
+    SELECT CAST(min(dot) AS BIGINT) AS est_join_size
+    FROM (SELECT seed, sum(cnt * cnt) AS dot FROM sketch GROUP BY seed)
+),
+exact AS (
+    SELECT CAST(sum(c * c) AS BIGINT) AS true_join_size,
+           CAST(sum(c) AS BIGINT) AS n_rows
+    FROM (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+)
+SELECT n_rows, true_join_size, est_join_size,
+       est_join_size >= true_join_size AS never_undershoots,
+       est_join_size - true_join_size
+           <= CAST(ceil(2.718281828459045 * n_rows * n_rows / 512) AS BIGINT)
+           AS within_markov_bound
+FROM exact CROSS JOIN est
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_semi_join_revenue": (
         bloom_semi_join_revenue,
         _BLOOM_SEMI_SQL,
         "Bloom-prefiltered semi-join (sketch tier)",
+    ),
+    "cms_join_size_check": (
+        cms_join_size_check,
+        _CMS_JOIN_SQL,
+        "CMS inner-product join-cardinality estimate vs exact self-join size",
     ),
     "cms_user_counts": (
         cms_user_counts,

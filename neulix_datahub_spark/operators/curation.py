@@ -569,3 +569,38 @@ def verify_export(spark, path: str, text_col: str = "text") -> bool:
     if set(got) != {int(s) for s in manifest["shards"]}:
         raise ValueError("landed shards differ from manifest shard set")
     return True
+
+
+def time_embargo_split(
+    df: "DataFrame",
+    ts_col: str,
+    cutoff: str,
+    embargo_days: int,
+    *,
+    split_col: str = "split",
+) -> "DataFrame":
+    """Leakage-safe TEMPORAL split with a purge gap: rows strictly
+    before ``cutoff`` are ``train``; rows inside the ``embargo_days``
+    window starting at the cutoff are ``purged`` (excluded from BOTH
+    sides); rows at or after cutoff+embargo are ``test``.
+
+    The embargo is the part naive time splits miss: when labels or
+    features aggregate a trailing window (delivery outcomes, 30-day
+    revenue, session stats), a test row just after the cutoff shares
+    its lookback window with train rows - temporal leakage that
+    inflates offline metrics. Purging one full window length between
+    the eras severs every overlapping-window pair (the purged-K-fold
+    discipline from financial ML, applied as a corpus operator).
+
+    Complements hash_split (content identity) and cluster_split
+    (near-duplicate identity): the three leakage channels - byte
+    twins, near-dup twins, temporal windows - each need their own
+    split discipline. Pure expression, no shuffle, deterministic.
+    """
+    ts = F.col(ts_col)
+    lo = F.lit(cutoff).cast("timestamp")
+    hi = F.to_timestamp(F.date_add(F.lit(cutoff).cast("date"), embargo_days))
+    return df.withColumn(
+        split_col,
+        F.when(ts < lo, "train").when(ts < hi, "purged").otherwise("test"),
+    )

@@ -251,3 +251,76 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
         .agg(F.min("__dot").cast("long").alias("est_join_size"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values: mergeable distinct-count with SET ALGEBRA
+# ---------------------------------------------------------------------------
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct sketch: the k smallest md5 hashes of
+    the distinct keys, as a (rank, hash_hex) relation. Estimator:
+    ``(k-1) / h_(k)`` with hashes mapped to (0,1) — standard KMV, ±1/√k
+    relative error. Complements the HLL tier (operators/profile.py)
+    with the property HLL lacks: the sketch IS a uniform sample of the
+    distinct keys' hash space, so two sketches support set ALGEBRA —
+    union (merge minima), and Jaccard/intersection via the shared-
+    prefix resolution (kmv_jaccard) — with a fully engine-portable
+    derivation (md5 on strings, lexicographic order; any SQL engine
+    replays it bit-for-bit, which is what lets the driver HASH the
+    sketch itself, not just tolerate its estimate).
+
+    Plan: distinct → ``orderBy(h).limit(k)``, which Catalyst plans as
+    TakeOrderedAndProject — each partition keeps only its k smallest
+    hashes and the merge sees k·partitions rows, never the key
+    universe. Ranks are then assigned by a window over the k survivors
+    (bounded single partition by construction — this is the pattern,
+    NOT an unpartitioned window over the input).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string")).alias("h")
+    smallest = df.select(h).distinct().orderBy("h").limit(k)
+    w = F.row_number().over(Window.orderBy("h"))
+    return smallest.withColumn("rank", w).select(
+        "rank", F.col("h").alias("hash_hex")
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union of two KMV sketches = the k smallest of the merged hash
+    sets — EXACTLY the sketch of the unioned key sets (same closure
+    law as cms_merge; driver-checked). Constant-size merge: 2k rows in,
+    k out."""
+    from pyspark.sql.window import Window
+
+    merged = (
+        a.select("hash_hex")
+        .unionByName(b.select("hash_hex"))
+        .distinct()
+        .orderBy("hash_hex")
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy("hash_hex"))
+    return merged.withColumn("rank", w).select("rank", "hash_hex")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: map the k-th smallest
+    hash's first 8 hex chars to (0,1) and take (k-1)/h_k. If the sketch
+    holds fewer than k hashes the count was below k and is EXACT (the
+    sketch saw every distinct hash). Integer-exact inputs (rank, hex
+    prefix) make the estimate a pure function both engines reproduce."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.when(F.col("rank") == k, F.col("hash_hex"))).alias("__kh"),
+    )
+    hk = F.conv(F.substring("__kh", 1, 8), 16, 10).cast("double") / F.lit(
+        float(1 << 32)
+    )
+    return agg.select(
+        F.when(F.col("__n") < k, F.col("__n").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / hk)
+        .alias("est_distinct")
+    )

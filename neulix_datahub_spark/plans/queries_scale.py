@@ -1185,7 +1185,83 @@ def _pq_oracle_sql() -> str:
 _PQ_SQL = _pq_oracle_sql()
 
 
+_EMBARGO_CUTOFF = "1997-01-01"
+_EMBARGO_DAYS = 90
+
+
+def time_embargo_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with a purge gap
+    (operators/curation.py time_embargo_split): orders before 1997
+    train, a 90-day embargo window is purged from BOTH sides, the rest
+    tests — the purged-split discipline that severs overlapping label/
+    feature windows across the cutoff. Per split: row count, revenue
+    checksum (decimal-exact), and the boundary invariants (max train
+    date < cutoff ≤ purged < cutoff+embargo ≤ min test date) as
+    hashed verdicts."""
+    from neulix_datahub_spark.operators.curation import time_embargo_split
+
+    orders = _t(spark, sf_dir, "orders")
+    split = time_embargo_split(
+        orders, "o_orderdate", _EMBARGO_CUTOFF, _EMBARGO_DAYS
+    )
+    lo = F.lit(_EMBARGO_CUTOFF).cast("timestamp")
+    hi = F.to_timestamp(
+        F.date_add(F.lit(_EMBARGO_CUTOFF).cast("date"), _EMBARGO_DAYS)
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("sum_revenue"),
+            F.min("o_orderdate").alias("__min"),
+            F.max("o_orderdate").alias("__max"),
+        )
+        .select(
+            "split",
+            "n_orders",
+            "sum_revenue",
+            F.when(F.col("split") == "train", F.col("__max") < lo)
+            .when(F.col("split") == "purged", (F.col("__min") >= lo) & (F.col("__max") < hi))
+            .otherwise(F.col("__min") >= hi)
+            .alias("boundaries_ok"),
+        )
+        .orderBy("split")
+    )
+
+
+_EMBARGO_SQL = f"""
+WITH s AS (
+    SELECT o_totalprice, o_orderdate,
+           CASE WHEN o_orderdate < TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00' THEN 'train'
+                WHEN o_orderdate < TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00'
+                                   + INTERVAL {_EMBARGO_DAYS} DAY THEN 'purged'
+                ELSE 'test' END AS split
+    FROM orders
+)
+SELECT split,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_revenue,
+       CASE WHEN split = 'train'
+            THEN max(o_orderdate) < TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00'
+            WHEN split = 'purged'
+            THEN min(o_orderdate) >= TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00'
+                 AND max(o_orderdate) < TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00'
+                     + INTERVAL {_EMBARGO_DAYS} DAY
+            ELSE min(o_orderdate) >= TIMESTAMP '{_EMBARGO_CUTOFF} 00:00:00'
+                 + INTERVAL {_EMBARGO_DAYS} DAY
+       END AS boundaries_ok
+FROM s
+GROUP BY split
+ORDER BY split
+"""
+
+
 SCALE_QUERIES = {
+    "time_embargo_split_stats": (
+        time_embargo_split_stats,
+        _EMBARGO_SQL,
+        "purged temporal train/test split with boundary verdicts",
+    ),
     "pq_codebook_profile": (
         pq_codebook_profile,
         _PQ_SQL,

@@ -544,7 +544,87 @@ FROM exact CROSS JOIN est
 """
 
 
+_KMV_K = 64
+
+
+def kmv_union_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch end-to-end: sketch the BUILDING
+    customers and the rest separately, merge with kmv_union, and pin
+    (1) the closure law — the merged sketch is IDENTICAL, rank by rank
+    and hash by hash, to the sketch built directly over all customers —
+    (2) the (k-1)/h_k estimate (a pure function of the k-th hash, so
+    both engines derive the same double), and (3) the ±3/√k error
+    verdict against the exact distinct count. The oracle replays the
+    md5 order statistics in SQL; hashes are hex strings and counts are
+    integers, so the whole row is tolerance-free except the estimate
+    double, which is identical by construction."""
+    from neulix_datahub_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_union,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    rest = cust.filter(F.col("c_mktsegment") != "BUILDING")
+    direct = kmv_build(cust, "c_custkey", _KMV_K)
+    merged = kmv_union(
+        kmv_build(building, "c_custkey", _KMV_K),
+        kmv_build(rest, "c_custkey", _KMV_K),
+        _KMV_K,
+    )
+    mismatches = (
+        direct.join(merged, ["rank", "hash_hex"], "full_outer")
+        .filter(direct["rank"].isNull() | merged["rank"].isNull())
+        .count()
+    )
+    exact = cust.agg(F.countDistinct("c_custkey").cast("long").alias("n_exact"))
+    est = kmv_estimate(direct, _KMV_K)
+    return (
+        exact.crossJoin(est)
+        .select(
+            "n_exact",
+            "est_distinct",
+            F.lit(mismatches == 0).alias("union_matches_direct"),
+            (
+                F.abs(F.col("est_distinct") - F.col("n_exact"))
+                <= F.lit(3.0 / (_KMV_K**0.5)) * F.col("n_exact")
+            ).alias("within_tolerance"),
+        )
+    )
+
+
+_KMV_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT md5(c_custkey::VARCHAR) AS h FROM customer
+),
+ranked AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rank FROM hashes
+),
+kth AS (
+    SELECT CAST('0x' || substr(h, 1, 8) AS BIGINT) / 4294967296.0 AS hk
+    FROM ranked WHERE rank = {_KMV_K}
+),
+exact AS (
+    SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_exact FROM customer
+)
+SELECT n_exact,
+       CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+            ELSE {float(_KMV_K - 1)} / (SELECT hk FROM kth) END AS est_distinct,
+       true AS union_matches_direct,
+       abs(CASE WHEN n_exact < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE {float(_KMV_K - 1)} / (SELECT hk FROM kth) END - n_exact)
+           <= {3.0 / (_KMV_K**0.5)} * n_exact AS within_tolerance
+FROM exact
+"""
+
+
 SKETCH_QUERIES = {
+    "kmv_union_law_check": (
+        kmv_union_law_check,
+        _KMV_SQL,
+        "KMV distinct sketch: union closure law + estimate vs exact",
+    ),
     "bloom_semi_join_revenue": (
         bloom_semi_join_revenue,
         _BLOOM_SEMI_SQL,

@@ -1,0 +1,88 @@
+"""Units for the sketch operators that back the driver-hashed sketch
+queries: CMS inner product, KMV order statistics, and the temporal
+embargo split (curation's third leakage channel)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_cms_inner_product_exact_when_collision_free(spark):
+    """With width far above the key count, every key owns its buckets
+    and the inner product equals the true join size exactly; and it
+    never undershoots at ANY width (the structural guarantee)."""
+    from neulix_datahub_spark.operators.sketches import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "k long")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], "k long")
+    true_size = 3 * 1 + 1 * 2  # k=1: 3*1, k=2: 1*2
+    wide = cms_inner_product(
+        cms_build(a, "k", width=4096, depth=4), cms_build(b, "k", width=4096, depth=4)
+    ).first()["est_join_size"]
+    assert wide == true_size
+    narrow = cms_inner_product(
+        cms_build(a, "k", width=2, depth=4), cms_build(b, "k", width=2, depth=4)
+    ).first()["est_join_size"]
+    assert narrow >= true_size
+
+
+def test_kmv_union_law_and_exact_regime(spark):
+    """kmv_union(sketch(A), sketch(B)) == sketch(A ∪ B) row-for-row;
+    below k the estimate is the exact distinct count; and the build
+    plan uses TakeOrdered (per-partition top-k), never a global sort
+    of the distinct universe."""
+    from neulix_datahub_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_union,
+    )
+
+    all_keys = spark.range(500).select(F.col("id").alias("k"))
+    evens = all_keys.filter(F.col("k") % 2 == 0)
+    odds = all_keys.filter(F.col("k") % 2 == 1)
+    direct = kmv_build(all_keys, "k", 32)
+    merged = kmv_union(kmv_build(evens, "k", 32), kmv_build(odds, "k", 32), 32)
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, merged.collect()))
+
+    small = kmv_build(spark.range(10).select(F.col("id").alias("k")), "k", 32)
+    assert kmv_estimate(small, 32).first()["est_distinct"] == 10.0
+
+    # order-of-magnitude sanity only: k=32 has sigma ~18% and this
+    # fixed fixture happens to draw its k-th hash ~4 sigma low — the
+    # sketch LAW assertions above are the deterministic contract; the
+    # driver query pins a tighter bound on its own fixture (k=64)
+    est = kmv_estimate(direct, 32).first()["est_distinct"]
+    assert 250 <= est <= 1000
+
+    plan = direct._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_time_embargo_split_boundaries(spark):
+    """Rows exactly AT the cutoff are purged (not train); rows exactly
+    at cutoff+embargo are test (not purged) — half-open on both
+    boundaries, so no timestamp can land in two splits or none."""
+    from neulix_datahub_spark.operators.curation import time_embargo_split
+
+    df = spark.createDataFrame(
+        [
+            ("1996-12-31 23:59:59",),
+            ("1997-01-01 00:00:00",),
+            ("1997-03-31 23:59:59",),
+            ("1997-04-01 00:00:00",),
+        ],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        r.ts.strftime("%Y-%m-%d %H:%M:%S"): r.split
+        for r in time_embargo_split(df, "ts", "1997-01-01", 90).collect()
+    }
+    assert got == {
+        "1996-12-31 23:59:59": "train",
+        "1997-01-01 00:00:00": "purged",
+        "1997-03-31 23:59:59": "purged",
+        "1997-04-01 00:00:00": "test",
+    }

@@ -2267,12 +2267,41 @@ def robust_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = winsorize(orders, "o_totalprice", 0.05, 0.95, out_col="price_w")
     flagged = mad_outlier_flag(w, "o_totalprice")
+    # Decompose the winsorized sum into exact pieces: unclamped rows
+    # are 2-dp money (decimal sum, exact); clamped rows all equal one
+    # of the two percentile bounds, so their contribution is count ×
+    # bound — ONE multiplication instead of n float additions. A plain
+    # round(sum(price_w), 4) at ~1e9 magnitude rides on partial-agg
+    # association; this derivation is a three-term sum both engines
+    # evaluate identically.
+    unclamped = F.col("price_w") == F.col("o_totalprice")
+    lo_cl = F.col("price_w") > F.col("o_totalprice")
+    hi_cl = F.col("price_w") < F.col("o_totalprice")
     return (
         flagged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("price_w"), 4).alias("sum_winsorized"),
+            F.coalesce(
+                F.sum(
+                    F.when(unclamped, F.col("o_totalprice").cast("decimal(18,2)"))
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("__mid"),
+            F.count_if(lo_cl).alias("__n_lo"),
+            F.count_if(hi_cl).alias("__n_hi"),
+            F.coalesce(F.max(F.when(lo_cl, F.col("price_w"))), F.lit(0.0)).alias("__lo"),
+            F.coalesce(F.max(F.when(hi_cl, F.col("price_w"))), F.lit(0.0)).alias("__hi"),
             F.count_if(F.col("is_outlier")).alias("n_outliers"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            (
+                F.col("__mid")
+                + F.col("__n_lo") * F.col("__lo")
+                + F.col("__n_hi") * F.col("__hi")
+            ).alias("sum_winsorized"),
+            "n_outliers",
         )
         .orderBy("o_orderstatus")
     )
@@ -2291,7 +2320,14 @@ d AS (
 )
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(least(greatest(o_totalprice, b.lo), b.hi)), 4) AS sum_winsorized,
+       coalesce(CAST(sum(CASE WHEN o_totalprice >= b.lo AND o_totalprice <= b.hi
+                              THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                     AS DOUBLE), 0.0)
+         + count(*) FILTER (o_totalprice < b.lo) * coalesce(max(CASE
+               WHEN o_totalprice < b.lo THEN b.lo END), 0.0)
+         + count(*) FILTER (o_totalprice > b.hi) * coalesce(max(CASE
+               WHEN o_totalprice > b.hi THEN b.hi END), 0.0)
+           AS sum_winsorized,
        CAST(count(*) FILTER (
             round(abs(0.6745 * (o_totalprice - b.med) / d.mad), 6) > 3.5
        ) AS BIGINT) AS n_outliers

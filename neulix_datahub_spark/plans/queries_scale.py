@@ -1256,7 +1256,69 @@ ORDER BY split
 """
 
 
+_FBLOOM_PROBES = [1, 3, 7]
+
+
+def file_bloom_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level Bloom data skipping end-to-end (sources/layout.py
+    build_file_bloom_index / read_with_file_bloom): events clustered
+    into 8 files by user hash, a per-file Bloom index built over
+    user_id, and a 3-user point lookup answered by reading ONLY the
+    files whose bitmap may contain a probe. Hashed columns: the
+    per-user aggregates (count + decimal-exact value sum — Bloom
+    negatives are exact, so the pruned read MUST equal the full scan,
+    which is what the oracle computes) plus two pruning verdicts the
+    oracle pins true: at most one clustered file per probed user (no
+    false-positive blowup) and at least one file skipped."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.layout import (
+        build_file_bloom_index,
+        read_with_file_bloom,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    root = warehouse_scratch(spark, "neulix_fbloom_")
+    ev.repartition(8, "user_id").write.mode("overwrite").parquet(f"{root}/t")
+    index = build_file_bloom_index(spark, f"{root}/t", "user_id")
+    df, n_total, n_read = read_with_file_bloom(
+        spark, index, "user_id", _FBLOOM_PROBES
+    )
+    return (
+        df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "sum_value",
+            F.lit(n_read <= len(_FBLOOM_PROBES)).alias("pruned_to_clustered_files"),
+            F.lit(0 < n_read < n_total).alias("skipped_files"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FBLOOM_SQL = f"""
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       true AS pruned_to_clustered_files,
+       true AS skipped_files
+FROM events
+WHERE user_id IN ({", ".join(str(v) for v in _FBLOOM_PROBES)})
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SCALE_QUERIES = {
+    "file_bloom_skipping_stats": (
+        file_bloom_skipping_stats,
+        _FBLOOM_SQL,
+        "per-file Bloom index point-lookup pruning vs full-scan oracle",
+    ),
     "time_embargo_split_stats": (
         time_embargo_split_stats,
         _EMBARGO_SQL,

@@ -242,3 +242,106 @@ def file_pruning_report(
         "n_scanned": scanned,
         "skipped_frac": round(1.0 - scanned / len(files), 6),
     }
+
+
+# ---------------------------------------------------------------------------
+# File-level Bloom index: data skipping for point lookups where min/max
+# footers are useless
+# ---------------------------------------------------------------------------
+
+
+def build_file_bloom_index(
+    spark,
+    path: str,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> "DataFrame":
+    """One Bloom bitmap PER PARQUET PART-FILE over ``key_col`` —
+    ``(file, bitmap map<int,long>)`` — the data-skipping structure for
+    high-cardinality POINT lookups, where footer min/max stats prune
+    nothing (uniformly distributed keys span every file's range; this
+    is exactly the gap Delta's bloom filter index and Iceberg's
+    bloom-filtered positional indexes fill). Pays off on layouts that
+    CLUSTER the key (``repartition(n, key)`` / bucketing): the key's
+    rows live in few files, so a probe skips the rest.
+
+    Plan: one scan with ``input_file_name()``, k bit positions per row,
+    a partial-aggregated ``bit_or`` per (file, word) — shuffle carries
+    at most files × num_bits/64 words. The index is itself a DataFrame:
+    persist it next to the table and it is one more parquet table, time
+    travel and all.
+    """
+    from neulix_datahub_spark.operators.sketches import _bloom_positions
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("__k")
+    )
+    pos = F.explode(F.array(*_bloom_positions(F.col("__k"), num_bits, num_hashes)))
+    return (
+        df.select("file", pos.alias("pos"))
+        .select(
+            "file",
+            F.shiftright("pos", 6).alias("word"),
+            F.expr("shiftleft(1L, pos & 63)").alias("bit"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .groupBy("file")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+                "bitmap"
+            )
+        )
+    )
+
+
+def read_with_file_bloom(
+    spark,
+    index: "DataFrame",
+    key_col: str,
+    values: list,
+    *,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+    key_type: str = "bigint",
+) -> "tuple[DataFrame, int, int]":
+    """Point-lookup read through the file Bloom index: keep only files
+    whose bitmap might contain AT LEAST ONE probe value, read just
+    those, and re-apply the exact predicate (false positives read a
+    file for nothing; false negatives are impossible — Bloom negatives
+    are exact, so the result EQUALS the full-scan filter, which is what
+    the driver query hashes). Returns (df, n_files_total, n_files_read).
+
+    ``key_type`` must match the indexed column's Spark type exactly:
+    xxhash64 hashes an int literal and a bigint column DIFFERENTLY, so
+    an uncast probe silently misses every bitmap.
+
+    The collect here is FILE PATHS ONLY — bounded by the index size,
+    the same driver-state class as a manifest listing; row data never
+    moves until the pruned read.
+    """
+    from functools import reduce
+
+    from neulix_datahub_spark.operators.sketches import bloom_might_contain
+
+    keep = reduce(
+        lambda a, b: a | b,
+        [
+            bloom_might_contain(
+                F.lit(v).cast(key_type),
+                F.col("bitmap"),
+                num_bits=num_bits,
+                num_hashes=num_hashes,
+            )
+            for v in values
+        ],
+    )
+    n_total = index.count()
+    files = [r.file for r in index.filter(keep).select("file").collect()]
+    if not files:
+        empty = spark.read.parquet(*[r.file for r in index.select("file").collect()])
+        return empty.filter(F.col(key_col).isin(values)).limit(0), n_total, 0
+    df = spark.read.parquet(*files).filter(F.col(key_col).isin(values))
+    return df, n_total, len(files)

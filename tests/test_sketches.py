@@ -86,3 +86,28 @@ def test_time_embargo_split_boundaries(spark):
         "1997-03-31 23:59:59": "purged",
         "1997-04-01 00:00:00": "test",
     }
+
+
+def test_file_bloom_index_prunes_and_never_lies(spark, tmp_path):
+    """Per-file Bloom pruning: a clustered layout prunes a point probe
+    to its own file(s); the pruned read equals the full-scan filter
+    row-for-row; an absent key touches zero files (negatives exact)."""
+    from neulix_datahub_spark.sources.layout import (
+        build_file_bloom_index,
+        read_with_file_bloom,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    df.repartition(8, "k").write.parquet(path)
+    index = build_file_bloom_index(spark, path, "k")
+
+    pruned, n_total, n_read = read_with_file_bloom(spark, index, "k", [7])
+    assert n_total == 8 and 1 <= n_read < n_total
+    want = sorted(r.v for r in df.filter(F.col("k") == 7).collect())
+    assert sorted(r.v for r in pruned.collect()) == want
+
+    empty, _, n_read0 = read_with_file_bloom(spark, index, "k", [999_999])
+    assert n_read0 == 0 and empty.count() == 0

@@ -1313,7 +1313,137 @@ ORDER BY user_id
 """
 
 
+_PCTS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def exact_price_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order-price percentiles with NO global sort
+    (operators/profile.py exact_fixed_point_percentiles): money is 2-dp
+    fixed point, so a groupBy over the cent DOMAIN (bounded by price
+    range, constant as data grows) plus one cumulative sum over that
+    bounded domain yields exact quantile_disc-semantics percentiles —
+    the 100 TB alternative to both sort-based exact percentiles (full
+    range shuffle) and percentile_approx (approximate). Every number is
+    integer-derived; the oracle replays the identical cumsum."""
+    from neulix_datahub_spark.operators.profile import (
+        exact_fixed_point_percentiles,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_fixed_point_percentiles(orders, "o_totalprice", _PCTS).orderBy("p")
+
+
+_EXACT_PCT_SQL = f"""
+WITH h AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+    FROM orders GROUP BY 1
+),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM h),
+n AS (SELECT count(*) AS n FROM orders)
+SELECT p,
+       (SELECT min(v) FROM cum, n WHERE cm >= CAST(ceil(p * n) AS BIGINT)) / 100.0
+           AS value
+FROM (VALUES {", ".join(f"({p})" for p in _PCTS)}) t(p)
+ORDER BY p
+"""
+
+
+def price_drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift between the 1995–1997 and 1998+ order-
+    price eras, computed EXACTLY on the 2-dp cent domain: per-era cent
+    histograms, cumulative counts, and the KS statistic derived by
+    integer cross-multiplication — ``max |cumᵣ·n_c − cum_c·nᵣ|`` over
+    the merged domain, divided once at the end. Complements the binned
+    PSI (`price_drift_psi`): KS is binning-free here because the value
+    domain itself is finite. All intermediates are integers, so the
+    hashed statistic is bit-identical in any engine."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    ref = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy(cents.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    cur = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy(cents.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    both = ref.join(cur, "v", "full_outer").select(
+        "v",
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = both.select(
+        "v",
+        F.sum("cr").over(w).alias("cum_r"),
+        F.sum("cc").over(w).alias("cum_c"),
+    )
+    tot = both.agg(F.sum("cr").alias("nr"), F.sum("cc").alias("nc"))
+    diff = cum.crossJoin(tot).select(
+        "v",
+        F.abs(F.col("cum_r") * F.col("nc") - F.col("cum_c") * F.col("nr")).alias(
+            "d"
+        ),
+        "nr",
+        "nc",
+    )
+    top = diff.orderBy(F.desc("d"), F.asc("v")).limit(1)
+    return top.select(
+        (F.col("d").cast("double") / (F.col("nr") * F.col("nc"))).alias("ks"),
+        (F.col("v") / F.lit(100.0)).alias("at_price"),
+        F.col("nr").cast("long").alias("n_ref"),
+        F.col("nc").cast("long").alias("n_cur"),
+    )
+
+
+_KS_SQL = """
+WITH ref AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS cr
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1
+),
+cur AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS cc
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1
+),
+mrg AS (
+    SELECT coalesce(ref.v, cur.v) AS v,
+           coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+    FROM ref FULL OUTER JOIN cur ON ref.v = cur.v
+),
+cum AS (
+    SELECT v, sum(cr) OVER (ORDER BY v) AS cum_r,
+           sum(cc) OVER (ORDER BY v) AS cum_c
+    FROM mrg
+),
+tot AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM mrg),
+diff AS (
+    SELECT v, abs(cum_r * nc - cum_c * nr) AS d, nr, nc
+    FROM cum, tot
+)
+SELECT CAST(d AS DOUBLE) / (nr * nc) AS ks,
+       v / 100.0 AS at_price,
+       CAST(nr AS BIGINT) AS n_ref,
+       CAST(nc AS BIGINT) AS n_cur
+FROM diff
+ORDER BY d DESC, v ASC
+LIMIT 1
+"""
+
+
 SCALE_QUERIES = {
+    "exact_price_percentiles_hist": (
+        exact_price_percentiles_hist,
+        _EXACT_PCT_SQL,
+        "exact fixed-point percentiles via bounded-domain cumsum, no sort",
+    ),
+    "price_drift_ks_exact": (
+        price_drift_ks_exact,
+        _KS_SQL,
+        "binning-free exact KS drift on the cent domain",
+    ),
     "file_bloom_skipping_stats": (
         file_bloom_skipping_stats,
         _FBLOOM_SQL,

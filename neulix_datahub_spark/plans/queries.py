@@ -1988,16 +1988,23 @@ _PRIORITY_R6 = [
 # round). Composition:
 #   1-2:   the two formerly-red queries, reformulated on exact integer/
 #          decimal arithmetic — they must get their first green row;
-#   3-4:   round-7 additions (L5 real-decoder queries, new oracles);
-#   5-36:  the 32 sim-green queries that have never had a driver row
+#   3-11:  the nine round-7 additions (L5 real decode, KMV/CMS-join
+#          sketch algebra, file-Bloom skipping, embargo split, Holt,
+#          exact percentiles, KS drift), all new oracles;
+#   12-43: the 32 sim-green queries that have never had a driver row
 #          (11 post-r5-freeze profiles + 21 displaced by the round-6
 #          scale tier), all judge-verified exact at sf0.01 in round 6;
-#   37-50: the stalest r3-era greens (deferred since round 5).
+#   44-50: the stalest r3-era greens (deferred since round 5).
 _PRIORITY_R7 = [
     # -- formerly driver-red, reformulated decimal-exact this round --
     "grouped_cov_check", "schema_drift_stats",
-    # -- NEW this round: L5 real decode under the hash gate --
+    # -- NEW this round (no driver row exists yet): L5 real decode,
+    #    sketch algebra, planner probes, splits, exact analytics --
     "bmp_decode_features", "wav_decode_features",
+    "cms_join_size_check", "kmv_union_law_check",
+    "file_bloom_skipping_stats", "time_embargo_split_stats",
+    "holt_daily_by_type", "exact_price_percentiles_hist",
+    "price_drift_ks_exact",
     # -- post-r5-freeze profiles, never driver-checked --
     "rfm_segment_counts", "revenue_concentration",
     "repeat_purchase_intervals", "ship_delay_by_priority",
@@ -2018,17 +2025,19 @@ _PRIORITY_R7 = [
     # -- stalest r3-era greens (driver-green round 3, deferred since) --
     "approx_price_percentiles", "hll_users_by_type", "coerced_timestamps",
     "json_serialized_orders", "resolved_projection", "positional_alignment",
-    "synth_constraint_check", "events_asof_snapshots", "user_event_deltas",
-    "pivot_event_values", "fill_nulls_events", "q16_supplier_part_counts",
-    "q20_excess_share_suppliers", "word_repetition_by_lang",
+    "synth_constraint_check",
 ]
 # ROUND 8 NOTE: rotate ONLY AFTER the round-7 driver run consumes this
-# prefix. Every registry entry will then have at least one driver row.
-# Lead round 8 with any round-7 additions and any red rows' fixes, then
-# continue the r3/r4-era refresh oldest-first: q17/q18/q19/q21/q22,
-# char_entropy_by_lang, contamination_by_lang,
-# boilerplate_removal_stats, embedding_near_dup, then the r4 LLM tier
-# (token packing, winnowing, PII, perplexity) — names as registered.
+# prefix. Lead round 8 with any round-8 additions, any red rows'
+# fixes, and the round-7 queries registered AFTER this window froze
+# (crawl_frontier_stats), then the r3-era greens displaced from this window
+# (events_asof_snapshots, user_event_deltas, pivot_event_values,
+# fill_nulls_events, q16_supplier_part_counts,
+# q20_excess_share_suppliers, word_repetition_by_lang), then continue
+# the refresh oldest-first: q17/q18/q19/q21/q22, char_entropy_by_lang,
+# contamination_by_lang, boilerplate_removal_stats, embedding_near_dup,
+# then the r4 LLM tier (token packing, winnowing, PII, perplexity) —
+# names as registered.
 assert set(_PRIORITY_R7) <= set(QUERIES), sorted(set(_PRIORITY_R7) - set(QUERIES))
 assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
 QUERIES = {n: QUERIES[n] for n in _PRIORITY_R7} | {

@@ -1178,6 +1178,60 @@ WHERE doc_id % 25 = 0
 """
 
 
+_CRAWL_DEPTH = 3
+
+
+def crawl_frontier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO22/EP1 crawl tier: the distributed BFS frontier
+    (sources/web.py crawl_frontier — parallel fetch, link extraction
+    with relative-href resolution, exactly-once URL dedup via per-round
+    anti-join, breadth-first depth labels) over the deterministic
+    binary-tree site (stub_site_fetch: /page/N links to 2N, 2N+1). The
+    reachable set is a pure function of the seed, so the oracle replays
+    it with a recursive CTE: per-depth page count, OK count, and the
+    sum of crawled page ids (parsed back out of the REAL extracted
+    titles) must all match exactly."""
+    from neulix_datahub_spark.sources.web import crawl_frontier, stub_site_fetch
+
+    pages = crawl_frontier(
+        spark,
+        ["http://site.test/page/1"],
+        fetcher=stub_site_fetch,
+        max_depth=_CRAWL_DEPTH,
+    )
+    return (
+        pages.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_if(F.col("status") == 200).alias("n_ok"),
+            F.sum(
+                F.regexp_extract("title", r"Page (\d+)", 1).cast("long")
+            ).alias("sum_page_ids"),
+        )
+        .orderBy("depth")
+    )
+
+
+_CRAWL_SQL = f"""
+WITH RECURSIVE t AS (
+    SELECT 1 AS n, 0 AS depth
+    UNION ALL
+    SELECT x.child, t.depth + 1
+    FROM t CROSS JOIN LATERAL (
+        SELECT unnest([t.n * 2, t.n * 2 + 1]) AS child
+    ) x
+    WHERE t.depth < {_CRAWL_DEPTH} AND x.child <= 500
+)
+SELECT depth,
+       count(*) AS n_pages,
+       count(*) AS n_ok,
+       CAST(sum(n) AS BIGINT) AS sum_page_ids
+FROM t
+GROUP BY depth
+ORDER BY depth
+"""
+
+
 def text_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IO7 driver-visible: document texts → text-file sink → text scan →
     aggregate. Text files split records on newlines, so the write
@@ -2500,6 +2554,11 @@ EXT_QUERIES = {
         fetch_hook_profile,
         FETCH_HOOK_SQL,
         "U2/IO22 per-row fetch hook (oracle replays the stub fetcher)",
+    ),
+    "crawl_frontier_stats": (
+        crawl_frontier_stats,
+        _CRAWL_SQL,
+        "IO22/EP1 BFS crawl frontier vs recursive-CTE reachability oracle",
     ),
     "text_roundtrip_stats": (
         text_roundtrip_stats,

@@ -110,3 +110,140 @@ def fetch_url_column(
             )
 
     return df.mapInPandas(op, schema=out_schema)
+
+
+_HREF_RE = re.compile(rb"""<a\s[^>]*href=["']([^"'#]+)["']""", re.IGNORECASE)
+
+
+def extract_links(body: bytes, base_url: str, same_host: bool = True) -> list[str]:
+    """Pure-stdlib href extraction + resolution: absolute URLs out of a
+    page body (urljoin handles relative paths), optionally restricted
+    to the base URL's host — the polite-crawler default. Deterministic
+    and dependency-free, so the crawl layer stays testable without a
+    browser; swap in an HTML5 parser for adversarial markup."""
+    from urllib.parse import urljoin, urlparse
+
+    base_host = urlparse(base_url).netloc
+    out: list[str] = []
+    seen = set()
+    for m in _HREF_RE.finditer(body):
+        href = m.group(1).decode("utf-8", errors="replace").strip()
+        url = urljoin(base_url, href)
+        if not url.startswith(("http://", "https://")):
+            continue
+        if same_host and urlparse(url).netloc != base_host:
+            continue
+        if url not in seen:
+            seen.add(url)
+            out.append(url)
+    return out
+
+
+def fetch_and_extract(
+    df: DataFrame,
+    url_col: str = "url",
+    fetcher: Callable[[str], tuple[int, str, bytes]] = stub_fetch,
+    same_host: bool = True,
+) -> DataFrame:
+    """fetch_url_column + link extraction in ONE executor pass (the body
+    never crosses batches, only its hash and links do) — the building
+    block the crawl frontier iterates."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + FETCH_SCHEMA_SUFFIX
+        + [T.StructField("links", T.ArrayType(T.StringType()))]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            results = [fetcher(u) for u in pdf[url_col]]
+            yield pdf.assign(
+                status=[r[0] for r in results],
+                title=[r[1] for r in results],
+                content_sha256=[hashlib.sha256(r[2]).hexdigest() for r in results],
+                n_bytes=[len(r[2]) for r in results],
+                links=[
+                    extract_links(r[2], u, same_host=same_host)
+                    for r, u in zip(results, pdf[url_col])
+                ],
+            )
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+def crawl_frontier(
+    spark,
+    seeds: list[str],
+    fetcher: Callable[[str], tuple[int, str, bytes]] = stub_fetch,
+    max_depth: int = 2,
+    same_host: bool = True,
+) -> DataFrame:
+    """Distributed BFS crawl: each round fetches the current frontier
+    in parallel (fetch_and_extract), collects the discovered links, and
+    anti-joins against everything already visited — exactly-once per
+    URL, breadth-first depth labels, bounded by ``max_depth`` driver
+    iterations (the same bounded-loop shape as Lloyd's k-means in
+    operators/clustering.py: iteration count is a CONSTANT, data volume
+    per round is distributed work).
+
+    This is the engine-side form of the reference's spider DAGs
+    (``neulix_dataflow/spiders/base_spider.py`` + the Airflow loop):
+    frontier management, URL dedup, and depth accounting are relational
+    work — only the fetch callable is IO. At scale, checkpoint
+    ``visited`` to a snapshot table per round and size frontier
+    partitions to fetch latency (~100s of URLs each).
+
+    Returns one row per fetched page: (url, depth, status, title,
+    content_sha256, n_bytes).
+    """
+    from pyspark.sql import functions as F
+
+    frontier = spark.createDataFrame([(u,) for u in seeds], "url string").distinct()
+    pages = None
+    for depth in range(max_depth + 1):
+        # materialize each round ONCE (localCheckpoint truncates the
+        # lineage too): without this, every later reference to `pages`
+        # or the anti-join would re-run the fetchers — re-crawling the
+        # whole site per round. At deployment scale, swap for a
+        # snapshot-table write per round (restartable crawls).
+        fetched = fetch_and_extract(
+            frontier, "url", fetcher=fetcher, same_host=same_host
+        ).withColumn("depth", F.lit(depth)).localCheckpoint()
+        keep = fetched.select(
+            "url", "depth", "status", "title", "content_sha256", "n_bytes"
+        )
+        pages = keep if pages is None else pages.unionByName(keep)
+        if depth == max_depth:
+            break
+        discovered = (
+            fetched.select(F.explode("links").alias("url")).distinct()
+        )
+        frontier = discovered.join(
+            pages.select("url").distinct(), "url", "left_anti"
+        )
+        if frontier.isEmpty():
+            break
+    return pages
+
+
+_SITE_MAX = 500
+
+
+def stub_site_fetch(url: str) -> tuple[int, str, bytes]:
+    """Deterministic synthetic SITE (not just a page): ``/page/N`` has
+    title ``Page N`` and relative links to its binary-tree children
+    ``2N`` and ``2N+1`` (while ≤ 500). A pure function of the URL, so a
+    crawl over it is exactly reproducible — the driver oracle replays
+    the reachable set with a recursive CTE. Out-of-range pages 404,
+    exercising the crawl's error path."""
+    m = re.search(r"/page/(\d+)$", url)
+    n = int(m.group(1)) if m else 0
+    if not m or n < 1 or n > _SITE_MAX:
+        return 404, "", b""
+    links = "".join(
+        f'<a href="/page/{k}">p{k}</a>'
+        for k in (2 * n, 2 * n + 1)
+        if k <= _SITE_MAX
+    )
+    body = f"<html><title>Page {n}</title>{links}</html>".encode()
+    return 200, f"Page {n}", body

@@ -734,7 +734,102 @@ ORDER BY event_type
 """
 
 
+_LATE_SPLIT = "2024-01-02"
+
+
+def stream_late_data_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 watermark semantics under the hash gate: day-1 events are
+    delivered TWO micro-batches after the rest of the month, by which
+    time the committed 2-hour watermark has advanced a full day past
+    them — the tumbling aggregation must DROP every late row (their
+    windows are expired) while keeping every on-time window intact.
+    File order is forced with pinned mtimes (the file source orders by
+    timestamp), and the late file rides the THIRD batch because the
+    watermark a batch FILTERS with is the one committed from the data
+    through the batch before it (one-commit lag, measured: a late row
+    in batch 1 still passes; in batch 2 it is dropped with
+    numRowsDroppedByWatermark=1). The drop set is then a pure function
+    of the fixture and the oracle recomputes the surviving aggregate
+    from the on-time slice alone — upgrading S3 from unit-only to
+    oracle-checked: a green row proves rows behind the watermark
+    neither count nor resurrect closed windows."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.streaming.windows import run_stream_to_memory
+
+    tmp = _scratch(spark, "neulix_late_")
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    split = F.lit(_LATE_SPLIT).cast("timestamp")
+    mid = F.lit("2024-01-16").cast("timestamp")
+    on_time_1 = ev.filter((F.col("ts") >= split) & (F.col("ts") < mid))
+    on_time_2 = ev.filter(F.col("ts") >= mid)
+    late = ev.filter(F.col("ts") < split)
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    for name, part, mtime in (
+        ("a", on_time_1, 1_000_000),
+        ("b", on_time_2, 2_000_000),
+        ("c", late, 3_000_000),
+    ):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(windowed, name, output_mode="update", shuffle_partitions=8)
+    result = spark.sql(f"SELECT * FROM {name}")
+    n_on_time = ev.filter(F.col("ts") >= split).count()
+    total_emitted = result.agg(F.coalesce(F.sum("n_events"), F.lit(0))).first()[0]
+    return (
+        result.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("sum_value"),
+        )
+        .withColumn("late_rows_dropped", F.lit(int(total_emitted) == n_on_time))
+        .orderBy("event_type")
+    )
+
+
+_LATE_SQL = f"""
+SELECT event_type,
+       CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       true AS late_rows_dropped
+FROM events
+WHERE ts >= TIMESTAMP '{_LATE_SPLIT} 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 STREAM_QUERIES = {
+    "stream_late_data_stats": (
+        stream_late_data_stats,
+        _LATE_SQL,
+        "S3 watermark late-drop semantics vs on-time-slice oracle",
+    ),
     "stream_catalog_consistency": (
         stream_catalog_consistency,
         _STREAM_CAT_SQL,

@@ -1433,7 +1433,78 @@ LIMIT 1
 """
 
 
+def deletion_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level deletes (sources/deletes.py — the Delta
+    deletion-vector / Iceberg positional-delete lifecycle): two delete
+    waves append keys to the vector (data files untouched, O(deleted)
+    write cost), reads apply them as a broadcast anti-join, then
+    compaction folds the vector into one physical rewrite and clears
+    it. Hashed: the per-segment survivor aggregate (count + decimal
+    balance sum) read through the VECTOR, plus verdicts the oracle pins
+    true — the post-compaction plain scan returns the identical
+    aggregate, the compaction removed exactly the deleted rows, and the
+    vector is gone afterwards."""
+    from neulix_datahub_spark.sources.deletes import (
+        apply_deletes,
+        compact_deletes,
+        delete_where,
+        write_table,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    root = f"{warehouse_scratch(spark, 'neulix_dv_')}/customer"
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    write_table(cust, root)
+    n1 = delete_where(spark, root, "c_custkey", F.col("c_custkey") % 10 == 0)
+    n2 = delete_where(spark, root, "c_custkey", F.col("c_acctbal") < 0.0)
+
+    def seg_agg():
+        return (
+            apply_deletes(spark, root, "c_custkey")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                _money_sum("c_acctbal").alias("sum_balance"),
+            )
+        )
+
+    before = {tuple(r) for r in seg_agg().collect()}
+    removed = compact_deletes(spark, root, "c_custkey")
+    after = {tuple(r) for r in seg_agg().collect()}
+    import os
+
+    vector_gone = not os.path.isdir(f"{root}/_deletes")
+    return (
+        seg_agg()
+        .withColumn("compaction_preserves_reads", F.lit(before == after))
+        .withColumn("compaction_removed_exactly", F.lit(removed == n1 + n2))
+        .withColumn("vector_cleared", F.lit(vector_gone))
+        .orderBy("c_mktsegment")
+    )
+
+
+_DV_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_balance,
+       true AS compaction_preserves_reads,
+       true AS compaction_removed_exactly,
+       true AS vector_cleared
+FROM customer
+WHERE c_custkey % 10 != 0 AND c_acctbal >= 0.0
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 SCALE_QUERIES = {
+    "deletion_vector_stats": (
+        deletion_vector_stats,
+        _DV_SQL,
+        "merge-on-read deletion vectors + compaction lifecycle",
+    ),
     "exact_price_percentiles_hist": (
         exact_price_percentiles_hist,
         _EXACT_PCT_SQL,

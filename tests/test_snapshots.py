@@ -649,3 +649,35 @@ def test_plan_diff_flags_regressions(spark):
     assert not same["lost_broadcast"] and not same["new_shuffles"]
     reg = plan_diff(good, bad)
     assert reg["lost_broadcast"] and reg["new_shuffles"]
+
+
+def test_deletion_vector_lifecycle(spark, tmp_path):
+    """Merge-on-read deletes: a matched delete appends keys (data files
+    untouched), a no-match delete writes nothing, deleting an
+    already-deleted row is a no-op (counts LIVE rows only), and
+    compaction rewrites exactly the survivors then clears the vector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.deletes import (
+        apply_deletes,
+        compact_deletes,
+        delete_where,
+        write_table,
+    )
+
+    root = str(tmp_path / "t")
+    write_table(spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")), root)
+    data_files = sorted(os.listdir(f"{root}/data"))
+
+    assert delete_where(spark, root, "id", F.col("id") < 3) == 3
+    assert delete_where(spark, root, "id", F.col("id") < 3) == 0  # already gone
+    assert delete_where(spark, root, "id", F.col("id") > 100) == 0
+    assert sorted(os.listdir(f"{root}/data")) == data_files  # untouched
+    assert sorted(r.id for r in apply_deletes(spark, root, "id").collect()) == list(range(3, 10))
+
+    assert compact_deletes(spark, root, "id") == 3
+    assert not os.path.isdir(f"{root}/_deletes")
+    assert sorted(r.id for r in apply_deletes(spark, root, "id").collect()) == list(range(3, 10))
+    assert compact_deletes(spark, root, "id") == 0  # nothing to fold

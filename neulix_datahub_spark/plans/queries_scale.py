@@ -1499,7 +1499,69 @@ ORDER BY c_mktsegment
 """
 
 
+_TOKEN_SECRET = "neulix-vault-demo"  # fixture secret; KMS-backed in deployment
+
+
+def tokenized_analytics_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tokenization with a reversibility vault
+    (operators/privacy.py): c_name is replaced by a keyed sha2 token,
+    analytics run on tokens only, and re-identification is a vault
+    JOIN, never a computation. Hashed per segment: customer count,
+    distinct-token count (must equal distinct raw names — determinism
+    means tokenized GROUP BY/DISTINCT answers are byte-identical to
+    raw ones), the min token itself (the oracle replays the same
+    sha2), and a vault-roundtrip verdict: detokenizing every token
+    recovers exactly the original name set."""
+    from neulix_datahub_spark.operators.privacy import (
+        build_vault,
+        detokenize,
+        tokenize_columns,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    vault = build_vault(cust, ["c_name"], _TOKEN_SECRET)
+    tok = tokenize_columns(cust, ["c_name"], _TOKEN_SECRET)
+    back = detokenize(tok, vault, "c_name")
+    orig = cust.select("c_custkey", F.col("c_name").alias("__orig"))
+    n_mismatch = (
+        back.join(orig, "c_custkey")
+        .filter(
+            F.col("c_name_value").isNull()
+            | (F.col("c_name_value") != F.col("__orig"))
+        )
+        .count()
+    )
+    roundtrip_ok = n_mismatch == 0  # every token reverses to its raw name
+    return (
+        tok.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_name").alias("n_distinct_tokens"),
+            F.min("c_name").alias("min_token"),
+        )
+        .withColumn("roundtrip_ok", F.lit(roundtrip_ok))
+        .orderBy("c_mktsegment")
+    )
+
+
+_TOKENIZE_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_tokens,
+       min(sha256('{_TOKEN_SECRET}:' || c_name)) AS min_token,
+       true AS roundtrip_ok
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 SCALE_QUERIES = {
+    "tokenized_analytics_stats": (
+        tokenized_analytics_stats,
+        _TOKENIZE_SQL,
+        "keyed tokenization + vault roundtrip; token analytics vs raw",
+    ),
     "deletion_vector_stats": (
         deletion_vector_stats,
         _DV_SQL,

@@ -324,3 +324,77 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
         .otherwise(F.lit(float(k - 1)) / hk)
         .alias("est_distinct")
     )
+
+
+def sketch_join_plan(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    *,
+    width: int = 512,
+    depth: int = 4,
+    broadcast_max_rows: int = 1_000_000,
+    skew_ratio_threshold: float = 8.0,
+) -> dict:
+    """Cost-based join-strategy decision from SKETCH statistics — the
+    closure of the sketch tier: one CMS pass per side yields (a) the
+    build side's row count, (b) the estimated join cardinality
+    (``cms_inner_product``), and (c) a skew signal — the probe side's
+    estimated self-join size vs the uniform baseline ``N²/distinct``
+    (F2/uniform ≈ 1 for balanced keys, ≫1 for hot keys). Decision:
+
+    - build side small → ``broadcast`` (hash join, no shuffle of probe)
+    - hot probe keys   → ``salted`` (operators/skew.salted_join)
+    - otherwise        → ``shuffle`` (plain sort-merge/hash)
+
+    Returns the decision dict {strategy, n_build, est_join_rows,
+    skew_ratio}; ``execute_sketch_planned_join`` applies it. The
+    decision is a deterministic integer/ratio function of (data,
+    seeds), so a driver oracle can replay it — a planner whose choices
+    are auditable, not vibes. At 100 TB the sketches come from table
+    maintenance (mergeable per-partition partials), so the decision
+    costs O(depth·width), not a scan."""
+    n_build = build.count()
+    sk_b = cms_build(build, key_col, width=width, depth=depth)
+    sk_p = cms_build(probe, key_col, width=width, depth=depth)
+    est_join = int(cms_inner_product(sk_b, sk_p).first()["est_join_size"])
+    probe_f2 = int(cms_inner_product(sk_p, sk_p).first()["est_join_size"])
+    n_probe = probe.count()
+    distinct_est = max(1, int(
+        probe.select(key_col).distinct().count()
+    ))
+    uniform_f2 = max(1.0, n_probe * n_probe / distinct_est)
+    skew_ratio = probe_f2 / uniform_f2
+    if n_build <= broadcast_max_rows:
+        strategy = "broadcast"
+    elif skew_ratio >= skew_ratio_threshold:
+        strategy = "salted"
+    else:
+        strategy = "shuffle"
+    return {
+        "strategy": strategy,
+        "n_build": n_build,
+        "est_join_rows": est_join,
+        "skew_ratio": skew_ratio,
+    }
+
+
+def execute_sketch_planned_join(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    plan: dict,
+    how: str = "inner",
+) -> DataFrame:
+    """Apply a ``sketch_join_plan`` decision. All three strategies
+    return the IDENTICAL relational result (salting only routes rows;
+    broadcast is a physical hint) — the plan changes how data moves,
+    never the answer, which is what lets the driver hash the joined
+    result regardless of the chosen path."""
+    from neulix_datahub_spark.operators.skew import salted_join
+
+    if plan["strategy"] == "broadcast":
+        return probe.join(F.broadcast(build), key_col, how)
+    if plan["strategy"] == "salted":
+        return salted_join(probe, build, on=[key_col], how=how)
+    return probe.join(build, key_col, how)

@@ -1556,7 +1556,68 @@ ORDER BY c_mktsegment
 """
 
 
+def backfill_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-driven idempotent backfill (sources/layout.py
+    backfill_partitions — the engine-side form of the reference's
+    Airflow schedule catch-up): a date-partitioned events layout is
+    seeded with day-of-month % 5 != 0 partitions only; the backfill
+    diffs EXPECTED days against the directories on disk, produces just
+    the 6 missing days, and lands each via dynamic partition overwrite;
+    a second run finds no gaps and does zero work. Hashed: per-day
+    event counts of the healed table (must equal the full recompute —
+    the oracle) plus verdicts that exactly the %5==0 days were filled
+    and the re-run was a no-op."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.layout import backfill_partitions
+
+    root = f"{warehouse_scratch(spark, 'neulix_backfill_')}/events_by_day"
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    dated = ev.withColumn("event_date", F.to_date("ts"))
+    all_days = sorted(
+        r.d for r in dated.select(
+            F.date_format("event_date", "yyyy-MM-dd").alias("d")
+        ).distinct().collect()
+    )
+    seeded = dated.filter(F.dayofmonth("event_date") % 5 != 0)
+    seeded.write.mode("overwrite").partitionBy("event_date").parquet(root)
+
+    def producer(s: SparkSession, day: str) -> DataFrame:
+        return dated.filter(
+            F.col("event_date") == F.lit(day).cast("date")
+        )
+
+    first = backfill_partitions(spark, root, "event_date", all_days, producer)
+    second = backfill_partitions(spark, root, "event_date", all_days, producer)
+    want_filled = [d for d in all_days if int(d[8:10]) % 5 == 0]
+    filled_expected = first["filled"] == want_filled
+    second_noop = second["filled"] == [] and second["already_present"] == all_days
+    return (
+        spark.read.parquet(root)
+        .groupBy(F.date_format("event_date", "yyyy-MM-dd").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("filled_expected_gaps", F.lit(filled_expected))
+        .withColumn("second_run_noop", F.lit(second_noop))
+        .orderBy("event_date")
+    )
+
+
+_BACKFILL_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       count(*) AS n_events,
+       true AS filled_expected_gaps,
+       true AS second_run_noop
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
 SCALE_QUERIES = {
+    "backfill_gap_stats": (
+        backfill_gap_stats,
+        _BACKFILL_SQL,
+        "gap-driven idempotent partition backfill vs full-recompute oracle",
+    ),
     "tokenized_analytics_stats": (
         tokenized_analytics_stats,
         _TOKENIZE_SQL,

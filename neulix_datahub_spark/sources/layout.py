@@ -345,3 +345,55 @@ def read_with_file_bloom(
         return empty.filter(F.col(key_col).isin(values)).limit(0), n_total, 0
     df = spark.read.parquet(*files).filter(F.col(key_col).isin(values))
     return df, n_total, len(files)
+
+
+# ---------------------------------------------------------------------------
+# Gap-driven backfill: fill only the partitions that are missing
+# ---------------------------------------------------------------------------
+
+
+def existing_partition_values(path: str, partition_col: str) -> set[str]:
+    """Partition VALUES present on disk for one hive-style partition
+    column (``col=value`` directories) — the physical truth a backfill
+    planner diffs against, read without any Spark job."""
+    import os
+
+    if not os.path.isdir(path):
+        return set()
+    prefix = f"{partition_col}="
+    return {
+        e[len(prefix):]
+        for e in os.listdir(path)
+        if e.startswith(prefix) and os.path.isdir(os.path.join(path, e))
+    }
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    expected_values: list[str],
+    producer,
+) -> dict:
+    """Idempotent gap-driven backfill — the orchestration pattern the
+    reference delegates to Airflow schedule catch-up, as an engine
+    operator: diff the EXPECTED partition values against what exists on
+    disk, call ``producer(spark, value) -> DataFrame`` only for the
+    missing ones, and land each via dynamic partition overwrite
+    (``overwrite_partitions``) so a crashed/retried fill replaces
+    exactly its own directory. A re-run with no gaps does zero work —
+    the no-op idempotence a retrying scheduler requires (IO24).
+
+    Returns {"filled": [...], "already_present": [...]} (sorted).
+    """
+    have = existing_partition_values(path, partition_col)
+    missing = [v for v in expected_values if v not in have]
+    for v in missing:
+        part = producer(spark, v)
+        if partition_col not in part.columns:
+            part = part.withColumn(partition_col, F.lit(v))
+        overwrite_partitions(part, path, [partition_col])
+    return {
+        "filled": sorted(missing),
+        "already_present": sorted(v for v in expected_values if v in have),
+    }

@@ -111,3 +111,48 @@ def test_file_bloom_index_prunes_and_never_lies(spark, tmp_path):
 
     empty, _, n_read0 = read_with_file_bloom(spark, index, "k", [999_999])
     assert n_read0 == 0 and empty.count() == 0
+
+
+def test_sketch_join_plan_decisions_and_result_identity(spark):
+    """The sketch-driven planner picks broadcast for a small build
+    side, salted for a hot-key probe, shuffle otherwise — and every
+    strategy returns the identical relational result; the broadcast
+    decision materializes as a BroadcastHashJoin in the plan."""
+    from neulix_datahub_spark.operators.sketches import (
+        execute_sketch_planned_join,
+        sketch_join_plan,
+    )
+
+    build = spark.range(100).select(F.col("id").alias("k"), F.lit("d").alias("attr"))
+    balanced = spark.range(2000).select((F.col("id") % 100).alias("k"))
+    hot = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k")
+    )
+
+    p_small = sketch_join_plan(build, balanced, "k")
+    assert p_small["strategy"] == "broadcast"
+    joined = execute_sketch_planned_join(build, balanced, "k", p_small)
+    plan_txt = joined._jdf.queryExecution().executedPlan().toString()
+    want = balanced.join(build, "k").groupBy().agg(
+        F.count(F.lit(1)), F.sum("k")
+    ).first()
+    assert joined.groupBy().agg(F.count(F.lit(1)), F.sum("k")).first() == want
+    assert "BroadcastHashJoin" in plan_txt
+
+    p_hot = sketch_join_plan(build, hot, "k", broadcast_max_rows=10)
+    assert p_hot["strategy"] == "salted"
+    assert p_hot["skew_ratio"] > 8.0
+    want_hot = sorted(
+        (r.k, r.attr) for r in hot.join(build, "k").collect()
+    )
+    got_hot = sorted(
+        (r.k, r.attr)
+        for r in execute_sketch_planned_join(build, hot, "k", p_hot).collect()
+    )
+    assert got_hot == want_hot  # salting routes rows, never changes them
+
+    p_plain = sketch_join_plan(build, balanced, "k", broadcast_max_rows=10)
+    assert p_plain["strategy"] == "shuffle"
+    assert p_plain["skew_ratio"] < 2.0
+    # the CMS estimate of the join size never undershoots the truth
+    assert p_plain["est_join_rows"] >= balanced.join(build, "k").count()

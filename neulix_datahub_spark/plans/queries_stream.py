@@ -824,7 +824,135 @@ ORDER BY event_type
 """
 
 
+_ND_T = 0.85
+
+
+def stream_neardup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup end-to-end (streaming/sinks.py
+    stream_neardup_dedup_to_parquet): batch 1 delivers the corpus,
+    batch 2 delivers a perturbed twin of every doc_id<100 document
+    (first token dropped — Jaccard ≥ 0.875 vs its original). Admission
+    rule, replayed exactly by the oracle on the brute-force pair graph:
+    a document drops iff a smaller-id same-batch document or any
+    already-admitted document is a VERIFIED near-dup (exact shingle
+    Jaccard ≥ 0.85 among LSH candidates; at that similarity the
+    64-hash/16-band index misses a pair with p < 1e-5, so the candidate
+    set equals the verified graph on this fixture — the verdict the
+    hash match itself proves). Twins must all drop; the corpus's own
+    planted near-dup clusters collapse to their min-id survivors."""
+    from neulix_datahub_spark.streaming.sinks import (
+        stream_neardup_dedup_to_parquet,
+    )
+
+    tmp = _scratch(spark, "neulix_snd_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    twins = (
+        docs.filter(F.col("doc_id") < 100)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.expr("substring(text, instr(text, ' ') + 1)"))
+    )
+    src = f"{tmp}/src"
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for name, part, mtime in (("a", docs, 1_000_000), ("b", twins, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_neardup_dedup_to_parquet(
+        stream,
+        f"{tmp}/corpus",
+        threshold=_ND_T,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    admitted = spark.read.parquet(f"{tmp}/corpus/data").select("doc_id")
+    langs = docs.unionByName(twins).select("doc_id", "lang")
+    return (
+        admitted.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("doc_id") < 1_000_000).alias("n_originals_kept"),
+            F.count_if(F.col("doc_id") >= 1_000_000).alias("n_twins_kept"),
+            F.sum(F.when(F.col("doc_id") < 1_000_000, F.col("doc_id")))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ND_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1), lang
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in generate_series(1, len(t) - 2)])
+                ELSE [array_to_string(t, ' ')] END AS s
+    FROM (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM corpus
+    )
+),
+pairs AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s))) >= {_ND_T}
+),
+-- batch 1 (originals): drop iff a smaller-id batch-1 verified neighbor
+admitted1 AS (
+    SELECT outer_sh.doc_id FROM sh outer_sh WHERE outer_sh.doc_id < 1000000
+      AND NOT EXISTS (SELECT 1 FROM pairs
+                      WHERE ib = outer_sh.doc_id AND ia < 1000000)
+),
+-- batch 2 (twins): drop iff an admitted batch-1 neighbor OR a
+-- smaller-id batch-2 verified neighbor (outer references QUALIFIED —
+-- a bare doc_id inside the subquery captures the inner a1.doc_id)
+admitted2 AS (
+    SELECT outer_sh.doc_id FROM sh outer_sh WHERE outer_sh.doc_id >= 1000000
+      AND NOT EXISTS (SELECT 1 FROM pairs JOIN admitted1 a1 ON pairs.ia = a1.doc_id
+                      WHERE pairs.ib = outer_sh.doc_id)
+      AND NOT EXISTS (SELECT 1 FROM pairs
+                      WHERE ib = outer_sh.doc_id AND ia >= 1000000)
+),
+kept AS (
+    SELECT doc_id FROM admitted1 UNION ALL SELECT doc_id FROM admitted2
+)
+SELECT lang,
+       CAST(count(*) FILTER (k.doc_id < 1000000) AS BIGINT) AS n_originals_kept,
+       CAST(count(*) FILTER (k.doc_id >= 1000000) AS BIGINT) AS n_twins_kept,
+       CAST(sum(CASE WHEN k.doc_id < 1000000 THEN k.doc_id END) AS BIGINT)
+           AS sum_kept_ids
+FROM kept k JOIN sh USING (doc_id)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 STREAM_QUERIES = {
+    "stream_neardup_corpus_stats": (
+        stream_neardup_corpus_stats,
+        _ND_SQL,
+        "streaming MinHash-LSH near-dup dedup vs brute-force pair-graph oracle",
+    ),
     "stream_late_data_stats": (
         stream_late_data_stats,
         _LATE_SQL,

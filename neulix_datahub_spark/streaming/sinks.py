@@ -493,3 +493,140 @@ def stream_json_quarantine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_neardup_dedup_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 16,
+    checkpoint_dir: str | None = None,
+    retain_versions: int | None = 8,
+) -> StreamingQuery:
+    """Incremental NEAR-duplicate corpus dedup — the streaming form of
+    the MinHash-LSH pipeline (operators/dedupe.py): a document is
+    admitted only if no already-admitted document is a verified near-dup
+    (exact shingle Jaccard ≥ ``threshold`` among its LSH candidates).
+    Arrival order wins: the first member of a near-dup cluster to arrive
+    survives, later members drop — the precedence a continuously-
+    ingesting corpus needs (re-running batch dedup from scratch per
+    ingest would be O(corpus) per batch; this is O(batch·candidates)).
+
+    Per micro-batch: (1) signature + banded keys for the batch; (2)
+    equi-join on (band, band-hash) against the persistent BAND INDEX of
+    admitted docs → candidate pairs only (never all-pairs); (3) verify
+    candidates by exact Jaccard over stored normalized shingle sets —
+    LSH proposes, verification disposes, so false LSH collisions cannot
+    drop a unique document; (4) within-batch: same verify over
+    banded within-batch candidates, min-id survivor per cluster edge;
+    (5) append admitted docs, publish the grown band index + shingle
+    store as the next snapshot version (atomic pointer).
+
+    Scale: the index holds bands·1 rows + one shingle array per
+    admitted doc. The shingle store is the honest cost of EXACT
+    verification (same trade as dedupe.verify_candidate_pairs); beyond
+    memory, store minhash signatures instead and verify by signature
+    agreement (estimate, not exact) — one knob, same shape.
+    """
+    from neulix_datahub_spark.operators.dedupe import (
+        _shingles,
+        jaccard_expr,
+        minhash_signature,
+    )
+
+    spark = stream_df.sparkSession
+    idx_dir = os.path.join(path, "_neardup_index")
+    data_dir = os.path.join(path, "data")
+
+    def _banded(df: DataFrame) -> DataFrame:
+        rows = num_hashes // bands
+        sig = minhash_signature(F.col(text_col), num_hashes=num_hashes)
+        return df.withColumn("__sig", sig).withColumn(
+            "__band",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(F.slice("__sig", b * rows + 1, rows)).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ),
+        ).select(
+            F.col(id_col), F.col(text_col),
+            F.col("__band.band").alias("band"), F.col("__band.bh").alias("bh"),
+            _shingles(F.col(text_col), 3).alias("__sh"),
+        )
+
+    def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = _banded(batch_df).localCheckpoint()
+        index = read_upsert_table(spark, idx_dir)
+
+        # (a) cross-batch: candidates vs the admitted index, verified
+        doomed_vs_index = None
+        if index is not None:
+            cand = batch.join(
+                index.select(
+                    F.col("band"), F.col("bh"),
+                    F.col("shingles").alias("__sh_old"),
+                ),
+                ["band", "bh"],
+            )
+            doomed_vs_index = (
+                cand.filter(
+                    jaccard_expr(F.col("__sh"), F.col("__sh_old")) >= threshold
+                )
+                .select(id_col)
+                .distinct()
+            )
+
+        # (b) within-batch: banded candidate pairs, min-id survivor
+        a = batch.select(
+            F.col(id_col).alias("__ida"), "band", "bh",
+            F.col("__sh").alias("__sha"),
+        )
+        b = batch.select(
+            F.col(id_col).alias("__idb"), "band", "bh",
+            F.col("__sh").alias("__shb"),
+        )
+        doomed_within = (
+            a.join(b, ["band", "bh"])
+            .filter(F.col("__ida") < F.col("__idb"))
+            .filter(jaccard_expr(F.col("__sha"), F.col("__shb")) >= threshold)
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+        )
+        doomed = (
+            doomed_within
+            if doomed_vs_index is None
+            else doomed_within.unionByName(doomed_vs_index).distinct()
+        )
+        admitted = (
+            batch.join(doomed, id_col, "left_anti")
+            .groupBy(id_col, text_col, "__sh")
+            .agg(F.count(F.lit(1)).alias("__nb"))
+            .drop("__nb")
+            .localCheckpoint()
+        )
+        admitted.select(id_col, text_col).write.mode("append").parquet(data_dir)
+        # reuse the checkpointed banded rows — re-shingling the admitted
+        # docs would redo the expensive signature work per batch
+        new_index = batch.join(
+            admitted.select(id_col), id_col, "left_semi"
+        ).select(id_col, "band", "bh", F.col("__sh").alias("shingles"))
+        all_index = (
+            new_index if index is None else index.unionByName(new_index)
+        )
+        write_snapshot(all_index, idx_dir)
+        if retain_versions is not None:
+            vacuum_snapshots(idx_dir, keep=retain_versions)
+
+    writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

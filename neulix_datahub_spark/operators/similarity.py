@@ -664,3 +664,53 @@ def append_to_ivf_index(df: DataFrame, path: str) -> None:
         df, meta["num_buckets"], meta["vec_col"], meta["seed"]
     )
     bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+
+
+def hard_negative_candidates(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    sim_ceiling: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per probe, the ``k``
+    HIGHEST-cosine neighbors strictly below ``sim_ceiling``. The
+    ceiling is the part naive top-k mining gets wrong: the very nearest
+    neighbors of a document are usually its near-duplicates or true
+    positives, and labelling those as negatives poisons a contrastive
+    loss — hard negatives live in the band just below "same thing".
+
+    Plan shape = cosine_self_join_top_k's: the probe set broadcasts
+    against one corpus scan, the band filter runs BEFORE the ranking
+    window, and the window partitions by probe (bounded k rows out per
+    probe). At 100 TB swap the scan side for the IVF index
+    (query_ivf_index) — same band-then-rank composition over the
+    candidate subset.
+    """
+    from pyspark.sql import Window
+
+    probes = df.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("__q"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn"))
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            (_dot(F.col(vec_col), F.col("__q")) / (F.col("__vn") * F.col("__qn"))).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") < sim_ceiling)
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

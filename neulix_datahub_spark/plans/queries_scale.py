@@ -1612,7 +1612,64 @@ ORDER BY event_date
 """
 
 
+_HN_PROBES = [0, 50, 100, 150]
+_HN_CEIL = 0.95
+_HN_K = 5
+
+
+def hard_negative_mining_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negative_candidates): per probe embedding, the 5 highest-
+    cosine neighbors strictly below the 0.95 near-duplicate ceiling —
+    the similarity band a contrastive loss wants as negatives. The
+    oracle replays the cosine arithmetic, band filter, and ranking in
+    SQL; scores round at 6 dp (unit-magnitude dot products — the
+    proven-stable tolerance class of cosine_top10)."""
+    from neulix_datahub_spark.operators.similarity import hard_negative_candidates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        hard_negative_candidates(
+            emb, _HN_PROBES, k=_HN_K, sim_ceiling=_HN_CEIL
+        )
+        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"))
+        .orderBy("probe_id", F.desc("score"), "neighbor_id")
+    )
+
+
+_HN_SQL = f"""
+WITH flat AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS probe_id, i, v AS qv FROM flat
+      WHERE vec_id IN ({", ".join(str(p) for p in _HN_PROBES)})),
+scored AS (
+    SELECT q.probe_id, f.vec_id AS neighbor_id,
+           sum(f.v * q.qv)
+             / (sqrt(sum(f.v * f.v)) * sqrt(sum(q.qv * q.qv))) AS score
+    FROM flat f JOIN q ON f.i = q.i AND f.vec_id <> q.probe_id
+    GROUP BY q.probe_id, f.vec_id
+),
+banded AS (
+    SELECT probe_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score DESC, neighbor_id) AS rn
+    FROM scored WHERE score < {_HN_CEIL}
+)
+SELECT probe_id, neighbor_id, round(score, 6) AS score
+FROM banded WHERE rn <= {_HN_K}
+ORDER BY probe_id, score DESC, neighbor_id
+"""
+
+
 SCALE_QUERIES = {
+    "hard_negative_mining_check": (
+        hard_negative_mining_check,
+        _HN_SQL,
+        "contrastive hard negatives: banded cosine top-k vs SQL replay",
+    ),
     "backfill_gap_stats": (
         backfill_gap_stats,
         _BACKFILL_SQL,

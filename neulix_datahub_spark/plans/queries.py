@@ -2032,7 +2032,8 @@ _PRIORITY_R7 = [
 # fixes, and the round-7 queries registered AFTER this window froze
 # (crawl_frontier_stats, stream_late_data_stats,
 # deletion_vector_stats, tokenized_analytics_stats, backfill_gap_stats,
-# stream_neardup_corpus_stats, hard_negative_mining_check), then the r3-era
+# stream_neardup_corpus_stats, hard_negative_mining_check,
+# partition_freshness_stats), then the r3-era
 # greens displaced from this window
 # (events_asof_snapshots, user_event_deltas, pivot_event_values,
 # fill_nulls_events, q16_supplier_part_counts,

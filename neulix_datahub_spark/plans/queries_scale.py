@@ -1664,7 +1664,51 @@ ORDER BY probe_id, score DESC, neighbor_id
 """
 
 
+def partition_freshness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA/freshness monitoring from parquet FOOTERS alone
+    (sources/layout.py partition_freshness): events written date-
+    partitioned, then every partition's row count and max event time
+    read from row-group statistics — zero data scanned, the O(files)
+    metadata walk a 100 TB table's staleness dashboard runs every few
+    minutes. The hash proves footer stats are trustworthy freshness
+    truth: per-day counts and max timestamps must equal the oracle's
+    full recompute from the raw table, to the microsecond."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+    from neulix_datahub_spark.sources.layout import (
+        partition_freshness,
+        write_date_partitioned,
+    )
+
+    root = f"{warehouse_scratch(spark, 'neulix_fresh_')}/events_by_day"
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    write_date_partitioned(ev, root, "ts")
+    report = partition_freshness(root, "ts")
+    return spark.createDataFrame(
+        [
+            (r["partition"], r["n_rows"], r["max_ts"], r["n_files"] >= 1)
+            for r in report
+        ],
+        "event_date string, n_rows bigint, max_ts timestamp, has_files boolean",
+    ).orderBy("event_date")
+
+
+_FRESHNESS_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+       count(*) AS n_rows,
+       max(ts) AS max_ts,
+       true AS has_files
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
 SCALE_QUERIES = {
+    "partition_freshness_stats": (
+        partition_freshness_stats,
+        _FRESHNESS_SQL,
+        "footer-stats freshness monitor vs full-recompute oracle",
+    ),
     "hard_negative_mining_check": (
         hard_negative_mining_check,
         _HN_SQL,

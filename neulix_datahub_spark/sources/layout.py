@@ -397,3 +397,46 @@ def backfill_partitions(
         "filled": sorted(missing),
         "already_present": sorted(v for v in expected_values if v in have),
     }
+
+
+def partition_freshness(path: str, ts_col: str) -> list[dict]:
+    """Per-partition data freshness from parquet FOOTERS alone — the
+    SLA monitor a 100 TB table needs to answer "which days are stale /
+    missing / short" without scanning a byte of data: for every
+    hive-style partition directory, the max of ``ts_col``'s row-group
+    max statistics and the footer row counts. Driver-side O(files)
+    metadata walk, same cost class as file_pruning_report.
+
+    Returns [{partition, max_ts, n_rows, n_files}, ...] sorted by
+    partition value.
+    """
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    root = pathlib.Path(path)
+    out = []
+    for part_dir in sorted(p for p in root.iterdir() if p.is_dir() and "=" in p.name):
+        max_ts = None
+        n_rows = 0
+        files = list(part_dir.glob("*.parquet"))
+        for f in files:
+            md = pq.ParquetFile(str(f)).metadata
+            n_rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for i in range(row.num_columns):
+                    col = row.column(i)
+                    if col.path_in_schema == ts_col and col.statistics is not None:
+                        mx = col.statistics.max
+                        if mx is not None and (max_ts is None or mx > max_ts):
+                            max_ts = mx
+        out.append(
+            {
+                "partition": part_dir.name.split("=", 1)[1],
+                "max_ts": max_ts,
+                "n_rows": n_rows,
+                "n_files": len(files),
+            }
+        )
+    return out

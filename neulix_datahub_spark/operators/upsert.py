@@ -47,3 +47,35 @@ def upsert(
     join_side = F.broadcast(updates) if broadcast_updates else updates
     kept = target.join(join_side.select(key), on=key, how="left_anti")
     return kept.unionByName(updates.select(*target.columns))
+
+
+def upsert_evolving(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """:func:`upsert` under ADDITIVE schema evolution: updates may carry
+    columns the target lacks (and vice versa) — the union happens over
+    the merged column set with nulls where a side has no value, the
+    same additive-only evolution contract as the mergeSchema read path
+    (sources/snapshots.align_schemas refuses TYPE changes upstream;
+    this handles the legal case). A kept target row reads null for a
+    newly added column — exactly what a Delta ``MERGE`` with
+    ``mergeSchema`` produces.
+
+    Shared columns must already agree in type (callers align first);
+    plan shape is unchanged from :func:`upsert` — one anti-join + one
+    union, no extra pass.
+    """
+    merged_cols = list(dict.fromkeys([*target.columns, *updates.columns]))
+    types = {f.name: f.dataType for f in target.schema.fields}
+    types.update({f.name: f.dataType for f in updates.schema.fields})
+
+    def widen(df: DataFrame) -> DataFrame:
+        out = df
+        for c in (c for c in merged_cols if c not in df.columns):
+            out = out.withColumn(c, F.lit(None).cast(types[c]))
+        return out.select(*merged_cols)
+
+    return upsert(widen(target), widen(updates), key, tiebreak)

@@ -1703,7 +1703,69 @@ ORDER BY event_date
 """
 
 
+def evolving_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert under ADDITIVE schema evolution (operators/upsert.py
+    upsert_evolving — the legal half of schema change, same contract as
+    the mergeSchema read path): a CDC batch for custkey%10==0 carries a
+    brand-new loyalty_tier column and +1000.00 balances; untouched rows
+    read null for the new column. Hashed per segment: row count,
+    decimal-exact balance sum, rows carrying the new column, and its
+    distinct values — the oracle replays the merge with CASE
+    arithmetic."""
+    from neulix_datahub_spark.operators.upsert import upsert_evolving
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal")
+    )
+    k = F.col("c_custkey")
+    updates = cust.filter(k % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit("1000.00").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("c_acctbal"),
+        F.when(k % 20 == 0, F.lit("gold")).otherwise(F.lit("silver")).alias(
+            "loyalty_tier"
+        ),
+    )
+    merged = upsert_evolving(cust, updates, "c_custkey")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").cast("double").alias("sum_balance"),
+            F.count("loyalty_tier").alias("n_with_tier"),
+            F.countDistinct("loyalty_tier").alias("n_tiers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_EVOLVE_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                + CASE WHEN c_custkey % 10 = 0
+                       THEN CAST('1000.00' AS DECIMAL(18,2))
+                       ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS sum_balance,
+       CAST(count(CASE WHEN c_custkey % 10 = 0 THEN 1 END) AS BIGINT)
+           AS n_with_tier,
+       CAST(count(DISTINCT CASE WHEN c_custkey % 20 = 0 THEN 'gold'
+                                WHEN c_custkey % 10 = 0 THEN 'silver' END)
+            AS BIGINT) AS n_tiers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 SCALE_QUERIES = {
+    "evolving_upsert_stats": (
+        evolving_upsert_stats,
+        _EVOLVE_SQL,
+        "additive schema-evolution upsert vs CASE-replay oracle",
+    ),
     "partition_freshness_stats": (
         partition_freshness_stats,
         _FRESHNESS_SQL,

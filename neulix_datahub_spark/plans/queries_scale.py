@@ -1760,7 +1760,140 @@ ORDER BY c_mktsegment
 """
 
 
+def gram_novelty_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram NOVELTY — the diversity/redundancy signal a
+    curation pipeline ranks on: a document's novelty is the fraction of
+    its distinct trigram shingles never seen in any LOWER-id document.
+    Computed corpus-parallel, not sequentially: explode distinct grams,
+    one groupBy(min(doc_id)) marks each gram's first owner, and a join
+    back counts first-owned grams per doc — two bounded shuffles
+    regardless of corpus size (the sequential 'have I seen this' scan a
+    single-process curator would write is the anti-pattern). Per-lang:
+    docs, exact avg novelty as an integer ratio pair (sum of per-doc
+    scaled ratios avoids cross-engine float averaging: novelty_ppm =
+    integer ⌊1e6·first/total⌋ per doc, summed exactly)."""
+    from neulix_datahub_spark.operators.dedupe import _shingles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    grams = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 3)).alias("g")
+    )
+    first_owner = grams.groupBy("g").agg(F.min("doc_id").alias("__first"))
+    per_doc = (
+        grams.join(first_owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_grams"),
+            F.count_if(F.col("__first") == F.col("doc_id")).alias("__n_first"),
+        )
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1_000_000) * F.col("__n_first") / F.col("__n_grams")
+            ).cast("long").alias("__ppm"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ppm").cast("long").alias("sum_novelty_ppm"),
+            F.count_if(F.col("__ppm") == 1_000_000).alias("n_fully_novel"),
+            F.count_if(F.col("__ppm") == 0).alias("n_fully_redundant"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NOVELTY_SQL = """
+WITH sh AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                    for i in generate_series(1, len(t) - 2)])
+                ELSE [array_to_string(t, ' ')] END AS s
+    FROM (
+        SELECT doc_id, lang,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+),
+grams AS (SELECT doc_id, lang, unnest(s) AS g FROM sh),
+first_owner AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g),
+per_doc AS (
+    SELECT doc_id, any_value(lang) AS lang,
+           CAST(floor(1000000.0 * count(CASE WHEN first_id = doc_id THEN 1 END)
+                      / count(*)) AS BIGINT) AS ppm
+    FROM grams JOIN first_owner USING (g)
+    GROUP BY doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(ppm) AS BIGINT) AS sum_novelty_ppm,
+       CAST(count(CASE WHEN ppm = 1000000 THEN 1 END) AS BIGINT) AS n_fully_novel,
+       CAST(count(CASE WHEN ppm = 0 THEN 1 END) AS BIGINT) AS n_fully_redundant
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 breadth: percent_rank and cume_dist (the two rank-to-fraction
+    windows the tier had not yet driver-checked) over per-segment
+    balance order — emitted for each segment's top-3 customers.
+    Both functions are exact integer ratios ((rank-1)/(n-1), the count
+    of peers ≤ value / n), so the doubles are engine-identical with no
+    rounding. One shuffle on the segment key; frame size is bounded by
+    segment cardinality."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("balance"),
+            F.row_number().over(w).alias("rk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+_RANK_PROFILE_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance,
+       rk, pct_rank, cume
+FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER w AS rk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+WHERE rk <= 3
+ORDER BY c_mktsegment, rk
+"""
+
+
 SCALE_QUERIES = {
+    "balance_rank_profile": (
+        balance_rank_profile,
+        _RANK_PROFILE_SQL,
+        "percent_rank/cume_dist windows, exact integer-ratio doubles",
+    ),
+    "gram_novelty_stats": (
+        gram_novelty_stats,
+        _NOVELTY_SQL,
+        "corpus-order n-gram novelty, parallel first-owner formulation",
+    ),
     "evolving_upsert_stats": (
         evolving_upsert_stats,
         _EVOLVE_SQL,

@@ -2034,8 +2034,8 @@ _PRIORITY_R7 = [
 # deletion_vector_stats, tokenized_analytics_stats, backfill_gap_stats,
 # stream_neardup_corpus_stats, hard_negative_mining_check,
 # partition_freshness_stats, evolving_upsert_stats,
-# hll_stored_range_check, gram_novelty_stats, balance_rank_profile),
-# then the r3-era
+# hll_stored_range_check, gram_novelty_stats, balance_rank_profile,
+# fiscal_445_revenue), then the r3-era
 # greens displaced from this window
 # (events_asof_snapshots, user_event_deltas, pivot_event_values,
 # fill_nulls_events, q16_supplier_part_counts,

@@ -1883,7 +1883,73 @@ ORDER BY c_mktsegment, rk
 """
 
 
+# Epoch strictly BEFORE every order date: day offsets stay positive, so
+# DuckDB's truncating // and Spark's flooring division agree (they
+# diverge on negatives).
+_FISCAL_EPOCH = "1994-12-31"
+
+
+def fiscal_445_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiscal 4-4-5 reporting (functions/calendars.py): order revenue
+    grouped by the retail calendar — 13-week quarters split 4/4/5 so
+    every period holds whole weeks — which Gregorian date_trunc cannot
+    express. The mapping is pure integer day arithmetic off the epoch,
+    so the oracle re-derives it exactly; revenue sums are decimal-
+    exact. Emits the first 2 fiscal years (bounded output; the mapping
+    itself covers the full range)."""
+    from neulix_datahub_spark.functions.calendars import fiscal_445_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = fiscal_445_columns("o_orderdate", _FISCAL_EPOCH)
+    return (
+        orders.select(
+            cols["fiscal_year"].alias("fiscal_year"),
+            cols["fiscal_quarter"].alias("fiscal_quarter"),
+            cols["fiscal_period"].alias("fiscal_period"),
+            "o_totalprice",
+        )
+        .filter(F.col("fiscal_year") <= int(_FISCAL_EPOCH[:4]) + 1)
+        .groupBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("fiscal_year", "fiscal_quarter", "fiscal_period")
+    )
+
+
+_FISCAL_SQL = f"""
+WITH f AS (
+    SELECT o_totalprice,
+           date_diff('day', DATE '{_FISCAL_EPOCH}', CAST(o_orderdate AS DATE)) AS day
+    FROM orders
+),
+m AS (
+    SELECT o_totalprice,
+           CAST({int(_FISCAL_EPOCH[:4])} + (wk // 52) AS INT) AS fiscal_year,
+           CAST(((wk % 52) // 13) + 1 AS INT) AS fiscal_quarter,
+           CAST(((wk % 52) // 13) * 3
+                + CASE WHEN (wk % 52) % 13 < 4 THEN 0
+                       WHEN (wk % 52) % 13 < 8 THEN 1 ELSE 2 END + 1
+                AS INT) AS fiscal_period
+    FROM (SELECT o_totalprice, day // 7 AS wk FROM f)
+)
+SELECT fiscal_year, fiscal_quarter, fiscal_period,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM m
+WHERE fiscal_year <= {int(_FISCAL_EPOCH[:4]) + 1}
+GROUP BY 1, 2, 3
+ORDER BY fiscal_year, fiscal_quarter, fiscal_period
+"""
+
+
 SCALE_QUERIES = {
+    "fiscal_445_revenue": (
+        fiscal_445_revenue,
+        _FISCAL_SQL,
+        "4-4-5 retail-calendar revenue, integer day arithmetic",
+    ),
     "balance_rank_profile": (
         balance_rank_profile,
         _RANK_PROFILE_SQL,

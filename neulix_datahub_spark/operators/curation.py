@@ -604,3 +604,15 @@ def time_embargo_split(
         split_col,
         F.when(ts < lo, "train").when(ts < hi, "purged").otherwise("test"),
     )
+
+
+def epoch_order_key(text_col: Column | str, epoch: int) -> Column:
+    """Deterministic per-EPOCH training order: md5 of ``epoch:text``.
+    Each epoch is an independent, reproducible permutation of the
+    corpus — the property a training loop needs from "shuffle every
+    epoch" without RNG state to checkpoint: restarting epoch 7 replays
+    epoch 7's exact order, on any engine (md5 is portable, so even the
+    order itself is oracle-checkable). Pair with export_corpus's
+    within-shard sort to materialize one epoch's layout."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.concat(F.lit(f"{epoch}:"), c))

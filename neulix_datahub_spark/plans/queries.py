@@ -779,6 +779,38 @@ def lang_id_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 classifier EVALUATION: the lang-id heuristic scored against
+    the corpus's labeled ``lang`` column as a full confusion matrix —
+    (actual, predicted, n) — plus per-actual-language recall as an
+    exact integer-ratio double. The evaluation layer matters as much as
+    the classifier: a curation pipeline promoting lang-id output into
+    routing decisions needs the confusion structure, not an accuracy
+    scalar. Same one-scan shape as lang_id_distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("actual"), lang_id("text").alias("predicted")
+    )
+    totals = pairs.groupBy("actual").agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        pairs.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(totals, "actual")
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            (
+                F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(
+                    F.lit(0)
+                )
+                / F.col("__tot")
+            ).alias("recall_contrib"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
 def _hits(code: str) -> str:
     pat = "|".join(LANG_MARKERS[code])
     return f"len(regexp_extract_all(lower(text), '\\b({pat})\\b'))"
@@ -801,6 +833,33 @@ pred AS (
     FROM h
 )
 SELECT lang_pred, count(*) AS cnt FROM pred GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+_CONFUSION_SQL = f"""
+WITH h AS (
+    SELECT lang AS actual,
+           {_hits('de')} AS h_de, {_hits('en')} AS h_en, {_hits('es')} AS h_es,
+           {_hits('fr')} AS h_fr, {_hits('pt')} AS h_pt
+    FROM documents
+),
+pred AS (
+    SELECT actual, CASE
+        WHEN greatest(h_de, h_en, h_es, h_fr, h_pt) = 0 THEN 'und'
+        WHEN h_pt >= h_fr AND h_pt >= h_es AND h_pt >= h_en AND h_pt >= h_de THEN 'pt'
+        WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+        WHEN h_en >= h_de THEN 'en'
+        ELSE 'de' END AS predicted
+    FROM h
+),
+tot AS (SELECT actual, count(*) AS t FROM pred GROUP BY actual)
+SELECT p.actual, p.predicted, count(*) AS n,
+       CASE WHEN p.actual = p.predicted
+            THEN count(*)::DOUBLE / max(t.t) ELSE 0.0 END AS recall_contrib
+FROM pred p JOIN tot t ON p.actual = t.actual
+GROUP BY p.actual, p.predicted
+ORDER BY p.actual, p.predicted
 """
 
 
@@ -1769,6 +1828,9 @@ QUERIES: dict[str, QuerySpec] = {
         quality_classifier_stats, _QUALITY_CLF_SQL, "L4+ logistic quality filter"
     ),
     "lang_id_distribution": QuerySpec(lang_id_distribution, _LANG_ID_SQL, "L4"),
+    "langid_confusion_matrix": QuerySpec(
+        langid_confusion_matrix, _CONFUSION_SQL, "L4 classifier evaluation"
+    ),
     "document_fingerprints": QuerySpec(document_fingerprints, _FINGERPRINT_SQL, "L4"),
     "minhash_candidates": QuerySpec(
         minhash_candidates, _MINHASH_CANDIDATES_SQL, "L2 (oracle-pinned recall)"
@@ -2035,7 +2097,8 @@ _PRIORITY_R7 = [
 # stream_neardup_corpus_stats, hard_negative_mining_check,
 # partition_freshness_stats, evolving_upsert_stats,
 # hll_stored_range_check, gram_novelty_stats, balance_rank_profile,
-# fiscal_445_revenue), then the r3-era
+# fiscal_445_revenue, langid_confusion_matrix, epoch_shuffle_check),
+# then the r3-era
 # greens displaced from this window
 # (events_asof_snapshots, user_event_deltas, pivot_event_values,
 # fill_nulls_events, q16_supplier_part_counts,

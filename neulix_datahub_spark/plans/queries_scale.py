@@ -1944,7 +1944,78 @@ ORDER BY fiscal_year, fiscal_quarter, fiscal_period
 """
 
 
+def epoch_shuffle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch deterministic training order (operators/curation.py
+    epoch_order_key): each epoch's order is an independent md5-keyed
+    permutation — reproducible with NO RNG state to checkpoint, and
+    portable enough that the oracle replays the orders themselves.
+    Hashed per epoch: corpus size, the first document under that
+    epoch's order, and the count of documents landing on the SAME
+    position in epochs 0 and 1 (the near-zero overlap that proves the
+    epochs are genuinely different permutations, computed exactly).
+
+    Scale note: the global row_number here exists for the VERDICT only
+    (positions must be comparable corpus-wide); the production
+    materialization of an epoch order is export_corpus's
+    sortWithinPartitions on the same key — per-shard sorts, no global
+    window."""
+    from neulix_datahub_spark.operators.curation import epoch_order_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w0 = Window.orderBy(epoch_order_key("text", 0), F.col("doc_id"))
+    w1 = Window.orderBy(epoch_order_key("text", 1), F.col("doc_id"))
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(w0).alias("__r0"),
+        F.row_number().over(w1).alias("__r1"),
+    )
+    same = ranked.agg(
+        F.count_if(F.col("__r0") == F.col("__r1")).alias("n_same_position"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    firsts = ranked.select(
+        F.min(F.when(F.col("__r0") == 1, F.col("doc_id"))).alias("f0"),
+        F.min(F.when(F.col("__r1") == 1, F.col("doc_id"))).alias("f1"),
+    ).agg(F.max("f0").alias("f0"), F.max("f1").alias("f1"))
+    return (
+        same.crossJoin(firsts)
+        .selectExpr(
+            "stack(2, 0, f0, 1, f1) AS (epoch, first_doc_id)",
+            "n_docs",
+            "n_same_position",
+        )
+        .select("epoch", "first_doc_id", "n_docs", "n_same_position")
+        .orderBy("epoch")
+    )
+
+
+_EPOCH_SQL = """
+WITH r AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY md5('0:' || text), doc_id) AS r0,
+           row_number() OVER (ORDER BY md5('1:' || text), doc_id) AS r1
+    FROM documents
+),
+s AS (
+    SELECT count(CASE WHEN r0 = r1 THEN 1 END) AS n_same_position,
+           count(*) AS n_docs,
+           min(CASE WHEN r0 = 1 THEN doc_id END) AS f0,
+           min(CASE WHEN r1 = 1 THEN doc_id END) AS f1
+    FROM r
+)
+SELECT 0 AS epoch, f0 AS first_doc_id, n_docs, CAST(n_same_position AS BIGINT) AS n_same_position FROM s
+UNION ALL
+SELECT 1, f1, n_docs, CAST(n_same_position AS BIGINT) FROM s
+ORDER BY epoch
+"""
+
+
 SCALE_QUERIES = {
+    "epoch_shuffle_check": (
+        epoch_shuffle_check,
+        _EPOCH_SQL,
+        "per-epoch deterministic shuffle: independent md5 permutations",
+    ),
     "fiscal_445_revenue": (
         fiscal_445_revenue,
         _FISCAL_SQL,

@@ -93,3 +93,45 @@ def cache_entries(cache_root: str) -> list[dict]:
                 }
             )
     return out
+
+
+def data_fingerprint(df: DataFrame) -> str:
+    """Plan fingerprint EXTENDED with the input files' identity: sha-256
+    over (canonicalized plan, sorted [path, size, mtime_ns] of every
+    file the plan reads). This lifts the documented plan-only limit —
+    rewriting files under an input path now changes the key, so the
+    stale entry is simply never hit again (dead entries age out via
+    retention, cache_entries + vacuum_snapshots).
+
+    Cost: ``df.inputFiles()`` + one ``stat`` per file — an O(files)
+    driver metadata walk, the same class as a manifest listing; for
+    snapshot-table inputs prefer the plain plan_fingerprint (the path
+    already encodes the version, which is the cheaper invariant)."""
+    sig = hashlib.sha256(plan_fingerprint(df).encode("ascii"))
+    for f in sorted(df.inputFiles()):
+        local = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(local)
+            sig.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode("utf-8"))
+        except OSError:
+            sig.update(f"{f}|?\n".encode("utf-8"))
+    return sig.hexdigest()
+
+
+def cached_result_data_aware(
+    df: DataFrame, cache_root: str, refresh: bool = False
+) -> DataFrame:
+    """:func:`cached_result` keyed by :func:`data_fingerprint` — safe
+    over MUTABLE input paths at the cost of the per-call file walk."""
+    from neulix_datahub_spark.sources.snapshots import (
+        current_version,
+        read_snapshot_table,
+        write_snapshot,
+    )
+
+    spark = df.sparkSession
+    path = os.path.join(cache_root, data_fingerprint(df))
+    if not refresh and current_version(path) is not None:
+        return read_snapshot_table(spark, path)
+    write_snapshot(df, path)
+    return read_snapshot_table(spark, path)

@@ -681,3 +681,36 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     assert not os.path.isdir(f"{root}/_deletes")
     assert sorted(r.id for r in apply_deletes(spark, root, "id").collect()) == list(range(3, 10))
     assert compact_deletes(spark, root, "id") == 0  # nothing to fold
+
+
+def test_data_aware_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The data-aware key lifts the plan-only cache's documented limit:
+    rewriting an input file changes the fingerprint, so the new data is
+    computed fresh while the plain plan key would have served the stale
+    entry."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.result_cache import (
+        cached_result_data_aware,
+        data_fingerprint,
+        plan_fingerprint,
+    )
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "cache")
+    spark.range(10).write.mode("overwrite").parquet(src)
+
+    def q():
+        return spark.read.parquet(src).agg(F.sum("id").alias("s"))
+
+    fp1 = data_fingerprint(q())
+    assert cached_result_data_aware(q(), root).first()["s"] == 45
+    assert cached_result_data_aware(q(), root).first()["s"] == 45  # hit
+
+    _time.sleep(0.01)
+    spark.range(100).write.mode("overwrite").parquet(src)  # rewrite input
+    assert plan_fingerprint(q()) == plan_fingerprint(q())  # plan key blind
+    assert data_fingerprint(q()) != fp1  # data key sees the rewrite
+    assert cached_result_data_aware(q(), root).first()["s"] == 4950

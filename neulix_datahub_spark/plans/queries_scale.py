@@ -2010,7 +2010,182 @@ ORDER BY epoch
 """
 
 
+_HR_RANGES = [("1995-01-01", "1996-12-31"), ("1997-01-01", "2001-12-31")]
+
+
+def hist_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT range percentiles from a materialized histogram rollup —
+    the quantile analogue of the HLL sketch rollup, except EXACT: money
+    is fixed-point, so per-month (month, cent, count) histograms are a
+    complete loss-free summary; any date range's exact median/p90 is
+    answered by summing the stored histograms in range and walking the
+    cumulative counts — the raw orders are never rescanned, and unlike
+    percentile sketches there is no error term to budget. Storage is
+    O(months × distinct cents) — bounded by the price domain, not row
+    count. Hashed: per-range n, exact p50/p90 (quantile_disc
+    semantics), against the oracle's from-scratch recompute."""
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    root = f"{warehouse_scratch(spark, 'neulix_histroll_')}/monthly_price_hist"
+    orders = _t(spark, sf_dir, "orders")
+    orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cent"),
+    ).agg(F.count(F.lit(1)).alias("cnt")).write.mode("overwrite").parquet(root)
+    stored = spark.read.parquet(root)
+
+    outs = []
+    for lo, hi in _HR_RANGES:
+        hist = (
+            stored.filter(
+                (F.col("month") >= F.lit(lo).cast("timestamp"))
+                & (F.col("month") <= F.lit(hi).cast("timestamp"))
+            )
+            .groupBy("cent")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        w = Window.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+        cum = hist.withColumn("cum", F.sum("c").over(w))
+        n = hist.agg(F.sum("c").alias("n"))
+        row = cum.crossJoin(n)
+        p50 = row.filter(
+            F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        ).agg((F.min("cent") / 100.0).alias("p50"))
+        p90 = row.filter(
+            F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n")).cast("long")
+        ).agg((F.min("cent") / 100.0).alias("p90"))
+        outs.append(
+            n.crossJoin(p50)
+            .crossJoin(p90)
+            .select(
+                F.lit(f"{lo}..{hi}").alias("range"),
+                F.col("n").cast("long").alias("n_orders"),
+                "p50",
+                "p90",
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("range")
+
+
+_HIST_ROLLUP_SQL = f"""
+WITH r AS (
+    SELECT * FROM (VALUES
+        {", ".join(f"('{lo}..{hi}', '{lo}', '{hi}')" for lo, hi in _HR_RANGES)}
+    ) t(range, lo, hi)
+),
+h AS (
+    SELECT r.range,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cent,
+           count(*) AS c
+    FROM orders, r
+    WHERE date_trunc('month', o_orderdate) >= CAST(r.lo AS TIMESTAMP)
+      AND date_trunc('month', o_orderdate) <= CAST(r.hi AS TIMESTAMP)
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT range, cent, c,
+           sum(c) OVER (PARTITION BY range ORDER BY cent) AS cum,
+           sum(c) OVER (PARTITION BY range) AS n
+    FROM h
+)
+SELECT range,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN cent END) / 100.0 AS p50,
+       min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN cent END) / 100.0 AS p90
+FROM cum
+GROUP BY range
+ORDER BY range
+"""
+
+
+def revenue_delta_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-delta ATTRIBUTION — the "why did revenue change"
+    decomposition a BI layer runs after every period close: the 1996 →
+    1997 revenue delta split by (segment, priority) cell, each cell's
+    exact contribution and its share of the total absolute movement,
+    top 8 movers. All arithmetic decimal-exact (sums) or identical-
+    double ratios (share = cell |delta| cents / total |delta| cents,
+    integer division both engines). One scan, one group-cube, one
+    bounded sort."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    yr = F.year("o_orderdate")
+    cells = (
+        orders.filter(yr.isin(1996, 1997))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(
+                F.when(yr == 1996, F.col("o_totalprice").cast("decimal(18,2)"))
+            ).alias("__r96"),
+            F.sum(
+                F.when(yr == 1997, F.col("o_totalprice").cast("decimal(18,2)"))
+            ).alias("__r97"),
+        )
+        .select(
+            "segment",
+            "priority",
+            F.coalesce(F.col("__r97"), F.lit(0).cast("decimal(18,2)")).alias("__r97"),
+            F.coalesce(F.col("__r96"), F.lit(0).cast("decimal(18,2)")).alias("__r96"),
+        )
+        .withColumn("__delta_cents", ((F.col("__r97") - F.col("__r96")) * 100).cast("long"))
+    )
+    total = cells.agg(
+        F.sum(F.abs(F.col("__delta_cents"))).cast("long").alias("__tot_abs")
+    )
+    return (
+        cells.crossJoin(total)
+        .select(
+            "segment",
+            "priority",
+            (F.col("__delta_cents") / 100.0).alias("delta"),
+            (F.col("__delta_cents").cast("double") / F.col("__tot_abs")).alias(
+                "share_of_movement"
+            ),
+        )
+        .orderBy(F.desc(F.abs(F.col("delta"))), "segment", "priority")
+        .limit(8)
+    )
+
+
+_DELTA_ATTR_SQL = """
+WITH cells AS (
+    SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+           CAST((coalesce(sum(CASE WHEN year(o_orderdate) = 1997
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+            - coalesce(sum(CASE WHEN year(o_orderdate) = 1996
+                     THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)) * 100
+               AS BIGINT) AS delta_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1, 2
+),
+tot AS (SELECT sum(abs(delta_cents)) AS tot_abs FROM cells)
+SELECT segment, priority,
+       delta_cents / 100.0 AS delta,
+       CAST(delta_cents AS DOUBLE) / tot_abs AS share_of_movement
+FROM cells, tot
+ORDER BY abs(delta_cents / 100.0) DESC, segment, priority
+LIMIT 8
+"""
+
+
 SCALE_QUERIES = {
+    "revenue_delta_attribution": (
+        revenue_delta_attribution,
+        _DELTA_ATTR_SQL,
+        "period-over-period metric attribution, decimal-exact movers",
+    ),
+    "hist_rollup_percentiles": (
+        hist_rollup_percentiles,
+        _HIST_ROLLUP_SQL,
+        "exact range percentiles from stored monthly cent histograms",
+    ),
     "epoch_shuffle_check": (
         epoch_shuffle_check,
         _EPOCH_SQL,

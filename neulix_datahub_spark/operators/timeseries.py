@@ -239,3 +239,61 @@ def grouped_holt(
         )
 
     return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)
+
+
+def grouped_cusum(
+    df: DataFrame,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    target: int,
+    slack: int,
+    threshold: int,
+) -> DataFrame:
+    """Per-group CUSUM change detection over an INTEGER-valued series
+    (pass money as cents): the classic one-sided pair of accumulators
+
+        hi_t = max(0, hi_{t-1} + x_t - (target + slack))
+        lo_t = max(0, lo_{t-1} + (target - slack) - x_t)
+
+    with an alarm when either crosses ``threshold``. All state is
+    integer arithmetic, so every step — and therefore the alarm
+    positions — is EXACTLY reproducible in any engine (the driver
+    oracle replays the recurrence in a recursive CTE with zero
+    tolerance; contrast grouped_holt, which needs IEEE-identical float
+    spelling to achieve the same).
+
+    Emits every step: (key, ord, x, cusum_hi, cusum_lo, alarm).
+    Same grouped-map scale contract as the others in this module:
+    group state is O(steps), callers pre-aggregate to a bounded grain.
+    """
+    key_type = df.schema[key_col].dataType.simpleString()
+    ord_type = df.schema[ord_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, {ord_col} {ord_type}, x bigint, "
+        "cusum_hi bigint, cusum_lo bigint, alarm boolean"
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(ord_col).reset_index(drop=True)
+        xs = [int(v) for v in s[value_col]]
+        hi = lo = 0
+        his, los, alarms = [], [], []
+        for x in xs:
+            hi = max(0, hi + x - (target + slack))
+            lo = max(0, lo + (target - slack) - x)
+            his.append(hi)
+            los.append(lo)
+            alarms.append(hi > threshold or lo > threshold)
+        return pd.DataFrame(
+            {
+                key_col: s[key_col],
+                ord_col: s[ord_col],
+                "x": xs,
+                "cusum_hi": his,
+                "cusum_lo": los,
+                "alarm": alarms,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(fit, schema=out_schema)

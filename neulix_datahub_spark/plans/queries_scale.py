@@ -2175,7 +2175,78 @@ LIMIT 8
 """
 
 
+def cusum_alarm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM change detection (operators/timeseries.py
+    grouped_cusum) over the daily event-value series in CENTS: target =
+    ⌊mean daily cents⌋, slack 5%, threshold 50% — all integers derived
+    from the data identically in both engines, so every accumulator
+    step and alarm position replays EXACTLY in the oracle's recursive
+    CTE (no IEEE-spelling care needed — the state is integer). Emits
+    the full 30-day trace."""
+    from neulix_datahub_spark.operators.timeseries import grouped_cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("series", F.lit("all"))
+    )
+    target = int(
+        daily.agg(F.floor(F.avg("cents")).cast("long")).first()[0]
+    )
+    slack, threshold = target // 20, target // 2
+    return (
+        grouped_cusum(daily, "series", "day", "cents", target, slack, threshold)
+        .select("day", "x", "cusum_hi", "cusum_lo", "alarm")
+        .orderBy("day")
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+),
+params AS (
+    SELECT CAST(floor(avg(cents)) AS BIGINT) AS target FROM daily
+),
+s AS (
+    SELECT day, cents, row_number() OVER (ORDER BY day) AS t FROM daily
+),
+rec AS (
+    WITH RECURSIVE r AS (
+        SELECT s.day, s.cents, s.t,
+               greatest(0, s.cents - (p.target + p.target // 20)) AS hi,
+               greatest(0, (p.target - p.target // 20) - s.cents) AS lo
+        FROM s, params p WHERE s.t = 1
+        UNION ALL
+        SELECT s.day, s.cents, s.t,
+               greatest(0, r.hi + s.cents - (p.target + p.target // 20)),
+               greatest(0, r.lo + (p.target - p.target // 20) - s.cents)
+        FROM r JOIN s ON s.t = r.t + 1, params p
+    )
+    SELECT * FROM r
+)
+SELECT rec.day, rec.cents AS x,
+       CAST(rec.hi AS BIGINT) AS cusum_hi,
+       CAST(rec.lo AS BIGINT) AS cusum_lo,
+       (rec.hi > p.target // 2 OR rec.lo > p.target // 2) AS alarm
+FROM rec, params p
+ORDER BY rec.day
+"""
+
+
 SCALE_QUERIES = {
+    "cusum_alarm_check": (
+        cusum_alarm_check,
+        _CUSUM_SQL,
+        "integer-exact CUSUM change detection vs recursive-CTE replay",
+    ),
     "revenue_delta_attribution": (
         revenue_delta_attribution,
         _DELTA_ATTR_SQL,

@@ -2241,7 +2241,79 @@ ORDER BY rec.day
 """
 
 
+def metric_layer_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-layer evaluation (operators/metrics.py): three metrics
+    declared ONCE — order count (count), revenue (decimal sum), and
+    discount rate (a RATIO: discounted amount over gross amount) —
+    evaluated at two grains in one call each. The ratio re-derives from
+    sums at every grain (ratio-of-sums), which the oracle recomputes;
+    an avg-of-ratios implementation would hash-mismatch whenever group
+    sizes differ — exactly the Simpson's-arithmetic bug the layer
+    exists to prevent. Both grains' rows union into one result
+    (grain column distinguishes)."""
+    from neulix_datahub_spark.operators.metrics import Metric, evaluate_metrics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("__gross"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+        ).alias("__disc_amt"),
+    )
+    metrics = [
+        Metric("n_items", "count"),
+        Metric("gross_revenue", "sum", expr=F.col("__gross")),
+        Metric("discount_rate", "ratio", num=F.col("__disc_amt"), den=F.col("__gross")),
+    ]
+    fine = evaluate_metrics(li, metrics, ["l_returnflag", "l_linestatus"]).select(
+        F.concat_ws("/", "l_returnflag", "l_linestatus").alias("cell"),
+        F.lit("flag_status").alias("grain"),
+        "n_items",
+        F.col("gross_revenue").cast("double").alias("gross_revenue"),
+        F.round("discount_rate", 9).alias("discount_rate"),
+    )
+    coarse = evaluate_metrics(li, metrics, ["l_returnflag"]).select(
+        F.col("l_returnflag").alias("cell"),
+        F.lit("flag").alias("grain"),
+        "n_items",
+        F.col("gross_revenue").cast("double").alias("gross_revenue"),
+        F.round("discount_rate", 9).alias("discount_rate"),
+    )
+    return fine.unionByName(coarse).orderBy("grain", "cell")
+
+
+_METRIC_SQL = """
+WITH base AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS gross,
+           CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2)) AS disc_amt
+    FROM lineitem
+)
+SELECT l_returnflag || '/' || l_linestatus AS cell, 'flag_status' AS grain,
+       count(*) AS n_items,
+       CAST(sum(gross) AS DOUBLE) AS gross_revenue,
+       round(CAST(sum(disc_amt) AS DOUBLE) / CAST(sum(gross) AS DOUBLE), 9)
+           AS discount_rate
+FROM base GROUP BY l_returnflag, l_linestatus
+UNION ALL
+SELECT l_returnflag, 'flag',
+       count(*),
+       CAST(sum(gross) AS DOUBLE),
+       round(CAST(sum(disc_amt) AS DOUBLE) / CAST(sum(gross) AS DOUBLE), 9)
+FROM base GROUP BY l_returnflag
+ORDER BY grain, cell
+"""
+
+
 SCALE_QUERIES = {
+    "metric_layer_check": (
+        metric_layer_check,
+        _METRIC_SQL,
+        "declared-once metrics at two grains; ratio-of-sums, never averaged",
+    ),
     "cusum_alarm_check": (
         cusum_alarm_check,
         _CUSUM_SQL,

@@ -1791,3 +1791,28 @@ def test_k_anonymity_profile_flags_small_groups(spark):
 
     safe = k_anonymity_profile(df.filter("g != 'c'"), ["g", "h"], k=5).collect()[0]
     assert safe.rows_at_risk == 0 and safe.effective_k == 10
+
+
+def test_metric_layer_ratio_of_sums_not_avg_of_ratios(spark):
+    """The declared ratio metric re-derives from sums at every grain —
+    on a fixture where group sizes differ, avg-of-ratios would give a
+    different (wrong) number; and a ratio metric without num/den is
+    rejected at declaration time."""
+    import pytest
+
+    from neulix_datahub_spark.operators.metrics import Metric, evaluate_metrics
+
+    df = spark.createDataFrame(
+        # group a: 1 big low-rate row; group b: 3 small high-rate rows
+        [("a", 1000.0, 10.0), ("b", 10.0, 5.0), ("b", 10.0, 5.0), ("b", 10.0, 5.0)],
+        "g string, den double, num double",
+    )
+    m = [Metric("rate", "ratio", num=F.col("num"), den=F.col("den"))]
+    per_g = {r.g: r.rate for r in evaluate_metrics(df, m, ["g"]).collect()}
+    assert per_g == {"a": 0.01, "b": 0.5}
+    overall = evaluate_metrics(df, m, []).first()["rate"]
+    assert overall == 25.0 / 1030.0  # ratio of sums
+    assert abs(overall - (0.01 + 0.5) / 2) > 0.2  # ≠ avg of per-group ratios
+
+    with pytest.raises(ValueError, match="needs num and den"):
+        Metric("bad", "ratio")

@@ -187,3 +187,47 @@ def k_anonymity_profile(
         ).alias("at_risk_frac"),
         F.min("__c").alias("effective_k"),
     )
+
+
+def quarantine_fk_orphans(
+    df: DataFrame, col: str, ref: DataFrame, ref_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """REPAIR counterpart of :func:`foreign_key`: split ``df`` into
+    (clean, quarantined) — quarantined rows have no ``ref`` match on
+    ``col`` (nulls quarantine too, matching the check's violation
+    semantics). The quarantine side keeps every column so the rows are
+    re-processable once the dimension catches up — the late-arriving-
+    dimension pattern: facts land before their dim row, get quarantined
+    instead of dropped or crashing the load, and a later re-run of the
+    quarantine against the grown dim drains it.
+
+    Two anti/semi joins over one frame; AQE broadcasts the dim side
+    when small. Deterministic split: clean ∪ quarantined == df exactly.
+    """
+    keys = ref.select(F.col(ref_col).alias(col)).distinct()
+    clean = df.join(keys, col, "left_semi")
+    quarantined = df.join(keys, col, "left_anti")
+    return clean, quarantined
+
+
+def portable_table_checksum(df: DataFrame, cols: list[str]) -> "DataFrame":
+    """Order- and partitioning-independent CONTENT checksum over the
+    listed columns, portable across engines: per row, a 60-bit integer
+    from the md5 of the delimited column rendering; the checksum is
+    ``(row_count, exact integer SUM of the row keys)`` — addition is
+    commutative, the sum stays exact in a 38-digit decimal, and md5 is
+    replayable anywhere, so two systems can verify a migration landed
+    identical content without co-locating the data or agreeing on row
+    order.
+
+    Restrict ``cols`` to string/integer/date columns (or pre-normalize
+    floats to fixed-point ints first): float→string rendering is the
+    one thing engines do NOT agree on. The unit separator (0x1f) guards
+    against concat ambiguity ('ab','c' vs 'a','bc').
+    """
+    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    key = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(key).cast("decimal(38,0)").cast("string").alias("content_sum"),
+    )

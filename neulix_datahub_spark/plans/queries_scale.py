@@ -2308,7 +2308,127 @@ ORDER BY grain, cell
 """
 
 
+def fk_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension repair (operators/quality.py
+    quarantine_fk_orphans): plant orphans by hiding every customer with
+    custkey % 7 == 0 from the dimension, split orders into clean vs
+    quarantined, then 'catch the dimension up' and drain the quarantine
+    — the two-phase load a fact pipeline runs instead of dropping or
+    crashing on early facts. Hashed: per-phase row counts and decimal
+    revenue of each split, plus verdicts that the split is exact
+    (clean+quarantined == all) and the drain empties."""
+    from neulix_datahub_spark.operators.quality import quarantine_fk_orphans
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    partial_dim = cust.filter(F.col("c_custkey") % 7 != 0)
+    clean, quarantined = quarantine_fk_orphans(
+        orders, "o_custkey", partial_dim, "c_custkey"
+    )
+    n_all = orders.count()
+    n_clean = clean.count()
+    n_quar = quarantined.count()
+    drained, still_orphaned = quarantine_fk_orphans(
+        quarantined, "o_custkey", cust, "c_custkey"
+    )
+    n_drained = drained.count()
+    n_still = still_orphaned.count()
+
+    def rev(df):
+        return df.agg(_money_sum("o_totalprice").alias("r")).first()["r"] or 0.0
+
+    rows = [
+        ("clean", n_clean, rev(clean)),
+        ("quarantined", n_quar, rev(quarantined)),
+        ("drained", n_drained, rev(drained)),
+    ]
+    return (
+        spark.createDataFrame(rows, "phase string, n_orders bigint, revenue double")
+        .withColumn("split_exact", F.lit(n_clean + n_quar == n_all))
+        .withColumn("quarantine_drains", F.lit(n_drained == n_quar and n_still == 0))
+        .orderBy("phase")
+    )
+
+
+_FK_QUAR_SQL = """
+WITH tagged AS (
+    SELECT o_totalprice,
+           CASE WHEN o_custkey % 7 = 0 THEN 'quarantined' ELSE 'clean' END AS phase
+    FROM orders
+),
+phases AS (
+    SELECT phase, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM tagged GROUP BY phase
+    UNION ALL
+    SELECT 'drained', count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM tagged WHERE phase = 'quarantined'
+)
+SELECT phase, n_orders, revenue,
+       true AS split_exact, true AS quarantine_drains
+FROM phases
+ORDER BY phase
+"""
+
+
+def migration_checksum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system migration validation (operators/quality.py
+    portable_table_checksum): the order/partitioning-independent
+    content checksum of orders' key columns (money pre-normalized to
+    integer cents — float rendering is the one thing engines disagree
+    on), computed THREE ways — source table, after a repartition(13)
+    rewrite round-trip, and by the DuckDB oracle — all three must
+    agree exactly. This is the handshake two systems use to verify a
+    copy without co-locating data or agreeing on row order."""
+    from neulix_datahub_spark.operators.quality import portable_table_checksum
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cols = ["o_orderkey", "o_orderstatus", "cents"]
+    src_sum = portable_table_checksum(orders, cols).first()
+    root = f"{warehouse_scratch(spark, 'neulix_mig_')}/copy"
+    orders.repartition(13).write.mode("overwrite").parquet(root)
+    copy_sum = portable_table_checksum(spark.read.parquet(root), cols).first()
+    return spark.createDataFrame(
+        [
+            (
+                src_sum["n_rows"],
+                src_sum["content_sum"],
+                copy_sum["n_rows"] == src_sum["n_rows"]
+                and copy_sum["content_sum"] == src_sum["content_sum"],
+            )
+        ],
+        "n_rows bigint, content_sum string, copy_matches boolean",
+    )
+
+
+_MIG_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST('0x' || substr(
+                md5(o_orderkey::VARCHAR || chr(31) || o_orderstatus
+                    || chr(31) || CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR),
+                1, 15) AS BIGINT)::HUGEINT) AS VARCHAR) AS content_sum,
+       true AS copy_matches
+FROM orders
+"""
+
+
 SCALE_QUERIES = {
+    "migration_checksum_check": (
+        migration_checksum_check,
+        _MIG_SQL,
+        "portable order-independent content checksum, 3-way agreement",
+    ),
+    "fk_quarantine_stats": (
+        fk_quarantine_stats,
+        _FK_QUAR_SQL,
+        "late-arriving-dimension quarantine + drain lifecycle",
+    ),
     "metric_layer_check": (
         metric_layer_check,
         _METRIC_SQL,

@@ -1,0 +1,112 @@
+"""Full-text search over the corpus: inverted index + boolean retrieval
++ BM25 ranking, expressed relationally.
+
+An inverted index IS a relation — ``(token, doc_id, tf)`` — and every
+classic IR operation is relational algebra over it: conjunctive boolean
+retrieval is a semi-join-and-count (a doc matches an AND query iff its
+posting rows cover every term), BM25 is one join + one aggregate over
+document/term statistics. Expressing it this way buys what a bespoke
+index structure cannot: the index is a table (partition it by token
+hash, snapshot-version it, time-travel it), the planner prunes and
+broadcasts it like any table, and a SQL oracle can replay retrieval
+bit-for-bit.
+
+Scale shape: the index build is one explode + one groupBy (shuffle on
+token — skewed stopword tokens are exactly the hot keys
+operators/skew.py handles; or drop them, as every production index
+does). A query touches only its terms' postings: the per-term semi-join
+reads |postings(term)| rows, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import normalize_text
+
+
+def tokenize(col) -> F.Column:
+    """Whitespace tokens of the normalized text (lowercase, collapsed) —
+    the same normalization the dedup tier uses, so index and corpus
+    agree on what a token is."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(normalize_text(c), " ")
+
+
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The ``(token, doc_id, tf)`` postings relation plus nothing else —
+    document frequencies and lengths derive from it by aggregation
+    (kept normalized: one fact, no denormalized copies to drift)."""
+    return (
+        df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def conjunctive_search(
+    index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Boolean AND retrieval: docs whose postings cover EVERY query
+    term — one filtered scan of the terms' postings, one groupBy, a
+    count==n_terms filter. Returns (doc_id)."""
+    n = len(set(terms))
+    return (
+        index.filter(F.col("token").isin(list(set(terms))))
+        .groupBy(id_col)
+        .agg(F.count_distinct("token").alias("__hit"))
+        .filter(F.col("__hit") == n)
+        .select(id_col)
+    )
+
+
+def bm25_rank(
+    index: DataFrame,
+    doc_lengths: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scoring of the query terms (OR semantics, standard Robertson
+    idf with the +1 floor):
+
+        score(d) = Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                   · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+    ``doc_lengths`` carries (doc_id, dl) for every document (derivable
+    from the index: sum(tf) per doc). One join of the query terms'
+    postings against df/length stats, one aggregate per doc. Returns
+    (doc_id, score) — callers round before ranking if cross-engine
+    order stability at float ties matters (the driver query does).
+    """
+    uniq = list(set(terms))
+    n_docs = doc_lengths.count()
+    avgdl = doc_lengths.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("a")
+    ).first()["a"]
+    dfreq = (
+        index.filter(F.col("token").isin(uniq))
+        .groupBy("token")
+        .agg(F.count_distinct(id_col).alias("__df"))
+    )
+    postings = index.filter(F.col("token").isin(uniq)).join(
+        F.broadcast(dfreq), "token"
+    ).join(doc_lengths, id_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_term = (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    return (
+        postings.select(F.col(id_col), (idf * tf_term).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )

@@ -2418,7 +2418,84 @@ FROM orders
 """
 
 
+_SEARCH_TERMS = ["spark", "table", "query"]
+
+
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval tier (operators/search.py): the inverted
+    index as a relation, conjunctive boolean retrieval as semi-join-
+    and-count, and BM25 ranking as one join + aggregate — the oracle
+    replays tokenization, df/dl statistics, the Robertson idf, and the
+    saturation term in SQL. Emits the top 10 docs by 6-dp-rounded BM25
+    (deterministic tiebreak on doc_id) for a 3-term query plus the
+    AND-match count."""
+    from neulix_datahub_spark.operators.search import (
+        bm25_rank,
+        build_inverted_index,
+        conjunctive_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    index = build_inverted_index(docs)
+    lengths = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_and = conjunctive_search(index, _SEARCH_TERMS).count()
+    ranked = bm25_rank(index, lengths, _SEARCH_TERMS)
+    return (
+        ranked.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("n_and_matches", F.lit(n_and).cast("long"))
+    )
+
+
+_BM25_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+),
+idx AS (
+    SELECT token, doc_id, count(*) AS tf FROM toks
+    WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM idx GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest({_SEARCH_TERMS!r}) AS token),
+dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df
+    FROM idx WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+    SELECT i.doc_id,
+           sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * i.tf * (1.2 + 1.0)
+               / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM idx i
+    JOIN dfreq d USING (token)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY i.doc_id
+),
+n_and AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_and_matches FROM (
+        SELECT doc_id FROM idx WHERE token IN (SELECT token FROM q)
+        GROUP BY doc_id HAVING count(DISTINCT token) = 3
+    )
+)
+SELECT doc_id, round(score, 6) AS bm25, n_and_matches
+FROM scored, n_and
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 SCALE_QUERIES = {
+    "keyword_search_bm25": (
+        keyword_search_bm25,
+        _BM25_SQL,
+        "inverted-index boolean retrieval + BM25 ranking vs SQL replay",
+    ),
     "migration_checksum_check": (
         migration_checksum_check,
         _MIG_SQL,

@@ -110,3 +110,37 @@ def bm25_rank(
         .groupBy(id_col)
         .agg(F.sum("__s").alias("score"))
     )
+
+
+def build_positional_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The phrase-capable index: ``(token, doc_id, pos)`` — one row per
+    token OCCURRENCE with its 0-based position. Bigger than the tf
+    index by the repetition factor; build it only when phrase/proximity
+    queries are in the workload (the standard Lucene trade)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def phrase_search(
+    pos_index: DataFrame, phrase: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact phrase retrieval: the terms must occur at CONSECUTIVE
+    positions. Relationally: self-joins of the positional postings with
+    ``pos_k = pos_0 + k`` — each join leg reads only that term's
+    postings, and the equi-join key (doc, aligned position) keeps it a
+    hash join, no window or UDF. Returns distinct (doc_id,
+    n_occurrences)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    legs = None
+    for k, term in enumerate(phrase):
+        leg = pos_index.filter(F.col("token") == term).select(
+            F.col(id_col),
+            (F.col("pos") - k).alias("__start"),
+        )
+        legs = leg if legs is None else legs.join(leg, [id_col, "__start"])
+    return legs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -2490,7 +2490,56 @@ LIMIT 10
 """
 
 
+_PHRASE = ["table", "hash"]
+
+
+def phrase_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE retrieval over the positional index
+    (operators/search.py phrase_search): consecutive-position self-
+    joins of each term's postings — hash joins on (doc, aligned
+    position), no window, no UDF, each leg reading only its term's
+    rows. The oracle takes the textual route instead (occurrence count
+    of ' table hash ' in the padded normalized text), so a hash match
+    proves the positional algebra against an independent definition of
+    'phrase'. Emits every matching doc with its occurrence count."""
+    from neulix_datahub_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_positional_index(docs)
+    return phrase_search(idx, _PHRASE).orderBy("doc_id")
+
+
+_PHRASE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+    FROM documents
+),
+hits AS (
+    -- overlap-safe token scan (RE2 has no lookahead; replace() drops
+    -- shared-boundary repeats): count every start position whose
+    -- consecutive tokens spell the phrase
+    SELECT doc_id,
+           CAST(len([i for i in generate_series(1, len(tk) - {len(_PHRASE) - 1})
+                     if {" AND ".join(f"tk[i + {k}] = '{t}'" for k, t in enumerate(_PHRASE))}])
+                AS BIGINT) AS n_occurrences
+    FROM tok
+)
+SELECT doc_id, n_occurrences
+FROM hits WHERE n_occurrences > 0
+ORDER BY doc_id
+"""
+
+
 SCALE_QUERIES = {
+    "phrase_search_check": (
+        phrase_search_check,
+        _PHRASE_SQL,
+        "positional-index phrase retrieval vs textual-occurrence oracle",
+    ),
     "keyword_search_bm25": (
         keyword_search_bm25,
         _BM25_SQL,

@@ -1349,7 +1349,93 @@ ORDER BY event_type, day
 """
 
 
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-DECAY multi-touch attribution: every prior touch within 2
+    days of a purchase earns credit ∝ 2^(−Δhours) — and because the
+    decay base is a power of two and Δhours an integer, every weight is
+    an EXACT binary fraction: per-channel weighted credit is engine-
+    identical with no rounding tolerance (contrast exponential decay
+    with base e, where exp() is libm-dependent). Credits normalize per
+    purchase (ratio of exact sums), then value-weight by the purchase
+    amount in cents — the whole chain is exact rationals until one
+    final division per row.
+
+    Plan: one user-keyed interval join (purchase × its ≤2-day touch
+    window), two bounded aggregations. Window size bounds the per-
+    purchase fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        F.round(F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(touches, "u").filter(
+        (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 2 DAYS"))
+    )
+    dh = F.floor(F.expr("timestampdiff(SECOND, tts, pts)") / 3600).cast("int")
+    # 2^-dh as an exact binary fraction: 1 / shiftleft(1, dh); the 2-day
+    # window caps dh at 47 — well under the 64-bit shift wrap both
+    # engines would otherwise hit (shift counts reduce mod 64)
+    w = F.lit(1.0) / F.expr("shiftleft(1L, CAST(__dh AS INT))")
+    per_touch = joined.withColumn("__dh", dh).select(
+        "pid", "cents", "channel", w.alias("__w")
+    )
+    tot = per_touch.groupBy("pid").agg(F.sum("__w").alias("__tw"))
+    credited = per_touch.join(tot, "pid").select(
+        "channel",
+        (F.col("__w") / F.col("__tw") * F.col("cents")).alias("__credit_cents"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("__credit_cents") / 100.0, 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_TIME_DECAY_SQL = """
+WITH purchases AS (
+    SELECT user_id AS u, ts AS pts, event_id AS pid,
+           CAST(round(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT user_id AS u, ts AS tts, event_type AS channel
+    FROM events WHERE event_type <> 'purchase'
+),
+per_touch AS (
+    SELECT pid, cents, channel,
+           1.0 / (CAST(1 AS BIGINT) << CAST(floor(date_diff('second', tts, pts) / 3600) AS INT)) AS w
+    FROM purchases JOIN touches USING (u)
+    WHERE tts <= pts AND tts > pts - INTERVAL 2 DAY
+),
+tot AS (SELECT pid, sum(w) AS tw FROM per_touch GROUP BY pid)
+SELECT channel,
+       count(*) AS n_touches,
+       round(sum(w / tw * cents) / 100.0, 4) AS attributed_value
+FROM per_touch JOIN tot USING (pid)
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 ANALYTICS_QUERIES = {
+    "time_decay_attribution": (
+        time_decay_attribution,
+        _TIME_DECAY_SQL,
+        "2^-hours time-decay multi-touch attribution, exact binary weights",
+    ),
     "holt_daily_by_type": (
         holt_daily_by_type,
         _HOLT_SQL,

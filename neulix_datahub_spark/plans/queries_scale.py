@@ -2534,7 +2534,87 @@ ORDER BY doc_id
 """
 
 
+_LIFT_MIN_SUPPORT = 5
+
+
+def brand_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association STRENGTH over the market baskets — lift = N·c(a,b) /
+    (c(a)·c(b)) — the normalization raw co-occurrence counts
+    (copurchased_brand_pairs) lack: popular brands co-occur by volume
+    alone, lift > 1 means beyond-chance affinity. All integer counts,
+    one division per pair → engine-identical doubles, no rounding.
+    Min-support floor keeps the noise pairs out (a 1-basket pair has
+    huge, meaningless lift). Top 10 by lift."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_baskets = ob.select("l_orderkey").distinct().count()
+    singles = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c1"))
+    l, r = ob.alias("l"), ob.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+            & (F.col("l.p_brand") < F.col("r.p_brand")),
+        )
+        .groupBy(
+            F.col("l.p_brand").alias("brand_a"), F.col("r.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _LIFT_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(singles.select(F.col("p_brand").alias("brand_a"), F.col("c1").alias("__ca")), "brand_a")
+        .join(singles.select(F.col("p_brand").alias("brand_b"), F.col("c1").alias("__cb")), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (
+                F.lit(n_baskets) * F.col("n_both")
+                / (F.col("__ca") * F.col("__cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(10)
+    )
+
+
+_LIFT_SQL = f"""
+WITH ob AS (
+    SELECT DISTINCT l_orderkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM ob),
+singles AS (SELECT p_brand, count(*) AS c1 FROM ob GROUP BY 1),
+pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY 1, 2
+    HAVING count(*) >= {_LIFT_MIN_SUPPORT}
+)
+SELECT brand_a, brand_b, n_both,
+       CAST(n.nb * n_both AS DOUBLE) / (sa.c1 * sb.c1) AS lift
+FROM pairs
+JOIN singles sa ON sa.p_brand = brand_a
+JOIN singles sb ON sb.p_brand = brand_b
+CROSS JOIN n
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 10
+"""
+
+
 SCALE_QUERIES = {
+    "brand_lift_pairs": (
+        brand_lift_pairs,
+        _LIFT_SQL,
+        "market-basket lift: beyond-chance brand affinity, exact ratios",
+    ),
     "phrase_search_check": (
         phrase_search_check,
         _PHRASE_SQL,

@@ -217,7 +217,9 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return merged.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
-def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = 4
+) -> DataFrame:
     """AMS/CMS join-cardinality estimate from two sketches built with
     the SAME (width, depth, seeds): per hash row, the dot product of the
     counter vectors upper-bounds the true equi-join size
@@ -244,12 +246,22 @@ def cms_inner_product(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
     a = sketch_a.select("seed", "bucket", F.col("cnt").alias("__ca"))
     b = sketch_b.select("seed", "bucket", F.col("cnt").alias("__cb"))
     # inner join: a cell missing from either side contributes 0 to the
-    # dot product, exactly as if its counter were present with cnt=0
+    # dot product, exactly as if its counter were present with cnt=0.
+    # A seed with NO shared cells therefore has dot 0 — it just produces
+    # no row; if any of the depth rows is missing the min is 0 (and so,
+    # by the per-seed upper bound, is the true join size). Hypothesis
+    # found the unguarded form returning null on fully disjoint sketches.
     return (
         a.join(b, ["seed", "bucket"])
         .groupBy("seed")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
-        .agg(F.min("__dot").cast("long").alias("est_join_size"))
+        .agg(
+            F.when(
+                F.count(F.lit(1)) < F.lit(depth), F.lit(0).cast("long")
+            )
+            .otherwise(F.min("__dot").cast("long"))
+            .alias("est_join_size")
+        )
     )
 
 

@@ -2609,7 +2609,65 @@ LIMIT 10
 """
 
 
+def forecast_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline EVALUATION over the daily event-value series in
+    integer cents: mean absolute error of the naive-1 forecast (ŷ_t =
+    y_{t-1}) vs the seasonal-naive-7 (ŷ_t = y_{t-7}), scored only on
+    days where both have a history. The errors are sums of |integer
+    differences| — exact — and the final MAEs and their ratio (the MASE
+    idea: model error relative to a naive baseline) are single
+    divisions of exact integers, engine-identical. This is the sanity
+    gate any forecasting addition (Holt, seasonal models) must beat
+    before it earns pipeline time."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 1).over(w).alias("__l1"),
+        F.lag("cents", 7).over(w).alias("__l7"),
+    ).filter(F.col("__l7").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(F.abs(F.col("cents") - F.col("__l1"))).cast("long").alias("abs_err_naive1"),
+        F.sum(F.abs(F.col("cents") - F.col("__l7"))).cast("long").alias("abs_err_seasonal7"),
+        (
+            F.sum(F.abs(F.col("cents") - F.col("__l7"))).cast("double")
+            / F.sum(F.abs(F.col("cents") - F.col("__l1")))
+        ).alias("seasonal_vs_naive_ratio"),
+    )
+
+
+_FORECAST_SQL = """
+WITH daily AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT cents,
+           lag(cents, 1) OVER (ORDER BY day) AS l1,
+           lag(cents, 7) OVER (ORDER BY day) AS l7
+    FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+       CAST(sum(abs(cents - l1)) AS BIGINT) AS abs_err_naive1,
+       CAST(sum(abs(cents - l7)) AS BIGINT) AS abs_err_seasonal7,
+       CAST(sum(abs(cents - l7)) AS DOUBLE) / sum(abs(cents - l1))
+           AS seasonal_vs_naive_ratio
+FROM lagged WHERE l7 IS NOT NULL
+"""
+
+
 SCALE_QUERIES = {
+    "forecast_error_check": (
+        forecast_error_check,
+        _FORECAST_SQL,
+        "naive vs seasonal-naive forecast MAE, exact integer errors",
+    ),
     "brand_lift_pairs": (
         brand_lift_pairs,
         _LIFT_SQL,

@@ -947,7 +947,108 @@ ORDER BY lang
 """
 
 
+def stream_index_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEARCH-INDEX maintenance: the documents stream drains
+    in two micro-batches through the transactional catalog sink
+    (stream_commit_tables), each batch folding its postings into the
+    inverted index — postings append (docs are immutable), document
+    lengths upsert — committed atomically, so a reader never sees
+    postings without their length stats. The drained index then answers
+    a conjunctive query + per-term document frequencies, hashed against
+    the oracle's from-scratch index over the full corpus: a green row
+    proves incremental maintenance converged to the batch-built truth.
+    """
+    from neulix_datahub_spark.operators.search import (
+        build_inverted_index,
+        conjunctive_search,
+    )
+    from neulix_datahub_spark.sources.snapshots import read_catalog
+    from neulix_datahub_spark.streaming.sinks import stream_commit_tables
+
+    tmp = _scratch(spark, "neulix_sindex_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/src_stage_a")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/src_stage_b")
+    import os
+    import shutil
+
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    for name, mtime in (("a", 1_000_000), ("b", 2_000_000)):
+        stage = f"{tmp}/src_stage_{name}"
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def postings(batch: DataFrame, existing: DataFrame | None) -> DataFrame:
+        new = build_inverted_index(batch)
+        return new if existing is None else existing.unionByName(new)
+
+    cat = f"{tmp}/catalog"
+    q = stream_commit_tables(
+        stream, cat, {"postings": postings}, checkpoint_dir=f"{tmp}/ckpt"
+    )
+    q.awaitTermination()
+
+    index = read_catalog(spark, cat)["postings"]
+    terms = ["spark", "table", "query"]
+    n_and = conjunctive_search(index, terms).count()
+    return (
+        index.filter(F.col("token").isin(terms))
+        .groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .withColumn("n_and_matches", F.lit(n_and).cast("long"))
+        .orderBy("token")
+    )
+
+
+_STREAM_INDEX_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+    FROM documents
+),
+idx AS (
+    SELECT token, doc_id, count(*) AS tf FROM toks
+    WHERE token != '' GROUP BY 1, 2
+),
+n_and AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT doc_id FROM idx WHERE token IN ('spark', 'table', 'query')
+        GROUP BY doc_id HAVING count(DISTINCT token) = 3
+    )
+)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       (SELECT n FROM n_and) AS n_and_matches
+FROM idx
+WHERE token IN ('spark', 'table', 'query')
+GROUP BY token
+ORDER BY token
+"""
+
+
 STREAM_QUERIES = {
+    "stream_index_search_stats": (
+        stream_index_search_stats,
+        _STREAM_INDEX_SQL,
+        "streaming inverted-index maintenance converges to batch truth",
+    ),
     "stream_neardup_corpus_stats": (
         stream_neardup_corpus_stats,
         _ND_SQL,

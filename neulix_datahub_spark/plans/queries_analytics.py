@@ -1381,7 +1381,13 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tts") <= F.col("pts"))
         & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 2 DAYS"))
     )
-    dh = F.floor(F.expr("timestampdiff(SECOND, tts, pts)") / 3600).cast("int")
+    # exact integer MICROSECONDS, then one integer division: Spark's
+    # timestampdiff(SECOND) floors the true diff while SQL engines
+    # count second boundaries — they disagree on sub-second parts, and
+    # a pair near an exact hour multiple then lands in different decay
+    # buckets (found at sf0.1). Timestamps are µs-precision, so the µs
+    # diff is the same exact integer everywhere.
+    dh = F.expr("timestampdiff(MICROSECOND, tts, pts) div 3600000000").cast("int")
     # 2^-dh as an exact binary fraction: 1 / shiftleft(1, dh); the 2-day
     # window caps dh at 47 — well under the 64-bit shift wrap both
     # engines would otherwise hit (shift counts reduce mod 64)
@@ -1416,7 +1422,7 @@ touches AS (
 ),
 per_touch AS (
     SELECT pid, cents, channel,
-           1.0 / (CAST(1 AS BIGINT) << CAST(floor(date_diff('second', tts, pts) / 3600) AS INT)) AS w
+           1.0 / (CAST(1 AS BIGINT) << CAST(date_diff('microsecond', tts, pts) // 3600000000 AS INT)) AS w
     FROM purchases JOIN touches USING (u)
     WHERE tts <= pts AND tts > pts - INTERVAL 2 DAY
 ),

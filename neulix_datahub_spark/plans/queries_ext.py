@@ -201,10 +201,17 @@ ORDER BY l_returnflag
 # + grouped agg, the shapes the reference shipped to BigQuery verbatim.
 # ---------------------------------------------------------------------------
 
+# One string, two engines (spark.sql AND the DuckDB oracle run it
+# verbatim) — so the averages derive from decimal-exact sums: a plain
+# round(avg(double), 4) flipped its last digit at sf0.1 when the
+# engines' partial sums straddled a rounding boundary.
 DELEGATED_SQL = """
-SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+SELECT p_brand, count(*) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price
 FROM part
-WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+WHERE p_retailprice > (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                              / count(*) FROM part)
 GROUP BY p_brand
 ORDER BY p_brand
 """

@@ -2662,7 +2662,77 @@ FROM lagged WHERE l7 IS NOT NULL
 """
 
 
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer classification — the inventory-management
+    classic: rank customers by exact revenue cents, classify by the
+    CUMULATIVE share of total revenue (A ≤ 70%, B ≤ 90%, C the tail),
+    report each class's size and revenue share. Threshold comparisons
+    are integer cross-multiplications (cum·100 vs total·70), so class
+    membership is exact — a double cumulative share would wobble at
+    the class boundaries. One customer-grain aggregation, one window
+    over the customer cardinality (bounded), one 3-row rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_cust.agg(F.sum("cents").alias("__t"))
+    classed = (
+        per_cust.withColumn("__cum", F.sum("cents").over(w))
+        .crossJoin(tot)
+        .withColumn(
+            "abc_class",
+            F.when(F.col("__cum") * 100 <= F.col("__t") * 70, "A")
+            .when(F.col("__cum") * 100 <= F.col("__t") * 90, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+            (F.sum("cents").cast("double") / F.max("__t")).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_ABC_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+classed AS (
+    SELECT cents,
+           sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cents) OVER () AS t
+    FROM per_cust
+)
+SELECT CASE WHEN cum * 100 <= t * 70 THEN 'A'
+            WHEN cum * 100 <= t * 90 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       count(*) AS n_customers,
+       sum(cents) / 100.0 AS revenue,
+       CAST(sum(cents) AS DOUBLE) / max(t) AS revenue_share
+FROM classed
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
 SCALE_QUERIES = {
+    "abc_classification": (
+        abc_classification,
+        _ABC_SQL,
+        "Pareto/ABC classes by integer cross-multiplied cumulative shares",
+    ),
     "forecast_error_check": (
         forecast_error_check,
         _FORECAST_SQL,

@@ -2727,7 +2727,72 @@ ORDER BY abc_class
 """
 
 
+def gini_revenue_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the canonical inequality
+    scalar behind the ABC/Pareto view — from the exact integer
+    formula over ascending-sorted cents:
+
+        G = (2·Σ i·xᵢ) / (n·Σxᵢ) − (n+1)/n
+
+    Σ i·xᵢ and Σxᵢ are exact integers (i ≤ 15k, xᵢ cents → products
+    < 2⁶³ at every fixture SF; at true 100 TB customer counts widen the
+    Σ i·xᵢ accumulator to DECIMAL(38,0) — same expression, bigger
+    register), so both engines evaluate the identical 4-flop final
+    expression on identical inputs — no tolerance. One customer-grain
+    aggregate, one bounded window for the ranks, one reduce."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.withColumn("__i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sx"),
+        F.sum(F.col("__i") * F.col("cents")).cast("long").alias("six"),
+    )
+    return agg.select(
+        "n",
+        (F.col("sx") / 100.0).alias("total_revenue"),
+        (
+            (2.0 * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n")
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+    FROM per_cust
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sx,
+           CAST(sum(i * cents) AS BIGINT) AS six
+    FROM ranked
+)
+SELECT n,
+       sx / 100.0 AS total_revenue,
+       (2.0 * six) / (n * sx) - (n + 1.0) / n AS gini
+FROM agg
+"""
+
+
 SCALE_QUERIES = {
+    "gini_revenue_check": (
+        gini_revenue_check,
+        _GINI_SQL,
+        "exact-integer Gini coefficient of customer revenue",
+    ),
     "abc_classification": (
         abc_classification,
         _ABC_SQL,

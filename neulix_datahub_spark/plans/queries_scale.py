@@ -2787,7 +2787,86 @@ FROM agg
 """
 
 
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves — the growth-analytics staple the
+    retention matrix (cohort_retention) doesn't give: per acquisition
+    cohort (first-order year), cumulative revenue per acquired customer
+    at each age in years since acquisition. Revenue accumulates as
+    exact cents (windowed cumulative sum of integer sums), cohort sizes
+    are integers, and LTV-per-customer is one division — engine-
+    identical. Emitted for the first 3 cohorts × ages 0-3 (bounded
+    output; the derivation covers all)."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    cohort_sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = (
+        orders.join(first, "o_custkey")
+        .withColumn("age", F.year("o_orderdate") - F.col("cohort"))
+        .groupBy("cohort", "age")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("cents").over(w))
+        .join(cohort_sizes, "cohort")
+        .filter((F.col("cohort") <= 1997) & (F.col("age") <= 3))
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            (F.col("cum_cents") / 100.0).alias("cum_revenue"),
+            (F.col("cum_cents").cast("double") / F.col("n_customers") / 100.0).alias(
+                "ltv_per_customer"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_LTV_SQL = """
+WITH first AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS cohort
+    FROM orders GROUP BY 1
+),
+sizes AS (SELECT cohort, count(*) AS n_customers FROM first GROUP BY 1),
+aged AS (
+    SELECT f.cohort, year(o.o_orderdate) - f.cohort AS age,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+    FROM orders o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT cohort, age, sum(cents) OVER (PARTITION BY cohort ORDER BY age
+                                         ROWS UNBOUNDED PRECEDING) AS cum_cents
+    FROM aged
+)
+SELECT c.cohort, c.age, s.n_customers,
+       c.cum_cents / 100.0 AS cum_revenue,
+       CAST(c.cum_cents AS DOUBLE) / s.n_customers / 100.0 AS ltv_per_customer
+FROM cum c JOIN sizes s USING (cohort)
+WHERE c.cohort <= 1997 AND c.age <= 3
+ORDER BY cohort, age
+"""
+
+
 SCALE_QUERIES = {
+    "cohort_ltv_curves": (
+        cohort_ltv_curves,
+        _LTV_SQL,
+        "cohort lifetime-value curves, exact cumulative cents",
+    ),
     "gini_revenue_check": (
         gini_revenue_check,
         _GINI_SQL,

@@ -2861,7 +2861,153 @@ ORDER BY cohort, age
 """
 
 
+def segment_balance_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact quartiles by the bounded-domain method: customer
+    balances in cents, grouped cent-histograms, cumulative counts
+    within each segment, smallest cent reaching ⌈p·n⌉ — the grouped
+    form of exact_price_percentiles_hist (quantile_disc semantics,
+    negative balances ordered naturally, zero error budget, no
+    per-group sort of raw rows — the window runs over each segment's
+    bounded cent DOMAIN)."""
+    cust = _t(spark, sf_dir, "customer")
+    hist = cust.groupBy(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cent"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cent")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("c_mktsegment"))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("cent"),
+            )
+        ).alias(name)
+        for p, name in [(0.25, "__p25"), (0.5, "__p50"), (0.75, "__p75")]
+    ]
+    return (
+        cum.groupBy("c_mktsegment")
+        .agg(F.max("n").cast("long").alias("n_customers"), *picks)
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            (F.col("__p25") / 100.0).alias("p25"),
+            (F.col("__p50") / 100.0).alias("p50"),
+            (F.col("__p75") / 100.0).alias("p75"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SEG_QUART_SQL = """
+WITH h AS (
+    SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cent,
+           count(*) AS c
+    FROM customer GROUP BY 1, 2
+),
+cum AS (
+    SELECT c_mktsegment, cent, c,
+           sum(c) OVER (PARTITION BY c_mktsegment ORDER BY cent
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(c) OVER (PARTITION BY c_mktsegment) AS n
+    FROM h
+)
+SELECT c_mktsegment,
+       CAST(max(n) AS BIGINT) AS n_customers,
+       min(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT) THEN cent END) / 100.0 AS p25,
+       min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN cent END) / 100.0 AS p50,
+       min(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT) THEN cent END) / 100.0 AS p75
+FROM cum
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per year — the growth decomposition
+    every revenue review opens with: an order is NEW business iff its
+    year is the customer's first-order year. Decimal-exact revenue,
+    integer counts, and the new-share an identical-double ratio of
+    exact cents."""
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("__first")
+    )
+    labeled = orders.join(first, "o_custkey").withColumn(
+        "__new", F.year("o_orderdate") == F.col("__first")
+    )
+    cents = F.sum(
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    return (
+        labeled.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("__new")).alias("n_new_orders"),
+            cents.alias("__all_cents"),
+            F.sum(
+                F.when(
+                    F.col("__new"),
+                    F.col("o_totalprice").cast("decimal(18,2)") * 100,
+                ).otherwise(F.lit(0).cast("decimal(21,0)"))
+            )
+            .cast("long")
+            .alias("__new_cents"),
+        )
+        .select(
+            "year",
+            "n_orders",
+            "n_new_orders",
+            (F.col("__all_cents") / 100.0).alias("revenue"),
+            (F.col("__new_cents") / 100.0).alias("new_revenue"),
+            (
+                F.col("__new_cents").cast("double") / F.col("__all_cents")
+            ).alias("new_share"),
+        )
+        .orderBy("year")
+    )
+
+
+_NEW_RET_SQL = """
+WITH first AS (
+    SELECT o_custkey, min(year(o_orderdate)) AS f FROM orders GROUP BY 1
+),
+labeled AS (
+    SELECT year(o.o_orderdate) AS year,
+           year(o.o_orderdate) = f.f AS is_new,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN first f USING (o_custkey)
+)
+SELECT year,
+       count(*) AS n_orders,
+       CAST(count(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new_orders,
+       sum(cents) / 100.0 AS revenue,
+       sum(CASE WHEN is_new THEN cents ELSE 0 END) / 100.0 AS new_revenue,
+       CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS DOUBLE)
+           / sum(cents) AS new_share
+FROM labeled
+GROUP BY year
+ORDER BY year
+"""
+
+
 SCALE_QUERIES = {
+    "segment_balance_quartiles_exact": (
+        segment_balance_quartiles_exact,
+        _SEG_QUART_SQL,
+        "per-group exact quartiles via bounded cent domains",
+    ),
+    "new_vs_returning_revenue": (
+        new_vs_returning_revenue,
+        _NEW_RET_SQL,
+        "new-vs-returning revenue split, exact cents and shares",
+    ),
     "cohort_ltv_curves": (
         cohort_ltv_curves,
         _LTV_SQL,

@@ -2104,7 +2104,8 @@ _PRIORITY_R7 = [
 # time_decay_attribution, brand_lift_pairs, stream_index_search_stats,
 # forecast_error_check, abc_classification, gini_revenue_check,
 # cohort_ltv_curves, segment_balance_quartiles_exact,
-# new_vs_returning_revenue), then the r3-era
+# new_vs_returning_revenue, order_frequency_histogram,
+# net_revenue_with_tax), then the r3-era
 # greens displaced from this window
 # (events_asof_snapshots, user_event_deltas, pivot_event_values,
 # fill_nulls_events, q16_supplier_part_counts,

@@ -2997,7 +2997,98 @@ ORDER BY year
 """
 
 
+def order_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer frequency histogram — how many customers
+    placed exactly k orders — plus each bucket's share of customers and
+    of orders as identical-double integer ratios. The two-level
+    aggregate (count per customer, then count per count) is the
+    canonical distribution-of-distribution shape; all integers."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("__nc"), F.sum("k").alias("__no")
+    )
+    return (
+        per_cust.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .crossJoin(tot)
+        .select(
+            F.col("k").alias("orders_per_customer"),
+            "n_customers",
+            (F.col("n_customers").cast("double") / F.col("__nc")).alias(
+                "customer_share"
+            ),
+            (
+                (F.col("k") * F.col("n_customers")).cast("double") / F.col("__no")
+            ).alias("order_share"),
+        )
+        .orderBy("orders_per_customer")
+    )
+
+
+_ORDER_FREQ_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1
+),
+tot AS (SELECT count(*) AS nc, sum(k) AS no FROM per_cust)
+SELECT k AS orders_per_customer,
+       count(*) AS n_customers,
+       CAST(count(*) AS DOUBLE) / max(t.nc) AS customer_share,
+       CAST(k * count(*) AS DOUBLE) / max(t.no) AS order_share
+FROM per_cust, tot t
+GROUP BY k
+ORDER BY orders_per_customer
+"""
+
+
+def net_revenue_with_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TPC-H Q1 money chain — price · (1−discount) · (1+tax) —
+    carried as EXACT decimals end-to-end: a 2-dp price times two 2-dp
+    fractions is an exact 6-dp decimal, so the per-flag/status charge
+    sums are associative and engine-identical (the classic Q1 formula
+    is the deepest decimal product chain in the schema; this pins it
+    with zero tolerance where the flagship q1 rounds doubles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    one = F.lit("1.00").cast("decimal(4,2)")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (one - F.col("l_discount").cast("decimal(4,2)"))
+        * (one + F.col("l_tax").cast("decimal(4,2)"))
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_NET_TAX_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST('1.00' AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST('1.00' AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_charge
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 SCALE_QUERIES = {
+    "order_frequency_histogram": (
+        order_frequency_histogram,
+        _ORDER_FREQ_SQL,
+        "orders-per-customer distribution, integer shares",
+    ),
+    "net_revenue_with_tax": (
+        net_revenue_with_tax,
+        _NET_TAX_SQL,
+        "Q1 charge chain as exact 6-dp decimals, zero tolerance",
+    ),
     "segment_balance_quartiles_exact": (
         segment_balance_quartiles_exact,
         _SEG_QUART_SQL,

@@ -318,8 +318,15 @@ def exact_fixed_point_percentiles(
     """
     from pyspark.sql.window import Window
 
+    # NULLs are excluded up front (standard percentile semantics): a
+    # null value would survive the groupBy as a null bucket that sorts
+    # FIRST in Spark's ascending window but LAST in most SQL engines,
+    # shifting every cumulative count — and it would inflate n. Both
+    # engines agree only on the null-free histogram.
+    df = df.filter(F.col(col).isNotNull())
     cents = F.round(F.col(col) * scale).cast("long")
     hist = df.groupBy(cents.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+    # bounded grain: window over the value DOMAIN histogram (see docstring)
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("__cum", F.sum("__c").over(w))
     n = hist.agg(F.sum("__c").alias("__n"))

@@ -224,8 +224,27 @@ def portable_table_checksum(df: DataFrame, cols: list[str]) -> "DataFrame":
     floats to fixed-point ints first): float→string rendering is the
     one thing engines do NOT agree on. The unit separator (0x1f) guards
     against concat ambiguity ('ab','c' vs 'a','bc').
+
+    Nulls are encoded EXPLICITLY: every field is rendered as a 1-char
+    null flag ('1' null / '0' present) followed by the value ('' for
+    null). A separator-join that simply skips or blanks nulls would
+    make ``(a, NULL, b)`` and ``(a, b, NULL)`` collide — a migration
+    that shifts values between columns would then validate as
+    identical; the flag keeps every (nullness, value) field distinct.
+    The SQL mirror (plans/queries_scale.py ``_MIG_SQL``) replays the
+    same flag+value rendering so both engines agree on null-bearing
+    tables too.
     """
-    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    rendered = F.concat_ws(
+        "\x1f",
+        *[
+            F.concat(
+                F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
+            for c in cols
+        ],
+    )
     key = F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("decimal(38,0)")
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

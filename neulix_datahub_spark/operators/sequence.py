@@ -55,6 +55,135 @@ def with_sequential_id(
     )
 
 
+def _range_numbered(df, order_by, num_partitions):
+    """Shared phase 1 of the sort-defined two-phase operators: range-
+    repartition on the sort key (ascending partition ids carry
+    ascending key ranges) and label every row with its partition id.
+    Each partition then holds a contiguous slice of the global sort
+    order, so global ranks/cumulative sums decompose into a local
+    window per partition plus one broadcast offset per partition.
+
+    The ranged frame is persisted: the caller references it TWICE (rows
+    + per-partition counts), and ``repartitionByRange`` SAMPLES its
+    boundaries — two independent evaluations may bucket rows into
+    different ``__pid``s, silently corrupting the offsets. The cache
+    pins one materialization (memory-and-disk, spill-safe) that both
+    branches read; recomputed partitions re-read the same shuffle
+    output, so boundaries stay fixed even under eviction."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return ranged, cols
+
+
+def with_sorted_rank(
+    df: DataFrame,
+    order_by: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sort-defined, gap-free global ``row_number`` WITHOUT the
+    single-partition window (`Window.orderBy` with no `partitionBy`
+    funnels the whole table through one task — Spark itself warns).
+    Two-phase: range-repartition on the sort key, ``row_number`` within
+    each range partition, add the exclusive prefix-sum of partition
+    COUNTS (a #partitions-row broadcast). Scales to any row count; the
+    only single-task step is the prefix sum over #partitions integers.
+
+    ``order_by`` must be a TOTAL order (include a tiebreak column) —
+    exactly the requirement ``row_number`` itself has for a
+    deterministic result.
+    """
+    ranged, cols = _range_numbered(df, order_by, num_partitions)
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    numbered = ranged.withColumn("__local", F.row_number().over(w_local))
+    counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    )
+    return (
+        numbered.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(rank_col, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def with_running_total(
+    df: DataFrame,
+    order_by: list,
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sort-defined INCLUSIVE cumulative sum of ``value_col`` without
+    the single-partition window — the scalable spelling of
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``: local
+    cumulative sum within each range partition plus the broadcast
+    exclusive prefix-sum of partition TOTALS. Same contract as
+    :func:`with_sorted_rank`: ``order_by`` must be a total order (ROWS
+    framing over ties is order-dependent in every engine)."""
+    ranged, cols = _range_numbered(df, order_by, num_partitions)
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__lcum", F.sum(value_col).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .withColumn(out_col, F.col("__lcum") + F.col("__off"))
+        .drop("__pid", "__lcum", "__off")
+    )
+
+
+def with_ntile(
+    df: DataFrame,
+    order_by: list,
+    n: int,
+    out_col: str = "ntile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY ...)`` without the single-partition
+    window: two-phase global ranks (:func:`with_sorted_rank`) plus the
+    SQL-standard ntile formula computed from (rank, N) — the first
+    ``N mod n`` tiles carry ``⌈N/n⌉`` rows, the rest ``⌊N/n⌋``, which
+    is exactly how Spark's and every ANSI engine's ``ntile`` splits the
+    remainder, so results are bit-identical to the window form. ``N``
+    rides in as a broadcast single-row total. Same total-order
+    requirement as ``ntile`` itself."""
+    ranked = with_sorted_rank(df, order_by, "__rk", num_partitions)
+    tot = df.agg(F.count(F.lit(1)).alias("__N"))
+    big = F.col("__N") % n                 # tiles that get the extra row
+    size_big = F.floor(F.col("__N") / n) + 1
+    size_small = F.floor(F.col("__N") / n)
+    in_big = F.col("__rk") <= big * size_big
+    tile = F.when(
+        in_big, F.floor((F.col("__rk") - 1) / size_big) + 1
+    ).otherwise(
+        big + F.floor((F.col("__rk") - big * size_big - 1) / size_small) + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(out_col, tile.cast("int"))
+        .drop("__rk", "__N")
+    )
+
+
 def continue_sequence(df: DataFrame, existing: DataFrame, id_col: str,
                       order_by: list[str] | None = None) -> DataFrame:
     """W1 exactly as the reference composes it: new rows continue from

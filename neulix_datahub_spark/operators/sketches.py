@@ -294,6 +294,7 @@ def kmv_build(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
 
     h = F.md5(F.col(key_col).cast("string")).alias("h")
     smallest = df.select(h).distinct().orderBy("h").limit(k)
+    # bounded grain: window over the k smallest hashes (k rows)
     w = F.row_number().over(Window.orderBy("h"))
     return smallest.withColumn("rank", w).select(
         "rank", F.col("h").alias("hash_hex")
@@ -314,6 +315,7 @@ def kmv_union(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
         .orderBy("hash_hex")
         .limit(k)
     )
+    # bounded grain: window over a k-row sketch relation
     w = F.row_number().over(Window.orderBy("hash_hex"))
     return merged.withColumn("rank", w).select("rank", "hash_hex")
 
@@ -369,8 +371,8 @@ def sketch_join_plan(
     n_build = build.count()
     sk_b = cms_build(build, key_col, width=width, depth=depth)
     sk_p = cms_build(probe, key_col, width=width, depth=depth)
-    est_join = int(cms_inner_product(sk_b, sk_p).first()["est_join_size"])
-    probe_f2 = int(cms_inner_product(sk_p, sk_p).first()["est_join_size"])
+    est_join = int(cms_inner_product(sk_b, sk_p, depth=depth).first()["est_join_size"])
+    probe_f2 = int(cms_inner_product(sk_p, sk_p, depth=depth).first()["est_join_size"])
     n_probe = probe.count()
     distinct_est = max(1, int(
         probe.select(key_col).distinct().count()

@@ -163,26 +163,29 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
     Plan: groupBy(key) count (map-side combined), then a single-row
     reduce over the histogram — the histogram, not the data, is what
     crosses the second exchange, so the profile costs one scan at any
-    table size.
+    table size. The top-N share comes from ``orderBy().limit(top_n)``
+    (TakeOrderedAndProject: per-partition top-N, driver merges
+    #partitions·N rows) and the per-key probabilities from a broadcast
+    single-row total — NO global window anywhere, so the profile holds
+    at unbounded key cardinality (the earlier spelling ranked the whole
+    histogram through a single-partition window).
     """
     hist = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__c"))
-    total = F.sum("__c")
-    p = F.col("__c").cast("double") / F.sum("__c").over(Window.partitionBy())
-    hist = hist.withColumn("__p", p)
-    ranked = hist.withColumn(
-        "__rk", F.row_number().over(Window.orderBy(F.desc("__c"), F.col(key_col)))
+    tot = hist.agg(F.sum("__c").alias("__N"))
+    topn = (
+        hist.orderBy(F.desc("__c"), F.col(key_col))
+        .limit(top_n)
+        .agg(F.sum("__c").alias("__topc"))
     )
-    return ranked.agg(
+    enriched = hist.crossJoin(F.broadcast(tot)).withColumn(
+        "__p", F.col("__c").cast("double") / F.col("__N")
+    )
+    stats = enriched.agg(
         F.count(F.lit(1)).alias("n_keys"),
-        total.alias("n_rows"),
+        F.sum("__c").alias("n_rows"),
         F.max("__c").alias("max_key_rows"),
         F.median("__c").alias("median_key_rows"),
         F.round(F.max("__c") / F.median("__c"), 4).alias("skew_ratio"),
-        F.round(
-            F.sum(F.when(F.col("__rk") <= top_n, F.col("__c")).otherwise(0))
-            / total,
-            6,
-        ).alias(f"top{top_n}_share"),
         F.round(
             F.try_divide(
                 -F.sum(F.col("__p") * F.log2("__p")),
@@ -190,4 +193,13 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
             ),
             6,
         ).alias("norm_entropy"),
+    )
+    return stats.crossJoin(F.broadcast(topn)).select(
+        "n_keys",
+        "n_rows",
+        "max_key_rows",
+        "median_key_rows",
+        "skew_ratio",
+        F.round(F.col("__topc") / F.col("n_rows"), 6).alias(f"top{top_n}_share"),
+        "norm_entropy",
     )

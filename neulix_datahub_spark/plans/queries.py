@@ -1094,6 +1094,7 @@ def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn(
             "rank",
+            # bounded grain: numbering the 10 rows that survived limit(10)
             F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))),
         )
     )

@@ -249,6 +249,7 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("__rev"))
     )
     w = (
+        # bounded grain: window over per-DAY aggregates (~2.5k rows for the
         Window.orderBy(F.datediff("__day", F.lit("1970-01-01").cast("date")))
         .rangeBetween(-6, 0)
     )
@@ -311,6 +312,7 @@ def gap_filled_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__day")
         )
     )
+    # bounded grain: cumulative sum over per-DAY aggregates, not raw rows
     w = Window.orderBy("__day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         spine.join(daily, "__day", "left")
@@ -479,23 +481,25 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigns deterministically given a total order, and both engines
     give earlier tiles the remainder rows), then the (R, F) segment
     matrix with sizes and average spend. One shuffle to the per-customer
-    aggregate; the ntile windows then order that one-row-per-customer
-    frame globally — exact quintiles are inherently a total order. At
-    100 TB customer counts the swap is percentile_approx cutoffs
-    (mergeable GK sketch, see approx_price_percentiles) + a bucket
-    expression: same matrix, no global sort; ntile is the exact,
-    oracle-checkable form."""
+    aggregate; each quintile then comes from the TWO-PHASE ntile
+    (operators/sequence.py with_ntile: range-repartition + local
+    row_number + broadcast offsets + the ANSI remainder formula) — NO
+    single-partition global window, so the exact quintiles hold at
+    10⁹-customer grain."""
+    from neulix_datahub_spark.operators.sequence import with_ntile
+
     orders = _t(spark, sf_dir, "orders")
     rfm = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("__last"),
         F.count(F.lit(1)).alias("__freq"),
         F.sum("o_totalprice").alias("__monetary"),
     )
-    scored = rfm.select(
-        F.ntile(5).over(Window.orderBy("__last", "o_custkey")).alias("r_quintile"),
-        F.ntile(5).over(Window.orderBy("__freq", "o_custkey")).alias("f_quintile"),
-        "__monetary",
-    )
+    scored = with_ntile(
+        with_ntile(rfm, ["__last", "o_custkey"], 5, "r_quintile"),
+        ["__freq", "o_custkey"],
+        5,
+        "f_quintile",
+    ).select("r_quintile", "f_quintile", "__monetary")
     return (
         scored.groupBy("r_quintile", "f_quintile")
         .agg(
@@ -548,6 +552,7 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("o_totalprice").alias("__rev"))
     )
     w = (
+        # bounded grain: window over per-DAY aggregates, not raw rows
         Window.orderBy(F.datediff("__day", F.lit("1970-01-01").cast("date")))
         .rangeBetween(-28, -1)
     )

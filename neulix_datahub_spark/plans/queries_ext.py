@@ -311,19 +311,23 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Gini coefficient via the rank formula
     G = 2·Σ(rank·sᵢ)/(n·Σs) − (n+1)/n over spend ranked ascending with
     a customer-key tiebreak (deterministic ranks, so both engines
-    compute identical sums). One customer-keyed aggregation; the
-    ordered window runs over the per-customer frame (O(customers)
-    rows); at 100 TB swap the exact rank for percentile_approx-bucketed
-    shares exactly as the RFM scale note prescribes."""
+    compute identical sums). One customer-keyed aggregation; the exact
+    ranks come from the TWO-PHASE rank (operators/sequence.py
+    with_sorted_rank: range-repartition + local row_number + broadcast
+    prefix offsets) and the grand totals from a broadcast single-row
+    aggregate — NO single-partition global window, so the Pareto shares
+    hold at 10⁹-customer grain."""
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("__s"))
-    w = Window.orderBy("__s", "o_custkey")
-    all_w = Window.partitionBy()
-    ranked = spend.select(
-        "__s",
-        F.row_number().over(w).alias("__rk"),
-        F.count(F.lit(1)).over(all_w).alias("__n"),
-        F.sum("__s").over(all_w).alias("__total"),
+    totals = spend.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__s").alias("__total")
+    )
+    ranked = (
+        with_sorted_rank(spend, ["__s", "o_custkey"], "__rk")
+        .crossJoin(F.broadcast(totals))
+        .select("__s", "__rk", "__n", "__total")
     )
     return ranked.agg(
         F.max("__n").cast("bigint").alias("n_customers"),
@@ -1869,16 +1873,21 @@ def positional_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits original row i's frozen columns, ``data_core.py:163-166``) as
     an explicit row_number alignment join — i-th customer by key paired
     with i-th order by key. Sort keys are unique, so the alignment is
-    deterministic at any parallelism."""
-    cust = (
-        _t(spark, sf_dir, "customer")
-        .select("c_custkey", "c_name")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("c_custkey")))
+    deterministic at any parallelism. Positions come from the TWO-PHASE
+    rank (operators/sequence.py with_sorted_rank) — no single-partition
+    global window, so the alignment holds at any row count; the join on
+    position is then an ordinary shuffle equi-join."""
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
+    cust = with_sorted_rank(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name"),
+        ["c_custkey"],
+        "__rn",
     )
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("o_orderkey")))
+    orders = with_sorted_rank(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        ["o_orderkey"],
+        "__rn",
     )
     return (
         cust.join(orders, "__rn")

@@ -176,6 +176,7 @@ def window_coverage_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = iv.select(F.col("lo").alias("day"), F.lit(1).alias("d")).unionByName(
         iv.select((F.col("hi") + 1).alias("day"), F.lit(-1).alias("d"))
     )
+    # bounded grain: window over per-DAY aggregates, not raw rows
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     segments = (
         events.groupBy("day")
@@ -1336,10 +1337,10 @@ def exact_price_percentiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EXACT_PCT_SQL = f"""
 WITH h AS (
     SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
-    FROM orders GROUP BY 1
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ),
 cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm FROM h),
-n AS (SELECT count(*) AS n FROM orders)
+n AS (SELECT count(*) AS n FROM orders WHERE o_totalprice IS NOT NULL)
 SELECT p,
        (SELECT min(v) FROM cum, n WHERE cm >= CAST(ceil(p * n) AS BIGINT)) / 100.0
            AS value
@@ -1375,6 +1376,7 @@ def price_drift_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cr", F.lit(0)).alias("cr"),
         F.coalesce("cc", F.lit(0)).alias("cc"),
     )
+    # bounded grain: window over the fixed-point cent DOMAIN (price range),
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = both.select(
         "v",
@@ -1954,21 +1956,25 @@ def epoch_shuffle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     position in epochs 0 and 1 (the near-zero overlap that proves the
     epochs are genuinely different permutations, computed exactly).
 
-    Scale note: the global row_number here exists for the VERDICT only
-    (positions must be comparable corpus-wide); the production
+    Scale note: corpus-wide positions come from the TWO-PHASE rank
+    (operators/sequence.py with_sorted_rank — range-repartition on the
+    epoch key + local row_number + broadcast offsets, one pass per
+    epoch, joined back on doc_id), so even the verdict's global
+    positions avoid a single-partition window; the production
     materialization of an epoch order is export_corpus's
     sortWithinPartitions on the same key — per-shard sorts, no global
-    window."""
+    numbering at all."""
     from neulix_datahub_spark.operators.curation import epoch_order_key
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    w0 = Window.orderBy(epoch_order_key("text", 0), F.col("doc_id"))
-    w1 = Window.orderBy(epoch_order_key("text", 1), F.col("doc_id"))
-    ranked = docs.select(
-        "doc_id",
-        F.row_number().over(w0).alias("__r0"),
-        F.row_number().over(w1).alias("__r1"),
-    )
+    r0 = with_sorted_rank(
+        docs, [epoch_order_key("text", 0), F.col("doc_id")], "__r0"
+    ).select("doc_id", "__r0")
+    r1 = with_sorted_rank(
+        docs, [epoch_order_key("text", 1), F.col("doc_id")], "__r1"
+    ).select("doc_id", "__r1")
+    ranked = r0.join(r1, "doc_id")
     same = ranked.agg(
         F.count_if(F.col("__r0") == F.col("__r1")).alias("n_same_position"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -2044,6 +2050,7 @@ def hist_rollup_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("cent")
             .agg(F.sum("cnt").alias("c"))
         )
+        # bounded grain: window over the balance cent DOMAIN, not customers
         w = Window.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
         cum = hist.withColumn("cum", F.sum("c").over(w))
         n = hist.agg(F.sum("c").alias("n"))
@@ -2410,8 +2417,13 @@ def migration_checksum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIG_SQL = """
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CAST('0x' || substr(
-                md5(o_orderkey::VARCHAR || chr(31) || o_orderstatus
-                    || chr(31) || CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR),
+                md5(
+                    (CASE WHEN o_orderkey IS NULL THEN '1' ELSE '0' END)
+                    || COALESCE(o_orderkey::VARCHAR, '') || chr(31)
+                    || (CASE WHEN o_orderstatus IS NULL THEN '1' ELSE '0' END)
+                    || COALESCE(o_orderstatus, '') || chr(31)
+                    || (CASE WHEN o_totalprice IS NULL THEN '1' ELSE '0' END)
+                    || COALESCE(CAST(round(o_totalprice * 100) AS BIGINT)::VARCHAR, '')),
                 1, 15) AS BIGINT)::HUGEINT) AS VARCHAR) AS content_sum,
        true AS copy_matches
 FROM orders
@@ -2623,6 +2635,7 @@ def forecast_error_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents")
     )
+    # bounded grain: window over per-DAY aggregates, not raw rows
     w = Window.orderBy("day")
     lagged = daily.select(
         "day",
@@ -2669,20 +2682,28 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     report each class's size and revenue share. Threshold comparisons
     are integer cross-multiplications (cum·100 vs total·70), so class
     membership is exact — a double cumulative share would wobble at
-    the class boundaries. One customer-grain aggregation, one window
-    over the customer cardinality (bounded), one 3-row rollup."""
+    the class boundaries. One customer-grain aggregation, then the
+    TWO-PHASE cumulative sum (operators/sequence.py
+    with_running_total): range-repartition by (revenue desc, custkey),
+    local cumsum per range partition, broadcast prefix offsets — no
+    single-partition global window, so the cumulative share holds at
+    10⁹-customer grain, then one 3-row rollup."""
+    from neulix_datahub_spark.operators.sequence import with_running_total
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = per_cust.agg(F.sum("cents").alias("__t"))
     classed = (
-        per_cust.withColumn("__cum", F.sum("cents").over(w))
+        with_running_total(
+            per_cust,
+            [F.desc("cents"), F.asc("o_custkey")],
+            "cents",
+            "__cum",
+        )
         .crossJoin(tot)
         .withColumn(
             "abc_class",
@@ -2739,15 +2760,21 @@ def gini_revenue_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ i·xᵢ accumulator to DECIMAL(38,0) — same expression, bigger
     register), so both engines evaluate the identical 4-flop final
     expression on identical inputs — no tolerance. One customer-grain
-    aggregate, one bounded window for the ranks, one reduce."""
+    aggregate, then TWO-PHASE ranks (operators/sequence.py
+    with_sorted_rank: range-repartition + local row_number + broadcast
+    prefix offsets — no single-partition global window, so the rank
+    assignment holds at 10⁹-customer grain), one reduce."""
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.withColumn("__i", F.row_number().over(w))
+    ranked = with_sorted_rank(
+        per_cust, [F.asc("cents"), F.asc("o_custkey")], "__i"
+    )
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("sx"),
@@ -2869,7 +2896,12 @@ def segment_balance_quartiles_exact(spark: SparkSession, sf_dir: str) -> DataFra
     negative balances ordered naturally, zero error budget, no
     per-group sort of raw rows — the window runs over each segment's
     bounded cent DOMAIN)."""
-    cust = _t(spark, sf_dir, "customer")
+    # null balances are excluded (standard percentile semantics) — a
+    # null cent bucket sorts first in Spark's window but last in most
+    # SQL engines, so keeping it would shift every quartile AND make
+    # the two engines disagree. Fixture balances are non-null; the
+    # filter pins the semantics for real data.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     hist = cust.groupBy(
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cent"),
@@ -2909,7 +2941,7 @@ _SEG_QUART_SQL = """
 WITH h AS (
     SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cent,
            count(*) AS c
-    FROM customer GROUP BY 1, 2
+    FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
     SELECT c_mktsegment, cent, c,

@@ -1,0 +1,140 @@
+"""Plan-shape guards: no UNBOUNDED-GRAIN query may contain a global
+(single-partition) window.
+
+``Window.orderBy(...)`` with no ``partitionBy`` funnels every row
+through one task — Spark warns "Moving all data to a single partition"
+at runtime. That is fine over provably bounded relations (per-day
+aggregates, fixed-point value domains, k-row sketches — each such site
+carries a ``bounded grain`` comment), and fatal over customer/order/
+document grain at the 100 TB design point. The queries below operate on
+unbounded grain and were re-spelled onto the two-phase partition-offset
+operators (operators/sequence.py with_sorted_rank / with_running_total /
+with_ntile); this module pins that property by walking the OPTIMIZED
+logical plan for Window nodes with an empty partitionSpec.
+
+Also the correctness units for the two-phase operators themselves:
+each must be row-identical to its single-partition global-window
+spelling (the semantics), while its plan contains no global Window
+(the scalability).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def global_windows(df) -> list[str]:
+    """Names of Window nodes with an EMPTY partitionSpec anywhere in the
+    optimized logical plan (py4j walk — the partitionSpec length is not
+    recoverable from the plan string).
+
+    One sanctioned exemption: the two-phase operators' OFFSET window —
+    the prefix sum over per-partition counts/totals, recognizable as a
+    global window ordered solely by the ``__pid`` partition label. Its
+    input is one row per range partition (bounded by construction, never
+    by data volume), which is exactly the shape the two-phase pattern
+    exists to produce."""
+    hits: list[str] = []
+
+    def _is_pid_offset(node) -> bool:
+        spec = node.orderSpec()
+        names = []
+        for i in range(spec.size()):
+            child = spec.apply(i).child()
+            # AttributeReference#name; non-attribute order keys disqualify
+            try:
+                names.append(child.name())
+            except Exception:
+                return False
+        return names != [] and all(n == "__pid" for n in names)
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().size() == 0 and not _is_pid_offset(node):
+                hits.append(node.simpleString(100))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        # subqueries (e.g. scalar subqueries) hang off expressions; the
+        # queries guarded here don't use them with windows, so the
+        # children walk is sufficient.
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+# Every query here aggregates/ranks over UNBOUNDED grain (customers,
+# orders, documents): a global window in its plan is a 100 TB bug, not
+# a style nit. Extend this list when adding queries over such grain.
+UNBOUNDED_GRAIN_QUERIES = [
+    "abc_classification",
+    "gini_revenue_check",
+    "rfm_segment_counts",
+    "revenue_concentration",
+    "positional_alignment",
+    "epoch_shuffle_check",
+    "key_skew_profile_events",
+    "sequential_ids_two_phase",
+]
+
+
+@pytest.mark.parametrize("name", UNBOUNDED_GRAIN_QUERIES)
+def test_no_global_window_on_unbounded_grain(spark, name):
+    from neulix_datahub_spark.plans.queries import QUERIES
+
+    df = QUERIES[name].fn(spark, SF_DIR)
+    assert global_windows(df) == []
+
+
+def _customers(spark):
+    return (
+        spark.range(0, 997)
+        .select(
+            F.col("id").alias("k"),
+            # multiply-mod shuffles values; %91 forces duplicate values so
+            # tiebreaks and tile boundaries are actually exercised
+            ((F.col("id") * 7919) % 91).alias("v"),
+        )
+    )
+
+
+def test_with_sorted_rank_matches_global_window(spark):
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
+    df = _customers(spark)
+    order = [F.desc("v"), F.asc("k")]
+    got = with_sorted_rank(df, order, "r", num_partitions=7)
+    want = df.withColumn("r", F.row_number().over(Window.orderBy(*order)))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert global_windows(got) == []
+
+
+def test_with_running_total_matches_global_window(spark):
+    from neulix_datahub_spark.operators.sequence import with_running_total
+
+    df = _customers(spark)
+    order = [F.asc("v"), F.asc("k")]
+    got = with_running_total(df, order, "v", "cum", num_partitions=7)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert global_windows(got) == []
+
+
+@pytest.mark.parametrize("rows", [997, 1000, 3, 5])
+def test_with_ntile_matches_global_window(spark, rows):
+    """ANSI remainder handling must agree with F.ntile for every
+    N-vs-n relationship: N % n != 0, N % n == 0, N < n, N == n."""
+    from neulix_datahub_spark.operators.sequence import with_ntile
+
+    df = spark.range(0, rows).select(
+        F.col("id").alias("k"), ((F.col("id") * 7919) % 91).alias("v")
+    )
+    order = [F.asc("v"), F.asc("k")]
+    got = with_ntile(df, order, 5, "q", num_partitions=4)
+    want = df.withColumn("q", F.ntile(5).over(Window.orderBy(*order)))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert global_windows(got) == []

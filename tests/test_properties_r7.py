@@ -132,3 +132,78 @@ def test_embargo_split_total_and_exclusive(spark, tss):
     for r in out:
         want = "train" if r.ts < lo else ("purged" if r.ts < hi else "test")
         assert r.split == want, (r.ts, r.split)
+
+
+def test_table_checksum_distinguishes_null_positions(spark):
+    """Regression: concat_ws silently SKIPS null columns, so rows
+    differing only in WHICH column is null used to collide — a
+    migration shifting values between columns validated as identical.
+    The flag+value field encoding keeps every (nullness, value)
+    combination distinct, and agrees with the DuckDB rendering of the
+    same rule (see _MIG_SQL)."""
+    from neulix_datahub_spark.operators.quality import portable_table_checksum
+
+    a = spark.createDataFrame([("a", None, "b")], "x string, y string, z string")
+    b = spark.createDataFrame([("a", "b", None)], "x string, y string, z string")
+    ca = portable_table_checksum(a, ["x", "y", "z"]).first()
+    cb = portable_table_checksum(b, ["x", "y", "z"]).first()
+    assert ca.content_sum != cb.content_sum
+
+    # 2-col swap: (x, NULL) vs (NULL, x) must differ too
+    c = spark.createDataFrame([("x", None)], "a string, b string")
+    d = spark.createDataFrame([(None, "x")], "a string, b string")
+    assert (
+        portable_table_checksum(c, ["a", "b"]).first().content_sum
+        != portable_table_checksum(d, ["a", "b"]).first().content_sum
+    )
+
+
+def test_table_checksum_matches_duckdb_on_nulls(spark):
+    """Spark and DuckDB compute the SAME checksum for a null-bearing
+    table when both replay the flag+value rendering — the cross-engine
+    handshake the operator exists for."""
+    import duckdb
+
+    from neulix_datahub_spark.operators.quality import portable_table_checksum
+
+    rows = [(1, "a"), (2, None), (None, "c"), (None, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = portable_table_checksum(df, ["k", "s"]).first()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES (1, 'a'), (2, NULL), "
+        "(NULL, 'c'), (NULL, NULL)) AS v(k, s)"
+    )
+    want = con.execute(
+        "SELECT count(*) AS n, CAST(sum(CAST('0x' || substr(md5("
+        "  (CASE WHEN k IS NULL THEN '1' ELSE '0' END) || COALESCE(k::VARCHAR,'')"
+        "  || chr(31) ||"
+        "  (CASE WHEN s IS NULL THEN '1' ELSE '0' END) || COALESCE(s,'')"
+        "), 1, 15) AS BIGINT)::HUGEINT) AS VARCHAR) FROM t"
+    ).fetchone()
+    con.close()
+    assert (got.n_rows, got.content_sum) == want
+
+
+def test_exact_fixed_point_percentiles_ignore_nulls(spark):
+    """Regression: a null value used to survive into the cent histogram,
+    sort first in Spark's window (nulls-first) and shift every
+    percentile — while DuckDB orders nulls last, so the engines also
+    disagreed. Standard percentile semantics: nulls excluded."""
+    from neulix_datahub_spark.operators.profile import (
+        exact_fixed_point_percentiles,
+    )
+
+    vals = [(float(v),) for v in range(1, 101)]
+    clean = spark.createDataFrame(vals, "x double")
+    dirty = spark.createDataFrame(vals + [(None,)] * 7, "x double")
+    want = {
+        r.p: r.value
+        for r in exact_fixed_point_percentiles(clean, "x", [0.25, 0.5, 0.9]).collect()
+    }
+    got = {
+        r.p: r.value
+        for r in exact_fixed_point_percentiles(dirty, "x", [0.25, 0.5, 0.9]).collect()
+    }
+    assert got == want == {0.25: 25.0, 0.5: 50.0, 0.9: 90.0}

@@ -156,3 +156,20 @@ def test_sketch_join_plan_decisions_and_result_identity(spark):
     assert p_plain["skew_ratio"] < 2.0
     # the CMS estimate of the join size never undershoots the truth
     assert p_plain["est_join_rows"] >= balanced.join(build, "k").count()
+
+
+def test_sketch_join_plan_forwards_depth(spark):
+    """Regression: a caller-supplied depth < cms_inner_product's default
+    used to be dropped on the forward — the per-seed row count then
+    never reached the defaulted depth, zeroing every estimate, so
+    skew_ratio collapsed to 0 and 'salted' was unreachable."""
+    from neulix_datahub_spark.operators.sketches import sketch_join_plan
+
+    build = spark.range(100).select(F.col("id").alias("k"))
+    hot = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k")
+    )
+    p = sketch_join_plan(build, hot, "k", depth=2, broadcast_max_rows=10)
+    assert p["est_join_rows"] > 0
+    assert p["skew_ratio"] > 8.0
+    assert p["strategy"] == "salted"

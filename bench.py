@@ -47,6 +47,12 @@ HEADLINE = (
     "curation_pipeline",
     "contamination_by_lang",
     "boilerplate_removal_stats",
+    # round 8: the search/index tier joins the perf gate — BM25 inverted-
+    # index retrieval, the end-to-end LSH dedup pipeline, and the
+    # persisted-IVF recall check (index build + partition-pruned probes).
+    "keyword_search_bm25",
+    "lsh_dedup_pipeline",
+    "ivf_index_recall_check",
 )
 
 
@@ -73,16 +79,24 @@ def main() -> None:
     # contention covers every window.)
     timings: dict[str, float] = {}
     per_query_samples: dict[str, list[float]] = {}
+    # 1-minute load average bracketing each query's samples: separates
+    # "the plan regressed" from "the machine was busy" mechanically —
+    # a cross-round comparison can discard samples taken under load
+    # instead of arguing from the timings alone.
+    load_samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
         for _ in range(2):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
+        loads = [round(os.getloadavg()[0], 2)]
         for _ in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+            loads.append(round(os.getloadavg()[0], 2))
         per_query_samples[name] = [round(s, 4) for s in samples]
+        load_samples[name] = loads
         timings[name] = round(min(samples), 4)
 
     total = round(sum(timings.values()), 4)
@@ -100,6 +114,7 @@ def main() -> None:
         ],
         "queries": timings,
         "query_samples": per_query_samples,
+        "load_1m": load_samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

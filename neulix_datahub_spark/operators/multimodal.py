@@ -573,26 +573,40 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[content_col])
+            # per-ASSET work (header parse) stays a Python loop — it is
+            # inherently per-object; the per-FRAME row assembly (the
+            # multiplier: up to 64 rows per asset) is vectorized with
+            # repeat/concatenate instead of the old per-row dict loop.
+            payloads = [bytes(b) for b in pdf[content_col]]
+            counts = np.empty(len(payloads), dtype=np.int64)
+            for j, payload in enumerate(payloads):
                 mv = parse_mp4_duration(payload)
                 if mv is not None:
                     # REAL sampling grid from the parsed duration
-                    n_frames = min(64, mv[1] // every_ms + 1)
+                    counts[j] = min(64, mv[1] // every_ms + 1)
                 else:
                     # STUB duration model: 1 frame per KB, capped at 16.
-                    n_frames = min(16, max(1, len(payload) // 1024))
-                for i in range(n_frames):
-                    rows.append(
-                        {
-                            "path": r["path"],
-                            "frame_idx": i,
-                            "frame_ts_ms": i * every_ms,
-                            "frame": payload[i * 64 : (i + 1) * 64],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_ts_ms", "frame"])
+                    counts[j] = min(16, max(1, len(payload) // 1024))
+            asset = np.repeat(np.arange(len(payloads)), counts)
+            frame_idx = (
+                np.concatenate([np.arange(c) for c in counts])
+                if len(payloads)
+                else np.empty(0, dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"].to_numpy()[asset],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_ts_ms": (frame_idx * every_ms).astype("int64"),
+                    "frame": [
+                        payloads[a][i * 64 : (i + 1) * 64]
+                        for a, i in zip(asset, frame_idx)
+                    ],
+                },
+                columns=["path", "frame_idx", "frame_ts_ms", "frame"],
+            )
 
     return df.select("path", content_col).mapInPandas(op, schema=out_schema)

@@ -93,8 +93,11 @@ def generate_synthetic_data(
 
     def gen(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                yield sampler(int(row["n"]), int(row["shard"]))
+            # column zip, not iterrows: the shard frame is tiny (one
+            # (shard, n) row per task) but iterrows materializes a
+            # Series per row — zip reads the two columns directly
+            for n, shard in zip(pdf["n"], pdf["shard"]):
+                yield sampler(int(n), int(shard))
 
     synth = shards.repartition(n_shards, "shard").mapInPandas(gen, schema=mutable_schema)
 

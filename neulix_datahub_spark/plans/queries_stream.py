@@ -318,7 +318,10 @@ def stream_dedup_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle; the id-sum pins the exact survivor choice. Cross-batch
     precedence (earlier batch beats later regardless of id) is pinned
     separately in tests/test_streaming.py."""
-    from neulix_datahub_spark.streaming.sinks import stream_dedup_to_parquet
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_dedup_to_parquet,
+    )
 
     tmp = _scratch(spark, "neulix_stream_dedup_")
     stream = (
@@ -331,7 +334,7 @@ def stream_dedup_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{tmp}/corpus", checkpoint_dir=f"{tmp}/ckpt"
     )
     q.awaitTermination()
-    out = spark.read.parquet(f"{tmp}/corpus/data")
+    out = read_stream_corpus(spark, f"{tmp}/corpus")
     return (
         out.groupBy("lang")
         .agg(
@@ -841,6 +844,7 @@ def stream_neardup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash match itself proves). Twins must all drop; the corpus's own
     planted near-dup clusters collapse to their min-id survivors."""
     from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
         stream_neardup_dedup_to_parquet,
     )
 
@@ -876,7 +880,7 @@ def stream_neardup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=f"{tmp}/ckpt",
     )
     q.awaitTermination()
-    admitted = spark.read.parquet(f"{tmp}/corpus/data").select("doc_id")
+    admitted = read_stream_corpus(spark, f"{tmp}/corpus").select("doc_id")
     langs = docs.unionByName(twins).select("doc_id", "lang")
     return (
         admitted.join(langs, "doc_id")

@@ -72,14 +72,43 @@ def http_fetch(url: str, timeout: float = 30.0) -> tuple[int, str, bytes]:
     return status, title, body
 
 
-def selenium_fetch(url: str) -> tuple[int, str, bytes]:
-    """The reference's fetch path (headless Firefox, ``base_spider.py:6-9``
-    → ``driver.title``). Requires selenium + geckodriver on every
-    executor; not available here."""
-    raise NotImplementedError(
-        "selenium/geckodriver not present in this environment; "
-        "inject stub_fetch or an HTTP fetcher instead"
-    )
+def selenium_fetch(url: str, timeout: float = 15.0) -> tuple[int, str, bytes]:
+    """The reference's fetch path (headless Firefox,
+    ``base_spider.py:5-16``: ``Options()`` + ``--headless`` →
+    ``webdriver.Firefox`` → ``driver.get`` → ``driver.title``). Builds
+    the real browser when selenium + geckodriver are installed on the
+    executor; raises NotImplementedError when the browser stack is
+    absent (this sandbox has neither — the integration test in
+    tests/test_services.py runs only under NEULIX_SELENIUM_TESTS=1).
+
+    Returns ``(status, title, page_source_bytes)``; selenium exposes no
+    HTTP status, so a successfully rendered page reports 200 — the
+    reference never reads a status at all."""
+    try:
+        from selenium import webdriver  # type: ignore
+        from selenium.webdriver.firefox.options import Options  # type: ignore
+    except ImportError as exc:
+        raise NotImplementedError(
+            "selenium not present in this environment; "
+            "inject stub_fetch or http_fetch instead"
+        ) from exc
+    opts = Options()
+    opts.add_argument("--headless")  # base_spider.py:7
+    try:
+        driver = webdriver.Firefox(options=opts)
+    except Exception as exc:  # geckodriver/Firefox missing or broken
+        raise NotImplementedError(
+            f"geckodriver/Firefox unavailable ({exc}); "
+            "inject stub_fetch or http_fetch instead"
+        ) from exc
+    try:
+        driver.set_page_load_timeout(timeout)
+        driver.get(url)
+        title = driver.title or ""
+        body = (driver.page_source or "").encode("utf-8", errors="replace")
+        return 200, title, body
+    finally:
+        driver.quit()
 
 
 def fetch_url_column(

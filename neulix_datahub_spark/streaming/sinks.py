@@ -83,6 +83,115 @@ def stream_upsert_to_parquet(
     return writer.start()
 
 
+class _ReplayGuard:
+    """Per-run replay state machine shared by the exactly-once
+    foreachBatch sinks (``stream_agg_maintain_to_parquet``,
+    ``stream_commit_tables``). foreachBatch is at-least-once in two
+    regimes — an in-flight batch re-delivered under a continuous
+    checkpoint, and a full re-delivery after checkpoint loss (ids
+    restart at 0). ``decide()`` classifies each delivery:
+
+    - ``fold`` — genuinely new content: fold and stamp normally.
+    - ``skip`` — continuous-checkpoint replay of the stamped in-flight
+      batch (same id, same fingerprint): already committed.
+    - ``stage`` — inside the committed prefix of a restarted lineage:
+      don't fold, but STAGE the raw rows so a later straddling batch
+      can rebuild.
+    - ``restamp`` — the re-delivered prefix matched the committed
+      cumulative fingerprint EXACTLY: publish the unchanged content
+      under a stamp carrying the RESTARTED batch id. Without the
+      restamp, the next genuinely-new batch whose restarted id is
+      still <= the dead lineage's stamped id would re-enter replay
+      mode and raise (or a crash right after the prefix completes
+      would strand the tail forever) — the old lineage's id must stop
+      mattering the moment the prefix is verified.
+    - ``rebuild`` — the re-delivered stream overran the committed
+      prefix MID-batch (the restart packed the source into different
+      batch boundaries, e.g. a default trigger where the old lineage
+      ran maxFilesPerTrigger=1), or the committed table predates
+      content stamps: replace the table with a fold of the staged
+      rows + this batch. The re-delivered source is the truth, folded
+      exactly once; committed-prefix equality cannot be verified at
+      fingerprint granularity in this regime (documented trade).
+
+    Divergence the fingerprints CAN prove — same cumulative row count,
+    different cumulative hash — still raises: that is corrupted or
+    mis-wired input, not a boundary artifact. ``replay_done`` makes
+    the whole replay protocol run at most once per query lifetime; the
+    restamp/rebuild stamps re-align the table with the new lineage so
+    later runs never consult the dead one.
+    """
+
+    def __init__(self) -> None:
+        self.mode = "normal"
+        self.replay_done = False
+        self.cum_n = 0
+        self.cum_x = 0
+        self.staged: list[str] = []
+
+    def _finish(self) -> None:
+        self.mode = "normal"
+        self.replay_done = True
+
+    def decide(self, batch_id: int, fp_n: int, fp_x: int, meta: dict | None) -> str:
+        if meta is None or meta.get("id") is None:
+            return "fold"
+        if self.mode == "normal":
+            if batch_id == meta["id"] and (fp_n, fp_x) == (
+                meta.get("n"), meta.get("x")
+            ):
+                return "skip"
+            if self.replay_done or batch_id > meta["id"]:
+                return "fold"
+            self.mode = "replay"  # ids restarted: full re-delivery
+        self.cum_n += fp_n
+        self.cum_x ^= fp_x
+        cn, cx = meta.get("cn"), meta.get("cx")
+        if cn is None:
+            # pre-stamp table: no committed cumulative fingerprint to
+            # verify the prefix against — rebuilding from the
+            # re-delivered source is the only loss-free option
+            self._finish()
+            return "rebuild"
+        if self.cum_n < cn:
+            return "stage"
+        if self.cum_n == cn:
+            if self.cum_x == cx:
+                self._finish()
+                return "restamp"
+            raise RuntimeError(
+                "checkpoint lineage restarted but the re-delivered content "
+                f"diverges from the committed prefix at batch {batch_id} "
+                f"(identical row count {cn}, different content). Refusing "
+                "to skip (data loss) or fold (double count) — restart with "
+                "a fresh table + checkpoint."
+            )
+        self._finish()
+        return "rebuild"
+
+
+def _stage_dir(root: str, batch_id: int) -> str:
+    return os.path.join(root, "_replay_stage", f"b{batch_id}")
+
+
+def _stage_batch(run: _ReplayGuard, root: str, batch_df: DataFrame, batch_id: int) -> None:
+    d = _stage_dir(root, batch_id)
+    batch_df.write.mode("overwrite").parquet(d)
+    run.staged.append(d)
+
+
+def _read_staged(spark: SparkSession, run: _ReplayGuard) -> DataFrame | None:
+    return spark.read.parquet(*run.staged) if run.staged else None
+
+
+def _clear_staged(run: _ReplayGuard) -> None:
+    import shutil
+
+    for d in run.staged:
+        shutil.rmtree(d, ignore_errors=True)
+    run.staged = []
+
+
 def _batch_fingerprint(batch_df: DataFrame) -> tuple[int, int]:
     """Order-independent content fingerprint of a micro-batch:
     (row count, bit-XOR of per-row xxhash64 over all columns). XOR is
@@ -135,17 +244,25 @@ def stream_agg_maintain_to_parquet(
       crash: its id equals the committed ``_last_batch_id`` and its
       content fingerprint matches the stamped one → skip.
     - checkpoint lost/reset (ids restart at 0, the whole source is
-      re-delivered): the sink accumulates the re-run's cumulative
-      content fingerprint and skips until it EQUALS the committed
-      cumulative stamp — the already-folded prefix — then folds every
-      batch after it. A source that grew past the old checkpoint is
-      therefore drained without loss OR double count; a re-run whose
-      prefix content diverges from what was committed raises instead
-      of guessing.
+      re-delivered): the sink stages the re-run's batches and skips
+      until the cumulative content fingerprint EQUALS the committed
+      cumulative stamp — the already-folded prefix — then RE-STAMPS
+      the table with the restarted batch id (so the dead lineage's id
+      stops mattering) and folds every batch after it. A source that
+      grew past the old checkpoint is therefore drained without loss
+      OR double count. If the restart packs the source into DIFFERENT
+      batch boundaries (a batch straddles committed and new rows), the
+      table is rebuilt from the staged re-delivered rows — exactly
+      once, since the re-delivered source is the truth. A re-run whose
+      prefix provably diverges (same cumulative count, different
+      content) raises instead of guessing. See ``_ReplayGuard``.
 
     Fingerprints are order-independent (count + XOR of row hashes,
     ``_batch_fingerprint``) and ride on the snapshot rows, so they
-    commit atomically with the data they describe.
+    commit atomically with the data they describe. Tables written
+    before the content stamps existed (missing ``_content_fp_*``
+    columns) still read; on lineage restart they rebuild rather than
+    prefix-verify.
     """
     from neulix_datahub_spark.operators.incremental import apply_agg_delta
 
@@ -163,58 +280,78 @@ def stream_agg_maintain_to_parquet(
 
     _STAMPS = ("_last_batch_id", "_last_batch_fp_n", "_last_batch_fp_x",
                "_content_fp_n", "_content_fp_x")
+    _META_KEYS = {"_last_batch_id": "id", "_last_batch_fp_n": "n",
+                  "_last_batch_fp_x": "x", "_content_fp_n": "cn",
+                  "_content_fp_x": "cx"}
     # per-run replay tracker (foreachBatch calls arrive sequentially)
-    run = {"mode": "normal", "cum_n": 0, "cum_x": 0}
+    run = _ReplayGuard()
+
+    def _stamp(df: DataFrame, batch_id: int, fp_n: int, fp_x: int,
+               content_n: int, content_x: int) -> DataFrame:
+        return (
+            df.withColumn("_last_batch_id", F.lit(batch_id))
+            .withColumn("_last_batch_fp_n", F.lit(fp_n))
+            .withColumn("_last_batch_fp_x", F.lit(fp_x))
+            .withColumn("_content_fp_n", F.lit(content_n))
+            .withColumn("_content_fp_x", F.lit(content_x))
+        )
+
+    def _publish(df: DataFrame) -> None:
+        write_snapshot(df, path)
+        if retain_versions is not None:
+            vacuum_snapshots(path, keep=retain_versions)
 
     def _maintain(batch_df: DataFrame, batch_id: int) -> None:
         existing = read_upsert_table(spark, path)
         meta = None
         if existing is not None:
-            meta = existing.agg(
-                F.max("_last_batch_id").alias("id"),
-                F.max("_last_batch_fp_n").alias("n"),
-                F.max("_last_batch_fp_x").alias("x"),
-                F.max("_content_fp_n").alias("cn"),
-                F.max("_content_fp_x").alias("cx"),
-            ).first()
-            existing = existing.drop(*_STAMPS)
-        done = meta["id"] if meta is not None else None
-        fp_n, fp_x = _batch_fingerprint(batch_df)
-        if done is not None and batch_id <= done and run["mode"] == "normal":
-            if batch_id == done and (fp_n, fp_x) == (meta["n"], meta["x"]):
-                return  # continuous-checkpoint replay of the in-flight batch
-            run["mode"] = "replay"  # ids restarted: full re-delivery
-        if run["mode"] == "replay":
-            run["cum_n"] += fp_n
-            run["cum_x"] ^= fp_x
-            if run["cum_n"] < meta["cn"]:
-                return  # still inside the already-committed prefix
-            if run["cum_n"] == meta["cn"] and run["cum_x"] == meta["cx"]:
-                run["mode"] = "normal"  # prefix fully re-delivered
-                return  # batches after this one are genuinely new
-            raise RuntimeError(
-                "checkpoint lineage restarted but the re-delivered content "
-                f"diverges from the committed prefix at batch {batch_id} "
-                f"(seen {run['cum_n']} rows vs committed {meta['cn']}). "
-                "Refusing to skip (data loss) or fold (double count) — "
-                "restart with a fresh table + checkpoint."
+            # stamp columns may be missing on tables written by older
+            # versions — aggregate only what is present
+            present = [c for c in _STAMPS if c in existing.columns]
+            row = (
+                existing.agg(*[F.max(c).alias(c) for c in present]).first()
+                if present
+                else {}
             )
+            meta = {v: (row[c] if c in present else None)
+                    for c, v in _META_KEYS.items()}
+            existing = existing.drop(*_STAMPS)
+        fp_n, fp_x = _batch_fingerprint(batch_df)
+        action = run.decide(batch_id, fp_n, fp_x, meta)
+        if action == "skip":
+            return
+        if action == "stage":
+            _stage_batch(run, path, batch_df, batch_id)
+            return
+        if action == "restamp":
+            # content unchanged; re-align the stamp with the restarted
+            # lineage so its ids are authoritative from here on
+            _publish(_stamp(existing, batch_id, fp_n, fp_x,
+                            meta["cn"], meta["cx"]))
+            _clear_staged(run)
+            return
+        if action == "rebuild":
+            staged = _read_staged(spark, run)
+            feed_src = (
+                batch_df if staged is None else staged.unionByName(batch_df)
+            )
+            feed = feed_src.withColumn("_change_type", F.lit("insert"))
+            updated = apply_agg_delta(
+                _empty_agg(batch_df), feed, group_cols, count_col, sum_map
+            )
+            _publish(_stamp(updated, batch_id, fp_n, fp_x,
+                            run.cum_n, run.cum_x))
+            _clear_staged(run)
+            return
+        # fold
         if existing is None:
             existing = _empty_agg(batch_df)
         feed = batch_df.withColumn("_change_type", F.lit("insert"))
         updated = apply_agg_delta(existing, feed, group_cols, count_col, sum_map)
         prev_cn = meta["cn"] if meta is not None and meta["cn"] is not None else 0
         prev_cx = meta["cx"] if meta is not None and meta["cx"] is not None else 0
-        stamped = (
-            updated.withColumn("_last_batch_id", F.lit(batch_id))
-            .withColumn("_last_batch_fp_n", F.lit(fp_n))
-            .withColumn("_last_batch_fp_x", F.lit(fp_x))
-            .withColumn("_content_fp_n", F.lit(prev_cn + fp_n))
-            .withColumn("_content_fp_x", F.lit(prev_cx ^ fp_x))
-        )
-        write_snapshot(stamped, path)
-        if retain_versions is not None:
-            vacuum_snapshots(path, keep=retain_versions)
+        _publish(_stamp(updated, batch_id, fp_n, fp_x,
+                        prev_cn + fp_n, prev_cx ^ fp_x))
 
     writer = stream_df.writeStream.foreachBatch(_maintain).trigger(availableNow=True)
     if checkpoint_dir:
@@ -251,13 +388,21 @@ def stream_commit_tables(
     replay regimes are covered (see stream_agg_maintain_to_parquet):
     an in-flight batch re-delivered under a continuous checkpoint skips
     by (id, fingerprint); a fresh checkpoint over a possibly-advanced
-    source skips the re-delivered prefix by cumulative fingerprint,
-    folds the new tail, and raises on divergent content.
+    source stages the re-delivered prefix, verifies it by cumulative
+    fingerprint, RE-STAMPS the catalog with the restarted batch id once
+    the prefix matches, folds the new tail — and on mismatched batch
+    BOUNDARIES (a batch straddling committed and new rows) rebuilds
+    every member from the staged re-delivered rows instead of raising.
+    Provable divergence (same cumulative count, different content)
+    still raises. Full protocol: ``_ReplayGuard``.
 
     Works with incremental member functions (e.g. an
     operators/incremental.py delta fold) so per-batch cost tracks batch
-    size, not table size. Trigger is AvailableNow (bounded drain);
-    long-lived deployments drop it.
+    size, not table size — with one contract the rebuild path leans on:
+    a member fn must be a content-deterministic FOLD, i.e. folding the
+    union of several batches in one call equals folding them one by
+    one (true for every member this module ships). Trigger is
+    AvailableNow (bounded drain); long-lived deployments drop it.
     """
     from neulix_datahub_spark.sources.snapshots import (
         commit_tables,
@@ -267,7 +412,11 @@ def stream_commit_tables(
     if STREAM_META_TABLE in members:
         raise ValueError(f"{STREAM_META_TABLE!r} is reserved")
     spark = stream_df.sparkSession
-    run = {"mode": "normal", "cum_n": 0, "cum_x": 0}
+    run = _ReplayGuard()
+    _META_SCHEMA = (
+        "last_batch_id bigint, last_fp_n bigint, last_fp_x bigint, "
+        "content_n bigint, content_x bigint"
+    )
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         try:
@@ -276,33 +425,51 @@ def stream_commit_tables(
             manifest = {}
         meta = None
         if STREAM_META_TABLE in manifest:
-            meta = read_snapshot_table(
+            raw = read_snapshot_table(
                 spark,
                 os.path.join(catalog_root, STREAM_META_TABLE),
                 manifest[STREAM_META_TABLE],
             ).first().asDict()
+            # .get everywhere: meta tables written by older versions may
+            # lack the content-fingerprint columns
+            meta = {
+                "id": raw.get("last_batch_id"),
+                "n": raw.get("last_fp_n"),
+                "x": raw.get("last_fp_x"),
+                "cn": raw.get("content_n"),
+                "cx": raw.get("content_x"),
+            }
         fp_n, fp_x = _batch_fingerprint(batch_df)
-        if meta is not None and batch_id <= meta["last_batch_id"] and run["mode"] == "normal":
-            if batch_id == meta["last_batch_id"] and (fp_n, fp_x) == (
-                meta.get("last_fp_n"), meta.get("last_fp_x")
-            ):
-                return  # continuous-checkpoint replay of the in-flight batch
-            run["mode"] = "replay"  # ids restarted: full re-delivery
-        if run["mode"] == "replay":
-            run["cum_n"] += fp_n
-            run["cum_x"] ^= fp_x
-            cn, cx = meta.get("content_n"), meta.get("content_x")
-            if cn is not None and run["cum_n"] < cn:
-                return  # still inside the already-committed prefix
-            if run["cum_n"] == cn and run["cum_x"] == cx:
-                run["mode"] = "normal"  # prefix fully re-delivered
-                return
-            raise RuntimeError(
-                "checkpoint lineage restarted but the re-delivered content "
-                f"diverges from the committed prefix at batch {batch_id}. "
-                "Refusing to skip (data loss) or fold (double count) — "
-                "start a fresh catalog with the fresh checkpoint."
+        action = run.decide(batch_id, fp_n, fp_x, meta)
+        if action == "skip":
+            return
+        if action == "stage":
+            _stage_batch(run, catalog_root, batch_df, batch_id)
+            return
+        if action == "restamp":
+            # one-member commit: data members carry their manifest
+            # versions forward; only the stamp moves to the new lineage
+            commit_tables(
+                {
+                    STREAM_META_TABLE: spark.createDataFrame(
+                        [(batch_id, fp_n, fp_x, meta["cn"], meta["cx"])],
+                        _META_SCHEMA,
+                    )
+                },
+                catalog_root,
             )
+            _clear_staged(run)
+            return
+        if action == "rebuild":
+            staged = _read_staged(spark, run)
+            feed = batch_df if staged is None else staged.unionByName(batch_df)
+            updates = {name: fn(feed, None) for name, fn in members.items()}
+            updates[STREAM_META_TABLE] = spark.createDataFrame(
+                [(batch_id, fp_n, fp_x, run.cum_n, run.cum_x)], _META_SCHEMA
+            )
+            commit_tables(updates, catalog_root)
+            _clear_staged(run)
+            return
         updates = {}
         for name, fn in members.items():
             existing = (
@@ -313,12 +480,11 @@ def stream_commit_tables(
                 else None
             )
             updates[name] = fn(batch_df, existing)
-        prev_cn = meta.get("content_n") if meta else 0
-        prev_cx = meta.get("content_x") if meta else 0
+        prev_cn = meta.get("cn") if meta else 0
+        prev_cx = meta.get("cx") if meta else 0
         updates[STREAM_META_TABLE] = spark.createDataFrame(
             [(batch_id, fp_n, fp_x, (prev_cn or 0) + fp_n, (prev_cx or 0) ^ fp_x)],
-            "last_batch_id bigint, last_fp_n bigint, last_fp_x bigint, "
-            "content_n bigint, content_x bigint",
+            _META_SCHEMA,
         )
         commit_tables(updates, catalog_root)
 
@@ -356,6 +522,12 @@ def stream_dedup_to_parquet(
     same way as the batch. Rewriting the full store each batch is the
     no-Delta concession; with Delta/Iceberg the snapshot becomes a
     MERGE-on-read append and nothing is rewritten.
+
+    Crash safety (see ``_admit_and_publish``): admitted docs land in a
+    per-batch directory named by (batch id, content fingerprint) and
+    written with OVERWRITE, and the store snapshot carries the batch
+    stamp — every crash point replays idempotently. Read the corpus
+    back with :func:`read_stream_corpus`.
     """
     from neulix_datahub_spark.operators.dedupe import (
         content_fingerprint,
@@ -367,27 +539,110 @@ def stream_dedup_to_parquet(
     data_dir = os.path.join(path, "data")
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp_n, fp_x = _batch_fingerprint(batch_df.select(id_col, text_col))
+        seen, meta = _read_stamped(spark, fp_dir)
+        if _batch_committed(meta, batch_id, fp_n, fp_x):
+            return  # replay of a fully-committed batch
         batch = exact_dedup(batch_df, text_col, id_col).withColumn(
             "__fp", content_fingerprint(text_col)
         )
-        seen = read_upsert_table(spark, fp_dir)
         if seen is not None:
             batch = batch.join(
                 seen, batch["__fp"] == seen["fingerprint"], "left_anti"
             )
         # one evaluation feeds two writes (corpus append + store snapshot)
         batch = batch.localCheckpoint()
-        batch.drop("__fp").write.mode("append").parquet(data_dir)
         new_fps = batch.select(F.col("__fp").alias("fingerprint"))
         all_fps = new_fps if seen is None else seen.unionByName(new_fps)
-        write_snapshot(all_fps, fp_dir)
-        if retain_versions is not None:
-            vacuum_snapshots(fp_dir, keep=retain_versions)
+        _admit_and_publish(
+            batch.drop("__fp"), all_fps, data_dir, fp_dir,
+            batch_id, fp_n, fp_x, retain_versions,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+#: Stamp columns riding on dedup index/store snapshots — constant per
+#: snapshot version, committed atomically with the content they admit.
+_DEDUP_STAMPS = ("_last_batch_id", "_last_batch_fp_n", "_last_batch_fp_x")
+
+
+def read_stream_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Admitted documents of a streaming dedup corpus
+    (``stream_dedup_to_parquet`` / ``stream_neardup_dedup_to_parquet``).
+    Admissions live in per-batch subdirectories of ``data/`` (the
+    idempotent-replay layout), so the read needs recursiveFileLookup."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "data"))
+    )
+
+
+def _read_stamped(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame | None, dict | None]:
+    """Current store snapshot with its batch stamp split off (stamp
+    columns dropped from the returned frame; absent on pre-stamp
+    stores → meta None)."""
+    store = read_upsert_table(spark, store_dir)
+    if store is None:
+        return None, None
+    present = [c for c in _DEDUP_STAMPS if c in store.columns]
+    meta = None
+    if present:
+        row = store.agg(*[F.max(c).alias(c) for c in present]).first()
+        meta = {c: row[c] for c in present}
+        store = store.drop(*present)
+    return store, meta
+
+
+def _batch_committed(
+    meta: dict | None, batch_id: int, fp_n: int, fp_x: int
+) -> bool:
+    return (
+        meta is not None
+        and meta.get("_last_batch_id") == batch_id
+        and meta.get("_last_batch_fp_n") == fp_n
+        and meta.get("_last_batch_fp_x") == fp_x
+    )
+
+
+def _admit_and_publish(
+    admitted: DataFrame,
+    new_store: DataFrame,
+    data_dir: str,
+    store_dir: str,
+    batch_id: int,
+    fp_n: int,
+    fp_x: int,
+    retain_versions: int | None,
+) -> None:
+    """Two-step commit that is idempotent at EVERY crash point: (1)
+    admitted docs overwrite a per-batch directory named by the batch's
+    id + content fingerprint — a replay recomputes the identical
+    admitted set (the store is unchanged until step 2) and rewrites the
+    same directory, and a restarted lineage whose colliding id carries
+    different content lands in a DIFFERENT directory instead of
+    clobbering; (2) the grown store publishes with the batch stamp, so
+    a replay after full commit short-circuits via ``_batch_committed``.
+    The previous spelling appended to a flat ``data/`` dir before the
+    store publish — a crash between the two duplicated the batch's
+    documents on replay."""
+    sub = os.path.join(
+        data_dir, f"b{batch_id}_{fp_n}_{fp_x & ((1 << 64) - 1):016x}"
+    )
+    admitted.write.mode("overwrite").parquet(sub)
+    stamped = (
+        new_store.withColumn("_last_batch_id", F.lit(batch_id))
+        .withColumn("_last_batch_fp_n", F.lit(fp_n))
+        .withColumn("_last_batch_fp_x", F.lit(fp_x))
+    )
+    write_snapshot(stamped, store_dir)
+    if retain_versions is not None:
+        vacuum_snapshots(store_dir, keep=retain_versions)
 
 
 def stream_to_partitioned_parquet(
@@ -522,8 +777,11 @@ def stream_neardup_dedup_to_parquet(
     LSH proposes, verification disposes, so false LSH collisions cannot
     drop a unique document; (4) within-batch: same verify over
     banded within-batch candidates, min-id survivor per cluster edge;
-    (5) append admitted docs, publish the grown band index + shingle
-    store as the next snapshot version (atomic pointer).
+    (5) commit admitted docs + the grown band index via the idempotent
+    two-step (``_admit_and_publish``): per-batch admitted directory
+    written with overwrite, then the index snapshot published with the
+    batch stamp — a crash at any point replays without duplicating or
+    dropping documents. Read the corpus with :func:`read_stream_corpus`.
 
     Scale: the index holds bands·1 rows + one shingle array per
     admitted doc. The shingle store is the honest cost of EXACT
@@ -564,8 +822,11 @@ def stream_neardup_dedup_to_parquet(
         )
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fp_n, fp_x = _batch_fingerprint(batch_df.select(id_col, text_col))
+        index, meta = _read_stamped(spark, idx_dir)
+        if _batch_committed(meta, batch_id, fp_n, fp_x):
+            return  # replay of a fully-committed batch
         batch = _banded(batch_df).localCheckpoint()
-        index = read_upsert_table(spark, idx_dir)
 
         # (a) cross-batch: candidates vs the admitted index, verified
         doomed_vs_index = None
@@ -613,7 +874,6 @@ def stream_neardup_dedup_to_parquet(
             .drop("__nb")
             .localCheckpoint()
         )
-        admitted.select(id_col, text_col).write.mode("append").parquet(data_dir)
         # reuse the checkpointed banded rows — re-shingling the admitted
         # docs would redo the expensive signature work per batch
         new_index = batch.join(
@@ -622,9 +882,10 @@ def stream_neardup_dedup_to_parquet(
         all_index = (
             new_index if index is None else index.unionByName(new_index)
         )
-        write_snapshot(all_index, idx_dir)
-        if retain_versions is not None:
-            vacuum_snapshots(idx_dir, keep=retain_versions)
+        _admit_and_publish(
+            admitted.select(id_col, text_col), all_index, data_dir, idx_dir,
+            batch_id, fp_n, fp_x, retain_versions,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_dedup_batch).trigger(availableNow=True)
     if checkpoint_dir:

@@ -274,3 +274,43 @@ def test_cli_list_and_unknown_query(capsys):
     assert main(["oracle", "q1_pricing_summary"]) == 0
     assert "l_returnflag" in capsys.readouterr().out
     assert main(["oracle", "nope"]) == 2
+
+
+def test_selenium_fetch_refuses_cleanly_without_browser_stack():
+    """Without selenium+geckodriver the reference-parity fetch path must
+    raise NotImplementedError (a documented environment refusal, never a
+    raw ImportError/WebDriverException) so callers fall back to
+    http_fetch/stub_fetch. Skipped when a real browser stack exists."""
+    import os
+
+    from neulix_datahub_spark.sources.web import selenium_fetch
+
+    try:
+        import selenium  # noqa: F401
+
+        has_selenium = True
+    except ImportError:
+        has_selenium = False
+    if has_selenium and os.environ.get("NEULIX_SELENIUM_TESTS"):
+        pytest.skip("browser stack present; covered by the integration test")
+    with pytest.raises(NotImplementedError):
+        selenium_fetch("https://example.invalid/")
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("NEULIX_SELENIUM_TESTS"),
+    reason="real-browser integration: set NEULIX_SELENIUM_TESTS=1 in an "
+    "environment with selenium + geckodriver + Firefox + network "
+    "(reference parity for base_spider.py:5-16; no browser binaries "
+    "exist in this sandbox)",
+)
+def test_selenium_fetch_real_browser(http_server):
+    """End-to-end headless-Firefox fetch against the local fixture
+    server: renders the page, extracts the title, returns the source —
+    the exact extraction the reference spiders perform."""
+    from neulix_datahub_spark.sources.web import selenium_fetch
+
+    status, title, body = selenium_fetch(f"{http_server}/page")
+    assert status == 200
+    assert title  # the fixture page carries a <title>
+    assert body

@@ -245,9 +245,11 @@ def test_stream_dedup_sink_cross_batch_precedence(spark, tmp_path):
         stream, str(tmp_path / "corpus"), checkpoint_dir=str(tmp_path / "ckpt")
     )
     q.awaitTermination()
+    from neulix_datahub_spark.streaming.sinks import read_stream_corpus
+
     got = {
         r["doc_id"]: r["text"]
-        for r in spark.read.parquet(str(tmp_path / "corpus" / "data")).collect()
+        for r in read_stream_corpus(spark, str(tmp_path / "corpus")).collect()
     }
     assert sorted(got) == [10, 12, 13]
     assert got[10] == "shared alpha"
@@ -792,3 +794,311 @@ def test_stream_agg_maintain_refuses_divergent_replay(spark, tmp_path):
     _write_src_file(str(src / "f0.parquet"), [("a", 9.0), ("b", 9.0)], 1_000)
     with pytest.raises(StreamingQueryException, match="diverges"):
         drain("ckpt2")
+
+
+def test_stream_agg_maintain_folds_tail_after_prefix_under_colliding_ids(
+    spark, tmp_path
+):
+    """Regression (replay re-entry): after a checkpoint-loss replay
+    re-delivers the committed prefix exactly, a LATER genuinely-new
+    batch whose restarted id still collides with the dead lineage's
+    stamped id must FOLD — the old guard flipped back into replay mode
+    and raised, stranding the tail. The restamp with the restarted id
+    makes the dead lineage's ids irrelevant."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # old lineage: 2 files, one per batch (done stamp = batch id 1)
+    _write_src_file(str(src / "f0.parquet"), [("a", 1.0)], 1_000)
+    _write_src_file(str(src / "f1.parquet"), [("b", 2.0)], 2_000)
+    path = str(tmp_path / "agg")
+
+    def drain(ckpt, mfpt):
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", str(mfpt))
+            .parquet(str(src))
+        )
+        q = stream_agg_maintain_to_parquet(
+            stream, path, group_cols=["event_type"], count_col="n",
+            sum_map={"s": "value"}, checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1", 1)
+    # source grows by TWO files; fresh checkpoint packs 2 files/batch:
+    # batch 0 == committed prefix exactly, batch 1 == new tail with
+    # id 1 <= dead lineage's stamped id 1 (the re-entry trigger)
+    _write_src_file(str(src / "f2.parquet"), [("a", 5.0)], 3_000)
+    _write_src_file(str(src / "f3.parquet"), [("c", 7.0)], 4_000)
+    drain("ckpt2", 2)
+    got = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"a": (2, 6.0), "b": (1, 2.0), "c": (1, 7.0)}
+
+
+def test_stream_agg_maintain_rebuilds_on_straddling_batch_boundaries(
+    spark, tmp_path
+):
+    """Regression (overshoot): a restart that packs the source into
+    FEWER batches than the dead lineage delivers a batch straddling
+    committed and new rows — unsplittable by fingerprints. The sink
+    must rebuild from the re-delivered rows (exactly once), not raise."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_src_file(str(src / "f0.parquet"), [("a", 1.0)], 1_000)
+    _write_src_file(str(src / "f1.parquet"), [("b", 2.0)], 2_000)
+    path = str(tmp_path / "agg")
+
+    def drain(ckpt, mfpt=None):
+        reader = spark.readStream.schema("event_type string, value double")
+        if mfpt:
+            reader = reader.option("maxFilesPerTrigger", str(mfpt))
+        q = stream_agg_maintain_to_parquet(
+            reader.parquet(str(src)), path, group_cols=["event_type"],
+            count_col="n", sum_map={"s": "value"},
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1", mfpt=1)
+    _write_src_file(str(src / "f2.parquet"), [("a", 5.0), ("c", 7.0)], 3_000)
+    # no maxFilesPerTrigger: availableNow packs ALL files into one batch
+    # whose rows straddle the committed prefix and the new tail
+    drain("ckpt2")
+    got = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"a": (2, 6.0), "b": (1, 2.0), "c": (1, 7.0)}
+    # a third, continuous run folds new data on top of the rebuilt table
+    _write_src_file(str(src / "f4.parquet"), [("b", 1.5)], 5_000)
+    drain("ckpt2")
+    got2 = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got2 == {"a": (2, 6.0), "b": (2, 3.5), "c": (1, 7.0)}
+
+
+def test_stream_agg_maintain_reads_tables_without_content_stamps(
+    spark, tmp_path
+):
+    """Forward-compat guard: an aggregate table written before the
+    content-fingerprint stamps existed (only _last_batch_id/_fp_*)
+    must still load — the stamp aggregate reads only present columns —
+    and new batches fold on top of it."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.snapshots import write_snapshot
+    from neulix_datahub_spark.streaming.sinks import (
+        read_upsert_table,
+        stream_agg_maintain_to_parquet,
+    )
+
+    path = str(tmp_path / "agg")
+    legacy = spark.createDataFrame(
+        [("a", 1, 1.0)], "event_type string, n long, s double"
+    ).select(
+        "*",
+        F.lit(0).alias("_last_batch_id"),
+        F.lit(1).alias("_last_batch_fp_n"),
+        F.lit(42).alias("_last_batch_fp_x"),
+    )
+    write_snapshot(legacy, path)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_src_file(str(src / "f9.parquet"), [("a", 3.0), ("b", 2.0)], 9_000)
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .parquet(str(src))
+    )
+    # a fresh checkpoint restarts ids at 0 == legacy stamp id, and the
+    # legacy table has no content fingerprint to verify a prefix
+    # against -> the sink rebuilds from the re-delivered source
+    q = stream_agg_maintain_to_parquet(
+        stream, path, group_cols=["event_type"], count_col="n",
+        sum_map={"s": "value"}, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n, r.s) for r in read_upsert_table(spark, path).collect()
+    }
+    assert got == {"a": (1, 3.0), "b": (1, 2.0)}
+
+
+def test_stream_commit_tables_replay_repack_and_straddle(spark, tmp_path):
+    """The catalog sink handles both restart regimes the agg sink does:
+    prefix-exact repack (restamp, then fold the colliding-id tail) and
+    straddling boundaries (rebuild every member from staged rows) —
+    with the cross-table atomicity preserved throughout."""
+    from neulix_datahub_spark.sources.snapshots import read_catalog
+    from neulix_datahub_spark.streaming.sinks import stream_commit_tables
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_src_file(str(src / "f0.parquet"), [("a", 1.0)], 1_000)
+    _write_src_file(str(src / "f1.parquet"), [("b", 2.0)], 2_000)
+    root = str(tmp_path / "cat")
+
+    def fold_counts(batch, existing):
+        delta = batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if existing is None:
+            return delta
+        return (
+            existing.unionByName(delta)
+            .groupBy("event_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def fold_total(batch, existing):
+        delta = batch.agg(F.sum("value").alias("total"))
+        if existing is None:
+            return delta
+        return existing.unionByName(delta).agg(F.sum("total").alias("total"))
+
+    members = {"counts": fold_counts, "total": fold_total}
+
+    def drain(ckpt, mfpt=None):
+        reader = spark.readStream.schema("event_type string, value double")
+        if mfpt:
+            reader = reader.option("maxFilesPerTrigger", str(mfpt))
+        q = stream_commit_tables(
+            reader.parquet(str(src)), root, members,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("c1", mfpt=1)
+    # repack: batch 0 == prefix (restamp), batch 1 == tail with id 1
+    _write_src_file(str(src / "f2.parquet"), [("a", 5.0)], 3_000)
+    _write_src_file(str(src / "f3.parquet"), [("c", 7.0)], 4_000)
+    drain("c2", mfpt=2)
+    cat = read_catalog(spark, root)
+    counts = {r.event_type: r.n for r in cat["counts"].collect()}
+    assert counts == {"a": 2, "b": 1, "c": 1}
+    assert cat["total"].first().total == 15.0
+
+    # straddle: everything (committed + new) lands in ONE batch
+    _write_src_file(str(src / "f5.parquet"), [("d", 10.0)], 5_000)
+    drain("c3")
+    cat = read_catalog(spark, root)
+    counts = {r.event_type: r.n for r in cat["counts"].collect()}
+    assert counts == {"a": 2, "b": 1, "c": 1, "d": 1}
+    assert cat["total"].first().total == 25.0
+
+
+def test_stream_neardup_sink_crash_between_data_and_index_is_idempotent(
+    spark, tmp_path
+):
+    """Regression: the near-dup sink used to APPEND admitted docs to a
+    flat data/ dir BEFORE publishing the index snapshot — a crash
+    between the two meant the replayed batch re-appended the same rows.
+    Now admissions land in a per-batch overwrite directory and the
+    index carries the batch stamp, so replaying from any crash point
+    (simulated by rolling the index pointer back one version while the
+    data write survives) reproduces the identical corpus."""
+    import os
+
+    from neulix_datahub_spark.sources.snapshots import snapshot_versions
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_neardup_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different content about spark streaming sinks"),
+    ]
+    spark.createDataFrame(_docs, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    spark.createDataFrame(
+        [(3, "a third unique document with its own words entirely")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    import time
+
+    now = time.time()
+    for d, t in (("f0", now - 60), ("f1", now)):
+        for root, _, files in os.walk(str(src / d)):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = stream_neardup_dedup_to_parquet(
+            stream, corpus, threshold=0.8, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 2, 3]
+
+    # crash simulation: batch 1's data directory was written but the
+    # index publish "didn't happen" — roll the pointer back a version
+    idx = os.path.join(corpus, "_neardup_index")
+    versions = snapshot_versions(idx)
+    assert len(versions) >= 2
+    with open(os.path.join(idx, "_VERSION"), "w") as f:
+        f.write(versions[-2])
+
+    drain("ckpt2")  # fresh checkpoint: full redelivery from batch 0
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want  # no duplicates, nothing lost
+
+
+def test_stream_dedup_sink_full_redelivery_is_idempotent(spark, tmp_path):
+    """Exact-dedup sink: a full redelivery under a fresh checkpoint
+    (same ids, same content) reproduces the identical corpus — the
+    batch stamp short-circuits committed batches and the per-batch
+    overwrite directories absorb any partially-committed one."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha one"), (2, "alpha  ONE"), (3, "beta two")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f0"))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            str(src / "*")
+        )
+        q = stream_dedup_to_parquet(
+            stream, corpus, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 3]
+    drain("ckpt2")
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want

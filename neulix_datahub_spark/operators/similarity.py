@@ -595,7 +595,16 @@ def build_ivf_index(
     import json
     import os
 
-    bucketed = ivf_assign_buckets(df, num_buckets, vec_col, seed)
+    from neulix_datahub_spark.operators.skew import rebalance_for_write
+
+    # rebalance by bucket before the partitioned write: without it every
+    # input partition opens a writer per touched bucket (#partitions ×
+    # #buckets small files — the classic small-file spray); with it AQE
+    # coalesces each bucket to ~few right-sized files and still SPLITS a
+    # hot bucket across writers instead of bottlenecking one task
+    bucketed = rebalance_for_write(
+        ivf_assign_buckets(df, num_buckets, vec_col, seed), "bucket"
+    )
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
     spark = df.sparkSession
     meta = {

@@ -2090,8 +2090,9 @@ _PRIORITY_R7 = [
     "json_serialized_orders", "resolved_projection", "positional_alignment",
     "synth_constraint_check",
 ]
-# ROUND 8 NOTE: rotate ONLY AFTER the round-7 driver run consumes this
-# prefix. Lead round 8 with any round-8 additions, any red rows'
+# ROUND 8 NOTE (consumed): the round-7 driver run sampled this prefix
+# 50/50 green. Rotated as planned below. Original plan: lead round 8
+# with any round-8 additions, any red rows'
 # fixes, and the round-7 queries registered AFTER this window froze
 # (crawl_frontier_stats, stream_late_data_stats,
 # deletion_vector_stats, tokenized_analytics_stats, backfill_gap_stats,
@@ -2117,8 +2118,66 @@ _PRIORITY_R7 = [
 # names as registered.
 assert set(_PRIORITY_R7) <= set(QUERIES), sorted(set(_PRIORITY_R7) - set(QUERIES))
 assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R7} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R7)
+
+# ---------------------------------------------------------------------------
+# ROUND 8 rotation. Composition (deviation from the round-7 NOTE,
+# reasoned): the registry gained NO new queries this round (frozen on
+# the round-7 judge's advice so the rotation can finally cover the
+# tail), so the window is
+#   1-34:  the 34 round-7 late registrations that have NEVER had a
+#          driver row (sim-EXACT in the round-7 audit; the judge's #1
+#          ask is a driver row for each);
+#   35-45: the 11 queries whose IMPLEMENTATION changed in round 8 and
+#          whose newest driver row predates the change — the two-phase
+#          global-window re-spellings (rfm, concentration, alignment,
+#          skew profile), the null-semantics percentile fixes, the
+#          replay-hardened streaming sinks, the vectorized synth/frame
+#          paths, and the rebalanced IVF index build;
+#   46-50: the stalest displaced r3-era greens from the round-7 NOTE
+#          (q20_excess_share_suppliers, word_repetition_by_lang and the
+#          q17-q22 refreshes roll to round 9 — post-change rows beat
+#          re-confirming unchanged greens).
+_PRIORITY_R8 = [
+    # -- round-7 late registrations: first-ever driver rows --
+    "crawl_frontier_stats", "stream_late_data_stats",
+    "deletion_vector_stats", "tokenized_analytics_stats",
+    "backfill_gap_stats", "stream_neardup_corpus_stats",
+    "hard_negative_mining_check", "partition_freshness_stats",
+    "evolving_upsert_stats", "hll_stored_range_check",
+    "gram_novelty_stats", "balance_rank_profile",
+    "fiscal_445_revenue", "langid_confusion_matrix",
+    "epoch_shuffle_check", "hist_rollup_percentiles",
+    "revenue_delta_attribution", "cusum_alarm_check",
+    "metric_layer_check", "fk_quarantine_stats",
+    "migration_checksum_check", "keyword_search_bm25",
+    "phrase_search_check", "time_decay_attribution",
+    "brand_lift_pairs", "stream_index_search_stats",
+    "forecast_error_check", "abc_classification",
+    "gini_revenue_check", "cohort_ltv_curves",
+    "segment_balance_quartiles_exact", "new_vs_returning_revenue",
+    "order_frequency_histogram", "net_revenue_with_tax",
+    # -- changed in round 8: newest green predates the change --
+    "rfm_segment_counts", "revenue_concentration",
+    "positional_alignment", "key_skew_profile_events",
+    "exact_price_percentiles_hist", "synth_constraint_check",
+    "multimodal_features", "ivf_index_recall_check",
+    "stream_dedup_corpus_counts", "stream_catalog_consistency",
+    "stream_incremental_agg",
+    # -- stalest displaced r3-era greens --
+    "events_asof_snapshots", "user_event_deltas", "pivot_event_values",
+    "fill_nulls_events", "q16_supplier_part_counts",
+]
+# ROUND 9 NOTE: rotate ONLY AFTER the round-8 driver run consumes this
+# prefix. Lead round 9 with any round-9 additions and red-row fixes,
+# then the deferred refresh queue oldest-first:
+# q20_excess_share_suppliers, word_repetition_by_lang, q17/q18/q19/
+# q21/q22, char_entropy_by_lang, contamination_by_lang,
+# boilerplate_removal_stats, embedding_near_dup, then the r4 LLM tier
+# (token packing, winnowing, PII, perplexity) — names as registered.
+assert set(_PRIORITY_R8) <= set(QUERIES), sorted(set(_PRIORITY_R8) - set(QUERIES))
+assert len(_PRIORITY_R8) == 50, len(_PRIORITY_R8)
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R8} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R8)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

@@ -103,6 +103,14 @@ def with_sorted_rank(
     exactly the requirement ``row_number`` itself has for a
     deterministic result.
     """
+    ranked, _ = _ranked_with_counts(df, order_by, rank_col, num_partitions)
+    return ranked
+
+
+def _ranked_with_counts(df, order_by, rank_col, num_partitions):
+    """with_sorted_rank plus the per-partition count relation it
+    derived — callers needing the GRAND total (ntile's N) sum the
+    counts instead of re-evaluating the input lineage."""
     ranged, cols = _range_numbered(df, order_by, num_partitions)
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     numbered = ranged.withColumn("__local", F.row_number().over(w_local))
@@ -111,11 +119,12 @@ def with_sorted_rank(
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
     )
-    return (
+    ranked = (
         numbered.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
         .withColumn(rank_col, F.col("__local") + F.col("__off"))
         .drop("__pid", "__local", "__off")
     )
+    return ranked, counts
 
 
 def with_running_total(
@@ -164,10 +173,12 @@ def with_ntile(
     ``N mod n`` tiles carry ``⌈N/n⌉`` rows, the rest ``⌊N/n⌋``, which
     is exactly how Spark's and every ANSI engine's ``ntile`` splits the
     remainder, so results are bit-identical to the window form. ``N``
-    rides in as a broadcast single-row total. Same total-order
-    requirement as ``ntile`` itself."""
-    ranked = with_sorted_rank(df, order_by, "__rk", num_partitions)
-    tot = df.agg(F.count(F.lit(1)).alias("__N"))
+    rides in as a broadcast single-row total, summed from the
+    per-partition counts the rank already derived (reading the cached
+    ranged frame — NOT re-evaluating the input lineage). Same
+    total-order requirement as ``ntile`` itself."""
+    ranked, counts = _ranked_with_counts(df, order_by, "__rk", num_partitions)
+    tot = counts.agg(F.sum("__n").alias("__N"))
     big = F.col("__N") % n                 # tiles that get the extra row
     size_big = F.floor(F.col("__N") / n) + 1
     size_small = F.floor(F.col("__N") / n)

@@ -9,11 +9,15 @@ assignment is a pure exclusive-cumsum over a deterministic document
 order — no sequential state, unlike first-fit bin packing — so it
 runs as one window over one shuffle per partition key.
 
-Scale: ALWAYS pass ``part_col`` (e.g. language or source shard) on a
-large corpus — the window then shuffles once on that key and each
-partition's cumsum runs independently. Without it the window is global
-(single-task ordering) and only acceptable for bounded inputs; the
-operator keeps that form because the oracle checks it directly.
+Scale: with ``part_col`` (e.g. language or source shard) the window
+shuffles once on that key and each partition's cumsum runs
+independently. WITHOUT it the global tape position comes from the
+two-phase running total (``operators/sequence.with_running_total``:
+range-repartition on the document order + local cumsum + broadcast
+prefix offsets) — no single-partition window, so a whole-corpus pack
+assignment holds at any size. Results are identical to the global
+window form (an exclusive cumsum is the inclusive one minus the row's
+own tokens).
 """
 
 from __future__ import annotations
@@ -36,10 +40,27 @@ def pack_by_token_budget(
     Documents longer than ``budget`` simply span packs — matching
     concat-and-chunk semantics, where slicing happens downstream."""
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    base = Window.partitionBy(part_col) if part_col else Window.partitionBy()
-    w = base.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    offset = F.coalesce(F.sum(tok).over(w), F.lit(0)).alias("pack_offset")
-    out = df.withColumn("pack_offset", offset)
+    if part_col:
+        w = (
+            Window.partitionBy(part_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offset = F.coalesce(F.sum(tok).over(w), F.lit(0)).alias("pack_offset")
+        out = df.withColumn("pack_offset", offset)
+    else:
+        # whole-corpus tape: two-phase inclusive cumsum, then subtract
+        # the row's own tokens for the exclusive start position — no
+        # single-partition global window at any corpus size
+        from neulix_datahub_spark.operators.sequence import with_running_total
+
+        out = (
+            with_running_total(
+                df.withColumn("__tok", tok), [id_col], "__tok", "__incl"
+            )
+            .withColumn("pack_offset", F.col("__incl") - F.col("__tok"))
+            .drop("__tok", "__incl")
+        )
     return out.withColumn("pack_id", F.floor(F.col("pack_offset") / budget))
 
 

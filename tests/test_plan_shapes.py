@@ -138,3 +138,23 @@ def test_with_ntile_matches_global_window(spark, rows):
     want = df.withColumn("q", F.ntile(5).over(Window.orderBy(*order)))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert global_windows(got) == []
+
+
+def test_pack_assign_global_path_matches_window_form(spark):
+    """pack_by_token_budget WITHOUT part_col (whole-corpus token tape)
+    must equal the single-partition-window spelling row-for-row while
+    its plan carries no global Window — the two-phase exclusive cumsum
+    (inclusive running total minus own tokens)."""
+    from neulix_datahub_spark.operators.packing import pack_by_token_budget
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (((F.col("id") * 7919) % 97) + 1).alias("n_tokens"),
+    )
+    got = pack_by_token_budget(df, "doc_id", "n_tokens", budget=256)
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "pack_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("pack_id", F.floor(F.col("pack_offset") / 256))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert global_windows(got) == []

@@ -12,10 +12,14 @@ one partition. The scalable spelling is the classic two-phase offset
 2. compute per-partition row counts (tiny driver-side array),
 3. add the exclusive prefix-sum offset of the row's partition.
 
-Only step 2 touches the driver, with #partitions integers — this holds at
-100 TB. The trade: ids follow partition order, not a sort order. When a
-caller needs sort-defined ids, ``order_by`` switches to the global-window
-form (documented as the serial fallback).
+Only step 2 touches the driver, with #partitions integers — this holds
+at 100 TB. Partition-order ids need no shuffle at all; SORT-defined ids
+(``order_by``) range-repartition first so each partition holds a
+contiguous slice of the sort order, then apply the same offset trick —
+``with_sorted_rank`` below, which since round 8 also powers sort-defined
+cumulative sums (``with_running_total``) and exact quantile assignment
+(``with_ntile``). No path funnels data through a single-partition
+window anymore.
 """
 
 from __future__ import annotations
@@ -32,13 +36,18 @@ def with_sequential_id(
 ) -> DataFrame:
     """Add ``id_col`` with values ``start, start+1, ...`` gap-free.
 
-    ``order_by=None`` → scalable two-phase partition-offset numbering.
-    ``order_by=[cols]`` → deterministic global ordering (single-partition
-    window for the final numbering; use for bounded or test data).
+    ``order_by=None`` → two-phase partition-offset numbering in
+    partition order (no shuffle of the data).
+    ``order_by=[cols]`` → SORT-defined ids via :func:`with_sorted_rank`
+    (range-repartition + local numbering + broadcast offsets) — since
+    round 8 this path is scalable too; the single-partition window
+    fallback it used to be is retired.
     """
     if order_by:
-        w = Window.orderBy(*[F.col(c) for c in order_by])
-        return df.withColumn(id_col, F.row_number().over(w) - 1 + F.lit(start))
+        ranked = with_sorted_rank(df, [F.col(c) for c in order_by], "__rk")
+        return ranked.withColumn(
+            id_col, F.col("__rk") - 1 + F.lit(start)
+        ).drop("__rk")
 
     pid = F.spark_partition_id()
     w_part = Window.partitionBy(pid).orderBy(F.monotonically_increasing_id())

@@ -78,6 +78,7 @@ UNBOUNDED_GRAIN_QUERIES = [
     "epoch_shuffle_check",
     "key_skew_profile_events",
     "sequential_ids_two_phase",
+    "sequential_event_ids",
 ]
 
 

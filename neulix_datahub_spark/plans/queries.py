@@ -2127,14 +2127,16 @@ assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
 #   1-34:  the 34 round-7 late registrations that have NEVER had a
 #          driver row (sim-EXACT in the round-7 audit; the judge's #1
 #          ask is a driver row for each);
-#   35-45: the 11 queries whose IMPLEMENTATION changed in round 8 and
+#   35-47: the 13 queries whose IMPLEMENTATION changed in round 8 and
 #          whose newest driver row predates the change — the two-phase
 #          global-window re-spellings (rfm, concentration, alignment,
 #          skew profile), the null-semantics percentile fixes, the
 #          replay-hardened streaming sinks, the vectorized synth/frame
-#          paths, and the rebalanced IVF index build;
-#   46-50: the stalest displaced r3-era greens from the round-7 NOTE
-#          (q20_excess_share_suppliers, word_repetition_by_lang and the
+#          paths, the rebalanced IVF index build, the retired
+#          sort-defined-id fallback, and the two-phase pack tape;
+#   48-50: the stalest displaced r3-era greens from the round-7 NOTE
+#          (pivot_event_values, fill_nulls_events,
+#          q20_excess_share_suppliers, word_repetition_by_lang and the
 #          q17-q22 refreshes roll to round 9 — post-change rows beat
 #          re-confirming unchanged greens).
 _PRIORITY_R8 = [
@@ -2162,15 +2164,15 @@ _PRIORITY_R8 = [
     "exact_price_percentiles_hist", "synth_constraint_check",
     "multimodal_features", "ivf_index_recall_check",
     "stream_dedup_corpus_counts", "stream_catalog_consistency",
-    "stream_incremental_agg",
+    "stream_incremental_agg", "sequential_event_ids", "token_pack_summary",
     # -- stalest displaced r3-era greens --
-    "events_asof_snapshots", "user_event_deltas", "pivot_event_values",
-    "fill_nulls_events", "q16_supplier_part_counts",
+    "events_asof_snapshots", "user_event_deltas",
+    "q16_supplier_part_counts",
 ]
 # ROUND 9 NOTE: rotate ONLY AFTER the round-8 driver run consumes this
 # prefix. Lead round 9 with any round-9 additions and red-row fixes,
-# then the deferred refresh queue oldest-first:
-# q20_excess_share_suppliers, word_repetition_by_lang, q17/q18/q19/
+# then the deferred refresh queue oldest-first: pivot_event_values,
+# fill_nulls_events, q20_excess_share_suppliers, word_repetition_by_lang, q17/q18/q19/
 # q21/q22, char_entropy_by_lang, contamination_by_lang,
 # boilerplate_removal_stats, embedding_near_dup, then the r4 LLM tier
 # (token packing, winnowing, PII, perplexity) — names as registered.

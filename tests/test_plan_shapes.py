@@ -159,3 +159,28 @@ def test_pack_assign_global_path_matches_window_form(spark):
     ).withColumn("pack_id", F.floor(F.col("pack_offset") / 256))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert global_windows(got) == []
+
+
+def test_two_phase_with_more_partitions_than_rows(spark):
+    """Empty range partitions (num_partitions >> rows) must not shift
+    ranks or totals — absent pids contribute nothing to the offsets."""
+    from neulix_datahub_spark.operators.sequence import (
+        with_running_total,
+        with_sorted_rank,
+    )
+
+    df = spark.range(0, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 5).alias("v")
+    )
+    ranked = with_sorted_rank(df, [F.asc("v"), F.asc("k")], "r", num_partitions=50)
+    want_r = df.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.asc("v"), F.asc("k")))
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(map(tuple, want_r.collect()))
+
+    cum = with_running_total(df, [F.asc("v"), F.asc("k")], "v", "c", num_partitions=50)
+    w = Window.orderBy(F.asc("v"), F.asc("k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want_c = df.withColumn("c", F.sum("v").over(w))
+    assert sorted(map(tuple, cum.collect())) == sorted(map(tuple, want_c.collect()))

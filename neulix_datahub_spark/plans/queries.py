@@ -2127,15 +2127,17 @@ assert len(_PRIORITY_R7) == 50, len(_PRIORITY_R7)
 #   1-34:  the 34 round-7 late registrations that have NEVER had a
 #          driver row (sim-EXACT in the round-7 audit; the judge's #1
 #          ask is a driver row for each);
-#   35-47: the 13 queries whose IMPLEMENTATION changed in round 8 and
+#   35-48: the 14 queries whose IMPLEMENTATION changed in round 8 and
 #          whose newest driver row predates the change — the two-phase
 #          global-window re-spellings (rfm, concentration, alignment,
 #          skew profile), the null-semantics percentile fixes, the
 #          replay-hardened streaming sinks, the vectorized synth/frame
 #          paths, the rebalanced IVF index build, the retired
-#          sort-defined-id fallback, and the two-phase pack tape;
-#   48-50: the stalest displaced r3-era greens from the round-7 NOTE
-#          (pivot_event_values, fill_nulls_events,
+#          sort-defined-id fallback, the two-phase pack tape, and the
+#          exact-cents rolling average (an sf0.001 sweep caught the
+#          engines on opposite sides of a half-cent boundary);
+#   49-50: the stalest displaced r3-era greens from the round-7 NOTE
+#          (events_asof_snapshots, pivot_event_values, fill_nulls_events,
 #          q20_excess_share_suppliers, word_repetition_by_lang and the
 #          q17-q22 refreshes roll to round 9 — post-change rows beat
 #          re-confirming unchanged greens).
@@ -2165,14 +2167,14 @@ _PRIORITY_R8 = [
     "multimodal_features", "ivf_index_recall_check",
     "stream_dedup_corpus_counts", "stream_catalog_consistency",
     "stream_incremental_agg", "sequential_event_ids", "token_pack_summary",
+    "rolling_revenue_7d",
     # -- stalest displaced r3-era greens --
-    "events_asof_snapshots", "user_event_deltas",
-    "q16_supplier_part_counts",
+    "user_event_deltas", "q16_supplier_part_counts",
 ]
 # ROUND 9 NOTE: rotate ONLY AFTER the round-8 driver run consumes this
 # prefix. Lead round 9 with any round-9 additions and red-row fixes,
-# then the deferred refresh queue oldest-first: pivot_event_values,
-# fill_nulls_events, q20_excess_share_suppliers, word_repetition_by_lang, q17/q18/q19/
+# then the deferred refresh queue oldest-first: events_asof_snapshots,
+# pivot_event_values, fill_nulls_events, q20_excess_share_suppliers, word_repetition_by_lang, q17/q18/q19/
 # q21/q22, char_entropy_by_lang, contamination_by_lang,
 # boilerplate_removal_stats, embedding_near_dup, then the r4 LLM tier
 # (token packing, winnowing, PII, perplexity) — names as registered.

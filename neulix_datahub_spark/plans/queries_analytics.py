@@ -241,24 +241,34 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, so the ordered RANGE window runs over <=366 rows regardless
     of raw scale (Spark range frames need a numeric ordering key, hence
     the epoch-day ordinal; DuckDB expresses the same frame with
-    RANGE BETWEEN INTERVAL)."""
+    RANGE BETWEEN INTERVAL). All money flows as exact integer CENTS —
+    a float daily sum is order-dependent, and the sf0.001 sweep caught
+    the two engines landing on opposite sides of a half-cent rounding
+    boundary; the trailing average rounds half-up in INTEGER space
+    (floor((2s+n)/2n)) so both engines emit the identical double."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.filter(F.year("o_orderdate") == 1996)
         .groupBy(F.to_date("o_orderdate").alias("__day"))
-        .agg(F.sum("o_totalprice").alias("__rev"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("__cents")
+        )
     )
     w = (
-        # bounded grain: window over per-DAY aggregates (~2.5k rows for the
+        # bounded grain: window over per-DAY aggregates (<=366 rows)
         Window.orderBy(F.datediff("__day", F.lit("1970-01-01").cast("date")))
         .rangeBetween(-6, 0)
     )
+    s7 = F.sum("__cents").over(w)
+    n7 = F.count(F.lit(1)).over(w)
     return (
         daily.select(
             F.date_format("__day", "yyyy-MM-dd").alias("day"),
-            F.round("__rev", 2).alias("revenue"),
-            F.round(F.sum("__rev").over(w), 2).alias("revenue_7d"),
-            F.round(F.avg("__rev").over(w), 2).alias("avg_daily_7d"),
+            (F.col("__cents") / 100.0).alias("revenue"),
+            (s7 / 100.0).alias("revenue_7d"),
+            (F.floor((2 * s7 + n7) / (2 * n7)) / 100.0).alias("avg_daily_7d"),
         )
         .orderBy("day")
     )
@@ -266,13 +276,15 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_SQL = """
 WITH daily AS (
-    SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
     FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
 )
 SELECT strftime(day, '%Y-%m-%d') AS day,
-       round(rev, 2) AS revenue,
-       round(sum(rev) OVER w, 2) AS revenue_7d,
-       round(avg(rev) OVER w, 2) AS avg_daily_7d
+       cents / 100.0 AS revenue,
+       sum(cents) OVER w / 100.0 AS revenue_7d,
+       floor((2 * sum(cents) OVER w + count(*) OVER w)
+             / (2.0 * count(*) OVER w)) / 100.0 AS avg_daily_7d
 FROM daily
 WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
 ORDER BY day

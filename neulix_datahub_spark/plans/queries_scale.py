@@ -2448,13 +2448,14 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialization barrier: the postings relation feeds FIVE separate
-    # derivations (lengths, the AND count, df stats, the scored join,
-    # n_docs/avgdl scalars) — without it each one re-tokenizes the
-    # corpus (measured 6 full tokenize+groupBy executions). At rest the
-    # index is a persisted table (stream_index_search_stats); in-memory
-    # the checkpoint is the same build-once semantics.
-    index = build_inverted_index(docs).localCheckpoint()
+    # cache the postings: they feed FIVE separate derivations (lengths,
+    # the AND count, df stats, the scored join, n_docs/avgdl scalars) —
+    # uncached, each one re-tokenizes the corpus (measured 6 full
+    # tokenize+groupBy executions). persist() (not localCheckpoint)
+    # keeps the LOGICAL plan intact so the registry-wide broadcast-hint
+    # audit can still see what is under each hint. At rest the index is
+    # a persisted table (stream_index_search_stats) — build once, reuse.
+    index = build_inverted_index(docs).persist()
     lengths = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_and = conjunctive_search(index, _SEARCH_TERMS).count()
     ranked = bm25_rank(index, lengths, _SEARCH_TERMS)

@@ -51,12 +51,17 @@ def pack_by_token_budget(
     else:
         # whole-corpus tape: two-phase inclusive cumsum, then subtract
         # the row's own tokens for the exclusive start position — no
-        # single-partition global window at any corpus size
+        # single-partition global window at any corpus size. NULL token
+        # counts coalesce to 0 (the row occupies no tape) so the
+        # subtraction can't null out pack_offset/pack_id — matching the
+        # part_col branch, where sum() skips the null and the row still
+        # lands at the previous rows' offset.
         from neulix_datahub_spark.operators.sequence import with_running_total
 
         out = (
             with_running_total(
-                df.withColumn("__tok", tok), [id_col], "__tok", "__incl"
+                df.withColumn("__tok", F.coalesce(tok, F.lit(0))),
+                [id_col], "__tok", "__incl"
             )
             .withColumn("pack_offset", F.col("__incl") - F.col("__tok"))
             .drop("__tok", "__incl")

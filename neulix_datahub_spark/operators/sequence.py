@@ -72,15 +72,20 @@ def _range_numbered(df, order_by, num_partitions):
     order, so global ranks/cumulative sums decompose into a local
     window per partition plus one broadcast offset per partition.
 
-    The ranged frame is persisted: the caller references it TWICE (rows
-    + per-partition counts), and ``repartitionByRange`` SAMPLES its
-    boundaries — two independent evaluations may bucket rows into
-    different ``__pid``s, silently corrupting the offsets. The cache
-    pins one materialization (memory-and-disk, spill-safe) that both
-    branches read; recomputed partitions re-read the same shuffle
-    output, so boundaries stay fixed even under eviction."""
-    from pyspark import StorageLevel
-
+    The ranged frame is localCheckpoint'ed (eager): the caller
+    references it TWICE (rows + per-partition counts), and
+    ``repartitionByRange`` SAMPLES its boundaries — two independent
+    evaluations may bucket rows into different ``__pid``s, silently
+    corrupting the offsets. The checkpoint pins ONE materialization
+    that both branches read. ``persist()`` would pin it too, but a
+    cache entry lives in the CacheManager until an explicit
+    ``unpersist`` that no caller of a lazy operator can ever place —
+    each call would leak a full-table cache for the session lifetime.
+    Checkpoint blocks are instead freed by the ContextCleaner when the
+    frame is dropped. Trade (documented): lineage is truncated, so an
+    executor loss mid-query re-runs the query instead of recomputing
+    the partition — the standard localCheckpoint bargain this repo
+    already takes in ``operators/graph.py``."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -89,7 +94,7 @@ def _range_numbered(df, order_by, num_partitions):
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     return ranged, cols
 

@@ -2455,6 +2455,10 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the LOGICAL plan intact so the registry-wide broadcast-hint
     # audit can still see what is under each hint. At rest the index is
     # a persisted table (stream_index_search_stats) — build once, reuse.
+    # Lifecycle: the CacheManager dedupes by canonical plan, so repeated
+    # calls over the same corpus reuse ONE cache entry rather than
+    # accumulating; the session holds at most one postings cache per
+    # distinct corpus — exactly the residency an index should have.
     index = build_inverted_index(docs).persist()
     lengths = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_and = conjunctive_search(index, _SEARCH_TERMS).count()

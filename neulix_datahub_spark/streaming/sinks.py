@@ -184,11 +184,17 @@ def _read_staged(spark: SparkSession, run: _ReplayGuard) -> DataFrame | None:
     return spark.read.parquet(*run.staged) if run.staged else None
 
 
-def _clear_staged(run: _ReplayGuard) -> None:
+def _clear_staged(run: _ReplayGuard, root: str) -> None:
+    """Remove the ENTIRE ``_replay_stage`` directory, not just this
+    run's staged paths: a replay that crashed mid-stage leaves orphan
+    batch directories no later run ever references (batch packing can
+    differ across restarts, so the next replay's ids need not cover
+    the old ones), and the replay protocol runs at most once per
+    lineage — by the time a restamp/rebuild clears the stage, nothing
+    under it is live."""
     import shutil
 
-    for d in run.staged:
-        shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(os.path.join(root, "_replay_stage"), ignore_errors=True)
     run.staged = []
 
 
@@ -328,7 +334,7 @@ def stream_agg_maintain_to_parquet(
             # lineage so its ids are authoritative from here on
             _publish(_stamp(existing, batch_id, fp_n, fp_x,
                             meta["cn"], meta["cx"]))
-            _clear_staged(run)
+            _clear_staged(run, path)
             return
         if action == "rebuild":
             staged = _read_staged(spark, run)
@@ -341,7 +347,7 @@ def stream_agg_maintain_to_parquet(
             )
             _publish(_stamp(updated, batch_id, fp_n, fp_x,
                             run.cum_n, run.cum_x))
-            _clear_staged(run)
+            _clear_staged(run, path)
             return
         # fold
         if existing is None:
@@ -458,7 +464,7 @@ def stream_commit_tables(
                 },
                 catalog_root,
             )
-            _clear_staged(run)
+            _clear_staged(run, catalog_root)
             return
         if action == "rebuild":
             staged = _read_staged(spark, run)
@@ -468,7 +474,7 @@ def stream_commit_tables(
                 [(batch_id, fp_n, fp_x, run.cum_n, run.cum_x)], _META_SCHEMA
             )
             commit_tables(updates, catalog_root)
-            _clear_staged(run)
+            _clear_staged(run, catalog_root)
             return
         updates = {}
         for name, fn in members.items():
@@ -630,11 +636,26 @@ def _admit_and_publish(
     a replay after full commit short-circuits via ``_batch_committed``.
     The previous spelling appended to a flat ``data/`` dir before the
     store publish — a crash between the two duplicated the batch's
-    documents on replay."""
+    documents on replay.
+
+    A directory that already finished writing (its ``_SUCCESS`` marker
+    exists) is NEVER rewritten: the name is a content address, and the
+    admitted set recomputed NOW can be smaller than what the directory
+    holds. Concretely, after checkpoint loss the re-delivered prefix
+    arrives with restarted ids but identical content, ``_batch_
+    committed`` is False (the stamp carries the dead lineage's LAST
+    id), and every doc anti-joins away against the advanced store — so
+    overwriting would replace the original admission with an EMPTY
+    set, silently erasing the corpus batch by batch while the store
+    still claims the docs are admitted (unrecoverable: they can never
+    re-enter). The first completed write for a given (id, content)
+    pair is the truth; an incomplete directory (crash mid-write, no
+    ``_SUCCESS``) is rewritten as before."""
     sub = os.path.join(
         data_dir, f"b{batch_id}_{fp_n}_{fp_x & ((1 << 64) - 1):016x}"
     )
-    admitted.write.mode("overwrite").parquet(sub)
+    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+        admitted.write.mode("overwrite").parquet(sub)
     stamped = (
         new_store.withColumn("_last_batch_id", F.lit(batch_id))
         .withColumn("_last_batch_fp_n", F.lit(fp_n))

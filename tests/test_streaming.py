@@ -1102,3 +1102,93 @@ def test_stream_dedup_sink_full_redelivery_is_idempotent(spark, tmp_path):
     drain("ckpt2")
     got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
     assert got == want
+
+
+def test_stream_dedup_sink_multibatch_redelivery_preserves_corpus(
+    spark, tmp_path
+):
+    """Checkpoint-loss redelivery across MULTIPLE batches must not erase
+    committed data: the stamp remembers only the LAST batch id, so a
+    re-delivered earlier batch (id 0 vs stamped id 1) is recomputed —
+    and every doc anti-joins away against the advanced store, making
+    the recomputed admitted set EMPTY. Its per-batch directory name
+    (id + content fingerprint) collides with the original commit's, so
+    an unconditional overwrite would replace the committed docs with
+    nothing while the store still claims them admitted — permanent
+    silent loss. The sink must leave completed directories alone."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha one")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "beta two")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)  # one batch per file
+            .parquet(str(src / "*"))
+        )
+        q = stream_dedup_to_parquet(
+            stream, corpus, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 2]
+    drain("ckpt2")  # fresh checkpoint: ids restart, both batches replayed
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want
+
+
+def test_stream_neardup_sink_multibatch_redelivery_preserves_corpus(
+    spark, tmp_path
+):
+    """Near-dup twin of the exact-dedup multibatch redelivery test: the
+    banded-index sink shares _admit_and_publish, and its recomputed
+    admitted set shrinks the same way once the index has advanced."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_neardup_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "completely different words about streaming window state")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = stream_neardup_dedup_to_parquet(
+            stream, corpus, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 2]
+    drain("ckpt2")
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want

@@ -97,8 +97,22 @@ def test_release_end_to_end_in_throwaway_repo(tmp_path):
         ["git", "tag"], cwd=tmp_path, capture_output=True, text=True
     ).stdout.split()
     assert tags == ["v0.1.0"]
+    # the TAGGED commit must itself carry the rewrites: a checkout of
+    # v0.1.0 builds a package that self-reports 0.1.0, not 0.0.0
+    tagged_pyproject = subprocess.run(
+        ["git", "show", "v0.1.0:pyproject.toml"],
+        cwd=tmp_path, capture_output=True, text=True, check=True,
+    ).stdout
+    assert 'version = "0.1.0"' in tagged_pyproject
+    # and the release leaves the tree clean (rewrites were committed)
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"],
+        cwd=tmp_path, capture_output=True, text=True, check=True,
+    ).stdout
+    assert dirty == ""
 
-    # next release: a fix on top bumps patch from the new tag
+    # next release: a fix on top bumps patch from the new tag — and the
+    # release commit itself sits BEHIND the tag, so it is not re-counted
     (tmp_path / "x.txt").write_text("x")
     git("add", "x.txt")
     git("commit", "-q", "-m", "[fix] a bug")
@@ -106,3 +120,17 @@ def test_release_end_to_end_in_throwaway_repo(tmp_path):
     assert (info["last_tag"], info["bump"], info["new_tag"]) == (
         "v0.1.0", "patch", "v0.1.1",
     )
+    assert info["n_commits"] == 1  # "[fix] a bug" only, not "Release v0.1.0"
+
+    # a dirty tree is refused: the release commit must contain nothing
+    # but the release rewrites
+    (tmp_path / "x.txt").write_text("stray edit")
+    try:
+        release.release(str(tmp_path), apply=True)
+        raise AssertionError("dirty tree should have been refused")
+    except RuntimeError:
+        pass
+    git("checkout", "--", "x.txt")
+    assert not (tmp_path / "CHANGELOG.md").read_text().startswith(
+        "# Changelog\n\n## v0.1.1"
+    )  # refusal wrote nothing

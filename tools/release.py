@@ -13,9 +13,12 @@ Deviations from the reference, both deliberate:
 
 - plain ``git`` subprocess instead of GitPython (no extra dependency);
 - NO automatic push: the reference pushes branch + tag as part of the
-  release; here ``--apply`` stops after tag + file rewrite so a human
-  reviews before publishing (push is one command, losing work to a bad
-  auto-push is not).
+  release; here ``--apply`` stops after the release commit + tag so a
+  human reviews before publishing (push is one command, losing work to
+  a bad auto-push is not). The rewrites are COMMITTED before tagging —
+  the tag must point at a commit that already carries the version bump
+  and changelog section it announces — and a dirty tree is refused so
+  the release commit contains nothing else.
 
 Default is a dry run that prints the decision; ``--apply`` executes.
 All decision logic is pure functions so tests never need a repo.
@@ -150,6 +153,21 @@ def release(
     bump = decide_bump(messages)
     new_tag = next_version(prev, bump)
     if apply:
+        # The rewrites must be IN the tagged commit: tagging HEAD first
+        # would publish a tag whose pyproject still carries the old
+        # version (a checkout of vX.Y.Z building a package that
+        # self-reports the previous release) and whose changelog lacks
+        # the section it announces — and the follow-up commit holding
+        # the rewrites would then be re-counted by the NEXT release's
+        # commit_messages_since(tag). So: refuse on a dirty tree (the
+        # release commit must contain only the release rewrites), write,
+        # commit, and tag the commit that contains them.
+        if _git("status", "--porcelain", cwd=repo_dir):
+            raise RuntimeError(
+                "working tree is dirty — commit or stash first so the "
+                "release commit contains only the version/changelog "
+                "rewrite"
+            )
         section = render_changelog_section(
             new_tag, str(today or datetime.date.today()), messages
         )
@@ -161,11 +179,15 @@ def release(
         )
         with open(changelog, "w", encoding="utf-8") as f:
             f.write(prepend_changelog(existing, section))
+        written = ["CHANGELOG.md"]
         pyproject = os.path.join(repo_dir, "pyproject.toml")
         if os.path.exists(pyproject):
             text = open(pyproject, encoding="utf-8").read()
             with open(pyproject, "w", encoding="utf-8") as f:
                 f.write(rewrite_version(text, new_tag.lstrip("v")))
+            written.append("pyproject.toml")
+        _git("add", "--", *written, cwd=repo_dir)
+        _git("commit", "-m", f"Release {new_tag}", cwd=repo_dir)
         _git("tag", "-a", new_tag, "-m", f"Release {new_tag}", cwd=repo_dir)
     return {"last_tag": prev, "bump": bump, "new_tag": new_tag,
             "n_commits": len(messages), "applied": apply}

@@ -61,3 +61,119 @@ def test_running_total_equals_window_spec(spark, vals):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     want = df.withColumn("c", F.sum("v").over(w))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Replay-protocol property: the _ReplayGuard state machine (streaming/
+# sinks.py) must fold EVERY source row EXACTLY ONCE across arbitrary
+# checkpoint losses — any old/new batch packings, any crash point, any
+# source growth between restarts. The model below mirrors the sink's
+# action semantics 1:1 (fold/skip/stage/restamp/rebuild) on a plain
+# list; no Spark. A pure-logic hole here is a data-loss or double-count
+# bug in every exactly-once sink that shares the guard.
+# ---------------------------------------------------------------------------
+
+
+def _fp(batch):
+    """Order-independent (count, xor-of-row-hashes) — the model twin of
+    sinks._batch_fingerprint."""
+    x = 0
+    for r in batch:
+        x ^= (r * 2654435761) & ((1 << 64) - 1)
+    return len(batch), x
+
+
+def _pack(rows, sizes):
+    """Cut ``rows`` into non-empty batches using ``sizes`` greedily;
+    the remainder becomes the final batch."""
+    out, i = [], 0
+    for s in sizes:
+        if i >= len(rows):
+            break
+        out.append(rows[i:i + s])
+        i += s
+    if i < len(rows):
+        out.append(rows[i:])
+    return [b for b in out if b]
+
+
+class _Table:
+    """The sink's durable state: folded rows + the five stamp fields."""
+
+    def __init__(self):
+        self.folded: list = []
+        self.meta = None  # {id, n, x, cn, cx}
+
+
+def _deliver(table, batches, stop_after=None):
+    """One query lifetime: a fresh _ReplayGuard processes ``batches``
+    (ids 0..), applying the sink's action semantics to ``table``.
+    ``stop_after`` simulates a crash after that many batches."""
+    from neulix_datahub_spark.streaming.sinks import _ReplayGuard
+
+    run = _ReplayGuard()
+    staged: list = []
+    for bid, batch in enumerate(batches):
+        if stop_after is not None and bid >= stop_after:
+            return  # crash: in-memory guard + staged list are lost
+        n, x = _fp(batch)
+        action = run.decide(bid, n, x, dict(table.meta) if table.meta else None)
+        if action == "skip":
+            continue
+        if action == "stage":
+            staged.extend(batch)
+            continue
+        if action == "restamp":
+            cn, cx = table.meta["cn"], table.meta["cx"]
+            table.meta = {"id": bid, "n": n, "x": x, "cn": cn, "cx": cx}
+            staged = []
+            continue
+        if action == "rebuild":
+            table.folded = staged + list(batch)
+            table.meta = {"id": bid, "n": n, "x": x,
+                          "cn": run.cum_n, "cx": run.cum_x}
+            staged = []
+            continue
+        # fold
+        prev_cn = table.meta["cn"] if table.meta else 0
+        prev_cx = table.meta["cx"] if table.meta else 0
+        table.folded.extend(batch)
+        table.meta = {"id": bid, "n": n, "x": x,
+                      "cn": prev_cn + n, "cx": prev_cx ^ x}
+
+
+@given(
+    base=st.lists(st.integers(0, 9), max_size=12),
+    tail1=st.lists(st.integers(0, 9), max_size=6),
+    tail2=st.lists(st.integers(0, 9), max_size=6),
+    sizes_a=st.lists(st.integers(1, 5), max_size=6),
+    sizes_b=st.lists(st.integers(1, 5), max_size=6),
+    sizes_c=st.lists(st.integers(1, 5), max_size=6),
+    commit_frac=st.floats(0.0, 1.0),
+    crash_frac=st.floats(0.0, 1.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_replay_guard_folds_each_row_exactly_once(
+    base, tail1, tail2, sizes_a, sizes_b, sizes_c, commit_frac, crash_frac
+):
+    """Lifetime 1 folds a prefix of packing A and dies with its
+    checkpoint lost; lifetime 2 re-delivers the (possibly grown) source
+    under packing B and may crash at ANY batch boundary; lifetime 3
+    re-delivers the (possibly further grown) source under packing C to
+    completion. The folded table must equal the final source exactly —
+    no loss, no double count, no refusal — for every combination."""
+    table = _Table()
+
+    batches_a = _pack(base, sizes_a)
+    committed = round(commit_frac * len(batches_a))
+    _deliver(table, batches_a, stop_after=committed)
+
+    src2 = base + tail1
+    batches_b = _pack(src2, sizes_b)
+    crash_at = round(crash_frac * len(batches_b))
+    _deliver(table, batches_b, stop_after=crash_at)
+
+    src3 = src2 + tail2
+    _deliver(table, _pack(src3, sizes_c))
+
+    assert sorted(table.folded) == sorted(src3)

@@ -56,6 +56,26 @@ HEADLINE = (
 )
 
 
+def _host_calibration() -> float:
+    """Seconds for a FIXED single-threaded CPU workload (sha256 over
+    256 MiB in 1 MiB strides) — a machine-speed yardstick that rides in
+    the artifact next to the timings. Cross-round comparisons divide by
+    it to separate "the plan regressed" from "the host was slower":
+    round 8 measured a code-identical query at 1.18s and 1.93s on two
+    different days (+63%), which the load_1m samples alone could not
+    attribute (both hosts were idle — they differed in effective CPU
+    speed, which loadavg does not see)."""
+    import hashlib
+
+    block = b"\x5a" * (1 << 20)
+    start = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(block)
+    h.hexdigest()
+    return round(time.perf_counter() - start, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -115,6 +135,9 @@ def main() -> None:
         "queries": timings,
         "query_samples": per_query_samples,
         "load_1m": load_samples,
+        # min of three spaced probes: the calibration itself can be
+        # preempted; the fastest sample is the host's true speed
+        "calib_sec": min(_host_calibration() for _ in range(3)),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -184,6 +184,7 @@ def window_coverage_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("depth", F.sum("d").over(w))
         .withColumn(
             "next_day",
+            # bounded grain: same per-day boundary-event rows as above
             F.lead("day").over(Window.orderBy("day")),
         )
         .select(F.col("day").alias("seg_lo"), "next_day", "depth")

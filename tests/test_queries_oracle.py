@@ -77,10 +77,17 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
         for i, line in enumerate(lines):
             if "ResolvedHint (strategy=broadcast)" not in line:
                 continue
-            # first Relation under the hint (pre-order print) is the hinted
+            # first leaf under the hint (pre-order print) is the hinted
             # one; an Aggregate on the way down means the hint covers a
-            # bounded derivation (e.g. q11's 1-row threshold), not the scan
-            j = next(k for k in range(i + 1, len(lines)) if "Relation [" in lines[k])
+            # bounded derivation (e.g. q11's 1-row threshold), not the
+            # scan. A LogicalRDD leaf is a localCheckpoint'ed bounded
+            # derivation (the two-phase offset frames) — same exemption.
+            j = next(
+                k for k in range(i + 1, len(lines))
+                if "Relation [" in lines[k] or "LogicalRDD" in lines[k]
+            )
+            if "LogicalRDD" in lines[j]:
+                continue
             if any("Aggregate [" in lines[k] for k in range(i + 1, j)):
                 continue
             cols = lines[j].split("Relation [", 1)[1]

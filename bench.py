@@ -99,12 +99,19 @@ def main() -> None:
     # contention covers every window.)
     timings: dict[str, float] = {}
     per_query_samples: dict[str, list[float]] = {}
+    # calibration probes are SPACED across the whole run (before the
+    # loop, mid-loop, after) so a single sustained background process
+    # can't cover every probe window — the same reason each query takes
+    # min-of-3; back-to-back probes would all sit inside one preemption
+    calib_samples: list[float] = [_host_calibration()]
     # 1-minute load average bracketing each query's samples: separates
     # "the plan regressed" from "the machine was busy" mechanically —
     # a cross-round comparison can discard samples taken under load
     # instead of arguing from the timings alone.
     load_samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi == len(HEADLINE) // 2:
+            calib_samples.append(_host_calibration())
         fn = QUERIES[name].fn
         for _ in range(2):
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -135,9 +142,9 @@ def main() -> None:
         "queries": timings,
         "query_samples": per_query_samples,
         "load_1m": load_samples,
-        # min of three spaced probes: the calibration itself can be
+        # min of the spaced probes: the calibration itself can be
         # preempted; the fastest sample is the host's true speed
-        "calib_sec": min(_host_calibration() for _ in range(3)),
+        "calib_sec": min(calib_samples + [_host_calibration()]),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

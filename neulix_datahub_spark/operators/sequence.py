@@ -72,20 +72,28 @@ def _range_numbered(df, order_by, num_partitions):
     order, so global ranks/cumulative sums decompose into a local
     window per partition plus one broadcast offset per partition.
 
-    The ranged frame is localCheckpoint'ed (eager): the caller
+    The ranged frame is localCheckpoint'ed (lazy): the caller
     references it TWICE (rows + per-partition counts), and
     ``repartitionByRange`` SAMPLES its boundaries — two independent
-    evaluations may bucket rows into different ``__pid``s, silently
-    corrupting the offsets. The checkpoint pins ONE materialization
-    that both branches read. ``persist()`` would pin it too, but a
-    cache entry lives in the CacheManager until an explicit
-    ``unpersist`` that no caller of a lazy operator can ever place —
-    each call would leak a full-table cache for the session lifetime.
-    Checkpoint blocks are instead freed by the ContextCleaner when the
-    frame is dropped. Trade (documented): lineage is truncated, so an
-    executor loss mid-query re-runs the query instead of recomputing
-    the partition — the standard localCheckpoint bargain this repo
-    already takes in ``operators/graph.py``."""
+    plan evaluations may bucket rows into different ``__pid``s,
+    silently corrupting the offsets. The checkpoint collapses both
+    branches onto ONE physical RDD graph: its range-exchange (and so
+    the boundary-sampling job) exists once, the shuffle map stage runs
+    once per job, and any re-computation of a post-shuffle partition
+    re-reads the same shuffle output — identical rows, identical
+    ``__pid``s — so ``eager=False`` carries the same determinism as an
+    eager materialization without running a job at operator-
+    CONSTRUCTION time (registry enumeration and plan audits build
+    these frames without ever executing them). ``persist()`` would pin
+    the plan too, but a cache entry lives in the CacheManager until an
+    explicit ``unpersist`` that no caller of a lazy operator can ever
+    place — each call would leak a full-table cache for the session
+    lifetime; checkpoint blocks are instead freed by the
+    ContextCleaner when the frame is dropped. Trade (documented):
+    lineage is truncated, so an executor loss mid-query re-runs the
+    query instead of recomputing the partition — the standard
+    localCheckpoint bargain this repo already takes in
+    ``operators/graph.py``."""
     spark = df.sparkSession
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
@@ -94,7 +102,7 @@ def _range_numbered(df, order_by, num_partitions):
     ranged = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return ranged, cols
 

@@ -543,10 +543,51 @@ def stream_dedup_to_parquet(
     spark = stream_df.sparkSession
     fp_dir = os.path.join(path, "_fingerprints")
     data_dir = os.path.join(path, "data")
+    run_state = {"reconciled": False}
+
+    def _reconcile(seen, meta):
+        """Once per query lifetime: fold the newest committed data
+        directory's fingerprints into the store if a crash between its
+        data write and store publish left them out. Without this, a
+        checkpoint loss + REPACKED redelivery admits those docs again
+        under a different (id, fingerprint) directory name — a
+        permanent duplicate the content-addressed overwrite guard
+        cannot see (same-packing redelivery it handles). Only the
+        newest directory can be uncovered (see _newest_committed_dir),
+        so the repair reads ONE batch directory per stream restart."""
+        newest = _newest_committed_dir(data_dir)
+        if newest is None or not _has_parquet_parts(newest):
+            return seen
+        fps = (
+            spark.read.parquet(newest)
+            .select(content_fingerprint(text_col).alias("fingerprint"))
+            .distinct()
+        )
+        missing = fps if seen is None else fps.join(seen, "fingerprint", "left_anti")
+        if missing.isEmpty():
+            return seen
+        repaired = missing if seen is None else seen.unionByName(missing)
+        # preserve the existing stamp so replay classification is
+        # unchanged; a store that never published stamps gets a
+        # sentinel no real batch id (>= 0) can ever match
+        stamp = {"_last_batch_id": -1, "_last_batch_fp_n": 0,
+                 "_last_batch_fp_x": 0}
+        if meta:
+            stamp.update({k: v for k, v in meta.items() if v is not None})
+        out = repaired
+        for c in _DEDUP_STAMPS:
+            out = out.withColumn(c, F.lit(stamp[c]))
+        write_snapshot(out, fp_dir)
+        if retain_versions is not None:
+            vacuum_snapshots(fp_dir, keep=retain_versions)
+        return repaired
 
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp_n, fp_x = _batch_fingerprint(batch_df.select(id_col, text_col))
         seen, meta = _read_stamped(spark, fp_dir)
+        if not run_state["reconciled"]:
+            run_state["reconciled"] = True
+            seen = _reconcile(seen, meta)
         if _batch_committed(meta, batch_id, fp_n, fp_x):
             return  # replay of a fully-committed batch
         batch = exact_dedup(batch_df, text_col, id_col).withColumn(
@@ -574,6 +615,45 @@ def stream_dedup_to_parquet(
 #: Stamp columns riding on dedup index/store snapshots — constant per
 #: snapshot version, committed atomically with the content they admit.
 _DEDUP_STAMPS = ("_last_batch_id", "_last_batch_fp_n", "_last_batch_fp_x")
+
+#: Per-batch data-directory commit marker, written by the sink itself
+#: after the parquet job returns (independent of Hadoop's _SUCCESS
+#: config — see _admit_and_publish). Underscore prefix keeps Spark's
+#: file index from treating it as data.
+_COMMIT_MARKER = "_NEULIX_COMMITTED"
+
+
+def _newest_committed_dir(data_dir: str) -> str | None:
+    """The most recently committed per-batch data directory, or None.
+
+    foreachBatch is sequential and each batch's store publish completes
+    before the next batch's data write begins, so AT MOST ONE committed
+    directory — the newest — can be missing from the store (a crash
+    landed between its data write and its store publish). That makes
+    newest-only reconciliation (see the sinks' ``_reconcile`` steps)
+    sufficient: every older directory is covered by the store."""
+    try:
+        names = os.listdir(data_dir)
+    except FileNotFoundError:
+        return None
+    best, best_m = None, -1.0
+    for n in names:
+        sub = os.path.join(data_dir, n)
+        for m in (_COMMIT_MARKER, "_SUCCESS"):
+            p = os.path.join(sub, m)
+            if os.path.exists(p):
+                mt = os.path.getmtime(p)
+                if mt > best_m:
+                    best, best_m = sub, mt
+                break
+    return best
+
+
+def _has_parquet_parts(d: str) -> bool:
+    """True if the directory holds at least one parquet part file — a
+    zero-admission batch writes only markers, and reading such a
+    directory cannot infer a schema."""
+    return any(f.endswith(".parquet") for f in os.listdir(d))
 
 
 def read_stream_corpus(spark: SparkSession, path: str) -> DataFrame:
@@ -638,7 +718,7 @@ def _admit_and_publish(
     store publish — a crash between the two duplicated the batch's
     documents on replay.
 
-    A directory that already finished writing (its ``_SUCCESS`` marker
+    A directory that already finished writing (its commit marker
     exists) is NEVER rewritten: the name is a content address, and the
     admitted set recomputed NOW can be smaller than what the directory
     holds. Concretely, after checkpoint loss the re-delivered prefix
@@ -650,12 +730,27 @@ def _admit_and_publish(
     still claims the docs are admitted (unrecoverable: they can never
     re-enter). The first completed write for a given (id, content)
     pair is the truth; an incomplete directory (crash mid-write, no
-    ``_SUCCESS``) is rewritten as before."""
+    marker) is rewritten as before — safe, because the marker is
+    written BEFORE the store publish, so a marker-less directory's
+    store cannot have advanced and the recomputed set is identical.
+
+    The marker is the sink's own ``_NEULIX_COMMITTED`` file, written
+    after the parquet job returns, NOT Hadoop's ``_SUCCESS``: deploys
+    commonly disable success markers
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``), and a
+    guard that silently never fires re-opens the erasure bug. (Legacy
+    ``_SUCCESS`` is still honored for directories written before the
+    marker existed.) Like the snapshot pointer machinery this module
+    builds on, the marker is an os-level file operation — the
+    local/posix-fs assumption is repo-wide and documented; object-store
+    deployments swap this layer for Delta/Iceberg commits."""
     sub = os.path.join(
         data_dir, f"b{batch_id}_{fp_n}_{fp_x & ((1 << 64) - 1):016x}"
     )
-    if not os.path.exists(os.path.join(sub, "_SUCCESS")):
+    marker = os.path.join(sub, _COMMIT_MARKER)
+    if not (os.path.exists(marker) or os.path.exists(os.path.join(sub, "_SUCCESS"))):
         admitted.write.mode("overwrite").parquet(sub)
+        open(marker, "w").close()
     stamped = (
         new_store.withColumn("_last_batch_id", F.lit(batch_id))
         .withColumn("_last_batch_fp_n", F.lit(fp_n))
@@ -842,9 +937,47 @@ def stream_neardup_dedup_to_parquet(
             _shingles(F.col(text_col), 3).alias("__sh"),
         )
 
+    run_state = {"reconciled": False}
+
+    def _reconcile(index, meta):
+        """Once per query lifetime: re-band the newest committed data
+        directory's docs into the index if a crash between its data
+        write and index publish left them out — otherwise a checkpoint
+        loss + repacked redelivery re-admits them under a new directory
+        name, duplicating the corpus (exact-sink twin: see
+        stream_dedup_to_parquet._reconcile)."""
+        newest = _newest_committed_dir(data_dir)
+        if newest is None or not _has_parquet_parts(newest):
+            return index
+        docs = spark.read.parquet(newest).select(id_col, text_col)
+        missing = (
+            docs if index is None
+            else docs.join(index.select(id_col).distinct(), id_col, "left_anti")
+        )
+        if missing.isEmpty():
+            return index
+        rows = _banded(missing).select(
+            id_col, "band", "bh", F.col("__sh").alias("shingles")
+        )
+        repaired = rows if index is None else index.unionByName(rows)
+        stamp = {"_last_batch_id": -1, "_last_batch_fp_n": 0,
+                 "_last_batch_fp_x": 0}
+        if meta:
+            stamp.update({k: v for k, v in meta.items() if v is not None})
+        out = repaired
+        for c in _DEDUP_STAMPS:
+            out = out.withColumn(c, F.lit(stamp[c]))
+        write_snapshot(out, idx_dir)
+        if retain_versions is not None:
+            vacuum_snapshots(idx_dir, keep=retain_versions)
+        return repaired
+
     def _dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         fp_n, fp_x = _batch_fingerprint(batch_df.select(id_col, text_col))
         index, meta = _read_stamped(spark, idx_dir)
+        if not run_state["reconciled"]:
+            run_state["reconciled"] = True
+            index = _reconcile(index, meta)
         if _batch_committed(meta, batch_id, fp_n, fp_x):
             return  # replay of a fully-committed batch
         batch = _banded(batch_df).localCheckpoint()

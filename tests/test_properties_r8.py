@@ -177,3 +177,26 @@ def test_replay_guard_folds_each_row_exactly_once(
     _deliver(table, _pack(src3, sizes_c))
 
     assert sorted(table.folded) == sorted(src3)
+
+
+def test_two_phase_rank_is_stable_across_repeated_actions(spark):
+    """The checkpoint must pin ONE bucketing: evaluating the same
+    returned frame twice (two separate actions) and rebuilding the
+    operator fresh must all yield identical ranks — the corruption mode
+    repartitionByRange's boundary sampling allows without the pin was
+    rows swapping partitions between evaluations (observed pre-pin at
+    sf0.01: 1468/1500 alignment rows)."""
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 2654435761 % 1000).alias("v")
+    )
+    ranked = with_sorted_rank(df, [F.asc("v"), F.asc("id")], "r", num_partitions=7)
+    first = sorted(map(tuple, ranked.collect()))
+    second = sorted(map(tuple, ranked.collect()))
+    rebuilt = sorted(
+        map(tuple, with_sorted_rank(
+            df, [F.asc("v"), F.asc("id")], "r", num_partitions=7
+        ).collect())
+    )
+    assert first == second == rebuilt

@@ -79,16 +79,31 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
                 continue
             # first leaf under the hint (pre-order print) is the hinted
             # one; an Aggregate on the way down means the hint covers a
-            # bounded derivation (e.g. q11's 1-row threshold), not the
-            # scan. A LogicalRDD leaf is a localCheckpoint'ed bounded
-            # derivation (the two-phase offset frames) — same exemption.
+            # bounded derivation (e.g. q11's 1-row threshold, or the
+            # two-phase offset frames — per-partition counts over a
+            # localCheckpoint'ed LogicalRDD leaf), not the scan. The
+            # Aggregate requirement applies to LogicalRDD leaves too:
+            # a hint straight over a checkpointed SCALING frame (no
+            # aggregation between) must still fail this audit.
             j = next(
                 k for k in range(i + 1, len(lines))
                 if "Relation [" in lines[k] or "LogicalRDD" in lines[k]
             )
-            if "LogicalRDD" in lines[j]:
-                continue
             if any("Aggregate [" in lines[k] for k in range(i + 1, j)):
+                continue
+            if "LogicalRDD" in lines[j]:
+                # checkpointed frames and driver-literal createDataFrame
+                # relations both print as LogicalRDD; apply the same
+                # lead-column test — a checkpointed SCALING frame still
+                # carries its table's columns and must fail the audit,
+                # while bounded driver literals (e.g. the #columns-row
+                # dtype map in profile_documents_full) pass
+                cols = lines[j].split("LogicalRDD [", 1)[-1]
+                bad = [t for c, t in forbidden.items() if cols.startswith(c)]
+                assert not bad, (
+                    f"{name}: broadcast hint directly over a checkpointed "
+                    f"scaling frame {bad} — executor OOM at 100 TB"
+                )
                 continue
             cols = lines[j].split("Relation [", 1)[1]
             bad = [t for c, t in forbidden.items() if cols.startswith(c)]

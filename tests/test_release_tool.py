@@ -122,8 +122,8 @@ def test_release_end_to_end_in_throwaway_repo(tmp_path):
     )
     assert info["n_commits"] == 1  # "[fix] a bug" only, not "Release v0.1.0"
 
-    # a dirty tree is refused: the release commit must contain nothing
-    # but the release rewrites
+    # a modified TRACKED file is refused: the release commit must
+    # contain nothing but the release rewrites
     (tmp_path / "x.txt").write_text("stray edit")
     try:
         release.release(str(tmp_path), apply=True)
@@ -134,3 +134,17 @@ def test_release_end_to_end_in_throwaway_repo(tmp_path):
     assert not (tmp_path / "CHANGELOG.md").read_text().startswith(
         "# Changelog\n\n## v0.1.1"
     )  # refusal wrote nothing
+
+    # UNTRACKED files don't block a release — they can never enter the
+    # commit (only the two rewrites are staged, explicitly)
+    (tmp_path / "scratch.log").write_text("build noise")
+    info = release.release(
+        str(tmp_path), apply=True, today=datetime.date(2026, 8, 15)
+    )
+    assert info["applied"] and info["new_tag"] == "v0.1.1"
+    assert (tmp_path / "scratch.log").exists()  # untouched, uncommitted
+    tracked = subprocess.run(
+        ["git", "ls-tree", "-r", "--name-only", "v0.1.1"],
+        cwd=tmp_path, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert "scratch.log" not in tracked

@@ -1192,3 +1192,112 @@ def test_stream_neardup_sink_multibatch_redelivery_preserves_corpus(
     drain("ckpt2")
     got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
     assert got == want
+
+
+def _roll_back_one_version(store_dir):
+    import os
+
+    from neulix_datahub_spark.sources.snapshots import snapshot_versions
+
+    versions = snapshot_versions(store_dir)
+    assert len(versions) >= 2
+    with open(os.path.join(store_dir, "_VERSION"), "w") as f:
+        f.write(versions[-2])
+
+
+def test_stream_dedup_sink_crash_then_repacked_redelivery_no_duplicates(
+    spark, tmp_path
+):
+    """The residual window the content-addressed directories alone can't
+    close: crash AFTER a batch's data write but BEFORE its store
+    publish (simulated by rolling the store pointer back one version),
+    then checkpoint loss with DIFFERENT batch packing. The orphan
+    directory's docs have no fingerprints in the store, so the repacked
+    redelivery would admit them again under a new directory name —
+    duplicating them permanently. The restart-time reconciliation folds
+    the newest committed directory back into the store first."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "alpha one")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "beta two")], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt, one_file_per_batch):
+        stream = spark.readStream.schema("doc_id long, text string")
+        if one_file_per_batch:
+            stream = stream.option("maxFilesPerTrigger", 1)
+        q = stream_dedup_to_parquet(
+            stream.parquet(str(src / "*")),
+            corpus,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1", one_file_per_batch=True)  # two batches
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 2]
+
+    # crash: batch 1's data directory committed, its store publish lost
+    import os
+
+    _roll_back_one_version(os.path.join(corpus, "_fingerprints"))
+
+    drain("ckpt2", one_file_per_batch=False)  # repack: ONE batch now
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want  # doc 2 must not be admitted twice
+
+
+def test_stream_neardup_sink_crash_then_repacked_redelivery_no_duplicates(
+    spark, tmp_path
+):
+    """Near-dup twin of the repacked-redelivery reconciliation test."""
+    from neulix_datahub_spark.streaming.sinks import (
+        read_stream_corpus,
+        stream_neardup_dedup_to_parquet,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    spark.createDataFrame(
+        [(2, "completely different words about streaming window state")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    corpus = str(tmp_path / "corpus")
+
+    def drain(ckpt, one_file_per_batch):
+        stream = spark.readStream.schema("doc_id long, text string")
+        if one_file_per_batch:
+            stream = stream.option("maxFilesPerTrigger", 1)
+        q = stream_neardup_dedup_to_parquet(
+            stream.parquet(str(src / "*")),
+            corpus,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    drain("ckpt1", one_file_per_batch=True)
+    want = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert want == [1, 2]
+
+    import os
+
+    _roll_back_one_version(os.path.join(corpus, "_neardup_index"))
+
+    drain("ckpt2", one_file_per_batch=False)
+    got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
+    assert got == want

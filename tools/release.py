@@ -162,11 +162,14 @@ def release(
         # commit_messages_since(tag). So: refuse on a dirty tree (the
         # release commit must contain only the release rewrites), write,
         # commit, and tag the commit that contains them.
-        if _git("status", "--porcelain", cwd=repo_dir):
+        # untracked files are fine — the release stages only its own two
+        # rewrites explicitly, and `git commit` (whole-index) can only
+        # pick up staged/modified TRACKED files
+        if _git("status", "--porcelain", "--untracked-files=no", cwd=repo_dir):
             raise RuntimeError(
-                "working tree is dirty — commit or stash first so the "
-                "release commit contains only the version/changelog "
-                "rewrite"
+                "working tree has uncommitted tracked changes — commit or "
+                "stash first so the release commit contains only the "
+                "version/changelog rewrite"
             )
         section = render_changelog_section(
             new_tag, str(today or datetime.date.today()), messages

@@ -49,10 +49,13 @@ from pyspark.sql import Column, DataFrame, SparkSession
 
 POINTER = "_VERSION"
 _LOCK = "_VERSION.lock"
-# A lock abandoned by a crashed publisher is broken after this long; a
-# live publish holds the lock only for a pointer read + two renames
-# (milliseconds), so any lock this old is dead.
-_LOCK_STALE_SECONDS = 60.0
+#: Append-only log of SUCCESSFUL pointer publishes ("version epoch\n"
+#: per line, written under the publish lock). Time travel resolves from
+#: this log, so a version dir that was renamed final but never won its
+#: pointer CAS (an aborted optimistic write) is never served as
+#: committed history. Tables created before the log fall back to
+#: directory listing.
+PUBLISH_LOG = "_PUBLISH_LOG"
 
 
 class ConcurrentSnapshotError(RuntimeError):
@@ -85,58 +88,102 @@ def _next_version(root: str) -> str:
     return f"v{n:08d}"
 
 
-def _acquire_pointer_lock(root: str, timeout: float = 5.0) -> str:
-    """Take the publish lock via O_CREAT|O_EXCL — the POSIX one-key
-    atomic primitive (exactly one creator wins). Returns the lock path.
+class _PointerLock:
+    """The publish lock as an ``flock``-held file handle (context
+    manager). flock is the right POSIX primitive here: it is released
+    by the KERNEL when the holder dies, so there is no staleness
+    heuristic and no break-the-lock path at all. The previous
+    O_CREAT|O_EXCL + mtime-staleness spelling had an unfixable TOCTOU:
+    two waiters could both judge a crashed holder's lock stale, and the
+    second's unlink would delete the first's freshly re-created lock —
+    two publishers inside the CAS at once, the exact lost-update the
+    lock exists to prevent. The lock FILE persists (never unlinked) so
+    the inode every process flocks is the same one; it is ignored by
+    readers and vacuums (underscore prefix). Advisory flock is
+    per-open-file-description, so concurrent threads in one process
+    serialize too. Local/POSIX-fs assumption as documented module-wide;
+    an object-store deployment replaces the whole CAS with a
+    conditional PUT and needs no lock."""
 
-    Spins briefly if another publish holds it (a publish holds the lock
-    for milliseconds); a lock older than ``_LOCK_STALE_SECONDS`` is a
-    crashed publisher's and is broken."""
-    path = os.path.join(root, _LOCK)
-    deadline = time.monotonic() + timeout
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return path
-        except FileExistsError:
+    def __init__(self, root: str, timeout: float = 5.0) -> None:
+        self.path = os.path.join(root, _LOCK)
+        self.timeout = timeout
+        self.fd: int | None = None
+
+    def __enter__(self) -> "_PointerLock":
+        import fcntl
+
+        self.fd = os.open(self.path, os.O_CREAT | os.O_WRONLY)
+        deadline = time.monotonic() + self.timeout
+        while True:
             try:
-                if time.time() - os.path.getmtime(path) > _LOCK_STALE_SECONDS:
-                    os.unlink(path)  # break a dead publisher's lock
-                    continue
-            except FileNotFoundError:
-                continue  # holder just released; retry immediately
-            if time.monotonic() > deadline:
-                raise ConcurrentSnapshotError(
-                    f"could not acquire publish lock {path} within {timeout}s"
-                ) from None
-            time.sleep(0.005)
+                fcntl.flock(self.fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return self
+            except BlockingIOError:
+                if time.monotonic() > deadline:
+                    os.close(self.fd)
+                    self.fd = None
+                    raise ConcurrentSnapshotError(
+                        f"could not acquire publish lock {self.path} "
+                        f"within {self.timeout}s"
+                    ) from None
+                time.sleep(0.005)
+
+    def __exit__(self, *exc) -> None:
+        import fcntl
+
+        if self.fd is not None:
+            fcntl.flock(self.fd, fcntl.LOCK_UN)
+            os.close(self.fd)
+            self.fd = None
+
+
+def _append_publish_log(root: str, version: str) -> None:
+    """Record a successful publish (caller holds the pointer lock)."""
+    with open(os.path.join(root, PUBLISH_LOG), "a", encoding="utf-8") as f:
+        f.write(f"{version} {time.time():.6f}\n")
+
+
+def published_history(root: str) -> list[tuple[str, float]] | None:
+    """(version, publish epoch) pairs from the publish log, publish
+    order — ONLY versions that actually won their pointer CAS. None for
+    tables created before the log existed (fall back to dir listing)."""
+    try:
+        with open(os.path.join(root, PUBLISH_LOG), encoding="utf-8") as f:
+            out = []
+            for line in f:
+                parts = line.split()
+                if len(parts) == 2:
+                    out.append((parts[0], float(parts[1])))
+            return out
+    except FileNotFoundError:
+        return None
+
+
+def _publish_pointer_locked(root: str, version: str, expected: str | None) -> None:
+    """The CAS body — caller already holds the pointer lock."""
+    if current_version(root) != expected:
+        raise ConcurrentSnapshotError(
+            f"snapshot table {root} moved from {expected!r} to "
+            f"{current_version(root)!r} during the write; re-read and retry"
+        )
+    fd, tmp = tempfile.mkstemp(prefix=f".{POINTER}.", dir=root)
+    with os.fdopen(fd, "w", encoding="utf-8") as f:
+        f.write(version)
+    os.replace(tmp, _pointer_path(root))  # atomic on POSIX
+    _append_publish_log(root, version)
 
 
 def _publish_pointer(root: str, version: str, expected: str | None) -> None:
     """Atomically move the pointer to ``version`` iff it still reads
-    ``expected``. The check+replace pair runs under an O_EXCL lock file
-    so the compare-and-swap is genuinely atomic — without it, two
+    ``expected``. The check+replace pair runs under the flock'd pointer
+    lock so the compare-and-swap is genuinely atomic — without it, two
     writers whose snapshots were both staged could pass the check in
     the TOCTOU window and the loser's publish would be silently
     clobbered. (On an object store the whole CAS maps to a conditional
-    PUT on the pointer key instead; no lock file needed.)"""
-    lock = _acquire_pointer_lock(root)
-    try:
-        if current_version(root) != expected:
-            raise ConcurrentSnapshotError(
-                f"snapshot table {root} moved from {expected!r} to "
-                f"{current_version(root)!r} during the write; re-read and retry"
-            )
-        fd, tmp = tempfile.mkstemp(prefix=f".{POINTER}.", dir=root)
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(version)
-        os.replace(tmp, _pointer_path(root))  # atomic on POSIX
-    finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+    PUT on the pointer key instead; no lock needed.)"""
+    with _PointerLock(root):
+        _publish_pointer_locked(root, version, expected)
 
 
 def read_snapshot_table(
@@ -154,19 +201,29 @@ def read_snapshot_table(
 
 def version_at(root: str, timestamp: float) -> str:
     """TIMESTAMP AS OF resolution (the Delta/Iceberg time-travel form
-    users actually reach for): the latest version whose publish mtime is
-    <= ``timestamp`` (epoch seconds). Publish order and mtime order
-    agree because versions are created by a serialized pointer CAS.
-    Raises if the table didn't exist yet at that time — an explicit
-    error beats silently reading a later state."""
+    users actually reach for): the latest PUBLISHED version whose
+    publish time is <= ``timestamp`` (epoch seconds). Resolution uses
+    the publish log, so a version directory whose writer lost its
+    pointer CAS (an aborted optimistic write awaiting vacuum) is never
+    served as history. Pre-log tables fall back to directory mtimes —
+    publish order and mtime order agree because versions are created by
+    a serialized pointer CAS. Raises if the table didn't exist yet at
+    that time — an explicit error beats silently reading a later
+    state."""
+    log = published_history(root)
     best = None
-    for v in snapshot_versions(root):
-        try:
-            mtime = os.path.getmtime(os.path.join(root, v))
-        except FileNotFoundError:  # pragma: no cover - racing vacuum
-            continue
-        if mtime <= timestamp:
-            best = v
+    if log is not None:
+        for v, ts in log:
+            if ts <= timestamp and os.path.isdir(os.path.join(root, v)):
+                best = v
+    else:
+        for v in snapshot_versions(root):
+            try:
+                mtime = os.path.getmtime(os.path.join(root, v))
+            except FileNotFoundError:  # pragma: no cover - racing vacuum
+                continue
+            if mtime <= timestamp:
+                best = v
     if best is None:
         raise FileNotFoundError(
             f"no snapshot under {root} existed at ts={timestamp} "
@@ -197,9 +254,15 @@ def write_snapshot(df: DataFrame, root: str, expected=_UNSET) -> str:
     full-table overwrites).
 
     The parquet write lands in the final snapshot dir directly — that
-    dir is invisible to readers until the pointer moves, so a crashed
-    write leaves only an unreferenced orphan for vacuum to sweep.
+    dir is invisible to readers until the pointer moves (time travel
+    resolves from the publish log, so even the clean-renamed dir is not
+    yet "history"), and a crashed write leaves only an unreferenced
+    orphan for vacuum to sweep. A writer that LOSES the pointer CAS
+    removes its renamed dir before re-raising, so an aborted optimistic
+    write leaves nothing behind on the conflict path.
     """
+    import shutil
+
     os.makedirs(root, exist_ok=True)
     if expected is _UNSET:
         expected = current_version(root)
@@ -212,10 +275,15 @@ def write_snapshot(df: DataFrame, root: str, expected=_UNSET) -> str:
     try:
         os.rename(staging, final)
     except OSError as exc:  # version name taken: a concurrent writer won
+        shutil.rmtree(staging, ignore_errors=True)
         raise ConcurrentSnapshotError(
             f"snapshot {version} already exists under {root}"
         ) from exc
-    _publish_pointer(root, version, expected)
+    try:
+        _publish_pointer(root, version, expected)
+    except ConcurrentSnapshotError:
+        shutil.rmtree(final, ignore_errors=True)
+        raise
     return version
 
 
@@ -293,11 +361,20 @@ def update_snapshot(
     where: Column | None = None,
 ) -> str:
     """IO9 UPDATE semantics as a snapshot publish (the transactional
-    sibling of ``io.update_parquet_table``'s staged swap)."""
+    sibling of ``io.update_parquet_table``'s staged swap). A set
+    expression naming a column the table lacks raises — the module's
+    typos-fail-loudly policy (upsert_snapshot does the same); silently
+    ignoring it would publish an unchanged snapshot and report
+    success."""
     from pyspark.sql import functions as F
 
     based_on = current_version(root)
     df = read_snapshot_table(spark, root, version=based_on)
+    unknown = set(set_exprs) - set(df.columns)
+    if unknown:
+        raise ValueError(
+            f"set_exprs name columns the table lacks: {sorted(unknown)}"
+        )
     cond = where if where is not None else F.lit(True)
     updated = df.select(
         *[
@@ -410,6 +487,14 @@ def apply_change_feed(target: DataFrame, feed: DataFrame, key: str) -> DataFrame
     row-for-row (unit-asserted) — which is what makes the feed a
     replication/incremental-consumption protocol rather than a report.
 
+    Accepts BOTH feed protocols: the default single-``update``-row form
+    and the ``pre_image=True`` Delta-CDF form. Pre-image rows carry the
+    OLD values — they exist for algebraic consumers (operators/
+    incremental.py) and must never enter a replace-style upsert, where
+    a nondeterministic dropDuplicates could "update" a key back to its
+    old values — so they are excluded explicitly here, leaving the
+    postimage as the row that lands.
+
     One anti-join (deletes ∪ updated keys) + one union; the feed is the
     small side at scale and AQE broadcasts it."""
     from pyspark.sql import functions as F
@@ -419,9 +504,39 @@ def apply_change_feed(target: DataFrame, feed: DataFrame, key: str) -> DataFrame
     if "_change_type" not in feed.columns:
         raise ValueError("feed must carry _change_type (see snapshot_diff)")
     deletes = feed.filter(F.col("_change_type") == "delete").select(key)
-    upserts = feed.filter(F.col("_change_type") != "delete").drop("_change_type")
+    upserts = feed.filter(
+        ~F.col("_change_type").isin("delete", "update_preimage")
+    ).drop("_change_type")
     kept = target.join(deletes, on=key, how="left_anti")
     return upsert(kept, upserts.select(*target.columns), key)
+
+
+def _sweep_stale_temps(root: str, grace_seconds: float) -> list[str]:
+    """Remove crash debris older than ``grace_seconds`` directly under
+    ``root``: ``.v*`` staging DIRECTORIES (a writer died mid-parquet)
+    and ``._VERSION.*`` pointer temp FILES (a publisher died between
+    mkstemp and os.replace — nothing else ever removes those). A recent
+    entry is almost certainly a live writer's, so the grace window is
+    what makes the sweep safe under concurrent publishers. Returns the
+    removed names."""
+    import shutil
+
+    cutoff = time.time() - grace_seconds
+    removed = []
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        try:
+            if d.startswith(f".{POINTER}.") and os.path.isfile(p):
+                if os.path.getmtime(p) <= cutoff:
+                    os.unlink(p)
+                    removed.append(d)
+            elif d.startswith(".v") and os.path.isdir(p):
+                if os.path.getmtime(p) <= cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed.append(d)
+        except FileNotFoundError:
+            continue  # renamed final / removed by a racing writer
+    return removed
 
 
 def vacuum_snapshots(
@@ -450,19 +565,7 @@ def vacuum_snapshots(
     removable = [v for v in versions[:-keep] if v != cur]
     for v in removable:
         shutil.rmtree(os.path.join(root, v))
-    cutoff = time.time() - staging_grace_seconds
-    orphans = []
-    for d in os.listdir(root):
-        p = os.path.join(root, d)
-        if not (d.startswith(".v") and os.path.isdir(p)):
-            continue
-        try:
-            if os.path.getmtime(p) <= cutoff:
-                orphans.append(d)
-        except FileNotFoundError:
-            continue  # the writer renamed it to final mid-listing
-    for d in orphans:
-        shutil.rmtree(os.path.join(root, d))
+    orphans = _sweep_stale_temps(root, staging_grace_seconds)
     return removable + orphans
 
 
@@ -473,7 +576,12 @@ def vacuum_snapshots(
 import json as _json
 import re as _re
 
-_TABLE_NAME = _re.compile(r"^(?!v\d+$)(?!_)[A-Za-z0-9_.-]+$")
+# Member-table names: must not look like a version dir, must not start
+# with '_' (pointer/lock/log files) or '.' — a leading dot collides
+# with the staging-orphan sweep ('.vault' would be rmtree'd as a
+# crashed '.v*' staging dir) and admits '.' / '..', which resolve to
+# the catalog root / its PARENT and corrupt or escape the layout.
+_TABLE_NAME = _re.compile(r"^(?!v\d+$)(?![_.])[A-Za-z0-9_.-]+$")
 
 
 def commit_tables(
@@ -497,35 +605,55 @@ def commit_tables(
 
     Per-table pointers still advance, so single-table readers keep
     working; only catalog readers get the cross-table guarantee.
+
+    The WHOLE commit — member publishes, manifest write, catalog CAS —
+    runs under the catalog's pointer lock. Ordering matters: member
+    pointers advance BEFORE the catalog CAS, so if a competing commit
+    could interleave, the loser's member data would be left live at the
+    per-table pointers while the committed manifest says otherwise —
+    rolled-back data served to every single-table reader. Holding the
+    lock makes a competing ``commit_tables`` fail its ``expected``
+    check up front, before it touches any member table. (Member tables
+    are catalog-managed by contract — write them through
+    ``commit_tables``, not directly.)
     """
+    import shutil
+
     for name in updates:
         if not _TABLE_NAME.match(name):
             raise ValueError(
                 f"invalid table name {name!r} (must not look like a version "
-                "dir or start with underscore)"
+                "dir or start with underscore or dot)"
             )
     os.makedirs(catalog_root, exist_ok=True)
-    if expected is _UNSET:
-        expected = current_version(catalog_root)
-    manifest: dict[str, str] = {}
-    if expected is not None:
-        manifest = read_catalog_manifest(catalog_root, expected)
-    for name, df in updates.items():
-        manifest[name] = write_snapshot(df, os.path.join(catalog_root, name))
+    with _PointerLock(catalog_root, timeout=30.0):
+        if expected is _UNSET:
+            expected = current_version(catalog_root)
+        elif current_version(catalog_root) != expected:
+            raise ConcurrentSnapshotError(
+                f"catalog {catalog_root} moved from {expected!r} to "
+                f"{current_version(catalog_root)!r}; re-read and retry"
+            )
+        manifest: dict[str, str] = {}
+        if expected is not None:
+            manifest = read_catalog_manifest(catalog_root, expected)
+        for name, df in updates.items():
+            manifest[name] = write_snapshot(df, os.path.join(catalog_root, name))
 
-    version = _next_version(catalog_root)
-    staging = os.path.join(catalog_root, f".{version}_{uuid.uuid4().hex[:8]}")
-    os.makedirs(staging)
-    with open(os.path.join(staging, "manifest.json"), "w", encoding="utf-8") as f:
-        _json.dump({"tables": manifest}, f, sort_keys=True)
-    final = os.path.join(catalog_root, version)
-    try:
-        os.rename(staging, final)
-    except OSError as exc:
-        raise ConcurrentSnapshotError(
-            f"catalog version {version} already exists under {catalog_root}"
-        ) from exc
-    _publish_pointer(catalog_root, version, expected)
+        version = _next_version(catalog_root)
+        staging = os.path.join(catalog_root, f".{version}_{uuid.uuid4().hex[:8]}")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "manifest.json"), "w", encoding="utf-8") as f:
+            _json.dump({"tables": manifest}, f, sort_keys=True)
+        final = os.path.join(catalog_root, version)
+        try:
+            os.rename(staging, final)
+        except OSError as exc:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentSnapshotError(
+                f"catalog version {version} already exists under {catalog_root}"
+            ) from exc
+        _publish_pointer_locked(catalog_root, version, expected)
     return version
 
 
@@ -582,19 +710,10 @@ def vacuum_catalog(
     for v in drop:
         shutil.rmtree(os.path.join(catalog_root, v))
     # the catalog is itself a snapshot table, so it gets the same
-    # crashed-write staging sweep as its members: a commit_tables crash
-    # between makedirs(staging) and rename leaves ".vNNNNNNNN_*"
-    # directly under catalog_root
-    cutoff = time.time() - staging_grace_seconds
-    for d in os.listdir(catalog_root):
-        p = os.path.join(catalog_root, d)
-        if d.startswith(".v") and os.path.isdir(p):
-            try:
-                if os.path.getmtime(p) <= cutoff:
-                    shutil.rmtree(p)
-                    drop.append(d)
-            except FileNotFoundError:
-                continue
+    # crash-debris sweep as its members (".v*" staging dirs from a
+    # commit_tables crash between makedirs and rename, "._VERSION.*"
+    # pointer temps from a crash mid-publish)
+    drop += _sweep_stale_temps(catalog_root, staging_grace_seconds)
     removed["<catalog>"] = drop
 
     # referenced set across surviving manifests
@@ -603,28 +722,35 @@ def vacuum_catalog(
         for table, tv in read_catalog_manifest(catalog_root, v).items():
             referenced.setdefault(table, set()).add(tv)
 
+    cutoff = time.time() - staging_grace_seconds
     for table, keep_versions in referenced.items():
         troot = os.path.join(catalog_root, table)
         tcur = current_version(troot)
         if tcur:
             keep_versions.add(tcur)
-        drop_t = [
-            tv for tv in snapshot_versions(troot) if tv not in keep_versions
-        ]
+        drop_t = []
+        for tv in snapshot_versions(troot):
+            if tv in keep_versions:
+                continue
+            # recency grace on UNREFERENCED member versions: an
+            # in-flight commit_tables renames a member snapshot final
+            # (and may even advance the member pointer) BEFORE its
+            # catalog CAS lands — no surviving manifest references it
+            # yet, so without the grace this sweep would rmtree a
+            # version the committing writer is about to (or just did)
+            # publish, leaving its pointer aimed at nothing. An
+            # unreferenced version that is genuinely aborted stops
+            # aging and is collected on the first vacuum past the
+            # window.
+            try:
+                if os.path.getmtime(os.path.join(troot, tv)) > cutoff:
+                    continue
+            except FileNotFoundError:
+                continue
+            drop_t.append(tv)
         for tv in drop_t:
             shutil.rmtree(os.path.join(troot, tv))
-        # sweep the table's crashed-write staging orphans with the same
-        # grace window as the single-table vacuum
-        cutoff = time.time() - staging_grace_seconds
-        for d in os.listdir(troot):
-            p = os.path.join(troot, d)
-            if d.startswith(".v") and os.path.isdir(p):
-                try:
-                    if os.path.getmtime(p) <= cutoff:
-                        shutil.rmtree(p)
-                        drop_t.append(d)
-                except FileNotFoundError:
-                    continue
+        drop_t += _sweep_stale_temps(troot, staging_grace_seconds)
         removed[table] = drop_t
     return removed
 
@@ -641,19 +767,30 @@ def snapshot_history(root: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     cur = current_version(root)
+    log = published_history(root)
+    published = {v: ts for v, ts in log} if log is not None else None
     out = []
     for v in snapshot_versions(root):
+        if published is not None and v not in published:
+            continue  # renamed final but never won its CAS: not history
         vdir = os.path.join(root, v)
         n_rows = 0
         n_bytes = 0
-        for f in _glob.glob(os.path.join(vdir, "*.parquet")):
-            n_rows += pq.ParquetFile(f).metadata.num_rows
-            n_bytes += os.path.getsize(f)
+        try:
+            for f in _glob.glob(os.path.join(vdir, "*.parquet")):
+                n_rows += pq.ParquetFile(f).metadata.num_rows
+                n_bytes += os.path.getsize(f)
+            published_at = (
+                published[v] if published is not None
+                else os.path.getmtime(vdir)
+            )
+        except FileNotFoundError:
+            continue  # racing vacuum removed the version mid-walk
         out.append(
             {
                 "version": v,
                 "published_at": datetime.datetime.fromtimestamp(
-                    os.path.getmtime(vdir), tz=datetime.timezone.utc
+                    published_at, tz=datetime.timezone.utc
                 ).isoformat(timespec="seconds"),
                 "n_rows": n_rows,
                 "n_bytes": n_bytes,
@@ -694,15 +831,13 @@ def catalog_diff(
         elif old_m[name] == new_m[name]:
             out[name] = {"status": "unchanged", "rows_delta": 0}
         else:
-            entry: dict = {
-                "status": "changed",
-                "rows_delta": (
-                    read_snapshot_table(spark, troot, new_m[name]).count()
-                    - read_snapshot_table(spark, troot, old_m[name]).count()
-                ),
-            }
             key = (keys or {}).get(name)
             if key:
+                # the keyed diff determines rows_delta by itself
+                # (updates preserve count: delta == inserts - deletes),
+                # so the two full-table count() scans are skipped —
+                # keeping "cost scales with what actually moved" true
+                # on exactly the large-table case it matters for
                 feed = snapshot_diff(
                     spark, troot, old_m[name], new_m[name], key=key
                 )
@@ -712,8 +847,20 @@ def catalog_diff(
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
                 }
-                entry["changes"] = {
+                changes = {
                     t: counts.get(t, 0) for t in ("insert", "update", "delete")
                 }
-            out[name] = entry
+                out[name] = {
+                    "status": "changed",
+                    "rows_delta": changes["insert"] - changes["delete"],
+                    "changes": changes,
+                }
+            else:
+                out[name] = {
+                    "status": "changed",
+                    "rows_delta": (
+                        read_snapshot_table(spark, troot, new_m[name]).count()
+                        - read_snapshot_table(spark, troot, old_m[name]).count()
+                    ),
+                }
     return out

@@ -385,9 +385,19 @@ def test_vacuum_catalog_preserves_referenced_versions(spark, tmp_path):
         )
     assert snapshot_versions(cat) == [f"v0000000{i}" for i in range(1, 5)]
 
+    # default grace: unreferenced member versions this FRESH are kept —
+    # an in-flight commit_tables renames (and may publish) a member
+    # version before its catalog CAS lands, and deleting it mid-window
+    # would aim the member pointer at nothing
     removed = vacuum_catalog(cat, keep=2)
-    # catalog keeps v3, v4 -> table versions v3, v4 stay; v1, v2 dropped
     assert removed["<catalog>"] == ["v00000001", "v00000002"]
+    assert removed["a"] == []
+    assert snapshot_versions(f"{cat}/a") == [
+        f"v0000000{i}" for i in range(1, 5)
+    ]
+
+    # quiescent writers (grace 0): the unreferenced versions drop
+    removed = vacuum_catalog(cat, keep=2, staging_grace_seconds=0)
     assert sorted(removed["a"]) == ["v00000001", "v00000002"]
     assert snapshot_versions(f"{cat}/a") == ["v00000003", "v00000004"]
 
@@ -593,10 +603,12 @@ def test_timestamp_time_travel(spark, tmp_path):
     root = str(tmp_path / "t")
     t0 = _time.time()
     write_snapshot(spark.createDataFrame([(1,)], "x int"), root)
-    # backdate v1's mtime so the ordering is unambiguous without sleeps
-    os.utime(f"{root}/v00000001", (t0 + 10, t0 + 10))
     write_snapshot(spark.createDataFrame([(2,)], "x int"), root)
-    os.utime(f"{root}/v00000002", (t0 + 20, t0 + 20))
+    # pin the publish times so the ordering is unambiguous without
+    # sleeps: resolution reads the PUBLISH LOG (only CAS-winning
+    # versions are history), so that is what the test rewrites
+    with open(f"{root}/_PUBLISH_LOG", "w", encoding="utf-8") as f:
+        f.write(f"v00000001 {t0 + 10}\nv00000002 {t0 + 20}\n")
 
     assert version_at(root, t0 + 15) == "v00000001"
     assert version_at(root, t0 + 25) == "v00000002"
@@ -604,6 +616,13 @@ def test_timestamp_time_travel(spark, tmp_path):
     assert read_snapshot_table_as_of(spark, root, t0 + 25).collect()[0].x == 2
     with pytest.raises(FileNotFoundError, match="existed at"):
         version_at(root, t0 + 5)
+
+    # pre-log tables (no _PUBLISH_LOG) fall back to directory mtimes
+    os.unlink(f"{root}/_PUBLISH_LOG")
+    os.utime(f"{root}/v00000001", (t0 + 10, t0 + 10))
+    os.utime(f"{root}/v00000002", (t0 + 20, t0 + 20))
+    assert version_at(root, t0 + 15) == "v00000001"
+    assert version_at(root, t0 + 25) == "v00000002"
 
 
 def test_catalog_diff_release_notes(spark, tmp_path):
@@ -714,3 +733,135 @@ def test_data_aware_cache_invalidates_on_rewrite(spark, tmp_path):
     assert plan_fingerprint(q()) == plan_fingerprint(q())  # plan key blind
     assert data_fingerprint(q()) != fp1  # data key sees the rewrite
     assert cached_result_data_aware(q(), root).first()["s"] == 4950
+
+
+def test_commit_tables_rejects_path_escaping_names(spark, tmp_path):
+    """'.', '..' and '.v*' member names must be refused: '.' resolves to
+    the catalog root itself (its pointer would clobber the catalog's),
+    '..' escapes to the parent directory, and a '.v'-prefixed name is
+    indistinguishable from a crashed staging dir — the orphan sweep
+    would rmtree the live table after the grace window."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.snapshots import commit_tables
+
+    cat = str(tmp_path / "cat")
+    df = spark.createDataFrame([(1,)], "x int")
+    for bad in (".", "..", ".vault", "_meta", "v00000001", "a/b"):
+        with _pytest.raises(ValueError, match="invalid table name"):
+            commit_tables({bad: df}, cat)
+    # sane names with interior dots stay legal
+    commit_tables({"my.table-v2": df}, cat)
+
+
+def test_aborted_publish_leaves_no_history(spark, tmp_path):
+    """A writer that loses the pointer CAS must leave NOTHING readable:
+    no clean-named version dir (cleaned on the conflict path) and no
+    publish-log entry — so time travel and history can never serve an
+    aborted merge as committed state."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.snapshots import (
+        ConcurrentSnapshotError,
+        current_version,
+        snapshot_history,
+        snapshot_versions,
+        version_at,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], "x int"), root)  # v1
+    # loser: derived from v1, but the table moves to v2 underneath it
+    write_snapshot(spark.createDataFrame([(2,)], "x int"), root)  # v2
+    with _pytest.raises(ConcurrentSnapshotError):
+        write_snapshot(
+            spark.createDataFrame([(99,)], "x int"), root,
+            expected="v00000001",
+        )
+    assert current_version(root) == "v00000002"
+    assert snapshot_versions(root) == ["v00000001", "v00000002"]  # no v3
+    assert [h["version"] for h in snapshot_history(root)] == [
+        "v00000001", "v00000002",
+    ]
+    assert version_at(root, _time.time() + 1) == "v00000002"
+
+
+def test_concurrent_commit_tables_cannot_interleave(spark, tmp_path):
+    """Two commit_tables racing from the same expected catalog version:
+    the loser must fail BEFORE advancing any member pointer, so member
+    tables never serve data from a failed commit. The winner holds the
+    catalog publish lock for its whole commit; the loser's up-front
+    expected check (inside the lock) fires first."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.snapshots import (
+        ConcurrentSnapshotError,
+        commit_tables,
+        current_version,
+        read_catalog_manifest,
+        read_snapshot_table,
+    )
+
+    cat = str(tmp_path / "cat")
+    c1 = commit_tables({"t": spark.createDataFrame([(1,)], "x int")}, cat)
+    c2 = commit_tables(
+        {"t": spark.createDataFrame([(2,)], "x int")}, cat, expected=c1
+    )
+    # stale committer: based on c1, but the catalog is at c2
+    with _pytest.raises(ConcurrentSnapshotError):
+        commit_tables(
+            {"t": spark.createDataFrame([(99,)], "x int")}, cat, expected=c1
+        )
+    manifest = read_catalog_manifest(cat)
+    # the member pointer agrees with the committed manifest — no
+    # rolled-back data live at the per-table pointer
+    troot = f"{cat}/t"
+    assert current_version(troot) == manifest["t"]
+    assert read_snapshot_table(spark, troot).collect()[0].x == 2
+
+
+def test_vacuum_sweeps_stale_pointer_temp_files(spark, tmp_path):
+    """A publisher killed between mkstemp and os.replace leaves a
+    '._VERSION.xxxx' temp file; the vacuum sweep must collect it after
+    the grace window (nothing else ever removes it)."""
+    import os
+
+    from neulix_datahub_spark.sources.snapshots import (
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], "x int"), root)
+    stray = os.path.join(root, "._VERSION.deadbeef")
+    open(stray, "w").close()
+    os.utime(stray, (1, 1))  # ancient
+    removed = vacuum_snapshots(root, keep=2)
+    assert "._VERSION.deadbeef" in removed
+    assert not os.path.exists(stray)
+
+
+def test_apply_change_feed_handles_preimage_protocol(spark, tmp_path):
+    """apply_change_feed on a pre_image=True feed must land the
+    POSTIMAGE values — the preimage rows exist for algebraic consumers
+    and a replace-style upsert that let both rows in could
+    nondeterministically 'update' a key back to its old values."""
+    from neulix_datahub_spark.sources.snapshots import (
+        apply_change_feed,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    old = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, v double")
+    new = spark.createDataFrame([(1, 10.0), (2, 99.0), (3, 30.0)], "id int, v double")
+    v1 = write_snapshot(old, root)
+    v2 = write_snapshot(new, root)
+    feed = snapshot_diff(spark, root, v1, v2, key="id", pre_image=True)
+    replayed = apply_change_feed(old, feed, key="id")
+    assert sorted(map(tuple, replayed.collect())) == sorted(
+        map(tuple, new.collect())
+    )

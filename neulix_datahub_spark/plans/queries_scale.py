@@ -1476,9 +1476,12 @@ def deletion_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = {tuple(r) for r in seg_agg().collect()}
     removed = compact_deletes(spark, root, "c_custkey")
     after = {tuple(r) for r in seg_agg().collect()}
-    import os
+    from neulix_datahub_spark.sources.deletes import _vector_files
 
-    vector_gone = not os.path.isdir(f"{root}/_deletes")
+    # compaction drains the vector by unlinking exactly the FOLDED
+    # files (so a delete appended mid-compaction survives); "cleared"
+    # means no tombstone data files remain, not that the dir vanished
+    vector_gone = _vector_files(f"{root}/_deletes") == []
     return (
         seg_agg()
         .withColumn("compaction_preserves_reads", F.lit(before == after))

@@ -53,17 +53,26 @@ def compact_partitions(
 ) -> str:
     """Rewrite a partitioned layout with ``repartition`` inside each
     partition directory — the periodic maintenance job that undoes
-    streaming's many-small-files. Uses a staging-dir swap like IO9."""
+    streaming's many-small-files.
+
+    The rewrite preserves the FULL partitioning, at every nesting level
+    (``_partition_cols`` walks the directory chain — a top-level-only
+    scan would silently demote inner partition columns to data columns,
+    losing their pruning). The swap is rename-aside: the old layout is
+    renamed away only AFTER the replacement exists, and removed only
+    after the replacement is installed — a crash mid-swap leaves either
+    the old layout live or a ``.__old_*`` residue next to the new one,
+    never a window with no table at the published path. (Concurrent
+    READERS racing a maintenance rewrite still need the snapshot layer;
+    this is a quiesced-maintenance job like Delta OPTIMIZE.)"""
     import os
     import shutil
     import uuid
 
     df = spark.read.parquet(path)
-    part_cols = [
-        f.name for f in df.schema.fields
-        if f.name in _partition_dirs(path)
-    ]
-    staging = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    part_cols = _partition_cols(path)
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path.rstrip('/')}.__compact_{token}"
     if part_cols:
         # hash-repartition on (partition cols [+ salt]) puts each partition
         # value's rows into target_files tasks → that many files per dir
@@ -74,20 +83,30 @@ def compact_partitions(
     else:
         writer = df.coalesce(target_files_per_partition)
     writer.write.mode("overwrite").partitionBy(*part_cols).parquet(staging)
-    shutil.rmtree(path)
+    old = f"{path.rstrip('/')}.__old_{token}"
+    os.rename(path, old)
     os.rename(staging, path)
+    shutil.rmtree(old)
     return path
 
 
-def _partition_dirs(path: str) -> set[str]:
-    """Partition column names present as hive-style dirs under ``path``."""
+def _partition_cols(path: str) -> list[str]:
+    """Hive partition column names under ``path``, OUTERMOST FIRST, by
+    walking one directory chain — the writer lays every level as a
+    ``key=value`` dir, so one branch names them all in order."""
     import os
 
-    names: set[str] = set()
-    for entry in os.listdir(path):
-        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
-            names.add(entry.split("=", 1)[0])
-    return names
+    cols: list[str] = []
+    cur = path
+    while True:
+        subdirs = [
+            e for e in os.listdir(cur)
+            if "=" in e and os.path.isdir(os.path.join(cur, e))
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
 
 
 def overwrite_partitions(
@@ -326,6 +345,8 @@ def read_with_file_bloom(
 
     from neulix_datahub_spark.operators.sketches import bloom_might_contain
 
+    # an empty probe list reads nothing — same documented empty result
+    # as "no file survived the bitmaps", not a reduce() TypeError
     keep = reduce(
         lambda a, b: a | b,
         [
@@ -337,6 +358,7 @@ def read_with_file_bloom(
             )
             for v in values
         ],
+        F.lit(False),
     )
     n_total = index.count()
     files = [r.file for r in index.filter(keep).select("file").collect()]

@@ -49,13 +49,10 @@ def plan_fingerprint(df: DataFrame) -> str:
     return hashlib.sha256(canon.encode("utf-8")).hexdigest()
 
 
-def cached_result(
-    df: DataFrame, cache_root: str, refresh: bool = False
-) -> DataFrame:
-    """Return ``df``'s result from the cache, computing and publishing
-    it only on a miss (or ``refresh=True``). The returned frame reads
-    the published snapshot — downstream plans see a plain parquet scan
-    (column pruning / pushdown apply), not the original query tree."""
+def _cached(df: DataFrame, cache_root: str, fingerprint: str, refresh: bool) -> DataFrame:
+    """Shared serve-or-publish body for both cache flavors — one place
+    to evolve the protocol (the two public entry points differ ONLY in
+    how the key is derived)."""
     from neulix_datahub_spark.sources.snapshots import (
         current_version,
         read_snapshot_table,
@@ -63,11 +60,21 @@ def cached_result(
     )
 
     spark = df.sparkSession
-    path = os.path.join(cache_root, plan_fingerprint(df))
+    path = os.path.join(cache_root, fingerprint)
     if not refresh and current_version(path) is not None:
         return read_snapshot_table(spark, path)
     write_snapshot(df, path)
     return read_snapshot_table(spark, path)
+
+
+def cached_result(
+    df: DataFrame, cache_root: str, refresh: bool = False
+) -> DataFrame:
+    """Return ``df``'s result from the cache, computing and publishing
+    it only on a miss (or ``refresh=True``). The returned frame reads
+    the published snapshot — downstream plans see a plain parquet scan
+    (column pruning / pushdown apply), not the original query tree."""
+    return _cached(df, cache_root, plan_fingerprint(df), refresh)
 
 
 def cache_entries(cache_root: str) -> list[dict]:
@@ -103,18 +110,38 @@ def data_fingerprint(df: DataFrame) -> str:
     stale entry is simply never hit again (dead entries age out via
     retention, cache_entries + vacuum_snapshots).
 
-    Cost: ``df.inputFiles()`` + one ``stat`` per file — an O(files)
-    driver metadata walk, the same class as a manifest listing; for
-    snapshot-table inputs prefer the plain plan_fingerprint (the path
-    already encodes the version, which is the cheaper invariant)."""
+    Cost: ``df.inputFiles()`` + one file-status call per file — an
+    O(files) driver metadata walk, the same class as a manifest
+    listing; for snapshot-table inputs prefer the plain
+    plan_fingerprint (the path already encodes the version, which is
+    the cheaper invariant).
+
+    File identity comes from the HADOOP FileSystem API for the file's
+    own URI, so it works for every scheme the plan can read (file://,
+    hdfs://, s3a://, percent-encoded paths included) — an os.stat on
+    the raw URI would fail for all of those, and silently hashing a
+    constant in its place would quietly restore the exact plan-only
+    staleness this function exists to lift. A file whose status cannot
+    be read raises instead (loud beats a silently weaker key); a
+    vanished file usually means a concurrent rewrite — retry or use
+    plan_fingerprint over immutable inputs."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
     sig = hashlib.sha256(plan_fingerprint(df).encode("ascii"))
     for f in sorted(df.inputFiles()):
-        local = f[7:] if f.startswith("file://") else f
         try:
-            st = os.stat(local)
-            sig.update(f"{f}|{st.st_size}|{st.st_mtime_ns}\n".encode("utf-8"))
-        except OSError:
-            sig.update(f"{f}|?\n".encode("utf-8"))
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            st = p.getFileSystem(conf).getFileStatus(p)
+            sig.update(
+                f"{f}|{st.getLen()}|{st.getModificationTime()}\n".encode("utf-8")
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"cannot stat input file {f!r} for the data fingerprint — "
+                "the key would silently degrade to plan-only; retry, or use "
+                "plan_fingerprint/cached_result over immutable inputs"
+            ) from exc
     return sig.hexdigest()
 
 
@@ -123,15 +150,4 @@ def cached_result_data_aware(
 ) -> DataFrame:
     """:func:`cached_result` keyed by :func:`data_fingerprint` — safe
     over MUTABLE input paths at the cost of the per-call file walk."""
-    from neulix_datahub_spark.sources.snapshots import (
-        current_version,
-        read_snapshot_table,
-        write_snapshot,
-    )
-
-    spark = df.sparkSession
-    path = os.path.join(cache_root, data_fingerprint(df))
-    if not refresh and current_version(path) is not None:
-        return read_snapshot_table(spark, path)
-    write_snapshot(df, path)
-    return read_snapshot_table(spark, path)
+    return _cached(df, cache_root, data_fingerprint(df), refresh)

@@ -697,7 +697,9 @@ def test_deletion_vector_lifecycle(spark, tmp_path):
     assert sorted(r.id for r in apply_deletes(spark, root, "id").collect()) == list(range(3, 10))
 
     assert compact_deletes(spark, root, "id") == 3
-    assert not os.path.isdir(f"{root}/_deletes")
+    from neulix_datahub_spark.sources.deletes import _vector_files
+
+    assert _vector_files(f"{root}/_deletes") == []  # tombstones drained
     assert sorted(r.id for r in apply_deletes(spark, root, "id").collect()) == list(range(3, 10))
     assert compact_deletes(spark, root, "id") == 0  # nothing to fold
 
@@ -865,3 +867,116 @@ def test_apply_change_feed_handles_preimage_protocol(spark, tmp_path):
     assert sorted(map(tuple, replayed.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_deletes_reseed_clears_stale_vector(spark, tmp_path):
+    """write_table must clear a pre-existing deletion vector: a vector
+    surviving a re-seed replays old tombstones against the NEW data,
+    silently deleting fresh rows that share keys with historically
+    deleted ones."""
+    from neulix_datahub_spark.sources.deletes import (
+        apply_deletes,
+        delete_where,
+        write_table,
+    )
+
+    root = str(tmp_path / "t")
+    write_table(spark.createDataFrame([(5, "old")], "k int, v string"), root)
+    assert delete_where(spark, root, "k", F.col("k") == 5) == 1
+    # re-seed with fresh data that reuses key 5
+    write_table(spark.createDataFrame([(5, "new")], "k int, v string"), root)
+    got = apply_deletes(spark, root, "k").collect()
+    assert [(r.k, r.v) for r in got] == [(5, "new")]
+
+
+def test_deletes_compaction_crash_residues_recover(spark, tmp_path):
+    """Both crash residues of the compaction swap must self-repair:
+    data renamed away but replacement not yet installed (no data dir at
+    all), and backup left behind after the replacement went live (which
+    used to make the NEXT compaction's rename fail forever)."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.sources.deletes import (
+        apply_deletes,
+        compact_deletes,
+        delete_where,
+        write_table,
+    )
+
+    root = str(tmp_path / "t")
+    write_table(
+        spark.createDataFrame([(i, "x") for i in range(6)], "k int, v string"),
+        root,
+    )
+    delete_where(spark, root, "k", F.col("k") < 2)
+
+    # residue A: died between the two renames — no data dir
+    os.rename(os.path.join(root, "data"), os.path.join(root, "_old_data"))
+    got = sorted(r.k for r in apply_deletes(spark, root, "k").collect())
+    assert got == [2, 3, 4, 5]  # read recovered the table
+
+    # residue B: backup left next to live data
+    shutil.copytree(
+        os.path.join(root, "data"), os.path.join(root, "_old_data")
+    )
+    removed = compact_deletes(spark, root, "k")
+    assert removed == 2
+    assert not os.path.isdir(os.path.join(root, "_old_data"))
+    got = sorted(r.k for r in apply_deletes(spark, root, "k").collect())
+    assert got == [2, 3, 4, 5]
+
+    # compaction drained the vector: a FRESH delete still works (the
+    # vector dir may survive holding only markers)
+    assert delete_where(spark, root, "k", F.col("k") == 2) == 1
+    got = sorted(r.k for r in apply_deletes(spark, root, "k").collect())
+    assert got == [3, 4, 5]
+
+
+def test_delete_where_counts_rows_not_matches_on_duplicate_keys(
+    spark, tmp_path
+):
+    """Key-granular deletes: with a non-unique key, delete_where removes
+    every live row sharing a matched key — and its return value must
+    equal the rows that actually disappear, not the condition matches."""
+    from neulix_datahub_spark.sources.deletes import (
+        apply_deletes,
+        delete_where,
+        write_table,
+    )
+
+    root = str(tmp_path / "t")
+    write_table(
+        spark.createDataFrame(
+            [(1, "old"), (1, "new"), (2, "old")], "k int, v string"
+        ),
+        root,
+    )
+    n = delete_where(spark, root, "k", F.col("v") == "old")
+    assert n == 3  # both k=1 rows + the k=2 row actually vanish
+    assert apply_deletes(spark, root, "k").collect() == []
+
+
+def test_compact_partitions_preserves_nested_partitioning(spark, tmp_path):
+    """Multi-level hive layouts must survive compaction at every level —
+    a top-level-only scan would demote inner partition columns to data
+    columns and silently lose their directory pruning."""
+    import os
+
+    from neulix_datahub_spark.sources.layout import compact_partitions
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(a, b, i) for a in ("x", "y") for b in (1, 2) for i in range(3)],
+        "a string, b int, v int",
+    )
+    df.write.partitionBy("a", "b").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    compact_partitions(spark, path, target_files_per_partition=1)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    # both levels still exist as directories
+    assert os.path.isdir(os.path.join(path, "a=x", "b=1"))
+    # and no stray .__old_* / .__compact_* residue
+    parent = os.path.dirname(path)
+    assert [d for d in os.listdir(parent) if "__old" in d or "__compact" in d] == []

@@ -33,6 +33,22 @@ Maintain money columns as DECIMAL to make the sums associative and the
 maintained value EXACTLY equal to a recompute forever (the fill zeros
 below are type-preserving, so decimal columns stay decimal through the
 merge).
+
+NULL conventions (both deliberate, both required for the delta algebra
+to be exact):
+
+- **Group keys are null-safe.** A NULL group key is one group, exactly
+  as ``groupBy`` treats it — the merge join matches on ``eqNullSafe``,
+  because a null-unsafe join would never match the stored NULL-key row
+  with its delta and the group would silently fork into two rows, one
+  per batch.
+- **Sums are SUM0 (0-coalesced).** A group whose values are all NULL
+  reports sum 0, not SQL's NULL. This is what makes signed maintenance
+  exact under DELETES: "remove the last non-null value" must land on a
+  concrete 0 — no sum-only state can know it should snap back to NULL
+  without also maintaining per-column non-null counts. Seed aggregates
+  with ``coalesce(sum(x), 0)`` and compare recomputes the same way
+  (the Druid/Calcite SUM0 convention).
 """
 
 from __future__ import annotations
@@ -58,9 +74,11 @@ def agg_delta(
     if "_change_type" not in feed.columns:
         raise ValueError("feed must carry _change_type (snapshot_diff pre_image=True)")
     sign = F.col("_change_type")
+    adds = [t for t, s in _SIGN.items() if s == 1]
+    subs = [t for t, s in _SIGN.items() if s == -1]
     sign_val = (
-        F.when(sign.isin("insert", "update_postimage"), F.lit(1))
-        .when(sign.isin("delete", "update_preimage"), F.lit(-1))
+        F.when(sign.isin(*adds), F.lit(1))
+        .when(sign.isin(*subs), F.lit(-1))
         .otherwise(F.raise_error(F.concat(F.lit("unknown _change_type: "), sign)))
     )
     return (
@@ -92,20 +110,36 @@ def apply_agg_delta(
     if missing:
         raise ValueError(f"agg is missing columns: {missing}")
     delta = agg_delta(feed, group_cols, sum_map)
-    merged = agg.join(delta, on=group_cols, how="full_outer")
+    # NULL-SAFE group match (see module docstring): `on=group_cols`
+    # would use null-unsafe equality, so a NULL group key stored in the
+    # aggregate could never meet its delta — the group would emit two
+    # rows (stale + delta-only) and fork further every batch.
+    a, d = agg.alias("__a"), delta.alias("__d")
+    cond = None
+    for c in group_cols:
+        e = F.col(f"__a.{c}").eqNullSafe(F.col(f"__d.{c}"))
+        cond = e if cond is None else cond & e
+    merged = a.join(d, on=cond, how="full_outer")
     zero = F.lit(0)
     out = merged.select(
-        *group_cols,
-        (F.coalesce(F.col(count_col), zero) + F.coalesce(F.col("__dcnt"), zero)).alias(
-            count_col
-        ),
+        *[
+            F.when(F.col(f"__d.__dcnt").isNull(), F.col(f"__a.{c}"))
+            .otherwise(F.col(f"__d.{c}"))
+            .alias(c)
+            for c in group_cols
+        ],
+        (
+            F.coalesce(F.col(f"__a.{count_col}"), zero)
+            + F.coalesce(F.col("__d.__dcnt"), zero)
+        ).alias(count_col),
         *[
             (
                 F.coalesce(
-                    F.col(out_col), F.lit(0).cast(agg.schema[out_col].dataType)
+                    F.col(f"__a.{out_col}"),
+                    F.lit(0).cast(agg.schema[out_col].dataType),
                 )
                 + F.coalesce(
-                    F.col(f"__d_{out_col}"),
+                    F.col(f"__d.__d_{out_col}"),
                     F.lit(0).cast(agg.schema[out_col].dataType),
                 )
             ).alias(out_col)

@@ -34,6 +34,25 @@ def tokenize(col) -> F.Column:
     return F.split(normalize_text(c), " ")
 
 
+def normalize_terms(terms: list[str]) -> list[str]:
+    """Query terms through the SAME normalization the index applied to
+    the corpus (``tokenize``'s Python twin: lowercase, collapse
+    whitespace, split). Without this, 'Spark' or 'table ' compares raw
+    against lowercased postings and silently matches nothing — the
+    query side must agree with the index on what a token is, exactly as
+    the module docstring promises. A multi-word term contributes each
+    of its tokens. Raises on an effectively-empty query: a silent
+    zero-match (or a vacuous match-all) hides a caller bug."""
+    import re
+
+    out: list[str] = []
+    for t in terms:
+        out.extend(w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w)
+    if not out:
+        raise ValueError(f"query terms are empty after normalization: {terms!r}")
+    return out
+
+
 def build_inverted_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -54,6 +73,7 @@ def conjunctive_search(
     """Boolean AND retrieval: docs whose postings cover EVERY query
     term — one filtered scan of the terms' postings, one groupBy, a
     count==n_terms filter. Returns (doc_id)."""
+    terms = normalize_terms(terms)
     n = len(set(terms))
     return (
         index.filter(F.col("token").isin(list(set(terms))))
@@ -84,11 +104,19 @@ def bm25_rank(
     (doc_id, score) — callers round before ranking if cross-engine
     order stability at float ties matters (the driver query does).
     """
-    uniq = list(set(terms))
-    n_docs = doc_lengths.count()
-    avgdl = doc_lengths.agg(
-        (F.sum("dl") / F.count(F.lit(1))).alias("a")
-    ).first()["a"]
+    uniq = list(set(normalize_terms(terms)))
+    # one combined driver action for both corpus scalars (count() plus
+    # a second agg would scan doc_lengths twice per query)
+    stats = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+    ).first()
+    n_docs, avgdl = stats["n"], stats["a"]
+    if not n_docs:
+        # empty corpus: no postings, no scores — float(None) would
+        # TypeError below; an empty frame is the honest answer
+        return doc_lengths.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
     dfreq = (
         index.filter(F.col("token").isin(uniq))
         .groupBy("token")
@@ -134,8 +162,7 @@ def phrase_search(
     postings, and the equi-join key (doc, aligned position) keeps it a
     hash join, no window or UDF. Returns distinct (doc_id,
     n_occurrences)."""
-    if not phrase:
-        raise ValueError("phrase must be non-empty")
+    phrase = normalize_terms(phrase)
     legs = None
     for k, term in enumerate(phrase):
         leg = pos_index.filter(F.col("token") == term).select(

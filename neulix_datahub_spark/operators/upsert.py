@@ -30,10 +30,19 @@ def upsert(
     If ``updates`` contains duplicate keys, ``tiebreak`` names a column
     whose maximum picks the winning row (the reference's behavior is
     arrival-order last-write-wins, ``db_core.py:304-331``, which is
-    nondeterministic distributed — a tiebreak column makes it defined).
-    ``broadcast_updates=True`` hints the planner when updates are a small
-    CDC batch against a huge target: the anti-join then runs map-side with
-    no shuffle of the target.
+    nondeterministic distributed — a tiebreak column makes it defined
+    PROVIDED the tiebreak is unique within each key; rows that also tie
+    on the tiebreak still get an arbitrary single winner, same as
+    ``dropDuplicates``). ``broadcast_updates=True`` hints the planner
+    when updates are a small CDC batch against a huge target: the
+    anti-join then runs map-side with no shuffle of the target.
+
+    NULL keys upsert as one key (``groupBy``/``dropDuplicates``
+    semantics): the anti-join matches null-safely, so an update row
+    with a NULL key REPLACES the target's NULL-key row instead of
+    piling a duplicate next to it on every application — a null-unsafe
+    join can never match NULL=NULL and silently breaks both the
+    overwrite contract and idempotence.
     """
     if tiebreak is not None:
         w = Window.partitionBy(key).orderBy(F.desc(tiebreak))
@@ -44,8 +53,11 @@ def upsert(
         )
     else:
         updates = updates.dropDuplicates([key])
-    join_side = F.broadcast(updates) if broadcast_updates else updates
-    kept = target.join(join_side.select(key), on=key, how="left_anti")
+    keys = updates.select(F.col(key).alias("__upsert_key"))
+    join_side = F.broadcast(keys) if broadcast_updates else keys
+    kept = target.join(
+        join_side, target[key].eqNullSafe(F.col("__upsert_key")), "left_anti"
+    )
     return kept.unionByName(updates.select(*target.columns))
 
 
@@ -64,18 +76,14 @@ def upsert_evolving(
     newly added column — exactly what a Delta ``MERGE`` with
     ``mergeSchema`` produces.
 
-    Shared columns must already agree in type (callers align first);
+    Shared columns changing TYPE raise loudly (delegated to
+    ``align_schemas`` — one widening implementation for the merge and
+    the snapshot paths, so the additive-evolution rules cannot drift);
     plan shape is unchanged from :func:`upsert` — one anti-join + one
     union, no extra pass.
     """
-    merged_cols = list(dict.fromkeys([*target.columns, *updates.columns]))
-    types = {f.name: f.dataType for f in target.schema.fields}
-    types.update({f.name: f.dataType for f in updates.schema.fields})
+    # lazy import: snapshots imports this module's upsert at call time
+    from neulix_datahub_spark.sources.snapshots import align_schemas
 
-    def widen(df: DataFrame) -> DataFrame:
-        out = df
-        for c in (c for c in merged_cols if c not in df.columns):
-            out = out.withColumn(c, F.lit(None).cast(types[c]))
-        return out.select(*merged_cols)
-
-    return upsert(widen(target), widen(updates), key, tiebreak)
+    target, updates = align_schemas(target, updates)
+    return upsert(target, updates, key, tiebreak)

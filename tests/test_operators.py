@@ -1816,3 +1816,81 @@ def test_metric_layer_ratio_of_sums_not_avg_of_ratios(spark):
 
     with pytest.raises(ValueError, match="needs num and den"):
         Metric("bad", "ratio")
+
+
+def test_upsert_null_key_overwrites_and_stays_idempotent(spark):
+    """NULL keys are ONE key (groupBy semantics): an update with a NULL
+    key must REPLACE the target's NULL-key row — a null-unsafe
+    anti-join can never match NULL=NULL, so the old row survived and a
+    duplicate piled up on every application."""
+    from neulix_datahub_spark.operators.upsert import upsert
+
+    target = spark.createDataFrame(
+        [(None, "old"), (1, "keep")], "id int, payload string"
+    )
+    updates = spark.createDataFrame([(None, "new")], "id int, payload string")
+    once = upsert(target, updates, "id")
+    got = sorted(((r.id, r.payload) for r in once.collect()), key=str)
+    assert got == sorted([(None, "new"), (1, "keep")], key=str)
+    twice = upsert(once, updates, "id")
+    assert sorted(map(tuple, twice.collect()), key=str) == sorted(
+        map(tuple, once.collect()), key=str
+    )
+
+
+def test_apply_agg_delta_null_group_key_stays_one_group(spark):
+    """A NULL group key must merge with its delta, not fork into two
+    rows: the maintenance law apply(agg(v1), diff(v1,v2)) == agg(v2)
+    has to hold for the NULL group exactly as groupBy treats it."""
+    from neulix_datahub_spark.operators.incremental import apply_agg_delta
+
+    agg = spark.createDataFrame(
+        [(None, 5, 10.0), ("a", 2, 4.0)], "g string, cnt long, s double"
+    )
+    feed = spark.createDataFrame(
+        [(None, 3.0, "insert"), (None, 7.0, "insert")],
+        "g string, v double, _change_type string",
+    )
+    out = apply_agg_delta(agg, feed, ["g"], "cnt", {"s": "v"})
+    got = sorted(((r.g, r.cnt, r.s) for r in out.collect()), key=str)
+    assert got == sorted([(None, 7, 20.0), ("a", 2, 4.0)], key=str)
+
+
+def test_search_normalizes_query_terms(spark):
+    """Query terms go through the index's own normalization: 'Spark' or
+    'table ' must hit lowercase postings instead of silently matching
+    nothing; an effectively-empty query raises."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.operators.search import (
+        bm25_rank,
+        build_inverted_index,
+        build_positional_index,
+        conjunctive_search,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Spark tables and Spark queries"), (2, "other words")],
+        ["doc_id", "text"],
+    )
+    idx = build_inverted_index(docs)
+    assert [r.doc_id for r in conjunctive_search(idx, ["Spark", " TABLES "]).collect()] == [1]
+    lengths = idx.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scored = bm25_rank(idx, lengths, ["SPARK"]).collect()
+    assert [r.doc_id for r in scored] == [1] and scored[0].score > 0
+    pos = build_positional_index(docs)
+    hits = phrase_search(pos, ["Spark", "Tables"]).collect()
+    assert [(r.doc_id, r.n_occurrences) for r in hits] == [(1, 1)]
+    with _pytest.raises(ValueError, match="empty after normalization"):
+        conjunctive_search(idx, ["   "])
+
+
+def test_bm25_empty_corpus_returns_empty_scores(spark):
+    """An empty doc_lengths (drained index) must yield an empty score
+    frame, not a driver TypeError on float(None)."""
+    from neulix_datahub_spark.operators.search import bm25_rank
+
+    idx = spark.createDataFrame([], "token string, doc_id long, tf long")
+    lengths = spark.createDataFrame([], "doc_id long, dl long")
+    assert bm25_rank(idx, lengths, ["spark"]).collect() == []

@@ -47,8 +47,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # raw events on user_id (the same shuffle key throughout).
 # ---------------------------------------------------------------------------
 
-from neulix_datahub_spark.streaming.stateful import (  # noqa: E402
+from neulix_datahub_spark.params import (  # noqa: E402
     FUNNEL_DEADLINE_HOURS as _FUNNEL_DEADLINE_HOURS,
+    SESSION_GAP_DEFAULT as _GAP_DEFAULT,
+    SESSION_GAP_ERROR as _GAP_ERROR,
 )
 
 
@@ -426,8 +428,8 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string literals cast to it; DayTimeInterval (INTERVAL 2 HOURS) is
     # rejected.
     gap = F.when(
-        F.col("event_type") == "error", F.lit("2 hours")
-    ).otherwise(F.lit("8 hours"))
+        F.col("event_type") == "error", F.lit(_GAP_ERROR)
+    ).otherwise(F.lit(_GAP_DEFAULT))
     sessions = (
         ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
@@ -445,13 +447,23 @@ def dynamic_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DYNAMIC_SESSIONS_SQL = """
+def _gap_to_us(interval: str) -> int:
+    """'2 hours' -> 7_200_000_000 (µs) — keeps the oracle SQL derived
+    from the SAME shared constants as both engine spellings."""
+    n, unit = interval.split()
+    return int(n) * {"hours": 3_600_000_000, "minutes": 60_000_000}[unit]
+
+
+_GAP_ERR_US = _gap_to_us(_GAP_ERROR)
+_GAP_DEF_US = _gap_to_us(_GAP_DEFAULT)
+
+DYNAMIC_SESSIONS_SQL = f"""
 WITH g AS (
     SELECT user_id, ts, value,
-           CASE WHEN event_type = 'error' THEN 7200000000
-                ELSE 28800000000 END AS gap_us,
-           max(epoch_us(ts) + CASE WHEN event_type = 'error' THEN 7200000000
-                                   ELSE 28800000000 END)
+           CASE WHEN event_type = 'error' THEN {_GAP_ERR_US}
+                ELSE {_GAP_DEF_US} END AS gap_us,
+           max(epoch_us(ts) + CASE WHEN event_type = 'error' THEN {_GAP_ERR_US}
+                                   ELSE {_GAP_DEF_US} END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
     FROM events

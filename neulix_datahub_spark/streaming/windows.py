@@ -107,9 +107,11 @@ def dynamic_sessionized(events: DataFrame, watermark: str = "1 hour") -> DataFra
     dynamic_gap_sessions query, state-backed under micro-batching. The
     gap expression must be CalendarIntervalType (string literals cast;
     DayTimeInterval is rejected by session_window)."""
-    gap = F.when(F.col("event_type") == "error", F.lit("2 hours")).otherwise(
-        F.lit("8 hours")
-    )
+    from neulix_datahub_spark.params import SESSION_GAP_DEFAULT, SESSION_GAP_ERROR
+
+    gap = F.when(
+        F.col("event_type") == "error", F.lit(SESSION_GAP_ERROR)
+    ).otherwise(F.lit(SESSION_GAP_DEFAULT))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

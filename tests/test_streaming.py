@@ -1301,3 +1301,76 @@ def test_stream_neardup_sink_crash_then_repacked_redelivery_no_duplicates(
     drain("ckpt2", one_file_per_batch=False)
     got = sorted(r.doc_id for r in read_stream_corpus(spark, corpus).collect())
     assert got == want
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_stateful_totals_all_null_values_emit_sql_nulls():
+    """A user whose values are entirely NULL must emit NULL sum/max
+    (SQL aggregate semantics, matching the batch oracle) — not 0.0 and
+    the -inf init sentinel. n_events still counts every row."""
+    import math
+
+    import pandas as pd
+
+    from neulix_datahub_spark.streaming.stateful import _update_user_totals
+
+    st = _FakeState()
+    out = list(
+        _update_user_totals(
+            (1,), iter([pd.DataFrame({"value": [None, None]})]), st
+        )
+    )[0]
+    assert out["n_events"].iloc[0] == 2
+    assert out["sum_value"].iloc[0] is None or (
+        isinstance(out["sum_value"].iloc[0], float)
+        and math.isnan(out["sum_value"].iloc[0])
+    )
+    assert out["max_value"].iloc[0] is None or math.isnan(out["max_value"].iloc[0])
+    # a later non-null batch resumes normal accumulation
+    out2 = list(
+        _update_user_totals((1,), iter([pd.DataFrame({"value": [3.0]})]), st)
+    )[0]
+    assert out2["n_events"].iloc[0] == 3
+    assert out2["sum_value"].iloc[0] == 3.0
+    assert out2["max_value"].iloc[0] == 3.0
+
+
+def test_stateful_funnel_drops_null_ts_and_bounds_state():
+    """NULL event times must not crash the funnel (NaT→int64 raises in
+    pandas 2.x), and the per-user buffers must stay bounded: events
+    beyond the funnel window (> t1 + 2×deadline) are pruned while the
+    answer stays correct, and views collapse to their minimum."""
+    import pandas as pd
+
+    from neulix_datahub_spark.streaming.stateful import _update_funnel
+
+    st = _FakeState()
+    batch = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-10", None, "2024-01-11"] + ["2024-06-01"] * 50
+            ),
+            "event_type": ["view", "click", "click"] + ["click"] * 50,
+        }
+    )
+    out = list(_update_funnel((9,), iter([batch]), st))[0]
+    assert out["t1"].iloc[0] == float(pd.Timestamp("2024-01-10").value // 1000)
+    assert out["t2"].iloc[0] == float(pd.Timestamp("2024-01-11").value // 1000)
+    n_seen, views, clicks, purchases = st.get
+    assert n_seen == 52  # every non-null funnel event counted
+    assert len(views) == 1  # collapsed to min
+    assert clicks == [float(pd.Timestamp("2024-01-11").value // 1000)]
+    # the 50 June clicks (far beyond t1 + 2x72h) were pruned

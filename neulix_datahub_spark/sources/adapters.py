@@ -37,13 +37,23 @@ def document_query(
     """IO13/EP3: the reference's Firestore query builder
     (``db_core.py:235-270``) — conjunctive equality filters, then
     order_by, then limit — composed as DataFrame ops. Catalyst collapses
-    it to one Scan+Filter+TakeOrdered plan."""
+    it to one Scan+Filter+TakeOrdered plan.
+
+    Filters compare null-SAFELY: Firestore's ``== None`` matches
+    documents whose field is null, while a plain ``==`` against a None
+    literal is three-valued NULL and silently matches nothing. For
+    non-None filter values the two spellings select identical rows
+    (NULL cells fail both). ``limit`` follows the reference's
+    ``if limit:`` truthiness — 0/None mean NO limit, not "return
+    nothing" (``db_core.py:252-256``)."""
     out = df
     if filters:
-        out = out.filter(reduce(and_, [F.col(k) == F.lit(v) for k, v in filters.items()]))
+        out = out.filter(
+            reduce(and_, [F.col(k).eqNullSafe(F.lit(v)) for k, v in filters.items()])
+        )
     if order_by is not None:
         out = out.orderBy(F.desc(order_by) if descending else F.asc(order_by))
-    if limit is not None:
+    if limit:
         out = out.limit(limit)
     return out
 
@@ -57,7 +67,20 @@ def upsert_to_document_store(
     """IO14: batched document upsert sink (``db_core.py:272-337`` — commit
     every 500 ops). Runs on the executors via ``foreachPartition``; the
     service client is the injected ``write_batch`` callable. Returns the
-    row count (the reference logs it, ``db_core.py:333``)."""
+    row count (the reference logs it, ``db_core.py:333``).
+
+    The id column is validated up front (the reference aborts before
+    any write, ``db_core.py:283-289``) — a KeyError inside
+    foreachPartition would surface as an executor task failure AFTER
+    earlier partitions already committed to the store. The frame is
+    pinned (localCheckpoint) so the counted rows and the written rows
+    are the SAME evaluation — count + foreachPartition over a
+    nondeterministic lineage (sample, limit, rand) could otherwise
+    write a different set than it reports."""
+    if id_column not in df.columns:
+        raise ValueError(
+            f"id column {id_column!r} not in DataFrame columns {df.columns}"
+        )
     id_c = id_column
 
     def sink(rows: Iterable) -> None:
@@ -72,6 +95,7 @@ def upsert_to_document_store(
         if batch:
             write_batch(batch)
 
+    df = df.localCheckpoint(eager=True)
     n = df.count()
     if n == 0:  # empty-input guard (db_core.py:351-353)
         return 0
@@ -86,11 +110,16 @@ def upsert_to_document_store(
 def grid_to_dataframe(spark: SparkSession, rows: list[list[str]]) -> DataFrame:
     """IO18: header-row string grid → all-string DataFrame
     (``sheets_core.py:153-161``: row 0 is the header). Ragged rows are
-    padded/truncated to the header width like the Sheets API returns them."""
+    padded/truncated to the header width like the Sheets API returns them.
+    The schema is built as a StructType, not a DDL string — real sheet
+    headers contain blanks and backticks that break DDL parsing."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     header, body = rows[0], rows[1:]
     width = len(header)
     fixed = [tuple((r + [""] * width)[:width]) for r in body]
-    return spark.createDataFrame(fixed, schema=", ".join(f"`{h}` string" for h in header))
+    schema = StructType([StructField(h, StringType()) for h in header])
+    return spark.createDataFrame(fixed, schema=schema)
 
 
 def dedupe_append_to_grid(
@@ -108,22 +137,36 @@ def dedupe_append_to_grid(
     header = existing_rows[0] if existing_rows else incoming.columns
     grid = grid_to_dataframe(spark, existing_rows) if len(existing_rows) > 1 else None
 
-    # Resolve the id column on both sides (F2 semantics).
+    # Incoming side: F2 substring resolution (caller's own frame).
+    # GRID side: EXACT case-insensitive match only, raising when absent —
+    # the reference's ID_COLUMN_NOT_IN_SHEET posture
+    # (sheets_core.py:179-186). A substring fallback here could latch
+    # onto an unrelated column ('paid' for 'id') and anti-join away
+    # incoming rows on coincidental values, and silently SKIPPING dedupe
+    # when the header lacks the id would append duplicates on every run.
     inc_id = find_col(incoming, id_column) or id_column
     out = incoming
     if grid is not None:
-        grid_id = find_col(grid, id_column)
-        if grid_id is not None:
-            existing_ids = (
-                grid.select(F.trim(F.col(grid_id)).alias("__id"))
-                .filter(F.col("__id") != "")
-                .distinct()
+        grid_id = next(
+            (c for c in grid.columns
+             if c.strip().lower() == id_column.strip().lower()),
+            None,
+        )
+        if grid_id is None:
+            raise ValueError(
+                f"ID_COLUMN_NOT_IN_SHEET: {id_column!r} not in grid header "
+                f"{grid.columns}"
             )
-            out = out.join(
-                F.broadcast(existing_ids),
-                F.trim(out[inc_id].cast("string")) == existing_ids["__id"],
-                "left_anti",
-            )
+        existing_ids = (
+            grid.select(F.trim(F.col(grid_id)).alias("__id"))
+            .filter(F.col("__id") != "")
+            .distinct()
+        )
+        out = out.join(
+            F.broadcast(existing_ids),
+            F.trim(out[inc_id].cast("string")) == existing_ids["__id"],
+            "left_anti",
+        )
     # The grid's header may spell the id differently (' Id ' vs 'id') —
     # align the incoming column to the header name before projecting.
     header_id = next((h for h in header if h.strip().lower() == inc_id.strip().lower()), None)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -46,10 +47,6 @@ def warehouse_scratch(
     than ``stale_seconds``, so repeated demo/bench runs don't grow the
     warehouse without bound (the grace window protects concurrent
     runs, same policy as ``snapshots.vacuum_snapshots``)."""
-    import shutil
-    import time
-    import uuid as _uuid
-
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = wh.removeprefix("file://").removeprefix("file:")
     cutoff = time.time() - stale_seconds
@@ -61,7 +58,7 @@ def warehouse_scratch(
                     shutil.rmtree(p, ignore_errors=True)
             except FileNotFoundError:
                 continue
-    path = os.path.join(wh, f"{prefix}{_uuid.uuid4().hex}")
+    path = os.path.join(wh, f"{prefix}{uuid.uuid4().hex}")
     os.makedirs(path, exist_ok=True)
     return path
 
@@ -159,8 +156,21 @@ def compact_partitioned_parquet(
 
     if os.path.abspath(src) == os.path.abspath(dst):
         raise ValueError("compaction rewrites immutably: dst must differ from src")
+    if files_per_partition < 1:
+        raise ValueError(
+            f"files_per_partition must be >= 1, got {files_per_partition} "
+            "(pmod by 0 would NULL the salt instead of failing)"
+        )
     df = spark.read.parquet(src)
     data_cols = [c for c in df.columns if c not in partition_cols]
+    if not data_cols:
+        # Spark itself refuses to WRITE an all-partition-column layout
+        # (ALL_PARTITION_COLUMNS_NOT_ALLOWED); failing here names the
+        # real problem instead of a zero-arg F.hash() AnalysisException
+        raise ValueError(
+            "every column is a partition column — such a layout cannot "
+            "be written by Spark, nothing to compact"
+        )
     salt = F.pmod(
         F.hash(*[F.col(c) for c in data_cols]), F.lit(files_per_partition)
     )
@@ -203,8 +213,6 @@ def read_parquet_or_empty(spark: SparkSession, path: str) -> DataFrame:
     """IO17: parquet scan that yields an EMPTY (zero-column) DataFrame on a
     missing path instead of raising — the reference's GCS-read guard
     (``storage.py:153-194``, returns ``pd.DataFrame()`` when absent)."""
-    import os
-
     if not os.path.exists(path):
         return spark.createDataFrame([], "struct<>")
     return spark.read.parquet(path)
@@ -274,13 +282,29 @@ def sniff_delimiter(
     Reads exactly one line via ``limit(1)`` — at 100 TB this stays a
     single-split, single-row scan; no full pass happens before the real
     read.
+
+    The probe splits with the stdlib csv reader, which honors QUOTING —
+    a raw str.split would see the comma inside '"last,first";age' and
+    pick ',' before ';' is ever tried, garbling the whole parse. No
+    candidate producing >1 column raises (the reference's posture: a
+    file none of the candidates can split is a malformed input, not a
+    silent comma-delimited guess).
     """
+    import csv as _csv
+
     first = spark.read.text(path).limit(1).collect()
     header = first[0][0] if first else ""
     for sep in candidates:
-        if len(header.split(sep)) > 1:
+        try:
+            cells = next(_csv.reader([header], delimiter=sep), [])
+        except _csv.Error:
+            continue
+        if len(cells) > 1:
             return sep
-    return candidates[0]
+    raise ValueError(
+        f"no candidate delimiter {candidates!r} splits the header of "
+        f"{path!r} into more than one column"
+    )
 
 
 def read_csv_sniffed(
@@ -361,6 +385,13 @@ def update_parquet_table(
     rows matched by ``where``.
     """
     df = spark.read.parquet(path)
+    unknown = set(set_exprs) - set(df.columns)
+    if unknown:
+        raise ValueError(
+            f"set_exprs name columns the table lacks: {sorted(unknown)} — "
+            "a typo'd column must fail loudly, not publish an unchanged "
+            "table (same policy as snapshots.update_snapshot)"
+        )
     cond = where if where is not None else F.lit(True)
     matched = df.filter(cond).count()
     updated = df.select(
@@ -371,10 +402,17 @@ def update_parquet_table(
             for c in df.columns
         ]
     )
-    staging = f"{path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
+    token = uuid.uuid4().hex[:8]
+    staging = f"{path.rstrip('/')}.__staging_{token}"
     updated.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
+    # rename-aside: the table is never missing from its published path —
+    # a crash leaves either the old data live or a .__old_* residue
+    # next to the new one (the previous rmtree-then-rename spelling had
+    # a window where the table was simply GONE)
+    old_dir = f"{path.rstrip('/')}.__old_{token}"
+    os.rename(path, old_dir)
     os.rename(staging, path)
+    shutil.rmtree(old_dir)
     return matched
 
 

@@ -533,3 +533,59 @@ def test_binary_parsers_total_on_arbitrary_bytes():
             assert out is None or isinstance(out, tuple)
 
     run()
+
+
+def test_document_query_null_filter_and_limit_zero(spark):
+    """Firestore parity: a None filter value matches null fields
+    (plain == against a None literal is three-valued NULL and matches
+    nothing), and limit=0 means NO limit (the reference's `if limit:`),
+    not an empty result."""
+    from neulix_datahub_spark.sources.adapters import document_query
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "id int, deleted_at string"
+    )
+    got = document_query(df, filters={"deleted_at": None}, order_by="id")
+    assert [r.id for r in got.collect()] == [1, 3]
+    assert document_query(df, limit=0).count() == 3
+
+
+def test_doc_store_upsert_validates_id_column(spark):
+    """A missing id column aborts BEFORE any write (reference
+    db_core.py:283-289) — not as a KeyError inside executor tasks after
+    earlier partitions already committed."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.adapters import upsert_to_document_store
+
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    written = []
+    with _pytest.raises(ValueError, match="id column 'ID'"):
+        upsert_to_document_store(df, "ID", written.append)
+    assert written == []
+
+
+def test_grid_dedupe_raises_when_header_lacks_id(spark):
+    """Reference parity (ID_COLUMN_NOT_IN_SHEET): a grid whose header
+    has no id column must raise — a substring fallback could latch onto
+    'paid' for 'id' and anti-join away unrelated rows, and skipping
+    dedupe silently appends duplicates on every run."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.adapters import dedupe_append_to_grid
+
+    incoming = spark.createDataFrame([(1, "a")], "id int, v string")
+    grid = [["paid", "v"], ["1", "x"]]
+    with _pytest.raises(ValueError, match="ID_COLUMN_NOT_IN_SHEET"):
+        dedupe_append_to_grid(grid, incoming, "id", lambda rows: len(rows))
+
+
+def test_grid_to_dataframe_survives_messy_header_cells(spark):
+    """Blank and backtick-bearing header cells are what real sheets
+    contain; the DDL-string schema choked on both."""
+    from neulix_datahub_spark.sources.adapters import grid_to_dataframe
+
+    rows = [["id", "", "Price (`R$`)"], ["1", "x", "9.5"]]
+    df = grid_to_dataframe(spark, rows)
+    assert df.columns == ["id", "", "Price (`R$`)"]
+    assert df.collect()[0][2] == "9.5"

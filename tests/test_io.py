@@ -505,3 +505,58 @@ def test_write_zordered_roundtrip_and_layout(spark, tmp_path):
         spans.append(st["o_custkey"].max - st["o_custkey"].min)
     # each file's first row group covers a narrow custkey slice
     assert sum(spans) / len(spans) < 0.7 * ck_span
+
+
+def test_sniff_delimiter_honors_quoting_and_fails_loudly(spark, tmp_path):
+    """A quoted header cell containing a comma must not trick the probe
+    into picking ',' for a semicolon-delimited file, and a file no
+    candidate can split raises instead of silently guessing ','."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.io import sniff_delimiter
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('"last,first";age\n"doe,jane";30\n')
+    assert sniff_delimiter(spark, str(p)) == ";"
+
+    single = tmp_path / "single.csv"
+    single.write_text("lonely\n1\n2\n")
+    with _pytest.raises(ValueError, match="no candidate delimiter"):
+        sniff_delimiter(spark, str(single))
+
+
+def test_update_parquet_table_rejects_unknown_columns(spark, tmp_path):
+    """A typo'd set_exprs column fails loudly instead of publishing an
+    unchanged table (same policy as snapshots.update_snapshot)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.io import update_parquet_table
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 2.0)], "id int, v double").write.parquet(path)
+    with _pytest.raises(ValueError, match="columns the table lacks"):
+        update_parquet_table(spark, path, {"vv": F.lit(0.0)})
+
+
+def test_compact_partitioned_parquet_degenerate_inputs_fail_loudly(
+    spark, tmp_path
+):
+    """files_per_partition < 1 and an all-partition-column request are
+    refused with a named error up front — previously pmod-by-0 silently
+    NULLed the salt and the zero-arg F.hash() surfaced as an obscure
+    AnalysisException."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.sources.io import compact_partitioned_parquet
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    ).write.partitionBy("k").parquet(src)
+    with _pytest.raises(ValueError, match="files_per_partition"):
+        compact_partitioned_parquet(
+            spark, src, str(tmp_path / "d1"), ["k"], files_per_partition=0
+        )
+    with _pytest.raises(ValueError, match="partition column"):
+        compact_partitioned_parquet(spark, src, str(tmp_path / "d2"), ["k", "v"])

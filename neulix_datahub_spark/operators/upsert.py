@@ -38,11 +38,20 @@ def upsert(
     anti-join then runs map-side with no shuffle of the target.
 
     NULL keys upsert as one key (``groupBy``/``dropDuplicates``
-    semantics): the anti-join matches null-safely, so an update row
-    with a NULL key REPLACES the target's NULL-key row instead of
-    piling a duplicate next to it on every application — a null-unsafe
-    join can never match NULL=NULL and silently breaks both the
-    overwrite contract and idempotence.
+    semantics): an update row with a NULL key REPLACES the target's
+    NULL-key row instead of piling a duplicate next to it on every
+    application — a null-unsafe join can never match NULL=NULL and
+    silently breaks both the overwrite contract and idempotence.
+
+    Plan note (measured on the sf0.1 bench upsert): the ``eqNullSafe``
+    anti-join rewrites to ``(coalesce(k,0), isnull(k))`` hash keys,
+    costing one extra exchange of the (small) updates side vs the
+    null-unsafe spelling — ~0.1s here, the price of a correct NULL-key
+    contract. Two alternatives were measured and REJECTED: a separate
+    ≤1-row null-marker anti-join re-evaluated the whole updates lineage
+    a third time (+55%), and pinning the keys with a localCheckpoint
+    paid a materialization job per call that exceeded the exchange it
+    saved.
     """
     if tiebreak is not None:
         w = Window.partitionBy(key).orderBy(F.desc(tiebreak))

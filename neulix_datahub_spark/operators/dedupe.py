@@ -68,8 +68,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     everything with no partial agg — both strictly worse.)
     """
     other = [c for c in df.columns if c != id_col]
+    # NULL text has no content to deduplicate ON: its fingerprint is
+    # NULL, and a plain groupBy would treat every such row as ONE group
+    # and silently delete all but the min-id one. Coalescing the group
+    # key to a per-row unique value keeps each NULL-text row its own
+    # survivor — still one pass, one shuffle (the sentinel prefix can't
+    # collide with real sha-256 hex).
+    fp = F.coalesce(
+        content_fingerprint(text_col),
+        F.concat(F.lit("__nulltext__"), F.col(id_col).cast("string")),
+    )
     packed = df.select(
-        content_fingerprint(text_col).alias("__fp"),
+        fp.alias("__fp"),
         F.struct(F.col(id_col), *[F.col(c) for c in other]).alias("__row"),
     )
     return (
@@ -95,8 +105,14 @@ def _shingles(col: Column, n: int) -> Column:
     normed = normalize_text(col)
     pat = rf"(?<=^|\s)(?=((?:\S+ ){{{n - 1}}}\S+))"
     grams = F.regexp_extract_all(normed, F.lit(pat), F.lit(1))
+    # NULL text -> EMPTY set, not array(NULL): xxhash64(NULL) is the
+    # constant seed hash, so array(NULL) made every NULL-text document
+    # a jaccard-1.0 "near-duplicate" of every other one across the
+    # minhash/ngram/simhash paths. Empty sets pair with nothing.
     return F.array_distinct(
-        F.when(F.size(grams) > 0, grams).otherwise(F.array(normed))
+        F.when(F.size(grams) > 0, grams)
+        .when(normed.isNotNull(), F.array(normed))
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -155,8 +171,12 @@ def minhash_near_duplicates(
     join replaces the quadratic cross-product; skewed mega-buckets (e.g.
     boilerplate docs) are handled by AQE skew-join splitting.
     """
+    _validate_banding(num_hashes, bands)
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # NULL text has an EMPTY shingle set; its signature would be the
+    # constant init array, making every NULL-text doc band-collide with
+    # every other one — they carry no content to near-match on
+    sig = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig"),
     )
@@ -193,6 +213,37 @@ def minhash_near_duplicates(
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs
+
+
+def _validate_grid_threshold(threshold: float) -> None:
+    """The pair operators round jaccard to 6 dp before thresholding
+    (mirrored in every DuckDB oracle). For a threshold ON the 1e-6 grid
+    that introduces no false negatives — round(j,6) >= j - 5e-7 lands
+    back on the grid at or above the threshold whenever j >= t — only
+    possible epsilon-INCLUSIONS of pairs within 5e-7 below it. An
+    OFF-grid threshold breaks that argument (a qualifying pair can
+    round below it), so it is refused here rather than silently
+    weakening the documented zero-false-negative contract."""
+    if round(threshold, 6) != threshold:
+        raise ValueError(
+            f"threshold {threshold!r} is not representable at 6 decimal "
+            "places — the 6-dp jaccard rounding could drop qualifying "
+            "pairs; pass a threshold on the 1e-6 grid"
+        )
+
+
+def _validate_banding(num_hashes: int, bands: int) -> None:
+    """LSH banding is only well-defined when bands evenly tiles the
+    signature: bands > num_hashes makes rows-per-band 0, every band
+    hash becomes hash('') for EVERY document, and the bucket join
+    degenerates to the full O(n²) cross product; a non-divisor silently
+    ignores trailing signature slots, weakening the collision
+    probability the miss-rate math relies on."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands must divide num_hashes with 1 <= bands <= num_hashes; "
+            f"got num_hashes={num_hashes}, bands={bands}"
+        )
 
 
 def jaccard_expr(a: Column, b: Column) -> Column:
@@ -236,6 +287,7 @@ def ngram_jaccard_pairs(
     arrays shrink to 8 bytes/shingle — measured 2.3x on the sf0.1 probe
     self-join with bit-identical output.
     """
+    _validate_grid_threshold(threshold)
     if max_block is not None and block_col is None:
         raise ValueError("max_block requires block_col")
     sh = df.select(
@@ -317,6 +369,7 @@ def verify_candidate_pairs(
     small relation against the shingle projection — no self-join, no
     cross-product, Jaccard as a pure array expression.
     """
+    _validate_grid_threshold(threshold)
     # Hashed shingles for the same reason as in ngram_jaccard_pairs:
     # identical Jaccard, cheaper per-pair set work and smaller shuffle.
     sh = df.select(
@@ -447,6 +500,7 @@ def prefix_filter_join(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    _validate_grid_threshold(threshold)
     toks = (
         set_expr
         if set_expr is not None

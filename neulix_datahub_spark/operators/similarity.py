@@ -100,6 +100,23 @@ def cosine_self_join_top_k(
 
     Returns ``(probe_id, neighbor_id, score)``; excludes self-matches.
     """
+    return _probe_top_k(df, probe_ids, k, vec_col, id_col)
+
+
+def _probe_top_k(
+    df: DataFrame,
+    probe_ids: list[int],
+    k: int,
+    vec_col: str,
+    id_col: str,
+    sim_ceiling: float | None = None,
+) -> DataFrame:
+    """Shared probe-set top-k body (cosine_self_join_top_k and
+    hard_negative_candidates differ ONLY by the optional score ceiling;
+    keeping one implementation means a fix to the norm handling or the
+    tiebreak can't silently miss one of them): broadcast the probe
+    projections against one corpus scan, optional band filter BEFORE
+    the ranking window, window partitioned per probe."""
     from pyspark.sql import Window
 
     probes = df.filter(F.col(id_col).isin(probe_ids)).select(
@@ -116,6 +133,8 @@ def cosine_self_join_top_k(
         F.col(id_col).alias("neighbor_id"),
         (_dot(F.col(vec_col), F.col("__q")) / (F.col("__vn") * F.col("__qn"))).alias("score"),
     )
+    if sim_ceiling is not None:
+        scored = scored.filter(F.col("score") < sim_ceiling)
     w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
@@ -357,12 +376,19 @@ def embedding_near_duplicates(
     probe_filter: Column | None = None,
 ) -> DataFrame:
     """L2 embedding variant: pairs whose cosine similarity crosses
-    ``threshold`` — ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+    ``threshold`` — ``(id_a, id_b, cos_sim)``, each unordered pair once.
 
-    ``probe_filter`` restricts the LEFT side (the probe set); the probe
-    side is broadcast against the full corpus scan, so the corpus never
-    shuffles. For full-corpus near-dup at 100 TB, bucket first
-    (``ivf_assign_buckets``) and run this within buckets.
+    ``probe_filter`` restricts the PROBE side (id_a); every probe pairs
+    with the WHOLE corpus regardless of id order — the join condition
+    is ``id_a < id_b OR NOT probe(b)``, which (a) keeps each
+    probe↔probe pair once in canonical order, (b) emits probe↔non-probe
+    pairs in both id orders as (probe, other), and (c) reduces to the
+    classic ``id_a < id_b`` when there is no filter. A plain
+    ``id_a < id_b`` with a probe side silently missed every
+    near-duplicate whose corpus id was SMALLER than the probe's — the
+    max-id probe always came back empty. The probe side broadcasts, so
+    the corpus never shuffles. For full-corpus near-dup at 100 TB,
+    bucket first (``ivf_assign_buckets``) and run this within buckets.
 
     Norms are computed once per ROW in the pre-join projections, so the
     per-PAIR work is just the dot product — a 3x cut in the pairwise
@@ -374,13 +400,16 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),
     )
+    is_probe = F.lit(True) if probe_filter is None else probe_filter
     corpus = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
+        is_probe.alias("__bp"),
     )
+    pair = (F.col("id_a") < F.col("id_b")) | ~F.col("__bp")
     return (
-        corpus.join(F.broadcast(probes), F.col("id_a") < F.col("id_b"))
+        corpus.join(F.broadcast(probes), pair)
         .select(
             "id_a",
             "id_b",
@@ -552,13 +581,22 @@ def quantize_embeddings_int8(
         idx,
         lambda i: F.when(
             F.element_at("__maxs", i + 1) > F.element_at("__mins", i + 1),
-            F.round(
-                (F.element_at(F.col(vec_col), i + 1).cast("double")
-                 - F.element_at("__mins", i + 1))
-                / (F.element_at("__maxs", i + 1) - F.element_at("__mins", i + 1))
-                * 255
-            ).cast("int")
-            - 128,
+            # clamp to int8: vectors appended AFTER calibration can
+            # exceed the calibrated range, and an unclamped code (e.g.
+            # 382) overflows any downstream tinyint/Arrow int8 buffer
+            F.greatest(
+                F.lit(-128),
+                F.least(
+                    F.lit(127),
+                    F.round(
+                        (F.element_at(F.col(vec_col), i + 1).cast("double")
+                         - F.element_at("__mins", i + 1))
+                        / (F.element_at("__maxs", i + 1) - F.element_at("__mins", i + 1))
+                        * 255
+                    ).cast("int")
+                    - 128,
+                ),
+            ),
         ).otherwise(F.lit(0)),
     )
     return (
@@ -617,6 +655,9 @@ def build_ivf_index(
         # lineage a second time right after writing it
         "n_vecs": spark.read.parquet(path).count(),
     }
+    # os-level sidecar write: the same local/posix-fs assumption as the
+    # snapshot pointer machinery (documented repo-wide); an object-store
+    # deployment swaps this one call for its FS API or a table property
     with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as f:
         json.dump(meta, f, sort_keys=True)
     return meta
@@ -668,11 +709,20 @@ def append_to_ivf_index(df: DataFrame, path: str) -> None:
     need no re-training, so append never degrades the index structure —
     the file-count growth inside hot buckets is what compaction
     maintenance is for.)"""
+    import json
+    import os
+
     meta = read_ivf_meta(path)
     bucketed = ivf_assign_buckets(
         df, meta["num_buckets"], meta["vec_col"], meta["seed"]
     )
     bucketed.write.mode("append").partitionBy("bucket").parquet(path)
+    # keep the sidecar's vector count true: every consumer of n_vecs
+    # (recall denominators, compaction triggers) would otherwise drift
+    # further from reality with each append
+    meta["n_vecs"] = df.sparkSession.read.parquet(path).count()
+    with open(os.path.join(path, _IVF_META), "w", encoding="utf-8") as f:
+        json.dump(meta, f, sort_keys=True)
 
 
 def hard_negative_candidates(
@@ -697,29 +747,6 @@ def hard_negative_candidates(
     (query_ivf_index) — same band-then-rank composition over the
     candidate subset.
     """
-    from pyspark.sql import Window
-
-    probes = df.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("__q"),
-        _norm(F.col(vec_col)).alias("__qn"),
-    )
-    scored = (
-        df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__vn"))
-        .crossJoin(F.broadcast(probes))
-        .filter(F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col(id_col).alias("neighbor_id"),
-            (_dot(F.col(vec_col), F.col("__q")) / (F.col("__vn") * F.col("__qn"))).alias(
-                "score"
-            ),
-        )
-        .filter(F.col("score") < sim_ceiling)
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .drop("rn")
+    return _probe_top_k(
+        df, probe_ids, k, vec_col, id_col, sim_ceiling=sim_ceiling
     )

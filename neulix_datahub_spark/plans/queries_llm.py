@@ -128,7 +128,8 @@ FROM (
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
                AS cos_sim
     FROM embeddings a JOIN embeddings b
-      ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+      ON a.vec_id % 20 = 0
+     AND (a.vec_id < b.vec_id OR NOT (b.vec_id % 20 = 0))
 )
 WHERE cos_sim >= 0.30
 """
@@ -985,7 +986,8 @@ WITH cand AS (
                round(list_cosine_similarity(a.embedding::DOUBLE[],
                                             b.embedding::DOUBLE[]), 6) AS cos_sim
         FROM embeddings a JOIN embeddings b
-          ON a.vec_id % 20 = 0 AND a.vec_id < b.vec_id
+          ON a.vec_id % 20 = 0
+         AND (a.vec_id < b.vec_id OR NOT (b.vec_id % 20 = 0))
     ) WHERE cos_sim >= 0.30
 ),
 sh AS (

@@ -234,12 +234,18 @@ def test_fuzzy_self_pairs_bounded_identical_output(spark):
 
 
 def test_embedding_near_duplicates_pairs(spark):
+    """Probes pair with the WHOLE corpus regardless of id order: vector
+    5 is a near-duplicate of probe 20 and must be found even though its
+    id is smaller (the old `id_a < id_b`-only join made a max-id probe
+    always come back empty); probe↔probe pairs appear once, in
+    canonical order."""
     df = spark.createDataFrame(
         [
             (0, [1.0, 0.0]),
-            (1, [1.0, 0.001]),  # ~identical direction
+            (1, [1.0, 0.001]),  # ~identical direction to probe 0
             (2, [0.0, 1.0]),  # orthogonal to 0
-            (20, [-1.0, 0.0]),  # opposite
+            (5, [-1.0, 0.0005]),  # ~identical to probe 20, SMALLER id
+            (20, [-1.0, 0.0]),  # opposite of 0
         ],
         "vec_id long, embedding array<double>",
     )
@@ -247,7 +253,7 @@ def test_embedding_near_duplicates_pairs(spark):
         df, threshold=0.9, probe_filter=F.col("vec_id") % 20 == 0
     )
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
-    assert pairs == {(0, 1)}
+    assert pairs == {(0, 1), (20, 5)}
 
 
 def test_ivf_top_k_overlaps_brute_force(spark):

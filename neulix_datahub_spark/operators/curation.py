@@ -75,14 +75,26 @@ def benchmark_excerpt(
 # ---------------------------------------------------------------------------
 
 
-def hash_bucket_hex(col: Column | str, digits: int = 4) -> Column:
-    """Leading ``digits`` hex chars of md5(text) — a deterministic,
-    content-addressed sampling key. Fixed-length lowercase hex compares
-    lexicographically exactly as its numeric value, so thresholding is a
-    plain string comparison that any engine (Spark, DuckDB, Trino)
-    reproduces bit-for-bit."""
+def hash_bucket_hex(col: Column | str, digits: int = 4, *, salt: str = "") -> Column:
+    """Leading ``digits`` hex chars of md5(salt || text) — a
+    deterministic, content-addressed sampling key. Fixed-length
+    lowercase hex compares lexicographically exactly as its numeric
+    value, so thresholding is a plain string comparison that any engine
+    (Spark, DuckDB, Trino) reproduces bit-for-bit.
+
+    ``salt`` is DOMAIN SEPARATION, and it is load-bearing: every
+    decision family (sampling, splitting, sharding) must hash a
+    DIFFERENT string, or composing them correlates catastrophically —
+    measured: an un-salted 30% sample followed by an un-salted 80/10/10
+    split put EVERY surviving document in train (the sample keeps
+    exactly the low end of the same hash space the split's first range
+    covers), leaving val/test empty. Same scheme as epoch_order_key's
+    'epoch:' prefix. NULL text coalesces to '' so contentless rows
+    route deterministically instead of poisoning the key to NULL."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.substring(F.md5(c), 1, digits)
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.coalesce(c, F.lit("")))), 1, digits
+    )
 
 
 def rate_to_hex_cutoff(rate: float, digits: int = 4) -> str:
@@ -123,7 +135,7 @@ def hash_mixing_sample(
         cutoff = F.when(
             F.col(strata_col) == stratum, F.lit(rate_to_hex_cutoff(rate))
         ).otherwise(cutoff)
-    return df.filter(hash_bucket_hex(text_col) < cutoff)
+    return df.filter(hash_bucket_hex(text_col, salt="sample:") < cutoff)
 
 
 def stratified_topn_sample(
@@ -148,7 +160,8 @@ def stratified_topn_sample(
     ranking, which bounds every partition.
     """
     w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(text_col)), F.col(id_col)
+        F.md5(F.concat(F.lit("topn:"), F.coalesce(F.col(text_col), F.lit("")))),
+        F.col(id_col),
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -366,7 +379,7 @@ def hash_split(
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
     names = list(splits)
-    bucket = hash_bucket_hex(text_col, digits)
+    bucket = hash_bucket_hex(text_col, digits, salt="split:")
     expr: Column | None = None
     acc = 0.0
     for name in names[:-1]:
@@ -470,7 +483,8 @@ def export_corpus(
     import json
 
     shard = (
-        F.conv(hash_bucket_hex(text_col, 4), 16, 10).cast("long") % n_shards
+        F.conv(hash_bucket_hex(text_col, 4, salt="shard:"), 16, 10).cast("long")
+        % n_shards
     ).alias("shard")
     out = df.withColumn("shard", shard)
     if shuffle_seed is not None:
@@ -599,7 +613,12 @@ def time_embargo_split(
     """
     ts = F.col(ts_col)
     lo = F.lit(cutoff).cast("timestamp")
-    hi = F.to_timestamp(F.date_add(F.lit(cutoff).cast("date"), embargo_days))
+    # interval arithmetic, NOT date_add on a truncated date: a
+    # time-bearing cutoff ('... 18:00') must push the purge window a
+    # full embargo past that INSTANT — truncating to midnight silently
+    # shortened the window by up to a day, letting trailing-window
+    # overlap leak into test (the exact leakage this operator severs)
+    hi = lo + F.expr(f"INTERVAL {int(embargo_days)} DAY")
     return df.withColumn(
         split_col,
         F.when(ts < lo, "train").when(ts < hi, "purged").otherwise("test"),

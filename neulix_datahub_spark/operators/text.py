@@ -205,7 +205,10 @@ def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
 # identically under Spark's Java regex and common RE2-style engines):
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    # digits interleaved with AT MOST ONE separator each — the earlier
+    # unbounded [0-9()\-\s]{7,} run matched any numeric list ('10 20 30
+    # 40'), redacting tables/year lists and merging adjacent numbers
+    "phone": r"\+?[0-9](?:[()\-\s]?[0-9]){7,}",
     "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
 }
 
@@ -305,7 +308,12 @@ def top_word_share(col: Column | str) -> Column:
     replacing the earlier O(distinct x total) count-per-distinct-token
     form. Nothing leaves codegen and there is no shuffle."""
     c = F.col(col) if isinstance(col, str) else col
-    tokens = F.split(normalize_text(c), " ")
+    # drop the '' artifact: split('', ' ') is [''] (size 1), which made
+    # an EMPTY document score 1.0 — maximally repetitive — while
+    # token_count reports 0 tokens for the same text
+    tokens = F.filter(
+        F.split(normalize_text(c), " "), lambda t: t != ""
+    )
 
     def _step(acc: Column, t: Column) -> Column:
         run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))

@@ -1733,7 +1733,10 @@ def training_export_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("__row.*")
     )
     shard = (
-        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long")
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard:"), F.col("text"))), 1, 4),
+            16, 10,
+        ).cast("long")
         % _N_EXPORT_SHARDS
     )
     return (
@@ -1774,7 +1777,7 @@ deduped AS (
     FROM filtered
     GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
 )
-SELECT CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
+SELECT CAST('0x' || substr(md5('shard:' || text), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) AS avg_quality

@@ -1207,9 +1207,7 @@ def time_embargo_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_orderdate", _EMBARGO_CUTOFF, _EMBARGO_DAYS
     )
     lo = F.lit(_EMBARGO_CUTOFF).cast("timestamp")
-    hi = F.to_timestamp(
-        F.date_add(F.lit(_EMBARGO_CUTOFF).cast("date"), _EMBARGO_DAYS)
-    )
+    hi = lo + F.expr(f"INTERVAL {int(_EMBARGO_DAYS)} DAY")
     return (
         split.groupBy("split")
         .agg(

@@ -2187,6 +2187,62 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R8} | {
     n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R8)
 }
 
+# ---------------------------------------------------------------------------
+# ROUND 9 rotation (the round-8 driver run consumed _PRIORITY_R8 —
+# 50/50 hash-green). Composition per the round-8 verdict:
+#   1-8:   the 8 queries whose semantics changed in the r8 end-of-round
+#          sweep (commit 6c7110c: salted hash domains, empty-doc
+#          top_word_share, embargo interval arithmetic) AFTER the r8
+#          driver window ran — sim-verified EXACT by the judge at
+#          sf0.01, but the driver artifact must confirm;
+#   9-21:  the r1-r3-era stale greens deferred by the round-8 NOTE
+#          (as-of snapshots, pivot, q17-q22 TPC-H refreshes, LLM-tier
+#          lang profiles, near-dup);
+#   22-50: the oldest r4-era greens, LLM/dedup/similarity tier first,
+#          then the TPC-H and profile refreshes.
+_PRIORITY_R9 = [
+    # -- changed post-r8-window by 6c7110c: fresh driver rows required --
+    "training_export_stats", "mixing_sample_counts",
+    "stratified_sample_summary", "hash_split_profile",
+    "cluster_split_stats", "time_embargo_split_stats",
+    "pii_scrub_stats", "word_repetition_by_lang",
+    # -- r1-r3-era stale greens (deferred from the round-8 NOTE) --
+    "events_asof_snapshots", "pivot_event_values", "fill_nulls_events",
+    "q20_excess_share_suppliers", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "char_entropy_by_lang", "contamination_by_lang",
+    "boilerplate_removal_stats", "embedding_near_dup",
+    # -- oldest r4-era greens: LLM/dedup/similarity tier first --
+    "unigram_perplexity_by_lang", "duplicate_passage_stats",
+    "ngram_jaccard_docs", "kmeans_cluster_profile", "fuzzy_part_pairs",
+    "exact_dedup_documents", "cosine_top10", "token_quality_by_lang",
+    "lang_id_distribution", "ivf_recall_check", "profile_documents_full",
+    # -- then the r4-era TPC-H / profile / IO refreshes --
+    "doc_filter_sort_limit", "profile_orders_stats",
+    "top10_order_priorities", "upsert_customer_balances",
+    "sequential_ids_two_phase", "top_orders_per_customer",
+    "q3_shipping_priority", "q5_nation_revenue", "q6_forecast_revenue",
+    "q4_order_priority", "q10_returned_revenue", "q14_promo_share",
+    "customers_without_orders", "building_customers_without_orders",
+    "rich_buyers", "delegated_sql_query", "salted_join_revenue",
+    "update_rewrite_stats",
+]
+# ROUND 10 NOTE: rotate ONLY AFTER the round-9 driver run consumes this
+# prefix. Lead round 10 with any round-9/10 implementation changes and
+# red-row fixes, then the remaining r4-era stale greens oldest-first:
+# q3-era leftovers (describe_lineitem, header_projection,
+# sanitized_projection, stats_by_returnflag, bucketed_revenue_by_priority,
+# csv/json/text_roundtrip_stats, bulk_manifest_stats,
+# grid_dedupe_append_stats, task_exchange_stats, fetch_hook_profile,
+# parse_flag_distribution, iso_order_dates, json_props_stats), then the
+# r5-era tier — names as registered.
+assert set(_PRIORITY_R9) <= set(QUERIES), sorted(set(_PRIORITY_R9) - set(QUERIES))
+assert len(_PRIORITY_R9) == 50, len(_PRIORITY_R9)
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R9} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R9)
+}
+
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
 
 

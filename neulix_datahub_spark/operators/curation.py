@@ -632,6 +632,11 @@ def epoch_order_key(text_col: Column | str, epoch: int) -> Column:
     epoch" without RNG state to checkpoint: restarting epoch 7 replays
     epoch 7's exact order, on any engine (md5 is portable, so even the
     order itself is oracle-checkable). Pair with export_corpus's
-    within-shard sort to materialize one epoch's layout."""
+    within-shard sort to materialize one epoch's layout.
+
+    NULL text coalesces to '' like every hash family here
+    (hash_bucket_hex): md5(NULL) is NULL, and engines disagree on where
+    NULL sorts (Spark first, DuckDB last) — a contentless row must get
+    a deterministic portable position, not an engine-dependent one."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.md5(F.concat(F.lit(f"{epoch}:"), c))
+    return F.md5(F.concat(F.lit(f"{epoch}:"), F.coalesce(c, F.lit(""))))

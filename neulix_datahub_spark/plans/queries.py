@@ -1777,7 +1777,7 @@ deduped AS (
     FROM filtered
     GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
 )
-SELECT CAST('0x' || substr(md5('shard:' || text), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
+SELECT CAST('0x' || substr(md5('shard:' || COALESCE(text, '')), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) AS avg_quality
@@ -2206,6 +2206,9 @@ _PRIORITY_R9 = [
     "stratified_sample_summary", "hash_split_profile",
     "cluster_split_stats", "time_embargo_split_stats",
     "pii_scrub_stats", "word_repetition_by_lang",
+    # -- changed in r9: epoch_order_key now coalesces NULL text (engine
+    #    + oracle in lockstep) --
+    "epoch_shuffle_check",
     # -- r1-r3-era stale greens (deferred from the round-8 NOTE) --
     "events_asof_snapshots", "pivot_event_values", "fill_nulls_events",
     "q20_excess_share_suppliers", "q17_small_quantity_revenue",
@@ -2226,12 +2229,12 @@ _PRIORITY_R9 = [
     "q4_order_priority", "q10_returned_revenue", "q14_promo_share",
     "customers_without_orders", "building_customers_without_orders",
     "rich_buyers", "delegated_sql_query", "salted_join_revenue",
-    "update_rewrite_stats",
 ]
 # ROUND 10 NOTE: rotate ONLY AFTER the round-9 driver run consumes this
 # prefix. Lead round 10 with any round-9/10 implementation changes and
 # red-row fixes, then the remaining r4-era stale greens oldest-first:
-# q3-era leftovers (describe_lineitem, header_projection,
+# q3-era leftovers (update_rewrite_stats — displaced by the r9
+# epoch_shuffle_check change — describe_lineitem, header_projection,
 # sanitized_projection, stats_by_returnflag, bucketed_revenue_by_priority,
 # csv/json/text_roundtrip_stats, bulk_manifest_stats,
 # grid_dedupe_append_stats, task_exchange_stats, fetch_hook_profile,

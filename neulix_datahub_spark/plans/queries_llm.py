@@ -561,7 +561,7 @@ def mixing_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIXING_SQL = """
 WITH flagged AS (
     SELECT lang,
-           CASE WHEN substring(md5('sample:' || text), 1, 4) <
+           CASE WHEN substring(md5('sample:' || COALESCE(text, '')), 1, 4) <
                      CASE lang WHEN 'en' THEN '8000'
                                WHEN 'de' THEN '4000'
                                WHEN 'es' THEN '4000'
@@ -766,7 +766,7 @@ _STRATIFIED_SQL = """
 WITH ranked AS (
     SELECT lang, doc_id,
            row_number() OVER (PARTITION BY source
-                              ORDER BY md5('topn:' || text), doc_id) AS rk
+                              ORDER BY md5('topn:' || COALESCE(text, '')), doc_id) AS rk
     FROM documents
 )
 SELECT lang,
@@ -1547,7 +1547,7 @@ labeled AS (
 ),
 assigned AS (
     SELECT l.doc_id, l.cluster,
-           CASE WHEN substring(md5('split:' || r.text), 1, 4) < 'cccc'
+           CASE WHEN substring(md5('split:' || COALESCE(r.text, '')), 1, 4) < 'cccc'
                 THEN 'train' ELSE 'eval' END AS split
     FROM labeled l JOIN documents r ON l.cluster = r.doc_id
 )

@@ -2000,8 +2000,8 @@ def epoch_shuffle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EPOCH_SQL = """
 WITH r AS (
     SELECT doc_id,
-           row_number() OVER (ORDER BY md5('0:' || text), doc_id) AS r0,
-           row_number() OVER (ORDER BY md5('1:' || text), doc_id) AS r1
+           row_number() OVER (ORDER BY md5('0:' || COALESCE(text, '')), doc_id) AS r0,
+           row_number() OVER (ORDER BY md5('1:' || COALESCE(text, '')), doc_id) AS r1
     FROM documents
 ),
 s AS (

@@ -168,8 +168,8 @@ def hash_split_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HASH_SPLIT_SQL = """
-SELECT CASE WHEN substr(md5('split:' || text), 1, 4) < 'e666' THEN 'train'
-            WHEN substr(md5('split:' || text), 1, 4) < 'f333' THEN 'val'
+SELECT CASE WHEN substr(md5('split:' || COALESCE(text, '')), 1, 4) < 'e666' THEN 'train'
+            WHEN substr(md5('split:' || COALESCE(text, '')), 1, 4) < 'f333' THEN 'val'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
        avg(n_chars) AS avg_chars

@@ -160,6 +160,47 @@ def published_history(root: str) -> list[tuple[str, float]] | None:
         return None
 
 
+def _effective_history(root: str) -> list[tuple[str, float]] | None:
+    """:func:`published_history` plus the versions the log alone would
+    wrongly hide, publish order. None when the table has no log at all
+    (pure pre-log table — callers fall back to directory mtimes).
+
+    Two real gaps in the raw log:
+
+    - **Mixed-era tables**: versions published before the log existed
+      don't appear in it, so a table's first post-upgrade publish would
+      otherwise erase all earlier history (``version_at`` raising for
+      any pre-upgrade timestamp). Version directories strictly OLDER
+      than the first log entry are unioned in at their directory mtime
+      — exactly the pre-log fallback this table used before the log
+      appeared, so no aborted post-log CAS loser can sneak in through
+      this path (those are all newer than the first entry).
+    - **Torn publish**: a crash between the pointer ``os.replace`` and
+      the log append leaves the CURRENT pointer-served version missing
+      from the log; it must still be history (readers are being served
+      it right now), so the pointer version is always included.
+    """
+    log = published_history(root)
+    if log is None:
+        return None
+    logged = {v for v, _ in log}
+    first_ts = min((ts for _, ts in log), default=float("inf"))
+    cur = current_version(root)
+    extra = []
+    for v in snapshot_versions(root):
+        if v in logged:
+            continue
+        try:
+            mtime = os.path.getmtime(os.path.join(root, v))
+        except FileNotFoundError:  # pragma: no cover - racing vacuum
+            continue
+        if mtime < first_ts or v == cur:
+            extra.append((v, mtime))
+    if not extra:
+        return log
+    return sorted(log + extra, key=lambda p: p[1])
+
+
 def _publish_pointer_locked(root: str, version: str, expected: str | None) -> None:
     """The CAS body — caller already holds the pointer lock."""
     if current_version(root) != expected:
@@ -209,8 +250,11 @@ def version_at(root: str, timestamp: float) -> str:
     publish order and mtime order agree because versions are created by
     a serialized pointer CAS. Raises if the table didn't exist yet at
     that time — an explicit error beats silently reading a later
-    state."""
-    log = published_history(root)
+    state. Mixed-era tables (versions published before the log existed)
+    and torn publishes (crash between the pointer swap and the log
+    append) resolve through :func:`_effective_history`, which unions
+    those otherwise-hidden versions back in."""
+    log = _effective_history(root)
     best = None
     if log is not None:
         for v, ts in log:
@@ -767,7 +811,7 @@ def snapshot_history(root: str) -> list[dict]:
     import pyarrow.parquet as pq
 
     cur = current_version(root)
-    log = published_history(root)
+    log = _effective_history(root)
     published = {v: ts for v, ts in log} if log is not None else None
     out = []
     for v in snapshot_versions(root):

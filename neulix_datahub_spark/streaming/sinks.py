@@ -17,6 +17,7 @@ bookkeeping disappears.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,8 @@ from neulix_datahub_spark.sources.snapshots import (
     vacuum_snapshots,
     write_snapshot,
 )
+
+_LOG = logging.getLogger(__name__)
 
 
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame | None:
@@ -151,6 +154,11 @@ class _ReplayGuard:
             # pre-stamp table: no committed cumulative fingerprint to
             # verify the prefix against — rebuilding from the
             # re-delivered source is the only loss-free option
+            _LOG.warning(
+                "replay guard: committed table predates content stamps; "
+                "rebuilding from the re-delivered source without prefix "
+                "verification (batch %d)", batch_id,
+            )
             self._finish()
             return "rebuild"
         if self.cum_n < cn:
@@ -166,6 +174,34 @@ class _ReplayGuard:
                 "to skip (data loss) or fold (double count) — restart with "
                 "a fresh table + checkpoint."
             )
+        # cum_n OVERRAN cn mid-batch: the restart packed the source into
+        # different batch boundaries, so committed-prefix equality cannot
+        # be verified at fingerprint granularity. Rebuilding treats the
+        # re-delivered source as the truth — correct when the source
+        # re-delivers everything, SILENTLY LOSSY when the source lost its
+        # head (retention expiry / partial re-delivery: committed rows
+        # the source no longer holds vanish from the rebuilt table).
+        # That loss mode cannot be detected from inside the sink, so it
+        # must at minimum be loud; NEULIX_STRICT_REPLAY=1 turns it into
+        # a refusal for deployments whose sources have finite retention.
+        if os.environ.get("NEULIX_STRICT_REPLAY") == "1":
+            raise RuntimeError(
+                "checkpoint lineage restarted with different batch "
+                f"boundaries (re-delivered {self.cum_n} rows vs {cn} "
+                "committed; the prefix cannot be fingerprint-verified). "
+                "NEULIX_STRICT_REPLAY=1 forbids the unverified rebuild — "
+                "restart with a fresh table + checkpoint, or unset the "
+                "flag if the source provably re-delivers from offset 0."
+            )
+        _LOG.warning(
+            "replay guard: re-delivered stream overran the committed "
+            "prefix mid-batch (%d rows re-delivered vs %d committed, "
+            "batch %d); rebuilding from the re-delivered source WITHOUT "
+            "prefix verification. If the restarted source lost its head "
+            "(retention expiry), committed rows are being discarded — "
+            "set NEULIX_STRICT_REPLAY=1 to refuse instead.",
+            self.cum_n, cn, batch_id,
+        )
         self._finish()
         return "rebuild"
 

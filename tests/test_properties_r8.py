@@ -200,3 +200,33 @@ def test_two_phase_rank_is_stable_across_repeated_actions(spark):
         ).collect())
     )
     assert first == second == rebuilt
+
+
+def test_replay_guard_strict_mode_refuses_unverified_rebuild(monkeypatch):
+    """Round-9 hardening (r8 ADVICE): the mid-batch-overrun rebuild
+    cannot fingerprint-verify the committed prefix, so it silently
+    discards committed rows when the restarted source lost its head.
+    NEULIX_STRICT_REPLAY=1 must turn that rebuild into a refusal, and
+    the verified paths (skip/restamp/fold) must be unaffected."""
+    import pytest as _pytest
+
+    from neulix_datahub_spark.streaming.sinks import _ReplayGuard
+
+    # committed: 3 rows across two batches, stamped meta at id=1
+    meta = {"id": 1, "n": 1, "x": 7, "cn": 3, "cx": 5}
+
+    monkeypatch.setenv("NEULIX_STRICT_REPLAY", "1")
+    # restart re-delivers a 4-row first batch: cum_n=4 overruns cn=3
+    run = _ReplayGuard()
+    with _pytest.raises(RuntimeError, match="NEULIX_STRICT_REPLAY"):
+        run.decide(0, 4, 9, dict(meta))
+
+    # verified prefix replay still restamps under strict mode
+    run2 = _ReplayGuard()
+    assert run2.decide(0, 2, 2 ^ 5, dict(meta)) == "stage"
+    assert run2.decide(1, 1, 2, dict(meta)) == "restamp"
+
+    # and the default (flag unset) keeps the documented rebuild trade
+    monkeypatch.delenv("NEULIX_STRICT_REPLAY")
+    run3 = _ReplayGuard()
+    assert run3.decide(0, 4, 9, dict(meta)) == "rebuild"

@@ -148,3 +148,36 @@ def test_release_end_to_end_in_throwaway_repo(tmp_path):
         cwd=tmp_path, capture_output=True, text=True, check=True,
     ).stdout.split()
     assert "scratch.log" not in tracked
+
+
+def test_last_tag_ignores_non_release_tags(tmp_path):
+    """Round-9 hardening (r8 ADVICE): a nearer non-semver tag (e.g.
+    'bench-baseline') must not shadow the release tag, and next_version
+    refuses a malformed tag loudly instead of raising a bare ValueError
+    from map(int, ...)."""
+    import subprocess
+
+    import pytest
+
+    from tools.release import last_tag, next_version
+
+    repo = str(tmp_path / "r")
+    subprocess.run(["git", "init", "-q", repo], check=True)
+    env_args = dict(cwd=repo, check=True, capture_output=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "--allow-empty", "-m", "one"], **env_args)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "tag", "-a", "v1.2.3", "-m", "rel"], **env_args)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "--allow-empty", "-m", "two"], **env_args)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "tag", "-a", "bench-baseline", "-m", "not a release"],
+                   **env_args)
+    assert last_tag(repo) == "v1.2.3"
+    assert next_version(last_tag(repo), "patch") == "v1.2.4"
+
+    with pytest.raises(ValueError, match="not a release tag"):
+        next_version("bench-baseline", "patch")
+    # repeated-v forms are also malformed, not silently stripped
+    with pytest.raises(ValueError, match="not a release tag"):
+        next_version("vv1.2.3", "patch")

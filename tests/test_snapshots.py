@@ -980,3 +980,64 @@ def test_compact_partitions_preserves_nested_partitioning(spark, tmp_path):
     # and no stray .__old_* / .__compact_* residue
     parent = os.path.dirname(path)
     assert [d for d in os.listdir(parent) if "__old" in d or "__compact" in d] == []
+
+
+def test_time_travel_survives_mixed_era_and_torn_publish(spark, tmp_path):
+    """Round-9 hardening (r8 ADVICE): (a) a table whose oldest versions
+    predate the publish log keeps that history after its first
+    post-upgrade publish; (b) a crash between the pointer os.replace
+    and the log append leaves the current version visible to time
+    travel and DESCRIBE HISTORY anyway."""
+    import os
+    import time as _time
+
+    from neulix_datahub_spark.sources.snapshots import (
+        snapshot_history,
+        version_at,
+        write_snapshot,
+    )
+
+    root = str(tmp_path / "t")
+    t0 = _time.time()
+    write_snapshot(spark.createDataFrame([(1,)], "x int"), root)
+    write_snapshot(spark.createDataFrame([(2,)], "x int"), root)
+    write_snapshot(spark.createDataFrame([(3,)], "x int"), root)
+
+    # (a) mixed era: v1/v2 predate the log (pre-upgrade), only v3 is
+    # logged. Pin times so ordering is deterministic without sleeps.
+    os.utime(f"{root}/v00000001", (t0 + 10, t0 + 10))
+    os.utime(f"{root}/v00000002", (t0 + 20, t0 + 20))
+    with open(f"{root}/_PUBLISH_LOG", "w", encoding="utf-8") as f:
+        f.write(f"v00000003 {t0 + 30}\n")
+    assert version_at(root, t0 + 15) == "v00000001"
+    assert version_at(root, t0 + 25) == "v00000002"
+    assert version_at(root, t0 + 35) == "v00000003"
+    hist = snapshot_history(root)
+    assert [h["version"] for h in hist] == [
+        "v00000001", "v00000002", "v00000003"
+    ]
+    assert hist[-1]["is_current"]
+
+    # a post-log CAS loser (newer than the first log entry, never won
+    # the pointer) must STILL be invisible — the mixed-era union only
+    # admits directories older than the first log entry
+    write_snapshot(spark.createDataFrame([(4,)], "x int"), root)
+    os.utime(f"{root}/v00000004", (t0 + 40, t0 + 40))
+    with open(f"{root}/_PUBLISH_LOG", "w", encoding="utf-8") as f:
+        f.write(f"v00000003 {t0 + 30}\nv00000004 {t0 + 40}\n")
+    write_snapshot(spark.createDataFrame([(5,)], "x int"), root)
+    os.utime(f"{root}/v00000005", (t0 + 50, t0 + 50))
+    # simulate the loser: v5 staged but pointer + log still at v4
+    with open(f"{root}/_PUBLISH_LOG", "w", encoding="utf-8") as f:
+        f.write(f"v00000003 {t0 + 30}\nv00000004 {t0 + 40}\n")
+    with open(f"{root}/_VERSION", "w", encoding="utf-8") as f:
+        f.write("v00000004")
+    assert version_at(root, t0 + 60) == "v00000004"
+    assert "v00000005" not in [h["version"] for h in snapshot_history(root)]
+
+    # (b) torn publish: pointer moved to v5 but the log append was lost
+    with open(f"{root}/_VERSION", "w", encoding="utf-8") as f:
+        f.write("v00000005")
+    assert version_at(root, t0 + 60) == "v00000005"
+    hist = {h["version"]: h for h in snapshot_history(root)}
+    assert "v00000005" in hist and hist["v00000005"]["is_current"]

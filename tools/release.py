@@ -64,9 +64,15 @@ def decide_bump(messages: list[str]) -> str:
 
 def next_version(last_tag: str | None, level: str) -> str:
     """``vX.Y.Z`` after applying ``level`` to ``last_tag`` (None → the
-    first release counts up from v0.0.0)."""
+    first release counts up from v0.0.0). A non-semver tag is refused
+    loudly — it means tag discovery picked up something that is not a
+    release tag (last_tag() filters, but a caller can pass anything)."""
+    if last_tag is not None and not re.fullmatch(r"v\d+\.\d+\.\d+", last_tag):
+        raise ValueError(
+            f"not a release tag: {last_tag!r} (expected vMAJOR.MINOR.PATCH)"
+        )
     major, minor, patch = (
-        map(int, last_tag.lstrip("v").split(".")) if last_tag else (0, 0, 0)
+        map(int, last_tag.removeprefix("v").split(".")) if last_tag else (0, 0, 0)
     )
     if level == "major":
         return f"v{major + 1}.0.0"
@@ -126,10 +132,17 @@ def _git(*args: str, cwd: str | None = None) -> str:
 
 
 def last_tag(cwd: str | None = None) -> str | None:
+    # --match constrains discovery to release tags: a repo also carrying
+    # e.g. 'bench-baseline' or 'deploy-2026-08' tags must not feed those
+    # into next_version (bare --tags returns the NEAREST tag of any form)
     try:
-        return _git("describe", "--tags", "--abbrev=0", cwd=cwd) or None
+        return (
+            _git("describe", "--tags", "--abbrev=0",
+                 "--match", "v[0-9]*.[0-9]*.[0-9]*", cwd=cwd)
+            or None
+        )
     except subprocess.CalledProcessError:
-        return None  # no tags yet
+        return None  # no tags yet (or none matching the release form)
 
 
 def commit_messages_since(tag: str | None, cwd: str | None = None) -> list[str]:
@@ -187,7 +200,7 @@ def release(
         if os.path.exists(pyproject):
             text = open(pyproject, encoding="utf-8").read()
             with open(pyproject, "w", encoding="utf-8") as f:
-                f.write(rewrite_version(text, new_tag.lstrip("v")))
+                f.write(rewrite_version(text, new_tag.removeprefix("v")))
             written.append("pyproject.toml")
         _git("add", "--", *written, cwd=repo_dir)
         _git("commit", "-m", f"Release {new_tag}", cwd=repo_dir)

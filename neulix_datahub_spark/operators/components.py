@@ -3,18 +3,27 @@ L2: "approxSimilarityJoin + connected-component pick") — the step that
 turns near-duplicate PAIRS into dedup GROUPS so one canonical doc per
 cluster survives.
 
-Algorithm: iterative minimum-label propagation. Each node starts
-labeled with itself; every round, each node adopts the smallest label in
-its neighborhood (its own + its neighbors'); converged when no label
-changes. Rounds = graph diameter, and near-dup clusters are
-small-diameter (cliques-ish from LSH buckets), so 3–5 rounds typically
-suffice. Each round is one join + one aggregation — all shuffles on the
-node id. For web-scale graphs swap in large-star/small-star
-(alternating rounds halve long chains); for the dedup use case plain
-propagation with a bounded iteration count is the right cost.
+Two algorithms, selected by flag:
 
-The driver-side loop only checks a scalar convergence count per round —
-no data ever collects.
+- ``propagation`` (default): iterative minimum-label propagation. Each
+  node starts labeled with itself; every round, each node adopts the
+  smallest label in its neighborhood (its own + its neighbors');
+  converged when no label changes. Rounds = graph diameter, and
+  near-dup clusters are small-diameter (cliques-ish from LSH buckets),
+  so 3–5 rounds typically suffice. Each round is one join + one
+  aggregation — all shuffles on the node id.
+- ``star``: alternating large-star/small-star contraction (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14).
+  Large-star hangs every bigger neighbor off the neighborhood minimum;
+  small-star re-points every smaller neighbor at it. Each pair of
+  rounds roughly HALVES long chains, so convergence is O(log² d) rounds
+  instead of O(d) — the right shape when the pair graph is not the
+  expected pile of small-diameter clusters (e.g. chained near-dups
+  across a template family, where propagation's bounded iteration
+  budget correctly refuses).
+
+The driver-side loop only checks a scalar per round (changed-label
+count / edge-set fingerprint) — no data ever collects.
 """
 
 from __future__ import annotations
@@ -28,19 +37,26 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 10,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve an undirected edge list into components.
 
     Returns ``(id, component)`` where ``component`` is the minimum node
     id reachable from ``id``. Raises if not converged in ``max_iter``
-    rounds (diameter larger than expected — for near-dup clusters that
-    signals a pathological bucket, not a bigger budget).
+    rounds (for ``propagation`` that means diameter larger than expected
+    — for near-dup clusters a pathological bucket, not a bigger budget;
+    re-run with ``algorithm="star"`` when long chains are legitimate,
+    its round count grows with log² of the diameter, not the diameter).
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    if algorithm == "star":
+        return _star_components(sym, max_iter)
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
@@ -78,6 +94,75 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
         "component diameter exceeds the near-dup expectation"
+    )
+
+
+def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over a symmetric
+    neighbor list ``(u, v)``. Invariant (Kiveris et al.): both
+    operations preserve connectivity, never create a new minimum, and
+    at the fixed point the edge set is a forest of depth-1 stars rooted
+    at each component's minimum — so the labels fall straight out of
+    the final edges.
+
+    Each round is two join+agg pairs shuffling on node id, with an
+    eager ``localCheckpoint`` to truncate the iterative lineage.
+    Convergence is detected by an order-independent edge-set fingerprint
+    (count + bit-XOR of per-edge xxhash64) — one 2-long-row aggregate
+    per round, the same scalar-only driver discipline as propagation.
+    """
+    all_ids = sym.select(F.col("u").alias("id")).distinct()
+    # canonical undirected form: (u, v) with u > v
+    star = sym.filter(F.col("u") > F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("x"),
+        ).first()
+        return int(row["n"]), int(row["x"])
+
+    prev = _fingerprint(star)
+    for _ in range(max_iter):
+        # large-star: from each node's FULL neighborhood, hang every
+        # strictly-larger neighbor off m = min(neighborhood ∪ self)
+        both = star.unionByName(
+            star.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: on the (big → small) orientation, re-point every
+        # smaller neighbor (and the center) at the neighborhood minimum
+        small_mins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(small_mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(small_mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        star = small.localCheckpoint(eager=True)
+        cur = _fingerprint(star)
+        if cur == prev:
+            # fixed point: depth-1 stars; component = star root
+            centers = star.groupBy("u").agg(F.min("v").alias("component"))
+            return all_ids.join(
+                centers.withColumnRenamed("u", "id"), on="id", how="left"
+            ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+        prev = cur
+    raise RuntimeError(
+        f"star connected components did not converge in {max_iter} rounds "
+        "— that is ~2^sqrt(max_iter) of chain diameter; raise max_iter"
     )
 
 

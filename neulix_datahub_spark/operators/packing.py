@@ -39,6 +39,10 @@ def pack_by_token_budget(
     (bigint) and ``pack_offset`` (the row's start position on the tape).
     Documents longer than ``budget`` simply span packs — matching
     concat-and-chunk semantics, where slicing happens downstream."""
+    if budget < 1:
+        # floor(offset / 0) degenerates to NaN/Inf doubles deep in the
+        # plan (ANSI doubles don't throw on /0) — name the bad argument
+        raise ValueError(f"budget must be >= 1, got {budget}")
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     if part_col:
         w = (

@@ -194,6 +194,13 @@ def value_histogram(
     from a prior ``describe`` when unknown). Values at ``hi`` land in
     the last bucket; out-of-range and null values are dropped. Returns
     ``(bucket, lo_edge, hi_edge, cnt)`` for NON-EMPTY buckets."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        # without the guard width=0 makes (x-lo)/width = Inf, and the
+        # ANSI int cast of floor(Inf) throws a baffling overflow error
+        # deep in the plan instead of naming the bad argument
+        raise ValueError(f"empty value range: lo={lo} hi={hi}")
     width = (hi - lo) / bins
     x = F.col(col).cast("double")
     bucket = F.least(
@@ -227,6 +234,10 @@ def winsorize(
     p = df.agg(
         F.percentile(col, F.array(F.lit(lo_pct), F.lit(hi_pct))).alias("p")
     ).first()["p"]
+    if p is None or p[0] is None:
+        # empty / all-null column: nothing to clamp — keep the schema
+        # contract (out_col present) instead of a bare TypeError
+        return df.withColumn(out_col or col, F.col(col))
     lo, hi = float(p[0]), float(p[1])
     return df.withColumn(
         out_col or col, F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
@@ -243,8 +254,12 @@ def mad_outlier_flag(
     rounded to 6 dp before the comparison so an engine-replay (the
     DuckDB oracle) cannot flip a borderline row on 1e-12 noise. A
     zero-MAD column (>=50% constant values) flags nothing rather than
-    dividing by zero."""
-    med = float(df.agg(F.percentile(col, F.lit(0.5))).first()[0])
+    dividing by zero; an empty/all-null column likewise flags nothing
+    (no distribution to be an outlier OF) instead of a bare TypeError."""
+    med_row = df.agg(F.percentile(col, F.lit(0.5))).first()[0]
+    if med_row is None:
+        return df.withColumn(flag_col, F.lit(False))
+    med = float(med_row)
     mad = float(df.agg(F.percentile(F.abs(F.col(col) - med), F.lit(0.5))).first()[0])
     if mad == 0.0:
         return df.withColumn(flag_col, F.lit(False))

@@ -374,8 +374,14 @@ def sketch_join_plan(
     est_join = int(cms_inner_product(sk_b, sk_p, depth=depth).first()["est_join_size"])
     probe_f2 = int(cms_inner_product(sk_p, sk_p, depth=depth).first()["est_join_size"])
     n_probe = probe.count()
+    # approx_count_distinct, not distinct().count(): the planner's skew
+    # baseline only feeds a >=8x threshold, and the exact form shuffles
+    # every distinct VALUE — the one cost a sketch-driven planner exists
+    # to avoid. HLL++ partials merge in fixed memory (no value exchange)
+    # and are deterministic for fixed data, so the decision stays
+    # auditable.
     distinct_est = max(1, int(
-        probe.select(key_col).distinct().count()
+        probe.agg(F.approx_count_distinct(key_col)).first()[0]
     ))
     uniform_f2 = max(1.0, n_probe * n_probe / distinct_est)
     skew_ratio = probe_f2 / uniform_f2

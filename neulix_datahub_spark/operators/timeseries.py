@@ -44,6 +44,14 @@ def grouped_autocorr(
         key = pdf[key_col].iloc[0]
         s = pdf.sort_values(day_col)
         days = pd.to_datetime(s[day_col])
+        if days.duplicated().any():
+            # the contract is one row per (group, day); a dict build
+            # would silently keep the LAST duplicate and correlate a
+            # wrong series — refuse instead (callers aggregate first)
+            raise ValueError(
+                f"duplicate {day_col} rows for group {key!r}: "
+                "aggregate to daily grain before grouped_autocorr"
+            )
         by_day = dict(zip(days, s[value_col].astype(float)))
         pairs = [
             (by_day[d - pd.Timedelta(days=lag)], v)

@@ -1945,3 +1945,57 @@ def test_connected_components_star_handles_long_chains(spark):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(df2, algorithm="bogus")
+
+
+def test_profile_edge_guards_r9(spark):
+    """Round-9 review: value_histogram refuses degenerate ranges loudly
+    (previously an ANSI Inf->int cast exploded deep in the plan);
+    winsorize and mad_outlier_flag keep their schema contract on
+    empty / all-null columns instead of raising bare TypeErrors."""
+    import pytest
+
+    from neulix_datahub_spark.operators.profile import (
+        mad_outlier_flag,
+        value_histogram,
+        winsorize,
+    )
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="bins"):
+        value_histogram(df, "x", 0, 0.0, 10.0)
+    with pytest.raises(ValueError, match="empty value range"):
+        value_histogram(df, "x", 5, 3.0, 3.0)
+
+    empty = spark.createDataFrame([], "x double")
+    out = winsorize(empty, "x", out_col="x_w")
+    assert out.columns == ["x", "x_w"] and out.count() == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    flagged = mad_outlier_flag(nulls, "x")
+    assert [r.is_outlier for r in flagged.collect()] == [False, False]
+    # non-degenerate behavior unchanged
+    w = winsorize(spark.createDataFrame([(float(i),) for i in range(1, 101)],
+                                        "x double"), "x", 0.05, 0.95, out_col="c")
+    got = {r.x: r.c for r in w.collect()}
+    assert got[1.0] > 1.0 and got[100.0] < 100.0 and got[50.0] == 50.0
+
+
+def test_grouped_autocorr_refuses_duplicate_days(spark):
+    """Round-9 review: a duplicate (group, day) row used to silently
+    overwrite the earlier value in the dict build — wrong correlation,
+    no signal. Now it refuses with the offending group named."""
+    import pytest
+
+    from neulix_datahub_spark.operators.timeseries import grouped_autocorr
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-01", 2.0),
+         ("a", "2024-01-02", 3.0)],
+        "k string, d string, v double",
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        grouped_autocorr(df, "k", "d", "v").collect()
+
+    from neulix_datahub_spark.operators.packing import pack_by_token_budget
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_by_token_budget(df, "k", "v", budget=0)

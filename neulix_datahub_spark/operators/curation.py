@@ -625,6 +625,84 @@ def time_embargo_split(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.5,
+    *,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling — the multilingual-corpus
+    rebalancing rule (mBERT/XLM-R style): stratum ``s`` gets quota
+    ``k_s = floor(budget · n_s^α / Σ_t n_t^α)``, which up-weights small
+    strata relative to their raw share (α=1 is proportional, α=0 is
+    uniform; 0.5–0.7 is the usual pretraining range). Within each
+    stratum the ``k_s`` content-hash-smallest documents win (salt
+    ``'tmix:'`` — domain-separated from every other hash family here,
+    see hash_bucket_hex), so the pick is deterministic and duplicates
+    sort ADJACENTLY (ties broken by ``id_col``) — but unlike the
+    rate-based samplers a fixed-size quota boundary can split a
+    duplicate group (same trade as stratified_topn_sample); run exact
+    dedup first when that matters.
+
+    Cross-engine exactness (the driver hashes the result): for the
+    default α=0.5 the weights are ``sqrt(n_s)`` — IEEE-754 requires
+    sqrt to be correctly rounded, so both engines produce bit-identical
+    doubles — and the denominator is folded in EXPLICIT ascending order
+    (``aggregate(array_sort(collect_list(...)))``), not whatever
+    grouping order the engine's partial aggregation happens to meet, so
+    Σ is bit-identical too; every later *, /, floor is a single
+    correctly-rounded op. For other α, pow() is only faithfully (not
+    correctly) rounded and quotas may differ ±1 at astronomically-
+    unlikely boundaries across engines.
+
+    Plan: one groupBy(strata) count (rows = #strata), a broadcast of the
+    quota relation, and one per-stratum rank window — the same shape as
+    stratified_topn_sample; at 100 TB swap the rank window for the
+    two-phase range-repartition rank if a single stratum outgrows a
+    task's sort budget.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql.window import Window
+
+    weight = (
+        F.sqrt(F.col("__n"))
+        if alpha == 0.5
+        else F.pow(F.col("__n"), F.lit(alpha))
+    )
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__w", weight)
+    )
+    denom = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("__w")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__S")
+    )
+    quota = counts.crossJoin(denom).select(
+        strata_col,
+        F.floor(F.lit(float(budget)) * F.col("__w") / F.col("__S"))
+        .cast("long")
+        .alias("__k"),
+    )
+    rank_key = F.md5(
+        F.concat(F.lit("tmix:"), F.coalesce(F.col(text_col), F.lit("")))
+    )
+    w = Window.partitionBy(strata_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.join(F.broadcast(quota), strata_col)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.col("__k"))
+        .drop("__r", "__k")
+    )
+
+
 def epoch_order_key(text_col: Column | str, epoch: int) -> Column:
     """Deterministic per-EPOCH training order: md5 of ``epoch:text``.
     Each epoch is an independent, reproducible permutation of the

@@ -29,9 +29,44 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def _bloom_positions(key: Column, num_bits: int, num_hashes: int) -> list[Column]:
-    """k independent bit positions via seeded xxhash64 (JVM-side, 64-bit
-    avalanche; seeds folded in as a literal first argument)."""
+def _bloom_positions(
+    key: Column, num_bits: int, num_hashes: int, hash_family: str = "xxhash64"
+) -> list[Column]:
+    """k independent bit positions. Two families:
+
+    - ``xxhash64`` (default): seeded JVM-side 64-bit avalanche — the
+      fast path for engine-internal pruning.
+    - ``md5``: first 8 hex chars of ``md5('bloom{i}:' || key)`` — ~2x
+      the expression cost, but byte-for-byte reproducible in ANY SQL
+      engine (same portability contract as the CMS/KMV sketches), which
+      is what lets an external oracle rebuild the *identical* filter and
+      audit every membership decision, and lets a filter built by one
+      engine be shipped to another. NULL keys coalesce to '' like every
+      portable hash family here.
+    """
+    if hash_family == "md5":
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"bloom{i}:"),
+                                F.coalesce(key.cast("string"), F.lit("")),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_bits),
+            ).cast("int")
+            for i in range(num_hashes)
+        ]
+    if hash_family != "xxhash64":
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     return [
         F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits)).cast("int")
         for i in range(num_hashes)
@@ -44,6 +79,7 @@ def bloom_build(
     *,
     num_bits: int = 1 << 20,
     num_hashes: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Aggregate the distinct keys of ``df`` into a single-row Bloom
     bitmap: ``{bitmap: map<int,long>}`` where entry ``w`` holds the 64
@@ -59,7 +95,9 @@ def bloom_build(
     was.
     """
     key = F.col(key_col)
-    pos = F.explode(F.array(*_bloom_positions(key, num_bits, num_hashes)))
+    pos = F.explode(
+        F.array(*_bloom_positions(key, num_bits, num_hashes, hash_family))
+    )
     words = (
         df.select(pos.alias("pos"))
         .select(
@@ -75,12 +113,13 @@ def bloom_build(
 
 
 def bloom_might_contain(
-    key: Column, bitmap: Column, *, num_bits: int, num_hashes: int
+    key: Column, bitmap: Column, *, num_bits: int, num_hashes: int,
+    hash_family: str = "xxhash64",
 ) -> Column:
     """True iff every one of the key's k bits is set — i.e. the key *may*
     be in the build set (false positives possible, negatives exact)."""
     checks = []
-    for p in _bloom_positions(key, num_bits, num_hashes):
+    for p in _bloom_positions(key, num_bits, num_hashes, hash_family):
         # try_element_at, not element_at: ANSI mode (Spark 4 default)
         # makes a missing map key THROW; absent words must read as 0.
         word = F.coalesce(
@@ -102,6 +141,7 @@ def bloom_prefilter(
     *,
     num_bits: int = 1 << 20,
     num_hashes: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Drop big-side rows whose key is provably absent from the build
     set, BEFORE any shuffle. The bitmap row is cross-broadcast (1 row),
@@ -112,7 +152,8 @@ def bloom_prefilter(
     """
     probed = df.crossJoin(F.broadcast(bloom))
     keep = bloom_might_contain(
-        F.col(key_col), F.col("bitmap"), num_bits=num_bits, num_hashes=num_hashes
+        F.col(key_col), F.col("bitmap"), num_bits=num_bits,
+        num_hashes=num_hashes, hash_family=hash_family,
     )
     return probed.filter(keep).drop("bitmap")
 

@@ -1671,7 +1671,200 @@ FROM (SELECT count(*) AS n FROM embeddings) n,
 """
 
 
+def bloom_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+/sketch synthesis (round 9): Bloom-filter benchmark
+    decontamination — the 100 TB shape of the exact semi-join in
+    contamination_by_lang. The benchmark's 8-gram shingles build a
+    PORTABLE (md5-family) Bloom filter (2^16 bits, k=3, one broadcast
+    row); every training shingle probes it as a pure expression BEFORE
+    any shuffle, so the exact semi-join only ever sees the flagged
+    superset. Per language: docs, bloom-flagged, exactly-contaminated,
+    and false positives — the oracle REBUILDS the identical filter from
+    the same md5 bit positions (set-membership form), so every per-doc
+    flag decision is hash-checked, and ``n_bloom_flagged >= n_exact``
+    with ``n_false_pos`` the measured sketch trade (0 at small SF,
+    a few tenths of a percent once the filter carries real load)."""
+    from neulix_datahub_spark.operators.curation import (
+        benchmark_excerpt,
+        benchmark_ngram_contamination,
+    )
+    from neulix_datahub_spark.operators.dedupe import _shingles
+    from neulix_datahub_spark.operators.sketches import bloom_build, bloom_prefilter
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_excerpt(
+        docs.filter(F.col("doc_id") % 13 == 0), first_tokens=12
+    )
+    bench_grams = bench.select(
+        F.explode(_shingles(F.col("text"), 8)).alias("__gram")
+    ).distinct()
+    bloom = bloom_build(
+        bench_grams, "__gram", num_bits=1 << 16, num_hashes=3, hash_family="md5"
+    )
+    train_grams = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"), 8)).alias("__gram")
+    )
+    flagged = (
+        bloom_prefilter(
+            train_grams, "__gram", bloom,
+            num_bits=1 << 16, num_hashes=3, hash_family="md5",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("__b", F.lit(1))
+    )
+    exact = benchmark_ngram_contamination(docs, bench, n=8).withColumn(
+        "__e", F.lit(1)
+    )
+    return (
+        docs.join(flagged, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__b", F.lit(0))).alias("n_bloom_flagged"),
+            F.sum(F.coalesce("__e", F.lit(0))).alias("n_exact"),
+            F.sum(
+                F.when(
+                    F.col("__b").isNotNull() & F.col("__e").isNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_false_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BLOOM_DECON_SQL = r"""
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+bgrams AS (
+    SELECT DISTINCT unnest(
+        CASE WHEN len(bt) >= 8
+             THEN [array_to_string(bt[i:i+7], ' ')
+                   for i in generate_series(1, len(bt) - 7)]
+             ELSE [array_to_string(bt, ' ')] END
+    ) AS g
+    FROM (SELECT t[1:12] AS bt FROM norm WHERE doc_id % 13 = 0)
+),
+bits AS (
+    SELECT DISTINCT
+        CAST('0x' || substr(md5('bloom' || CAST(s.i AS VARCHAR) || ':' || g), 1, 8)
+             AS BIGINT) % 65536 AS b
+    FROM bgrams, generate_series(0, 2) AS s(i)
+),
+tgrams AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 8
+             THEN [array_to_string(t[i:i+7], ' ')
+                   for i in generate_series(1, len(t) - 7)]
+             ELSE [array_to_string(t, ' ')] END
+    )) AS g
+    FROM norm
+),
+bloomed AS (
+    SELECT DISTINCT doc_id FROM tgrams
+    WHERE CAST('0x' || substr(md5('bloom0:' || g), 1, 8) AS BIGINT) % 65536
+              IN (SELECT b FROM bits)
+      AND CAST('0x' || substr(md5('bloom1:' || g), 1, 8) AS BIGINT) % 65536
+              IN (SELECT b FROM bits)
+      AND CAST('0x' || substr(md5('bloom2:' || g), 1, 8) AS BIGINT) % 65536
+              IN (SELECT b FROM bits)
+),
+exact AS (
+    SELECT DISTINCT doc_id FROM tgrams WHERE g IN (SELECT g FROM bgrams)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bloomed)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_flagged,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM exact)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM bloomed)
+                      AND doc_id NOT IN (SELECT doc_id FROM exact)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def temperature_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation tier (round 9): temperature-scaled mixture sampling —
+    quota ``floor(200 · sqrt(n_lang) / Σ sqrt(n))`` per language, the
+    k hash-smallest docs per language win (temperature_mixture_sample,
+    α=0.5). Reports per language the corpus size, how many survived,
+    and the id-sum of the survivors — the id-sum pins WHICH documents
+    won, not just how many, so the oracle re-derives the full pick. The
+    α=0.5 path is bit-exact cross-engine (correctly-rounded sqrt +
+    order-pinned denominator fold), so the driver hashes it with zero
+    tolerance."""
+    from neulix_datahub_spark.operators.curation import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        temperature_mixture_sample(docs, budget=200, alpha=0.5)
+        .select("doc_id")
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        docs.join(kept, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("__k", F.lit(0))).alias("n_kept"),
+            F.sum(
+                F.when(F.col("__k").isNotNull(), F.col("doc_id")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH c AS (
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+),
+s AS (
+    SELECT list_reduce(list_sort(list(sqrt(n))), (a, b) -> a + b) AS S FROM c
+),
+q AS (
+    SELECT lang, CAST(floor(200.0 * sqrt(n) / S) AS BIGINT) AS k FROM c, s
+),
+r AS (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('tmix:' || COALESCE(text, '')), doc_id
+           ) AS rk
+    FROM documents
+)
+SELECT r.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.rk <= q.k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN r.rk <= q.k THEN r.doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_sum
+FROM r JOIN q ON r.lang = q.lang
+GROUP BY r.lang
+ORDER BY r.lang
+"""
+
+
 LLM_QUERIES = {
+    "bloom_decontamination_stats": (
+        bloom_decontamination_stats,
+        _BLOOM_DECON_SQL,
+        "L4+/sketch: portable-Bloom decontamination prefilter, FP-audited",
+    ),
+    "temperature_mixture_stats": (
+        temperature_mixture_stats,
+        _TEMPERATURE_MIX_SQL,
+        "curation: temperature (alpha=0.5) mixture sampling, id-sum pinned",
+    ),
     "winnow_overlap_stats": (
         winnow_overlap_stats,
         _WINNOW_SQL,

@@ -525,3 +525,41 @@ def test_salt_domains_keep_pipeline_stages_independent(spark, tmp_path):
     ) / len(shard_of)
     # independent: 1/8 = 0.125; un-salted shard key: 1.0
     assert agree_shard < 0.5, agree_shard
+
+
+def test_temperature_mixture_quota_math_and_determinism(spark):
+    """temperature_mixture_sample: alpha=0.5 up-weights small strata
+    (quota math checked against hand arithmetic), alpha=1.0 is
+    proportional, picks are deterministic, and budget=0 keeps nothing."""
+    from neulix_datahub_spark.operators.curation import temperature_mixture_sample
+
+    rows = [(i, "big", f"doc {i}") for i in range(64)] + [
+        (1000 + i, "small", f"rare {i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    # alpha=0.5: S = sqrt(64)+sqrt(4) = 10 -> quotas 8 and 2
+    kept = temperature_mixture_sample(df, budget=10, alpha=0.5)
+    per = {r.lang: r.cnt for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {"big": 8, "small": 2}
+
+    # alpha=1.0: proportional -> floor(10*64/68)=9, floor(10*4/68)=0
+    kept1 = temperature_mixture_sample(df, budget=10, alpha=1.0)
+    per1 = {r.lang: r.cnt for r in
+            kept1.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per1 == {"big": 9}
+
+    # deterministic winners run to run
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_mixture_sample(df, budget=10, alpha=0.5).collect()
+    )
+    assert a == b
+
+    assert temperature_mixture_sample(df, budget=0).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        temperature_mixture_sample(df, budget=-1)

@@ -173,3 +173,54 @@ def test_sketch_join_plan_forwards_depth(spark):
     assert p["est_join_rows"] > 0
     assert p["skew_ratio"] > 8.0
     assert p["strategy"] == "salted"
+
+
+def test_bloom_md5_family_portable_and_exact_negative(spark):
+    """Round-9: the md5 hash family gives the same no-false-negative
+    guarantee as xxhash64, refuses unknown families, and its bit
+    positions match a pure-Python md5 mirror (the portability contract
+    the DuckDB oracle relies on)."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.sketches import (
+        bloom_build,
+        bloom_prefilter,
+    )
+
+    build = spark.createDataFrame([(f"key{i}",) for i in range(50)], ["k"])
+    probe = spark.createDataFrame(
+        [(f"key{i}",) for i in range(40, 90)], ["k"]
+    )
+    bits, hashes = 1 << 12, 3
+    bloom = bloom_build(build, "k", num_bits=bits, num_hashes=hashes,
+                        hash_family="md5")
+    kept = {
+        r.k
+        for r in bloom_prefilter(
+            probe, "k", bloom, num_bits=bits, num_hashes=hashes,
+            hash_family="md5",
+        ).collect()
+    }
+    # every true member survives (no false negatives)
+    assert {f"key{i}" for i in range(40, 50)} <= kept
+
+    # python mirror of the bit positions
+    def positions(key: str) -> list[int]:
+        return [
+            int(hashlib.md5(f"bloom{i}:{key}".encode()).hexdigest()[:8], 16)
+            % bits
+            for i in range(hashes)
+        ]
+
+    member_bits = {p for i in range(50) for p in positions(f"key{i}")}
+    expect = {
+        f"key{i}" for i in range(40, 90)
+        if all(p in member_bits for p in positions(f"key{i}"))
+    }
+    assert kept == expect
+
+    with pytest.raises(ValueError, match="hash_family"):
+        bloom_build(build, "k", hash_family="sha9")

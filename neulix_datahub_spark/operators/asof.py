@@ -104,9 +104,18 @@ def asof_join(
 
     Plan shape is direction-independent: ONE shuffle on ``by`` for the
     union + window carry; no interval product, no range join.
+
+    NULL ``on`` values: a right row with a NULL timestamp is dropped
+    (it cannot be "before" or "after" anything — pandas merge_asof
+    refuses NaN keys outright; without the drop it would sort to one
+    end of the window and be carried into real rows), and a left row
+    with a NULL timestamp survives with a NULL match (left-outer
+    semantics) instead of inheriting whichever right row happens to
+    sort adjacent.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right = right.filter(F.col(on).isNotNull())
     r_payload_cols = [c for c in right.columns if c not in (by, on)]
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in r_payload_cols
@@ -145,6 +154,10 @@ def asof_join(
         .withColumn("__rc", F.last("__r", ignorenulls=True).over(w))
         .withColumn("__rc_on", F.last("__r_on", ignorenulls=True).over(w))
         .filter(F.col("__tag") == 1)
+        # a NULL left timestamp matches nothing (see docstring)
+        .withColumn(
+            "__rc", F.when(F.col(on).isNotNull(), F.col("__rc"))
+        )
     )
     if tolerance is not None:
         if isinstance(tolerance, str):

@@ -219,3 +219,40 @@ def test_range_join_identity_property(spark, pts, ivs, width):
         ).collect()
     )
     assert got == want
+
+
+def test_asof_join_null_timestamps_match_nothing(spark):
+    """Round-9 review: a NULL-ts right row used to sort to the window's
+    edge and be carried into real probes; a NULL-ts left row under
+    direction='forward' sorted last and inherited the latest right row.
+    Both now yield NULL matches (pandas merge_asof refuses NaN keys;
+    left-outer semantics keep the left row)."""
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5, "probe5"), ("u", None, "probenull")],
+        "k string, ts int, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u", 3, "ok"), ("u", None, "ghost")],
+        "k string, ts int, payload string",
+    )
+    back = {r.tag: r.payload for r in
+            asof_join(left, right, on="ts", by="k").collect()}
+    assert back == {"probe5": "ok", "probenull": None}
+
+    fwd = {r.tag: r.payload for r in
+           asof_join(left, right, on="ts", by="k",
+                     direction="forward").collect()}
+    # no right row at ts >= 5 except the ghost -> both unmatched
+    assert fwd == {"probe5": None, "probenull": None}
+
+    # and a real forward match still works
+    right2 = spark.createDataFrame(
+        [("u", 7, "later"), ("u", None, "ghost")],
+        "k string, ts int, payload string",
+    )
+    fwd2 = {r.tag: r.payload for r in
+            asof_join(left, right2, on="ts", by="k",
+                      direction="forward").collect()}
+    assert fwd2 == {"probe5": "later", "probenull": None}

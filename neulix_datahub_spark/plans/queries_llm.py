@@ -1854,7 +1854,87 @@ ORDER BY r.lang
 """
 
 
+def bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary tier (round 9): learn the corpus's first 8
+    BPE merges with the distributed trainer (operators/bpe.py — word
+    table one corpus scan, then per-round pair-count aggregates over
+    the vocabulary relation, ONE collected row per round) and emit the
+    merge sequence with its pair counts. Every step is engine-portable
+    (regexp char-split, greedy left-to-right string replace, integer
+    counts, lexicographic tie-break), so the oracle replays the
+    IDENTICAL training run as 8 unrolled CTE rounds — the driver hash
+    pins the whole algorithm, not a summary of it."""
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    ).orderBy("rank")
+
+
+def _bpe_round(i: int) -> str:
+    return f"""
+p{i} AS (
+    SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS c
+    FROM (
+        SELECT unnest([struct_pack(a := l[i], b := l[i+1])
+                       for i in generate_series(1, len(l) - 1)]) AS p, n
+        FROM (SELECT list_filter(string_split(sym, chr(31)), x -> x <> '') AS l, n
+              FROM w{i - 1})
+        WHERE len(l) >= 2
+    )
+    GROUP BY p.a, p.b
+    ORDER BY c DESC, a, b
+    LIMIT 1
+),
+w{i} AS (
+    SELECT replace(sym,
+                   chr(31) || p{i}.a || chr(31) || p{i}.b || chr(31),
+                   chr(31) || p{i}.a || p{i}.b || chr(31)) AS sym, n
+    FROM w{i - 1}, p{i}
+)"""
+
+
+_BPE_SQL = (
+    r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+    + ",".join(_bpe_round(i) for i in range(1, 9))
+    + """
+SELECT * FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, a || b AS merged, "
+        f"c AS pair_count FROM p{i}"
+        for i in range(1, 9)
+    )
+    + """
+)
+ORDER BY rank
+"""
+)
+
+
 LLM_QUERIES = {
+    "bpe_merges_check": (
+        bpe_merges_check,
+        _BPE_SQL,
+        "tokenizer tier: distributed BPE merge learning, oracle replays the full training run",
+    ),
     "bloom_decontamination_stats": (
         bloom_decontamination_stats,
         _BLOOM_DECON_SQL,

@@ -1999,3 +1999,56 @@ def test_grouped_autocorr_refuses_duplicate_days(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_by_token_budget(df, "k", "v", budget=0)
+
+
+def test_bpe_learn_merges_matches_hand_computation(spark):
+    """BPE trainer on a corpus small enough to run by hand. Corpus:
+    'low low low lower newest newest'. Round 1 pairs: (l,o)x4, (o,w)x4,
+    ... tie (l,o)/(o,w) at 4 broken lexicographically -> (l,o). Then
+    (lo,w)x4 wins round 2, etc. Also: greedy leftmost merge on 'aaa'
+    and early stop when the vocabulary is fully merged."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower newest newest",)], ["text"]
+    )
+    merges = bpe_learn_merges(df, n_merges=4)
+    got = [(m["left"], m["right"], m["pair_count"]) for m in merges]
+    # counts: low x3 + lower -> (l,o)=4, (o,w)=4; newest x2 -> pairs x2
+    assert got[0] == ("l", "o", 4)      # tie (l,o) < (o,w)
+    assert got[1] == ("lo", "w", 4)     # after merge 1
+    # round 3: 'low' is one symbol in 3 words + lower; remaining pairs:
+    # (low,e)=1, (e,r)=1, newest: (n,e)=2,(e,w)=2,(w,e)=2,(e,s)=2,(s,t)=2
+    # tie at 2 -> (e,s) lexicographically smallest
+    assert got[2] == ("e", "s", 2)
+    assert merges[3]["pair_count"] == 2
+
+    # greedy leftmost, non-overlapping: 'aaa' with merge (a,a) -> [aa, a]
+    df2 = spark.createDataFrame([("aaa aaa",)], ["text"])
+    m2 = bpe_learn_merges(df2, n_merges=1)
+    assert (m2[0]["left"], m2[0]["right"], m2[0]["pair_count"]) == ("a", "a", 4)
+    seg = spark.range(1).select(
+        bpe_segment(F.lit("aaa"), m2).alias("s")
+    ).first()["s"]
+    assert seg == ["aa", "a"]
+
+    # early stop: single-char vocabulary has one pair then nothing
+    df3 = spark.createDataFrame([("ab ab",)], ["text"])
+    m3 = bpe_learn_merges(df3, n_merges=5)
+    assert len(m3) == 1 and m3[0]["merged"] == "ab"
+
+    # within-word merges apply anywhere the pair occurs...
+    seg2 = spark.range(1).select(
+        bpe_segment(F.lit("ba ab"), m3).alias("s")
+    ).first()["s"]
+    assert seg2 == ["b", "a", "ab"]
+    # ...but a pair can never merge ACROSS a word boundary: (a,a) on
+    # 'ba ab' would span the boundary; the double delimiter blocks it
+    cross = [{"left": "a", "right": "a", "merged": "aa"}]
+    seg3 = spark.range(1).select(
+        bpe_segment(F.lit("ba ab"), cross).alias("s")
+    ).first()["s"]
+    assert seg3 == ["b", "a", "a", "b"]

@@ -1929,7 +1929,102 @@ ORDER BY rank
 )
 
 
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer tier, APPLY side (round 9): learn 8 BPE merges, then
+    segment EVERY document with them (bpe_segment — chained narrow
+    string expressions, no UDF, no shuffle beyond the final per-lang
+    aggregate) and report per language the corpus's token accounting:
+    documents, BPE tokens, character-symbol tokens before any merge,
+    and the compression the 8 merges bought. The oracle re-learns the
+    merges (same unrolled rounds as bpe_merges_check) and replays the
+    identical replace chain over the documents — the driver hash pins
+    train AND apply end-to-end."""
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges, bpe_segment
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    norm = normalize_text(F.col("text"))
+    base_tokens = F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    return (
+        docs.select(
+            "lang",
+            F.size(bpe_segment(F.col("text"), merges)).alias("__n_tok"),
+            base_tokens.alias("__n_char"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_bpe_tokens"),
+            F.sum("__n_char").alias("n_char_tokens"),
+            F.round(
+                F.sum("__n_char") / F.sum("__n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_apply_round(i: int) -> str:
+    return f"""
+t{i} AS (
+    SELECT lang, n_char, replace(s,
+                   chr(31) || p{i}.a || chr(31) || p{i}.b || chr(31),
+                   chr(31) || p{i}.a || p{i}.b || chr(31)) AS s
+    FROM t{i - 1}, p{i}
+)"""
+
+
+_BPE_TOKENIZE_SQL = (
+    r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+    + ",".join(_bpe_round(i) for i in range(1, 9))
+    + r""",
+t0 AS (
+    SELECT lang,
+           length(replace(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', ''))
+               AS n_char,
+           replace(
+               chr(31) || regexp_replace(
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                   '(.)', '\1' || chr(31), 'g'),
+               chr(31) || ' ' || chr(31), chr(31) || chr(31)) AS s
+    FROM documents
+),"""
+    + ",".join(_bpe_apply_round(i) for i in range(1, 9))
+    + r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(s, chr(31)), x -> x <> '')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
+       round(sum(n_char)::DOUBLE
+             / sum(len(list_filter(string_split(s, chr(31)), x -> x <> ''))), 6)
+           AS chars_per_token
+FROM t8
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+
 LLM_QUERIES = {
+    "bpe_tokenize_stats": (
+        bpe_tokenize_stats,
+        _BPE_TOKENIZE_SQL,
+        "tokenizer tier: learned-merge segmentation over the corpus, train+apply oracle",
+    ),
     "bpe_merges_check": (
         bpe_merges_check,
         _BPE_SQL,

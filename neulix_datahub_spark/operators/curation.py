@@ -28,6 +28,7 @@ def benchmark_ngram_contamination(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     n: int = 8,
+    prefilter_bits: int | None = None,
 ) -> DataFrame:
     """Flag training documents that share any word ``n``-gram with a
     benchmark/eval document — the GPT-3/PaLM-style decontamination test
@@ -42,6 +43,21 @@ def benchmark_ngram_contamination(
     because in *this* fixture the probe set is carved out of the corpus
     and therefore scales with SF (see tests/test_plan_shapes.py).
 
+    ``prefilter_bits`` (opt-in, e.g. 2^18): Bloom-prune the training
+    grams BEFORE they reach the semi-join's exchange (sketches.
+    bloom_build over the benchmark grams, one broadcast row, xxhash64
+    family — engine-internal, never oracle-visible). The filter only
+    shrinks what moves, never the answer (no false negatives; false
+    positives die in the exact semi-join — invariance pinned in
+    tests/test_curation.py). Use it ONLY when the benchmark-gram side
+    exceeds the broadcast threshold: while the semi-join broadcasts,
+    there is no exchange to avoid and the filter is pure overhead
+    (measured at sf0.1 where AQE broadcasts: 1.95 s with vs 1.41 s
+    without). At a real multi-benchmark eval suite (gram set >> 64 MB)
+    the semi-join shuffles the full corpus gram fan-out, and the
+    pre-shuffle prune is the difference between moving |corpus grams|
+    and |matches| + ε.
+
     Returns distinct ``(id_col)`` rows of contaminated training docs.
     """
     train_grams = train.select(
@@ -51,6 +67,16 @@ def benchmark_ngram_contamination(
     bench_grams = bench.select(
         F.explode(_shingles(F.col(bench_text_col), n)).alias("__gram")
     ).distinct()
+    if prefilter_bits is not None:
+        from neulix_datahub_spark.operators.sketches import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        bloom = bloom_build(bench_grams, "__gram", num_bits=prefilter_bits)
+        train_grams = bloom_prefilter(
+            train_grams, "__gram", bloom, num_bits=prefilter_bits
+        )
     return (
         train_grams.join(bench_grams, "__gram", "left_semi")
         .select(id_col)

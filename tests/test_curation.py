@@ -563,3 +563,26 @@ def test_temperature_mixture_quota_math_and_determinism(spark):
 
     with pytest.raises(ValueError, match="budget"):
         temperature_mixture_sample(df, budget=-1)
+
+
+def test_contamination_prefilter_is_result_invariant(spark):
+    """Round-9: the Bloom prefilter in benchmark_ngram_contamination
+    only changes what moves, never the answer — prefiltered and
+    unfiltered runs must return identical doc sets (no false negatives
+    by construction; false positives die in the exact semi-join)."""
+    rows = [(i, f"document number {i} with shared run w1 w2 w3 w4 w5 w6 w7 w8"
+             if i % 3 == 0 else f"unrelated content {i} alpha beta gamma delta "
+             f"epsilon zeta eta theta") for i in range(60)]
+    train = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [("prefix w1 w2 w3 w4 w5 w6 w7 w8 suffix",)], ["text"]
+    )
+    with_f = sorted(
+        r.doc_id for r in
+        benchmark_ngram_contamination(train, bench, prefilter_bits=1 << 12).collect()
+    )
+    without = sorted(
+        r.doc_id for r in
+        benchmark_ngram_contamination(train, bench, prefilter_bits=None).collect()
+    )
+    assert with_f == without == [i for i in range(60) if i % 3 == 0]

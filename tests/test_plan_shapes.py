@@ -184,3 +184,24 @@ def test_two_phase_with_more_partitions_than_rows(spark):
     )
     want_c = df.withColumn("c", F.sum("v").over(w))
     assert sorted(map(tuple, cum.collect())) == sorted(map(tuple, want_c.collect()))
+
+
+def test_r9_new_queries_broadcast_their_small_sides(spark):
+    """Round-9 plan pins: temperature_mixture_stats' quota relation
+    (#strata rows) must reach the corpus through a broadcast hash join
+    (a shuffled join on the strata key would exchange the whole corpus
+    to meet a 5-row table), and bloom_decontamination_stats' bitmap
+    (ONE row) must meet the probe side via a broadcast nested-loop —
+    never a shuffle."""
+    from neulix_datahub_spark.plans.queries import QUERIES
+
+    tm = QUERIES["temperature_mixture_stats"].fn(spark, SF_DIR)
+    plan_tm = tm._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_tm, plan_tm[:2000]
+
+    bd = QUERIES["bloom_decontamination_stats"].fn(spark, SF_DIR)
+    plan_bd = bd._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_bd, plan_bd[:2000]
+    # and no global window anywhere in either
+    assert global_windows(tm) == []
+    assert global_windows(bd) == []

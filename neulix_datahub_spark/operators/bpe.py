@@ -19,12 +19,18 @@ every heavy step a distributed aggregate:
    ``ORDER BY count DESC, pair ASC LIMIT 1`` — TakeOrderedAndProject,
    ONE row to the driver per round (the k-means centroid discipline:
    driver traffic is O(rounds), never O(data)).
-3. **Merge rewrite** — one ``replace`` of ``␟a␟b␟`` with ``␟ab␟`` per
-   word. String ``replace`` scans left-to-right non-overlapping in
-   every engine — exactly BPE's greedy leftmost-non-overlapping merge
-   (``aaa`` + merge (a,a) → ``aa a``, never ``a aa`` or ``aaa``), and
-   the replacement re-inserts both delimiters so symbol boundaries
-   survive consumption by an adjacent match.
+3. **Merge rewrite** — a LEFT FOLD over each word's symbol sequence
+   (``aggregate`` lambda with a delimited-string accumulator): when the
+   accumulator's last symbol is ``a`` and the next symbol is ``b``,
+   the tail rewrites to ``ab``; otherwise the symbol appends. This is
+   exactly BPE's greedy leftmost-non-overlapping merge, INCLUDING
+   consecutive occurrences of the same pair: ``aaaa`` + (a,a) →
+   ``aa aa``. (A plain string ``replace`` of ``␟a␟b␟`` was tried first
+   and is WRONG there — each match consumes the boundary delimiter the
+   next occurrence needs, so ``aaaa`` became ``aa a a``; the
+   hypothesis property against a pure-Python reference caught it, and
+   both engines had agreed with each other while deviating from
+   canonical BPE.)
 
 Every step is engine-portable (regexp char-split, string replace,
 integer counts, lexicographic tie-break), so an external SQL engine
@@ -49,6 +55,29 @@ def _symbolize(word: Column) -> Column:
     (a symbol *ending* in ``a`` followed by ``b`` does not contain the
     delimited pattern)."""
     return F.concat(F.lit(US), F.regexp_replace(word, "(.)", f"$1{US}"))
+
+
+def _merge_fold(sym: Column, a: str, b: str) -> Column:
+    """Greedy leftmost merge of adjacent (a, b) over a delimited symbol
+    string, as a left fold: the accumulator is the rewritten delimited
+    string; when it ends with ``␟a␟`` and the incoming symbol is ``b``,
+    the tail becomes ``ab`` (the suffix check is delimiter-anchored, so
+    a symbol merely ENDING in ``a`` can never false-match). Consecutive
+    same-pair runs merge correctly because the fold's cursor moves one
+    SYMBOL at a time — the non-overlapping-scan pitfall of a string
+    replace (see module docstring) cannot occur."""
+    syms = F.filter(F.split(sym, US), lambda x: x != "")
+    return F.aggregate(
+        syms,
+        F.lit(US),
+        lambda acc, x: F.when(
+            acc.endswith(F.lit(f"{US}{a}{US}")) & (x == F.lit(b)),
+            F.concat(
+                F.substring(acc, F.lit(1), F.length(acc) - F.lit(len(a) + 1)),
+                F.lit(f"{a}{b}{US}"),
+            ),
+        ).otherwise(F.concat(acc, x, F.lit(US))),
+    )
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -116,12 +145,7 @@ def bpe_learn_merges(
              "pair_count": c}
         )
         words = words.select(
-            F.replace(
-                F.col("sym"),
-                F.lit(f"{US}{a}{US}{b}{US}"),
-                F.lit(f"{US}{a}{b}{US}"),
-            ).alias("sym"),
-            "n",
+            _merge_fold(F.col("sym"), a, b).alias("sym"), "n"
         ).localCheckpoint(eager=True)
     return merges
 
@@ -129,18 +153,13 @@ def bpe_learn_merges(
 def bpe_segment(text: Column, merges: list[dict]) -> Column:
     """Apply a learned merge list to whitespace-tokenized text: returns
     the per-document symbol array after replaying every merge in rank
-    order — the APPLY side of the trainer, one chained narrow
-    expression per merge (no UDF, no shuffle). Word boundaries are
-    double delimiters, so merges never cross words."""
+    order — the APPLY side of the trainer, one chained narrow fold per
+    merge (no UDF, no shuffle). The space stays in the symbol stream as
+    a barrier symbol (merge sides come from space-split words, so no
+    pair ever involves it) and is dropped at the end — merges can never
+    cross a word boundary."""
     norm = normalize_text(text)
     s = F.concat(F.lit(US), F.regexp_replace(norm, "(.)", f"$1{US}"))
-    # a space is itself a delimited symbol; remove it so words are
-    # separated by a double delimiter no pair pattern can span
-    s = F.replace(s, F.lit(f"{US} {US}"), F.lit(f"{US}{US}"))
     for m in merges:
-        s = F.replace(
-            s,
-            F.lit(f"{US}{m['left']}{US}{m['right']}{US}"),
-            F.lit(f"{US}{m['merged']}{US}"),
-        )
-    return F.filter(F.split(s, US), lambda x: x != "")
+        s = _merge_fold(s, m["left"], m["right"])
+    return F.filter(F.split(s, US), lambda x: (x != "") & (x != " "))

@@ -1877,7 +1877,21 @@ def bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+_FOLD = """list_reduce(
+        list_prepend(chr(31), list_filter(string_split({col}, chr(31)), x -> x <> '')),
+        (acc, x) -> CASE
+            WHEN ends_with(acc, chr(31) || p{i}.a || chr(31)) AND x = p{i}.b
+            THEN substr(acc, 1, length(acc) - length(p{i}.a) - 1)
+                 || p{i}.a || p{i}.b || chr(31)
+            ELSE acc || x || chr(31) END
+    )"""
+
+
 def _bpe_round(i: int) -> str:
+    # the merge rewrite is the same greedy left fold the engine runs —
+    # see operators/bpe.py::_merge_fold (a plain string replace is NOT
+    # equivalent on consecutive same-pair runs)
+    fold = _FOLD.format(col="sym", i=i)
     return f"""
 p{i} AS (
     SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS c
@@ -1893,9 +1907,7 @@ p{i} AS (
     LIMIT 1
 ),
 w{i} AS (
-    SELECT replace(sym,
-                   chr(31) || p{i}.a || chr(31) || p{i}.b || chr(31),
-                   chr(31) || p{i}.a || p{i}.b || chr(31)) AS sym, n
+    SELECT {fold} AS sym, n
     FROM w{i - 1}, p{i}
 )"""
 
@@ -1966,11 +1978,10 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_apply_round(i: int) -> str:
+    fold = _FOLD.format(col="s", i=i)
     return f"""
 t{i} AS (
-    SELECT lang, n_char, replace(s,
-                   chr(31) || p{i}.a || chr(31) || p{i}.b || chr(31),
-                   chr(31) || p{i}.a || p{i}.b || chr(31)) AS s
+    SELECT lang, n_char, {fold} AS s
     FROM t{i - 1}, p{i}
 )"""
 
@@ -1995,22 +2006,22 @@ t0 AS (
            length(replace(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', ''))
                AS n_char,
-           replace(
-               chr(31) || regexp_replace(
-                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                   '(.)', '\1' || chr(31), 'g'),
-               chr(31) || ' ' || chr(31), chr(31) || chr(31)) AS s
+           chr(31) || regexp_replace(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
     + ",".join(_bpe_apply_round(i) for i in range(1, 9))
     + r"""
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(list_filter(string_split(s, chr(31)), x -> x <> '')))
+       CAST(sum(len(list_filter(string_split(s, chr(31)),
+                                x -> x <> '' AND x <> ' ')))
             AS BIGINT) AS n_bpe_tokens,
        CAST(sum(n_char) AS BIGINT) AS n_char_tokens,
        round(sum(n_char)::DOUBLE
-             / sum(len(list_filter(string_split(s, chr(31)), x -> x <> ''))), 6)
+             / sum(len(list_filter(string_split(s, chr(31)),
+                                   x -> x <> '' AND x <> ' '))), 6)
            AS chars_per_token
 FROM t8
 GROUP BY lang

@@ -2052,3 +2052,59 @@ def test_bpe_learn_merges_matches_hand_computation(spark):
         bpe_segment(F.lit("ba ab"), cross).alias("s")
     ).first()["s"]
     assert seg3 == ["b", "a", "a", "b"]
+
+
+def test_bpe_matches_python_reference_on_random_corpora(spark):
+    """Property: the distributed trainer (delimited-string replace
+    rewrite, SQL pair aggregation, lexicographic tie-break) equals a
+    pure-Python Sennrich-style BPE reference (explicit list rewrite)
+    on random corpora over a 2-letter alphabet — the nastiest case for
+    the string machinery, since learned symbols nest and share
+    prefixes ('a','a'->'aa', then 'aa','a', ...)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges
+
+    def py_bpe(word_counts: dict, n_merges: int):
+        syms = {w: list(w) for w in word_counts}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, cnt in word_counts.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += cnt
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, a + b, c))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=12))
+    def check(words):
+        text = " ".join(words)
+        df = spark.createDataFrame([(text,)], ["text"])
+        got = [
+            (m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in bpe_learn_merges(df, n_merges=4)
+        ]
+        want = py_bpe(Counter(words), 4)
+        assert got == want, (words, got, want)
+
+    check()

@@ -2453,7 +2453,66 @@ GROUP BY t.nr, t.nc
 
 
 
+def python_datasource_stats(spark, sf_dir: str):
+    """IO25 (round 9): Spark 4 Python Data Source API — a custom
+    partition-parallel source (sources/pysource.py) whose every byte is
+    a pure function of the row id. The scan runs one executor task per
+    declared partition; the per-shard aggregate (counts, id range, a
+    decimal-exact md5 content checksum) must equal the oracle's
+    generate_series re-derivation — proving the custom source delivers
+    every row exactly once across partitions with no duplication, loss,
+    or partition-boundary drift at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.sources.pysource import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("neulix_synthetic_corpus")
+        .option("rows", "1200")
+        .option("shards", "8")
+        .load()
+    )
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum(key).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+PYSOURCE_SQL = """
+WITH gen AS (
+    SELECT i AS doc_id,
+           CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4) AS BIGINT) % 8
+                AS INT) AS shard,
+           'doc ' || CAST(i AS VARCHAR) || ' body '
+               || substr(md5(CAST(i AS VARCHAR)), 1, 16) AS text
+    FROM generate_series(0, 1199) AS t(i)
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       CAST(CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+                 AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM gen
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 EXT_QUERIES = {
+    "python_datasource_stats": (
+        python_datasource_stats,
+        PYSOURCE_SQL,
+        "IO25: Spark 4 Python Data Source API, exactly-once per-partition delivery hash-checked",
+    ),
     "coerced_timestamps": (coerced_timestamps, COERCED_TS_SQL, "SC4 coercing parse"),
     "json_serialized_orders": (json_serialized_orders, JSON_SERIALIZE_SQL, "SC8 JSON serialize"),
     "resolved_projection": (resolved_projection, RESOLVED_SQL, "F2 column resolver"),

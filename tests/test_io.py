@@ -560,3 +560,39 @@ def test_compact_partitioned_parquet_degenerate_inputs_fail_loudly(
         )
     with _pytest.raises(ValueError, match="partition column"):
         compact_partitioned_parquet(spark, src, str(tmp_path / "d2"), ["k", "v"])
+
+
+def test_python_datasource_partitions_and_manifest_lines(spark, tmp_path):
+    """IO25 (round 9): the custom Python Data Source delivers each row
+    exactly once across its declared partitions at any shard count, the
+    rows match the pure-function contract, and the manifest-lines
+    source reads one file per partition with line numbering."""
+    from neulix_datahub_spark.sources.pysource import (
+        register_sources,
+        synthetic_doc,
+    )
+
+    register_sources(spark)
+    for shards in (1, 3, 8):
+        df = (
+            spark.read.format("neulix_synthetic_corpus")
+            .option("rows", "50")
+            .option("shards", str(shards))
+            .load()
+        )
+        got = sorted(map(tuple, df.collect()))
+        assert got == [synthetic_doc(i) for i in range(50)], shards
+        assert df.rdd.getNumPartitions() == shards
+
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("x\ny\n")
+    b.write_text("z\n")
+    m = (
+        spark.read.format("neulix_manifest_lines")
+        .option("paths", f"{a},{b}")
+        .load()
+    )
+    rows = {(r.path, r.lineno, r.line) for r in m.collect()}
+    assert rows == {(str(a), 0, "x"), (str(a), 1, "y"), (str(b), 0, "z")}
+    assert m.rdd.getNumPartitions() == 2

@@ -15,6 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neulix_datahub_spark.plans.queries_ext import PYSOURCE_SQL as _PYSOURCE_STREAM_SQL
 from neulix_datahub_spark.sources.tables import load_table
 from neulix_datahub_spark.streaming.sinks import (
     read_upsert_table,
@@ -255,6 +256,52 @@ WHERE doc_id NOT IN (SELECT id FROM losers)
 GROUP BY lang
 ORDER BY lang
 """
+
+
+def stream_python_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IO25 streaming form (round 9): drain the CUSTOM Python stream
+    source (sources/pysource.py SyntheticCorpusStreamSource — offsets
+    are plain row positions checkpointed by Structured Streaming; each
+    micro-batch advances 300 rows of the same pure-function-of-id
+    contract as the batch source) and aggregate the landed table with
+    the IDENTICAL shape as python_datasource_stats. The oracle is the
+    SAME generate_series SQL, so a green row proves stream==batch
+    parity for the custom source: 4 micro-batches deliver every row
+    exactly once, no boundary drift, checksums included. Drained via
+    processAllAvailable (the Python micro-batch stream does not support
+    Trigger.AvailableNow; Spark logs the fallback)."""
+    from neulix_datahub_spark.sources.pysource import register_sources
+
+    register_sources(spark)
+    name = f"pysrc_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("neulix_synthetic_corpus_stream")
+        .option("rows", "1200")
+        .option("batch", "300")
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed = spark.table(name)
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        landed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum(key).cast("decimal(38,0)").cast("string").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
 
 
 def stream_interval_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,6 +1119,11 @@ STREAM_QUERIES = {
         stream_dynamic_sessions,
         _DYN_SESS_SQL,
         "S2 expression-gap sessions under micro-batching (parity oracle)",
+    ),
+    "stream_python_source_stats": (
+        stream_python_source_stats,
+        _PYSOURCE_STREAM_SQL,
+        "IO25 streaming: custom Python stream source drained, stream==batch parity",
     ),
     "stream_incremental_agg": (
         stream_incremental_agg,

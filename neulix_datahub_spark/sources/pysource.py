@@ -30,7 +30,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def synthetic_doc(doc_id: int) -> tuple[int, int, str]:
@@ -108,7 +113,50 @@ class ManifestLinesDataSource(DataSource):
         return ManifestLinesReader(self.options)
 
 
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING form of the corpus generator: the offset is a plain
+    row position, each micro-batch advances it by ``batch`` rows, and
+    the rows are the SAME pure function of the id the batch reader
+    emits — so a drained stream must equal the batch scan exactly
+    (stream==batch parity, checked by the driver query's oracle).
+    Offsets live in the checkpoint; a restarted query resumes from the
+    committed position like any Structured Streaming source."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", "1000"))
+        self.batch = int(options.get("batch", "250"))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.rows)
+        return (
+            iter([synthetic_doc(i) for i in range(pos, end)]),
+            {"pos": end},
+        )
+
+
+class SyntheticCorpusStreamSource(DataSource):
+    """``spark.readStream.format("neulix_synthetic_corpus_stream")`` —
+    drain with ``query.processAllAvailable()`` (the Python micro-batch
+    stream does not support Trigger.AvailableNow yet; Spark logs the
+    fallback)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "neulix_synthetic_corpus_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, shard int, text string"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SyntheticCorpusStreamReader(self.options)
+
+
 def register_sources(spark) -> None:
-    """Idempotent registration of both sources with the session."""
+    """Idempotent registration of all pysource feeds with the session."""
     spark.dataSource.register(SyntheticCorpusDataSource)
     spark.dataSource.register(ManifestLinesDataSource)
+    spark.dataSource.register(SyntheticCorpusStreamSource)

@@ -256,3 +256,61 @@ def test_asof_join_null_timestamps_match_nothing(spark):
             asof_join(left, right2, on="ts", by="k",
                       direction="forward").collect()}
     assert fwd2 == {"probe5": "later", "probenull": None}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property (round 9): asof_join == pandas merge_asof on random
+    keyed integer series, both directions, with and without tolerance —
+    the reference semantics the operator claims (its docstring names
+    the merge_asof surface). Left rows are deduplicated per (key, ts)
+    probe grain and right rows per (key, ts) to keep merge_asof's
+    contract well-defined (it requires sorted unique-ish keys; our
+    window form tolerates duplicates but then the 'which payload' pick
+    is engine-arbitrary, so the property pins the unambiguous core)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    from neulix_datahub_spark.operators.asof import asof_join
+
+    ts = st.integers(0, 30)
+    key = st.sampled_from(["u", "v"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        lefts=st.lists(st.tuples(key, ts), min_size=1, max_size=10,
+                       unique=True),
+        rights=st.lists(st.tuples(key, ts), min_size=1, max_size=10,
+                        unique=True),
+        direction=st.sampled_from(["backward", "forward"]),
+        tol=st.sampled_from([None, 0, 3, 100]),
+    )
+    def check(lefts, rights, direction, tol):
+        ldf = spark.createDataFrame(
+            [(k, t, f"L{k}{t}") for k, t in lefts], "k string, ts long, ltag string"
+        )
+        rdf = spark.createDataFrame(
+            [(k, t, f"R{k}{t}") for k, t in rights], "k string, ts long, payload string"
+        )
+        got = {
+            (r.k, r.ts): r.payload
+            for r in asof_join(
+                ldf, rdf, on="ts", by="k", direction=direction, tolerance=tol
+            ).collect()
+        }
+        lp = pd.DataFrame(sorted(lefts), columns=["k", "ts"]).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(
+            [(k, t, f"R{k}{t}") for k, t in sorted(rights)],
+            columns=["k", "ts", "payload"],
+        ).sort_values("ts", kind="stable")
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=tol if tol is None else int(tol),
+        )
+        want = {
+            (r.k, r.ts): (None if pd.isna(r.payload) else r.payload)
+            for r in want_df.itertuples()
+        }
+        assert got == want, (lefts, rights, direction, tol, got, want)
+
+    check()

@@ -33,8 +33,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -111,6 +113,71 @@ class ManifestLinesDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ManifestLinesReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return ManifestLinesWriter(self.options, overwrite)
+
+
+class _LinesCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class ManifestLinesWriter(DataSourceWriter):
+    """Executor-side text sink with a DRIVER-SIDE atomic commit: each
+    task writes its partition to a temp file and returns a commit
+    message; ``commit()`` (driver, exactly once, only after every task
+    succeeded) renames the temps into place and writes a
+    ``_MANIFEST.json`` naming the files and their row counts — the
+    standard two-phase output commit, in ~30 lines of the Python
+    DataSource API. ``abort()`` removes the temps, so a failed job
+    leaves no partial output visible (readers key off the manifest)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path_dir"]
+        self.line_col = options.get("line_col", "line")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".part-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(str(row[self.line_col]) + "\n")
+                n += 1
+        return _LinesCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        files = {}
+        for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+            final = os.path.join(self.dir, f"part-{i:05d}.txt")
+            os.replace(m.path, final)
+            files[os.path.basename(final)] = m.n_rows
+        with open(os.path.join(self.dir, "_MANIFEST.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"files": files, "total_rows": sum(files.values())}, f,
+                      sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(m.path)
+                except FileNotFoundError:
+                    pass
 
 
 class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):

@@ -596,3 +596,38 @@ def test_python_datasource_partitions_and_manifest_lines(spark, tmp_path):
     rows = {(r.path, r.lineno, r.line) for r in m.collect()}
     assert rows == {(str(a), 0, "x"), (str(a), 1, "y"), (str(b), 0, "z")}
     assert m.rdd.getNumPartitions() == 2
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """IO25 writer: per-task temp files promoted by a driver-side
+    commit into part-NNNNN.txt + _MANIFEST.json (two-phase output
+    commit); no temp debris survives, counts reconcile, and the
+    manifest-lines READER round-trips the written content."""
+    import json
+    import os
+
+    from neulix_datahub_spark.sources.pysource import register_sources
+
+    register_sources(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(25).selectExpr("cast(id as string) as line").repartition(4)
+    (
+        df.write.format("neulix_manifest_lines")
+        .option("path_dir", d)
+        .mode("append")
+        .save()
+    )
+    names = sorted(os.listdir(d))
+    assert names == ["_MANIFEST.json", "part-00000.txt", "part-00001.txt",
+                     "part-00002.txt", "part-00003.txt"]
+    man = json.load(open(os.path.join(d, "_MANIFEST.json")))
+    assert man["total_rows"] == 25
+    assert sum(man["files"].values()) == 25
+
+    paths = ",".join(os.path.join(d, n) for n in names if n.endswith(".txt"))
+    back = (
+        spark.read.format("neulix_manifest_lines")
+        .option("paths", paths)
+        .load()
+    )
+    assert sorted(int(r.line) for r in back.collect()) == list(range(25))

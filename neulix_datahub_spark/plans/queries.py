@@ -2212,7 +2212,7 @@ _PRIORITY_R9 = [
     # -- new in r9: first driver rows --
     "bloom_decontamination_stats", "temperature_mixture_stats",
     "bpe_merges_check", "bpe_tokenize_stats", "python_datasource_stats",
-    "stream_python_source_stats",
+    "stream_python_source_stats", "udtf_chunk_parity_stats",
     # -- r1-r3-era stale greens (deferred from the round-8 NOTE) --
     "events_asof_snapshots", "pivot_event_values", "fill_nulls_events",
     "q20_excess_share_suppliers", "q17_small_quantity_revenue",
@@ -2230,15 +2230,15 @@ _PRIORITY_R9 = [
     "top10_order_priorities", "upsert_customer_balances",
     "sequential_ids_two_phase", "top_orders_per_customer",
     "q3_shipping_priority", "q5_nation_revenue", "q6_forecast_revenue",
-    "q4_order_priority", "q10_returned_revenue",
+    "q4_order_priority",
 ]
 # ROUND 10 NOTE: rotate ONLY AFTER the round-9 driver run consumes this
 # prefix. Lead round 10 with any round-9/10 implementation changes and
 # red-row fixes, then the remaining r4-era stale greens oldest-first:
 # q3-era leftovers (update_rewrite_stats, delegated_sql_query,
 # salted_join_revenue, rich_buyers, building_customers_without_orders,
-# customers_without_orders, q14_promo_share — displaced by the r9
-# additions —
+# customers_without_orders, q14_promo_share, q10_returned_revenue —
+# displaced by the r9 additions —
 # describe_lineitem, header_projection,
 # sanitized_projection, stats_by_returnflag, bucketed_revenue_by_priority,
 # csv/json/text_roundtrip_stats, bulk_manifest_stats,

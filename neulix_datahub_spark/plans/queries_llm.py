@@ -274,6 +274,81 @@ ORDER BY lang
 """
 
 
+def udtf_chunk_parity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 (round 9): the Python UDTF surface, oracle-checked by parity.
+    ChunkTokensUDTF (lateral table function, row-at-a-time Python)
+    mirrors chunk_by_tokens (pure expressions); this query runs BOTH
+    over the corpus, counts full-row disagreements with two symmetric
+    exceptAll's (``n_udtf_mismatch``, pinned 0 by the oracle), and
+    reports the per-language chunk stats FROM THE UDTF PATH — so the
+    driver hash certifies the UDTF's own output, not just the
+    comparison. The UDTF tier is deliberately absent from the headline
+    bench: it is the slowest Python path and exists for semantics the
+    expression forms cover here (see operators/udtfs.py)."""
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+    from neulix_datahub_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    u = spark.sql(
+        "SELECT d.doc_id, d.lang, c.chunk_id, c.chunk_text, c.n_chunk_tokens "
+        "FROM {d} d, LATERAL neulix_chunk_tokens(d.text, 64, 8) c",
+        d=docs,
+    )
+    e = chunk_by_tokens(docs, "text", "doc_id", chunk_size=64, overlap=8).select(
+        "doc_id", "lang", "chunk_id", "chunk_text", "n_chunk_tokens"
+    )
+    mism = u.exceptAll(e).unionByName(e.exceptAll(u)).agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("sum_chunk_tokens"),
+        )
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "lang", "n_docs", "n_chunks", "sum_chunk_tokens",
+            F.col("__m").cast("bigint").alias("n_udtf_mismatch"),
+        )
+        .orderBy("lang")
+    )
+
+
+_UDTF_CHUNK_SQL = """
+WITH t AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+                THEN CAST([] AS VARCHAR[])
+                ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+           END AS toks
+    FROM documents
+    WHERE text IS NOT NULL
+),
+sized AS (
+    SELECT doc_id, lang, toks,
+           CASE WHEN len(toks) <= 64 THEN 1
+                ELSE (len(toks) - 64 + 55) // 56 + 1 END AS n_chunks
+    FROM t
+),
+chunks AS (
+    SELECT doc_id, lang,
+           len(toks[u.i * 56 + 1 : u.i * 56 + 64]) AS n_chunk_tokens
+    FROM sized, unnest(generate_series(0, n_chunks - 1)) u(i)
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       count(*) AS n_chunks,
+       CAST(sum(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+       CAST(0 AS BIGINT) AS n_udtf_mismatch
+FROM chunks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 candidates→verify, oracle-checked: MinHash LSH candidates over
     the planted near-dup corpus, verified with exact 3-gram Jaccard and
@@ -2035,6 +2110,11 @@ LLM_QUERIES = {
         bpe_tokenize_stats,
         _BPE_TOKENIZE_SQL,
         "tokenizer tier: learned-merge segmentation over the corpus, train+apply oracle",
+    ),
+    "udtf_chunk_parity_stats": (
+        udtf_chunk_parity_stats,
+        _UDTF_CHUNK_SQL,
+        "U4: Python UDTF lateral chunking, row-identical to the expression form",
     ),
     "bpe_merges_check": (
         bpe_merges_check,

@@ -2108,3 +2108,44 @@ def test_bpe_matches_python_reference_on_random_corpora(spark):
         assert got == want, (words, got, want)
 
     check()
+
+
+def test_chunk_tokens_udtf_parity_and_edges(spark):
+    """U4 (round 9): the UDTF's rows equal chunk_by_tokens' exactly on
+    edge-shaped docs (empty doc -> one empty chunk; NULL doc -> no
+    rows; exact-boundary and overlap-partial docs), and bad arguments
+    refuse loudly."""
+    import pytest
+
+    from neulix_datahub_spark.operators.packing import chunk_by_tokens
+    from neulix_datahub_spark.operators.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 2 chunks @ size6/ov2
+            (2, "exactly six tokens in this doc"),       # boundary: 1 chunk
+            (3, ""),                                     # empty: 1 empty chunk
+            (4, None),                                   # NULL: no rows
+            (5, "  spaced   out\ttokens  "),             # normalization
+        ],
+        "doc_id long, text string",
+    )
+    u = spark.sql(
+        "SELECT d.doc_id, c.chunk_id, c.chunk_text, c.n_chunk_tokens "
+        "FROM {d} d, LATERAL neulix_chunk_tokens(d.text, 6, 2) c",
+        d=docs,
+    )
+    e = chunk_by_tokens(docs, "text", "doc_id", chunk_size=6, overlap=2).select(
+        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens"
+    )
+    assert sorted(map(tuple, u.collect())) == sorted(map(tuple, e.collect()))
+    got = {(r.doc_id, r.chunk_id): r.n_chunk_tokens for r in u.collect()}
+    assert got[(1, 0)] == 6 and got[(1, 1)] == 6  # 10 toks, stride 4 -> 2 chunks
+    assert got[(3, 0)] == 0 and (4, 0) not in got
+
+    with pytest.raises(Exception, match="overlap"):
+        spark.sql(
+            "SELECT * FROM {d} d, LATERAL neulix_chunk_tokens(d.text, 4, 9) c",
+            d=docs.limit(1),
+        ).collect()

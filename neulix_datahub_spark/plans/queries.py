@@ -2189,16 +2189,21 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R8} | {
 
 # ---------------------------------------------------------------------------
 # ROUND 9 rotation (the round-8 driver run consumed _PRIORITY_R8 —
-# 50/50 hash-green). Composition per the round-8 verdict:
+# 50/50 hash-green). Composition per the round-8 verdict + r9 builds:
 #   1-8:   the 8 queries whose semantics changed in the r8 end-of-round
 #          sweep (commit 6c7110c: salted hash domains, empty-doc
 #          top_word_share, embargo interval arithmetic) AFTER the r8
 #          driver window ran — sim-verified EXACT by the judge at
 #          sf0.01, but the driver artifact must confirm;
-#   9-21:  the r1-r3-era stale greens deferred by the round-8 NOTE
+#   9:     epoch_shuffle_check — engine+oracle changed in r9 (NULL
+#          coalescing in epoch_order_key);
+#   10-16: the 7 queries ADDED in round 9 (bloom decontamination,
+#          temperature mixture, BPE train+apply, Python DataSource
+#          batch+stream, UDTF parity) — first driver rows;
+#   17-29: the r1-r3-era stale greens deferred by the round-8 NOTE
 #          (as-of snapshots, pivot, q17-q22 TPC-H refreshes, LLM-tier
 #          lang profiles, near-dup);
-#   22-50: the oldest r4-era greens, LLM/dedup/similarity tier first,
+#   30-50: the oldest r4-era greens, LLM/dedup/similarity tier first,
 #          then the TPC-H and profile refreshes.
 _PRIORITY_R9 = [
     # -- changed post-r8-window by 6c7110c: fresh driver rows required --

@@ -2149,3 +2149,34 @@ def test_chunk_tokens_udtf_parity_and_edges(spark):
             "SELECT * FROM {d} d, LATERAL neulix_chunk_tokens(d.text, 4, 9) c",
             d=docs.limit(1),
         ).collect()
+
+
+def test_pack_global_tape_matches_naive_cumsum(spark):
+    """Property (round 9): the whole-corpus pack assignment (two-phase
+    running total, no part_col) equals a naive python exclusive cumsum
+    in id order — including NULL token counts (occupy no tape) and
+    oversized documents (span packs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.packing import pack_by_token_budget
+
+    tok = st.one_of(st.none(), st.integers(0, 700))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(tok, min_size=1, max_size=25))
+    def check(tokens):
+        rows = [(i, t) for i, t in enumerate(tokens)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        got = {
+            r.doc_id: (r.pack_offset, r.pack_id)
+            for r in pack_by_token_budget(
+                df, "doc_id", "n_tokens", budget=500
+            ).collect()
+        }
+        off = 0
+        for i, t in enumerate(tokens):
+            assert got[i] == (off, off // 500), (tokens, i, got[i], off)
+            off += t or 0
+
+    check()

@@ -46,6 +46,11 @@ from pyspark.sql import functions as F
 
 from neulix_datahub_spark.operators.dedupe import normalize_text
 
+# Reserved symbol delimiter. A text character equal to it degenerates
+# to an empty symbol and is dropped from the symbol stream — in BOTH
+# engines identically (same construction), so parity holds; corpora
+# that legitimately contain 0x1f should be scrubbed upstream (it is a
+# C0 control code no tokenizer wants as a symbol anyway).
 US = "\x1f"
 
 

@@ -33,6 +33,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -117,6 +118,9 @@ class ManifestLinesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return ManifestLinesWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return ManifestLinesStreamWriter(self.options, overwrite)
+
 
 class _LinesCommit(WriterCommitMessage):
     def __init__(self, path: str, n_rows: int):
@@ -170,6 +174,72 @@ class ManifestLinesWriter(DataSourceWriter):
                       sort_keys=True)
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(m.path)
+                except FileNotFoundError:
+                    pass
+
+
+class ManifestLinesStreamWriter(DataSourceStreamWriter):
+    """Streaming form of the two-phase text sink: each micro-batch's
+    tasks stage temp files; ``commit(messages, batchId)`` promotes them
+    to ``batch=<id>/part-NNNNN.txt`` and appends one line to
+    ``_COMMITS`` naming the batch and its row count — readers take only
+    committed batches, so a crash between stage and commit leaves
+    nothing visible, and a REPLAYED batch id (foreachBatch-style
+    at-least-once delivery) is detected in ``commit`` and its staged
+    temps are discarded instead of double-landing: the commit log is
+    the idempotence ledger, same as streaming/sinks.py's stamps."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path_dir"]
+        self.line_col = options.get("line_col", "line")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".stage-{pid:05d}-{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(str(row[self.line_col]) + "\n")
+                n += 1
+        return _LinesCommit(tmp, n)
+
+    def _committed(self) -> set[int]:
+        import os
+
+        try:
+            with open(os.path.join(self.dir, "_COMMITS"), encoding="utf-8") as f:
+                return {int(line.split()[0]) for line in f if line.strip()}
+        except FileNotFoundError:
+            return set()
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        if batchId in self._committed():
+            self.abort(messages, batchId)  # replayed batch: drop the stage
+            return
+        bdir = os.path.join(self.dir, f"batch={batchId}")
+        os.makedirs(bdir, exist_ok=True)
+        total = 0
+        for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+            os.replace(m.path, os.path.join(bdir, f"part-{i:05d}.txt"))
+            total += m.n_rows
+        with open(os.path.join(self.dir, "_COMMITS"), "a", encoding="utf-8") as f:
+            f.write(f"{batchId} {total}\n")
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

@@ -631,3 +631,63 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
         .load()
     )
     assert sorted(int(r.line) for r in back.collect()) == list(range(25))
+
+
+def test_python_datasource_stream_writer_commit_log(spark, tmp_path):
+    """IO25 streaming sink: micro-batches land as batch=<id>/ dirs with
+    a _COMMITS ledger; a replayed batch id is dropped instead of
+    double-landing (the ledger is the idempotence key); total content
+    equals the drained source exactly."""
+    import os
+
+    from neulix_datahub_spark.sources.pysource import (
+        ManifestLinesStreamWriter,
+        _LinesCommit,
+        register_sources,
+        synthetic_doc,
+    )
+
+    register_sources(spark)
+    d = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    stream = (
+        spark.readStream.format("neulix_synthetic_corpus_stream")
+        .option("rows", "100")
+        .option("batch", "25")
+        .load()
+        .selectExpr("text as line")
+    )
+    q = (
+        stream.writeStream.format("neulix_manifest_lines")
+        .option("path_dir", d)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    commits = dict(
+        tuple(map(int, line.split()))
+        for line in open(os.path.join(d, "_COMMITS")).read().splitlines()
+    )
+    assert commits == {0: 25, 1: 25, 2: 25, 3: 25}
+    lines = sorted(
+        line
+        for b in os.listdir(d)
+        if b.startswith("batch=")
+        for f in os.listdir(os.path.join(d, b))
+        for line in open(os.path.join(d, b, f)).read().splitlines()
+    )
+    assert lines == sorted(synthetic_doc(i)[2] for i in range(100))
+
+    # replayed batch id: staged temp is dropped, ledger unchanged
+    w = ManifestLinesStreamWriter({"path_dir": d}, overwrite=False)
+    tmp = os.path.join(d, ".stage-replay.tmp")
+    open(tmp, "w").write("ghost\n")
+    w.commit([_LinesCommit(tmp, 1)], batchId=2)
+    assert not os.path.exists(tmp)
+    commits2 = dict(
+        tuple(map(int, line.split()))
+        for line in open(os.path.join(d, "_COMMITS")).read().splitlines()
+    )
+    assert commits2 == commits

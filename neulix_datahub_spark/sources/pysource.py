@@ -88,17 +88,38 @@ class ManifestLinesReader(DataSourceReader):
     def __init__(self, options: dict):
         manifest = options.get("paths", "")
         self.paths = [p for p in manifest.split(",") if p]
+        # small-file grouping: pack many tiny manifest files into one
+        # partition of ~target_bytes (the real-deployment shape — a
+        # 100k-file manifest must not become 100k tasks). 0 = one
+        # partition per file (the task-exchange pattern).
+        self.target_bytes = int(options.get("target_bytes", "0"))
 
     def partitions(self) -> list[InputPartition]:
-        # one partition per file — the task-exchange manifest pattern;
-        # at scale group small files into partitions of ~128 MB instead
-        return [InputPartition(p) for p in self.paths]
+        if self.target_bytes <= 0:
+            return [InputPartition([p]) for p in self.paths]
+        import os
+
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        # greedy first-fit in manifest order — deterministic, and
+        # preserves any locality the manifest's ordering encodes
+        for p in self.paths:
+            size = os.path.getsize(p)
+            if cur and cur_bytes + size > self.target_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += size
+        if cur:
+            groups.append(cur)
+        return [InputPartition(g) for g in groups]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        path = partition.value
-        with open(path, encoding="utf-8") as f:
-            for lineno, line in enumerate(f):
-                yield path, lineno, line.rstrip("\n")
+        for path in partition.value:
+            with open(path, encoding="utf-8") as f:
+                for lineno, line in enumerate(f):
+                    yield path, lineno, line.rstrip("\n")
 
 
 class ManifestLinesDataSource(DataSource):
@@ -123,9 +144,10 @@ class ManifestLinesDataSource(DataSource):
 
 
 class _LinesCommit(WriterCommitMessage):
-    def __init__(self, path: str, n_rows: int):
+    def __init__(self, path: str, n_rows: int, pid: int = 0):
         self.path = path
         self.n_rows = n_rows
+        self.pid = pid
 
 
 class ManifestLinesWriter(DataSourceWriter):
@@ -157,17 +179,28 @@ class ManifestLinesWriter(DataSourceWriter):
             for row in iterator:
                 f.write(str(row[self.line_col]) + "\n")
                 n += 1
-        return _LinesCommit(tmp, n)
+        return _LinesCommit(tmp, n, pid)
 
     def commit(self, messages) -> None:
         import json
         import os
 
         files = {}
-        for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+        # partition-id order, NOT temp-file UUID order: re-exports of the
+        # same data land byte-identical part numbering (export_corpus's
+        # shard discipline), so downstream checksums are stable
+        for i, m in enumerate(sorted(messages, key=lambda m: m.pid)):
             final = os.path.join(self.dir, f"part-{i:05d}.txt")
             os.replace(m.path, final)
             files[os.path.basename(final)] = m.n_rows
+        if self.overwrite:
+            # honor mode("overwrite"): a previous, larger commit's
+            # higher-index part files must not survive as ghost rows for
+            # consumers that list *.txt instead of reading the manifest
+            for name in os.listdir(self.dir):
+                if (name.startswith("part-") and name.endswith(".txt")
+                        and name not in files):
+                    os.unlink(os.path.join(self.dir, name))
         with open(os.path.join(self.dir, "_MANIFEST.json"), "w",
                   encoding="utf-8") as f:
             json.dump({"files": files, "total_rows": sum(files.values())}, f,
@@ -213,7 +246,7 @@ class ManifestLinesStreamWriter(DataSourceStreamWriter):
             for row in iterator:
                 f.write(str(row[self.line_col]) + "\n")
                 n += 1
-        return _LinesCommit(tmp, n)
+        return _LinesCommit(tmp, n, pid)
 
     def _committed(self) -> set[int]:
         import os
@@ -233,7 +266,7 @@ class ManifestLinesStreamWriter(DataSourceStreamWriter):
         bdir = os.path.join(self.dir, f"batch={batchId}")
         os.makedirs(bdir, exist_ok=True)
         total = 0
-        for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+        for i, m in enumerate(sorted(messages, key=lambda m: m.pid)):
             os.replace(m.path, os.path.join(bdir, f"part-{i:05d}.txt"))
             total += m.n_rows
         with open(os.path.join(self.dir, "_COMMITS"), "a", encoding="utf-8") as f:
@@ -272,6 +305,16 @@ class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
         return (
             iter([synthetic_doc(i) for i in range(pos, end)]),
             {"pos": end},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # failure recovery: re-read an uncommitted batch after a restart.
+        # Rows are a pure function of position, so deterministic replay
+        # is exactly the committed range — without this override the
+        # SimpleDataSourceStreamReader default raises NotImplementedError
+        # and a checkpoint-restarted query crashes.
+        return iter(
+            synthetic_doc(i) for i in range(int(start["pos"]), int(end["pos"]))
         )
 
 

@@ -2180,3 +2180,163 @@ def test_pack_global_tape_matches_naive_cumsum(spark):
             off += t or 0
 
     check()
+
+
+def _py_batched_bpe(docs, n_rounds, window, unit="word"):
+    """Pure-Python reference of the BATCHED trainer spec (round 10):
+    ranked window -> greedy-maximal non-interacting prefix scan ->
+    single-pass application. Deliberately re-implemented here (not
+    imported) so the test is independent of the engine's code paths."""
+    import re
+    from collections import Counter
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    if unit == "word":
+        units = Counter(w for t in docs for w in norm(t).split(" ") if w)
+    else:
+        units = Counter(u for t in docs if (u := norm(t)))
+    vocab = Counter()
+    for u, n in units.items():
+        vocab[tuple(u)] += n
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        pairs = Counter()
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += n
+        if not pairs:
+            break
+        ranked = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:window]
+        kept = []
+        for (a, b), c in ranked:
+            ok = True
+            for sa, sb, _ in kept:
+                sm = sa + sb
+                if (sa in (a, b) or sb in (a, b) or sm in (a, b)
+                        or (a + b) in (sa, sb) or sm == a + b):
+                    ok = False
+                    break
+            if ok:
+                kept.append((a, b, c))
+        for j, (a, b, c) in enumerate(kept, 1):
+            merges.append((rnd, j, a, b, a + b, c))
+        lut = {(a, b): a + b for a, b, _ in kept}
+        nxt = Counter()
+        for syms, n in vocab.items():
+            out = []
+            for x in syms:
+                if out and (out[-1], x) in lut:
+                    out[-1] = lut[(out[-1], x)]
+                else:
+                    out.append(x)
+            nxt[tuple(out)] += n
+        vocab = nxt
+    return merges
+
+
+def test_bpe_batched_matches_reference_on_random_corpora(spark):
+    """Property (round 10): the batched trainer — top-window collect,
+    greedy-maximal non-interacting selection, one multi-pair fold pass
+    per round — equals the pure-Python reference in BOTH unit modes on
+    random 2-letter corpora (nested/shared-prefix symbols, same-pair
+    runs like 'aaaa', full-merge early stop)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=10), st.sampled_from(["word", "raw"]))
+    def check(words, unit):
+        text = " ".join(words)
+        df = spark.createDataFrame([(text,), (text,), (words[0],)], ["text"])
+        got = [
+            (m["round"], m["round_rank"], m["left"], m["right"],
+             m["merged"], m["pair_count"])
+            for m in bpe_learn_merges_batched(df, n_rounds=3, window=6, unit=unit)
+        ]
+        want = _py_batched_bpe([text, text, words[0]], 3, 6, unit=unit)
+        assert got == want, (words, unit, got, want)
+
+    check()
+
+
+def test_bpe_batched_hand_case_and_storage_bound(spark):
+    """Round 10 hand case: one round of the batched trainer keeps only
+    non-interacting pairs from the window and applies them in a single
+    pass (runs included); global ranks are contiguous across rounds.
+    Also pins the O(1)-storage contract: prior rounds' localCheckpoints
+    are freed, so ≤2 BPE RDDs stay persisted after training."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges_batched,
+        select_batch,
+    )
+
+    # selection rule directly: (e,r) kept; (r,x) blocked by shared r;
+    # (x,er) blocked because 'er' is the merged string of a kept pair;
+    # (q,z) disjoint -> kept even though an earlier candidate was blocked
+    kept = select_batch([
+        ("e", "r", 10), ("r", "x", 9), ("x", "er", 8), ("q", "z", 7),
+    ])
+    assert kept == [("e", "r", 10), ("q", "z", 7)]
+
+    n0 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    df = spark.createDataFrame([("aaaa bb aaaa bb cc dd",)], ["text"])
+    merges = bpe_learn_merges_batched(df, n_rounds=2, window=8, unit="word")
+    # round 1 pairs: (a,a)x4(over 2 words: aaaa has 3 adjacencies x2=6)...
+    # counts: (a,a)=6, (b,b)=2, (c,c)=1, (d,d)=1 -> all disjoint, all kept
+    r1 = [(m["left"], m["right"], m["pair_count"]) for m in merges
+          if m["round"] == 1]
+    assert r1 == [("a", "a", 6), ("b", "b", 2), ("c", "c", 1), ("d", "d", 1)]
+    # single-pass greedy on runs: aaaa -> aa,aa (so round 2 sees (aa,aa)=2)
+    r2 = [(m["left"], m["right"], m["pair_count"]) for m in merges
+          if m["round"] == 2]
+    assert r2[0] == ("aa", "aa", 2)
+    ranks = [m["rank"] for m in merges]
+    assert ranks == list(range(1, len(merges) + 1))
+    n1 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n1 - n0 <= 2, (n0, n1)
+
+
+def test_bpe_segment_pandas_parity_with_fold_chain(spark):
+    """Round 10: the vectorized mapInPandas apply tier returns the
+    SAME token arrays as the chained-expression fold (bpe_segment) on
+    random corpora — once-each-in-rank-order, greedy-leftmost-per-pass
+    semantics, word-boundary barrier included. The vectorized path is
+    the at-scale form (32k chained folds is an analyzer cliff; one
+    Arrow pass is not)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment,
+        bpe_segment_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=8))
+    def check(words):
+        text = " ".join(words)
+        df = spark.createDataFrame(
+            [(1, text), (2, words[0]), (3, ""), (4, None)], ["id", "text"]
+        )
+        merges = bpe_learn_merges(df, n_merges=4)
+        fold = df.select(
+            "id", bpe_segment(F.col("text"), merges).alias("toks")
+        )
+        vec = bpe_segment_pandas(df, merges, out_col="toks").select("id", "toks")
+        f = {r["id"]: r["toks"] for r in fold.collect()}
+        v = {r["id"]: r["toks"] for r in vec.collect()}
+        assert f == v, (words, f, v)
+
+    check()

@@ -1965,7 +1965,10 @@ _FOLD = """list_reduce(
 def _bpe_round(i: int) -> str:
     # the merge rewrite is the same greedy left fold the engine runs —
     # see operators/bpe.py::_merge_fold (a plain string replace is NOT
-    # equivalent on consecutive same-pair runs)
+    # equivalent on consecutive same-pair runs). LEFT JOIN ON TRUE +
+    # NULL passthrough mirrors the engine's early stop: once the corpus
+    # fully merges, p{i} is empty and every later round is a no-op
+    # instead of emptying the whole chain.
     fold = _FOLD.format(col="sym", i=i)
     return f"""
 p{i} AS (
@@ -1982,8 +1985,8 @@ p{i} AS (
     LIMIT 1
 ),
 w{i} AS (
-    SELECT {fold} AS sym, n
-    FROM w{i - 1}, p{i}
+    SELECT CASE WHEN p{i}.a IS NULL THEN sym ELSE {fold} END AS sym, n
+    FROM w{i - 1} LEFT JOIN p{i} ON TRUE
 )"""
 
 
@@ -2056,8 +2059,9 @@ def _bpe_apply_round(i: int) -> str:
     fold = _FOLD.format(col="s", i=i)
     return f"""
 t{i} AS (
-    SELECT lang, n_char, {fold} AS s
-    FROM t{i - 1}, p{i}
+    SELECT lang, n_char,
+           CASE WHEN p{i}.a IS NULL THEN s ELSE {fold} END AS s
+    FROM t{i - 1} LEFT JOIN p{i} ON TRUE
 )"""
 
 
@@ -2105,7 +2109,245 @@ ORDER BY lang
 )
 
 
+def bpe_batched_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer tier at TOKENIZER SCALE (round 10): train a 300+-merge
+    vocabulary with the BATCHED trainer (operators/bpe.py::
+    bpe_learn_merges_batched) — 16 rounds, window 256, raw
+    (SentencePiece-style, no pre-tokenization) units, each round ONE
+    pair-count aggregate + a greedy-maximal non-interacting batch
+    applied in a single fold pass. Emits the full merge table in
+    application order; the oracle replays the ENTIRE batched training
+    run (ranked window, prefix-scan selection, multi-pair fold) as 16
+    unrolled materialized CTE rounds, so the driver hash pins the whole
+    batched algorithm — selection rule included — not a summary."""
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges_batched(docs, n_rounds=16, window=256, unit="raw")
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["round"], m["round_rank"], m["left"], m["right"],
+             m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank bigint, rnd bigint, round_rank bigint, lhs string, "
+        "rhs string, merged string, pair_count bigint",
+    ).orderBy("rank")
+
+
+def _batched_fold(i: int) -> str:
+    """Single multi-pair fold pass for batched round ``i`` — the
+    prototype-1 shape: the list_filter match is consulted via [1]
+    indexing in the OUTER lambda body only (DuckDB 1.0 miscompiles
+    indexed access on a captured outer param inside a nested lambda)."""
+    m = (f"list_filter(b{i}.ms, m -> ends_with(acc, chr(31) || m.a || chr(31))"
+         f" AND x = m.b)")
+    return f"""list_reduce(
+        list_prepend(chr(31), list_filter(string_split(sym, chr(31)), x -> x <> '')),
+        (acc, x) -> CASE
+            WHEN len({m}) > 0
+            THEN substr(acc, 1, length(acc) - length({m}[1].a) - 1)
+                 || {m}[1].a || {m}[1].b || chr(31)
+            ELSE acc || x || chr(31) END
+    )"""
+
+
+def _batched_round(i: int, window: int) -> str:
+    """One batched training round. The greedy-maximal selection runs as
+    a list_reduce prefix scan whose accumulator is a single VARCHAR of
+    kept records ``RS a US b US ab RS`` (chr 30/31) and whose
+    candidates carry pre-rendered interaction NEEDLES (chr 28 separates
+    record from needle block, chr 29 separates needles): a candidate is
+    kept iff none of its 9 needles occurs in the accumulator — the
+    capture-safe encoding of select_batch's rule (the inner lambda only
+    references plain ``acc`` and its own param)."""
+    fold = _batched_fold(i)
+    cand = (
+        "chr(30) || a || chr(31) || b || chr(31) || a || b || chr(30)"
+        " || chr(28) ||"
+        " chr(30) || a || chr(31) || chr(29) || chr(30) || b || chr(31)"
+        " || chr(29) ||"
+        " chr(31) || a || chr(31) || chr(29) || chr(31) || b || chr(31)"
+        " || chr(29) ||"
+        " chr(31) || a || chr(30) || chr(29) || chr(31) || b || chr(30)"
+        " || chr(29) ||"
+        " chr(30) || a || b || chr(31) || chr(29) || chr(31) || a || b"
+        " || chr(31) || chr(29) || chr(31) || a || b || chr(30)"
+    )
+    return f"""
+c{i} AS MATERIALIZED (
+    SELECT p.a AS a, p.b AS b, CAST(sum(n) AS BIGINT) AS c
+    FROM (
+        SELECT unnest([struct_pack(a := l[i], b := l[i+1])
+                       for i in generate_series(1, len(l) - 1)]) AS p, n
+        FROM (SELECT list_filter(string_split(sym, chr(31)), x -> x <> '') AS l, n
+              FROM w{i - 1})
+        WHERE len(l) >= 2
+    )
+    GROUP BY p.a, p.b
+),
+g{i} AS MATERIALIZED (
+    SELECT coalesce(list({cand} ORDER BY c DESC, a, b)[:{window}], []) AS rl
+    FROM c{i}
+),
+b{i} AS MATERIALIZED (
+    SELECT list_transform(
+        list_filter(string_split(CASE WHEN len(rl) = 0 THEN '' ELSE
+            list_reduce(
+                list_prepend('', rl),
+                (acc, x) -> CASE WHEN len(list_filter(
+                        string_split(string_split(x, chr(28))[2], chr(29)),
+                        nd -> nd <> '' AND contains(acc, nd))) = 0
+                    THEN acc || string_split(x, chr(28))[1] ELSE acc END
+            ) END, chr(30)), r -> r <> ''),
+        r -> struct_pack(a := string_split(r, chr(31))[1],
+                         b := string_split(r, chr(31))[2])) AS ms
+    FROM g{i}
+),
+k{i} AS MATERIALIZED (
+    SELECT unnest(ms).a AS a, unnest(ms).b AS b,
+           generate_subscripts(ms, 1) AS round_rank
+    FROM b{i}
+),
+w{i} AS MATERIALIZED (
+    SELECT CASE WHEN len(b{i}.ms) = 0 THEN sym ELSE {fold} END AS sym, n
+    FROM w{i - 1}, b{i}
+)"""
+
+
+_BPE_BATCHED_ROUNDS = 16
+_BPE_BATCHED_WINDOW = 256
+
+_BPE_BATCHED_SQL = (
+    r"""
+WITH w0 AS MATERIALIZED (
+    SELECT chr(31) || regexp_replace(norm, '(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    WHERE norm <> ''
+    GROUP BY norm
+),"""
+    + ",".join(
+        _batched_round(i, _BPE_BATCHED_WINDOW)
+        for i in range(1, _BPE_BATCHED_ROUNDS + 1)
+    )
+    + """
+SELECT CAST(row_number() OVER (ORDER BY rnd, round_rank) AS BIGINT) AS rank,
+       CAST(rnd AS BIGINT) AS rnd,
+       CAST(round_rank AS BIGINT) AS round_rank,
+       lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count
+FROM (
+"""
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rnd, k{i}.round_rank, k{i}.a AS lhs, k{i}.b AS rhs, "
+        f"k{i}.a || k{i}.b AS merged, c{i}.c AS pair_count "
+        f"FROM k{i} JOIN c{i} ON k{i}.a = c{i}.a AND k{i}.b = c{i}.b"
+        for i in range(1, _BPE_BATCHED_ROUNDS + 1)
+    )
+    + """
+)
+ORDER BY rank
+"""
+)
+
+
+def bpe_apply_parity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer tier, APPLY parity (round 10): learn the 8-merge vocab
+    and segment every document through BOTH apply paths — the chained
+    expression folds (bpe_segment) and the Arrow-vectorized mapInPandas
+    replay (bpe_segment_pandas, the at-scale tier) — reporting per-lang
+    token sums from each. The oracle replays the fold chain once and
+    emits its sum under BOTH columns, so the driver hash pins
+    fold == vectorized == oracle on real data (the same discipline that
+    paired the UDTF with the expression chunker)."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment,
+        bpe_segment_pandas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    vec = bpe_segment_pandas(docs, merges, out_col="__vec")
+    return (
+        vec.select(
+            "lang",
+            F.size(bpe_segment(F.col("text"), merges)).alias("__f"),
+            F.size("__vec").alias("__v"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__f").alias("n_tok_fold"),
+            F.sum("__v").alias("n_tok_vec"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BPE_APPLY_PARITY_SQL = (
+    r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+    + ",".join(_bpe_round(i) for i in range(1, 9))
+    + r""",
+t0 AS (
+    SELECT lang,
+           chr(31) || regexp_replace(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '(.)', '\1' || chr(31), 'g') AS s
+    FROM documents
+),"""
+    + ",".join(
+        f"""
+t{i} AS (
+    SELECT lang,
+           CASE WHEN p{i}.a IS NULL THEN s ELSE {_FOLD.format(col="s", i=i)} END AS s
+    FROM t{i - 1} LEFT JOIN p{i} ON TRUE
+)"""
+        for i in range(1, 9)
+    )
+    + r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(s, chr(31)),
+                                x -> x <> '' AND x <> ' ')))
+            AS BIGINT) AS n_tok_fold,
+       CAST(sum(len(list_filter(string_split(s, chr(31)),
+                                x -> x <> '' AND x <> ' ')))
+            AS BIGINT) AS n_tok_vec
+FROM t8
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+
 LLM_QUERIES = {
+    "bpe_batched_vocab_stats": (
+        bpe_batched_vocab_stats,
+        _BPE_BATCHED_SQL,
+        "tokenizer tier at scale: 300+-merge batched training run, oracle replays "
+        "every round incl. the greedy-maximal selection rule",
+    ),
+    "bpe_apply_parity_stats": (
+        bpe_apply_parity_stats,
+        _BPE_APPLY_PARITY_SQL,
+        "tokenizer tier: fold-chain vs vectorized mapInPandas apply parity, "
+        "oracle-pinned per lang",
+    ),
     "bpe_tokenize_stats": (
         bpe_tokenize_stats,
         _BPE_TOKENIZE_SQL,

@@ -2340,3 +2340,61 @@ def test_bpe_segment_pandas_parity_with_fold_chain(spark):
         assert f == v, (words, f, v)
 
     check()
+
+
+def test_bpe_oracle_empty_round_guard(spark):
+    """Round-10 ADVICE fix: when the corpus fully merges before the
+    unrolled oracle's 8 rounds, the engine stops early while the old
+    oracle's cross join with an empty p{i} emptied the whole chain
+    (zero rows vs real stats — a latent divergence on small corpora).
+    The LEFT JOIN ON TRUE + NULL-passthrough guard makes later rounds
+    no-ops; both engines must emit identical stats on such a corpus."""
+    import duckdb
+
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment,
+    )
+    from neulix_datahub_spark.plans.queries_llm import (
+        _BPE_SQL,
+        _BPE_TOKENIZE_SQL,
+    )
+    from tests.compare import assert_frames_match
+
+    rows = [("en", "ab ab"), ("en", "ab"), ("de", "ab ab ab")]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    # trainer: one merge then vocabulary is fully merged
+    merges = bpe_learn_merges(df, n_merges=8)
+    assert [m["merged"] for m in merges] == ["ab"]
+    got_merges = spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    ).toPandas()
+    assert_frames_match(got_merges, con.execute(_BPE_SQL).df())
+
+    # apply side: stats survive the early stop in both engines
+    got_stats = (
+        df.select(
+            "lang",
+            F.size(bpe_segment(F.col("text"), merges)).alias("__n_tok"),
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .alias("__n_char"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_bpe_tokens"),
+            F.sum("__n_char").alias("n_char_tokens"),
+            F.round(F.sum("__n_char") / F.sum("__n_tok"), 6)
+            .alias("chars_per_token"),
+        )
+        .orderBy("lang")
+        .toPandas()
+    )
+    assert len(got_stats) == 2 and got_stats["n_bpe_tokens"].sum() == 6
+    assert_frames_match(got_stats, con.execute(_BPE_TOKENIZE_SQL).df())

@@ -42,11 +42,14 @@ def connected_components(
     """Resolve an undirected edge list into components.
 
     Returns ``(id, component)`` where ``component`` is the minimum node
-    id reachable from ``id``. Raises if not converged in ``max_iter``
-    rounds (for ``propagation`` that means diameter larger than expected
-    — for near-dup clusters a pathological bucket, not a bigger budget;
-    re-run with ``algorithm="star"`` when long chains are legitimate,
-    its round count grows with log² of the diameter, not the diameter).
+    id reachable from ``id``. If ``propagation`` exhausts ``max_iter``
+    rounds (diameter larger than the near-dup expectation — a long
+    chain, e.g. a template family), it automatically RETRIES with the
+    ``star`` contraction on the same pinned edge list (O(log² d)
+    rounds) and logs the switch, so callers don't need to know the
+    graph's shape up front; ``star`` exhausting its budget still
+    raises (that is ~2^sqrt(max_iter) of chain diameter — a real
+    anomaly, not a shape mismatch).
     """
     if algorithm not in ("propagation", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -98,10 +101,17 @@ def connected_components(
         labels = updated.drop("__changed")
         if n_changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        "component diameter exceeds the near-dup expectation"
+    # propagation budget exhausted: the graph has longer chains than
+    # near-dup clusters should — fall back to the contraction whose
+    # round count grows with log²(diameter), reusing the pinned edges
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "connected_components: propagation did not converge in %d rounds "
+        "(diameter exceeds the near-dup expectation); retrying with the "
+        "large-star/small-star contraction", max_iter,
     )
+    return _star_components(sym, max_iter)
 
 
 def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:

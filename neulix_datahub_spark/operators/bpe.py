@@ -321,18 +321,21 @@ def bpe_learn_merges_batched(
 
 
 def _apply_merges_symbols(
-    syms: list[str], pairs: list[tuple[str, str]]
+    syms: list[str], rounds: list[dict[tuple[str, str], str]]
 ) -> list[str]:
-    """Replay a merge list over a symbol sequence: each merge ONCE, in
-    rank order, greedy leftmost per pass — the exact semantics of the
-    chained expression folds (NOT the HF lowest-rank-first loop, which
-    can revisit earlier merges after a later one creates new
-    occurrences)."""
-    for a, b in pairs:
+    """Replay a merge list over a symbol sequence: one greedy leftmost
+    pass PER ROUND, each pass merging any adjacency found in that
+    round's batch (at most one batch pair can match a given adjacency —
+    batches hold distinct pairs). Single-merge rounds make this the
+    once-each-in-rank-order semantics of the chained expression folds
+    (NOT the HF lowest-rank-first loop, which can revisit earlier
+    merges); batched rounds make it bit-identical to the batched
+    trainer's per-round rewrite."""
+    for lut in rounds:
         out: list[str] = []
         for x in syms:
-            if out and out[-1] == a and x == b:
-                out[-1] = a + b
+            if out and (merged := lut.get((out[-1], x))) is not None:
+                out[-1] = merged
             else:
                 out.append(x)
         syms = out
@@ -355,17 +358,28 @@ def bpe_segment_pandas(
     cliff long before data size matters; one Python pass replaying a
     dict of 32k merges is not).
 
-    Per-batch the tokenizer memoizes by unique word (``unit="word"``,
-    Zipf makes the hit rate high) or unique normalized text
-    (``unit="raw"``). Narrow: no shuffle, each batch transforms in
-    place; the merge list ships once per executor via the closure."""
+    Merges from the BATCHED trainer (dicts carrying ``round``) replay
+    as one pass per ROUND — bit-identical to the trainer's per-round
+    rewrite; classic single-merge lists replay one pass per merge,
+    matching the fold chain. Per-batch the tokenizer memoizes by
+    unique word (``unit="word"``, Zipf makes the hit rate high) or
+    unique normalized text (``unit="raw"``). Narrow: no shuffle, each
+    batch transforms in place; the merge list ships once per executor
+    via the closure."""
     import re
 
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    pairs = [(m["left"], m["right"]) for m in merges]
+    rounds: list[dict[tuple[str, str], str]] = []
+    last_round: int | None = None
+    for m in merges:
+        rnd = m.get("round")
+        if rnd is None or rnd != last_round or last_round is None:
+            rounds.append({})
+        last_round = rnd
+        rounds[-1][(m["left"], m["right"])] = m["left"] + m["right"]
     # fresh StructType: StructType.add MUTATES, and df.schema hands back
     # the DataFrame's own cached instance — mutating it corrupts the
     # input's column list before mapInPandas binds it
@@ -385,7 +399,7 @@ def bpe_segment_pandas(
             if unit == "raw":
                 got = memo.get(norm)
                 if got is None:
-                    got = memo[norm] = _apply_merges_symbols(list(norm), pairs)
+                    got = memo[norm] = _apply_merges_symbols(list(norm), rounds)
                 return got
             toks: list[str] = []
             for w in norm.split(" "):
@@ -393,7 +407,7 @@ def bpe_segment_pandas(
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _apply_merges_symbols(list(w), pairs)
+                    got = memo[w] = _apply_merges_symbols(list(w), rounds)
                 toks.extend(got)
             return toks
 

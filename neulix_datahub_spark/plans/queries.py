@@ -2256,6 +2256,67 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R9} | {
     n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R9)
 }
 
+# ---------------------------------------------------------------------------
+# ROUND 10 rotation (the round-9 driver run consumed _PRIORITY_R9 —
+# 50/50 hash-green). Composition per the round-9 verdict's task 3:
+#   1-2:   the 2 queries ADDED in round 10 (batched-BPE training run,
+#          fold-vs-vectorized apply parity) — first driver rows;
+#   3-7:   queries whose implementation or oracle CHANGED in round 10:
+#          the BPE pair (oracle empty-round guard, slice+zip pair
+#          counts, checkpoint freeing), the Python DataSource pair
+#          (readBetweenOffsets, pid-ordered commits, overwrite cleanup,
+#          small-file grouping), and the LSH pipeline (components.py
+#          propagation→star auto-fallback);
+#   8-30:  ALL 23 remaining r4-era stale greens (the judge's queue,
+#          verbatim — after this window no green row predates r5);
+#   31-50: the oldest r5-era greens, LLM/dedup/similarity tier first,
+#          then the TPC-H refreshes.
+_PRIORITY_R10 = [
+    # -- new in r10: first driver rows --
+    "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
+    "bpe_batched_tokenize_stats",
+    # -- engine/oracle changed in r10: fresh rows required --
+    "bpe_merges_check", "bpe_tokenize_stats", "python_datasource_stats",
+    "stream_python_source_stats", "lsh_dedup_pipeline",
+    # -- r4-era stale greens: the full remaining queue --
+    "update_rewrite_stats", "delegated_sql_query", "salted_join_revenue",
+    "rich_buyers", "building_customers_without_orders",
+    "customers_without_orders", "q14_promo_share", "q10_returned_revenue",
+    "describe_lineitem", "header_projection", "sanitized_projection",
+    "stats_by_returnflag", "bucketed_revenue_by_priority",
+    "csv_roundtrip_stats", "json_roundtrip_stats", "text_roundtrip_stats",
+    "bulk_manifest_stats", "grid_dedupe_append_stats",
+    "task_exchange_stats", "fetch_hook_profile", "parse_flag_distribution",
+    "iso_order_dates", "json_props_stats",
+    # -- oldest r5-era greens: LLM/dedup/similarity tier first --
+    "minhash_candidates", "minhash_verified_pairs", "semantic_dedup_pairs",
+    "simhash_documents", "simhash_invariance", "document_fingerprints",
+    "dup_bigram_by_lang", "doc_chunk_stats", "curation_pipeline",
+    "embedding_buckets", "embedding_centroid_profile",
+    "centroid_outliers_by_label", "ivf_top10", "ivf_batch_recall_check",
+    "quantization_error_profile", "cms_user_counts",
+    "bloom_semi_join_revenue",
+    # -- then the r5-era TPC-H refreshes --
+    "q1_pricing_summary", "q2_min_cost_supplier",
+]
+# ROUND 11 NOTE: rotate ONLY AFTER the round-10 driver run consumes this
+# prefix. Lead round 11 with any round-10/11 implementation changes and
+# red-row fixes, then the remaining r5-era stale greens oldest-first
+# (cube_order_status, distinct_events, doc_store_upsert_stats,
+# events_hourly, events_sliding, orders_price_bands, price_percentiles,
+# q7_nation_volume, q8_market_share, q9_profit_by_nation,
+# q11_important_part_values, q12_late_shipments,
+# q13_order_count_distribution, q15_top_suppliers,
+# rollup_order_status, salted_flag_revenue, snapshot_upsert_stats, and
+# the rest of the r5 cohort), then the r6-era tier — names as
+# registered.
+assert set(_PRIORITY_R10) <= set(QUERIES), sorted(set(_PRIORITY_R10) - set(QUERIES))
+assert len(_PRIORITY_R10) == 50, len(_PRIORITY_R10)
+assert len(set(_PRIORITY_R10)) == 50
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R10} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R10)
+}
+
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
 
 

@@ -2020,35 +2020,62 @@ ORDER BY rank
 
 
 def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer tier, APPLY side (round 9): learn 8 BPE merges, then
-    segment EVERY document with them (bpe_segment — chained narrow
-    string expressions, no UDF, no shuffle beyond the final per-lang
-    aggregate) and report per language the corpus's token accounting:
-    documents, BPE tokens, character-symbol tokens before any merge,
-    and the compression the 8 merges bought. The oracle re-learns the
-    merges (same unrolled rounds as bpe_merges_check) and replays the
-    identical replace chain over the documents — the driver hash pins
-    train AND apply end-to-end."""
-    from neulix_datahub_spark.operators.bpe import bpe_learn_merges, bpe_segment
+    """Tokenizer tier, APPLY side (round 9; re-planned round 10): learn
+    8 BPE merges, segment the corpus with them, and report per language
+    the token accounting: documents, BPE tokens, character-symbol
+    tokens before any merge, and the compression the merges bought.
+
+    Round-10 plan change (engine only — the oracle and the result are
+    unchanged): token COUNTS don't need per-document segmentation.
+    Merges never cross word boundaries, so tokens(doc) = Σ
+    tokens(word); the fold chain therefore runs once per DISTINCT word
+    (the Heaps-bounded vocabulary relation — the same working set the
+    trainer uses) and the corpus side is explode → join → aggregate,
+    with AQE free to broadcast the tiny token-count table. The old
+    per-document fold chain cost 10.5 s at sf0.1; this plan is
+    training-dominated. (Per-document token ARRAYS are a different
+    operator: bpe_segment / bpe_segment_pandas.)"""
+    from neulix_datahub_spark.operators.bpe import (
+        US,
+        _merge_fold,
+        _symbolize,
+        bpe_learn_merges,
+    )
     from neulix_datahub_spark.operators.dedupe import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8)
     norm = normalize_text(F.col("text"))
-    base_tokens = F.length(F.replace(norm, F.lit(" "), F.lit("")))
-    return (
-        docs.select(
-            "lang",
-            F.size(bpe_segment(F.col("text"), merges)).alias("__n_tok"),
-            base_tokens.alias("__n_char"),
-        )
+    words = docs.select(
+        F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sym = _symbolize(F.col("word"))
+    for m in merges:
+        sym = _merge_fold(sym, m["left"], m["right"])
+    word_tokens = words.distinct().select(
+        "word",
+        F.size(F.filter(F.split(sym, US), lambda x: x != "")).alias("__wt"),
+        F.length("word").alias("__wc"),
+    )
+    lang_words = docs.select(
+        "lang", F.explode(F.split(norm, " ")).alias("word")
+    ).filter(F.col("word") != "")
+    token_sums = (
+        lang_words.join(word_tokens, "word")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("__n_tok").alias("n_bpe_tokens"),
-            F.sum("__n_char").alias("n_char_tokens"),
+            F.sum("__wt").alias("n_bpe_tokens"),
+            F.sum("__wc").alias("n_char_tokens"),
+        )
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(token_sums, "lang", "left")
+        .select(
+            "lang", "n_docs", "n_bpe_tokens", "n_char_tokens",
             F.round(
-                F.sum("__n_char") / F.sum("__n_tok"), 6
+                F.col("n_char_tokens") / F.col("n_bpe_tokens"), 6
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
@@ -2218,7 +2245,9 @@ w{i} AS MATERIALIZED (
 _BPE_BATCHED_ROUNDS = 16
 _BPE_BATCHED_WINDOW = 256
 
-_BPE_BATCHED_SQL = (
+# shared WITH clause: w0 (raw units) + the 16 unrolled batched rounds —
+# both batched queries (merge table / apply stats) replay the same run
+_BPE_BATCHED_WITH = (
     r"""
 WITH w0 AS MATERIALIZED (
     SELECT chr(31) || regexp_replace(norm, '(.)', '\1' || chr(31), 'g') AS sym,
@@ -2234,6 +2263,10 @@ WITH w0 AS MATERIALIZED (
         _batched_round(i, _BPE_BATCHED_WINDOW)
         for i in range(1, _BPE_BATCHED_ROUNDS + 1)
     )
+)
+
+_BPE_BATCHED_SQL = (
+    _BPE_BATCHED_WITH
     + """
 SELECT CAST(row_number() OVER (ORDER BY rnd, round_rank) AS BIGINT) AS rank,
        CAST(rnd AS BIGINT) AS rnd,
@@ -2251,6 +2284,65 @@ FROM (
 )
 ORDER BY rank
 """
+)
+
+
+def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer tier at scale, APPLY side (round 10): train the
+    313-merge batched vocabulary (raw units) and segment the corpus
+    with the VECTORIZED mapInPandas tier — one Arrow pass replaying the
+    per-round batches, the plan shape that survives a 32k-merge
+    vocabulary. Emits whole-corpus token accounting (docs, tokens,
+    chars, distinct final symbols, compression). The oracle never sees
+    the vectorized path: it replays the batched training run and reads
+    the SAME stats off the final vocabulary relation w16 (raw units ≡
+    normalized documents, counts = multiplicities), so the driver hash
+    pins vectorized-apply == trainer-rewrite == oracle end-to-end at a
+    vocabulary size the chained folds could not reach."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges_batched,
+        bpe_segment_pandas,
+    )
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges_batched(docs, n_rounds=16, window=256, unit="raw")
+    norm = normalize_text(F.col("text"))
+    corpus = docs.filter(F.length(norm) > 0)
+    seg = bpe_segment_pandas(corpus, merges, unit="raw", out_col="__toks")
+    stats = seg.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).alias("n_tokens"),
+        F.sum(F.length(normalize_text(F.col("text")))).alias("n_chars"),
+    )
+    distinct_syms = (
+        seg.select(F.explode("__toks").alias("s"))
+        .agg(F.count_distinct("s").alias("n_distinct_symbols"))
+    )
+    return stats.crossJoin(distinct_syms).select(
+        "n_docs", "n_tokens", "n_chars", "n_distinct_symbols",
+        F.round(F.col("n_chars") / F.col("n_tokens"), 6)
+        .alias("chars_per_token"),
+    )
+
+
+_BPE_BATCHED_APPLY_SQL = (
+    _BPE_BATCHED_WITH
+    + """
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n * len(list_filter(string_split(sym, chr(31)),
+                                    x -> x <> ''))) AS BIGINT) AS n_tokens,
+       CAST(sum(n * length(replace(sym, chr(31), ''))) AS BIGINT) AS n_chars,
+       (SELECT CAST(count(DISTINCT s) AS BIGINT)
+        FROM (SELECT unnest(list_filter(string_split(sym, chr(31)),
+                                        x -> x <> '')) AS s
+              FROM w{R})) AS n_distinct_symbols,
+       round(sum(n * length(replace(sym, chr(31), '')))::DOUBLE
+             / sum(n * len(list_filter(string_split(sym, chr(31)),
+                                       x -> x <> ''))), 6)
+           AS chars_per_token
+FROM w{R}
+""".format(R=_BPE_BATCHED_ROUNDS)
 )
 
 
@@ -2347,6 +2439,12 @@ LLM_QUERIES = {
         _BPE_APPLY_PARITY_SQL,
         "tokenizer tier: fold-chain vs vectorized mapInPandas apply parity, "
         "oracle-pinned per lang",
+    ),
+    "bpe_batched_tokenize_stats": (
+        bpe_batched_tokenize_stats,
+        _BPE_BATCHED_APPLY_SQL,
+        "tokenizer tier at scale: vectorized apply of the 313-merge batched "
+        "vocab, oracle reads the same stats off the replayed final vocabulary",
     ),
     "bpe_tokenize_stats": (
         bpe_tokenize_stats,

@@ -148,12 +148,13 @@ def bpe_learn_merges(
     """Learn ``n_merges`` BPE merges over the corpus. Returns the merge
     list (rank order): ``{rank, left, right, merged, pair_count}``.
 
-    Driver loop is O(n_merges) with ONE collected row per round; every
-    per-round computation is a distributed aggregate over the
-    vocabulary relation (localCheckpoint'd per round — the iteration
-    invariant, same as connected_components' edge list — with the
-    PREVIOUS round's checkpoint freed as soon as the new one is
-    materialized, so storage stays O(1) rounds). Stops early when no
+    Driver loop is O(n_merges) with ONE collected row AND ONE Spark job
+    per round: the rewritten vocabulary is localCheckpoint'd LAZILY
+    (the iteration invariant, same as connected_components' edge list)
+    so the next round's pair-count collect materializes it as a side
+    effect — an eager checkpoint doubled the job count for no benefit.
+    The PREVIOUS round's checkpoint is freed as soon as the new one has
+    materialized (storage stays O(1) rounds). Stops early when no
     adjacent pair remains (vocabulary fully merged).
 
     At a realistic vocabulary size (~32k merges) prefer
@@ -162,16 +163,19 @@ def bpe_learn_merges(
     words = (
         word_counts(df, text_col)
         .select(_symbolize(F.col("word")).alias("sym"), "n")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev: DataFrame | None = None
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(words)
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .collect()  # bounded: one row per round
+            .collect()  # bounded: one row per round; materializes words
         )
+        if prev is not None:
+            _free_checkpoint(prev)  # only after the successor is computed
         if not top:
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
@@ -182,8 +186,7 @@ def bpe_learn_merges(
         prev = words
         words = words.select(
             _merge_fold(F.col("sym"), a, b).alias("sym"), "n"
-        ).localCheckpoint(eager=True)
-        _free_checkpoint(prev)
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -289,8 +292,9 @@ def bpe_learn_merges_batched(
     )
     words = (
         units.select(_symbolize(F.col("word")).alias("sym"), "n")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    prev: DataFrame | None = None
     merges: list[dict] = []
     rank = 0
     for rnd in range(1, n_rounds + 1):
@@ -300,9 +304,11 @@ def bpe_learn_merges_batched(
                 _pair_counts(words)
                 .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
                 .limit(window)
-                .collect()  # bounded: ≤window rows per round
+                .collect()  # bounded: ≤window rows; materializes words
             )
         ]
+        if prev is not None:
+            _free_checkpoint(prev)  # only after the successor is computed
         if not ranked:
             break
         kept = select_batch(ranked)
@@ -315,8 +321,7 @@ def bpe_learn_merges_batched(
         prev = words
         words = words.select(
             _merge_fold_multi(F.col("sym"), kept).alias("sym"), "n"
-        ).localCheckpoint(eager=True)
-        _free_checkpoint(prev)
+        ).localCheckpoint(eager=False)
     return merges
 
 

@@ -325,6 +325,41 @@ def bpe_learn_merges_batched(
     return merges
 
 
+def save_merges(spark, merges: list[dict], path: str) -> None:
+    """Persist a learned merge table as parquet — the train-once /
+    apply-everywhere workflow of a real tokenizer (the merge list IS
+    the tokenizer; segmenting jobs load it instead of retraining).
+    Classic (single-merge) and batched merge lists both round-trip;
+    ``round``/``round_rank`` are NULL for classic lists."""
+    spark.createDataFrame(
+        [
+            (m["rank"], m.get("round"), m.get("round_rank"), m["left"],
+             m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "rank bigint, round bigint, round_rank bigint, left string, "
+        "right string, merged string, pair_count bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[dict]:
+    """Load a merge table saved by :func:`save_merges`, in application
+    (rank) order, ready for :func:`bpe_segment` /
+    :func:`bpe_segment_pandas` (batched lists keep their per-round
+    grouping so the vectorized replay stays bit-identical to the
+    trainer's rewrite)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    merges = []
+    for r in rows:
+        m = {"rank": int(r["rank"]), "left": r["left"], "right": r["right"],
+             "merged": r["merged"], "pair_count": int(r["pair_count"])}
+        if r["round"] is not None:
+            m["round"] = int(r["round"])
+            m["round_rank"] = int(r["round_rank"])
+        merges.append(m)
+    return merges
+
+
 def _apply_merges_symbols(
     syms: list[str], rounds: list[dict[tuple[str, str], str]]
 ) -> list[str]:

@@ -2409,3 +2409,37 @@ def test_bpe_oracle_empty_round_guard(spark):
     )
     assert len(got_stats) == 2 and got_stats["n_bpe_tokens"].sum() == 6
     assert_frames_match(got_stats, con.execute(_BPE_TOKENIZE_SQL).df())
+
+
+def test_bpe_merge_table_roundtrip(spark, tmp_path):
+    """Round 10: the merge table persists to parquet and loads back in
+    application order, and segmenting with the LOADED table is
+    token-identical to segmenting with the in-memory one — the
+    train-once/apply-everywhere tokenizer workflow, for both the
+    classic and the batched (round-carrying) forms."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_learn_merges_batched,
+        bpe_segment_pandas,
+        load_merges,
+        save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low low low lower newest newest",), ("aaaa abab banana",)],
+        ["text"],
+    )
+    for train in (
+        lambda: bpe_learn_merges(df, n_merges=4),
+        lambda: bpe_learn_merges_batched(df, n_rounds=3, window=8, unit="raw"),
+    ):
+        merges = train()
+        p = str(tmp_path / f"vocab_{len(merges)}")
+        save_merges(spark, merges, p)
+        loaded = load_merges(spark, p)
+        assert loaded == [
+            {k: v for k, v in m.items()} for m in merges
+        ], (merges, loaded)
+        a = bpe_segment_pandas(df, merges, out_col="t").select("t").collect()
+        b = bpe_segment_pandas(df, loaded, out_col="t").select("t").collect()
+        assert [r["t"] for r in a] == [r["t"] for r in b]

@@ -205,3 +205,50 @@ def test_r9_new_queries_broadcast_their_small_sides(spark):
     # and no global window anywhere in either
     assert global_windows(tm) == []
     assert global_windows(bd) == []
+
+
+def test_r10_bpe_query_plan_shapes(spark):
+    """Round-10 plan pins: (a) bpe_tokenize_stats' re-planned engine
+    joins the corpus's exploded words to the per-DISTINCT-word token
+    table — the folds must appear under an Aggregate-fed side, never
+    per corpus row, and the plan has no cartesian product and no global
+    window; (b) bpe_batched_tokenize_stats segments through ONE
+    Arrow-batched mapInPandas node (the merge-count-independent apply
+    tier) — no chained fold expressions over documents."""
+    from neulix_datahub_spark.plans.queries import QUERIES
+
+    tk = QUERIES["bpe_tokenize_stats"].fn(spark, SF_DIR)
+    plan_tk = tk._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan_tk
+    assert global_windows(tk) == []
+
+    # the fold chain (aggregate lambdas over split symbols) must run on
+    # the DISTINCT-word relation. In the optimized plan the folds
+    # collapse INTO the word-grouped Aggregate's output expressions —
+    # computed once per distinct word; a fold appearing in any
+    # non-Aggregate node (Project/Generate over the corpus Relation)
+    # would be the 10.5s-per-bench per-document regression this test
+    # exists to block.
+    def _fold_sites(df) -> list[tuple[str, str]]:
+        out = []
+
+        def walk(node):
+            s = node.simpleString(1 << 20)
+            if "aggregate(filter(split(" in s:
+                out.append((node.getClass().getSimpleName(), s[:160]))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return out
+
+    sites = _fold_sites(tk)
+    assert sites, "expected the token-count folds in the plan"
+    assert all(kind == "Aggregate" for kind, _ in sites), sites
+
+    bt = QUERIES["bpe_batched_tokenize_stats"].fn(spark, SF_DIR)
+    plan_bt = bt._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan_bt, plan_bt[:2000]
+    # no expression-fold segmentation of documents in the vectorized tier
+    assert "aggregate(filter(split(" not in plan_bt
+    assert global_windows(bt) == []

@@ -220,7 +220,7 @@ def select_batch(
 
 
 def _merge_fold_multi(
-    sym: Column, kept: list[tuple[str, str, int]]
+    sym: Column, pairs: list[tuple[str, str]]
 ) -> Column:
     """One left-to-right greedy pass applying a whole non-interacting
     batch: at each fold step the (last-symbol, incoming) adjacency is
@@ -231,7 +231,7 @@ def _merge_fold_multi(
 
     def step(acc: Column, x: Column) -> Column:
         out = None
-        for a, b, _ in kept:
+        for a, b in pairs:
             cond = acc.endswith(F.lit(f"{US}{a}{US}")) & (x == F.lit(b))
             rewrite = F.concat(
                 F.substring(acc, F.lit(1), F.length(acc) - F.lit(len(a) + 1)),
@@ -268,6 +268,7 @@ def bpe_learn_merges_batched(
     window: int = 256,
     text_col: str = "text",
     unit: str = "word",
+    initial_merges: list[dict] | None = None,
 ) -> list[dict]:
     """Batched BPE training: per round, ONE pair-count aggregate feeds
     a top-``window`` collect (bounded driver traffic: ≤window rows per
@@ -284,7 +285,14 @@ def bpe_learn_merges_batched(
     Returns merge dicts ``{rank, round, round_rank, left, right,
     merged, pair_count}`` in application order; stops early when the
     corpus has no adjacent pairs left. Prior rounds' checkpoints are
-    freed as soon as the next round materializes (O(1) storage)."""
+    freed as soon as the next round materializes (O(1) storage).
+
+    ``initial_merges`` RESUMES training from an existing vocabulary
+    (e.g. :func:`load_merges`): the prior merges replay over the fresh
+    working set (one fold pass per original round) before the first
+    new round, and rank/round numbering continues where they left off —
+    ``train(R)`` ≡ ``train(k)`` then ``resume with R−k`` on the same
+    corpus, which is the grow-an-existing-tokenizer workflow."""
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
     units = word_counts(df, text_col) if unit == "word" else (
@@ -297,7 +305,15 @@ def bpe_learn_merges_batched(
     prev: DataFrame | None = None
     merges: list[dict] = []
     rank = 0
-    for rnd in range(1, n_rounds + 1):
+    rnd0 = 0
+    if initial_merges:
+        sym = F.col("sym")
+        for lut in _merge_rounds(initial_merges):
+            sym = _merge_fold_multi(sym, list(lut))
+        words = words.select(sym.alias("sym"), "n").localCheckpoint(eager=False)
+        rank = initial_merges[-1]["rank"]
+        rnd0 = initial_merges[-1].get("round", 0)
+    for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):
         ranked = [
             (r["a"], r["b"], int(r["c"]))
             for r in (
@@ -320,9 +336,26 @@ def bpe_learn_merges_batched(
             )
         prev = words
         words = words.select(
-            _merge_fold_multi(F.col("sym"), kept).alias("sym"), "n"
+            _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
+            .alias("sym"), "n"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def _merge_rounds(merges: list[dict]) -> list[dict[tuple[str, str], str]]:
+    """Group a merge list into REPLAY rounds: batched-trainer dicts
+    (carrying ``round``) group per training round; classic single-merge
+    dicts get one round each — so replaying one greedy pass per round
+    is bit-identical to whatever rewrite produced the list."""
+    rounds: list[dict[tuple[str, str], str]] = []
+    last_round: int | None = None
+    for m in merges:
+        rnd = m.get("round")
+        if rnd is None or rnd != last_round or last_round is None:
+            rounds.append({})
+        last_round = rnd
+        rounds[-1][(m["left"], m["right"])] = m["left"] + m["right"]
+    return rounds
 
 
 def save_merges(spark, merges: list[dict], path: str) -> None:
@@ -412,14 +445,7 @@ def bpe_segment_pandas(
         raise ValueError(f"unknown unit {unit!r}")
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    rounds: list[dict[tuple[str, str], str]] = []
-    last_round: int | None = None
-    for m in merges:
-        rnd = m.get("round")
-        if rnd is None or rnd != last_round or last_round is None:
-            rounds.append({})
-        last_round = rnd
-        rounds[-1][(m["left"], m["right"])] = m["left"] + m["right"]
+    rounds = _merge_rounds(merges)
     # fresh StructType: StructType.add MUTATES, and df.schema hands back
     # the DataFrame's own cached instance — mutating it corrupts the
     # input's column list before mapInPandas binds it

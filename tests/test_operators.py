@@ -2443,3 +2443,24 @@ def test_bpe_merge_table_roundtrip(spark, tmp_path):
         a = bpe_segment_pandas(df, merges, out_col="t").select("t").collect()
         b = bpe_segment_pandas(df, loaded, out_col="t").select("t").collect()
         assert [r["t"] for r in a] == [r["t"] for r in b]
+
+
+def test_bpe_batched_resume_equals_full_training(spark):
+    """Round 10: training R rounds in one go equals training k rounds,
+    persisting, and RESUMING with R−k more on the same corpus — ranks,
+    rounds, merges, and counts all identical (the grow-an-existing-
+    tokenizer workflow)."""
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the log",),
+         ("lower lowest newer newest",)],
+        ["text"],
+    )
+    for unit in ("word", "raw"):
+        full = bpe_learn_merges_batched(df, n_rounds=4, window=12, unit=unit)
+        head = bpe_learn_merges_batched(df, n_rounds=2, window=12, unit=unit)
+        tail = bpe_learn_merges_batched(
+            df, n_rounds=2, window=12, unit=unit, initial_merges=head
+        )
+        assert head + tail == full, (unit, head, tail, full)

@@ -2274,7 +2274,7 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R9} | {
 _PRIORITY_R10 = [
     # -- new in r10: first driver rows --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
-    "bpe_batched_tokenize_stats",
+    "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
     # -- engine/oracle changed in r10: fresh rows required --
     "bpe_merges_check", "bpe_tokenize_stats", "python_datasource_stats",
     "stream_python_source_stats", "lsh_dedup_pipeline",
@@ -2297,12 +2297,12 @@ _PRIORITY_R10 = [
     "quantization_error_profile", "cms_user_counts",
     "bloom_semi_join_revenue",
     # -- then the r5-era TPC-H refreshes --
-    "q1_pricing_summary", "q2_min_cost_supplier",
+    "q1_pricing_summary",
 ]
 # ROUND 11 NOTE: rotate ONLY AFTER the round-10 driver run consumes this
 # prefix. Lead round 11 with any round-10/11 implementation changes and
 # red-row fixes, then the remaining r5-era stale greens oldest-first
-# (cube_order_status, distinct_events, doc_store_upsert_stats,
+# (q2_min_cost_supplier, cube_order_status, distinct_events, doc_store_upsert_stats,
 # events_hourly, events_sliding, orders_price_bands, price_percentiles,
 # q7_nation_volume, q8_market_share, q9_profit_by_nation,
 # q11_important_part_values, q12_late_shipments,

@@ -1094,7 +1094,115 @@ ORDER BY token
 """
 
 
+def stream_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 twin for the tokenizer tier (round 10): the vocabulary is
+    trained in BATCH (the merge table is the model — training on a
+    stream makes no sense), then the documents STREAM is segmented with
+    the vectorized mapInPandas apply tier — a stateless per-row
+    transform, legal on streaming DataFrames, so the SAME
+    bpe_segment_pandas code path serves batch and stream. Per-document
+    token counts land append-mode in memory; the drained per-lang
+    totals (docs, tokens, id-sum pin) must equal the batch apply, which
+    is what the oracle replays — a green row proves the apply tier is
+    micro-batch-invariant."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment_pandas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    seg = bpe_segment_pandas(stream, merges, out_col="__toks")
+    proj = seg.select(
+        "lang", "doc_id", F.size("__toks").alias("__n_tok")
+    )
+    name = f"bpe_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        proj.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n_tok").alias("n_bpe_tokens"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stream_bpe_sql() -> str:
+    from neulix_datahub_spark.plans.queries_llm import _FOLD, _bpe_round
+
+    def apply_round(i: int) -> str:
+        fold = _FOLD.format(col="s", i=i)
+        return f"""
+t{i} AS (
+    SELECT lang, doc_id,
+           CASE WHEN p{i}.a IS NULL THEN s ELSE {fold} END AS s
+    FROM t{i - 1} LEFT JOIN p{i} ON TRUE
+)"""
+
+    return (
+        r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+        + ",".join(_bpe_round(i) for i in range(1, 9))
+        + r""",
+t0 AS (
+    SELECT lang, doc_id,
+           chr(31) || regexp_replace(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               '(.)', '\1' || chr(31), 'g') AS s
+    FROM documents
+),"""
+        + ",".join(apply_round(i) for i in range(1, 9))
+        + r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(s, chr(31)),
+                                x -> x <> '' AND x <> ' ')))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+FROM t8
+GROUP BY lang
+ORDER BY lang
+"""
+    )
+
+
+_STREAM_BPE_SQL = _stream_bpe_sql()
+
+
 STREAM_QUERIES = {
+    "stream_bpe_tokenize_stats": (
+        stream_bpe_tokenize_stats,
+        _STREAM_BPE_SQL,
+        "S5 tokenizer twin: vectorized BPE apply is micro-batch-invariant",
+    ),
     "stream_index_search_stats": (
         stream_index_search_stats,
         _STREAM_INDEX_SQL,

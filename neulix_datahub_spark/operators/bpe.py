@@ -63,7 +63,7 @@ def _symbolize(word: Column) -> Column:
     a pair pattern ``␟a␟b␟`` can never match across a symbol boundary
     (a symbol *ending* in ``a`` followed by ``b`` does not contain the
     delimited pattern)."""
-    return F.concat(F.lit(US), F.regexp_replace(word, "(.)", f"$1{US}"))
+    return F.concat(F.lit(US), F.regexp_replace(word, "(?s)(.)", f"$1{US}"))
 
 
 def _merge_fold(sym: Column, a: str, b: str) -> Column:
@@ -298,21 +298,22 @@ def bpe_learn_merges_batched(
     units = word_counts(df, text_col) if unit == "word" else (
         raw_unit_counts(df, text_col).withColumnRenamed("unit", "word")
     )
-    words = (
-        units.select(_symbolize(F.col("word")).alias("sym"), "n")
-        .localCheckpoint(eager=False)
-    )
-    prev: DataFrame | None = None
-    merges: list[dict] = []
+    base = units.select(_symbolize(F.col("word")).alias("sym"), "n")
     rank = 0
     rnd0 = 0
     if initial_merges:
-        sym = F.col("sym")
-        for lut in _merge_rounds(initial_merges):
-            sym = _merge_fold_multi(sym, list(lut))
-        words = words.select(sym.alias("sym"), "n").localCheckpoint(eager=False)
+        # replay the prior vocabulary through the VECTORIZED tier, not
+        # chained folds: a realistically sized initial merge list
+        # (thousands of rounds) as nested aggregate-lambdas is exactly
+        # the analyzer cliff the batched trainer exists to avoid. One
+        # checkpoint total — the symbolize stage stays lazy inside the
+        # replay's lineage instead of orphaning a materialized copy.
+        base = _replay_merges_pandas(base, initial_merges)
         rank = initial_merges[-1]["rank"]
         rnd0 = initial_merges[-1].get("round", 0)
+    words = base.localCheckpoint(eager=False)
+    prev: DataFrame | None = None
+    merges: list[dict] = []
     for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):
         ranked = [
             (r["a"], r["b"], int(r["c"]))
@@ -340,6 +341,26 @@ def bpe_learn_merges_batched(
             .alias("sym"), "n"
         ).localCheckpoint(eager=False)
     return merges
+
+
+def _replay_merges_pandas(words: DataFrame, merges: list[dict]) -> DataFrame:
+    """Rewrite a delimited-symbol working set ``(sym, n)`` by replaying
+    a merge list — one greedy pass per original round, Arrow-batched.
+    The resume path of the batched trainer: merge-count-independent
+    plan size, output format identical to the fold rewrites."""
+    rounds = _merge_rounds(merges)
+
+    def run(batches: Iterator) -> Iterator:
+        def rewrite(sym: str) -> str:
+            syms = [x for x in sym.split(US) if x]
+            out = _apply_merges_symbols(syms, rounds)
+            return US + US.join(out) + US if out else US
+
+        for pdf in batches:
+            pdf["sym"] = pdf["sym"].map(rewrite)
+            yield pdf
+
+    return words.mapInPandas(run, schema="sym string, n bigint")
 
 
 def _merge_rounds(merges: list[dict]) -> list[dict[tuple[str, str], str]]:
@@ -453,7 +474,13 @@ def bpe_segment_pandas(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(StringType()))]
     )
-    ws = re.compile(r"\s+")
+    # JAVA's \s ([ \t\n\x0B\f\r]) and space-only trim, NOT Python's re
+    # \s/str.strip(): Python's are Unicode-aware (U+00A0, U+2028,
+    # U+3000, \x1c-\x1f all match), so they would collapse characters
+    # the engine's normalize_text (Spark regexp_replace + trim) keeps
+    # as ordinary symbols — silently breaking fold==vectorized parity
+    # on any corpus containing non-ASCII whitespace.
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def run(batches: Iterator) -> Iterator:
         memo: dict[str, list[str]] = {}
@@ -461,7 +488,7 @@ def bpe_segment_pandas(
         def tokenize(text: str) -> list[str] | None:
             if not isinstance(text, str):
                 return None  # NULL text -> NULL tokens, like the folds
-            norm = ws.sub(" ", text.lower()).strip()
+            norm = ws.sub(" ", text.lower()).strip(" ")
             if unit == "raw":
                 got = memo.get(norm)
                 if got is None:
@@ -493,7 +520,7 @@ def bpe_segment(text: Column, merges: list[dict]) -> Column:
     pair ever involves it) and is dropped at the end — merges can never
     cross a word boundary."""
     norm = normalize_text(text)
-    s = F.concat(F.lit(US), F.regexp_replace(norm, "(.)", f"$1{US}"))
+    s = F.concat(F.lit(US), F.regexp_replace(norm, "(?s)(.)", f"$1{US}"))
     for m in merges:
         s = _merge_fold(s, m["left"], m["right"])
     return F.filter(F.split(s, US), lambda x: (x != "") & (x != " "))

@@ -2259,18 +2259,19 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R9} | {
 # ---------------------------------------------------------------------------
 # ROUND 10 rotation (the round-9 driver run consumed _PRIORITY_R9 —
 # 50/50 hash-green). Composition per the round-9 verdict's task 3:
-#   1-2:   the 2 queries ADDED in round 10 (batched-BPE training run,
-#          fold-vs-vectorized apply parity) — first driver rows;
-#   3-7:   queries whose implementation or oracle CHANGED in round 10:
+#   1-4:   the 4 queries ADDED in round 10 (batched-BPE training run,
+#          fold-vs-vectorized apply parity, vectorized batched apply,
+#          streaming tokenizer twin) — first driver rows;
+#   5-9:   queries whose implementation or oracle CHANGED in round 10:
 #          the BPE pair (oracle empty-round guard, slice+zip pair
-#          counts, checkpoint freeing), the Python DataSource pair
-#          (readBetweenOffsets, pid-ordered commits, overwrite cleanup,
-#          small-file grouping), and the LSH pipeline (components.py
-#          propagation→star auto-fallback);
-#   8-30:  ALL 23 remaining r4-era stale greens (the judge's queue,
+#          counts, checkpoint freeing, tokenize re-plan), the Python
+#          DataSource pair (readBetweenOffsets, pid-ordered commits,
+#          overwrite cleanup, small-file grouping), and the LSH
+#          pipeline (components.py propagation→star auto-fallback);
+#   10-32: ALL 23 remaining r4-era stale greens (the judge's queue,
 #          verbatim — after this window no green row predates r5);
-#   31-50: the oldest r5-era greens, LLM/dedup/similarity tier first,
-#          then the TPC-H refreshes.
+#   33-50: the oldest r5-era greens, LLM/dedup/similarity tier first,
+#          then the TPC-H refresh.
 _PRIORITY_R10 = [
     # -- new in r10: first driver rows --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",

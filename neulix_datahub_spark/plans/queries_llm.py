@@ -1993,7 +1993,7 @@ w{i} AS (
 _BPE_SQL = (
     r"""
 WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
@@ -2046,36 +2046,49 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8)
     norm = normalize_text(F.col("text"))
-    words = docs.select(
-        F.explode(F.split(norm, " ")).alias("word")
+    lang_words = docs.select(
+        "lang", F.explode(F.split(norm, " ")).alias("word")
     ).filter(F.col("word") != "")
     sym = _symbolize(F.col("word"))
     for m in merges:
         sym = _merge_fold(sym, m["left"], m["right"])
-    word_tokens = words.distinct().select(
+    word_tokens = lang_words.select("word").distinct().select(
         "word",
         F.size(F.filter(F.split(sym, US), lambda x: x != "")).alias("__wt"),
         F.length("word").alias("__wc"),
     )
-    lang_words = docs.select(
-        "lang", F.explode(F.split(norm, " ")).alias("word")
-    ).filter(F.col("word") != "")
     token_sums = (
         lang_words.join(word_tokens, "word")
         .groupBy("lang")
         .agg(
-            F.sum("__wt").alias("n_bpe_tokens"),
-            F.sum("__wc").alias("n_char_tokens"),
+            F.sum("__wt").alias("__sum_wt"),
+            F.sum("__wc").alias("__sum_wc"),
         )
     )
+    # per-lang base mirrors the oracle's per-document sum semantics:
+    # NULL iff the lang has ONLY NULL texts; 0 if any doc normalizes to
+    # a (possibly empty) string. The word-join alone would return NULL
+    # for an all-empty-text lang where the oracle returns 0 — the
+    # latent-divergence class the r10 LEFT JOIN guard fixed elsewhere.
+    base = F.max(F.when(F.col("text").isNotNull(), F.lit(0)).cast("bigint"))
     return (
         docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), base.alias("__base"))
         .join(token_sums, "lang", "left")
         .select(
+            "lang", "n_docs",
+            (F.col("__base") + F.coalesce("__sum_wt", F.lit(0)))
+            .alias("n_bpe_tokens"),
+            (F.col("__base") + F.coalesce("__sum_wc", F.lit(0)))
+            .alias("n_char_tokens"),
+        )
+        .select(
             "lang", "n_docs", "n_bpe_tokens", "n_char_tokens",
+            # try_divide: ANSI `/` throws DIVIDE_BY_ZERO for an
+            # all-empty lang; DuckDB's ::DOUBLE / 0 is NULL, and
+            # try_divide returns exactly NULL on a zero divisor
             F.round(
-                F.col("n_char_tokens") / F.col("n_bpe_tokens"), 6
+                F.try_divide("n_char_tokens", "n_bpe_tokens"), 6
             ).alias("chars_per_token"),
         )
         .orderBy("lang")
@@ -2087,7 +2100,7 @@ def _bpe_apply_round(i: int) -> str:
     return f"""
 t{i} AS (
     SELECT lang, n_char,
-           CASE WHEN p{i}.a IS NULL THEN s ELSE {fold} END AS s
+           CASE WHEN p{i}.a IS NULL OR s IS NULL THEN s ELSE {fold} END AS s
     FROM t{i - 1} LEFT JOIN p{i} ON TRUE
 )"""
 
@@ -2095,7 +2108,7 @@ t{i} AS (
 _BPE_TOKENIZE_SQL = (
     r"""
 WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
@@ -2114,7 +2127,7 @@ t0 AS (
                AS n_char,
            chr(31) || regexp_replace(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-               '(.)', '\1' || chr(31), 'g') AS s
+               '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
     + ",".join(_bpe_apply_round(i) for i in range(1, 9))
@@ -2250,7 +2263,7 @@ _BPE_BATCHED_WINDOW = 256
 _BPE_BATCHED_WITH = (
     r"""
 WITH w0 AS MATERIALIZED (
-    SELECT chr(31) || regexp_replace(norm, '(.)', '\1' || chr(31), 'g') AS sym,
+    SELECT chr(31) || regexp_replace(norm, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -2310,18 +2323,20 @@ def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = normalize_text(F.col("text"))
     corpus = docs.filter(F.length(norm) > 0)
     seg = bpe_segment_pandas(corpus, merges, unit="raw", out_col="__toks")
-    stats = seg.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size("__toks")).alias("n_tokens"),
-        F.sum(F.length(normalize_text(F.col("text")))).alias("n_chars"),
-    )
-    distinct_syms = (
-        seg.select(F.explode("__toks").alias("s"))
-        .agg(F.count_distinct("s").alias("n_distinct_symbols"))
-    )
-    return stats.crossJoin(distinct_syms).select(
+    # ONE segmentation pass, one explode, one aggregate: a non-empty
+    # unit always yields >=1 symbol, so explode preserves every doc and
+    # n_docs/n_chars fall out of the token grain (chars == sum of
+    # symbol lengths by construction). A second aggregation over `seg`
+    # would re-run the Arrow tokenize pass over the whole corpus.
+    exploded = seg.select("doc_id", F.explode("__toks").alias("s"))
+    return exploded.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("s")).alias("n_chars"),
+        F.count_distinct("s").alias("n_distinct_symbols"),
+    ).select(
         "n_docs", "n_tokens", "n_chars", "n_distinct_symbols",
-        F.round(F.col("n_chars") / F.col("n_tokens"), 6)
+        F.round(F.try_divide("n_chars", "n_tokens"), 6)
         .alias("chars_per_token"),
     )
 
@@ -2383,7 +2398,7 @@ def bpe_apply_parity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_APPLY_PARITY_SQL = (
     r"""
 WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
@@ -2399,14 +2414,15 @@ t0 AS (
     SELECT lang,
            chr(31) || regexp_replace(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-               '(.)', '\1' || chr(31), 'g') AS s
+               '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
     + ",".join(
         f"""
 t{i} AS (
     SELECT lang,
-           CASE WHEN p{i}.a IS NULL THEN s ELSE {_FOLD.format(col="s", i=i)} END AS s
+           CASE WHEN p{i}.a IS NULL OR s IS NULL THEN s
+                ELSE {_FOLD.format(col="s", i=i)} END AS s
     FROM t{i - 1} LEFT JOIN p{i} ON TRUE
 )"""
         for i in range(1, 9)

@@ -1153,14 +1153,14 @@ def _stream_bpe_sql() -> str:
         return f"""
 t{i} AS (
     SELECT lang, doc_id,
-           CASE WHEN p{i}.a IS NULL THEN s ELSE {fold} END AS s
+           CASE WHEN p{i}.a IS NULL OR s IS NULL THEN s ELSE {fold} END AS s
     FROM t{i - 1} LEFT JOIN p{i} ON TRUE
 )"""
 
     return (
         r"""
 WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(.)', '\1' || chr(31), 'g') AS sym,
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
@@ -1176,7 +1176,7 @@ t0 AS (
     SELECT lang, doc_id,
            chr(31) || regexp_replace(
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-               '(.)', '\1' || chr(31), 'g') AS s
+               '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
         + ",".join(apply_round(i) for i in range(1, 9))

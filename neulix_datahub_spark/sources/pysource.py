@@ -105,7 +105,14 @@ class ManifestLinesReader(DataSourceReader):
         # greedy first-fit in manifest order — deterministic, and
         # preserves any locality the manifest's ordering encodes
         for p in self.paths:
-            size = os.path.getsize(p)
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                # driver can't stat it (deleted since manifest creation,
+                # or executor-only visibility): don't fail PLANNING —
+                # the file's own read task reports the real error, the
+                # same failure surface as the ungrouped path
+                size = 0
             if cur and cur_bytes + size > self.target_bytes:
                 groups.append(cur)
                 cur, cur_bytes = [], 0

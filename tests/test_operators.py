@@ -2464,3 +2464,75 @@ def test_bpe_batched_resume_equals_full_training(spark):
             df, n_rounds=2, window=12, unit=unit, initial_merges=head
         )
         assert head + tail == full, (unit, head, tail, full)
+
+
+def test_bpe_vectorized_normalization_matches_engine_on_unicode_ws(spark):
+    """Round-10 review fix: the vectorized tier must normalize with
+    JAVA's \\s semantics ([ \\t\\n\\x0b\\f\\r]) and space-only trim, not
+    Python's Unicode-aware re/strip — U+00A0, U+2028, U+3000 and the
+    C0 separators \\x1c-\\x1f are ordinary mergeable SYMBOLS to the
+    engine's normalize_text, and the vectorized pass must agree or
+    fold==vectorized parity silently breaks on real corpora."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "a b",          # NBSP: a symbol, not whitespace
+        "a b c",        # line separator
+        "　x　",     # ideographic space
+        "p\x1cq",            # C0 file separator (0x1f itself is the
+                             # reserved delimiter — scrubbed upstream)
+        " \x0bmixed\tws\r ", # Java \s chars DO collapse
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"]
+    )
+    merges = [{"left": "a", "right": " ", "merged": "a "}]
+    fold = {r["id"]: r["t"] for r in df.select(
+        "id", bpe_segment(F.col("text"), merges).alias("t")).collect()}
+    vec = {r["id"]: r["t"] for r in bpe_segment_pandas(
+        df, merges, out_col="t").select("id", "t").collect()}
+    assert fold == vec, (fold, vec)
+    assert fold[0] == ["a ", "b"]  # NBSP merged as a symbol
+
+
+def test_bpe_tokenize_stats_null_vs_zero_lang_parity(spark):
+    """Round-10 review fix: a lang whose documents ALL normalize empty
+    must report 0 tokens (the oracle's per-document sum), and a lang
+    whose documents are ALL NULL must report NULL — the re-planned
+    word-join engine alone returned NULL for both."""
+    import duckdb
+
+    from neulix_datahub_spark.plans.queries_llm import _BPE_TOKENIZE_SQL
+    from tests.compare import assert_frames_match
+    from neulix_datahub_spark.plans import queries_llm as qllm
+
+    rows = [("en", "ab ab"), ("empty", "   "), ("empty", ""),
+            ("nulls", None), ("mixed", None), ("mixed", "ab")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    expected = con.execute(_BPE_TOKENIZE_SQL).df()
+
+    # run the registered engine fn against a stand-in loader
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    orig = qllm.load_table
+    try:
+        qllm.load_table = lambda _s, _d, _n: df
+        got = qllm.bpe_tokenize_stats(spark, "unused").toPandas()
+    finally:
+        qllm.load_table = orig
+    # NULL-bearing int columns arrive as float64 from toPandas and as
+    # object from duckdb — normalize both to nullable Int64 (the real
+    # fixture has no NULL langs, so the driver never hits this)
+    for c in ("n_docs", "n_bpe_tokens", "n_char_tokens"):
+        got[c] = got[c].astype("Int64")
+        expected[c] = expected[c].astype("Int64")
+    assert_frames_match(got, expected)
+    by_lang = {r.lang: r.n_bpe_tokens for r in got.itertuples()}
+    import pandas as pd
+    assert by_lang["empty"] == 0 and by_lang["en"] == 2
+    assert pd.isna(by_lang["nulls"]) and by_lang["mixed"] == 1

@@ -2259,23 +2259,25 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R9} | {
 # ---------------------------------------------------------------------------
 # ROUND 10 rotation (the round-9 driver run consumed _PRIORITY_R9 —
 # 50/50 hash-green). Composition per the round-9 verdict's task 3:
-#   1-4:   the 4 queries ADDED in round 10 (batched-BPE training run,
+#   1-5:   the 5 queries ADDED in round 10 (batched-BPE training run,
 #          fold-vs-vectorized apply parity, vectorized batched apply,
-#          streaming tokenizer twin) — first driver rows;
-#   5-9:   queries whose implementation or oracle CHANGED in round 10:
+#          streaming tokenizer twin, vocab coverage curve) — first
+#          driver rows;
+#   6-10:  queries whose implementation or oracle CHANGED in round 10:
 #          the BPE pair (oracle empty-round guard, slice+zip pair
 #          counts, checkpoint freeing, tokenize re-plan), the Python
 #          DataSource pair (readBetweenOffsets, pid-ordered commits,
 #          overwrite cleanup, small-file grouping), and the LSH
 #          pipeline (components.py propagation→star auto-fallback);
-#   10-32: ALL 23 remaining r4-era stale greens (the judge's queue,
+#   11-33: ALL 23 remaining r4-era stale greens (the judge's queue,
 #          verbatim — after this window no green row predates r5);
-#   33-50: the oldest r5-era greens, LLM/dedup/similarity tier first,
+#   34-50: the oldest r5-era greens, LLM/dedup/similarity tier first,
 #          then the TPC-H refresh.
 _PRIORITY_R10 = [
     # -- new in r10: first driver rows --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
     "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
+    "bpe_vocab_coverage_stats",
     # -- engine/oracle changed in r10: fresh rows required --
     "bpe_merges_check", "bpe_tokenize_stats", "python_datasource_stats",
     "stream_python_source_stats", "lsh_dedup_pipeline",
@@ -2297,13 +2299,12 @@ _PRIORITY_R10 = [
     "centroid_outliers_by_label", "ivf_top10", "ivf_batch_recall_check",
     "quantization_error_profile", "cms_user_counts",
     "bloom_semi_join_revenue",
-    # -- then the r5-era TPC-H refreshes --
-    "q1_pricing_summary",
 ]
 # ROUND 11 NOTE: rotate ONLY AFTER the round-10 driver run consumes this
 # prefix. Lead round 11 with any round-10/11 implementation changes and
 # red-row fixes, then the remaining r5-era stale greens oldest-first
-# (q2_min_cost_supplier, cube_order_status, distinct_events, doc_store_upsert_stats,
+# (q1_pricing_summary, q2_min_cost_supplier, cube_order_status,
+# distinct_events, doc_store_upsert_stats,
 # events_hourly, events_sliding, orders_price_bands, price_percentiles,
 # q7_nation_volume, q8_market_share, q9_profit_by_nation,
 # q11_important_part_values, q12_late_shipments,

@@ -2300,6 +2300,106 @@ ORDER BY rank
 )
 
 
+def bpe_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer EVALUATION (round 10): the vocabulary coverage curve —
+    after training the 8-merge vocab, how much of the corpus's token
+    stream do the top-k symbols cover? The standard Zipf sanity check
+    on a learned tokenizer (a healthy vocab front-loads coverage; a
+    degenerate one doesn't). Engine: fold once per DISTINCT word,
+    explode symbols weighted by word count, rank by (freq DESC, symbol)
+    and emit the top 20 with cumulative corpus share. The window is
+    GLOBAL but over bounded grain — the symbol vocabulary, not the
+    corpus (same exemption class as the sketch/percentile queries).
+    The oracle replays training and reads the same curve off w8."""
+    from pyspark.sql import Window
+
+    from neulix_datahub_spark.operators.bpe import (
+        US,
+        _merge_fold,
+        _symbolize,
+        bpe_learn_merges,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, n_merges=8)
+    words = word_counts(docs)
+    sym = _symbolize(F.col("word"))
+    for m in merges:
+        sym = _merge_fold(sym, m["left"], m["right"])
+    freqs = (
+        words.select(
+            F.explode(F.filter(F.split(sym, US), lambda x: x != ""))
+            .alias("symbol"),
+            "n",
+        )
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("freq"))
+    )
+    # bounded grain: rows here are distinct vocabulary SYMBOLS (Heaps-
+    # bounded), never corpus rows — the global order is safe at 100 TB
+    order = [F.desc("freq"), F.asc("symbol")]
+    cum_w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = freqs.agg(F.sum("freq").alias("__total"))
+    return (
+        freqs.select(
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            "symbol", "freq",
+            F.sum("freq").over(cum_w).alias("__cum"),
+        )
+        .filter(F.col("rank") <= 20)
+        .crossJoin(totals)
+        .select(
+            "rank", "symbol", "freq",
+            F.round(F.try_divide("__cum", "__total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+_BPE_COVERAGE_SQL = (
+    r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+    + ",".join(_bpe_round(i) for i in range(1, 9))
+    + r""",
+freqs AS (
+    SELECT symbol, CAST(sum(n) AS BIGINT) AS freq
+    FROM (
+        SELECT unnest(list_filter(string_split(sym, chr(31)),
+                                  x -> x <> '')) AS symbol, n
+        FROM w8
+    )
+    GROUP BY symbol
+),
+ranked AS (
+    SELECT symbol, freq,
+           row_number() OVER (ORDER BY freq DESC, symbol) AS rank,
+           sum(freq) OVER (ORDER BY freq DESC, symbol
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(freq) OVER () AS total
+    FROM freqs
+)
+SELECT CAST(rank AS BIGINT) AS rank, symbol, freq,
+       round(cum::DOUBLE / total, 6) AS cum_share
+FROM ranked
+WHERE rank <= 20
+ORDER BY rank
+"""
+)
+
+
 def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer tier at scale, APPLY side (round 10): train the
     313-merge batched vocabulary (raw units) and segment the corpus
@@ -2455,6 +2555,12 @@ LLM_QUERIES = {
         _BPE_APPLY_PARITY_SQL,
         "tokenizer tier: fold-chain vs vectorized mapInPandas apply parity, "
         "oracle-pinned per lang",
+    ),
+    "bpe_vocab_coverage_stats": (
+        bpe_vocab_coverage_stats,
+        _BPE_COVERAGE_SQL,
+        "tokenizer eval: top-20 vocabulary coverage curve (Zipf sanity check), "
+        "oracle replays training and the ranked cumulative shares",
     ),
     "bpe_batched_tokenize_stats": (
         bpe_batched_tokenize_stats,

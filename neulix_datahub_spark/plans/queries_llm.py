@@ -2258,10 +2258,14 @@ w{i} AS MATERIALIZED (
 _BPE_BATCHED_ROUNDS = 16
 _BPE_BATCHED_WINDOW = 256
 
-# shared WITH clause: w0 (raw units) + the 16 unrolled batched rounds —
-# both batched queries (merge table / apply stats) replay the same run
-_BPE_BATCHED_WITH = (
-    r"""
+
+def batched_with_clause(n_rounds: int, window: int) -> str:
+    """WITH clause replaying a batched training run: w0 (raw units) +
+    ``n_rounds`` unrolled batched rounds. Shared by the two batched
+    driver queries and the hypothesis engine-vs-oracle property (which
+    generates SMALL parameterizations over random corpora)."""
+    return (
+        r"""
 WITH w0 AS MATERIALIZED (
     SELECT chr(31) || regexp_replace(norm, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
@@ -2272,32 +2276,40 @@ WITH w0 AS MATERIALIZED (
     WHERE norm <> ''
     GROUP BY norm
 ),"""
-    + ",".join(
-        _batched_round(i, _BPE_BATCHED_WINDOW)
-        for i in range(1, _BPE_BATCHED_ROUNDS + 1)
+        + ",".join(_batched_round(i, window) for i in range(1, n_rounds + 1))
     )
-)
 
-_BPE_BATCHED_SQL = (
-    _BPE_BATCHED_WITH
-    + """
+
+def batched_vocab_sql(n_rounds: int, window: int) -> str:
+    """The full batched merge-table replay (rank, rnd, round_rank, lhs,
+    rhs, merged, pair_count) at the given parameterization."""
+    return (
+        batched_with_clause(n_rounds, window)
+        + """
 SELECT CAST(row_number() OVER (ORDER BY rnd, round_rank) AS BIGINT) AS rank,
        CAST(rnd AS BIGINT) AS rnd,
        CAST(round_rank AS BIGINT) AS round_rank,
        lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count
 FROM (
 """
-    + "\nUNION ALL\n".join(
-        f"SELECT {i} AS rnd, k{i}.round_rank, k{i}.a AS lhs, k{i}.b AS rhs, "
-        f"k{i}.a || k{i}.b AS merged, c{i}.c AS pair_count "
-        f"FROM k{i} JOIN c{i} ON k{i}.a = c{i}.a AND k{i}.b = c{i}.b"
-        for i in range(1, _BPE_BATCHED_ROUNDS + 1)
-    )
-    + """
+        + "\nUNION ALL\n".join(
+            f"SELECT {i} AS rnd, k{i}.round_rank, k{i}.a AS lhs, k{i}.b AS rhs, "
+            f"k{i}.a || k{i}.b AS merged, c{i}.c AS pair_count "
+            f"FROM k{i} JOIN c{i} ON k{i}.a = c{i}.a AND k{i}.b = c{i}.b"
+            for i in range(1, n_rounds + 1)
+        )
+        + """
 )
 ORDER BY rank
 """
-)
+    )
+
+
+# shared WITH clause at the registered parameterization — both batched
+# driver queries (merge table / apply stats) replay the same run
+_BPE_BATCHED_WITH = batched_with_clause(_BPE_BATCHED_ROUNDS, _BPE_BATCHED_WINDOW)
+
+_BPE_BATCHED_SQL = batched_vocab_sql(_BPE_BATCHED_ROUNDS, _BPE_BATCHED_WINDOW)
 
 
 def bpe_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

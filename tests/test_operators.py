@@ -2536,3 +2536,41 @@ def test_bpe_tokenize_stats_null_vs_zero_lang_parity(spark):
     import pandas as pd
     assert by_lang["empty"] == 0 and by_lang["en"] == 2
     assert pd.isna(by_lang["nulls"]) and by_lang["mixed"] == 1
+
+
+def test_bpe_batched_oracle_sql_matches_engine_on_random_corpora(spark):
+    """Property (round 10): the ORACLE side of the batched trainer —
+    the unrolled DuckDB replay with its string-record greedy scan and
+    needle encoding (built around two reproduced DuckDB 1.0
+    nested-lambda miscompilations) — equals the Spark engine on random
+    2-letter corpora, not just the fixtures. Multi-char symbols that
+    are prefixes/suffixes of each other are exactly where a sloppy
+    needle encoding would false-match."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+    from neulix_datahub_spark.plans.queries_llm import batched_vocab_sql
+
+    sql = batched_vocab_sql(3, 6)
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=10))
+    def check(words):
+        texts = [" ".join(words), words[0], " ".join(reversed(words))]
+        df = spark.createDataFrame([(t,) for t in texts], ["text"])
+        got = [
+            (m["rank"], m["round"], m["round_rank"], m["left"], m["right"],
+             m["merged"], m["pair_count"])
+            for m in bpe_learn_merges_batched(df, n_rounds=3, window=6,
+                                              unit="raw")
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+        want = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == want, (words, got, want)
+
+    check()

@@ -1997,7 +1997,7 @@ WITH w0 AS (
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -2112,7 +2112,7 @@ WITH w0 AS (
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -2123,10 +2123,10 @@ WITH w0 AS (
 t0 AS (
     SELECT lang,
            length(replace(
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ', ''))
+               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ', ''))
                AS n_char,
            chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
@@ -2270,7 +2270,7 @@ WITH w0 AS MATERIALIZED (
     SELECT chr(31) || regexp_replace(norm, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
-        SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        SELECT trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS norm
         FROM documents
     )
     WHERE norm <> ''
@@ -2349,20 +2349,25 @@ def bpe_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("freq"))
     )
     # bounded grain: rows here are distinct vocabulary SYMBOLS (Heaps-
-    # bounded), never corpus rows — the global order is safe at 100 TB
+    # bounded), never corpus rows — the global order is safe at 100 TB.
+    # total rides the SAME window sort (unbounded frame) instead of a
+    # second aggregate + crossJoin, which would re-derive the fold
+    # lineage over every distinct word a second time.
     order = [F.desc("freq"), F.asc("symbol")]
     cum_w = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    totals = freqs.agg(F.sum("freq").alias("__total"))
+    tot_w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
         freqs.select(
             F.row_number().over(Window.orderBy(*order)).alias("rank"),
             "symbol", "freq",
             F.sum("freq").over(cum_w).alias("__cum"),
+            F.sum("freq").over(tot_w).alias("__total"),
         )
         .filter(F.col("rank") <= 20)
-        .crossJoin(totals)
         .select(
             "rank", "symbol", "freq",
             F.round(F.try_divide("__cum", "__total"), 6).alias("cum_share"),
@@ -2378,7 +2383,7 @@ WITH w0 AS (
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -2438,11 +2443,14 @@ def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE segmentation pass, one explode, one aggregate: a non-empty
     # unit always yields >=1 symbol, so explode preserves every doc and
     # n_docs/n_chars fall out of the token grain (chars == sum of
-    # symbol lengths by construction). A second aggregation over `seg`
-    # would re-run the Arrow tokenize pass over the whole corpus.
-    exploded = seg.select("doc_id", F.explode("__toks").alias("s"))
+    # symbol lengths by construction; n_docs counts pos-0 tokens — one
+    # per document ROW, so NULL or duplicated doc_ids still count like
+    # the oracle's sum(n)). A second aggregation over `seg` would
+    # re-run the Arrow tokenize pass over the whole corpus.
+    exploded = seg.select(F.posexplode("__toks").alias("pos", "s"))
     return exploded.agg(
-        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.length("s")).alias("n_chars"),
         F.count_distinct("s").alias("n_distinct_symbols"),
@@ -2514,7 +2522,7 @@ WITH w0 AS (
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -2525,7 +2533,7 @@ WITH w0 AS (
 t0 AS (
     SELECT lang,
            chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""

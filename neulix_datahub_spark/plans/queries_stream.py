@@ -1164,7 +1164,7 @@ WITH w0 AS (
            CAST(count(*) AS BIGINT) AS n
     FROM (
         SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -1175,7 +1175,7 @@ WITH w0 AS (
 t0 AS (
     SELECT lang, doc_id,
            chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""

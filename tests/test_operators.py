@@ -2574,3 +2574,33 @@ def test_bpe_batched_oracle_sql_matches_engine_on_random_corpora(spark):
         assert got == want, (words, got, want)
 
     check()
+
+
+def test_bpe_oracle_vt_whitespace_parity(spark):
+    """Round-10 second review wave: RE2's \\s excludes vertical tab
+    (\\x0B) while Java's includes it — the BPE oracles now spell the
+    explicit class [ \\t\\n\\v\\f\\r]+, so a VT-containing corpus trains
+    the SAME vocabulary in both engines (previously the oracle kept
+    'a\\x0bb' as one word while the engine split it)."""
+    import duckdb
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges
+    from neulix_datahub_spark.plans.queries_llm import _BPE_SQL
+    from tests.compare import assert_frames_match
+
+    rows = [("en", "ab\x0bab ab"), ("en", "ab\tab")]
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    merges = bpe_learn_merges(df, n_merges=8)
+    # engine splits on VT: vocabulary is just 'ab' x5 -> one merge
+    assert [m["merged"] for m in merges] == ["ab"]
+    assert merges[0]["pair_count"] == 5
+    got = spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+         for m in merges],
+        "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
+    ).toPandas()
+    assert_frames_match(got, con.execute(_BPE_SQL).df())

@@ -47,7 +47,14 @@ def normalize_terms(terms: list[str]) -> list[str]:
 
     out: list[str] = []
     for t in terms:
-        out.extend(w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w)
+        # Java \s class + space-only strip (Python's Unicode \s would
+        # tokenize queries differently than the JVM-side postings)
+        out.extend(
+            w
+            for w in re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower())
+            .strip(" ").split(" ")
+            if w
+        )
     if not out:
         raise ValueError(f"query terms are empty after normalization: {terms!r}")
     return out

@@ -39,7 +39,11 @@ class ChunkTokensUDTF:
             raise ValueError(
                 f"need 0 <= overlap < chunk_size, got {overlap}/{chunk_size}"
             )
-        norm = re.sub(r"\s+", " ", text).strip()
+        # Java \s class + space-only strip: Python's re \s is
+        # Unicode-aware and would diverge from the expression
+        # chunker (packing.py) on NBSP/U+2028/C0 — the same parity
+        # class fixed in bpe_segment_pandas (round 10)
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", text).strip(" ")
         toks = norm.split(" ") if norm else []
         stride = chunk_size - overlap
         n = len(toks)

@@ -527,7 +527,7 @@ def word_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_SQL = r"""
 WITH toks AS (
     SELECT doc_id, lang,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents WHERE doc_id % 5 = 0
 ),
 shares AS (
@@ -571,7 +571,7 @@ def char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHAR_ENTROPY_SQL = r"""
 WITH norm AS (
-    SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+    SELECT lang, trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS nt
     FROM documents
 ),
 ents AS (
@@ -689,7 +689,7 @@ def contamination_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAMINATION_SQL = r"""
 WITH norm AS (
     SELECT doc_id, lang,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents
 ),
 bgrams AS (
@@ -889,7 +889,7 @@ _SOURCE_MIXING_SQL = r"""
 WITH toks AS (
     SELECT source, lang,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) END AS tok
     FROM documents
 )
 SELECT source,
@@ -925,7 +925,7 @@ def dup_bigram_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_BIGRAM_SQL = r"""
 WITH toks AS (
     SELECT lang,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents
 ),
 fracs AS (
@@ -1075,7 +1075,7 @@ sh AS (
            ) AS s
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM documents
     )
 )
@@ -1284,7 +1284,7 @@ def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_PASSAGE_SQL = r"""
 WITH norm AS (
     SELECT doc_id, lang,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents
 ),
 grams AS (
@@ -1335,7 +1335,7 @@ def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PERPLEXITY_SQL = r"""
 WITH toks AS (
     SELECT doc_id,
-           unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+           unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS tok
     FROM documents
 ),
 tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
@@ -1432,7 +1432,7 @@ def bigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIGRAM_PPL_SQL = r"""
 WITH base AS (
   SELECT doc_id, lang,
-         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
   FROM documents
 ),
 toks AS (SELECT unnest(t) AS tok FROM base),
@@ -1812,7 +1812,7 @@ def bloom_decontamination_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_DECON_SQL = r"""
 WITH norm AS (
     SELECT doc_id, lang,
-           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents
 ),
 bgrams AS (

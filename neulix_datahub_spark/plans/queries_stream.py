@@ -396,7 +396,7 @@ _STREAM_DEDUP_SQL = r"""
 WITH winners AS (
     SELECT min(doc_id) AS doc_id
     FROM documents
-    GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+    GROUP BY trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))
 )
 SELECT d.lang,
        CAST(count(*) AS BIGINT) AS n_docs_kept,

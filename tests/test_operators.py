@@ -2202,7 +2202,8 @@ def _py_batched_bpe(docs, n_rounds, window, unit="word"):
     from collections import Counter
 
     def norm(t):
-        return re.sub(r"\s+", " ", t.lower()).strip()
+        # the engine's Java-\s semantics, not Python's Unicode \s
+        return re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip(" ")
 
     if unit == "word":
         units = Counter(w for t in docs for w in norm(t).split(" ") if w)
@@ -2332,7 +2333,9 @@ def test_bpe_segment_pandas_parity_with_fold_chain(spark):
     )
     from pyspark.sql import functions as F
 
-    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    # NBSP in the alphabet: a mergeable SYMBOL to both paths since the
+    # round-10 normalization fix (Python \s would have collapsed it)
+    word = st.text(alphabet="ab\xa0", min_size=1, max_size=6)
 
     @settings(max_examples=4, deadline=None)
     @given(st.lists(word, min_size=1, max_size=8))

@@ -1962,6 +1962,24 @@ _FOLD = """list_reduce(
     )"""
 
 
+
+# The word-grain w0 CTE (normalize -> space-split -> per-word symbol
+# stream with counts) shared VERBATIM by every word-mode BPE oracle —
+# one copy, so a normalization fix can never miss a mirror (the round-10
+# whitespace-parity lesson).
+WORD_W0_SQL = r"""
+WITH w0 AS (
+    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(string_split(
+            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
+        FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+),"""
+
 def _bpe_round(i: int) -> str:
     # the merge rewrite is the same greedy left fold the engine runs —
     # see operators/bpe.py::_merge_fold (a plain string replace is NOT
@@ -1991,18 +2009,7 @@ w{i} AS (
 
 
 _BPE_SQL = (
-    r"""
-WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
-        FROM documents
-    )
-    WHERE word <> ''
-    GROUP BY word
-),"""
+    WORD_W0_SQL
     + ",".join(_bpe_round(i) for i in range(1, 9))
     + """
 SELECT * FROM (
@@ -2106,18 +2113,7 @@ t{i} AS (
 
 
 _BPE_TOKENIZE_SQL = (
-    r"""
-WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
-        FROM documents
-    )
-    WHERE word <> ''
-    GROUP BY word
-),"""
+    WORD_W0_SQL
     + ",".join(_bpe_round(i) for i in range(1, 9))
     + r""",
 t0 AS (
@@ -2377,18 +2373,7 @@ def bpe_vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_COVERAGE_SQL = (
-    r"""
-WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
-        FROM documents
-    )
-    WHERE word <> ''
-    GROUP BY word
-),"""
+    WORD_W0_SQL
     + ",".join(_bpe_round(i) for i in range(1, 9))
     + r""",
 freqs AS (
@@ -2516,18 +2501,7 @@ def bpe_apply_parity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BPE_APPLY_PARITY_SQL = (
-    r"""
-WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
-        FROM documents
-    )
-    WHERE word <> ''
-    GROUP BY word
-),"""
+    WORD_W0_SQL
     + ",".join(_bpe_round(i) for i in range(1, 9))
     + r""",
 t0 AS (

@@ -1146,7 +1146,11 @@ def stream_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_bpe_sql() -> str:
-    from neulix_datahub_spark.plans.queries_llm import _FOLD, _bpe_round
+    from neulix_datahub_spark.plans.queries_llm import (
+        _FOLD,
+        WORD_W0_SQL,
+        _bpe_round,
+    )
 
     def apply_round(i: int) -> str:
         fold = _FOLD.format(col="s", i=i)
@@ -1158,18 +1162,7 @@ t{i} AS (
 )"""
 
     return (
-        r"""
-WITH w0 AS (
-    SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
-           CAST(count(*) AS BIGINT) AS n
-    FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
-        FROM documents
-    )
-    WHERE word <> ''
-    GROUP BY word
-),"""
+        WORD_W0_SQL
         + ",".join(_bpe_round(i) for i in range(1, 9))
         + r""",
 t0 AS (

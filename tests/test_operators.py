@@ -2607,3 +2607,31 @@ def test_bpe_oracle_vt_whitespace_parity(spark):
         "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     ).toPandas()
     assert_frames_match(got, con.execute(_BPE_SQL).df())
+
+
+def test_text_tier_oracle_vt_whitespace_parity(spark):
+    """Round-10 migration pinned BEHAVIORALLY for the non-BPE text tier:
+    every text oracle now spells the explicit Java-\\s class, so a
+    vertical-tab corpus yields the SAME per-lang character-entropy
+    profile in both engines (with RE2's \\s the oracle kept \\x0b as a
+    distribution character while the engine collapsed it — a silent
+    red-row on any VT-containing corpus)."""
+    import duckdb
+
+    from neulix_datahub_spark.plans import queries_llm as qllm
+    from neulix_datahub_spark.plans.queries_llm import _CHAR_ENTROPY_SQL
+    from tests.compare import assert_frames_match
+
+    rows = [("en", "ab\x0bcd ab"), ("en", "xy\x0b\x0bzz"), ("de", "aa\tbb")]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+
+    df = spark.createDataFrame(rows, ["lang", "text"])
+    orig = qllm.load_table
+    try:
+        qllm.load_table = lambda _s, _d, _n: df
+        got = qllm.char_entropy_by_lang(spark, "unused").toPandas()
+    finally:
+        qllm.load_table = orig
+    assert_frames_match(got, con.execute(_CHAR_ENTROPY_SQL).df())

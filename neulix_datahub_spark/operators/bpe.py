@@ -48,14 +48,30 @@ from pyspark.sql import functions as F
 
 from neulix_datahub_spark.operators.dedupe import normalize_text
 
-# Reserved symbol delimiter. A text character equal to it degenerates
-# to an empty symbol and is dropped from the symbol stream — in BOTH
-# engines identically (same construction), so parity holds; corpora
-# that legitimately contain 0x1f should be scrubbed upstream (it is a
-# C0 control code no tokenizer wants as a symbol anyway). The batched
-# trainer's SQL mirror additionally reserves 0x1c–0x1e for its
-# kept-pair records — same upstream-scrub contract.
+# Reserved symbol delimiter. The batched trainer's SQL mirror
+# additionally reserves 0x1c–0x1e for its kept-pair record/needle
+# encoding, so the full reserved range is the four C0 separators
+# 0x1c–0x1f. The contract is ENFORCED, not assumed of the corpus:
+# every unit relation and apply path normalizes through
+# :func:`_bpe_normalize`, which deletes the reserved range before
+# whitespace collapse (mirrored verbatim in every DuckDB oracle's
+# normalization), so a corpus containing these C0 controls can never
+# desynchronize the engine's exact string comparisons from the
+# oracle's string-record scan. They are control codes no tokenizer
+# wants as symbols anyway.
 US = "\x1f"
+
+# Java regex hex escapes — the same literal parses identically in
+# DuckDB's RE2 and Python's re, which is what keeps the three
+# normalization mirrors provably in sync.
+RESERVED = r"[\x1c-\x1f]"
+
+
+def _bpe_normalize(col: Column) -> Column:
+    """BPE's canonical text form: the reserved C0 separators deleted
+    FIRST (deletion may join two whitespace runs), then the shared
+    lowercase/collapse/trim of ``normalize_text``."""
+    return normalize_text(F.regexp_replace(col, RESERVED, ""))
 
 
 def _symbolize(word: Column) -> Column:
@@ -93,7 +109,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The corpus's (word, count) relation — BPE's working set. One
     scan, one map-side-combined groupBy; output is bounded by the
     vocabulary."""
-    norm = normalize_text(F.col(text_col))
+    norm = _bpe_normalize(F.col(text_col))
     return (
         df.select(F.explode(F.split(norm, " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -133,11 +149,18 @@ def _free_checkpoint(df: DataFrame) -> None:
     this an n-round iterative trainer accumulates O(n) materialized
     copies of its working relation (fine at 8 rounds, not at
     tokenizer-scale round counts). Best-effort: any py4j surprise just
-    leaves the block to the ContextCleaner."""
+    leaves the block to the ContextCleaner — but LOGGED, so a Spark
+    version changing the internal call shape degrades the O(1)-storage
+    contract observably instead of silently."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - version drift guard
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpoint unpersist failed (%s); storage bound degrades "
+            "to O(rounds) until the ContextCleaner catches up", exc
+        )
 
 
 def bpe_learn_merges(
@@ -253,7 +276,7 @@ def raw_unit_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     samples/chunks the corpus first (exactly what SentencePiece's
     sentence sampling does); word mode keeps the Heaps-law-bounded
     vocabulary working set instead."""
-    norm = normalize_text(F.col(text_col))
+    norm = _bpe_normalize(F.col(text_col))
     return (
         df.select(norm.alias("unit"))
         .filter(F.col("unit") != "")
@@ -464,6 +487,12 @@ def bpe_segment_pandas(
 
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in the input columns "
+            f"{df.columns}; pick a distinct name (mapInPandas would "
+            "bind a duplicate field and fail confusingly downstream)"
+        )
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
     rounds = _merge_rounds(merges)
@@ -476,10 +505,12 @@ def bpe_segment_pandas(
     )
     # JAVA's \s ([ \t\n\x0B\f\r]) and space-only trim, NOT Python's re
     # \s/str.strip(): Python's are Unicode-aware (U+00A0, U+2028,
-    # U+3000, \x1c-\x1f all match), so they would collapse characters
-    # the engine's normalize_text (Spark regexp_replace + trim) keeps
-    # as ordinary symbols — silently breaking fold==vectorized parity
-    # on any corpus containing non-ASCII whitespace.
+    # U+3000 all match), so they would collapse characters the
+    # engine's normalize (Spark regexp_replace + trim) keeps as
+    # ordinary symbols — silently breaking fold==vectorized parity on
+    # any corpus containing non-ASCII whitespace. The reserved C0
+    # separators are deleted FIRST, mirroring _bpe_normalize.
+    rsv = re.compile(RESERVED)
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def run(batches: Iterator) -> Iterator:
@@ -488,7 +519,7 @@ def bpe_segment_pandas(
         def tokenize(text: str) -> list[str] | None:
             if not isinstance(text, str):
                 return None  # NULL text -> NULL tokens, like the folds
-            norm = ws.sub(" ", text.lower()).strip(" ")
+            norm = ws.sub(" ", rsv.sub("", text).lower()).strip(" ")
             if unit == "raw":
                 got = memo.get(norm)
                 if got is None:
@@ -519,7 +550,7 @@ def bpe_segment(text: Column, merges: list[dict]) -> Column:
     a barrier symbol (merge sides come from space-split words, so no
     pair ever involves it) and is dropped at the end — merges can never
     cross a word boundary."""
-    norm = normalize_text(text)
+    norm = _bpe_normalize(text)
     s = F.concat(F.lit(US), F.regexp_replace(norm, "(?s)(.)", f"$1{US}"))
     for m in merges:
         s = _merge_fold(s, m["left"], m["right"])

@@ -1963,6 +1963,20 @@ _FOLD = """list_reduce(
 
 
 
+# BPE's canonical text form, mirrored VERBATIM from the engine's
+# _bpe_normalize (operators/bpe.py): the reserved C0 separators
+# 0x1c-0x1f — chr(31) is the symbol delimiter, chr(28)-chr(30) the
+# batched oracle's record/needle codes — are DELETED first (enforcing
+# the reserved-codepoint contract instead of assuming it of the
+# corpus), then Java-\s whitespace collapse + space trim. The same
+# regex literal parses identically in Java, RE2 and Python re.
+def bpe_norm_sql(col: str = "text") -> str:
+    return (
+        "trim(regexp_replace(lower(regexp_replace(" + col
+        + r", '[\x1c-\x1f]', '', 'g')), '[ \t\n\v\f\r]+', ' ', 'g'))"
+    )
+
+
 # The word-grain w0 CTE (normalize -> space-split -> per-word symbol
 # stream with counts) shared VERBATIM by every word-mode BPE oracle —
 # one copy, so a normalization fix can never miss a mirror (the round-10
@@ -1972,8 +1986,7 @@ WITH w0 AS (
     SELECT chr(31) || regexp_replace(word, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
-        SELECT unnest(string_split(
-            trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS word
+        SELECT unnest(string_split(""" + bpe_norm_sql("text") + r""", ' ')) AS word
         FROM documents
     )
     WHERE word <> ''
@@ -2044,15 +2057,15 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator: bpe_segment / bpe_segment_pandas.)"""
     from neulix_datahub_spark.operators.bpe import (
         US,
+        _bpe_normalize,
         _merge_fold,
         _symbolize,
         bpe_learn_merges,
     )
-    from neulix_datahub_spark.operators.dedupe import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8)
-    norm = normalize_text(F.col("text"))
+    norm = _bpe_normalize(F.col("text"))
     lang_words = docs.select(
         "lang", F.explode(F.split(norm, " ")).alias("word")
     ).filter(F.col("word") != "")
@@ -2118,11 +2131,9 @@ _BPE_TOKENIZE_SQL = (
     + r""",
 t0 AS (
     SELECT lang,
-           length(replace(
-               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ', ''))
+           length(replace(""" + bpe_norm_sql("text") + r""", ' ', ''))
                AS n_char,
-           chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
+           chr(31) || regexp_replace(""" + bpe_norm_sql("text") + r""",
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""
@@ -2266,7 +2277,7 @@ WITH w0 AS MATERIALIZED (
     SELECT chr(31) || regexp_replace(norm, '(?s)(.)', '\1' || chr(31), 'g') AS sym,
            CAST(count(*) AS BIGINT) AS n
     FROM (
-        SELECT trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')) AS norm
+        SELECT """ + bpe_norm_sql("text") + r""" AS norm
         FROM documents
     )
     WHERE norm <> ''
@@ -2415,14 +2426,14 @@ def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins vectorized-apply == trainer-rewrite == oracle end-to-end at a
     vocabulary size the chained folds could not reach."""
     from neulix_datahub_spark.operators.bpe import (
+        _bpe_normalize,
         bpe_learn_merges_batched,
         bpe_segment_pandas,
     )
-    from neulix_datahub_spark.operators.dedupe import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges_batched(docs, n_rounds=16, window=256, unit="raw")
-    norm = normalize_text(F.col("text"))
+    norm = _bpe_normalize(F.col("text"))
     corpus = docs.filter(F.length(norm) > 0)
     seg = bpe_segment_pandas(corpus, merges, unit="raw", out_col="__toks")
     # ONE segmentation pass, one explode, one aggregate: a non-empty
@@ -2506,8 +2517,7 @@ _BPE_APPLY_PARITY_SQL = (
     + r""",
 t0 AS (
     SELECT lang,
-           chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
+           chr(31) || regexp_replace(""" + bpe_norm_sql("text") + r""",
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""

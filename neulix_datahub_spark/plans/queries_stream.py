@@ -1150,6 +1150,7 @@ def _stream_bpe_sql() -> str:
         _FOLD,
         WORD_W0_SQL,
         _bpe_round,
+        bpe_norm_sql,
     )
 
     def apply_round(i: int) -> str:
@@ -1167,8 +1168,7 @@ t{i} AS (
         + r""",
 t0 AS (
     SELECT lang, doc_id,
-           chr(31) || regexp_replace(
-               trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')),
+           chr(31) || regexp_replace(""" + bpe_norm_sql("text") + r""",
                '(?s)(.)', '\1' || chr(31), 'g') AS s
     FROM documents
 ),"""

@@ -104,15 +104,24 @@ class ManifestLinesReader(DataSourceReader):
         cur_bytes = 0
         # greedy first-fit in manifest order — deterministic, and
         # preserves any locality the manifest's ordering encodes
+        stat_sum = 0
+        stat_n = 0
         for p in self.paths:
             try:
                 size = os.path.getsize(p)
+                stat_sum += size
+                stat_n += 1
             except OSError:
                 # driver can't stat it (deleted since manifest creation,
                 # or executor-only visibility): don't fail PLANNING —
-                # the file's own read task reports the real error, the
-                # same failure surface as the ungrouped path
-                size = 0
+                # the file's own read task reports any real error, the
+                # same failure surface as the ungrouped path. Estimate
+                # with the running mean of stat-able files, else assume
+                # a full group per file: a manifest where NOTHING stats
+                # (the executor-only case this feature targets) must
+                # degrade to one-partition-per-file parallelism, never
+                # collapse into a single serial read task.
+                size = stat_sum // stat_n if stat_n else self.target_bytes
             if cur and cur_bytes + size > self.target_bytes:
                 groups.append(cur)
                 cur, cur_bytes = [], 0

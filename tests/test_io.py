@@ -764,6 +764,50 @@ def test_manifest_lines_reader_small_file_grouping(spark, tmp_path):
     )
 
 
+def test_manifest_grouping_unstatable_files_stay_parallel(tmp_path):
+    """Round-11 advice fix: files the DRIVER cannot stat (deleted since
+    manifest creation, or executor-only visibility) must not silently
+    collapse the whole manifest into one serial partition via size=0.
+    All-unstat-able degrades to one partition per file (the ungrouped
+    parallelism); mixed manifests estimate by the running mean."""
+    from neulix_datahub_spark.sources.pysource import ManifestLinesReader
+
+    ghost = [str(tmp_path / f"missing{i}.txt") for i in range(20)]
+    r = ManifestLinesReader(
+        {"paths": ",".join(ghost), "target_bytes": "1000000"}
+    )
+    assert len(r.partitions()) == 20
+
+    # mixed: 10 real 100-byte files + 10 ghosts, target 200 — the mean
+    # estimate (100) packs ghosts like their stat-able peers: 10 groups,
+    # never 1, never 20
+    real = []
+    for i in range(10):
+        p = tmp_path / f"real{i}.txt"
+        p.write_bytes(b"x" * 100)
+        real.append(str(p))
+    mixed = [v for pair in zip(real, ghost[:10]) for v in pair]
+    r2 = ManifestLinesReader(
+        {"paths": ",".join(mixed), "target_bytes": "200"}
+    )
+    groups = r2.partitions()
+    assert 5 <= len(groups) <= 20
+    assert sum(len(g.value) for g in groups) == 20
+
+
+def test_bpe_segment_pandas_rejects_out_col_collision(spark):
+    """Round-11 advice fix: an input already carrying the output column
+    name must raise a clear ValueError, not fail downstream inside
+    mapInPandas with a duplicate-field schema."""
+    import pytest
+
+    from neulix_datahub_spark.operators.bpe import bpe_segment_pandas
+
+    df = spark.createDataFrame([("hi", ["x"])], ["text", "bpe_tokens"])
+    with pytest.raises(ValueError, match="bpe_tokens"):
+        bpe_segment_pandas(df, [])
+
+
 def test_synthetic_stream_read_between_offsets(spark):
     """IO25 round-10: readBetweenOffsets replays exactly the committed
     range — the failure-recovery path a checkpoint-restarted query hits

@@ -2470,12 +2470,16 @@ def test_bpe_batched_resume_equals_full_training(spark):
 
 
 def test_bpe_vectorized_normalization_matches_engine_on_unicode_ws(spark):
-    """Round-10 review fix: the vectorized tier must normalize with
-    JAVA's \\s semantics ([ \\t\\n\\x0b\\f\\r]) and space-only trim, not
-    Python's Unicode-aware re/strip — U+00A0, U+2028, U+3000 and the
-    C0 separators \\x1c-\\x1f are ordinary mergeable SYMBOLS to the
-    engine's normalize_text, and the vectorized pass must agree or
-    fold==vectorized parity silently breaks on real corpora."""
+    """Round-10 review fix (tightened round 11): the vectorized tier
+    must normalize with JAVA's \\s semantics ([ \\t\\n\\x0b\\f\\r]) and
+    space-only trim, not Python's Unicode-aware re/strip — U+00A0,
+    U+2028, U+3000 are ordinary mergeable SYMBOLS to the engine's
+    normalization, and the vectorized pass must agree or
+    fold==vectorized parity silently breaks on real corpora. The
+    reserved C0 separators \\x1c-\\x1f are now ENFORCED out of the
+    symbol stream (deleted before whitespace collapse) in both apply
+    tiers and both trainers, so the batched oracle's chr(28)-chr(31)
+    record/needle encoding can never false-match."""
     from neulix_datahub_spark.operators.bpe import (
         bpe_segment,
         bpe_segment_pandas,
@@ -2483,23 +2487,25 @@ def test_bpe_vectorized_normalization_matches_engine_on_unicode_ws(spark):
     from pyspark.sql import functions as F
 
     texts = [
-        "a b",          # NBSP: a symbol, not whitespace
+        "a\xa0b",          # NBSP: a symbol, not whitespace
         "a b c",        # line separator
         "　x　",     # ideographic space
-        "p\x1cq",            # C0 file separator (0x1f itself is the
-                             # reserved delimiter — scrubbed upstream)
-        " \x0bmixed\tws\r ", # Java \s chars DO collapse
+        "p\x1cq\x1dr\x1es\x1ft",  # reserved C0 separators: DELETED
+        "x\x1c\ty",          # deletion joins two \\s runs -> one space
+        " \x0bmixed\tws\r ", # Java \\s chars DO collapse
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["id", "text"]
     )
-    merges = [{"left": "a", "right": " ", "merged": "a "}]
+    merges = [{"left": "a", "right": "\xa0", "merged": "a\xa0"}]
     fold = {r["id"]: r["t"] for r in df.select(
         "id", bpe_segment(F.col("text"), merges).alias("t")).collect()}
     vec = {r["id"]: r["t"] for r in bpe_segment_pandas(
         df, merges, out_col="t").select("id", "t").collect()}
     assert fold == vec, (fold, vec)
-    assert fold[0] == ["a ", "b"]  # NBSP merged as a symbol
+    assert fold[0] == ["a\xa0", "b"]  # NBSP merged as a symbol
+    assert fold[3] == list("pqrst")  # reserved range scrubbed
+    assert fold[4] == ["x", "y"]  # joined \\s runs collapse to one space
 
 
 def test_bpe_tokenize_stats_null_vs_zero_lang_parity(spark):
@@ -2607,6 +2613,40 @@ def test_bpe_oracle_vt_whitespace_parity(spark):
         "rank bigint, lhs string, rhs string, merged string, pair_count bigint",
     ).toPandas()
     assert_frames_match(got, con.execute(_BPE_SQL).df())
+
+
+def test_bpe_reserved_c0_contract_enforced_engine_vs_oracle(spark):
+    """Round-11 advice fix: the batched oracle's record/needle encoding
+    reserves chr(28)-chr(31); a corpus CONTAINING those C0 separators
+    previously false-matched the DuckDB selection scan while the engine
+    (exact string comparisons) stayed correct — an engine-vs-oracle red
+    row guarded only by an upstream-scrub comment. Both normalizations
+    now DELETE the reserved range first, so the hostile corpus trains
+    the identical vocabulary in both engines."""
+    import duckdb
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+    from neulix_datahub_spark.plans.queries_llm import batched_vocab_sql
+
+    # every reserved codepoint embedded between mergeable letters, plus
+    # a run that would have forged a needle boundary (\x1e = record sep)
+    rows = [("ab\x1cab ab",), ("a\x1e b\x1fab\x1dab",), ("abab",)]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [
+        (m["rank"], m["round"], m["round_rank"], m["left"], m["right"],
+         m["merged"], m["pair_count"])
+        for m in bpe_learn_merges_batched(df, n_rounds=3, window=6, unit="raw")
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", rows)
+    want = [tuple(r) for r in con.execute(batched_vocab_sql(3, 6)).fetchall()]
+    assert got == want, (got, want)
+    assert got, "hostile corpus must still train merges"
+    assert not any(
+        c in field for _, _, _, *strs, _ in got
+        for field in strs for c in "\x1c\x1d\x1e\x1f"
+    )
 
 
 def test_text_tier_oracle_vt_whitespace_parity(spark):

@@ -63,13 +63,23 @@ HEADLINE = (
     "bpe_tokenize_stats",
     "python_datasource_stats",
     "bloom_decontamination_stats",
+    # round 11 (r10-verdict task 3): the batched tokenizer tier — the
+    # at-scale training form (16 rounds, window 256, raw units) and the
+    # Arrow-vectorized apply — gets its first wall-clock anchors.
+    "bpe_batched_vocab_stats",
+    "bpe_batched_tokenize_stats",
 )
 
 # A 1-minute load average above this at bench start means another process
 # owns a meaningful slice of the box — the recorded numbers would blame
 # the code for the host (BENCH_r09 recorded 26.5s for code that runs
 # 18.0s idle, and disproving that cost the round-9 judge a full re-run).
-LOAD_CONTENDED = 2.0
+# Round 11: lowered 2.0 → 1.0 after the r10 driver run started at load
+# 1.9 ("not contended") and read 16-39% slower than identical code at
+# load 0.01 on the shuffle/iteration-heavy queries — on 32 CPUs one
+# runnable process is already the right cutoff for "someone else is on
+# the box".
+LOAD_CONTENDED = 1.0
 IDLE_WAIT_SECS = 180.0
 
 

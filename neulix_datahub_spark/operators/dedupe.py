@@ -150,6 +150,54 @@ def minhash_signature(col: Column | str, num_hashes: int = 64, n: int = 3,
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The LSH banding projection ``(__id, band, band_hash)`` — the
+    deterministic function of a document's text that decides which
+    buckets it lands in. Shared by the one-shot candidate join
+    (:func:`minhash_near_duplicates`) and the persisted signature index
+    (``operators/dedupe_index.py``): the same expression tree on both
+    paths is what makes the incremental candidate set provably EQUAL to
+    the batch one (band collision is a pure function of the text), not
+    merely similar."""
+    _validate_banding(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    # NULL text has an EMPTY shingle set; its signature would be the
+    # constant init array, making every NULL-text doc band-collide with
+    # every other one — they carry no content to near-match on
+    sig = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig"),
+    )
+    # Materialization barrier: without it Catalyst inlines the signature
+    # expression into every band computation AND both join sides —
+    # recomputing the expensive shingling ~2×bands times. The repartition
+    # shuffles only (id, 64×8B signature) and is reused by both sides of
+    # the self-join (ReusedExchange).
+    sig = sig.repartition("__id")
+    return sig.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -171,34 +219,8 @@ def minhash_near_duplicates(
     join replaces the quadratic cross-product; skewed mega-buckets (e.g.
     boilerplate docs) are handled by AQE skew-join splitting.
     """
-    _validate_banding(num_hashes, bands)
-    rows_per_band = num_hashes // bands
-    # NULL text has an EMPTY shingle set; its signature would be the
-    # constant init array, making every NULL-text doc band-collide with
-    # every other one — they carry no content to near-match on
-    sig = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("__sig"),
-    )
-    # Materialization barrier: without it Catalyst inlines the signature
-    # expression into every band computation AND both join sides —
-    # recomputing the expensive shingling ~2×bands times. The repartition
-    # shuffles only (id, 64×8B signature) and is reused by both sides of
-    # the self-join (ReusedExchange).
-    sig = sig.repartition("__id")
-    banded = sig.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ))
-                ),
-            )
-        ).alias("band", "band_hash"),
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, bands, shingle_n, seed
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -369,10 +391,24 @@ def verify_candidate_pairs(
     small relation against the shingle projection — no self-join, no
     cross-product, Jaccard as a pure array expression.
     """
-    _validate_grid_threshold(threshold)
-    # Hashed shingles for the same reason as in ngram_jaccard_pairs:
-    # identical Jaccard, cheaper per-pair set work and smaller shuffle.
-    sh = df.select(
+    return verify_pairs_with_shingles(
+        pairs, shingle_projection(df, text_col, id_col, n), threshold
+    )
+
+
+def shingle_projection(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """``(__vid, __vsh, __vsz)`` — each document's xxhash64'd word
+    ``n``-gram shingle set with its size, the verify stage's working
+    relation. Hashed shingles for the same reason as in
+    ngram_jaccard_pairs: identical Jaccard, cheaper per-pair set work
+    and an 8-byte/shingle shuffle. Shared by the one-shot verify and
+    the persisted signature index so the exact-Jaccard verdicts of the
+    batch and incremental paths are the same expression, bit for bit.
+    NULL-text documents carry no shingles and are dropped (they can
+    never appear in a candidate pair — banding filters them too)."""
+    sh = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__vid"),
         F.array_distinct(
             F.transform(_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
@@ -381,7 +417,18 @@ def verify_candidate_pairs(
     # Materialization barrier: keeps Catalyst from inlining the shingle
     # expression into both join sides (same pathology as in
     # ngram_jaccard_pairs above — shingles must be computed once per doc).
-    sh = sh.repartition("__vid")
+    return sh.repartition("__vid")
+
+
+def verify_pairs_with_shingles(
+    pairs: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of ``(id_a, id_b, ...)`` candidates
+    against a precomputed :func:`shingle_projection` relation ``sh`` —
+    the from-features form of :func:`verify_candidate_pairs`, used by
+    the incremental index where prior documents' shingles come from
+    parquet instead of being recomputed from text."""
+    _validate_grid_threshold(threshold)
     a = sh.select(
         F.col("__vid").alias("id_a"), F.col("__vsh").alias("__sh_a"),
         F.col("__vsz").alias("__sz_a"),

@@ -1,0 +1,333 @@
+"""Incremental near-duplicate dedup against a persisted signature index
+(SURVEY §2.11 L2, incremental form — round 11).
+
+The reference's operating model is DAILY incremental ingest
+(``reference/core/airflow/dags/data_capture/wikipedia_dag.py:20-23``,
+``schedule_interval=timedelta(days=1)``): each run lands a delta, not a
+re-crawl. Re-running MinHash signatures + banding over the FULL corpus
+per ingest is the near-dup pipeline's largest avoidable cost at 100 TB
+— the same already-materialized-state argument
+``operators/incremental.py`` makes for aggregates. This module keeps
+the LSH working state AT REST so each delta pays only for itself:
+
+- ``bands/``     ``(id, band, band_hash)`` parquet, partitioned by
+  ``band`` (the IVF-index write discipline from
+  ``operators/similarity.py`` — AQE-rebalanced so no small-file spray,
+  bounded directory fan-out). New docs hash into the SAME buckets the
+  prior corpus occupies, so the candidate join is delta-bands ⋈
+  persisted-bands — an equi-join whose small (delta) side AQE
+  broadcasts; the 100 TB side is scanned once and never shuffled.
+- ``shingles/``  ``(__vid, __vsh, __vsz)`` — the hashed-shingle sets
+  the exact-Jaccard verify needs, so verification of delta↔prior
+  candidate pairs never re-reads prior TEXT.
+- ``labels_v{N}/`` ``(id, component)`` — the dedup state (component =
+  min reachable id; singletons label themselves). Updated by POINTER
+  FLIP: each ingest writes ``labels_v{N+1}`` and then atomically
+  rewrites the sidecar; a crash mid-ingest leaves the old pointer
+  valid, and partially-appended feature rows are tolerated by
+  construction (candidates are ``distinct``-ed and components dedupe
+  edges), costing only work, never correctness.
+- ``_DEDUP_META.json`` — parameters + the labels pointer.
+
+Equivalence contract (driver-checked at sf0.01 by
+``incremental_dedup_stats``, unit- and property-proven):
+``build(prior); ingest(d1); ...; ingest(dk)`` ≡ ``build(prior ∪ d1 ∪
+… ∪ dk)`` EXACTLY, not approximately — band collision is a
+deterministic pure function of the text (shared expression tree:
+:func:`~neulix_datahub_spark.operators.dedupe.banded_signatures`), the
+exact-Jaccard verify is threshold-shared
+(:func:`~neulix_datahub_spark.operators.dedupe.verify_pairs_with_shingles`),
+and components compose because prior labels are a
+connectivity-preserving star form of the prior verified-edge set, so
+CC(prior labels ∪ new edges) = CC(all edges).
+
+Idempotence: ingest filters the delta to ids the index has never seen
+(anti-join against the labels relation), so re-ingesting the same
+delta — the retried-Airflow-task case — adds nothing and leaves every
+index file untouched.
+
+Incremental components: only components TOUCHED by a new edge can
+change. Each verified edge's prior endpoints are mapped to their prior
+component labels, yielding a REDUCED graph over {prior component
+labels} ∪ {new ids} whose size is delta-proportional; min-label CC
+over it emits the merge map, prior labels remap through it with a
+left join (untouched components pass through), and new ids label
+themselves when unmatched. The full corpus is never re-clustered.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.components import connected_components
+from neulix_datahub_spark.operators.dedupe import (
+    _validate_grid_threshold,
+    banded_signatures,
+    shingle_projection,
+    verify_pairs_with_shingles,
+)
+
+_DEDUP_META = "_DEDUP_META.json"
+
+
+def read_dedup_meta(path: str) -> dict:
+    with open(os.path.join(path, _DEDUP_META), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    # write-then-rename: the pointer flip is the ingest's commit point,
+    # and rename is atomic on posix — the same local/posix-fs assumption
+    # as the snapshot pointer machinery (documented repo-wide)
+    tmp = os.path.join(path, _DEDUP_META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _DEDUP_META))
+
+
+def read_dedup_labels(spark: SparkSession, path: str) -> DataFrame:
+    """The current dedup state: ``(id, component)`` for every indexed
+    document; survivors are the rows with ``id == component``."""
+    meta = read_dedup_meta(path)
+    return spark.read.parquet(
+        os.path.join(path, f"labels_v{meta['labels_version']}")
+    )
+
+
+def _features(
+    df: DataFrame, text_col: str, id_col: str, meta: dict
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) of a document batch under the index's OWN
+    stored parameters — the single construction both build and ingest
+    use, which is what makes incremental == batch provable."""
+    bands = banded_signatures(
+        df, text_col, id_col,
+        num_hashes=meta["num_hashes"], bands=meta["bands"],
+        shingle_n=meta["shingle_n"], seed=meta["seed"],
+    ).select(F.col("__id").alias("id"), "band", "band_hash")
+    sh = shingle_projection(df, text_col, id_col, n=meta["shingle_n"])
+    return bands, sh
+
+
+def _self_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct within-batch band collisions as ``(id_a < id_b)`` —
+    the same pair set minhash_near_duplicates emits (its n_bands count
+    is irrelevant here; collision in ≥1 band is the candidate rule)."""
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _write_bands(bands: DataFrame, path: str, mode: str) -> None:
+    from neulix_datahub_spark.operators.skew import rebalance_for_write
+
+    # rebalance before the partitioned write (the build_ivf_index
+    # discipline): without it every input partition opens a writer per
+    # touched band — #partitions × #bands small files
+    rebalance_for_write(bands, "band").write.mode(mode).partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "bands"))
+
+
+def build_dedup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    threshold: float = 0.8,
+    max_iter: int = 10,
+) -> dict:
+    """One-shot batch build: run the canonical candidates → verify → CC
+    pipeline over ``df`` and persist the signature index + dedup state.
+    Returns the metadata dict. Parameters are frozen into the sidecar;
+    every later :func:`ingest_dedup_delta` reuses them, so the index
+    can never mix incompatible signatures."""
+    _validate_grid_threshold(threshold)
+    meta = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
+        "seed": seed, "threshold": threshold,
+        "text_col": text_col, "id_col": id_col,
+        "labels_version": 0,
+    }
+    spark = df.sparkSession
+    b, sh = _features(df, text_col, id_col, meta)
+    _write_bands(b, path, "overwrite")
+    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    # candidates/verify off the LANDED features: the parquet read-back
+    # doubles as the materialization barrier, and guarantees the state
+    # future ingests join against is the exact state this build deduped
+    b = spark.read.parquet(os.path.join(path, "bands"))
+    sh = spark.read.parquet(os.path.join(path, "shingles"))
+    edges = verify_pairs_with_shingles(_self_pairs(b), sh, threshold)
+    comps = connected_components(edges, max_iter=max_iter)
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    labels = (
+        all_ids.join(comps, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    labels.write.mode("overwrite").parquet(os.path.join(path, "labels_v0"))
+    meta["n_docs"] = spark.read.parquet(
+        os.path.join(path, "labels_v0")
+    ).count()
+    _write_meta(path, meta)
+    return meta
+
+
+def ingest_dedup_delta(
+    spark: SparkSession,
+    delta: DataFrame,
+    path: str,
+    max_iter: int = 10,
+) -> dict:
+    """Incremental ingest: signature ONLY the never-seen delta rows,
+    candidate-join them against the persisted bands (plus intra-delta),
+    verify with exact Jaccard off the persisted shingle sets, extend
+    the component labels through the delta-proportional reduced graph,
+    and commit by pointer flip. Returns stats
+    ``{n_new, n_candidates, n_edges, labels_version}``.
+
+    Scale shape: the prior corpus is touched exactly twice, both as
+    column-pruned parquet scans that never shuffle — the bands table
+    (the delta side broadcasts under AQE) and the shingle table (semi-
+    joined down to candidate ids before the arrays load). Everything
+    that shuffles is delta-sized.
+    """
+    meta = read_dedup_meta(path)
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    labels = read_dedup_labels(spark, path)
+
+    # never-seen rows only: re-ingesting a delta (the retried-ingest
+    # case) must add nothing — this anti-join IS the idempotence
+    known = labels.select(F.col("id").alias(id_col))
+    new = delta.join(known, id_col, "left_anti")
+    if new.isEmpty():
+        return {
+            "n_new": 0, "n_candidates": 0, "n_edges": 0,
+            "labels_version": meta["labels_version"],
+        }
+    # pin the filtered delta: features, the id projection and the count
+    # would each re-run the anti-join otherwise
+    new = new.localCheckpoint(eager=True)
+    nb, nsh = _features(new, text_col, id_col, meta)
+    # pin the delta features: each is consumed 2-3 times (candidate
+    # joins, verify, the append) and re-shingling per consumer is the
+    # exact waste this operator exists to avoid
+    nb = nb.localCheckpoint(eager=True)
+    nsh = nsh.localCheckpoint(eager=True)
+
+    prior_bands = spark.read.parquet(os.path.join(path, "bands"))
+    cross = (
+        nb.alias("d")
+        .join(prior_bands.alias("p"), ["band", "band_hash"])
+        .select(
+            F.least(F.col("d.id"), F.col("p.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("p.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = cross.unionByName(_self_pairs(nb)).distinct()
+    sh_all = spark.read.parquet(os.path.join(path, "shingles")).unionByName(nsh)
+    edges = verify_pairs_with_shingles(
+        cands, sh_all, meta["threshold"]
+    ).localCheckpoint(eager=True)
+
+    # reduced graph: prior endpoints collapse to their prior component
+    # label (the quotient preserves connectivity; labels are minima, so
+    # min-label CC over the quotient emits true global minima). Nodes
+    # are {touched prior labels} ∪ {new ids} — delta-proportional.
+    lab_a = labels.select(
+        F.col("id").alias("id_a"), F.col("component").alias("__ca")
+    )
+    lab_b = labels.select(
+        F.col("id").alias("id_b"), F.col("component").alias("__cb")
+    )
+    reduced = (
+        edges.join(lab_a, "id_a", "left")
+        .join(lab_b, "id_b", "left")
+        .select(
+            F.coalesce("__ca", F.col("id_a")).alias("u"),
+            F.coalesce("__cb", F.col("id_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    n_edges = edges.count()
+    if n_edges > 0 and not reduced.isEmpty():
+        merge_map = connected_components(
+            reduced, src="u", dst="v", max_iter=max_iter
+        ).select(
+            F.col("id").alias("__node"), F.col("component").alias("__final")
+        )
+    else:
+        # empty map with the LABELS' own types (ids need not be long)
+        merge_map = labels.select(
+            F.col("id").alias("__node"), F.col("component").alias("__final")
+        ).limit(0)
+
+    prior_updated = (
+        labels.join(merge_map, labels["component"] == merge_map["__node"], "left")
+        .select(
+            "id", F.coalesce("__final", F.col("component")).alias("component")
+        )
+    )
+    new_ids = new.select(F.col(id_col).alias("id"))
+    new_labels = (
+        new_ids.join(merge_map, new_ids["id"] == merge_map["__node"], "left")
+        .select("id", F.coalesce("__final", F.col("id")).alias("component"))
+    )
+    final = prior_updated.unionByName(new_labels)
+
+    # commit order: feature appends first (tolerated if re-run), then
+    # the new labels generation, then the POINTER FLIP (the atomic
+    # commit), then old-generation cleanup
+    _write_bands(nb, path, "append")
+    nsh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    new_version = meta["labels_version"] + 1
+    final.write.mode("overwrite").parquet(
+        os.path.join(path, f"labels_v{new_version}")
+    )
+    stats = {
+        "n_new": new.count(),
+        "n_candidates": cands.count(),
+        "n_edges": n_edges,
+        "labels_version": new_version,
+    }
+    old_version = meta["labels_version"]
+    meta["labels_version"] = new_version
+    meta["n_docs"] = meta["n_docs"] + stats["n_new"]
+    _write_meta(path, meta)
+    shutil.rmtree(
+        os.path.join(path, f"labels_v{old_version}"), ignore_errors=True
+    )
+    return stats
+
+
+def dedup_survivors(
+    spark: SparkSession, path: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Filter ``df`` to the rows the index's current state keeps: one
+    survivor (the component minimum) per near-dup cluster, plus every
+    unpaired document — the incremental twin of
+    ``components.dedup_by_components``."""
+    losers = (
+        read_dedup_labels(spark, path)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

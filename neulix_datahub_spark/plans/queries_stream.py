@@ -210,6 +210,108 @@ def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 INCREMENTAL (round 11, r10-verdict task 1): the daily-ingest
+    form of the near-dup pipeline. Build the persisted signature index
+    (bands + hashed shingles + component labels at rest) over the PRIOR
+    corpus — the 100 originals — then ingest the perturbed copies as a
+    never-seen DELTA: only the delta is signatured, candidates come
+    from the delta-bands ⋈ persisted-bands equi-join (plus intra-delta),
+    verification reads prior shingles from parquet instead of prior
+    text, and the component labels extend through the delta-sized
+    reduced graph. The emitted survivor profile separates prior-side
+    and delta-side keeps.
+
+    The DuckDB oracle recomputes the answer from first principles over
+    the FULL corpus — all-pairs exact Jaccard >= 0.8 → recursive
+    transitive closure → min-label components → survivor counts — so a
+    green hash row IS the proof the verdict asked for:
+    dedupe(prior index + delta) == dedupe(full corpus), exactly (the
+    candidate set is a deterministic function of the text — shared
+    banding expression — and components compose because prior labels
+    are a connectivity-preserving star form of the prior edge set)."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        build_dedup_index,
+        dedup_survivors,
+        ingest_dedup_delta,
+    )
+    from neulix_datahub_spark.plans.queries_llm import planted_near_dup_corpus
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    prior = corpus.filter(F.col("doc_id") < 1_000_000)
+    delta = corpus.filter(F.col("doc_id") >= 1_000_000)
+    root = warehouse_scratch(spark, "_neulix_dedup_idx_")
+    path = f"{root}/index"
+    build_dedup_index(prior, path)
+    ingest_dedup_delta(spark, delta, path)
+    kept = dedup_survivors(spark, path, corpus, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum((F.col("doc_id") < 1_000_000).cast("bigint"))
+            .alias("n_kept_prior"),
+            F.sum((F.col("doc_id") >= 1_000_000).cast("bigint"))
+            .alias("n_kept_delta"),
+        )
+        .orderBy("lang")
+    )
+
+
+_INCR_DEDUP_SQL = """
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM corpus
+    )
+),
+edges AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.8
+),
+sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
+    UNION
+    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
+),
+losers AS (
+    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    WHERE id != component
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_prior,
+       CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_delta
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 _LSH_DEDUP_SQL = """
 WITH RECURSIVE corpus AS (
     SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
@@ -1243,6 +1345,11 @@ STREAM_QUERIES = {
         "S-ext stream-stream interval join (batch-parity oracle)",
     ),
     "lsh_dedup_pipeline": (lsh_dedup_pipeline, _LSH_DEDUP_SQL, "L2 LSH dedup end-to-end"),
+    "incremental_dedup_stats": (
+        incremental_dedup_stats,
+        _INCR_DEDUP_SQL,
+        "L2 incremental: persisted signature index + delta ingest == full dedup",
+    ),
     "stateful_user_totals": (
         stateful_user_totals,
         _STATEFUL_TOTALS_SQL,

@@ -1,0 +1,214 @@
+"""Incremental near-dup dedup against the persisted signature index
+(round 11, r10-verdict task 1): incremental == batch, exactly;
+re-ingest adds nothing; cross-boundary merges compose through the
+reduced graph."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.components import dedup_by_components
+from neulix_datahub_spark.operators.dedupe import (
+    minhash_near_duplicates,
+    verify_candidate_pairs,
+)
+from neulix_datahub_spark.operators.dedupe_index import (
+    build_dedup_index,
+    dedup_survivors,
+    ingest_dedup_delta,
+    read_dedup_labels,
+    read_dedup_meta,
+)
+
+
+def _labels_dict(spark, path):
+    return {
+        r["id"]: r["component"]
+        for r in read_dedup_labels(spark, path).collect()
+    }
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# a small planted corpus: originals + near-copies (first word dropped)
+# + unrelated docs; long enough that dropping one word keeps 3-gram
+# Jaccard >= 0.8
+_BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2, "colorless green ideas sleep furiously while the night watchman counts the stars above"),
+    (3, "a completely different document about spark shuffles and partition pruning at scale"),
+    (4, "yet another unrelated text mentioning tokenizers embeddings and deduplication pipelines"),
+]
+_COPIES = [
+    (101, _BASE[0][1].split(" ", 1)[1]),
+    (102, _BASE[1][1].split(" ", 1)[1]),
+]
+
+
+def _batch_labels(spark, rows, threshold=0.8):
+    """Reference answer: the one-shot classic pipeline's survivors."""
+    df = _corpus(spark, rows)
+    cand = minhash_near_duplicates(df, "text", "doc_id")
+    pairs = verify_candidate_pairs(
+        df, cand, text_col="text", id_col="doc_id", threshold=threshold
+    )
+    kept = dedup_by_components(df, pairs, id_col="doc_id")
+    return sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+
+
+def test_incremental_equals_batch_single_delta(spark, tmp_path):
+    """build(prior) + ingest(delta) produces the IDENTICAL label map as
+    build(full) — and both agree with the classic one-shot pipeline's
+    survivor set."""
+    rows = _BASE + _COPIES
+    prior, delta = rows[:4], rows[4:]
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+
+    build_dedup_index(_corpus(spark, prior), p_inc)
+    stats = ingest_dedup_delta(spark, _corpus(spark, delta), p_inc)
+    assert stats["n_new"] == 2 and stats["n_edges"] >= 2
+
+    build_dedup_index(_corpus(spark, rows), p_full)
+    assert _labels_dict(spark, p_inc) == _labels_dict(spark, p_full)
+
+    survivors = dedup_survivors(
+        spark, p_inc, _corpus(spark, rows), "doc_id"
+    )
+    assert sorted(
+        r["doc_id"] for r in survivors.select("doc_id").collect()
+    ) == _batch_labels(spark, rows)
+
+
+def test_incremental_multi_delta_composes(spark, tmp_path):
+    """Two sequential ingests equal the one-shot build: the second
+    delta's candidates must see the FIRST delta's appended features,
+    not just the original build's."""
+    rows = _BASE + _COPIES + [(103, _BASE[2][1].split(" ", 1)[1])]
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+
+    build_dedup_index(_corpus(spark, rows[:4]), p_inc)
+    ingest_dedup_delta(spark, _corpus(spark, rows[4:6]), p_inc)
+    ingest_dedup_delta(spark, _corpus(spark, rows[6:]), p_inc)
+    build_dedup_index(_corpus(spark, rows), p_full)
+    assert _labels_dict(spark, p_inc) == _labels_dict(spark, p_full)
+    assert read_dedup_meta(p_inc)["n_docs"] == len(rows)
+
+
+def test_reingest_is_idempotent(spark, tmp_path):
+    """Re-ingesting an already-ingested delta (the retried-Airflow-task
+    case) adds nothing: stats all zero, labels identical, no new index
+    files, pointer unmoved."""
+    p = str(tmp_path / "idx")
+    build_dedup_index(_corpus(spark, _BASE), p)
+    delta = _corpus(spark, _COPIES)
+    ingest_dedup_delta(spark, delta, p)
+    before_labels = _labels_dict(spark, p)
+    before_meta = read_dedup_meta(p)
+    before_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(p)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+
+    again = ingest_dedup_delta(spark, delta, p)
+    assert again == {
+        "n_new": 0, "n_candidates": 0, "n_edges": 0,
+        "labels_version": before_meta["labels_version"],
+    }
+    assert _labels_dict(spark, p) == before_labels
+    assert read_dedup_meta(p) == before_meta
+    after_files = sorted(
+        os.path.join(d, f)
+        for d, _, fs in os.walk(p)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    assert after_files == before_files
+
+
+def test_delta_bridges_two_prior_components(spark, tmp_path):
+    """The hard incremental-CC case: a delta document connects TWO
+    distinct prior components (possible whenever threshold < 2t-1 is
+    violated... i.e. for t=0.5 two docs at J~0.3 can share a bridge at
+    J>=0.5 each) — the reduced graph must merge the prior labels, and
+    the remap must relabel BOTH old components to the global minimum."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "iota kappa lmbda mu nu xi omicron pi"
+    bridge = a + " " + b  # shares half its shingles with each side
+    prior = [(10, a), (20, b)]
+    delta = [(30, bridge)]
+    p = str(tmp_path / "bridge")
+    # rows-per-band = 1: collision probability 1-(1-s)^32 ~ 1 at
+    # s~0.47, so the banding can't miss the bridge pairs and the test
+    # exercises the MERGE, not the LSH miss rate
+    lsh = dict(num_hashes=32, bands=32, threshold=0.4, shingle_n=2)
+    meta = build_dedup_index(_corpus(spark, prior), p, **lsh)
+    assert meta["threshold"] == 0.4
+    # prior state: two singleton components
+    assert _labels_dict(spark, p) == {10: 10, 20: 20}
+    ingest_dedup_delta(spark, _corpus(spark, delta), p)
+    got = _labels_dict(spark, p)
+    p_full = str(tmp_path / "bridge_full")
+    build_dedup_index(_corpus(spark, prior + delta), p_full, **lsh)
+    assert got == _labels_dict(spark, p_full)
+    assert got == {10: 10, 20: 10, 30: 10}, got
+
+
+def test_incremental_equals_batch_property(spark, tmp_path):
+    """Property: on random small corpora (shared vocabulary so near-dup
+    pairs actually occur) and a random split point, incremental ==
+    batch label maps, exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["red", "green", "blue", "fox", "dog", "run", "jump", "sky"]
+    doc = st.lists(st.sampled_from(vocab), min_size=3, max_size=10).map(
+        " ".join
+    )
+    case = st.lists(doc, min_size=2, max_size=7).flatmap(
+        lambda docs: st.integers(1, len(docs) - 1).map(
+            lambda k: (docs, k)
+        )
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=5, deadline=None)
+    @given(case)
+    def check(docs_k):
+        docs, k = docs_k
+        rows = [(i, t) for i, t in enumerate(docs)]
+        run = next(counter)
+        p_inc = str(tmp_path / f"pi{run}")
+        p_full = str(tmp_path / f"pf{run}")
+        build_dedup_index(
+            _corpus(spark, rows[:k]), p_inc, threshold=0.5, shingle_n=2
+        )
+        ingest_dedup_delta(spark, _corpus(spark, rows[k:]), p_inc)
+        build_dedup_index(
+            _corpus(spark, rows), p_full, threshold=0.5, shingle_n=2
+        )
+        assert _labels_dict(spark, p_inc) == _labels_dict(spark, p_full)
+
+    check()
+
+
+def test_null_text_rows_are_singletons(spark, tmp_path):
+    """NULL-text docs carry no content to near-match on: they band and
+    shingle into nothing, survive as their own components, and never
+    pair — in build and ingest alike."""
+    p = str(tmp_path / "nulls")
+    build_dedup_index(
+        _corpus(spark, [(1, "some words here repeated words here"), (2, None)]), p
+    )
+    stats = ingest_dedup_delta(
+        spark, _corpus(spark, [(3, None), (4, "unrelated fresh content")]), p
+    )
+    assert stats["n_new"] == 2 and stats["n_edges"] == 0
+    assert _labels_dict(spark, p) == {1: 1, 2: 2, 3: 3, 4: 4}

@@ -437,6 +437,103 @@ def load_merges(spark, path: str) -> list[dict]:
     return merges
 
 
+def export_hf_merges(
+    merges: list[dict],
+    path: str,
+    vocab_path: str | None = None,
+    space_marker: str | None = None,
+) -> None:
+    """Emit the learned merge table in the standard ``merges.txt``
+    format (``#version: 0.2`` header, one space-separated pair per line
+    in rank order) that HuggingFace ``tokenizers``/GPT-2-style BPE
+    loaders consume — the hand-the-tokenizer-to-a-training-stack
+    bridge. Optionally also writes the companion ``vocab.json``
+    (token → id: base symbols first in sorted order, then merged
+    tokens in rank order — every id a consumer of merges.txt needs).
+
+    Semantic caveat, documented rather than papered over: HF applies
+    merges LOWEST-RANK-FIRST with revisiting, while this engine's
+    default replay is once-each-in-rank-order (see
+    :func:`_apply_merges_symbols`) — the two can segment differently
+    when a later merge creates an occurrence of an earlier pair
+    (divergence pinned by unit test). Export with
+    ``bpe_segment_pandas(..., priority="rank")`` on the Spark side when
+    bit-compatibility with the HF consumer matters.
+
+    ``merges.txt`` separates the pair with a SPACE, so raw-unit merge
+    tables (space is a mergeable symbol) are unrepresentable as-is:
+    pass ``space_marker`` (conventionally ``"Ġ"``, the GPT-2 byte-level
+    visible-space) to map spaces inside symbols, or export word-mode
+    tables directly.
+    """
+    import json
+
+    lines = ["#version: 0.2"]
+    products: list[str] = []
+    leaves: set[str] = set()
+    for m in sorted(merges, key=lambda m: m["rank"]):
+        parts = []
+        for side in (m["left"], m["right"]):
+            if " " in side:
+                if space_marker is None:
+                    raise ValueError(
+                        f"merge pair ({m['left']!r}, {m['right']!r}) contains "
+                        "a space — unrepresentable in merges.txt; pass "
+                        "space_marker (e.g. 'Ġ') or export a word-mode table"
+                    )
+                side = side.replace(" ", space_marker)
+            if "\n" in side:
+                raise ValueError(
+                    "newline inside a merge symbol cannot round-trip "
+                    "through merges.txt (normalized corpora never "
+                    "produce one)"
+                )
+            parts.append(side)
+        lines.append(f"{parts[0]} {parts[1]}")
+        products.append(parts[0] + parts[1])
+        leaves.update(parts)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    if vocab_path is not None:
+        produced = set(products)
+        base = sorted(leaves - produced)
+        vocab = {tok: i for i, tok in enumerate(base + products)}
+        with open(vocab_path, "w", encoding="utf-8") as f:
+            json.dump(vocab, f, ensure_ascii=False, sort_keys=False)
+
+
+def _apply_merges_rank(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """The HF/GPT-2 ``bpe()`` loop: repeatedly find the LOWEST-RANK
+    adjacent pair present in the sequence and merge every (leftmost-
+    first, non-overlapping) occurrence, until no ranked pair remains.
+    Unlike the once-each replay, a later-created occurrence of an
+    earlier merge IS revisited — the semantics an exported
+    ``merges.txt`` gets from HuggingFace consumers."""
+    while len(syms) >= 2:
+        best: tuple[str, str] | None = None
+        best_rank = -1
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best is None or r < best_rank):
+                best, best_rank = pair, r
+        if best is None:
+            return syms
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def _apply_merges_symbols(
     syms: list[str], rounds: list[dict[tuple[str, str], str]]
 ) -> list[str]:
@@ -465,6 +562,7 @@ def bpe_segment_pandas(
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     unit: str = "word",
+    priority: str = "replay",
 ) -> DataFrame:
     """Vectorized APPLY tier: segment every document by replaying the
     learned merge list in an Arrow-batched ``mapInPandas`` pass —
@@ -482,11 +580,20 @@ def bpe_segment_pandas(
     unique word (``unit="word"``, Zipf makes the hit rate high) or
     unique normalized text (``unit="raw"``). Narrow: no shuffle, each
     batch transforms in place; the merge list ships once per executor
-    via the closure."""
+    via the closure.
+
+    ``priority="rank"`` switches the per-unit replay to the HF/GPT-2
+    lowest-rank-first loop (:func:`_apply_merges_rank`) — the
+    semantics a consumer of :func:`export_hf_merges`' ``merges.txt``
+    applies. Use it when this engine segments alongside an HF stack;
+    the default ``"replay"`` stays bit-identical to the trainer's own
+    rewrite (and to the fold chain for classic lists)."""
     import re
 
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
+    if priority not in ("replay", "rank"):
+        raise ValueError(f"unknown priority {priority!r}")
     if out_col in df.columns:
         raise ValueError(
             f"out_col {out_col!r} already exists in the input columns "
@@ -495,7 +602,19 @@ def bpe_segment_pandas(
         )
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    rounds = _merge_rounds(merges)
+    if priority == "rank":
+        ranks = {
+            (m["left"], m["right"]): m["rank"]
+            for m in sorted(merges, key=lambda m: m["rank"])
+        }
+
+        def _apply(syms: list[str]) -> list[str]:
+            return _apply_merges_rank(syms, ranks)
+    else:
+        rounds = _merge_rounds(merges)
+
+        def _apply(syms: list[str]) -> list[str]:
+            return _apply_merges_symbols(syms, rounds)
     # fresh StructType: StructType.add MUTATES, and df.schema hands back
     # the DataFrame's own cached instance — mutating it corrupts the
     # input's column list before mapInPandas binds it
@@ -523,7 +642,7 @@ def bpe_segment_pandas(
             if unit == "raw":
                 got = memo.get(norm)
                 if got is None:
-                    got = memo[norm] = _apply_merges_symbols(list(norm), rounds)
+                    got = memo[norm] = _apply(list(norm))
                 return got
             toks: list[str] = []
             for w in norm.split(" "):
@@ -531,7 +650,7 @@ def bpe_segment_pandas(
                     continue
                 got = memo.get(w)
                 if got is None:
-                    got = memo[w] = _apply_merges_symbols(list(w), rounds)
+                    got = memo[w] = _apply(list(w))
                 toks.extend(got)
             return toks
 

@@ -2615,6 +2615,153 @@ def test_bpe_oracle_vt_whitespace_parity(spark):
     assert_frames_match(got, con.execute(_BPE_SQL).df())
 
 
+def _hf_reference_bpe(word: str, ranks: dict) -> list[str]:
+    """Independent pure-Python reference of the public GPT-2/HF ``bpe()``
+    loop (encoder.py shape): lowest-rank bigram first, merge all
+    leftmost-non-overlapping occurrences, repeat — the semantics any
+    consumer of an exported merges.txt applies."""
+    syms = tuple(word)
+    if len(syms) < 2:
+        return list(syms)
+    while True:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        bigram = min(pairs, key=lambda p: ranks.get(p, float("inf")))
+        if bigram not in ranks:
+            return list(syms)
+        first, second = bigram
+        out = []
+        i = 0
+        while i < len(syms):
+            try:
+                j = syms.index(first, i)
+            except ValueError:
+                out.extend(syms[i:])
+                break
+            out.extend(syms[i:j])
+            i = j
+            if syms[i] == first and i < len(syms) - 1 and syms[i + 1] == second:
+                out.append(first + second)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = tuple(out)
+        if len(syms) == 1:
+            return list(syms)
+
+
+def test_export_hf_merges_format_and_vocab(tmp_path):
+    """Round 11 (r10-verdict task 6): merges.txt carries the #version
+    header and space-separated pairs in rank order; vocab.json ids base
+    symbols first (sorted) then merged tokens in rank order; space-
+    containing symbols are refused without a marker and mapped with
+    one."""
+    import json
+
+    import pytest
+
+    from neulix_datahub_spark.operators.bpe import export_hf_merges
+
+    merges = [
+        {"rank": 1, "left": "l", "right": "o", "merged": "lo", "pair_count": 9},
+        {"rank": 2, "left": "lo", "right": "w", "merged": "low", "pair_count": 5},
+    ]
+    mp, vp = str(tmp_path / "merges.txt"), str(tmp_path / "vocab.json")
+    export_hf_merges(merges, mp, vocab_path=vp)
+    assert open(mp).read() == "#version: 0.2\nl o\nlo w\n"
+    vocab = json.load(open(vp))
+    assert vocab == {"l": 0, "o": 1, "w": 2, "lo": 3, "low": 4}
+
+    spaced = [{"rank": 1, "left": "a ", "right": "b", "merged": "a b",
+               "pair_count": 1}]
+    with pytest.raises(ValueError, match="space"):
+        export_hf_merges(spaced, mp)
+    export_hf_merges(spaced, mp, space_marker="Ġ")
+    assert open(mp, encoding="utf-8").read() == "#version: 0.2\naĠ b\n"
+
+
+def test_bpe_rank_priority_diverges_from_replay_where_documented(spark):
+    """The documented divergence, pinned with counts: a later merge
+    creating an occurrence of an EARLIER pair is revisited by the HF
+    rank-priority loop but not by the once-each replay. Merge table:
+    rank 1 (x, yz), rank 2 (y, z); word 'xyz' — replay applies only
+    (y,z) (pass for rank 1 sees no (x,yz) adjacency yet), rank-priority
+    then revisits and lands the single token 'xyz'."""
+    from neulix_datahub_spark.operators.bpe import bpe_segment_pandas
+
+    merges = [
+        {"rank": 1, "left": "x", "right": "yz", "merged": "xyz", "pair_count": 1},
+        {"rank": 2, "left": "y", "right": "z", "merged": "yz", "pair_count": 1},
+    ]
+    df = spark.createDataFrame([("xyz xyz", 1)], ["text", "id"])
+    replay = bpe_segment_pandas(df, merges, out_col="t").select("t").first()["t"]
+    rank = bpe_segment_pandas(
+        df, merges, out_col="t", priority="rank"
+    ).select("t").first()["t"]
+    assert replay == ["x", "yz", "x", "yz"]  # 4 tokens: no revisit
+    assert rank == ["xyz", "xyz"]            # 2 tokens: revisited
+
+
+def test_bpe_rank_priority_matches_hf_reference_property():
+    """Property: _apply_merges_rank == the independent GPT-2-style
+    reference loop on random symbol strings and random distinct-rank
+    merge tables (pure Python — no Spark in the loop)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from neulix_datahub_spark.operators.bpe import _apply_merges_rank
+
+    token = st.text(alphabet="abc", min_size=1, max_size=3)
+    pair = st.tuples(token, token)
+    table = st.lists(pair, min_size=0, max_size=8, unique=True)
+    word = st.text(alphabet="abc", min_size=0, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(word, table)
+    def check(w, pairs):
+        ranks = {p: i + 1 for i, p in enumerate(pairs)}
+        assert _apply_merges_rank(list(w), ranks) == _hf_reference_bpe(
+            w, ranks
+        ), (w, ranks)
+
+    check()
+
+
+def test_bpe_export_then_rank_apply_is_hf_bitcompatible(spark, tmp_path):
+    """End-to-end bridge: train a real table, export merges.txt, parse
+    it back the way an HF consumer does (line order = rank order), and
+    check bpe_segment_pandas(priority='rank') per-word equals the
+    reference loop over the parsed table — exported artifact and Spark
+    segmentation agree bit-for-bit."""
+    from neulix_datahub_spark.operators.bpe import (
+        bpe_learn_merges,
+        bpe_segment_pandas,
+        export_hf_merges,
+    )
+
+    texts = ["low lower lowest", "new newer newest", "low new lowest"]
+    df = spark.createDataFrame([(t, i) for i, t in enumerate(texts)],
+                               ["text", "id"])
+    merges = bpe_learn_merges(df, n_merges=6)
+    mp = str(tmp_path / "merges.txt")
+    export_hf_merges(merges, mp)
+    lines = open(mp, encoding="utf-8").read().splitlines()
+    assert lines[0] == "#version: 0.2"
+    ranks = {
+        tuple(line.split(" ")): i + 1 for i, line in enumerate(lines[1:])
+    }
+    got = {
+        r["id"]: r["t"]
+        for r in bpe_segment_pandas(df, merges, out_col="t", priority="rank")
+        .select("id", "t").collect()
+    }
+    for i, t in enumerate(texts):
+        want = []
+        for w in t.split(" "):
+            want.extend(_hf_reference_bpe(w, ranks))
+        assert got[i] == want, (t, got[i], want)
+
+
 def test_bpe_reserved_c0_contract_enforced_engine_vs_oracle(spark):
     """Round-11 advice fix: the batched oracle's record/needle encoding
     reserves chr(28)-chr(31); a corpus CONTAINING those C0 separators

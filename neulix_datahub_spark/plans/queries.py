@@ -2300,23 +2300,77 @@ _PRIORITY_R10 = [
     "quantization_error_profile", "cms_user_counts",
     "bloom_semi_join_revenue",
 ]
-# ROUND 11 NOTE: rotate ONLY AFTER the round-10 driver run consumes this
-# prefix. Lead round 11 with any round-10/11 implementation changes and
-# red-row fixes, then the remaining r5-era stale greens oldest-first
-# (q1_pricing_summary, q2_min_cost_supplier, cube_order_status,
-# distinct_events, doc_store_upsert_stats,
-# events_hourly, events_sliding, orders_price_bands, price_percentiles,
-# q7_nation_volume, q8_market_share, q9_profit_by_nation,
-# q11_important_part_values, q12_late_shipments,
-# q13_order_count_distribution, q15_top_suppliers,
-# rollup_order_status, salted_flag_revenue, snapshot_upsert_stats, and
-# the rest of the r5 cohort), then the r6-era tier — names as
-# registered.
 assert set(_PRIORITY_R10) <= set(QUERIES), sorted(set(_PRIORITY_R10) - set(QUERIES))
 assert len(_PRIORITY_R10) == 50, len(_PRIORITY_R10)
 assert len(set(_PRIORITY_R10)) == 50
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R10} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R10)
+
+# ---------------------------------------------------------------------------
+# ROUND 11 rotation (the round-10 driver run consumed _PRIORITY_R10 —
+# 50/50 hash-green), composed exactly as the round-10 NOTE queued:
+#   1:     incremental_dedup_stats, ADDED in round 11 (the persisted-
+#          signature-index daily-ingest dedup, r10-verdict task 1) —
+#          first driver row;
+#   2-8:   the BPE tier, whose engine AND oracles changed in round 11
+#          (the reserved-C0 scrub moved from an assumed upstream
+#          contract into _bpe_normalize and every oracle's shared
+#          bpe_norm_sql literal; ASCII fixtures are value-unchanged,
+#          but changed code requires fresh rows);
+#   9-13:  the near-dup queries whose candidate/verify construction
+#          was refactored in round 11 (banded_signatures /
+#          shingle_projection / verify_pairs_with_shingles factored
+#          out for the incremental index — behavior-preserving, rows
+#          must confirm);
+#   14-39: ALL 26 remaining r5-era stale greens (after this window no
+#          green row predates r6);
+#   40-50: the 11 oldest r6-era greens, in registration order.
+_PRIORITY_R11 = [
+    # -- new in r11: first driver row --
+    "incremental_dedup_stats",
+    # -- BPE engine+oracle changed in r11 (reserved-C0 scrub) --
+    "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
+    "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
+    "bpe_vocab_coverage_stats", "bpe_merges_check", "bpe_tokenize_stats",
+    # -- near-dup construction refactored in r11 --
+    "lsh_dedup_pipeline", "minhash_candidates", "minhash_verified_pairs",
+    "semantic_dedup_pairs", "cluster_split_stats",
+    # -- r5-era stale greens: the full remaining cohort --
+    "q1_pricing_summary", "q2_min_cost_supplier", "cube_order_status",
+    "distinct_events", "doc_store_upsert_stats", "events_hourly",
+    "events_sliding", "orders_price_bands", "price_percentiles",
+    "q7_nation_volume", "q8_market_share", "q9_profit_by_nation",
+    "q11_important_part_values", "q12_late_shipments",
+    "q13_order_count_distribution", "q15_top_suppliers",
+    "rollup_order_status", "salted_flag_revenue", "snapshot_upsert_stats",
+    "stream_upsert_latest_events", "source_mixing_profile",
+    "user_sessions", "stream_enriched_segment_counts",
+    "stream_interval_join_counts", "stateful_user_totals", "tfidf_top20",
+    # -- oldest r6-era greens, registration order --
+    "promo_window_revenue", "window_coverage_revenue",
+    "incremental_agg_check", "zorder_bucket_stats",
+    "priority_sample_check", "prefix_filter_pairs",
+    "mixture_resample_plan", "cached_query_stats", "lexicon_filter_stats",
+    "quality_classifier_stats", "capped_contribution_stats",
+]
+# ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
+# prefix. Lead round 12 with any round-11/12 implementation changes and
+# red-row fixes, then the remaining r6-era stale greens in registration
+# order (k_anonymity_customers, event_funnel_stats, stream_funnel_stats,
+# weekly_autocorr_by_type, brand_triangle_count, stream_hourly_rollup,
+# dynamic_gap_sessions, stream_dynamic_sessions, snapshot_changes_stats,
+# catalog_commit_stats, load_behaviors_stats, scd2_customer_history,
+# orders_at_dimension_time, partitioned_events_stats,
+# orc_roundtrip_stats, hll_daily_merge_check, cms_daily_merge_check,
+# hll_overlap_check, price_drift_psi, robust_price_stats,
+# quality_report_orders, pca_embedding_check, pca_merge_check,
+# pq_codebook_profile, bigram_perplexity_by_lang,
+# unicode_normalization_stats, winnow_overlap_stats, top_event_trigrams,
+# event_pagerank, customer_hierarchy_depths, cohort_retention,
+# user_activity_streaks), then the r7-era tier — names as registered.
+assert set(_PRIORITY_R11) <= set(QUERIES), sorted(set(_PRIORITY_R11) - set(QUERIES))
+assert len(_PRIORITY_R11) == 50, len(_PRIORITY_R11)
+assert len(set(_PRIORITY_R11)) == 50
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R11)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

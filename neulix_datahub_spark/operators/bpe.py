@@ -363,6 +363,16 @@ def bpe_learn_merges_batched(
             _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
             .alias("sym"), "n"
         ).localCheckpoint(eager=False)
+    # release the working relation on the way out: the trainer's output
+    # is the merge list, not the rewritten vocabulary, and leaving the
+    # final two checkpoints to the ContextCleaner made the CHUNKED
+    # resume workflow (train k rounds, persist, resume) accumulate one
+    # pinned copy per call — measured persisted_rdds 2 -> 6 across a
+    # 7-chunk 4.2k-merge run before this. Unpersist is idempotent, so
+    # re-freeing an already-freed prev is harmless.
+    if prev is not None:
+        _free_checkpoint(prev)
+    _free_checkpoint(words)
     return merges
 
 

@@ -312,6 +312,125 @@ ORDER BY lang
 """
 
 
+def stream_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 twin of ``incremental_dedup_stats`` (round 11): the persisted
+    signature index built over the originals, then the perturbed-twin
+    DELTA delivered as a STREAM — two micro-batches through the
+    ``stream_dedup_index_ingest`` foreachBatch sink, each one a daily
+    ingest (delta-only signatures, at-rest candidate join, reduced-graph
+    label extension, pointer-flip commit). The oracle recomputes the
+    FULL corpus dedup from first principles (all-pairs Jaccard →
+    recursive closure → min-label survivors), so a green hash row
+    proves the final state is invariant to micro-batch slicing:
+    stream(d1); stream(d2) == one batch build. sum_kept_ids pins the
+    exact survivor SET, not just counts."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        build_dedup_index,
+        dedup_survivors,
+    )
+    from neulix_datahub_spark.plans.queries_llm import planted_near_dup_corpus
+    from neulix_datahub_spark.streaming.sinks import stream_dedup_index_ingest
+
+    import os
+    import shutil
+
+    tmp = _scratch(spark, "neulix_sidx_")
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    prior = corpus.filter(F.col("doc_id") < 1_000_000)
+    delta = corpus.filter(F.col("doc_id") >= 1_000_000)
+    path = f"{tmp}/index"
+    build_dedup_index(prior, path)
+
+    # stage the delta as two files -> two micro-batches (mtime fixes
+    # the delivery order; invariance to the split is the point)
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = delta.filter(F.col("doc_id") % 2 == 0)
+    rest = delta.filter(F.col("doc_id") % 2 == 1)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_dedup_index_ingest(stream, path, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+
+    kept = dedup_survivors(spark, path, corpus, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum((F.col("doc_id") < 1_000_000).cast("bigint"))
+            .alias("n_kept_prior"),
+            F.sum((F.col("doc_id") >= 1_000_000).cast("bigint"))
+            .alias("n_kept_delta"),
+            F.sum("doc_id").alias("sum_kept_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STREAM_INCR_DEDUP_SQL = """
+WITH RECURSIVE corpus AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t) - 2)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+        FROM corpus
+    )
+),
+edges AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.8
+),
+sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
+    UNION
+    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
+),
+losers AS (
+    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    WHERE id != component
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_prior,
+       CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_delta,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+FROM corpus
+WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 _LSH_DEDUP_SQL = """
 WITH RECURSIVE corpus AS (
     SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
@@ -1349,6 +1468,11 @@ STREAM_QUERIES = {
         incremental_dedup_stats,
         _INCR_DEDUP_SQL,
         "L2 incremental: persisted signature index + delta ingest == full dedup",
+    ),
+    "stream_incremental_dedup_stats": (
+        stream_incremental_dedup_stats,
+        _STREAM_INCR_DEDUP_SQL,
+        "S5 twin: micro-batched index ingest is slice-invariant == full dedup",
     ),
     "stateful_user_totals": (
         stateful_user_totals,

@@ -1081,3 +1081,41 @@ def stream_neardup_dedup_to_parquet(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_dedup_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the persisted-signature-index ingest
+    (``operators/dedupe_index.ingest_dedup_delta``): every micro-batch
+    is one daily delta — signatured alone, candidate-joined against the
+    at-rest bands, verified off the at-rest shingles, components
+    extended through the delta-sized reduced graph, committed by labels
+    pointer flip. The index must exist (``build_dedup_index``, possibly
+    over an empty prior corpus) before the stream starts.
+
+    Exactly-once on top of foreachBatch's at-least-once lives in the
+    STATE here, not in stamps: a replayed or checkpoint-loss-redelivered
+    batch re-offers already-indexed ids, the ingest's id anti-join
+    reduces it to n_new == 0, and the labels pointer does not move — so
+    this sink needs none of the fingerprint/_ReplayGuard machinery the
+    content-keyed sinks carry. Batch boundaries are immaterial by the
+    operator's composition law (ingest(d1); ingest(d2) ≡
+    ingest(d1 ∪ d2) ≡ one batch build — unit- and driver-proven), so
+    the final state is invariant to how the trigger slices the stream.
+    """
+    from neulix_datahub_spark.operators.dedupe_index import (
+        ingest_dedup_delta,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_dedup_delta(spark, batch_df, index_path)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -199,6 +199,58 @@ def test_incremental_equals_batch_property(spark, tmp_path):
     check()
 
 
+def test_stream_ingest_slice_invariant_and_redelivery_idempotent(
+    spark, tmp_path
+):
+    """The foreachBatch twin: (a) two micro-batches through
+    stream_dedup_index_ingest land the SAME labels as a one-shot batch
+    build (slice invariance); (b) a full REDELIVERY of the stream with
+    a fresh checkpoint (the checkpoint-loss case — worse than any
+    foreachBatch replay) changes nothing, because idempotence lives in
+    the index's id anti-join, not in sink stamps."""
+    import shutil
+
+    from neulix_datahub_spark.operators.dedupe_index import (
+        build_dedup_index,
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_dedup_index_ingest
+
+    rows = _BASE + _COPIES
+    p = str(tmp_path / "sidx")
+    build_dedup_index(_corpus(spark, rows[:4]), p)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, part, mtime in (("a", rows[4:5], 1e6), ("b", rows[5:], 2e6)):
+        stage = str(tmp_path / f"stage_{name}")
+        _corpus(spark, part).coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(src / f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        stream_dedup_index_ingest(
+            stream, p, checkpoint_dir=str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    drain("ckpt1")
+    got = _labels_dict(spark, p)
+    p_full = str(tmp_path / "full")
+    build_dedup_index(_corpus(spark, rows), p_full)
+    assert got == _labels_dict(spark, p_full)
+
+    before_meta = read_dedup_meta(p)
+    drain("ckpt2")  # fresh checkpoint: full redelivery of both batches
+    assert _labels_dict(spark, p) == got
+    assert read_dedup_meta(p) == before_meta
+
+
 def test_null_text_rows_are_singletons(spark, tmp_path):
     """NULL-text docs carry no content to near-match on: they band and
     shingle into nothing, survive as their own components, and never

@@ -2312,8 +2312,12 @@ def test_bpe_batched_hand_case_and_storage_bound(spark):
     assert r2[0] == ("aa", "aa", 2)
     ranks = [m["rank"] for m in merges]
     assert ranks == list(range(1, len(merges) + 1))
+    # round 11 tightening: the trainer now frees its final working
+    # relations on the way out (a chunked resume workflow measured one
+    # leaked checkpoint per call before), so training leaves NO new
+    # persisted RDDs behind, not just O(1) of them
     n1 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
-    assert n1 - n0 <= 2, (n0, n1)
+    assert n1 - n0 <= 0, (n0, n1)
 
 
 def test_bpe_segment_pandas_parity_with_fold_chain(spark):

@@ -252,3 +252,44 @@ def test_r10_bpe_query_plan_shapes(spark):
     # no expression-fold segmentation of documents in the vectorized tier
     assert "aggregate(filter(split(" not in plan_bt
     assert global_windows(bt) == []
+
+
+def test_r11_incremental_dedup_ingest_join_shapes(spark, tmp_path):
+    """Round-11 plan pins: the incremental ingest's candidate join —
+    delta bands against the PERSISTED bands parquet — must resolve as
+    a broadcast hash join (at scale AQE broadcasts the delta side; the
+    100 TB band scan never shuffles), with no cartesian product and no
+    global window anywhere in the candidate plan; and the shingle side
+    must reach the verify as a plain parquet scan (column-pruned,
+    never exchanged on a non-key)."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.dedupe_index import (
+        _features,
+        build_dedup_index,
+        read_dedup_meta,
+    )
+
+    docs = [(i, f"doc number {i} with shared vocabulary words") for i in range(40)]
+    p = str(tmp_path / "idx")
+    build_dedup_index(spark.createDataFrame(docs, ["doc_id", "text"]), p)
+    meta = read_dedup_meta(p)
+    delta = spark.createDataFrame(
+        [(100 + i, f"delta document {i} fresh words") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    nb, _ = _features(delta, "text", "doc_id", meta)
+    prior_bands = spark.read.parquet(f"{p}/bands")
+    cross = (
+        nb.alias("d")
+        .join(prior_bands.alias("p"), ["band", "band_hash"])
+        .select(
+            F.least(F.col("d.id"), F.col("p.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("p.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert global_windows(cross) == []

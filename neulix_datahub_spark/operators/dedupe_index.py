@@ -10,16 +10,21 @@ per ingest is the near-dup pipeline's largest avoidable cost at 100 TB
 ``operators/incremental.py`` makes for aggregates. This module keeps
 the LSH working state AT REST so each delta pays only for itself:
 
-- ``bands/``     ``(id, band, band_hash)`` parquet, partitioned by
+- ``bands_v{N}/``  ``(id, band, band_hash)`` parquet, partitioned by
   ``band`` (the IVF-index write discipline from
   ``operators/similarity.py`` — AQE-rebalanced so no small-file spray,
   bounded directory fan-out). New docs hash into the SAME buckets the
   prior corpus occupies, so the candidate join is delta-bands ⋈
   persisted-bands — an equi-join whose small (delta) side AQE
   broadcasts; the 100 TB side is scanned once and never shuffled.
-- ``shingles/``  ``(__vid, __vsh, __vsz)`` — the hashed-shingle sets
-  the exact-Jaccard verify needs, so verification of delta↔prior
-  candidate pairs never re-reads prior TEXT.
+- ``shingles_v{N}/``  ``(__vid, __vsh, __vsz)`` — the hashed-shingle
+  sets the exact-Jaccard verify needs, so verification of delta↔prior
+  candidate pairs never re-reads prior TEXT. Ingests APPEND to the
+  current generation of both feature relations; daily appends
+  fragment them into per-ingest files, and
+  :func:`compact_dedup_index` is the maintenance job that rewrites
+  each into the next generation (immutable rewrite + the same pointer
+  flip as labels — Delta OPTIMIZE's shape).
 - ``labels_v{N}/`` ``(id, component)`` — the dedup state (component =
   min reachable id; singletons label themselves). Updated by POINTER
   FLIP: each ingest writes ``labels_v{N+1}`` and then atomically
@@ -99,6 +104,14 @@ def read_dedup_labels(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def _bands_dir(path: str, meta: dict) -> str:
+    return os.path.join(path, f"bands_v{meta.get('bands_version', 0)}")
+
+
+def _shingles_dir(path: str, meta: dict) -> str:
+    return os.path.join(path, f"shingles_v{meta.get('shingles_version', 0)}")
+
+
 def _features(
     df: DataFrame, text_col: str, id_col: str, meta: dict
 ) -> tuple[DataFrame, DataFrame]:
@@ -131,7 +144,7 @@ def _self_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def _write_bands(bands: DataFrame, path: str, mode: str) -> None:
+def _write_bands(bands: DataFrame, dest: str, mode: str) -> None:
     from neulix_datahub_spark.operators.skew import rebalance_for_write
 
     # rebalance before the partitioned write (the build_ivf_index
@@ -139,7 +152,7 @@ def _write_bands(bands: DataFrame, path: str, mode: str) -> None:
     # touched band — #partitions × #bands small files
     rebalance_for_write(bands, "band").write.mode(mode).partitionBy(
         "band"
-    ).parquet(os.path.join(path, "bands"))
+    ).parquet(dest)
 
 
 def build_dedup_index(
@@ -164,17 +177,17 @@ def build_dedup_index(
         "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
         "seed": seed, "threshold": threshold,
         "text_col": text_col, "id_col": id_col,
-        "labels_version": 0,
+        "labels_version": 0, "bands_version": 0, "shingles_version": 0,
     }
     spark = df.sparkSession
     b, sh = _features(df, text_col, id_col, meta)
-    _write_bands(b, path, "overwrite")
-    sh.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    _write_bands(b, _bands_dir(path, meta), "overwrite")
+    sh.write.mode("overwrite").parquet(_shingles_dir(path, meta))
     # candidates/verify off the LANDED features: the parquet read-back
     # doubles as the materialization barrier, and guarantees the state
     # future ingests join against is the exact state this build deduped
-    b = spark.read.parquet(os.path.join(path, "bands"))
-    sh = spark.read.parquet(os.path.join(path, "shingles"))
+    b = spark.read.parquet(_bands_dir(path, meta))
+    sh = spark.read.parquet(_shingles_dir(path, meta))
     edges = verify_pairs_with_shingles(_self_pairs(b), sh, threshold)
     comps = connected_components(edges, max_iter=max_iter)
     all_ids = df.select(F.col(id_col).alias("id")).distinct()
@@ -232,7 +245,7 @@ def ingest_dedup_delta(
     nb = nb.localCheckpoint(eager=True)
     nsh = nsh.localCheckpoint(eager=True)
 
-    prior_bands = spark.read.parquet(os.path.join(path, "bands"))
+    prior_bands = spark.read.parquet(_bands_dir(path, meta))
     cross = (
         nb.alias("d")
         .join(prior_bands.alias("p"), ["band", "band_hash"])
@@ -243,7 +256,7 @@ def ingest_dedup_delta(
         .distinct()
     )
     cands = cross.unionByName(_self_pairs(nb)).distinct()
-    sh_all = spark.read.parquet(os.path.join(path, "shingles")).unionByName(nsh)
+    sh_all = spark.read.parquet(_shingles_dir(path, meta)).unionByName(nsh)
     edges = verify_pairs_with_shingles(
         cands, sh_all, meta["threshold"]
     ).localCheckpoint(eager=True)
@@ -296,8 +309,8 @@ def ingest_dedup_delta(
     # commit order: feature appends first (tolerated if re-run), then
     # the new labels generation, then the POINTER FLIP (the atomic
     # commit), then old-generation cleanup
-    _write_bands(nb, path, "append")
-    nsh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    _write_bands(nb, _bands_dir(path, meta), "append")
+    nsh.write.mode("append").parquet(_shingles_dir(path, meta))
     new_version = meta["labels_version"] + 1
     final.write.mode("overwrite").parquet(
         os.path.join(path, f"labels_v{new_version}")
@@ -316,6 +329,64 @@ def ingest_dedup_delta(
         os.path.join(path, f"labels_v{old_version}"), ignore_errors=True
     )
     return stats
+
+
+def compact_dedup_index(
+    spark: SparkSession,
+    path: str,
+    files_per_band: int = 1,
+    shingle_files: int = 8,
+) -> dict:
+    """Maintenance: rewrite the appended-to feature relations into the
+    next generation with right-sized files — the Delta-OPTIMIZE-shaped
+    job a daily ingest cadence needs (each ingest appends per-task
+    files; after a year of dailies the band directories hold hundreds
+    of fragments and listing+footer overhead starts to dominate probe
+    setup). Bands compact through
+    :func:`~neulix_datahub_spark.sources.io.compact_partitioned_parquet`
+    (``files_per_band`` per band directory); shingles rebalance into
+    ``shingle_files`` files. Both land as IMMUTABLE new generations and
+    commit together with ONE sidecar pointer flip — readers never see a
+    half-compacted index, and a crash before the flip leaves the old
+    generations live (a retry clears the provably-orphaned new dirs —
+    the pointer still references the old generation — and rewrites).
+    Pure rewrite: row sets unchanged, proven by the invariance unit
+    test. Returns the file-count log."""
+    from neulix_datahub_spark.sources.io import compact_partitioned_parquet
+
+    meta = read_dedup_meta(path)
+    old_b, old_sh = _bands_dir(path, meta), _shingles_dir(path, meta)
+    new_meta = dict(
+        meta,
+        bands_version=meta.get("bands_version", 0) + 1,
+        shingles_version=meta.get("shingles_version", 0) + 1,
+    )
+    new_b, new_sh = _bands_dir(path, new_meta), _shingles_dir(path, new_meta)
+    # a crashed prior compaction can leave orphaned target generations
+    # (the pointer proves they were never committed) — clear, then write
+    shutil.rmtree(new_b, ignore_errors=True)
+    shutil.rmtree(new_sh, ignore_errors=True)
+    band_log = compact_partitioned_parquet(
+        spark, old_b, new_b, ["band"], files_per_band
+    )
+
+    def _n_files(d: str) -> int:
+        return sum(
+            1 for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+        )
+
+    sh = spark.read.parquet(old_sh)
+    sh.repartition(shingle_files).write.mode("overwrite").parquet(new_sh)
+    log = {
+        "band_files_before": band_log["files_before"],
+        "band_files_after": band_log["files_after"],
+        "shingle_files_before": _n_files(old_sh),
+        "shingle_files_after": _n_files(new_sh),
+    }
+    _write_meta(path, new_meta)  # the atomic commit for BOTH rewrites
+    shutil.rmtree(old_b, ignore_errors=True)
+    shutil.rmtree(old_sh, ignore_errors=True)
+    return log
 
 
 def dedup_survivors(

@@ -251,6 +251,44 @@ def test_stream_ingest_slice_invariant_and_redelivery_idempotent(
     assert read_dedup_meta(p) == before_meta
 
 
+def test_compaction_is_invariant_and_defragments(spark, tmp_path):
+    """compact_dedup_index is a pure rewrite: after several fragmenting
+    ingests, compaction cuts the per-band file counts to the target,
+    flips both feature pointers in one sidecar commit, removes the old
+    generations — and changes NOTHING observable: labels identical, a
+    post-compaction ingest still produces exactly the batch answer."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        _bands_dir,
+        _shingles_dir,
+        build_dedup_index,
+        compact_dedup_index,
+    )
+
+    rows = _BASE + _COPIES + [(103, _BASE[2][1].split(" ", 1)[1])]
+    p = str(tmp_path / "cidx")
+    build_dedup_index(_corpus(spark, rows[:4]), p)
+    ingest_dedup_delta(spark, _corpus(spark, rows[4:5]), p)
+    ingest_dedup_delta(spark, _corpus(spark, rows[5:6]), p)
+    before = _labels_dict(spark, p)
+
+    log = compact_dedup_index(spark, p, files_per_band=1, shingle_files=1)
+    assert log["band_files_after"] < log["band_files_before"], log
+    assert log["shingle_files_after"] <= log["shingle_files_before"], log
+    meta = read_dedup_meta(p)
+    assert meta["bands_version"] == 1 and meta["shingles_version"] == 1
+    assert not os.path.exists(os.path.join(p, "bands_v0"))
+    assert not os.path.exists(os.path.join(p, "shingles_v0"))
+    assert os.path.isdir(_bands_dir(p, meta))
+    assert os.path.isdir(_shingles_dir(p, meta))
+    assert _labels_dict(spark, p) == before
+
+    # the compacted index keeps composing: one more ingest == full build
+    ingest_dedup_delta(spark, _corpus(spark, rows[6:]), p)
+    p_full = str(tmp_path / "cfull")
+    build_dedup_index(_corpus(spark, rows), p_full)
+    assert _labels_dict(spark, p) == _labels_dict(spark, p_full)
+
+
 def test_null_text_rows_are_singletons(spark, tmp_path):
     """NULL-text docs carry no content to near-match on: they band and
     shingle into nothing, survive as their own components, and never

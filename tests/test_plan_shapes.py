@@ -265,6 +265,7 @@ def test_r11_incremental_dedup_ingest_join_shapes(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from neulix_datahub_spark.operators.dedupe_index import (
+        _bands_dir,
         _features,
         build_dedup_index,
         read_dedup_meta,
@@ -279,7 +280,7 @@ def test_r11_incremental_dedup_ingest_join_shapes(spark, tmp_path):
         ["doc_id", "text"],
     )
     nb, _ = _features(delta, "text", "doc_id", meta)
-    prior_bands = spark.read.parquet(f"{p}/bands")
+    prior_bands = spark.read.parquet(_bands_dir(p, meta))
     cross = (
         nb.alias("d")
         .join(prior_bands.alias("p"), ["band", "band_hash"])

@@ -4,6 +4,12 @@ from neulix_datahub_spark.operators.dedupe import (
     minhash_near_duplicates,
     simhash,
 )
+from neulix_datahub_spark.operators.dedupe_index import (
+    build_dedup_index,
+    compact_dedup_index,
+    dedup_survivors,
+    ingest_dedup_delta,
+)
 from neulix_datahub_spark.operators.profile import profile_table, profile_stats, top_k_values
 from neulix_datahub_spark.operators.sequence import with_sequential_id
 from neulix_datahub_spark.operators.similarity import cosine_similarity_expr, cosine_top_k
@@ -15,6 +21,10 @@ __all__ = [
     "top_k_values",
     "dedupe_append",
     "exact_dedup",
+    "build_dedup_index",
+    "ingest_dedup_delta",
+    "compact_dedup_index",
+    "dedup_survivors",
     "minhash_near_duplicates",
     "simhash",
     "upsert",

@@ -292,6 +292,7 @@ def bpe_learn_merges_batched(
     text_col: str = "text",
     unit: str = "word",
     initial_merges: list[dict] | None = None,
+    rewrite: str = "fold",
 ) -> list[dict]:
     """Batched BPE training: per round, ONE pair-count aggregate feeds
     a top-``window`` collect (bounded driver traffic: ≤window rows per
@@ -315,9 +316,25 @@ def bpe_learn_merges_batched(
     working set (one fold pass per original round) before the first
     new round, and rank/round numbering continues where they left off —
     ``train(R)`` ≡ ``train(k)`` then ``resume with R−k`` on the same
-    corpus, which is the grow-an-existing-tokenizer workflow."""
+    corpus, which is the grow-an-existing-tokenizer workflow.
+
+    ``rewrite`` picks the per-round working-set rewrite tier —
+    bit-identical results (parity-pinned by unit test), different cost
+    shapes: ``"fold"`` (default) is the JVM expression fold — zero
+    serialization, whole-stage-codegen'd, the winner whenever the unit
+    relation is large (the 100 TB regime: per-byte JVM throughput
+    dominates, and the per-round codegen compile amortizes over data);
+    ``"arrow"`` replays the round's batch through the Arrow
+    mapInPandas tier — a fresh fold expression costs a ~0.5-0.8 s
+    codegen compile EVERY round (the pair literals change), so on
+    small working sets the arrow tier halves the round time (measured
+    sf0.1 raw units, 16 rounds: 1.58 → 0.80 s/round). Rule of thumb:
+    many rounds over a modest distinct-unit relation → arrow; few
+    rounds or a huge relation → fold."""
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
+    if rewrite not in ("fold", "arrow"):
+        raise ValueError(f"unknown rewrite {rewrite!r}")
     units = word_counts(df, text_col) if unit == "word" else (
         raw_unit_counts(df, text_col).withColumnRenamed("unit", "word")
     )
@@ -352,17 +369,26 @@ def bpe_learn_merges_batched(
         if not ranked:
             break
         kept = select_batch(ranked)
+        batch: list[dict] = []
         for j, (a, b, c) in enumerate(kept, 1):
             rank += 1
-            merges.append(
+            batch.append(
                 {"rank": rank, "round": rnd, "round_rank": j, "left": a,
                  "right": b, "merged": a + b, "pair_count": c}
             )
+        merges.extend(batch)
         prev = words
-        words = words.select(
-            _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
-            .alias("sym"), "n"
-        ).localCheckpoint(eager=False)
+        if rewrite == "arrow":
+            # one round's batch -> ONE replay pass (same grouping rule
+            # as _merge_rounds; bit-identical to the fold, parity-pinned)
+            words = _replay_merges_pandas(words, batch).localCheckpoint(
+                eager=False
+            )
+        else:
+            words = words.select(
+                _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
+                .alias("sym"), "n"
+            ).localCheckpoint(eager=False)
     # release the working relation on the way out: the trainer's output
     # is the merge list, not the rewritten vocabulary, and leaving the
     # final two checkpoints to the ContextCleaner made the CHUNKED

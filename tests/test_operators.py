@@ -2452,6 +2452,28 @@ def test_bpe_merge_table_roundtrip(spark, tmp_path):
         assert [r["t"] for r in a] == [r["t"] for r in b]
 
 
+def test_bpe_batched_rewrite_tiers_are_bit_identical(spark):
+    """Round 11: the per-round working-set rewrite has two tiers — the
+    JVM expression fold (default; zero serialization, wins on large
+    unit relations) and the Arrow replay (no per-round codegen compile,
+    measured 2x faster per round on small working sets) — and they must
+    train the IDENTICAL merge table: ranks, rounds, pairs, counts."""
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and the dog sat on the log",),
+         ("lower lowest newer newest wide wider widest",),
+         ("aaaa bb aaaa bb cc",)],
+        ["text"],
+    )
+    for unit in ("word", "raw"):
+        fold = bpe_learn_merges_batched(df, n_rounds=5, window=16, unit=unit)
+        arrow = bpe_learn_merges_batched(
+            df, n_rounds=5, window=16, unit=unit, rewrite="arrow"
+        )
+        assert fold == arrow, (unit, fold, arrow)
+
+
 def test_bpe_batched_resume_equals_full_training(spark):
     """Round 10: training R rounds in one go equals training k rounds,
     persisting, and RESUMING with R−k more on the same corpus — ranks,

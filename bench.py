@@ -68,6 +68,11 @@ HEADLINE = (
     # Arrow-vectorized apply — gets its first wall-clock anchors.
     "bpe_batched_vocab_stats",
     "bpe_batched_tokenize_stats",
+    # round 11: first anchor for the new incremental-dedup subsystem
+    # (index build + delta ingest + survivors — the full lifecycle),
+    # anchored the round it ships so it never becomes the
+    # "oracle-green subsystem with zero perf anchors" pattern.
+    "incremental_dedup_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

@@ -210,6 +210,12 @@ def bpe_learn_merges(
         words = words.select(
             _merge_fold(F.col("sym"), a, b).alias("sym"), "n"
         ).localCheckpoint(eager=False)
+    # same exit discipline as the batched trainer: the merge list is
+    # the output — release the final working relations instead of
+    # leaking one pinned copy per call to the ContextCleaner
+    if prev is not None:
+        _free_checkpoint(prev)
+    _free_checkpoint(words)
     return merges
 
 
@@ -533,7 +539,15 @@ def export_hf_merges(
     if vocab_path is not None:
         produced = set(products)
         base = sorted(leaves - produced)
-        vocab = {tok: i for i, tok in enumerate(base + products)}
+        # first-wins, contiguous ids: two merges can legitimately
+        # produce the SAME merged string (('ab','c') and ('a','bc')),
+        # and a naive enumerate would overwrite the earlier id leaving
+        # a gap — an HF consumer sizing an embedding matrix from
+        # len(vocab) vs max(id)+1 would then disagree with itself
+        vocab: dict[str, int] = {}
+        for tok in base + products:
+            if tok not in vocab:
+                vocab[tok] = len(vocab)
         with open(vocab_path, "w", encoding="utf-8") as f:
             json.dump(vocab, f, ensure_ascii=False, sort_keys=False)
 

@@ -127,6 +127,55 @@ def _features(
     return bands, sh
 
 
+def _assert_unique_ids(df: DataFrame, id_col: str, where: str) -> None:
+    """Id uniqueness is the index's identity contract — the anti-join
+    idempotence, the labels grain and ``n_docs`` all assume one row per
+    id. A duplicate-id batch would persist duplicate label rows and
+    silently break incremental == batch, so it is REFUSED here (one
+    cheap aggregate over the batch — delta-sized on ingest) instead of
+    tolerated."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("d"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("nulls"),
+    ).first()
+    if row["nulls"]:
+        raise ValueError(
+            f"{where}: {row['nulls']} row(s) have NULL {id_col!r} — ids "
+            "are the index identity and must be non-null"
+        )
+    if row["n"] != row["d"]:
+        raise ValueError(
+            f"{where}: {row['n'] - row['d']} duplicate {id_col!r} row(s) "
+            "in the batch — deduplicate upstream (e.g. exact_dedup or "
+            "dropDuplicates) before indexing; admitting them would "
+            "corrupt the one-row-per-id labels grain"
+        )
+
+
+def _sweep_stale_generations(path: str, meta: dict) -> None:
+    """Remove generation directories BELOW the committed pointers — the
+    debris a crash between a pointer flip and its cleanup rmtree leaves
+    behind (at scale the feature relations dominate storage, so the
+    orphans are the expensive kind). Anything at or above a pointer is
+    never touched: uncommitted higher generations are cleared by the
+    writer that owns them."""
+    current = {
+        "labels_v": meta.get("labels_version", 0),
+        "bands_v": meta.get("bands_version", 0),
+        "shingles_v": meta.get("shingles_version", 0),
+    }
+    try:
+        entries = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for d in entries:
+        for prefix, cur in current.items():
+            if d.startswith(prefix) and d[len(prefix):].isdigit():
+                if int(d[len(prefix):]) < cur:
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def _self_pairs(bands: DataFrame) -> DataFrame:
     """Distinct within-batch band collisions as ``(id_a < id_b)`` —
     the same pair set minhash_near_duplicates emits (its n_bands count
@@ -173,6 +222,7 @@ def build_dedup_index(
     every later :func:`ingest_dedup_delta` reuses them, so the index
     can never mix incompatible signatures."""
     _validate_grid_threshold(threshold)
+    _assert_unique_ids(df, id_col, "build_dedup_index")
     meta = {
         "num_hashes": num_hashes, "bands": bands, "shingle_n": shingle_n,
         "seed": seed, "threshold": threshold,
@@ -238,6 +288,10 @@ def ingest_dedup_delta(
     # pin the filtered delta: features, the id projection and the count
     # would each re-run the anti-join otherwise
     new = new.localCheckpoint(eager=True)
+    _assert_unique_ids(new, id_col, "ingest_dedup_delta")
+    # opportunistic debris sweep: generations orphaned by a crash
+    # between a prior run's pointer flip and its cleanup
+    _sweep_stale_generations(path, meta)
     nb, nsh = _features(new, text_col, id_col, meta)
     # pin the delta features: each is consumed 2-3 times (candidate
     # joins, verify, the append) and re-shingling per consumer is the
@@ -255,7 +309,14 @@ def ingest_dedup_delta(
         )
         .distinct()
     )
-    cands = cross.unionByName(_self_pairs(nb)).distinct()
+    # pin the candidate list: it feeds the verify AND the stats count —
+    # without the checkpoint the count would re-execute the whole
+    # bands-table join (a second full scan of the at-rest relation per
+    # ingest, violating the touched-exactly-twice contract above)
+    cands = (
+        cross.unionByName(_self_pairs(nb)).distinct()
+        .localCheckpoint(eager=True)
+    )
     sh_all = spark.read.parquet(_shingles_dir(path, meta)).unionByName(nsh)
     edges = verify_pairs_with_shingles(
         cands, sh_all, meta["threshold"]
@@ -355,6 +416,7 @@ def compact_dedup_index(
     from neulix_datahub_spark.sources.io import compact_partitioned_parquet
 
     meta = read_dedup_meta(path)
+    _sweep_stale_generations(path, meta)
     old_b, old_sh = _bands_dir(path, meta), _shingles_dir(path, meta)
     new_meta = dict(
         meta,

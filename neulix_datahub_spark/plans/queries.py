@@ -620,7 +620,7 @@ WITH all_docs AS (
 winners AS (
     SELECT min(doc_id) AS doc_id
     FROM all_docs
-    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    GROUP BY trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))
 )
 SELECT a.doc_id, a.lang, a.source
 FROM all_docs a JOIN winners USING (doc_id)
@@ -659,10 +659,10 @@ LIMIT 10
 
 
 _EN = "|".join(LANG_MARKERS["en"])
-_TOKENS_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+_TOKENS_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) END"
 _PUNCT_SQL = (
     "CASE WHEN length(text) > 0 THEN "
-    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) "
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9 \t\n\v\f\r]', '', 'g')) AS DOUBLE) / length(text) "
     "ELSE 0.0 END"
 )
 _STOPHITS_SQL = f"len(regexp_extract_all(lower(text), '\\b({_EN})\\b'))"
@@ -875,7 +875,7 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_SQL = """
 SELECT doc_id,
-       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       sha256(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))) AS fingerprint
 FROM documents WHERE doc_id % 10 = 0
 """
 
@@ -953,8 +953,8 @@ sh AS (
                 ELSE [array_to_string(tb, ' ')] END AS sb
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text_a), '\\s+', ' ', 'g')), ' ') AS ta,
-               string_split(trim(regexp_replace(lower(text_b), '\\s+', ' ', 'g')), ' ') AS tb
+               string_split(trim(regexp_replace(lower(text_a), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS ta,
+               string_split(trim(regexp_replace(lower(text_b), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS tb
         FROM pairs
     )
 )
@@ -1682,7 +1682,7 @@ deduped AS (
     SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
            arg_min(n_tokens, doc_id) AS n_tokens, arg_min(quality, doc_id) AS quality
     FROM filtered
-    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    GROUP BY trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))
 )
 SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(quality), 6) AS avg_quality
@@ -1775,7 +1775,7 @@ deduped AS (
            arg_min(n_tokens, doc_id) AS n_tokens,
            arg_min(quality, doc_id) AS quality
     FROM filtered
-    GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+    GROUP BY trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g'))
 )
 SELECT CAST('0x' || substr(md5('shard:' || COALESCE(text, '')), 1, 4) AS BIGINT) % {_N_EXPORT_SHARDS} AS shard,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -87,7 +87,7 @@ WITH sh AS (
            ) AS shingles
     FROM (
         SELECT doc_id, lang,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM documents WHERE doc_id % 10 = 0
     )
 )
@@ -146,7 +146,7 @@ def tfidf_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFIDF_SQL = """
 WITH terms AS (
     SELECT doc_id,
-           unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+           unnest(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS term
     FROM documents
 ),
 doc_term AS (
@@ -197,7 +197,7 @@ _PACK_SQL = """
 WITH toks AS (
     SELECT doc_id, lang,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+                ELSE len(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+')) END AS n_tokens
     FROM documents
 ),
 packed AS (
@@ -246,9 +246,9 @@ def doc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_SQL = """
 WITH t AS (
     SELECT doc_id, lang,
-           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g')) = ''
                 THEN CAST([] AS VARCHAR[])
-                ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                ELSE string_split(trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g')), ' ')
            END AS toks
     FROM documents
 ),
@@ -320,9 +320,9 @@ def udtf_chunk_parity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UDTF_CHUNK_SQL = """
 WITH t AS (
     SELECT doc_id, lang,
-           CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = ''
+           CASE WHEN trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g')) = ''
                 THEN CAST([] AS VARCHAR[])
-                ELSE string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')
+                ELSE string_split(trim(regexp_replace(text, '[ \t\n\v\f\r]+', ' ', 'g')), ' ')
            END AS toks
     FROM documents
     WHERE text IS NOT NULL
@@ -386,7 +386,7 @@ sh AS (
            ) AS shingles
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM corpus
     )
 )
@@ -1595,7 +1595,7 @@ WITH RECURSIVE sh AS (
            ) AS shingles
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM documents
     )
 ),

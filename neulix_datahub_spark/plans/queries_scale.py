@@ -963,7 +963,7 @@ WITH docs AS (
            ) AS toks
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM documents
     )
 ),
@@ -1819,7 +1819,7 @@ WITH sh AS (
                 ELSE [array_to_string(t, ' ')] END AS s
     FROM (
         SELECT doc_id, lang,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM documents
     )
 ),
@@ -2476,7 +2476,7 @@ def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_SQL = f"""
 WITH toks AS (
     SELECT doc_id, unnest(string_split(
-        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS token
     FROM documents
 ),
 idx AS (
@@ -2540,7 +2540,7 @@ def phrase_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHRASE_SQL = f"""
 WITH tok AS (
     SELECT doc_id,
-           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS tk
     FROM documents
 ),
 hits AS (

@@ -259,7 +259,16 @@ def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_DEDUP_SQL = """
+# The from-first-principles near-dup closure shared VERBATIM by the
+# three planted-corpus dedup oracles (one copy — the WORD_W0_SQL
+# lesson): planted corpus (100 originals + first-token-dropped twins)
+# → exact 3-gram shingle sets under the ENGINE's normalization (Java
+# \s spelled as the explicit ASCII class; RE2's bare \s excludes
+# \x0b, the round-10 migration lesson extended to the dedup tier in
+# round 11) → all-pairs exact Jaccard with the engine's 6-dp rounding
+# (verify_pairs_with_shingles rounds before thresholding) → recursive
+# transitive closure → min-label components → losers.
+NEARDUP_CLOSURE_SQL = r"""
 WITH RECURSIVE corpus AS (
     SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
     UNION ALL
@@ -277,7 +286,7 @@ sh AS (
            ) AS shingles
     FROM (
         SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM corpus
     )
 ),
@@ -299,6 +308,9 @@ losers AS (
     SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
     WHERE id != component
 )
+"""
+
+_INCR_DEDUP_SQL = NEARDUP_CLOSURE_SQL + """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs_kept,
        CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -377,46 +389,7 @@ def stream_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-_STREAM_INCR_DEDUP_SQL = """
-WITH RECURSIVE corpus AS (
-    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, lang,
-           substring(text, instr(text, ' ') + 1) AS text
-    FROM documents WHERE doc_id < 100
-),
-sh AS (
-    SELECT doc_id,
-           list_distinct(
-               CASE WHEN len(t) >= 3
-                    THEN [array_to_string(t[i:i+2], ' ')
-                          for i in generate_series(1, len(t) - 2)]
-                    ELSE [array_to_string(t, ' ')] END
-           ) AS shingles
-    FROM (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-        FROM corpus
-    )
-),
-edges AS (
-    SELECT a.doc_id AS u, b.doc_id AS v
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) >= 0.8
-),
-sym AS (
-    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
-),
-reach AS (
-    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
-    UNION
-    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
-),
-losers AS (
-    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    WHERE id != component
-)
+_STREAM_INCR_DEDUP_SQL = NEARDUP_CLOSURE_SQL + """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs_kept,
        CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
@@ -431,46 +404,12 @@ ORDER BY lang
 """
 
 
-_LSH_DEDUP_SQL = """
-WITH RECURSIVE corpus AS (
-    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, lang,
-           substring(text, instr(text, ' ') + 1) AS text
-    FROM documents WHERE doc_id < 100
-),
-sh AS (
-    SELECT doc_id,
-           list_distinct(
-               CASE WHEN len(t) >= 3
-                    THEN [array_to_string(t[i:i+2], ' ')
-                          for i in generate_series(1, len(t) - 2)]
-                    ELSE [array_to_string(t, ' ')] END
-           ) AS shingles
-    FROM (
-        SELECT doc_id,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
-        FROM corpus
-    )
-),
-edges AS (
-    SELECT a.doc_id AS u, b.doc_id AS v
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
-),
-sym AS (
-    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
-),
-reach AS (
-    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
-    UNION
-    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
-),
-losers AS (
-    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
-    WHERE id != component
-)
+# round 11: now built on the SHARED closure — which also fixed two
+# latent engine≠oracle divergences this copy carried (RE2 '\s+'
+# missing \x0b, and a missing 6-dp rounding before the threshold;
+# both value-identical on the ASCII fixture, both red-row hazards on
+# a real corpus)
+_LSH_DEDUP_SQL = NEARDUP_CLOSURE_SQL + """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
 FROM corpus
 WHERE doc_id NOT IN (SELECT id FROM losers)
@@ -1179,7 +1118,7 @@ sh AS (
                 ELSE [array_to_string(t, ' ')] END AS s
     FROM (
         SELECT doc_id, lang,
-               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
         FROM corpus
     )
 ),
@@ -1291,7 +1230,7 @@ def stream_index_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_INDEX_SQL = """
 WITH toks AS (
     SELECT doc_id, unnest(string_split(
-        trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+        trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS token
     FROM documents
 ),
 idx AS (

@@ -289,6 +289,101 @@ def test_compaction_is_invariant_and_defragments(spark, tmp_path):
     assert _labels_dict(spark, p) == _labels_dict(spark, p_full)
 
 
+def test_duplicate_or_null_ids_are_refused(spark, tmp_path):
+    """Round-11 review fix: id uniqueness is the index's identity
+    contract (anti-join idempotence, one-row-per-id labels, n_docs).
+    A duplicate-id or NULL-id batch is REFUSED with a clear error in
+    both build and ingest instead of silently corrupting the grain."""
+    import pytest
+
+    from neulix_datahub_spark.operators.dedupe_index import (
+        build_dedup_index,
+    )
+
+    p = str(tmp_path / "dupidx")
+    dup = _corpus(spark, [(1, "some text here"), (1, "other text entirely")])
+    with pytest.raises(ValueError, match="duplicate"):
+        build_dedup_index(dup, p)
+
+    build_dedup_index(_corpus(spark, _BASE), p)
+    fresh_dup = _corpus(
+        spark, [(999, "some text here"), (999, "other text entirely")]
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        ingest_dedup_delta(spark, fresh_dup, p)
+    nul = spark.createDataFrame(
+        [(None, "ghost row")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ingest_dedup_delta(spark, nul, p)
+    # the refused batches changed nothing
+    assert _labels_dict(spark, p) == {r[0]: r[0] for r in _BASE}
+
+
+def test_stale_generations_are_swept(spark, tmp_path):
+    """Round-11 review fix: a crash between a pointer flip and its
+    cleanup rmtree orphans the old generation; the next ingest or
+    compaction sweeps every generation BELOW the committed pointers
+    (never at/above them)."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        compact_dedup_index,
+    )
+
+    p = str(tmp_path / "sweep")
+    build_dedup_index(_corpus(spark, _BASE), p)
+    # plant crash debris: fake pre-flip generations below the pointers
+    ingest_dedup_delta(spark, _corpus(spark, _COPIES[:1]), p)  # labels_v1
+    os.makedirs(os.path.join(p, "labels_v0"), exist_ok=True)
+    compact_dedup_index(spark, p)  # pointers -> bands_v1/shingles_v1
+    os.makedirs(os.path.join(p, "bands_v0"), exist_ok=True)
+    os.makedirs(os.path.join(p, "shingles_v0"), exist_ok=True)
+    before = _labels_dict(spark, p)
+    ingest_dedup_delta(spark, _corpus(spark, _COPIES[1:]), p)
+    for stale in ("labels_v0", "labels_v1", "bands_v0", "shingles_v0"):
+        assert not os.path.exists(os.path.join(p, stale)), stale
+    meta = read_dedup_meta(p)
+    assert os.path.isdir(os.path.join(p, f"labels_v{meta['labels_version']}"))
+    assert set(before) <= set(_labels_dict(spark, p))
+
+
+def test_dedup_oracle_vt_whitespace_parity(spark, tmp_path):
+    """Round-11 review fix: the dedup-tier oracles normalized with
+    RE2's '\\s+' (which EXCLUDES vertical tab) while the engine's
+    shingles use Java \\s (which includes it) — the same latent
+    divergence round 10 migrated the text tier away from. The closure
+    oracle now spells the explicit ASCII class; a VT corpus must dedup
+    identically in both engines."""
+    import duckdb
+
+    # 'alpha\x0bbeta ...' — Java \s splits on VT, so both docs
+    # normalize to the SAME text and are exact near-dups; with RE2 \s+
+    # the oracle would keep 'alpha\x0bbeta' as one token and see two
+    # UNRELATED docs (jaccard 0 on trigrams of different tokenizations)
+    t1 = "alpha\x0bbeta gamma delta epsilon zeta"
+    t2 = "alpha beta gamma delta epsilon zeta"
+    rows = [(1, t1), (2, t2)]
+    p = str(tmp_path / "vt")
+    build_dedup_index(_corpus(spark, rows), p)
+    assert _labels_dict(spark, p) == {1: 1, 2: 1}
+
+    from neulix_datahub_spark.plans.queries_stream import NEARDUP_CLOSURE_SQL
+
+    sql = NEARDUP_CLOSURE_SQL.replace(
+        """corpus AS (
+    SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, lang,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+)""",
+        "corpus AS (SELECT doc_id, 'xx' AS lang, text FROM documents)",
+    ) + "SELECT id, component FROM (SELECT id, min(r) AS component FROM reach GROUP BY id) ORDER BY id"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert [tuple(r) for r in con.execute(sql).fetchall()] == [(1, 1), (2, 1)]
+
+
 def test_null_text_rows_are_singletons(spark, tmp_path):
     """NULL-text docs carry no content to near-match on: they band and
     shingle into nothing, survive as their own components, and never

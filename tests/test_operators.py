@@ -2318,6 +2318,13 @@ def test_bpe_batched_hand_case_and_storage_bound(spark):
     # persisted RDDs behind, not just O(1) of them
     n1 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     assert n1 - n0 <= 0, (n0, n1)
+    # and the CLASSIC single-merge trainer honors the same exit
+    # discipline (round-11 review fix: it leaked its final two)
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges
+
+    bpe_learn_merges(df, n_merges=3)
+    n2 = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert n2 - n0 <= 0, (n0, n2)
 
 
 def test_bpe_segment_pandas_parity_with_fold_chain(spark):
@@ -2704,6 +2711,18 @@ def test_export_hf_merges_format_and_vocab(tmp_path):
         export_hf_merges(spaced, mp)
     export_hf_merges(spaced, mp, space_marker="Ġ")
     assert open(mp, encoding="utf-8").read() == "#version: 0.2\naĠ b\n"
+
+    # round-11 review fix: two merges can produce the SAME merged string
+    # (('ab','c') and ('a','bc')) — vocab ids must stay contiguous and
+    # first-wins, never gapped by a silent dict overwrite
+    twin = [
+        {"rank": 1, "left": "ab", "right": "c", "merged": "abc", "pair_count": 3},
+        {"rank": 2, "left": "a", "right": "bc", "merged": "abc", "pair_count": 2},
+    ]
+    export_hf_merges(twin, mp, vocab_path=vp)
+    vocab = json.load(open(vp))
+    assert sorted(vocab.values()) == list(range(len(vocab))), vocab
+    assert vocab == {"a": 0, "ab": 1, "bc": 2, "c": 3, "abc": 4}
 
 
 def test_bpe_rank_priority_diverges_from_replay_where_documented(spark):

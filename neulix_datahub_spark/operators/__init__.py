@@ -10,6 +10,11 @@ from neulix_datahub_spark.operators.dedupe_index import (
     dedup_survivors,
     ingest_dedup_delta,
 )
+from neulix_datahub_spark.operators.semantic_index import (
+    build_semantic_index,
+    ingest_semantic_delta,
+    semantic_survivors,
+)
 from neulix_datahub_spark.operators.profile import profile_table, profile_stats, top_k_values
 from neulix_datahub_spark.operators.sequence import with_sequential_id
 from neulix_datahub_spark.operators.similarity import cosine_similarity_expr, cosine_top_k
@@ -25,6 +30,9 @@ __all__ = [
     "ingest_dedup_delta",
     "compact_dedup_index",
     "dedup_survivors",
+    "build_semantic_index",
+    "ingest_semantic_delta",
+    "semantic_survivors",
     "minhash_near_duplicates",
     "simhash",
     "upsert",

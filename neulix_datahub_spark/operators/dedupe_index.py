@@ -85,14 +85,14 @@ def read_dedup_meta(path: str) -> dict:
         return json.load(f)
 
 
-def _write_meta(path: str, meta: dict) -> None:
+def _write_meta(path: str, meta: dict, filename: str = _DEDUP_META) -> None:
     # write-then-rename: the pointer flip is the ingest's commit point,
     # and rename is atomic on posix — the same local/posix-fs assumption
     # as the snapshot pointer machinery (documented repo-wide)
-    tmp = os.path.join(path, _DEDUP_META + ".tmp")
+    tmp = os.path.join(path, filename + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _DEDUP_META))
+    os.replace(tmp, os.path.join(path, filename))
 
 
 def read_dedup_labels(spark: SparkSession, path: str) -> DataFrame:
@@ -160,10 +160,13 @@ def _sweep_stale_generations(path: str, meta: dict) -> None:
     orphans are the expensive kind). Anything at or above a pointer is
     never touched: uncommitted higher generations are cleared by the
     writer that owns them."""
+    # every "<name>_version" pointer in the sidecar guards a
+    # "<name>_v{N}" directory family — derived, so the semantic index's
+    # vectors_v generations sweep through the same helper
     current = {
-        "labels_v": meta.get("labels_version", 0),
-        "bands_v": meta.get("bands_version", 0),
-        "shingles_v": meta.get("shingles_version", 0),
+        k[: -len("version")] + "v": v
+        for k, v in meta.items()
+        if k.endswith("_version")
     }
     try:
         entries = os.listdir(path)
@@ -253,6 +256,63 @@ def build_dedup_index(
     return meta
 
 
+def extend_labels(
+    labels: DataFrame,
+    edges: DataFrame,
+    new_ids: DataFrame,
+    n_edges: int,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Incremental component extension, shared by every persisted dedup
+    index (MinHash text, embedding-cosine): fold verified
+    ``(id_a, id_b)`` edges into an existing ``(id, component)`` state
+    plus a batch of never-seen ``new_ids``.
+
+    Reduced graph: prior endpoints collapse to their prior component
+    label (the quotient preserves connectivity; labels are minima, so
+    min-label CC over the quotient emits true global minima). Nodes are
+    {touched prior labels} ∪ {new ids} — delta-proportional, the full
+    corpus is never re-clustered."""
+    lab_a = labels.select(
+        F.col("id").alias("id_a"), F.col("component").alias("__ca")
+    )
+    lab_b = labels.select(
+        F.col("id").alias("id_b"), F.col("component").alias("__cb")
+    )
+    reduced = (
+        edges.join(lab_a, "id_a", "left")
+        .join(lab_b, "id_b", "left")
+        .select(
+            F.coalesce("__ca", F.col("id_a")).alias("u"),
+            F.coalesce("__cb", F.col("id_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+    )
+    if n_edges > 0 and not reduced.isEmpty():
+        merge_map = connected_components(
+            reduced, src="u", dst="v", max_iter=max_iter
+        ).select(
+            F.col("id").alias("__node"), F.col("component").alias("__final")
+        )
+    else:
+        # empty map with the LABELS' own types (ids need not be long)
+        merge_map = labels.select(
+            F.col("id").alias("__node"), F.col("component").alias("__final")
+        ).limit(0)
+
+    prior_updated = (
+        labels.join(merge_map, labels["component"] == merge_map["__node"], "left")
+        .select(
+            "id", F.coalesce("__final", F.col("component")).alias("component")
+        )
+    )
+    new_labels = (
+        new_ids.join(merge_map, new_ids["id"] == merge_map["__node"], "left")
+        .select("id", F.coalesce("__final", F.col("id")).alias("component"))
+    )
+    return prior_updated.unionByName(new_labels)
+
+
 def ingest_dedup_delta(
     spark: SparkSession,
     delta: DataFrame,
@@ -322,50 +382,9 @@ def ingest_dedup_delta(
         cands, sh_all, meta["threshold"]
     ).localCheckpoint(eager=True)
 
-    # reduced graph: prior endpoints collapse to their prior component
-    # label (the quotient preserves connectivity; labels are minima, so
-    # min-label CC over the quotient emits true global minima). Nodes
-    # are {touched prior labels} ∪ {new ids} — delta-proportional.
-    lab_a = labels.select(
-        F.col("id").alias("id_a"), F.col("component").alias("__ca")
-    )
-    lab_b = labels.select(
-        F.col("id").alias("id_b"), F.col("component").alias("__cb")
-    )
-    reduced = (
-        edges.join(lab_a, "id_a", "left")
-        .join(lab_b, "id_b", "left")
-        .select(
-            F.coalesce("__ca", F.col("id_a")).alias("u"),
-            F.coalesce("__cb", F.col("id_b")).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-    )
     n_edges = edges.count()
-    if n_edges > 0 and not reduced.isEmpty():
-        merge_map = connected_components(
-            reduced, src="u", dst="v", max_iter=max_iter
-        ).select(
-            F.col("id").alias("__node"), F.col("component").alias("__final")
-        )
-    else:
-        # empty map with the LABELS' own types (ids need not be long)
-        merge_map = labels.select(
-            F.col("id").alias("__node"), F.col("component").alias("__final")
-        ).limit(0)
-
-    prior_updated = (
-        labels.join(merge_map, labels["component"] == merge_map["__node"], "left")
-        .select(
-            "id", F.coalesce("__final", F.col("component")).alias("component")
-        )
-    )
     new_ids = new.select(F.col(id_col).alias("id"))
-    new_labels = (
-        new_ids.join(merge_map, new_ids["id"] == merge_map["__node"], "left")
-        .select("id", F.coalesce("__final", F.col("id")).alias("component"))
-    )
-    final = prior_updated.unionByName(new_labels)
+    final = extend_labels(labels, edges, new_ids, n_edges, max_iter)
 
     # commit order: feature appends first (tolerated if re-run), then
     # the new labels generation, then the POINTER FLIP (the atomic

@@ -1,0 +1,252 @@
+"""Incremental SEMANTIC near-dup dedup against a persisted vector
+index (SURVEY §2.11 L2/L3 composition, incremental form — round 11).
+
+The embedding-side sibling of ``operators/dedupe_index.py``: the batch
+recipe (``semantic_dedup_pairs``) is cosine candidates verified by
+exact word-bigram Jaccard; at a daily ingest cadence re-running the
+all-pairs cosine over the full corpus per day is the same avoidable
+cost the MinHash index eliminates for text. This module persists
+
+- ``vectors_v{N}/``  ``(id, vec)`` — embeddings cast to double (the
+  deterministic arithmetic the oracles' ``::DOUBLE[]`` uses),
+- ``shingles_v{N}/`` the hashed word-bigram sets the Jaccard verify
+  reads instead of re-shingling prior text,
+- ``labels_v{N}/``   ``(id, component)`` — the dedup state,
+
+under the same sidecar-pointer-flip commit protocol, id-anti-join
+idempotence, stale-generation sweeping and reduced-graph label
+extension (:func:`~neulix_datahub_spark.operators.dedupe_index
+.extend_labels`) as the text index — one protocol, two feature
+families.
+
+Candidate generation REUSES
+:func:`~neulix_datahub_spark.operators.similarity
+.embedding_near_duplicates` on the union of (persisted ∪ delta)
+vectors with the delta as the probe side: the delta broadcasts, the
+persisted corpus scan never shuffles, prior↔prior pairs (already
+resolved at build) are never re-emitted, and delta↔prior pairs are
+found regardless of id order. Exactness: cosine (6-dp rounded) and
+Jaccard are deterministic functions of the stored features, so
+``build(prior); ingest(d1); …`` ≡ ``build(full)`` EXACTLY — same
+theorem, same proof shape as the MinHash index.
+
+Scale note: the build and the per-delta candidate join are exact
+brute-force (delta × corpus dot products) — the honest baseline. At
+100 TB bucket first (``ivf_assign_buckets``; the persisted-IVF
+discipline in ``operators/similarity.py``) and run the same protocol
+within buckets; the index layout and commit machinery are unchanged
+by that substitution.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import (
+    _validate_grid_threshold,
+    shingle_projection,
+    verify_pairs_with_shingles,
+)
+from neulix_datahub_spark.operators.dedupe_index import (
+    _assert_unique_ids,
+    _sweep_stale_generations,
+    _write_meta,
+    extend_labels,
+)
+from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
+
+_SEM_META = "_SEMANTIC_META.json"
+
+
+def read_semantic_meta(path: str) -> dict:
+    import json
+
+    with open(os.path.join(path, _SEM_META), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_sem_meta(path: str, meta: dict) -> None:
+    _write_meta(path, meta, filename=_SEM_META)
+
+
+def read_semantic_labels(spark: SparkSession, path: str) -> DataFrame:
+    meta = read_semantic_meta(path)
+    return spark.read.parquet(
+        os.path.join(path, f"labels_v{meta['labels_version']}")
+    )
+
+
+def _dirs(path: str, meta: dict) -> tuple[str, str]:
+    return (
+        os.path.join(path, f"vectors_v{meta.get('vectors_version', 0)}"),
+        os.path.join(path, f"shingles_v{meta.get('shingles_version', 0)}"),
+    )
+
+
+def _vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) with the embedding cast to double — fixing the
+    arithmetic once at the boundary keeps every later cosine (build,
+    any ingest, any oracle replay) on identical numerics regardless of
+    the source column's float width."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    )
+
+
+def _shingles_for(docs: DataFrame, ids: DataFrame, meta: dict) -> DataFrame:
+    """Hashed bigram sets for exactly the given ids (semi-join first:
+    a redelivered docs batch may carry already-indexed rows whose
+    shingles must not duplicate in the store)."""
+    scoped = docs.join(
+        ids.withColumnRenamed("id", meta["doc_id_col"]),
+        meta["doc_id_col"], "left_semi",
+    )
+    return shingle_projection(
+        scoped, meta["text_col"], meta["doc_id_col"], n=meta["shingle_n"]
+    )
+
+
+def build_semantic_index(
+    emb: DataFrame,
+    docs: DataFrame,
+    path: str,
+    cos_threshold: float = 0.30,
+    jaccard_threshold: float = 0.02,
+    shingle_n: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 10,
+) -> dict:
+    """One-shot batch build: all-pairs cosine candidates → exact
+    bigram-Jaccard verify → connected components, persisted with the
+    parameters frozen into the sidecar."""
+    _validate_grid_threshold(cos_threshold)
+    _validate_grid_threshold(jaccard_threshold)
+    _assert_unique_ids(emb, id_col, "build_semantic_index")
+    meta = {
+        "cos_threshold": cos_threshold,
+        "jaccard_threshold": jaccard_threshold,
+        "shingle_n": shingle_n,
+        "id_col": id_col, "vec_col": vec_col,
+        "doc_id_col": doc_id_col, "text_col": text_col,
+        "labels_version": 0, "vectors_version": 0, "shingles_version": 0,
+    }
+    spark = emb.sparkSession
+    vec_dir, sh_dir = _dirs(path, meta)
+    _vectors(emb, id_col, vec_col).write.mode("overwrite").parquet(vec_dir)
+    vectors = spark.read.parquet(vec_dir)
+    _shingles_for(docs, vectors.select("id"), meta).write.mode(
+        "overwrite"
+    ).parquet(sh_dir)
+    sh = spark.read.parquet(sh_dir)
+    cand = embedding_near_duplicates(
+        vectors, threshold=cos_threshold, vec_col="vec", id_col="id"
+    )
+    edges = verify_pairs_with_shingles(cand, sh, jaccard_threshold)
+    from neulix_datahub_spark.operators.components import connected_components
+
+    comps = connected_components(edges, max_iter=max_iter)
+    labels = (
+        vectors.select("id").join(comps, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    labels.write.mode("overwrite").parquet(os.path.join(path, "labels_v0"))
+    meta["n_docs"] = spark.read.parquet(
+        os.path.join(path, "labels_v0")
+    ).count()
+    _write_sem_meta(path, meta)
+    return meta
+
+
+def ingest_semantic_delta(
+    spark: SparkSession,
+    emb_delta: DataFrame,
+    docs_delta: DataFrame,
+    path: str,
+    max_iter: int = 10,
+) -> dict:
+    """Incremental ingest: only never-seen vectors compute anything.
+    Candidates come from ONE ``embedding_near_duplicates`` call over
+    (persisted ∪ delta) with the delta as the broadcast probe side —
+    delta↔prior and delta↔delta pairs exactly once each, prior↔prior
+    never re-emitted; the Jaccard verify reads persisted shingles;
+    labels extend through the shared reduced graph; commit is the
+    pointer flip. Idempotent by the id anti-join."""
+    meta = read_semantic_meta(path)
+    id_col = meta["id_col"]
+    labels = read_semantic_labels(spark, path)
+
+    known = labels.select(F.col("id").alias(id_col))
+    new = emb_delta.join(known, id_col, "left_anti")
+    if new.isEmpty():
+        return {
+            "n_new": 0, "n_candidates": 0, "n_edges": 0,
+            "labels_version": meta["labels_version"],
+        }
+    new = new.localCheckpoint(eager=True)
+    _assert_unique_ids(new, id_col, "ingest_semantic_delta")
+    _sweep_stale_generations(path, meta)
+
+    vec_dir, sh_dir = _dirs(path, meta)
+    nvec = _vectors(new, id_col, meta["vec_col"]).localCheckpoint(eager=True)
+    nsh = _shingles_for(docs_delta, nvec.select("id"), meta).localCheckpoint(
+        eager=True
+    )
+    prior_vec = spark.read.parquet(vec_dir)
+    both = prior_vec.withColumn("__new", F.lit(False)).unionByName(
+        nvec.withColumn("__new", F.lit(True))
+    )
+    cand = embedding_near_duplicates(
+        both, threshold=meta["cos_threshold"], vec_col="vec", id_col="id",
+        probe_filter=F.col("__new"),
+    ).drop("cos_sim").localCheckpoint(eager=True)
+    sh_all = spark.read.parquet(sh_dir).unionByName(nsh)
+    edges = verify_pairs_with_shingles(
+        cand, sh_all, meta["jaccard_threshold"]
+    ).localCheckpoint(eager=True)
+
+    n_edges = edges.count()
+    final = extend_labels(
+        labels, edges, nvec.select("id"), n_edges, max_iter
+    )
+
+    nvec.write.mode("append").parquet(vec_dir)
+    nsh.write.mode("append").parquet(sh_dir)
+    new_version = meta["labels_version"] + 1
+    final.write.mode("overwrite").parquet(
+        os.path.join(path, f"labels_v{new_version}")
+    )
+    stats = {
+        "n_new": nvec.count(),
+        "n_candidates": cand.count(),
+        "n_edges": n_edges,
+        "labels_version": new_version,
+    }
+    old_version = meta["labels_version"]
+    meta["labels_version"] = new_version
+    meta["n_docs"] = meta["n_docs"] + stats["n_new"]
+    _write_sem_meta(path, meta)
+    shutil.rmtree(
+        os.path.join(path, f"labels_v{old_version}"), ignore_errors=True
+    )
+    return stats
+
+
+def semantic_survivors(
+    spark: SparkSession, path: str, df: DataFrame, id_col: str
+) -> DataFrame:
+    """Filter ``df`` to the index's current survivors (component
+    minima plus unpaired rows)."""
+    losers = (
+        read_semantic_labels(spark, path)
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

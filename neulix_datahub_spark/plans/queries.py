@@ -2307,11 +2307,13 @@ assert len(set(_PRIORITY_R10)) == 50
 # ---------------------------------------------------------------------------
 # ROUND 11 rotation (the round-10 driver run consumed _PRIORITY_R10 —
 # 50/50 hash-green), composed exactly as the round-10 NOTE queued:
-#   1-2:   incremental_dedup_stats + its S5 streaming twin, ADDED in
-#          round 11 (the persisted-signature-index daily-ingest dedup,
+#   1-3:   incremental_dedup_stats + its S5 streaming twin + the
+#          embedding-side sibling incremental_semantic_dedup_stats,
+#          ADDED in round 11 (the persisted-index daily-ingest dedup,
 #          r10-verdict task 1; the twin proves micro-batch-slice
-#          invariance through the foreachBatch sink) — first driver
-#          rows;
+#          invariance through the foreachBatch sink; the semantic form
+#          shares the label-extension/commit machinery over cosine
+#          candidates) — first driver rows;
 #   2-8:   the BPE tier, whose engine AND oracles changed in round 11
 #          (the reserved-C0 scrub moved from an assumed upstream
 #          contract into _bpe_normalize and every oracle's shared
@@ -2328,6 +2330,7 @@ assert len(set(_PRIORITY_R10)) == 50
 _PRIORITY_R11 = [
     # -- new in r11: first driver rows --
     "incremental_dedup_stats", "stream_incremental_dedup_stats",
+    "incremental_semantic_dedup_stats",
     # -- BPE engine+oracle changed in r11 (reserved-C0 scrub) --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
     "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
@@ -2351,12 +2354,11 @@ _PRIORITY_R11 = [
     "incremental_agg_check", "zorder_bucket_stats",
     "priority_sample_check", "prefix_filter_pairs",
     "mixture_resample_plan", "cached_query_stats", "lexicon_filter_stats",
-    "quality_classifier_stats",
 ]
 # ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
 # prefix. Lead round 12 with any round-11/12 implementation changes and
 # red-row fixes, then the remaining r6-era stale greens in registration
-# order (capped_contribution_stats,
+# order (quality_classifier_stats, capped_contribution_stats,
 # k_anonymity_customers, event_funnel_stats, stream_funnel_stats,
 # weekly_autocorr_by_type, brand_triangle_count, stream_hourly_rollup,
 # dynamic_gap_sessions, stream_dynamic_sessions, snapshot_changes_stats,

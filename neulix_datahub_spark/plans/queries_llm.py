@@ -1054,6 +1054,100 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 INCREMENTAL (round 11): the embedding-side sibling of
+    ``incremental_dedup_stats``. Build the persisted vector index
+    (double-cast embeddings + hashed bigram shingles + labels at rest)
+    over 3/4 of the corpus, then ingest the remaining quarter as a
+    never-seen DELTA: candidates come from ONE broadcast-probe cosine
+    join of the delta against the at-rest vectors (prior↔prior pairs
+    are never re-emitted), verification reads persisted shingles, and
+    the labels extend through the shared reduced graph.
+
+    The DuckDB oracle recomputes the answer from first principles over
+    the FULL corpus — all-pairs cosine (6-dp) >= 0.30 AND exact bigram
+    Jaccard (6-dp) >= 0.02 → recursive closure → min-label survivors —
+    so a green hash row proves build(prior) + ingest(delta) ==
+    dedupe(full), exactly, for the semantic recipe too."""
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+        semantic_survivors,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    prior = F.col("vec_id") % 4 != 0
+    root = warehouse_scratch(spark, "_neulix_sem_idx_")
+    path = f"{root}/index"
+    build_semantic_index(
+        emb.filter(prior), docs.filter(F.col("doc_id") % 4 != 0), path
+    )
+    ingest_semantic_delta(
+        spark, emb.filter(~prior), docs.filter(F.col("doc_id") % 4 == 0), path
+    )
+    kept = semantic_survivors(spark, path, emb, "vec_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum((F.col("vec_id") % 4 != 0).cast("bigint")).alias("n_kept_prior"),
+        F.sum((F.col("vec_id") % 4 == 0).cast("bigint")).alias("n_kept_delta"),
+        F.sum("vec_id").alias("sum_kept_ids"),
+    )
+
+
+_INCR_SEMANTIC_SQL = r"""
+WITH RECURSIVE cand AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.30
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(t) >= 2
+                    THEN [array_to_string(t[i:i+1], ' ')
+                          for i in generate_series(1, len(t) - 1)]
+                    ELSE [array_to_string(t, ' ')] END
+           ) AS shingles
+    FROM (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
+        FROM documents
+    )
+),
+edges AS (
+    SELECT id_a AS u, id_b AS v
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.02
+),
+sym AS (
+    SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges
+),
+reach AS (
+    SELECT id, id AS r FROM (SELECT DISTINCT u AS id FROM sym)
+    UNION
+    SELECT reach.id, s.v AS r FROM reach JOIN sym s ON reach.r = s.u
+),
+losers AS (
+    SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    WHERE id != component
+)
+SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_prior,
+       CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_delta,
+       CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+"""
+
+
 _SEMANTIC_DEDUP_SQL = r"""
 WITH cand AS (
     SELECT id_a, id_b, cos_sim FROM (
@@ -2692,6 +2786,11 @@ LLM_QUERIES = {
         semantic_dedup_pairs,
         _SEMANTIC_DEDUP_SQL,
         "L2/L3 embedding-recall + text-verify near-dup",
+    ),
+    "incremental_semantic_dedup_stats": (
+        incremental_semantic_dedup_stats,
+        _INCR_SEMANTIC_SQL,
+        "L2/L3 incremental: persisted vector index + delta ingest == full dedup",
     ),
     "quantization_error_profile": (
         quantization_error_profile,

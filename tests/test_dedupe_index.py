@@ -397,3 +397,95 @@ def test_null_text_rows_are_singletons(spark, tmp_path):
     )
     assert stats["n_new"] == 2 and stats["n_edges"] == 0
     assert _labels_dict(spark, p) == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-cosine) incremental index — shares the label-
+# extension/commit machinery; candidates are exact cosine, verify is
+# exact bigram Jaccard, so incremental == batch is the same theorem.
+
+_VECS = [
+    (1, [1.0, 0.0, 0.0], "alpha beta gamma delta"),
+    (2, [0.99, 0.1, 0.0], "alpha beta gamma epsilon"),   # near-dup of 1
+    (3, [0.0, 1.0, 0.0], "totally different words here"),
+    (4, [0.0, 0.98, 0.2], "totally different words there"),  # near-dup of 3
+    (5, [0.0, 0.0, 1.0], "unrelated content entirely"),
+]
+
+
+def _sem_tables(spark, rows):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    return emb, docs
+
+
+def _sem_labels(spark, path):
+    from neulix_datahub_spark.operators.semantic_index import (
+        read_semantic_labels,
+    )
+
+    return {
+        r["id"]: r["component"]
+        for r in read_semantic_labels(spark, path).collect()
+    }
+
+
+def test_semantic_incremental_equals_batch_and_is_idempotent(spark, tmp_path):
+    """build(prior) + ingest(delta) == build(full) for the embedding
+    index, including a delta vector that joins a PRIOR near-dup pair's
+    component; re-ingesting the same delta is a no-op."""
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+        read_semantic_meta,
+        semantic_survivors,
+    )
+
+    prior, delta = _VECS[:3], _VECS[3:]
+    p_inc, p_full = str(tmp_path / "si"), str(tmp_path / "sf")
+    e1, d1 = _sem_tables(spark, prior)
+    build_semantic_index(e1, d1, p_inc, cos_threshold=0.9,
+                         jaccard_threshold=0.5)
+    e2, d2 = _sem_tables(spark, delta)
+    stats = ingest_semantic_delta(spark, e2, d2, p_inc)
+    assert stats["n_new"] == 2 and stats["n_edges"] == 1
+
+    ef, df_ = _sem_tables(spark, _VECS)
+    build_semantic_index(ef, df_, p_full, cos_threshold=0.9,
+                         jaccard_threshold=0.5)
+    got = _sem_labels(spark, p_inc)
+    assert got == _sem_labels(spark, p_full)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+    before = read_semantic_meta(p_inc)
+    again = ingest_semantic_delta(spark, e2, d2, p_inc)
+    assert again["n_new"] == 0 and read_semantic_meta(p_inc) == before
+
+    kept = semantic_survivors(spark, p_inc, ef, "vec_id")
+    assert sorted(r["vec_id"] for r in kept.select("vec_id").collect()) == [1, 3, 5]
+
+
+def test_semantic_verify_stage_is_load_bearing(spark, tmp_path):
+    """A pair above the cosine threshold but BELOW the Jaccard verify
+    threshold must not merge — the two-stage recipe's precision stage
+    works in the incremental path too."""
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "completely unrelated text one"),
+        (2, [0.999, 0.01], "nothing shared with that other"),
+    ]
+    e1, d1 = _sem_tables(spark, rows[:1])
+    p = str(tmp_path / "verify")
+    build_semantic_index(e1, d1, p, cos_threshold=0.9, jaccard_threshold=0.5)
+    e2, d2 = _sem_tables(spark, rows[1:])
+    stats = ingest_semantic_delta(spark, e2, d2, p)
+    assert stats["n_candidates"] == 1 and stats["n_edges"] == 0
+    assert _sem_labels(spark, p) == {1: 1, 2: 2}

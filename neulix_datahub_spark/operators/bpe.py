@@ -66,6 +66,16 @@ US = "\x1f"
 # normalization mirrors provably in sync.
 RESERVED = r"[\x1c-\x1f]"
 
+# ``rewrite="auto"`` crossover: below this many symbolized chars in the
+# working relation, the per-round ~0.5-0.8 s codegen compile of a fresh
+# fold expression dominates and the Arrow replay tier wins (measured
+# 1.58 → 0.80 s/round at ~3 MB, sf0.1 raw units); above it, JVM
+# whole-stage-codegen per-byte throughput dominates and fold wins. The
+# measured crossover sits well above 100 MB on 32 cores — 64 MB is the
+# conservative side, so auto only leaves the JVM path when the working
+# set is unambiguously compile-bound.
+_AUTO_ARROW_MAX_CHARS = 64 << 20
+
 
 def _bpe_normalize(col: Column) -> Column:
     """BPE's canonical text form: the reserved C0 separators deleted
@@ -336,10 +346,18 @@ def bpe_learn_merges_batched(
     small working sets the arrow tier halves the round time (measured
     sf0.1 raw units, 16 rounds: 1.58 → 0.80 s/round). Rule of thumb:
     many rounds over a modest distinct-unit relation → arrow; few
-    rounds or a huge relation → fold."""
+    rounds or a huge relation → fold. ``"auto"`` measures the working
+    set ONCE (one count+sum-of-lengths aggregate over the relation the
+    first round materializes anyway — amortized over every round) and
+    picks arrow below :data:`_AUTO_ARROW_MAX_CHARS` symbolized chars,
+    fold above: a 100 TB corpus always folds (the sizing job is one
+    extra round-equivalent out of ~1.6k), a demo/CI-sized working set
+    stops paying per-round codegen compiles. The choice is logged, and
+    the tiers are bit-identical (parity-pinned), so auto never changes
+    results — only the cost shape."""
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
-    if rewrite not in ("fold", "arrow"):
+    if rewrite not in ("fold", "arrow", "auto"):
         raise ValueError(f"unknown rewrite {rewrite!r}")
     units = word_counts(df, text_col) if unit == "word" else (
         raw_unit_counts(df, text_col).withColumnRenamed("unit", "word")
@@ -358,6 +376,23 @@ def bpe_learn_merges_batched(
         rank = initial_merges[-1]["rank"]
         rnd0 = initial_merges[-1].get("round", 0)
     words = base.localCheckpoint(eager=False)
+    if rewrite == "auto":
+        sized = words.agg(
+            F.count(F.lit(1)).alias("n_units"),
+            F.coalesce(F.sum(F.length("sym")), F.lit(0)).alias("n_chars"),
+        ).first()
+        rewrite = (
+            "arrow" if int(sized["n_chars"]) <= _AUTO_ARROW_MAX_CHARS
+            else "fold"
+        )
+        import logging
+
+        logging.getLogger(__name__).info(
+            "bpe auto rewrite tier: %s (%d units, %d symbolized chars, "
+            "threshold %d)",
+            rewrite, int(sized["n_units"]), int(sized["n_chars"]),
+            _AUTO_ARROW_MAX_CHARS,
+        )
     prev: DataFrame | None = None
     merges: list[dict] = []
     for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):

@@ -2264,7 +2264,11 @@ def bpe_batched_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_learn_merges_batched(docs, n_rounds=16, window=256, unit="raw")
+    # rewrite="auto": sizing aggregate → arrow on compile-bound test
+    # corpora, fold at scale; tiers are bit-identical (parity-pinned).
+    merges = bpe_learn_merges_batched(
+        docs, n_rounds=16, window=256, unit="raw", rewrite="auto"
+    )
     return spark.createDataFrame(
         [
             (m["rank"], m["round"], m["round_rank"], m["left"], m["right"],
@@ -2526,7 +2530,14 @@ def bpe_batched_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = bpe_learn_merges_batched(docs, n_rounds=16, window=256, unit="raw")
+    # rewrite="auto": one sizing aggregate picks the per-round rewrite
+    # tier — arrow here (test corpora are compile-bound: ~1.6 s/round of
+    # fold is mostly codegen compile of fresh pair literals), fold on a
+    # real corpus (JVM per-byte throughput dominates). Bit-identical
+    # either way (parity-pinned), so the oracle replay is unaffected.
+    merges = bpe_learn_merges_batched(
+        docs, n_rounds=16, window=256, unit="raw", rewrite="auto"
+    )
     norm = _bpe_normalize(F.col("text"))
     corpus = docs.filter(F.length(norm) > 0)
     seg = bpe_segment_pandas(corpus, merges, unit="raw", out_col="__toks")

@@ -2481,6 +2481,35 @@ def test_bpe_batched_rewrite_tiers_are_bit_identical(spark):
         assert fold == arrow, (unit, fold, arrow)
 
 
+def test_bpe_batched_auto_tier_picks_arrow_small_and_matches(spark, caplog):
+    """Round 11: ``rewrite="auto"`` sizes the working set once and
+    picks the tier — arrow below the crossover (any test corpus),
+    logged — and must train the identical merge table, since the tiers
+    are bit-identical. Also pins the input validation for the new
+    mode string."""
+    import logging
+
+    import pytest
+
+    from neulix_datahub_spark.operators.bpe import bpe_learn_merges_batched
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat and the dog sat on the log",),
+         ("lower lowest newer newest wide wider widest",)],
+        ["text"],
+    )
+    fold = bpe_learn_merges_batched(df, n_rounds=4, window=12, unit="word")
+    with caplog.at_level(logging.INFO, logger="neulix_datahub_spark.operators.bpe"):
+        auto = bpe_learn_merges_batched(
+            df, n_rounds=4, window=12, unit="word", rewrite="auto"
+        )
+    assert auto == fold
+    picks = [r for r in caplog.records if "auto rewrite tier" in r.getMessage()]
+    assert len(picks) == 1 and "arrow" in picks[0].getMessage()
+    with pytest.raises(ValueError, match="unknown rewrite"):
+        bpe_learn_merges_batched(df, n_rounds=1, rewrite="automatic")
+
+
 def test_bpe_batched_resume_equals_full_training(spark):
     """Round 10: training R rounds in one go equals training k rounds,
     persisting, and RESUMING with R−k more on the same corpus — ranks,

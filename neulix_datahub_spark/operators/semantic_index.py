@@ -101,11 +101,39 @@ def _vectors(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 def _shingles_for(docs: DataFrame, ids: DataFrame, meta: dict) -> DataFrame:
     """Hashed bigram sets for exactly the given ids (semi-join first:
     a redelivered docs batch may carry already-indexed rows whose
-    shingles must not duplicate in the store)."""
+    shingles must not duplicate in the store).
+
+    Unlike the text index, whose features all derive from ONE input
+    relation, the semantic index joins two (embeddings + documents) —
+    so their correspondence is ENFORCED here, not assumed: a duplicate
+    docs row would append duplicate shingle rows to the store, and an
+    embedding with no docs row at all would be permanently inert (its
+    cosine candidates exist but can never Jaccard-verify — a silent
+    hole in the dedup state). Both are refused, same convention as
+    ``_assert_unique_ids``. NULL-text rows are fine: they carry no
+    shingles by the shared ``shingle_projection`` contract, in both
+    the batch and incremental paths alike."""
     scoped = docs.join(
         ids.withColumnRenamed("id", meta["doc_id_col"]),
         meta["doc_id_col"], "left_semi",
     )
+    stats = scoped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col(meta["doc_id_col"])).alias("n_ids"),
+    ).first()
+    n_expected = ids.count()
+    if int(stats["n_rows"]) != int(stats["n_ids"]):
+        raise ValueError(
+            "semantic index: docs batch carries duplicate rows for "
+            f"{int(stats['n_rows']) - int(stats['n_ids'])} id(s) — refuse "
+            "the batch rather than append duplicate shingle rows"
+        )
+    if int(stats["n_ids"]) != n_expected:
+        raise ValueError(
+            f"semantic index: {n_expected - int(stats['n_ids'])} embedding "
+            "id(s) have no docs row — their candidates could never "
+            "Jaccard-verify, leaving permanent holes in the dedup state"
+        )
     return shingle_projection(
         scoped, meta["text_col"], meta["doc_id_col"], n=meta["shingle_n"]
     )

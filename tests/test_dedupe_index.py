@@ -489,3 +489,48 @@ def test_semantic_verify_stage_is_load_bearing(spark, tmp_path):
     stats = ingest_semantic_delta(spark, e2, d2, p)
     assert stats["n_candidates"] == 1 and stats["n_edges"] == 0
     assert _sem_labels(spark, p) == {1: 1, 2: 2}
+
+
+def test_semantic_index_refuses_docs_embedding_mismatch(spark, tmp_path):
+    """The semantic index joins TWO inputs (embeddings + documents), so
+    their correspondence is enforced, not assumed: a docs batch with a
+    duplicate row would append duplicate shingle rows; an embedding
+    with no docs row could never Jaccard-verify (a permanently inert
+    hole in the dedup state). Both refuse, at build and at ingest;
+    NULL text stays legitimate (no-shingles drop, shared with the
+    batch path)."""
+    import pytest
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+    )
+
+    e1, d1 = _sem_tables(spark, _VECS[:2])
+    p = str(tmp_path / "contract")
+
+    dup_docs = d1.unionByName(d1.limit(1))
+    with pytest.raises(ValueError, match="duplicate rows"):
+        build_semantic_index(e1, dup_docs, p, cos_threshold=0.9,
+                             jaccard_threshold=0.5)
+    with pytest.raises(ValueError, match="no docs row"):
+        build_semantic_index(e1, d1.limit(1), p, cos_threshold=0.9,
+                             jaccard_threshold=0.5)
+
+    build_semantic_index(e1, d1, p, cos_threshold=0.9, jaccard_threshold=0.5)
+    e2, d2 = _sem_tables(spark, _VECS[2:4])
+    with pytest.raises(ValueError, match="duplicate rows"):
+        ingest_semantic_delta(spark, e2, d2.unionByName(d2.limit(1)), p)
+    with pytest.raises(ValueError, match="no docs row"):
+        ingest_semantic_delta(spark, e2, d2.limit(1), p)
+
+    # NULL text is allowed: the row exists, it just carries no shingles
+    # (so it can never verify — by the SHARED projection contract, the
+    # batch pipeline drops it identically).
+    e3 = spark.createDataFrame(
+        [(9, [0.5, 0.5, 0.0])], "vec_id long, embedding array<double>"
+    )
+    d3 = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    stats = ingest_semantic_delta(spark, e3, d3, p)
+    assert stats["n_new"] == 1
+    assert _sem_labels(spark, p)[9] == 9

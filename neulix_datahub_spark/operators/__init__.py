@@ -17,7 +17,11 @@ from neulix_datahub_spark.operators.semantic_index import (
 )
 from neulix_datahub_spark.operators.profile import profile_table, profile_stats, top_k_values
 from neulix_datahub_spark.operators.sequence import with_sequential_id
-from neulix_datahub_spark.operators.similarity import cosine_similarity_expr, cosine_top_k
+from neulix_datahub_spark.operators.similarity import (
+    cosine_similarity_expr,
+    cosine_top_k,
+    vector_banded_signatures,
+)
 from neulix_datahub_spark.operators.upsert import upsert
 
 __all__ = [
@@ -38,5 +42,6 @@ __all__ = [
     "upsert",
     "with_sequential_id",
     "cosine_top_k",
+    "vector_banded_signatures",
     "cosine_similarity_expr",
 ]

@@ -30,12 +30,20 @@ Jaccard are deterministic functions of the stored features, so
 ``build(prior); ingest(d1); …`` ≡ ``build(full)`` EXACTLY — same
 theorem, same proof shape as the MinHash index.
 
-Scale note: the build and the per-delta candidate join are exact
-brute-force (delta × corpus dot products) — the honest baseline. At
-100 TB bucket first (``ivf_assign_buckets``; the persisted-IVF
-discipline in ``operators/similarity.py``) and run the same protocol
-within buckets; the index layout and commit machinery are unchanged
-by that substitution.
+Scale note: ``candidates="exact"`` (default) is brute-force delta ×
+corpus dot products — the honest baseline, exhaustive recall.
+``candidates="banded"`` is the 100 TB path: sign-LSH banding
+(:func:`~neulix_datahub_spark.operators.similarity
+.vector_banded_signatures` — data-independent seeded hyperplanes, so
+the candidate set stays a pure function of the vector and the
+incremental == batch theorem survives) persists a ``bands_v{N}``
+relation exactly like the text index's, and the per-delta candidate
+join becomes delta-bands ⋈ at-rest-bands — an equi-join whose small
+side AQE broadcasts, replacing the delta × corpus cross entirely.
+Banded candidates then pass an exact-cosine precision stage (read
+from the at-rest vectors) before the shared Jaccard verify, so the
+only semantic difference from exact mode is banding recall — the
+documented SimHash/banding trade, parameter-controlled.
 """
 
 from __future__ import annotations
@@ -53,11 +61,18 @@ from neulix_datahub_spark.operators.dedupe import (
 )
 from neulix_datahub_spark.operators.dedupe_index import (
     _assert_unique_ids,
+    _self_pairs,
     _sweep_stale_generations,
+    _write_bands,
     _write_meta,
     extend_labels,
 )
-from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
+from neulix_datahub_spark.operators.similarity import (
+    _dot,
+    _norm,
+    embedding_near_duplicates,
+    vector_banded_signatures,
+)
 
 _SEM_META = "_SEMANTIC_META.json"
 
@@ -84,6 +99,48 @@ def _dirs(path: str, meta: dict) -> tuple[str, str]:
     return (
         os.path.join(path, f"vectors_v{meta.get('vectors_version', 0)}"),
         os.path.join(path, f"shingles_v{meta.get('shingles_version', 0)}"),
+    )
+
+
+def _cosine_pairs(
+    pairs: DataFrame, vectors: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact rounded cosine for ``(id_a, id_b)`` candidates, read from
+    the index's ``(id, vec)`` relation — the banded path's precision
+    stage (the exact path's candidate generator computes it inline).
+    Same 6-dp rounding as :func:`embedding_near_duplicates`, so the two
+    candidate modes share one arithmetic."""
+    a = vectors.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("__va"),
+        _norm(F.col("vec")).alias("__na"),
+    )
+    b = vectors.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("__vb"),
+        _norm(F.col("vec")).alias("__nb"),
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")), 6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _bands_of(vectors: DataFrame, meta: dict) -> DataFrame:
+    """Band rows of a ``(id, vec)`` batch under the index's OWN stored
+    banding parameters — the single construction build and every
+    ingest share (the ``_features`` discipline of the text index)."""
+    return vector_banded_signatures(
+        vectors, vec_col="vec", id_col="id",
+        num_planes=meta["num_planes"], bands=meta["bands"],
+        seed=meta["seed"],
     )
 
 
@@ -151,12 +208,20 @@ def build_semantic_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     max_iter: int = 10,
+    candidates: str = "exact",
+    num_planes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
 ) -> dict:
-    """One-shot batch build: all-pairs cosine candidates → exact
+    """One-shot batch build: cosine candidates (``candidates="exact"``
+    all-pairs, or ``"banded"`` sign-LSH band collisions + exact-cosine
+    precision stage with a persisted ``bands_v0`` relation) → exact
     bigram-Jaccard verify → connected components, persisted with the
     parameters frozen into the sidecar."""
     _validate_grid_threshold(cos_threshold)
     _validate_grid_threshold(jaccard_threshold)
+    if candidates not in ("exact", "banded"):
+        raise ValueError(f"unknown candidates mode {candidates!r}")
     _assert_unique_ids(emb, id_col, "build_semantic_index")
     meta = {
         "cos_threshold": cos_threshold,
@@ -164,8 +229,14 @@ def build_semantic_index(
         "shingle_n": shingle_n,
         "id_col": id_col, "vec_col": vec_col,
         "doc_id_col": doc_id_col, "text_col": text_col,
+        "candidates": candidates,
         "labels_version": 0, "vectors_version": 0, "shingles_version": 0,
     }
+    if candidates == "banded":
+        meta.update(
+            {"num_planes": num_planes, "bands": bands, "seed": seed,
+             "bands_version": 0}
+        )
     spark = emb.sparkSession
     vec_dir, sh_dir = _dirs(path, meta)
     _vectors(emb, id_col, vec_col).write.mode("overwrite").parquet(vec_dir)
@@ -174,9 +245,17 @@ def build_semantic_index(
         "overwrite"
     ).parquet(sh_dir)
     sh = spark.read.parquet(sh_dir)
-    cand = embedding_near_duplicates(
-        vectors, threshold=cos_threshold, vec_col="vec", id_col="id"
-    )
+    if candidates == "banded":
+        _write_bands(
+            _bands_of(vectors, meta), os.path.join(path, "bands_v0"),
+            "overwrite",
+        )
+        band_rows = spark.read.parquet(os.path.join(path, "bands_v0"))
+        cand = _cosine_pairs(_self_pairs(band_rows), vectors, cos_threshold)
+    else:
+        cand = embedding_near_duplicates(
+            vectors, threshold=cos_threshold, vec_col="vec", id_col="id"
+        )
     edges = verify_pairs_with_shingles(cand, sh, jaccard_threshold)
     from neulix_datahub_spark.operators.components import connected_components
 
@@ -228,13 +307,37 @@ def ingest_semantic_delta(
         eager=True
     )
     prior_vec = spark.read.parquet(vec_dir)
-    both = prior_vec.withColumn("__new", F.lit(False)).unionByName(
-        nvec.withColumn("__new", F.lit(True))
-    )
-    cand = embedding_near_duplicates(
-        both, threshold=meta["cos_threshold"], vec_col="vec", id_col="id",
-        probe_filter=F.col("__new"),
-    ).drop("cos_sim").localCheckpoint(eager=True)
+    nbands: DataFrame | None = None
+    if meta.get("candidates") == "banded":
+        # the 100 TB shape: delta-bands ⋈ at-rest-bands equi-join (the
+        # delta side AQE-broadcasts; the corpus scan never shuffles)
+        # plus intra-delta self-pairs, then the exact-cosine precision
+        # stage reads only the candidate ids' vectors
+        nbands = _bands_of(nvec, meta).localCheckpoint(eager=True)
+        bands_dir = os.path.join(
+            path, f"bands_v{meta.get('bands_version', 0)}"
+        )
+        prior_bands = spark.read.parquet(bands_dir)
+        cross = (
+            nbands.alias("d")
+            .join(prior_bands.alias("p"), ["band", "band_hash"])
+            .select(
+                F.least(F.col("d.id"), F.col("p.id")).alias("id_a"),
+                F.greatest(F.col("d.id"), F.col("p.id")).alias("id_b"),
+            )
+        )
+        pairs = cross.unionByName(_self_pairs(nbands)).distinct()
+        cand = _cosine_pairs(
+            pairs, prior_vec.unionByName(nvec), meta["cos_threshold"]
+        ).drop("cos_sim").localCheckpoint(eager=True)
+    else:
+        both = prior_vec.withColumn("__new", F.lit(False)).unionByName(
+            nvec.withColumn("__new", F.lit(True))
+        )
+        cand = embedding_near_duplicates(
+            both, threshold=meta["cos_threshold"], vec_col="vec", id_col="id",
+            probe_filter=F.col("__new"),
+        ).drop("cos_sim").localCheckpoint(eager=True)
     sh_all = spark.read.parquet(sh_dir).unionByName(nsh)
     edges = verify_pairs_with_shingles(
         cand, sh_all, meta["jaccard_threshold"]
@@ -247,6 +350,12 @@ def ingest_semantic_delta(
 
     nvec.write.mode("append").parquet(vec_dir)
     nsh.write.mode("append").parquet(sh_dir)
+    if nbands is not None:
+        _write_bands(
+            nbands,
+            os.path.join(path, f"bands_v{meta.get('bands_version', 0)}"),
+            "append",
+        )
     new_version = meta["labels_version"] + 1
     final.write.mode("overwrite").parquet(
         os.path.join(path, f"labels_v{new_version}")

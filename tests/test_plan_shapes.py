@@ -294,3 +294,49 @@ def test_r11_incremental_dedup_ingest_join_shapes(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert global_windows(cross) == []
+
+
+def test_r11_banded_semantic_ingest_join_shape(spark, tmp_path):
+    """The banded SEMANTIC ingest must keep the same 100 TB candidate
+    shape as the text index: delta bands against the persisted bands
+    parquet is a broadcast equi-join (the at-rest band scan never
+    shuffles), no cartesian product — the whole point of
+    candidates=\"banded\" over the brute-force delta × corpus cross."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        _bands_of,
+        _vectors,
+        build_semantic_index,
+        read_semantic_meta,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 3), 1.0], f"text {i} words") for i in range(40)]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v, _ in rows], "vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "doc_id long, text string"
+    )
+    p = str(tmp_path / "sidx")
+    build_semantic_index(emb, docs, p, candidates="banded",
+                         num_planes=16, bands=8)
+    meta = read_semantic_meta(p)
+    delta = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    nbands = _bands_of(_vectors(delta, "vec_id", "embedding"), meta)
+    prior_bands = spark.read.parquet(f"{p}/bands_v0")
+    cross = (
+        nbands.alias("d")
+        .join(prior_bands.alias("p"), ["band", "band_hash"])
+        .select(
+            F.least(F.col("d.id"), F.col("p.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("p.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert global_windows(cross) == []

@@ -12,6 +12,7 @@ from neulix_datahub_spark.operators.dedupe_index import (
 )
 from neulix_datahub_spark.operators.semantic_index import (
     build_semantic_index,
+    compact_semantic_index,
     ingest_semantic_delta,
     semantic_survivors,
 )
@@ -35,6 +36,7 @@ __all__ = [
     "compact_dedup_index",
     "dedup_survivors",
     "build_semantic_index",
+    "compact_semantic_index",
     "ingest_semantic_delta",
     "semantic_survivors",
     "minhash_near_duplicates",

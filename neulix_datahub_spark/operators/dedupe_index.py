@@ -179,6 +179,15 @@ def _sweep_stale_generations(path: str, meta: dict) -> None:
                     shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
+def _n_parquet_files(d: str) -> int:
+    """Parquet fragment count under a directory tree — the compaction
+    jobs' before/after log metric (shared by the text and semantic
+    indexes)."""
+    return sum(
+        1 for _, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
+    )
+
+
 def _self_pairs(bands: DataFrame) -> DataFrame:
     """Distinct within-batch band collisions as ``(id_a < id_b)`` —
     the same pair set minhash_near_duplicates emits (its n_bands count
@@ -450,19 +459,13 @@ def compact_dedup_index(
     band_log = compact_partitioned_parquet(
         spark, old_b, new_b, ["band"], files_per_band
     )
-
-    def _n_files(d: str) -> int:
-        return sum(
-            1 for r, _, fs in os.walk(d) for f in fs if f.endswith(".parquet")
-        )
-
     sh = spark.read.parquet(old_sh)
     sh.repartition(shingle_files).write.mode("overwrite").parquet(new_sh)
     log = {
         "band_files_before": band_log["files_before"],
         "band_files_after": band_log["files_after"],
-        "shingle_files_before": _n_files(old_sh),
-        "shingle_files_after": _n_files(new_sh),
+        "shingle_files_before": _n_parquet_files(old_sh),
+        "shingle_files_after": _n_parquet_files(new_sh),
     }
     _write_meta(path, new_meta)  # the atomic commit for BOTH rewrites
     shutil.rmtree(old_b, ignore_errors=True)

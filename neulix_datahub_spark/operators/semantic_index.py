@@ -376,6 +376,68 @@ def ingest_semantic_delta(
     return stats
 
 
+def compact_semantic_index(
+    spark: SparkSession,
+    path: str,
+    vector_files: int = 8,
+    shingle_files: int = 8,
+    files_per_band: int = 1,
+) -> dict:
+    """Maintenance twin of :func:`~neulix_datahub_spark.operators
+    .dedupe_index.compact_dedup_index`: rewrite the appended-to feature
+    relations (vectors, shingles, and — in banded mode — the
+    band-partitioned bands) into IMMUTABLE next generations with
+    right-sized files, committed together by ONE sidecar pointer flip.
+    A crash before the flip leaves the old generations live; a retry
+    clears the provably-orphaned targets (the pointer still references
+    the old generations) and rewrites. Pure rewrite — row sets
+    unchanged, proven by the invariance unit test. Returns the
+    file-count log."""
+    from neulix_datahub_spark.operators.dedupe_index import _n_parquet_files
+    from neulix_datahub_spark.sources.io import compact_partitioned_parquet
+
+    meta = read_semantic_meta(path)
+    _sweep_stale_generations(path, meta)
+    old_v, old_sh = _dirs(path, meta)
+    banded = meta.get("candidates") == "banded"
+    new_meta = dict(
+        meta,
+        vectors_version=meta.get("vectors_version", 0) + 1,
+        shingles_version=meta.get("shingles_version", 0) + 1,
+    )
+    if banded:
+        new_meta["bands_version"] = meta.get("bands_version", 0) + 1
+    new_v, new_sh = _dirs(path, new_meta)
+    shutil.rmtree(new_v, ignore_errors=True)
+    shutil.rmtree(new_sh, ignore_errors=True)
+    log = {"vector_files_before": _n_parquet_files(old_v),
+           "shingle_files_before": _n_parquet_files(old_sh)}
+    spark.read.parquet(old_v).repartition(vector_files).write.mode(
+        "overwrite"
+    ).parquet(new_v)
+    spark.read.parquet(old_sh).repartition(shingle_files).write.mode(
+        "overwrite"
+    ).parquet(new_sh)
+    log["vector_files_after"] = _n_parquet_files(new_v)
+    log["shingle_files_after"] = _n_parquet_files(new_sh)
+    old_b = new_b = None
+    if banded:
+        old_b = os.path.join(path, f"bands_v{meta.get('bands_version', 0)}")
+        new_b = os.path.join(path, f"bands_v{new_meta['bands_version']}")
+        shutil.rmtree(new_b, ignore_errors=True)
+        band_log = compact_partitioned_parquet(
+            spark, old_b, new_b, ["band"], files_per_band
+        )
+        log["band_files_before"] = band_log["files_before"]
+        log["band_files_after"] = band_log["files_after"]
+    _write_sem_meta(path, new_meta)  # the atomic commit for ALL rewrites
+    shutil.rmtree(old_v, ignore_errors=True)
+    shutil.rmtree(old_sh, ignore_errors=True)
+    if old_b is not None:
+        shutil.rmtree(old_b, ignore_errors=True)
+    return log
+
+
 def semantic_survivors(
     spark: SparkSession, path: str, df: DataFrame, id_col: str
 ) -> DataFrame:

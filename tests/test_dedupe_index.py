@@ -535,6 +535,52 @@ def test_semantic_banded_incremental_equals_batch_and_exact(spark, tmp_path):
                              candidates="bucketed")
 
 
+def test_semantic_compaction_is_invariant_and_defragments(spark, tmp_path):
+    """compact_semantic_index mirrors the text index's maintenance job:
+    after fragmenting ingests on a BANDED index, compaction rewrites
+    vectors + shingles + bands into next generations with one sidecar
+    flip, removes the old generations, and changes nothing observable —
+    labels identical, and a post-compaction ingest still lands on the
+    full-build answer."""
+    import os
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        compact_semantic_index,
+        ingest_semantic_delta,
+        read_semantic_meta,
+    )
+
+    kw = dict(cos_threshold=0.9, jaccard_threshold=0.5,
+              candidates="banded", num_planes=16, bands=8)
+    p = str(tmp_path / "csi")
+    e1, d1 = _sem_tables(spark, _VECS[:2])
+    build_semantic_index(e1, d1, p, **kw)
+    e2, d2 = _sem_tables(spark, _VECS[2:3])
+    ingest_semantic_delta(spark, e2, d2, p)
+    e3, d3 = _sem_tables(spark, _VECS[3:4])
+    ingest_semantic_delta(spark, e3, d3, p)
+    before = _sem_labels(spark, p)
+
+    log = compact_semantic_index(spark, p, vector_files=1, shingle_files=1)
+    assert log["vector_files_after"] < log["vector_files_before"], log
+    assert log["band_files_after"] < log["band_files_before"], log
+    meta = read_semantic_meta(p)
+    assert (meta["vectors_version"], meta["shingles_version"],
+            meta["bands_version"]) == (1, 1, 1)
+    for old in ("vectors_v0", "shingles_v0", "bands_v0"):
+        assert not os.path.exists(os.path.join(p, old))
+    assert _sem_labels(spark, p) == before
+
+    e4, d4 = _sem_tables(spark, _VECS[4:])
+    ingest_semantic_delta(spark, e4, d4, p)
+    p_full = str(tmp_path / "csf")
+    ef, df_ = _sem_tables(spark, _VECS)
+    build_semantic_index(ef, df_, p_full, **kw)
+    assert _sem_labels(spark, p) == _sem_labels(spark, p_full)
+    assert _sem_labels(spark, p) == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5}
+
+
 def test_semantic_index_refuses_docs_embedding_mismatch(spark, tmp_path):
     """The semantic index joins TWO inputs (embeddings + documents), so
     their correspondence is enforced, not assumed: a docs batch with a

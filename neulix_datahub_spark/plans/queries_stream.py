@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.plans.queries_ext import PYSOURCE_SQL as _PYSOURCE_STREAM_SQL
+# the S5 semantic twin shares its batch sibling's oracle VERBATIM —
+# slice-invariance means the stream must land on the identical row
+from neulix_datahub_spark.plans.queries_llm import (
+    _INCR_SEMANTIC_SQL as _STREAM_INCR_SEMANTIC_SQL,
+)
 from neulix_datahub_spark.sources.tables import load_table
 from neulix_datahub_spark.streaming.sinks import (
     read_upsert_table,
@@ -386,6 +391,74 @@ def stream_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("doc_id").alias("sum_kept_ids"),
         )
         .orderBy("lang")
+    )
+
+
+def stream_incremental_semantic_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S5 twin of ``incremental_semantic_dedup_stats`` (round 11): the
+    persisted VECTOR index built over the 3/4 prior corpus, then the
+    remaining quarter delivered as a STREAM of joined
+    (vec_id, embedding, doc_id, text) rows — two micro-batches through
+    the ``stream_semantic_index_ingest`` foreachBatch sink, each one a
+    daily semantic ingest. The oracle recomputes the full-corpus
+    semantic dedup from first principles (all-pairs cosine + Jaccard →
+    closure → min-label survivors), so a green hash row proves the
+    final state is invariant to micro-batch slicing for the embedding
+    recipe too: stream(d1); stream(d2) == one batch build."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        build_semantic_index,
+        semantic_survivors,
+    )
+    from neulix_datahub_spark.streaming.sinks import (
+        stream_semantic_index_ingest,
+    )
+
+    tmp = _scratch(spark, "neulix_semstream_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    prior = F.col("vec_id") % 4 != 0
+    path = f"{tmp}/index"
+    build_semantic_index(
+        emb.filter(prior), docs.filter(F.col("doc_id") % 4 != 0), path
+    )
+
+    delta = (
+        emb.filter(~prior)
+        .join(docs, emb["vec_id"] == docs["doc_id"])
+        .select("vec_id", "embedding", "doc_id", "text")
+    )
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = delta.filter(F.col("vec_id") % 8 == 0)
+    rest = delta.filter(F.col("vec_id") % 8 == 4)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, doc_id bigint, text string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_semantic_index_ingest(stream, path, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+
+    kept = semantic_survivors(spark, path, emb, "vec_id")
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum((F.col("vec_id") % 4 != 0).cast("bigint")).alias("n_kept_prior"),
+        F.sum((F.col("vec_id") % 4 == 0).cast("bigint")).alias("n_kept_delta"),
+        F.sum("vec_id").alias("sum_kept_ids"),
     )
 
 
@@ -1412,6 +1485,12 @@ STREAM_QUERIES = {
         stream_incremental_dedup_stats,
         _STREAM_INCR_DEDUP_SQL,
         "S5 twin: micro-batched index ingest is slice-invariant == full dedup",
+    ),
+    "stream_incremental_semantic_stats": (
+        stream_incremental_semantic_stats,
+        _STREAM_INCR_SEMANTIC_SQL,
+        "S5 twin: micro-batched VECTOR-index ingest is slice-invariant "
+        "== full semantic dedup",
     ),
     "stateful_user_totals": (
         stateful_user_totals,

@@ -1119,3 +1119,48 @@ def stream_dedup_index_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_semantic_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the persisted VECTOR index ingest
+    (``operators/semantic_index.ingest_semantic_delta``): each
+    micro-batch carries joined (embedding-id, vector, doc-id, text)
+    rows — the sink splits them into the embedding and document
+    projections under the index's OWN sidecar column names and runs one
+    daily semantic ingest (delta-only features, broadcast candidate
+    join — banded or exact per the sidecar — at-rest Jaccard verify,
+    reduced-graph label extension, pointer-flip commit). The index must
+    exist (``build_semantic_index``) before the stream starts.
+
+    Exactly-once lives in the state, same argument as
+    :func:`stream_dedup_index_ingest`: redelivered ids reduce to
+    n_new == 0 through the anti-join and the labels pointer does not
+    move; batch boundaries are immaterial by the operator's composition
+    law, so the final state is invariant to trigger slicing."""
+    from neulix_datahub_spark.operators.semantic_index import (
+        ingest_semantic_delta,
+        read_semantic_meta,
+    )
+
+    spark = stream_df.sparkSession
+    # column names are frozen build-time parameters; versions/pointers
+    # are re-read inside every ingest call, so reading the sidecar once
+    # here is safe
+    meta = read_semantic_meta(index_path)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_semantic_delta(
+            spark,
+            batch_df.select(meta["id_col"], meta["vec_col"]),
+            batch_df.select(meta["doc_id_col"], meta["text_col"]),
+            index_path,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -73,6 +73,13 @@ HEADLINE = (
     # anchored the round it ships so it never becomes the
     # "oracle-green subsystem with zero perf anchors" pattern.
     "incremental_dedup_stats",
+    # round 11 (late): the semantic-index sibling's full lifecycle in
+    # its 100 TB candidate shape (sign-LSH banded build + ingest +
+    # survivors). At fixture thresholds (cos 0.30 on random-direction
+    # synthetic embeddings) banding prunes little, so this anchors the
+    # PROTOCOL cost — band join, precision stage, verify, commit — not
+    # a pruning win; SCALE.md documents the parameter-controlled trade.
+    "banded_semantic_dedup_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

@@ -280,12 +280,17 @@ def ingest_semantic_delta(
     max_iter: int = 10,
 ) -> dict:
     """Incremental ingest: only never-seen vectors compute anything.
-    Candidates come from ONE ``embedding_near_duplicates`` call over
-    (persisted ∪ delta) with the delta as the broadcast probe side —
-    delta↔prior and delta↔delta pairs exactly once each, prior↔prior
-    never re-emitted; the Jaccard verify reads persisted shingles;
-    labels extend through the shared reduced graph; commit is the
-    pointer flip. Idempotent by the id anti-join."""
+    Candidates follow the sidecar's frozen mode — ``exact``: ONE
+    ``embedding_near_duplicates`` call over (persisted ∪ delta) with
+    the delta as the broadcast probe side; ``banded``: delta-bands ⋈
+    at-rest-bands equi-join (AQE broadcasts the delta side; the band
+    scan never shuffles) plus intra-delta self-pairs, then the
+    exact-cosine precision stage over the at-rest vectors. Either way
+    delta↔prior and delta↔delta pairs surface exactly once each and
+    prior↔prior pairs (resolved at build) are never re-emitted; the
+    Jaccard verify reads persisted shingles; labels extend through the
+    shared reduced graph; commit is the pointer flip. Idempotent by
+    the id anti-join."""
     meta = read_semantic_meta(path)
     id_col = meta["id_col"]
     labels = read_semantic_labels(spark, path)

@@ -422,14 +422,17 @@ def test_streaming_funnel_state_is_arrival_order_proof():
 
 
 def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
-    """Keyed state survives a stop/restart: the funnel stream consumes a
-    4-file source one file per trigger, is STOPPED after the first
-    drain processes only half the files, then a NEW query on the SAME
-    checkpoint drains the rest — per-user funnel results must equal a
-    single uninterrupted batch computation (state restored, no events
-    reprocessed or lost)."""
+    """Keyed state survives a stop/restart: the funnel stream drains a
+    source holding only HALF its files (availableNow terminates after
+    them — a deterministic interruption, replacing an earlier
+    stop-mid-drain poll that raced the commit log under a loaded host),
+    then the other half lands and a NEW query on the SAME checkpoint
+    drains the rest — per-user funnel results must equal a single
+    uninterrupted batch computation (state restored across queries, no
+    events reprocessed or lost)."""
     import glob
-    import time
+    import os
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -437,6 +440,7 @@ def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
     from neulix_datahub_spark.streaming.stateful import streaming_funnel
     from tests.conftest import SF_DIR
 
+    stage = str(tmp_path / "stage")
     src = str(tmp_path / "src")
     ev = load_table(spark, SF_DIR, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
@@ -445,14 +449,24 @@ def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
     # some users (exercises the arrival-order-proof recompute too)
     ev.withColumn("part", F.col("event_id") % 4).repartition(1).write.mode(
         "overwrite"
-    ).partitionBy("part").parquet(src)
-    files = sorted(glob.glob(f"{src}/part=*/**.parquet"))
+    ).partitionBy("part").parquet(stage)
+    files = sorted(glob.glob(f"{stage}/part=*/**.parquet"))
     assert len(files) >= 4
+    os.makedirs(src, exist_ok=True)
+
+    def land_files(batch: list[str]) -> None:
+        # flat UNIQUELY-NAMED copies: partitionBy gives every part dir's
+        # file the same job-UUID basename, so a bare-basename copy would
+        # silently overwrite (the part=N value is not in the data and
+        # not in the stream schema — flattening loses nothing else)
+        for f in batch:
+            part = os.path.basename(os.path.dirname(f))
+            shutil.copy(f, os.path.join(src, f"{part}_{os.path.basename(f)}"))
 
     ckpt = str(tmp_path / "ckpt")
     out_dir = str(tmp_path / "out")
 
-    def run_drain(max_files):
+    def run_drain():
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -474,24 +488,13 @@ def test_stateful_funnel_recovers_from_checkpoint_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        if max_files is None:
-            q.awaitTermination()
-        else:
-            # stop mid-drain once some (not all) batches committed
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                done = len(glob.glob(f"{ckpt}/commits/*"))
-                if 0 < done < 4:
-                    break
-                if not q.isActive:
-                    break
-                time.sleep(0.2)
-            q.stop()
-            q.awaitTermination()
+        q.awaitTermination()
 
-    run_drain(max_files=2)        # interrupted drain
+    land_files(files[:2])
+    run_drain()                   # drains ONLY the first half, then stops
     committed_first = len(glob.glob(f"{ckpt}/commits/*"))
-    run_drain(max_files=None)     # resume from the same checkpoint
+    land_files(files[2:])
+    run_drain()                   # resume from the same checkpoint
     committed_total = len(glob.glob(f"{ckpt}/commits/*"))
     assert committed_total >= 4 > committed_first >= 1
 

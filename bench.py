@@ -80,6 +80,12 @@ HEADLINE = (
     # PROTOCOL cost — band join, precision stage, verify, commit — not
     # a pruning win; SCALE.md documents the parameter-controlled trade.
     "banded_semantic_dedup_stats",
+    # round 11 (late): the exact-substring tier — interval-merged
+    # repeated-passage removal with content checksum (one gram
+    # aggregate + join-back + per-doc windows; the scrub itself is a
+    # per-row array expression, so this anchors the gram-exchange cost
+    # that dominates at scale).
+    "passage_scrub_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

@@ -16,6 +16,14 @@ from neulix_datahub_spark.operators.semantic_index import (
     ingest_semantic_delta,
     semantic_survivors,
 )
+from neulix_datahub_spark.operators.components import (
+    canonical_by_components,
+    dedup_by_components,
+)
+from neulix_datahub_spark.operators.passages import (
+    remove_repeated_passages,
+    repeated_passages,
+)
 from neulix_datahub_spark.operators.profile import profile_table, profile_stats, top_k_values
 from neulix_datahub_spark.operators.sequence import with_sequential_id
 from neulix_datahub_spark.operators.similarity import (
@@ -41,6 +49,10 @@ __all__ = [
     "semantic_survivors",
     "minhash_near_duplicates",
     "simhash",
+    "dedup_by_components",
+    "canonical_by_components",
+    "repeated_passages",
+    "remove_repeated_passages",
     "upsert",
     "with_sequential_id",
     "cosine_top_k",

@@ -28,7 +28,7 @@ count / edge-set fingerprint) — no data ever collects.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -196,5 +196,49 @@ def dedup_by_components(
     comps = connected_components(candidate_pairs, src, dst)
     losers = comps.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def canonical_by_components(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str,
+    score,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """L2 end-to-end pick, quality-aware: keep ONE row per near-dup
+    cluster — the member with the HIGHEST ``score`` (ties broken by
+    minimum id, so the pick is total) — plus every row that appears in
+    no candidate pair. ``score`` is any Column computable from ``df``
+    (token count, a quality-classifier output, recency, ...).
+
+    This is what production curation actually does with a duplicate
+    cluster (CCNet/RefinedWeb keep the best or longest copy, not the
+    smallest id); ``dedup_by_components`` stays the deterministic
+    min-id form the closure oracles pin.
+
+    Plan shape: components resolve on the (small) pair list; the score
+    is evaluated once per CLUSTERED row only (inner join with the label
+    frame — unpaired rows never enter the window), the per-component
+    argmax is a row_number window partitioned by component (clusters
+    are near-dup families, bounded), and the corpus is touched by a
+    single left_anti join against the loser ids — the same shape that
+    scales in ``dedup_by_components``.
+    """
+    score_col = F.col(score) if isinstance(score, str) else score
+    comps = connected_components(candidate_pairs, src, dst)
+    scored = (
+        df.select(F.col(id_col).alias("id"), score_col.alias("__score"))
+        .join(comps, "id")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("__score"), F.asc("id")
+    )
+    losers = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
     )
     return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,201 @@
+"""Exact-substring (passage-level) dedup — the Lee et al.
+"Deduplicating Training Data Makes Language Models Better" recipe,
+re-expressed as declarative DataFrame ops.
+
+Document-level near-dup (MinHash/SimHash, ``operators/dedupe.py``)
+misses the common failure mode of web corpora: a boilerplate paragraph
+or license block pasted into thousands of otherwise-distinct pages.
+This module finds the *maximal token runs* that repeat across (or
+within) documents and can excise them, leaving the unique remainder:
+
+- ``positioned_token_grams`` — (id, pos, gram) word n-grams with their
+  0-based start-token position, one JVM regex pass per document.
+- ``repeated_passages`` — disjoint maximal covered intervals per
+  document: every n-gram occurring >= ``min_count`` times corpus-wide
+  marks its n tokens; overlapping/adjacent marks merge into one
+  passage (interval union via a per-document running-max window).
+- ``remove_repeated_passages`` — rewrite the text with covered tokens
+  excised. No token explode: the per-document run list (small) joins
+  back to the document row and a single array expression filters the
+  token array in place.
+
+Parity with the reference: the reference's pandas hub has no
+passage-level dedup (its dedup is row-identity — see
+``reference/core/utils/db_core.py`` upsert paths); this is part of the
+L2+ training-data tier the engine adds beyond reference coverage.
+
+Scale notes (100 TB): the gram aggregate gets a map-side combine and
+shuffles one row per distinct gram; the join back is an equi-join on
+the gram key (AQE-broadcast when the repeated-gram set is small, which
+on real corpora it is after the >= min_count filter). Windows are
+partitioned by document id — no global window anywhere. At full scale
+the gram key would be ``xxhash64(gram)`` to shrink shuffle width
+(identical result modulo 2^-64 collisions); the string key keeps the
+DuckDB oracles exact at fixture scale, mirroring
+``duplicate_passage_stats``'s documented trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.dedupe import normalize_text
+
+__all__ = [
+    "positioned_token_grams",
+    "repeated_passages",
+    "remove_repeated_passages",
+]
+
+
+def _tokens(col: Column) -> Column:
+    """Token array of the normalized text (Java ``\\s`` collapse, trim,
+    lower — the engine-wide contract). NULL text stays NULL; empty text
+    splits to ``[""]`` exactly like DuckDB's ``string_split``."""
+    return F.split(normalize_text(col), " ")
+
+
+def positioned_token_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Explode each document into its word ``n``-grams WITH the 0-based
+    start-token position: ``(id_col, pos, gram)``.
+
+    One ``regexp_extract_all`` pass (the ``_shingles`` lookahead trick —
+    a zero-width match at every token start captures the next ``n``
+    tokens), so element ``i`` of the match array IS the gram starting at
+    token ``i`` and ``posexplode`` recovers positions for free. Documents
+    shorter than ``n`` tokens produce no rows (they cannot contain an
+    ``n``-token passage) — unlike ``_shingles`` there is deliberately no
+    whole-text fallback here, because positions must be real.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    normed = normalize_text(F.col(text_col))
+    pat = rf"(?<=^|\s)(?=((?:\S+ ){{{n - 1}}}\S+))"
+    grams = F.regexp_extract_all(normed, F.lit(pat), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.coalesce(grams, F.array().cast("array<string>"))).alias(
+            "pos", "gram"
+        ),
+    )
+
+
+def repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated passages: ``(id_col, start_pos, end_pos,
+    n_tokens)`` — 0-based inclusive token intervals, disjoint within a
+    document by construction.
+
+    An ``n``-gram is *repeated* when it occurs >= ``min_count`` times in
+    the whole corpus (total occurrences — a document repeating its own
+    passage counts, matching Lee et al.'s substring definition).
+    Every repeated gram covers its ``n`` tokens; overlapping or
+    touching covers merge via the classic interval-union window: a hit
+    starts a new passage iff its position exceeds the running max of
+    prior covered ends (per document, ordered by position).
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    grams = positioned_token_grams(df, text_col, id_col, n)
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram").select(id_col, "pos")
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # a hit starts a new passage only when its coverage neither overlaps
+    # nor touches the running max of prior covered ends (contiguous
+    # covered blocks are ONE passage; the -2 sentinel keeps the first
+    # hit a start)
+    marked = hits.withColumn(
+        "__is_start",
+        (
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + n - 1).over(prev), F.lit(-2)) + 1
+        ).cast("int"),
+    ).withColumn("__run", F.sum("__is_start").over(run))
+    return (
+        marked.groupBy(id_col, "__run")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + n - 1).alias("end_pos"),
+        )
+        .select(
+            id_col,
+            "start_pos",
+            "end_pos",
+            (F.col("end_pos") - F.col("start_pos") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Excise every repeated passage: the input frame with ``text_col``
+    replaced by the normalized text minus all covered tokens (joined by
+    single spaces; a fully-covered document becomes the empty string),
+    plus bookkeeping columns ``n_tokens_before`` / ``n_tokens_after`` /
+    ``n_passages``.
+
+    The run list collapses to one small array per touched document and
+    joins back to the document row; the token array is then filtered in
+    place by an ``exists``-over-runs lambda — no token explode, no
+    reassembly shuffle, so the only exchanges are the gram aggregate and
+    the (tiny) runs join. Untouched documents keep their normalized
+    token stream verbatim. NOT idempotent by design: removal can butt
+    new token adjacencies together (Lee et al. §4.1 accept the same).
+    """
+    runs = repeated_passages(df, text_col, id_col, n, min_count)
+    per_doc = runs.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_pos", "end_pos"))
+        ).alias("__runs"),
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum("n_tokens").alias("__covered"),
+    )
+    toks = _tokens(F.col(text_col))
+    n_before = F.coalesce(F.size(toks), F.lit(0))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("__runs"),
+            lambda r: (i >= r["start_pos"]) & (i <= r["end_pos"]),
+        ),
+    )
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            *others,
+            F.when(F.col("__runs").isNull(), normalize_text(F.col(text_col)))
+            .otherwise(F.concat_ws(" ", kept))
+            .alias(text_col),
+            n_before.alias("n_tokens_before"),
+            (n_before - F.coalesce(F.col("__covered"), F.lit(0))).alias(
+                "n_tokens_after"
+            ),
+            F.coalesce(F.col("n_passages"), F.lit(0)).alias("n_passages"),
+        )
+    )

@@ -1479,6 +1479,135 @@ ORDER BY lang
 """
 
 
+def passage_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ exact-substring dedup, REMOVAL form (round 11 — the Lee et
+    al. recipe end-to-end, where ``duplicate_passage_stats`` is only the
+    aggregate signal): every word 8-gram occurring >= 2 times corpus-wide
+    marks its tokens; overlapping marks merge into maximal disjoint
+    passages (interval-union window per document); the passages are
+    EXCISED from the token stream by ``remove_repeated_passages``. The
+    emitted per-language profile pins the scrub three ways — interval
+    bookkeeping (token counts before/after, passage count), an exact
+    md5 content checksum of every scrubbed text (so the oracle verifies
+    the literal output strings, not just their sizes), and the covered
+    share.
+
+    The DuckDB oracle replays the whole construction from first
+    principles: positioned grams → >= 2 filter → the same running-max
+    interval union → covered positions exploded → NOT EXISTS anti-join
+    → string_agg reassembly → identical checksum.
+
+    Scale: one gram aggregate (map-side combine, one row per distinct
+    gram on the exchange), one equi-join back on the gram key, windows
+    partitioned by doc_id, and the scrub itself is a per-row array
+    expression — no token explode, no reassembly shuffle. At 100 TB the
+    gram key would be xxhash64(gram) (documented trade in
+    operators/passages.py)."""
+    from neulix_datahub_spark.operators.passages import remove_repeated_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = remove_repeated_passages(docs, "text", "doc_id", n=8, min_count=2)
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_passages") > 0).cast("bigint")).alias(
+                "n_docs_scrubbed"
+            ),
+            F.sum("n_passages").cast("bigint").alias("n_passages"),
+            F.sum("n_tokens_before").cast("bigint").alias("n_tokens_before"),
+            F.sum("n_tokens_after").cast("bigint").alias("n_tokens_after"),
+            F.round(
+                (F.sum("n_tokens_before") - F.sum("n_tokens_after"))
+                / F.sum("n_tokens_before"),
+                6,
+            ).alias("covered_share"),
+            F.sum(key).cast("decimal(38,0)").cast("string").alias(
+                "scrub_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_PASSAGE_SCRUB_SQL = r"""
+WITH norm AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+    FROM norm, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+    WHERE len(t) >= 8
+),
+rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > COALESCE(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                THEN 1 ELSE 0 END AS is_start
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(is_start) OVER (
+               PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+           ) AS run_id
+    FROM marked
+),
+runs AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+    FROM isl GROUP BY doc_id, run_id
+),
+covered AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM runs),
+toks AS (
+    SELECT doc_id, t[i] AS tok, i AS pos
+    FROM norm, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+    WHERE t IS NOT NULL
+),
+kept AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrub
+    FROM toks
+    WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = toks.doc_id AND c.pos = toks.pos
+    )
+    GROUP BY doc_id
+),
+perdoc AS (
+    SELECT n.doc_id, n.lang,
+           COALESCE(len(n.t), 0) AS n_before,
+           COALESCE(r.n_passages, 0) AS n_passages,
+           COALESCE(r.cov, 0) AS cov,
+           CASE WHEN n.t IS NULL THEN NULL
+                ELSE COALESCE(k.scrub, '') END AS scrub
+    FROM norm n
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_passages, sum(e - s + 1) AS cov
+        FROM runs GROUP BY doc_id
+    ) r USING (doc_id)
+    LEFT JOIN kept k ON n.doc_id = k.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_passages > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_scrubbed,
+       CAST(sum(n_passages) AS BIGINT) AS n_passages,
+       CAST(sum(n_before) AS BIGINT) AS n_tokens_before,
+       CAST(sum(n_before - cov) AS BIGINT) AS n_tokens_after,
+       round(sum(cov)::DOUBLE / sum(n_before), 6) AS covered_share,
+       CAST(sum(CAST('0x' || substr(md5(scrub), 1, 15) AS BIGINT)::HUGEINT)
+            AS VARCHAR) AS scrub_checksum
+FROM perdoc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+ LM-quality filter (CCNet recipe, unigram form): per-doc
     perplexity under a corpus-trained unigram LM, profiled per language.
@@ -2793,6 +2922,12 @@ LLM_QUERIES = {
         duplicate_passage_stats,
         _DUP_PASSAGE_SQL,
         "L2+ exact-substring (passage) dedup signal",
+    ),
+    "passage_scrub_stats": (
+        passage_scrub_stats,
+        _PASSAGE_SCRUB_SQL,
+        "L2+ exact-substring dedup REMOVAL: interval-merged passages "
+        "excised, output content checksummed",
     ),
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),

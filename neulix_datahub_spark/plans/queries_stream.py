@@ -215,6 +215,56 @@ def lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def canonical_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 end-to-end, quality-aware survivor pick (round 11): the same
+    candidates → verify → components pipeline as ``lsh_dedup_pipeline``,
+    but the survivor of each near-dup cluster is chosen by
+    ``canonical_by_components`` — HIGHEST token count wins, min-id
+    tie-break — which is what production curation does with a duplicate
+    family (CCNet/RefinedWeb keep the best/longest copy, not an
+    arbitrary one). On the planted corpus the perturbed twin is exactly
+    one token shorter than its original, so a green row proves the
+    argmax landed on every original (``n_kept_twin`` counts only twins
+    whose pair the 0.8 threshold rejected — those are their own
+    clusters), and the kept-token sum pins WHICH rows survived, not
+    just how many.
+
+    The DuckDB oracle recomputes components from first principles
+    (all-pairs exact Jaccard → recursive closure) and replays the same
+    (token count DESC, id ASC) window pick."""
+    from neulix_datahub_spark.operators.components import canonical_by_components
+    from neulix_datahub_spark.operators.dedupe import (
+        minhash_near_duplicates,
+        normalize_text,
+        verify_candidate_pairs,
+    )
+    from neulix_datahub_spark.plans.queries_llm import planted_near_dup_corpus
+
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    cand = minhash_near_duplicates(corpus, "text", "doc_id", num_hashes=64, bands=16)
+    pairs = verify_candidate_pairs(
+        corpus, cand, text_col="text", id_col="doc_id", n=3, threshold=0.8
+    )
+    n_toks = F.coalesce(
+        F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(0)
+    )
+    kept = canonical_by_components(corpus, pairs, id_col="doc_id", score=n_toks)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum((F.col("doc_id") < 1_000_000).cast("bigint")).alias(
+                "n_kept_original"
+            ),
+            F.sum((F.col("doc_id") >= 1_000_000).cast("bigint")).alias(
+                "n_kept_twin"
+            ),
+            F.sum(n_toks).cast("bigint").alias("n_kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 INCREMENTAL (round 11, r10-verdict task 1): the daily-ingest
     form of the near-dup pipeline. Build the persisted signature index
@@ -486,6 +536,42 @@ _LSH_DEDUP_SQL = NEARDUP_CLOSURE_SQL + """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs_kept
 FROM corpus
 WHERE doc_id NOT IN (SELECT id FROM losers)
+GROUP BY lang
+ORDER BY lang
+"""
+
+# Canonical (argmax-quality) survivor pick: reuses the shared closure's
+# `reach` (min-label membership of every CLUSTERED id), scores every
+# member by token count under the engine's normalization, and replays
+# the (n_toks DESC, id ASC) row_number pick. The closure's own min-id
+# `losers` CTE is deliberately unused here — the whole point is a
+# different survivor rule over the same components.
+_CANONICAL_DEDUP_SQL = NEARDUP_CLOSURE_SQL + r"""
+, scored AS (
+    SELECT doc_id, lang,
+           COALESCE(len(string_split(trim(regexp_replace(lower(text),
+               '[ \t\n\v\f\r]+', ' ', 'g')), ' ')), 0) AS n_toks
+    FROM corpus
+),
+memb AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+ranked AS (
+    SELECT m.id,
+           row_number() OVER (
+               PARTITION BY m.component
+               ORDER BY s.n_toks DESC, m.id
+           ) AS rk
+    FROM memb m JOIN scored s ON s.doc_id = m.id
+),
+canon_losers AS (SELECT id FROM ranked WHERE rk > 1)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN doc_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_original,
+       CAST(sum(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept_twin,
+       CAST(sum(n_toks) AS BIGINT) AS n_kept_tokens
+FROM scored
+WHERE doc_id NOT IN (SELECT id FROM canon_losers)
 GROUP BY lang
 ORDER BY lang
 """
@@ -1476,6 +1562,11 @@ STREAM_QUERIES = {
         "S-ext stream-stream interval join (batch-parity oracle)",
     ),
     "lsh_dedup_pipeline": (lsh_dedup_pipeline, _LSH_DEDUP_SQL, "L2 LSH dedup end-to-end"),
+    "canonical_dedup_stats": (
+        canonical_dedup_stats,
+        _CANONICAL_DEDUP_SQL,
+        "L2 quality-aware survivor pick: argmax token count per cluster",
+    ),
     "incremental_dedup_stats": (
         incremental_dedup_stats,
         _INCR_DEDUP_SQL,

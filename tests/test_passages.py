@@ -1,0 +1,173 @@
+"""Exact-substring (passage) dedup — operators/passages.py.
+
+Covers the three layers: positioned grams, interval-merged maximal
+passages, and removal — plus a hypothesis property that replays the
+whole construction against an independent pure-Python reference, and
+the quality-aware canonical survivor pick (operators/components.py).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.components import canonical_by_components
+from neulix_datahub_spark.operators.passages import (
+    positioned_token_grams,
+    remove_repeated_passages,
+    repeated_passages,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_positioned_grams_positions_and_short_docs(spark):
+    df = _docs(spark, ["a b c d", "a b", None, ""])
+    got = sorted(
+        map(tuple, positioned_token_grams(df, "text", "doc_id", 3).collect())
+    )
+    # doc 0: grams at token starts 0 and 1; doc 1 too short; NULL/empty: none
+    assert got == [(0, 0, "a b c"), (0, 1, "b c d")]
+
+
+def test_repeated_passages_merge_overlapping_hits(spark):
+    # "a b c" repeats at positions 0 and 2 of doc 0 (overlapping via
+    # doc 1's copies): hits 0 and 2 with n=3 overlap -> ONE run [0..4]
+    df = _docs(spark, ["a b c a b c d", "a b c x", "b c a y", "c a b z"])
+    runs = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["n_tokens"])
+        for r in repeated_passages(df, "text", "doc_id", n=3).collect()
+        if r["doc_id"] == 0
+    }
+    # repeated grams sit at starts 0..3 ("b c d" at 4 is unique), so one
+    # passage covers tokens 0..5 and the trailing "d" survives
+    assert runs[0] == (0, 5, 6)
+
+
+def test_repeated_passages_distinct_runs_stay_apart(spark):
+    # doc 0 has "a b c" at pos 0 and "x y z" at pos 4 (gap token "q"):
+    # two disjoint passages [0..2], [4..6]
+    df = _docs(spark, ["a b c q x y z", "a b c", "x y z"])
+    got = sorted(
+        (r["start_pos"], r["end_pos"])
+        for r in repeated_passages(df, "text", "doc_id", n=3).collect()
+        if r["doc_id"] == 0
+    )
+    assert got == [(0, 2), (4, 6)]
+
+
+def test_within_doc_repetition_counts(spark):
+    # min_count=2 over TOTAL occurrences: a doc repeating its own
+    # passage is covered even when no other doc shares it
+    df = _docs(spark, ["p q r s p q r s", "unrelated text here"])
+    got = [
+        (r["start_pos"], r["end_pos"])
+        for r in repeated_passages(df, "text", "doc_id", n=4).collect()
+    ]
+    assert got == [(0, 7)]
+
+
+def test_remove_repeated_passages_excises_and_counts(spark):
+    df = _docs(spark, ["a b c q x y z", "a b c", "x  y\tz", "fresh words only"])
+    out = {
+        r["doc_id"]: r
+        for r in remove_repeated_passages(df, "text", "doc_id", n=3).collect()
+    }
+    # doc 0: both passages excised, lone 'q' survives
+    assert out[0]["text"] == "q"
+    assert out[0]["n_tokens_before"] == 7
+    assert out[0]["n_tokens_after"] == 1
+    assert out[0]["n_passages"] == 2
+    # docs 1/2 fully covered -> empty string, 0 tokens after
+    assert out[1]["text"] == "" and out[1]["n_tokens_after"] == 0
+    # doc 2 normalizes "x  y\tz" -> "x y z" before matching
+    assert out[2]["text"] == "" and out[2]["n_tokens_before"] == 3
+    # untouched doc keeps its (normalized) token stream, 0 passages
+    assert out[3]["text"] == "fresh words only"
+    assert out[3]["n_passages"] == 0
+    assert out[3]["n_tokens_after"] == out[3]["n_tokens_before"] == 3
+
+
+def _reference_scrub(texts, n, min_count):
+    """Independent pure-Python replay: gram counts -> covered interval
+    union -> kept tokens."""
+    toks = [t.lower().split() for t in texts]
+    counts: dict[tuple, int] = {}
+    for tt in toks:
+        for i in range(len(tt) - n + 1):
+            g = tuple(tt[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+    out = []
+    for tt in toks:
+        covered = set()
+        for i in range(len(tt) - n + 1):
+            if counts[tuple(tt[i : i + n])] >= min_count:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(tt) if i not in covered]
+        out.append((" ".join(kept), len(tt), len(tt) - len(covered)))
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.integers(2, 3),
+)
+@settings(max_examples=6, deadline=None)
+def test_scrub_matches_pure_python_reference(spark, texts, n):
+    df = _docs(spark, texts)
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens_before"], r["n_tokens_after"])
+        for r in remove_repeated_passages(df, "text", "doc_id", n=n).collect()
+    }
+    want = dict(enumerate(_reference_scrub(texts, n, 2)))
+    assert got == want
+
+
+def test_canonical_by_components_argmax_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 99)],
+        "id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["id"]
+        for r in canonical_by_components(
+            df, pairs, id_col="id", score="score"
+        ).collect()
+    )
+    # cluster {1,2,3}: 2 and 3 tie at 30 -> min id 2 wins; 4 and 9 unpaired
+    assert kept == [2, 4, 9]
+
+
+def test_canonical_matches_min_id_when_scores_equal(spark):
+    from neulix_datahub_spark.operators.components import dedup_by_components
+
+    df = spark.createDataFrame(
+        [(i, 1) for i in range(8)], "id long, score long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    canon = sorted(
+        r["id"]
+        for r in canonical_by_components(df, pairs, "id", F.col("score")).collect()
+    )
+    minid = sorted(
+        r["id"] for r in dedup_by_components(df, pairs, "id").collect()
+    )
+    assert canon == minid  # constant score degrades to the min-id pick

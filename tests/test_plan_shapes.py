@@ -340,3 +340,42 @@ def test_r11_banded_semantic_ingest_join_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert global_windows(cross) == []
+
+
+def test_r11_passage_and_canonical_plan_shapes(spark):
+    """Round-11 plan pins for the exact-substring tier: (a)
+    passage_scrub_stats — no cartesian product, every Window
+    partitioned (by doc_id — the interval-union windows must never go
+    global), and no token explode on the scrub side (the only Generate
+    nodes are the gram explodes; the rewrite itself is a per-row array
+    expression); (b) canonical_dedup_stats — the argmax window is
+    partitioned by component, no cartesian product."""
+    from neulix_datahub_spark.plans.queries import QUERIES
+
+    ps = QUERIES["passage_scrub_stats"].fn(spark, SF_DIR)
+    plan_ps = ps._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan_ps
+    assert global_windows(ps) == []
+    # the scrub must not posexplode the token stream for reassembly:
+    # exactly the gram-side Generate nodes, whose generator is the
+    # positioned-gram posexplode (coalesce over regexp_extract_all)
+    def _generators(df) -> list[str]:
+        out = []
+
+        def walk(node):
+            if node.getClass().getSimpleName() == "Generate":
+                out.append(node.simpleString(200))
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(df._jdf.queryExecution().optimizedPlan())
+        return out
+
+    gens = _generators(ps)
+    assert gens, "expected the gram explode in the plan"
+    assert all("regexp_extract_all" in g for g in gens), gens
+
+    cd = QUERIES["canonical_dedup_stats"].fn(spark, SF_DIR)
+    plan_cd = cd._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan_cd
+    assert global_windows(cd) == []

@@ -21,6 +21,8 @@ from neulix_datahub_spark.operators.components import (
     dedup_by_components,
 )
 from neulix_datahub_spark.operators.passages import (
+    matching_passages,
+    remove_matching_passages,
     remove_repeated_passages,
     repeated_passages,
 )
@@ -53,6 +55,8 @@ __all__ = [
     "canonical_by_components",
     "repeated_passages",
     "remove_repeated_passages",
+    "matching_passages",
+    "remove_matching_passages",
     "upsert",
     "with_sequential_id",
     "cosine_top_k",

@@ -6,18 +6,24 @@ Document-level near-dup (MinHash/SimHash, ``operators/dedupe.py``)
 misses the common failure mode of web corpora: a boilerplate paragraph
 or license block pasted into thousands of otherwise-distinct pages.
 This module finds the *maximal token runs* that repeat across (or
-within) documents and can excise them, leaving the unique remainder:
+within) documents — or that match an external needle set, the
+passage-level decontamination case — and can excise them, leaving the
+unique remainder:
 
 - ``positioned_token_grams`` — (id, pos, gram) word n-grams with their
   0-based start-token position, one JVM regex pass per document.
 - ``repeated_passages`` — disjoint maximal covered intervals per
   document: every n-gram occurring >= ``min_count`` times corpus-wide
-  marks its n tokens; overlapping/adjacent marks merge into one
+  marks its n tokens; overlapping/touching marks merge into one
   passage (interval union via a per-document running-max window).
-- ``remove_repeated_passages`` — rewrite the text with covered tokens
-  excised. No token explode: the per-document run list (small) joins
-  back to the document row and a single array expression filters the
-  token array in place.
+- ``matching_passages`` — same interval machinery, but the marks come
+  from a semi-join against an external gram set (a benchmark/eval
+  suite): GPT-3-style decontamination at SPAN grain instead of
+  drop-the-whole-document.
+- ``remove_repeated_passages`` / ``remove_matching_passages`` —
+  rewrite the text with covered tokens excised. No token explode: the
+  per-document run list (small) joins back to the document row and a
+  single array expression filters the token array in place.
 
 Parity with the reference: the reference's pandas hub has no
 passage-level dedup (its dedup is row-identity — see
@@ -27,12 +33,14 @@ L2+ training-data tier the engine adds beyond reference coverage.
 Scale notes (100 TB): the gram aggregate gets a map-side combine and
 shuffles one row per distinct gram; the join back is an equi-join on
 the gram key (AQE-broadcast when the repeated-gram set is small, which
-on real corpora it is after the >= min_count filter). Windows are
-partitioned by document id — no global window anywhere. At full scale
-the gram key would be ``xxhash64(gram)`` to shrink shuffle width
-(identical result modulo 2^-64 collisions); the string key keeps the
-DuckDB oracles exact at fixture scale, mirroring
-``duplicate_passage_stats``'s documented trade.
+on real corpora it is after the >= min_count filter — and the needle
+set of a real eval suite is fixed-size, so the decontamination form
+broadcasts outright). Windows are partitioned by document id — no
+global window anywhere. At full scale the gram key would be
+``xxhash64(gram)`` to shrink shuffle width (identical result modulo
+2^-64 collisions); the string key keeps the DuckDB oracles exact at
+fixture scale, mirroring ``duplicate_passage_stats``'s documented
+trade.
 """
 
 from __future__ import annotations
@@ -45,7 +53,9 @@ from neulix_datahub_spark.operators.dedupe import normalize_text
 __all__ = [
     "positioned_token_grams",
     "repeated_passages",
+    "matching_passages",
     "remove_repeated_passages",
+    "remove_matching_passages",
 ]
 
 
@@ -83,35 +93,12 @@ def positioned_token_grams(
     )
 
 
-def repeated_passages(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    n: int = 8,
-    min_count: int = 2,
-) -> DataFrame:
-    """Maximal repeated passages: ``(id_col, start_pos, end_pos,
-    n_tokens)`` — 0-based inclusive token intervals, disjoint within a
-    document by construction.
-
-    An ``n``-gram is *repeated* when it occurs >= ``min_count`` times in
-    the whole corpus (total occurrences — a document repeating its own
-    passage counts, matching Lee et al.'s substring definition).
-    Every repeated gram covers its ``n`` tokens; overlapping or
-    touching covers merge via the classic interval-union window: a hit
-    starts a new passage iff its position exceeds the running max of
-    prior covered ends (per document, ordered by position).
-    """
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
-    grams = positioned_token_grams(df, text_col, id_col, n)
-    repeated = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") >= min_count)
-        .select("gram")
-    )
-    hits = grams.join(repeated, "gram").select(id_col, "pos")
+def _merge_hits_into_runs(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Interval union: hit positions (each covering ``n`` tokens) merge
+    into disjoint maximal runs per document. A hit starts a new passage
+    only when its coverage neither overlaps nor touches the running max
+    of prior covered ends (contiguous covered blocks are ONE passage;
+    the -2 sentinel keeps the first hit a start)."""
     prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -120,10 +107,6 @@ def repeated_passages(
     run = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # a hit starts a new passage only when its coverage neither overlaps
-    # nor touches the running max of prior covered ends (contiguous
-    # covered blocks are ONE passage; the -2 sentinel keeps the first
-    # hit a start)
     marked = hits.withColumn(
         "__is_start",
         (
@@ -146,28 +129,83 @@ def repeated_passages(
     )
 
 
-def remove_repeated_passages(
+def repeated_passages(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 8,
     min_count: int = 2,
 ) -> DataFrame:
-    """Excise every repeated passage: the input frame with ``text_col``
-    replaced by the normalized text minus all covered tokens (joined by
-    single spaces; a fully-covered document becomes the empty string),
-    plus bookkeeping columns ``n_tokens_before`` / ``n_tokens_after`` /
-    ``n_passages``.
+    """Maximal repeated passages: ``(id_col, start_pos, end_pos,
+    n_tokens)`` — 0-based inclusive token intervals, disjoint within a
+    document by construction.
+
+    An ``n``-gram is *repeated* when it occurs >= ``min_count`` times in
+    the whole corpus (total occurrences — a document repeating its own
+    passage counts, matching Lee et al.'s substring definition).
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    grams = positioned_token_grams(df, text_col, id_col, n)
+    repeated = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(repeated, "gram").select(id_col, "pos")
+    return _merge_hits_into_runs(hits, id_col, n)
+
+
+def matching_passages(
+    df: DataFrame,
+    needles: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    needle_text_col: str = "text",
+) -> DataFrame:
+    """Passage-level decontamination marks: maximal token runs of ``df``
+    covered by ``n``-grams that appear anywhere in ``needles`` (the
+    benchmark/eval suite). Same output shape as ``repeated_passages``.
+
+    The needle side reduces to its distinct gram set — for a real eval
+    suite that is fixed-size (never grows with corpus scale), so the
+    semi-join broadcasts and the training corpus is never shuffled.
+    """
+    grams = positioned_token_grams(df, text_col, id_col, n)
+    needle_grams = (
+        positioned_token_grams(
+            needles.select(
+                F.monotonically_increasing_id().alias("__nid"),
+                F.col(needle_text_col),
+            ),
+            needle_text_col,
+            "__nid",
+            n,
+        )
+        .select("gram")
+        .distinct()
+    )
+    hits = grams.join(needle_grams, "gram", "left_semi").select(id_col, "pos")
+    return _merge_hits_into_runs(hits, id_col, n)
+
+
+def _scrub_with_runs(
+    df: DataFrame, runs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Excise the run intervals from each document's token stream: the
+    input frame with ``text_col`` replaced by the normalized text minus
+    all covered tokens (joined by single spaces; a fully-covered
+    document becomes the empty string), plus bookkeeping columns
+    ``n_tokens_before`` / ``n_tokens_after`` / ``n_passages``.
 
     The run list collapses to one small array per touched document and
     joins back to the document row; the token array is then filtered in
     place by an ``exists``-over-runs lambda — no token explode, no
-    reassembly shuffle, so the only exchanges are the gram aggregate and
-    the (tiny) runs join. Untouched documents keep their normalized
-    token stream verbatim. NOT idempotent by design: removal can butt
-    new token adjacencies together (Lee et al. §4.1 accept the same).
+    reassembly shuffle. Untouched documents keep their normalized token
+    stream verbatim.
     """
-    runs = repeated_passages(df, text_col, id_col, n, min_count)
     per_doc = runs.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("start_pos", "end_pos"))
@@ -199,3 +237,33 @@ def remove_repeated_passages(
             F.coalesce(F.col("n_passages"), F.lit(0)).alias("n_passages"),
         )
     )
+
+
+def remove_repeated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Excise every corpus-repeated passage (see ``repeated_passages``).
+    NOT idempotent by design: removal can butt new token adjacencies
+    together (Lee et al. §4.1 accept the same)."""
+    runs = repeated_passages(df, text_col, id_col, n, min_count)
+    return _scrub_with_runs(df, runs, text_col, id_col)
+
+
+def remove_matching_passages(
+    df: DataFrame,
+    needles: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    needle_text_col: str = "text",
+) -> DataFrame:
+    """Excise every benchmark-matching passage (see
+    ``matching_passages``): span-grain decontamination — the document
+    survives minus the leaked excerpt, where the document-grain form
+    (``curation.benchmark_ngram_contamination``) would drop it whole."""
+    runs = matching_passages(df, needles, text_col, id_col, n, needle_text_col)
+    return _scrub_with_runs(df, runs, text_col, id_col)

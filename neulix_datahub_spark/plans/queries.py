@@ -2307,7 +2307,7 @@ assert len(set(_PRIORITY_R10)) == 50
 # ---------------------------------------------------------------------------
 # ROUND 11 rotation (the round-10 driver run consumed _PRIORITY_R10 —
 # 50/50 hash-green), composed exactly as the round-10 NOTE queued:
-#   1-7:   incremental_dedup_stats + its S5 streaming twin + the
+#   1-8:   incremental_dedup_stats + its S5 streaming twin + the
 #          embedding-side sibling incremental_semantic_dedup_stats +
 #          its 100 TB-shape variant banded_semantic_dedup_stats,
 #          ADDED in round 11 (the persisted-index daily-ingest dedup,
@@ -2320,31 +2320,34 @@ assert len(set(_PRIORITY_R10)) == 50
 #          proves slice-invariance for the vector index too; plus the
 #          late-round exact-substring tier: passage_scrub_stats — the
 #          Lee-et-al. removal with interval-union passages and a
-#          content checksum — and canonical_dedup_stats, the
-#          quality-argmax survivor pick) — first driver rows;
-#   8-14:  the BPE tier, whose engine AND oracles changed in round 11
+#          content checksum — canonical_dedup_stats, the
+#          quality-argmax survivor pick, and contamination_scrub_stats,
+#          span-grain decontamination through the same machinery) —
+#          first driver rows;
+#   9-15:  the BPE tier, whose engine AND oracles changed in round 11
 #          (the reserved-C0 scrub moved from an assumed upstream
 #          contract into _bpe_normalize and every oracle's shared
 #          bpe_norm_sql literal; ASCII fixtures are value-unchanged,
 #          but changed code requires fresh rows);
-#   15-19: the near-dup queries whose candidate/verify construction
+#   16-20: the near-dup queries whose candidate/verify construction
 #          was refactored in round 11 (banded_signatures /
 #          shingle_projection / verify_pairs_with_shingles factored
 #          out for the incremental index — behavior-preserving, rows
 #          must confirm);
-#   20-45: ALL 26 remaining r5-era stale greens (after this window no
+#   21-46: ALL 26 remaining r5-era stale greens (after this window no
 #          green row predates r6);
-#   46-50: the 5 oldest r6-era greens, in registration order
+#   47-50: the 4 oldest r6-era greens, in registration order
 #          (lexicon_filter_stats, cached_query_stats,
-#          prefix_filter_pairs and mixture_resample_plan bumped to the
-#          r12 queue as the round-11 additions joined the new-query
-#          prefix).
+#          prefix_filter_pairs, mixture_resample_plan and
+#          priority_sample_check bumped to the r12 queue as the
+#          round-11 additions joined the new-query prefix).
 _PRIORITY_R11 = [
     # -- new in r11: first driver rows --
     "incremental_dedup_stats", "stream_incremental_dedup_stats",
     "incremental_semantic_dedup_stats", "banded_semantic_dedup_stats",
     "stream_incremental_semantic_stats",
     "passage_scrub_stats", "canonical_dedup_stats",
+    "contamination_scrub_stats",
     # -- BPE engine+oracle changed in r11 (reserved-C0 scrub) --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
     "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
@@ -2366,16 +2369,16 @@ _PRIORITY_R11 = [
     # -- oldest r6-era greens, registration order --
     "promo_window_revenue", "window_coverage_revenue",
     "incremental_agg_check", "zorder_bucket_stats",
-    "priority_sample_check",
 ]
 # ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
 # prefix. Lead round 12 with any round-11/12 implementation changes and
 # red-row fixes, then the remaining r6-era stale greens in registration
-# order (prefix_filter_pairs, mixture_resample_plan, cached_query_stats
-# and lexicon_filter_stats — bumped from this window as the round-11
-# additions (banded semantic dedup, the semantic S5 twin, the
-# exact-substring scrub, the canonical survivor pick) took the new-query
-# prefix — quality_classifier_stats, capped_contribution_stats,
+# order (prefix_filter_pairs, mixture_resample_plan,
+# priority_sample_check, cached_query_stats and lexicon_filter_stats —
+# bumped from this window as the round-11 additions (banded semantic
+# dedup, the semantic S5 twin, the exact-substring scrub, the canonical
+# survivor pick, the span-grain decontamination scrub) took the
+# new-query prefix — quality_classifier_stats, capped_contribution_stats,
 # k_anonymity_customers, event_funnel_stats, stream_funnel_stats,
 # weekly_autocorr_by_type, brand_triangle_count, stream_hourly_rollup,
 # dynamic_gap_sessions, stream_dynamic_sessions, snapshot_changes_stats,

@@ -1531,7 +1531,13 @@ def passage_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PASSAGE_SCRUB_SQL = r"""
+# The passage-scrub oracle, factored (the NEARDUP_CLOSURE_SQL /
+# WORD_W0_SQL lesson — one literal per construction, composed): the
+# head builds normalized token arrays + positioned 8-grams; each query
+# defines its own `hits` CTE (corpus-repeat filter vs benchmark-needle
+# semi-join); the tail replays the identical interval union, NOT
+# EXISTS excision, string_agg reassembly, and checksum.
+_PASSAGE_HEAD_SQL = r"""
 WITH norm AS (
     SELECT doc_id, lang,
            string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
@@ -1542,8 +1548,9 @@ grams AS (
     FROM norm, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
     WHERE len(t) >= 8
 ),
-rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+"""
+
+_PASSAGE_TAIL_SQL = r"""
 marked AS (
     SELECT doc_id, pos,
            CASE WHEN pos > COALESCE(max(pos + 7) OVER (
@@ -1606,6 +1613,72 @@ FROM perdoc
 GROUP BY lang
 ORDER BY lang
 """
+
+_PASSAGE_SCRUB_SQL = _PASSAGE_HEAD_SQL + r"""
+rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN rep USING (g)),
+""" + _PASSAGE_TAIL_SQL
+
+_CONTAM_SCRUB_SQL = _PASSAGE_HEAD_SQL + r"""
+bex AS (SELECT t[1:12] AS bt FROM norm WHERE doc_id % 13 = 0),
+needles AS (
+    SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS g
+    FROM bex, LATERAL unnest(generate_series(1, len(bt) - 7)) AS u(i)
+    WHERE len(bt) >= 8
+),
+hits AS (
+    SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM needles)
+),
+""" + _PASSAGE_TAIL_SQL
+
+
+def contamination_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+/L2+ decontamination at SPAN grain (round 11): the GPT-3-style
+    8-gram benchmark-overlap test, but instead of dropping contaminated
+    documents whole (``contamination_by_lang``), the leaked spans are
+    EXCISED and the document survives — ``remove_matching_passages``
+    over the same pseudo-benchmark fixture (first 12 tokens of every
+    13th document). Every 13th doc is structurally contaminated (its
+    own excerpt), so its prefix run disappears; organic 8-gram overlaps
+    lose their spans too. The emitted profile is the same three-way pin
+    as ``passage_scrub_stats`` — interval bookkeeping, covered share,
+    and an exact md5 checksum of every scrubbed text.
+
+    Scale: the needle side of a REAL eval suite is fixed-size, so the
+    gram semi-join broadcasts and the corpus is never shuffled; here
+    the pseudo-benchmark is carved from the corpus (scales with SF), so
+    the plan-shape test asserts only no-cartesian/no-global-window, not
+    broadcast (same stance as contamination_by_lang)."""
+    from neulix_datahub_spark.operators.curation import benchmark_excerpt
+    from neulix_datahub_spark.operators.passages import remove_matching_passages
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = benchmark_excerpt(
+        docs.filter(F.col("doc_id") % 13 == 0), first_tokens=12
+    )
+    scrubbed = remove_matching_passages(docs, bench, "text", "doc_id", n=8)
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_passages") > 0).cast("bigint")).alias(
+                "n_docs_scrubbed"
+            ),
+            F.sum("n_passages").cast("bigint").alias("n_passages"),
+            F.sum("n_tokens_before").cast("bigint").alias("n_tokens_before"),
+            F.sum("n_tokens_after").cast("bigint").alias("n_tokens_after"),
+            F.round(
+                (F.sum("n_tokens_before") - F.sum("n_tokens_after"))
+                / F.sum("n_tokens_before"),
+                6,
+            ).alias("covered_share"),
+            F.sum(key).cast("decimal(38,0)").cast("string").alias(
+                "scrub_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
 
 
 def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2928,6 +3001,12 @@ LLM_QUERIES = {
         _PASSAGE_SCRUB_SQL,
         "L2+ exact-substring dedup REMOVAL: interval-merged passages "
         "excised, output content checksummed",
+    ),
+    "contamination_scrub_stats": (
+        contamination_scrub_stats,
+        _CONTAM_SCRUB_SQL,
+        "L4+ span-grain decontamination: benchmark-matching passages "
+        "excised instead of dropping documents",
     ),
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),

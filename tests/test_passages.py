@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 
 from neulix_datahub_spark.operators.components import canonical_by_components
 from neulix_datahub_spark.operators.passages import (
+    matching_passages,
     positioned_token_grams,
+    remove_matching_passages,
     remove_repeated_passages,
     repeated_passages,
 )
@@ -171,3 +173,38 @@ def test_canonical_matches_min_id_when_scores_equal(spark):
         r["id"] for r in dedup_by_components(df, pairs, "id").collect()
     )
     assert canon == minid  # constant score degrades to the min-id pick
+
+
+def test_remove_matching_passages_decontaminates(spark):
+    train = _docs(
+        spark,
+        [
+            "the quick brown fox jumps over the lazy dog tail end",
+            "completely unrelated training text with no overlap at all",
+        ],
+    )
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_matching_passages(
+            train, bench, "text", "doc_id", n=3
+        ).collect()
+    }
+    # every 3-gram of the bench string marks doc 0's tokens 1..8; the
+    # marks chain into one passage, leaving "the ... tail end"
+    assert out[0]["text"] == "the tail end"
+    assert out[0]["n_passages"] == 1
+    assert out[0]["n_tokens_before"] == 11
+    assert out[0]["n_tokens_after"] == 3
+    # the clean doc is untouched
+    assert out[1]["n_passages"] == 0
+    assert out[1]["text"].startswith("completely unrelated")
+
+
+def test_matching_passages_needle_shorter_than_n(spark):
+    train = _docs(spark, ["a b c d e f g h"])
+    bench = spark.createDataFrame([("a b",)], "text string")
+    # needles shorter than n carry no n-gram: nothing matches
+    assert matching_passages(train, bench, "text", "doc_id", n=3).count() == 0

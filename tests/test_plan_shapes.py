@@ -379,3 +379,14 @@ def test_r11_passage_and_canonical_plan_shapes(spark):
     plan_cd = cd._jdf.queryExecution().optimizedPlan().toString()
     assert "CartesianProduct" not in plan_cd
     assert global_windows(cd) == []
+
+    # (c) the span-grain decontamination twin: same invariants, and the
+    # needle side must reach the hits join as a LeftSemi (the corpus is
+    # filtered, never multiplied, by benchmark grams)
+    cs = QUERIES["contamination_scrub_stats"].fn(spark, SF_DIR)
+    plan_cs = cs._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan_cs
+    assert "LeftSemi" in plan_cs
+    assert global_windows(cs) == []
+    gens_cs = _generators(cs)
+    assert gens_cs and all("regexp_extract_all" in g for g in gens_cs), gens_cs

@@ -84,8 +84,11 @@ HEADLINE = (
     # repeated-passage removal with content checksum (one gram
     # aggregate + join-back + per-doc windows; the scrub itself is a
     # per-row array expression, so this anchors the gram-exchange cost
-    # that dominates at scale).
+    # that dominates at scale), plus the persisted gram-count index's
+    # full lifecycle (build + fragment-committed delta ingest + scrub),
+    # anchored the round it ships.
     "passage_scrub_stats",
+    "incremental_passage_scrub_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

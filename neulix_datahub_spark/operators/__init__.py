@@ -20,6 +20,12 @@ from neulix_datahub_spark.operators.components import (
     canonical_by_components,
     dedup_by_components,
 )
+from neulix_datahub_spark.operators.passage_index import (
+    build_passage_index,
+    compact_passage_index,
+    ingest_passage_delta,
+    scrub_against_passage_index,
+)
 from neulix_datahub_spark.operators.passages import (
     matching_passages,
     remove_matching_passages,
@@ -57,6 +63,10 @@ __all__ = [
     "remove_repeated_passages",
     "matching_passages",
     "remove_matching_passages",
+    "build_passage_index",
+    "ingest_passage_delta",
+    "compact_passage_index",
+    "scrub_against_passage_index",
     "upsert",
     "with_sequential_id",
     "cosine_top_k",

@@ -1479,6 +1479,35 @@ ORDER BY lang
 """
 
 
+def _scrub_profile(scrubbed: DataFrame) -> DataFrame:
+    """The shared per-language pin every passage-scrub query emits:
+    interval bookkeeping (docs/passages/token counts), covered share,
+    and the exact md5 content checksum of every scrubbed text (so the
+    oracle verifies the literal output strings, not just sizes)."""
+    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        scrubbed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_passages") > 0).cast("bigint")).alias(
+                "n_docs_scrubbed"
+            ),
+            F.sum("n_passages").cast("bigint").alias("n_passages"),
+            F.sum("n_tokens_before").cast("bigint").alias("n_tokens_before"),
+            F.sum("n_tokens_after").cast("bigint").alias("n_tokens_after"),
+            F.round(
+                (F.sum("n_tokens_before") - F.sum("n_tokens_after"))
+                / F.sum("n_tokens_before"),
+                6,
+            ).alias("covered_share"),
+            F.sum(key).cast("decimal(38,0)").cast("string").alias(
+                "scrub_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def passage_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2+ exact-substring dedup, REMOVAL form (round 11 — the Lee et
     al. recipe end-to-end, where ``duplicate_passage_stats`` is only the
@@ -1507,28 +1536,7 @@ def passage_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     scrubbed = remove_repeated_passages(docs, "text", "doc_id", n=8, min_count=2)
-    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
-    return (
-        scrubbed.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("n_passages") > 0).cast("bigint")).alias(
-                "n_docs_scrubbed"
-            ),
-            F.sum("n_passages").cast("bigint").alias("n_passages"),
-            F.sum("n_tokens_before").cast("bigint").alias("n_tokens_before"),
-            F.sum("n_tokens_after").cast("bigint").alias("n_tokens_after"),
-            F.round(
-                (F.sum("n_tokens_before") - F.sum("n_tokens_after"))
-                / F.sum("n_tokens_before"),
-                6,
-            ).alias("covered_share"),
-            F.sum(key).cast("decimal(38,0)").cast("string").alias(
-                "scrub_checksum"
-            ),
-        )
-        .orderBy("lang")
-    )
+    return _scrub_profile(scrubbed)
 
 
 # The passage-scrub oracle, factored (the NEARDUP_CLOSURE_SQL /
@@ -1632,6 +1640,42 @@ hits AS (
 """ + _PASSAGE_TAIL_SQL
 
 
+def incremental_passage_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2+ INCREMENTAL exact-substring dedup (round 11): the persisted
+    gram-count index (``operators/passage_index.py``). Build the index
+    over the PRIOR corpus (doc_id % 4 != 3), ingest the remaining
+    quarter as a never-seen daily DELTA (one fragment, committed by
+    sidecar pointer bump), then scrub the FULL corpus against the
+    index. The oracle is ``_PASSAGE_SCRUB_SQL`` VERBATIM — the
+    from-scratch full-corpus recompute — so a green hash row IS the
+    equivalence proof: build(prior) + ingest(delta) == count(full),
+    exactly (gram counts are a pure additive function of the documents;
+    the interval-union/excision machinery is shared with the batch
+    form).
+
+    Scale: the ingest never reads the at-rest gram relation — only the
+    one-column id ledger (idempotence anti-join); everything that
+    shuffles is delta-sized. The read-side sum-by-gram over fragments
+    runs at scrub time, where the batch form would pay the same
+    aggregate over the full corpus anyway."""
+    from neulix_datahub_spark.operators.passage_index import (
+        build_passage_index,
+        ingest_passage_delta,
+        scrub_against_passage_index,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    delta = docs.filter(F.col("doc_id") % 4 == 3)
+    root = warehouse_scratch(spark, "_neulix_passage_idx_")
+    path = f"{root}/index"
+    build_passage_index(prior, path, n=8)
+    ingest_passage_delta(spark, delta, path)
+    scrubbed = scrub_against_passage_index(spark, docs, path, min_count=2)
+    return _scrub_profile(scrubbed)
+
+
 def contamination_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+/L2+ decontamination at SPAN grain (round 11): the GPT-3-style
     8-gram benchmark-overlap test, but instead of dropping contaminated
@@ -1657,28 +1701,7 @@ def contamination_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 13 == 0), first_tokens=12
     )
     scrubbed = remove_matching_passages(docs, bench, "text", "doc_id", n=8)
-    key = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("decimal(38,0)")
-    return (
-        scrubbed.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum((F.col("n_passages") > 0).cast("bigint")).alias(
-                "n_docs_scrubbed"
-            ),
-            F.sum("n_passages").cast("bigint").alias("n_passages"),
-            F.sum("n_tokens_before").cast("bigint").alias("n_tokens_before"),
-            F.sum("n_tokens_after").cast("bigint").alias("n_tokens_after"),
-            F.round(
-                (F.sum("n_tokens_before") - F.sum("n_tokens_after"))
-                / F.sum("n_tokens_before"),
-                6,
-            ).alias("covered_share"),
-            F.sum(key).cast("decimal(38,0)").cast("string").alias(
-                "scrub_checksum"
-            ),
-        )
-        .orderBy("lang")
-    )
+    return _scrub_profile(scrubbed)
 
 
 def unigram_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3007,6 +3030,12 @@ LLM_QUERIES = {
         _CONTAM_SCRUB_SQL,
         "L4+ span-grain decontamination: benchmark-matching passages "
         "excised instead of dropping documents",
+    ),
+    "incremental_passage_scrub_stats": (
+        incremental_passage_scrub_stats,
+        _PASSAGE_SCRUB_SQL,
+        "L2+ incremental: persisted gram-count index + delta ingest "
+        "== full-corpus passage scrub (oracle is the from-scratch SQL)",
     ),
     "tfidf_top20": (tfidf_top20, _TFIDF_SQL, "L4 TF-IDF"),
     "pii_scrub_stats": (pii_scrub_stats, _PII_SQL, "L4+ PII detect/scrub"),

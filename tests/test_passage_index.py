@@ -1,0 +1,185 @@
+"""Incremental passage dedup against the persisted gram-count index
+(round 11): build(prior)+ingest(delta) == full-corpus counts, exactly;
+re-ingest adds nothing; orphan fragments are swept; compaction is a
+pure rewrite."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from neulix_datahub_spark.operators.passage_index import (
+    build_passage_index,
+    compact_passage_index,
+    ingest_passage_delta,
+    read_passage_gram_counts,
+    read_passage_meta,
+    scrub_against_passage_index,
+)
+from neulix_datahub_spark.operators.passages import remove_repeated_passages
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# a corpus where the repeated 3-gram runs CROSS the prior/delta split:
+# "shared passage tokens" appears in prior doc 1 and delta doc 101 —
+# only a corpus-wide count finds it; "prior only run here" repeats
+# inside the prior; delta doc 102 repeats its own passage
+_PRIOR = [
+    (1, "alpha shared passage tokens omega"),
+    (2, "prior only run here one"),
+    (3, "prior only run here two"),
+    (4, "nothing in common with anything"),
+]
+_DELTA = [
+    (101, "beta shared passage tokens gamma"),
+    (102, "self repeat span x self repeat span y"),
+]
+
+
+def _scrub_rows(spark, path, docs):
+    return sorted(
+        map(
+            tuple,
+            scrub_against_passage_index(spark, docs, path, min_count=2)
+            .select("doc_id", "text", "n_tokens_after", "n_passages")
+            .collect(),
+        )
+    )
+
+
+def test_incremental_equals_batch(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    full = _docs(spark, _PRIOR + _DELTA)
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+
+    got = _scrub_rows(spark, path, full)
+    want = sorted(
+        map(
+            tuple,
+            remove_repeated_passages(full, "text", "doc_id", n=3)
+            .select("doc_id", "text", "n_tokens_after", "n_passages")
+            .collect(),
+        )
+    )
+    assert got == want
+    # and the cross-boundary passage was actually found (load-bearing)
+    by_id = {r[0]: r for r in got}
+    assert "shared passage tokens" not in by_id[1][1]
+    assert "shared passage tokens" not in by_id[101][1]
+    # the within-delta self-repeat too
+    assert by_id[102][3] >= 1
+
+
+def test_reingest_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+    before = sorted(
+        map(tuple, read_passage_gram_counts(spark, path).collect())
+    )
+    meta_before = read_passage_meta(path)
+
+    stats = ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+    assert stats["n_new"] == 0
+    assert read_passage_meta(path) == meta_before
+    after = sorted(
+        map(tuple, read_passage_gram_counts(spark, path).collect())
+    )
+    assert after == before
+
+
+def test_orphan_fragment_is_swept_and_never_counted(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    meta = read_passage_meta(path)
+    # simulate a crash AFTER the fragment write, BEFORE the pointer
+    # bump: a frag_1 exists but n_fragments is still 1
+    orphan = os.path.join(path, "grams_v0", "frag_1")
+    _docs(spark, _DELTA).sparkSession.createDataFrame(
+        [("ghost gram never", 999)], "gram string, cnt long"
+    ).write.parquet(orphan)
+    assert meta["n_fragments"] == 1
+    counts = {
+        r["gram"]: r["cnt"]
+        for r in read_passage_gram_counts(spark, path).collect()
+    }
+    assert "ghost gram never" not in counts  # committed frags only
+    ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+    # the retried ingest swept the orphan and REUSED slot 1
+    counts = {
+        r["gram"]: r["cnt"]
+        for r in read_passage_gram_counts(spark, path).collect()
+    }
+    assert "ghost gram never" not in counts
+    assert counts.get("shared passage tokens") == 2
+
+
+def test_compaction_is_invariant_and_defragments(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    full = _docs(spark, _PRIOR + _DELTA)
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    ingest_passage_delta(spark, _docs(spark, _DELTA[:1]), path)
+    ingest_passage_delta(spark, _docs(spark, _DELTA[1:]), path)
+    before = _scrub_rows(spark, path, full)
+    counts_before = sorted(
+        map(tuple, read_passage_gram_counts(spark, path).collect())
+    )
+
+    log = compact_passage_index(spark, path, files=2)
+    assert log["fragments_before"] == 3
+    assert log["fragments_after"] == 1
+    meta = read_passage_meta(path)
+    assert meta["generation"] == 1 and meta["n_fragments"] == 1
+    assert not os.path.exists(os.path.join(path, "grams_v0"))
+    assert sorted(
+        map(tuple, read_passage_gram_counts(spark, path).collect())
+    ) == counts_before
+    assert _scrub_rows(spark, path, full) == before
+    # a further ingest keeps working on the new generation
+    extra = _docs(spark, [(201, "prior only run here three")])
+    ingest_passage_delta(spark, extra, path)
+    counts = {
+        r["gram"]: r["cnt"]
+        for r in read_passage_gram_counts(spark, path).collect()
+    }
+    assert counts.get("only run here") == 3
+
+
+def test_duplicate_and_null_ids_refused(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    dup = _docs(spark, [(1, "a b c"), (1, "d e f")])
+    with pytest.raises(ValueError, match="duplicate"):
+        build_passage_index(dup, path, n=3)
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    null_id = spark.createDataFrame(
+        [(None, "x y z")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ingest_passage_delta(spark, null_id, path)
+    # a delta overlapping known ids is fine (anti-joined away), but
+    # duplicates WITHIN the never-seen remainder are refused
+    mixed = _docs(spark, [(1, "already known"), (300, "n1"), (300, "n2")])
+    with pytest.raises(ValueError, match="duplicate"):
+        ingest_passage_delta(spark, mixed, path)
+
+
+def test_index_scrub_plan_shape(spark, tmp_path):
+    """Scale pin: the index-backed scrub filters the corpus grams by a
+    LeftSemi against the repeated-gram relation (never multiplies), has
+    no cartesian product, and every window is partitioned by doc_id."""
+    from tests.test_plan_shapes import global_windows
+
+    path = str(tmp_path / "idx")
+    full = _docs(spark, _PRIOR + _DELTA)
+    build_passage_index(_docs(spark, _PRIOR), path, n=3)
+    ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+    out = scrub_against_passage_index(spark, full, path)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert global_windows(out) == []

@@ -20,6 +20,7 @@ from neulix_datahub_spark.plans.queries_ext import PYSOURCE_SQL as _PYSOURCE_STR
 # slice-invariance means the stream must land on the identical row
 from neulix_datahub_spark.plans.queries_llm import (
     _INCR_SEMANTIC_SQL as _STREAM_INCR_SEMANTIC_SQL,
+    _PASSAGE_SCRUB_SQL as _STREAM_INCR_PASSAGE_SQL,
 )
 from neulix_datahub_spark.sources.tables import load_table
 from neulix_datahub_spark.streaming.sinks import (
@@ -441,6 +442,67 @@ def stream_incremental_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("doc_id").alias("sum_kept_ids"),
         )
         .orderBy("lang")
+    )
+
+
+def stream_incremental_passage_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S5 twin of ``incremental_passage_scrub_stats`` (round 11): the
+    persisted gram-count index built over the 3/4 prior corpus, then
+    the remaining quarter delivered as a STREAM — two micro-batches
+    through the ``stream_passage_index_ingest`` foreachBatch sink, each
+    one a daily fragment-committed ingest. The full corpus is then
+    scrubbed against the index; the oracle is the from-scratch
+    full-corpus ``_PASSAGE_SCRUB_SQL`` VERBATIM, so a green hash row
+    proves the final gram counts are invariant to micro-batch slicing:
+    stream(d1); stream(d2) == one batch build — counts are additive and
+    redelivered ids anti-join to nothing."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.passage_index import (
+        build_passage_index,
+        scrub_against_passage_index,
+    )
+    from neulix_datahub_spark.plans.queries_llm import _scrub_profile
+    from neulix_datahub_spark.streaming.sinks import (
+        stream_passage_index_ingest,
+    )
+
+    tmp = _scratch(spark, "neulix_pidx_")
+    docs = load_table(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 4 != 3)
+    delta = docs.filter(F.col("doc_id") % 4 == 3)
+    path = f"{tmp}/index"
+    build_passage_index(prior, path, n=8)
+
+    # stage the delta as two files -> two micro-batches (mtime fixes
+    # the delivery order; invariance to the split is the point)
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = delta.filter(F.col("doc_id") % 8 == 3)
+    rest = delta.filter(F.col("doc_id") % 8 == 7)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_passage_index_ingest(stream, path, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+
+    return _scrub_profile(
+        scrub_against_passage_index(spark, docs, path, min_count=2)
     )
 
 
@@ -1582,6 +1644,12 @@ STREAM_QUERIES = {
         _STREAM_INCR_SEMANTIC_SQL,
         "S5 twin: micro-batched VECTOR-index ingest is slice-invariant "
         "== full semantic dedup",
+    ),
+    "stream_incremental_passage_stats": (
+        stream_incremental_passage_stats,
+        _STREAM_INCR_PASSAGE_SQL,
+        "S5 twin: micro-batched gram-count-index ingest is "
+        "slice-invariant == full-corpus passage scrub",
     ),
     "stateful_user_totals": (
         stateful_user_totals,

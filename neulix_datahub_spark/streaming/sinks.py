@@ -1164,3 +1164,36 @@ def stream_semantic_index_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_passage_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the persisted GRAM-COUNT index ingest
+    (``operators/passage_index.ingest_passage_delta``): every
+    micro-batch is one daily delta — its grams counted alone into a new
+    fragment, committed by the sidecar's n_fragments pointer bump. The
+    index must exist (``build_passage_index``) before the stream starts.
+
+    Exactly-once lives in the state, same argument as
+    :func:`stream_dedup_index_ingest`: redelivered ids reduce to
+    n_new == 0 through the id-ledger anti-join (and a crash between
+    fragment write and pointer bump leaves an orphan the retried
+    ingest sweeps before reusing the slot). Counts are additive, so
+    ingest(d1); ingest(d2) ≡ ingest(d1 ∪ d2) exactly — the final
+    state is invariant to trigger slicing."""
+    from neulix_datahub_spark.operators.passage_index import (
+        ingest_passage_delta,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_passage_delta(spark, batch_df, index_path)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

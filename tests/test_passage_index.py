@@ -183,3 +183,61 @@ def test_index_scrub_plan_shape(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert global_windows(out) == []
+
+
+def test_stream_ingest_slice_invariant_and_redelivery_idempotent(
+    spark, tmp_path
+):
+    """The foreachBatch twin: (a) two micro-batches through
+    stream_passage_index_ingest land the SAME gram counts as a one-shot
+    batch build (slice invariance — counts are additive); (b) a full
+    REDELIVERY with a fresh checkpoint (the checkpoint-loss case)
+    changes nothing, because idempotence lives in the id-ledger
+    anti-join, not in sink stamps."""
+    import shutil
+
+    from neulix_datahub_spark.streaming.sinks import (
+        stream_passage_index_ingest,
+    )
+
+    p = str(tmp_path / "pidx")
+    build_passage_index(_docs(spark, _PRIOR), p, n=3)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, part, mtime in (
+        ("a", _DELTA[:1], 1e6),
+        ("b", _DELTA[1:], 2e6),
+    ):
+        stage = str(tmp_path / f"stage_{name}")
+        _docs(spark, part).coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = str(src / f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        stream_passage_index_ingest(
+            stream, p, checkpoint_dir=str(tmp_path / ckpt)
+        ).awaitTermination()
+
+    drain("ckpt1")
+    got = sorted(map(tuple, read_passage_gram_counts(spark, p).collect()))
+    p_full = str(tmp_path / "full")
+    build_passage_index(_docs(spark, _PRIOR + _DELTA), p_full, n=3)
+    want = sorted(
+        map(tuple, read_passage_gram_counts(spark, p_full).collect())
+    )
+    assert got == want
+
+    before_meta = read_passage_meta(p)
+    drain("ckpt2")  # fresh checkpoint: full redelivery of both batches
+    assert sorted(
+        map(tuple, read_passage_gram_counts(spark, p).collect())
+    ) == got
+    assert read_passage_meta(p) == before_meta

@@ -744,3 +744,125 @@ def epoch_order_key(text_col: Column | str, epoch: int) -> Column:
     a deterministic portable position, not an engine-dependent one."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.concat(F.lit(f"{epoch}:"), F.coalesce(c, F.lit(""))))
+
+
+def plan_token_budget_waterfall(
+    counts: DataFrame,
+    *,
+    budget: int | None = None,
+    budget_frac: tuple[int, int] | None = None,
+    cap_frac: tuple[int, int] = (7, 5),
+    key_col: str = "source",
+    n_col: str = "n_tokens",
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Token-budget allocation across sources with an epoch cap — the
+    LLaMA-style data-recipe planner: source ``i`` (with ``n_i`` tokens
+    available) targets ``λ·w_i`` tokens under sqrt-temperature weights,
+    but never more than ``cap_i = floor(n_i · cap_num/cap_den)``
+    (repeating a small source beyond ~a few epochs hurts); the water
+    level ``λ`` solves ``Σ min(cap_i, λ·w_i) = budget``. Returns one
+    row per source: ``(key_col, n_col, cap_tokens, capped,
+    alloc_tokens, epochs)`` with ``Σ alloc == budget`` exactly (up to
+    the documented final rounding).
+
+    Closed form, no iteration: sort by ``r_i = cap_i/w_i``; a source is
+    capped iff ``r_i`` lies below the water level computed AS IF every
+    smaller-``r`` source were capped — a per-row prefix test that is
+    globally consistent because capping a below-level source only
+    RAISES the level and the first above-level source freezes it (the
+    classic water-filling KKT argument). One ordered window pass.
+
+    Cross-engine exactness (the driver hashes the result): every
+    DECISION is integer arithmetic — caps and budget are rational
+    floors of token counts, weights are fixed-point
+    ``floor(weight_scale · sqrt(n))`` (sqrt is correctly rounded by
+    IEEE-754, so bit-identical everywhere), prefix sums are integer,
+    and the cap test multiplies integers (decimal(38,0), HUGEINT in
+    the DuckDB mirror). Doubles appear only in the two final
+    correctly-rounded ops per row (one multiply-or-cast, one divide),
+    rounded to 4/6 dp on output.
+
+    Scale: one aggregate to the per-source grain, then windows over the
+    SOURCE DOMAIN — bounded grain (a corpus has dozens-to-thousands of
+    sources, never corpus-proportional rows), the
+    ``mixture_resample_plan`` precedent.
+    """
+    if (budget is None) == (budget_frac is None):
+        raise ValueError("pass exactly one of budget / budget_frac")
+    cap_num, cap_den = cap_frac
+    from pyspark.sql.window import Window
+
+    base = counts.select(
+        F.col(key_col),
+        F.col(n_col).cast("long").alias(n_col),
+        F.floor(F.col(n_col) * cap_num / cap_den).cast("long").alias(
+            "cap_tokens"
+        ),
+        F.floor(F.lit(weight_scale) * F.sqrt(F.col(n_col))).cast("long").alias(
+            "__w"
+        ),
+    )
+    if budget_frac is not None:
+        b_expr = F.floor(
+            F.sum(n_col) * budget_frac[0] / budget_frac[1]
+        ).cast("long")
+    else:
+        b_expr = F.lit(int(budget)).cast("long")
+    tot = base.agg(
+        b_expr.alias("__b"), F.sum("__w").cast("long").alias("__w_total")
+    )
+    # one-row broadcast; the ordered windows below run on the bounded
+    # source domain (see docstring) — sanctioned global windows
+    order = [(F.col("cap_tokens") * F.lit(1.0) / F.col("__w")), F.col(key_col)]
+    prev = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    flagged = (
+        base.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__c_prev",
+            F.coalesce(F.sum("cap_tokens").over(prev), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "__w_rest",
+            (
+                F.col("__w_total")
+                - F.coalesce(F.sum("__w").over(prev), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens").cast("decimal(38,0)") * F.col("__w_rest")
+            < (F.col("__b") - F.col("__c_prev")).cast("decimal(38,0)")
+            * F.col("__w"),
+        )
+    )
+    lam = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0))
+        .cast("long")
+        .alias("__c_capped"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(F.col("__w")))
+        .cast("long")
+        .alias("__w_unc"),
+    )
+    # least() is a no-op in the feasible case (uncapped rows sit at or
+    # below the water level by construction); for an INFEASIBLE budget
+    # (>= Σ cap) it degrades gracefully — every source allocates its
+    # cap and the remainder is unassigned — instead of over-allocating
+    alloc = F.when(F.col("capped"), F.col("cap_tokens").cast("double")).otherwise(
+        F.least(
+            F.col("cap_tokens").cast("double"),
+            ((F.col("__b") - F.col("__c_capped")) * F.col("__w")).cast("double")
+            / F.col("__w_unc").cast("double"),
+        )
+    )
+    return (
+        flagged.crossJoin(F.broadcast(lam))
+        .select(
+            key_col,
+            n_col,
+            "cap_tokens",
+            "capped",
+            F.round(alloc, 4).alias("alloc_tokens"),
+            F.round(alloc / F.col(n_col), 6).alias("epochs"),
+        )
+    )

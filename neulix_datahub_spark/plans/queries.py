@@ -2307,7 +2307,7 @@ assert len(set(_PRIORITY_R10)) == 50
 # ---------------------------------------------------------------------------
 # ROUND 11 rotation (the round-10 driver run consumed _PRIORITY_R10 —
 # 50/50 hash-green), composed exactly as the round-10 NOTE queued:
-#   1-10:  incremental_dedup_stats + its S5 streaming twin + the
+#   1-11:  incremental_dedup_stats + its S5 streaming twin + the
 #          embedding-side sibling incremental_semantic_dedup_stats +
 #          its 100 TB-shape variant banded_semantic_dedup_stats,
 #          ADDED in round 11 (the persisted-index daily-ingest dedup,
@@ -2327,25 +2327,28 @@ assert len(set(_PRIORITY_R10)) == 50
 #          index whose oracle is the from-scratch full-corpus SQL
 #          verbatim — with its own S5 twin
 #          stream_incremental_passage_stats proving micro-batch
-#          slice-invariance for the gram counts) — first driver rows;
-#   11-17: the BPE tier, whose engine AND oracles changed in round 11
+#          slice-invariance for the gram counts; and
+#          token_budget_waterfall, the L7 epoch planner with
+#          integer-exact water-filling) — first driver rows;
+#   12-18: the BPE tier, whose engine AND oracles changed in round 11
 #          (the reserved-C0 scrub moved from an assumed upstream
 #          contract into _bpe_normalize and every oracle's shared
 #          bpe_norm_sql literal; ASCII fixtures are value-unchanged,
 #          but changed code requires fresh rows);
-#   18-22: the near-dup queries whose candidate/verify construction
+#   19-23: the near-dup queries whose candidate/verify construction
 #          was refactored in round 11 (banded_signatures /
 #          shingle_projection / verify_pairs_with_shingles factored
 #          out for the incremental index — behavior-preserving, rows
 #          must confirm);
-#   23-48: ALL 26 remaining r5-era stale greens (after this window no
+#   24-49: ALL 26 remaining r5-era stale greens (after this window no
 #          green row predates r6);
-#   49-50: the 2 oldest r6-era greens, in registration order
+#   50:    the oldest r6-era green, in registration order
 #          (lexicon_filter_stats, cached_query_stats,
 #          prefix_filter_pairs, mixture_resample_plan,
-#          priority_sample_check, zorder_bucket_stats and
-#          incremental_agg_check bumped to the r12 queue as the
-#          round-11 additions joined the new-query prefix).
+#          priority_sample_check, zorder_bucket_stats,
+#          incremental_agg_check and window_coverage_revenue bumped to
+#          the r12 queue as the round-11 additions joined the
+#          new-query prefix).
 _PRIORITY_R11 = [
     # -- new in r11: first driver rows --
     "incremental_dedup_stats", "stream_incremental_dedup_stats",
@@ -2353,7 +2356,7 @@ _PRIORITY_R11 = [
     "stream_incremental_semantic_stats",
     "passage_scrub_stats", "canonical_dedup_stats",
     "contamination_scrub_stats", "incremental_passage_scrub_stats",
-    "stream_incremental_passage_stats",
+    "stream_incremental_passage_stats", "token_budget_waterfall",
     # -- BPE engine+oracle changed in r11 (reserved-C0 scrub) --
     "bpe_batched_vocab_stats", "bpe_apply_parity_stats",
     "bpe_batched_tokenize_stats", "stream_bpe_tokenize_stats",
@@ -2372,16 +2375,16 @@ _PRIORITY_R11 = [
     "stream_upsert_latest_events", "source_mixing_profile",
     "user_sessions", "stream_enriched_segment_counts",
     "stream_interval_join_counts", "stateful_user_totals", "tfidf_top20",
-    # -- oldest r6-era greens, registration order --
-    "promo_window_revenue", "window_coverage_revenue",
+    # -- oldest r6-era green, registration order --
+    "promo_window_revenue",
 ]
 # ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
 # prefix. Lead round 12 with any round-11/12 implementation changes and
 # red-row fixes, then the remaining r6-era stale greens in registration
 # order (prefix_filter_pairs, mixture_resample_plan,
 # priority_sample_check, zorder_bucket_stats, incremental_agg_check,
-# cached_query_stats and lexicon_filter_stats — bumped from this
-# window as the round-11
+# window_coverage_revenue, cached_query_stats and lexicon_filter_stats
+# — bumped from this window as the round-11
 # additions (banded semantic dedup, the semantic S5 twin, the
 # exact-substring scrub, the canonical survivor pick, the span-grain
 # decontamination scrub, the persisted passage-gram index) took the

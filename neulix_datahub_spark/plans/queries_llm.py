@@ -604,6 +604,85 @@ ORDER BY lang
 MIXING_RATES = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.125}
 
 
+def token_budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 curation, driver-visible (round 11): the token-budget epoch
+    planner — allocate ``budget = floor(1.3 × total tokens)`` across
+    sources by sqrt-temperature water-filling with a ``1.4 × n_i``
+    epoch cap (``curation.plan_token_budget_waterfall``; closed-form,
+    one ordered window pass, every decision integer-exact). At sf0.01
+    the two smallest sources CAP and the freed budget waterfalls to the
+    rest — the branch is load-bearing at the driver's gate; the
+    allocation column sums back to the budget by construction.
+
+    The DuckDB oracle replays the identical fixed-point construction:
+    rational-floor caps/budget, ``floor(1e6·sqrt(n))`` weights, the
+    HUGEINT prefix cap test, and the same two correctly-rounded double
+    ops per output row."""
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(0)
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("n_tokens")
+    )
+    return plan_token_budget_waterfall(
+        counts, budget_frac=(13, 10), cap_frac=(7, 5)
+    ).orderBy("source")
+
+
+_WATERFALL_SQL = r"""
+WITH counts AS (
+    SELECT source,
+           CAST(sum(len(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+base AS (
+    SELECT source, n_tokens,
+           CAST(floor(n_tokens * 7 / 5) AS BIGINT) AS cap_tokens,
+           CAST(floor(1000000 * sqrt(n_tokens)) AS BIGINT) AS w
+    FROM counts
+),
+tot AS (SELECT CAST(floor(sum(n_tokens) * 13 / 10) AS BIGINT) AS b,
+               CAST(sum(w) AS BIGINT) AS w_total FROM base),
+ordered AS (
+    SELECT base.*, b, w_total,
+           COALESCE(CAST(sum(cap_tokens) OVER (ORDER BY cap_tokens * 1.0 / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS c_prev,
+           w_total - COALESCE(CAST(sum(w) OVER (ORDER BY cap_tokens * 1.0 / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS w_rest
+    FROM base, tot
+),
+flagged AS (
+    SELECT *,
+           (cap_tokens::HUGEINT * w_rest < (b - c_prev)::HUGEINT * w) AS capped
+    FROM ordered
+),
+lam AS (
+    SELECT CAST(sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) AS BIGINT)
+               AS c_capped,
+           CAST(sum(CASE WHEN capped THEN 0 ELSE w END) AS BIGINT) AS w_unc
+    FROM flagged
+)
+SELECT source, n_tokens, cap_tokens, capped,
+       round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                  ELSE least(CAST(cap_tokens AS DOUBLE),
+                             CAST((b - c_capped) * w AS DOUBLE)
+                             / CAST(w_unc AS DOUBLE)) END, 4) AS alloc_tokens,
+       round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                  ELSE least(CAST(cap_tokens AS DOUBLE),
+                             CAST((b - c_capped) * w AS DOUBLE)
+                             / CAST(w_unc AS DOUBLE)) END / n_tokens, 6)
+           AS epochs
+FROM flagged, lam
+ORDER BY source
+"""
+
+
 def mixing_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+ curation, driver-visible: deterministic content-hash mixing
     sampler — per-language kept counts under the MIXING_RATES targets.
@@ -3069,6 +3148,12 @@ LLM_QUERIES = {
         mixing_sample_counts,
         _MIXING_SQL,
         "L4+ content-hash mixing sampler",
+    ),
+    "token_budget_waterfall": (
+        token_budget_waterfall,
+        _WATERFALL_SQL,
+        "L7 token-budget epoch planner: sqrt-temperature water-filling "
+        "with integer-exact cap decisions",
     ),
     "contamination_by_lang": (
         contamination_by_lang,

@@ -586,3 +586,133 @@ def test_contamination_prefilter_is_result_invariant(spark):
         benchmark_ngram_contamination(train, bench, prefilter_bits=None).collect()
     )
     assert with_f == without == [i for i in range(60) if i % 3 == 0]
+
+
+# ---------------------------------------------------------------------------
+# token-budget waterfall (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _ref_waterfall(ns, b_frac=(13, 10), c_frac=(7, 5), scale=10**6):
+    """Independent ITERATIVE reference for the closed-form planner:
+    repeatedly cap every source below the current water level until a
+    fixed point — exact integer decisions, same fixed-point the KKT
+    single-pass computes."""
+    items = {
+        k: (n, (n * c_frac[0]) // c_frac[1], math.floor(scale * math.sqrt(n)))
+        for k, n in ns.items()
+    }
+    b = (sum(n for n, _, _ in items.values()) * b_frac[0]) // b_frac[1]
+    capped: set = set()
+    while True:
+        rem = b - sum(items[k][1] for k in capped)
+        w_unc = sum(w for k, (_, _, w) in items.items() if k not in capped)
+        new = {
+            k
+            for k, (_, c, w) in items.items()
+            if k not in capped and c * w_unc < rem * w
+        }
+        if not new:
+            break
+        capped |= new
+    rem = b - sum(items[k][1] for k in capped)
+    w_unc = sum(w for k, (_, _, w) in items.items() if k not in capped)
+    out = {}
+    for k, (n, c, w) in items.items():
+        alloc = float(c) if k in capped else min(
+            float(c), float(rem * w) / float(w_unc)
+        )
+        out[k] = (n, c, k in capped, round(alloc, 4), round(alloc / n, 6))
+    return out
+
+
+def _plan_dict(plan):
+    return {
+        r["source"]: (
+            r["n_tokens"],
+            r["cap_tokens"],
+            r["capped"],
+            r["alloc_tokens"],
+            r["epochs"],
+        )
+        for r in plan.collect()
+    }
+
+
+def test_waterfall_two_round_cascade(spark):
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+
+    # capping the tiny source frees enough budget to push the MID
+    # source over its own cap in the second round — the prefix test
+    # must reproduce the full cascade, not just the first pass
+    ns = {"tiny": 100, "mid": 3800, "big": 5000}
+    counts = spark.createDataFrame(
+        list(ns.items()), "source string, n_tokens long"
+    )
+    got = _plan_dict(plan_token_budget_waterfall(counts, budget_frac=(13, 10)))
+    want = _ref_waterfall(ns)
+    assert got == want
+    assert got["tiny"][2] and got["mid"][2] and not got["big"][2]
+    # allocations exhaust the budget exactly
+    assert round(sum(v[3] for v in got.values()), 4) == (8900 * 13) // 10
+
+
+def test_waterfall_no_caps_is_proportional(spark):
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+
+    ns = {"a": 4000, "b": 4100, "c": 3900}
+    counts = spark.createDataFrame(
+        list(ns.items()), "source string, n_tokens long"
+    )
+    got = _plan_dict(
+        plan_token_budget_waterfall(counts, budget_frac=(1, 1))
+    )
+    assert not any(v[2] for v in got.values())
+    assert got == _ref_waterfall(ns, b_frac=(1, 1))
+
+
+def test_waterfall_infeasible_budget_clamps(spark):
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+
+    ns = {"a": 1000, "b": 1000}
+    counts = spark.createDataFrame(
+        list(ns.items()), "source string, n_tokens long"
+    )
+    # budget 3x total >> 1.4x caps: every source allocates its cap,
+    # the remainder stays unassigned, nothing over-allocates
+    got = _plan_dict(
+        plan_token_budget_waterfall(counts, budget_frac=(3, 1))
+    )
+    for n, cap, _, alloc, _ in got.values():
+        assert alloc <= cap
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    ns=st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2", "s3", "s4", "s5"]),
+        st.integers(1, 20_000),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_waterfall_matches_iterative_reference(spark, ns):
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+
+    counts = spark.createDataFrame(
+        list(ns.items()), "source string, n_tokens long"
+    )
+    got = _plan_dict(plan_token_budget_waterfall(counts, budget_frac=(13, 10)))
+    assert got == _ref_waterfall(ns)

@@ -486,3 +486,42 @@ def dedup_survivors(
         .select(F.col("id").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def canonical_index_survivors(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    id_col: str,
+    score,
+) -> DataFrame:
+    """Quality-aware survivor pick over the PERSISTED labels — the
+    incremental twin of ``components.canonical_by_components``: per
+    near-dup cluster keep the member with the highest ``score`` (min-id
+    tie-break), plus every unclustered row. ``score`` is any Column
+    computable from ``df``; the labels relation restricts the window to
+    CLUSTERED rows only (clusters are near-dup families, bounded), and
+    the corpus is touched by a single left_anti join — the
+    ``dedup_survivors`` shape with the argmax pick swapped in."""
+    from pyspark.sql.window import Window
+
+    score_col = F.col(score) if isinstance(score, str) else score
+    labels = read_dedup_labels(spark, path)
+    clustered = labels.join(
+        labels.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("__sz"))
+        .filter(F.col("__sz") > 1)
+        .select("component"),
+        "component",
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), score_col.alias("__score"))
+        .join(clustered, "id")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("__score"), F.asc("id"))
+    losers = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(losers, on=id_col, how="left_anti")

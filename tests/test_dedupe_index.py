@@ -624,3 +624,47 @@ def test_semantic_index_refuses_docs_embedding_mismatch(spark, tmp_path):
     stats = ingest_semantic_delta(spark, e3, d3, p)
     assert stats["n_new"] == 1
     assert _sem_labels(spark, p)[9] == 9
+
+
+def test_canonical_index_survivors_argmax(spark, tmp_path):
+    """The persisted-index twin of canonical_by_components: highest
+    score per cluster survives (min-id tie-break), unclustered rows
+    pass through, and with a constant score it degrades to the min-id
+    dedup_survivors pick."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        canonical_index_survivors,
+    )
+
+    rows = _BASE + _COPIES
+    p = str(tmp_path / "cidx")
+    build_dedup_index(_corpus(spark, rows), p)
+    df = _corpus(spark, rows)
+
+    # length scores: the ORIGINALS are one token longer than the copies
+    kept = sorted(
+        r["doc_id"]
+        for r in canonical_index_survivors(
+            spark, p, df, "doc_id", F.length("text")
+        ).collect()
+    )
+    assert kept == [1, 2, 3, 4]
+
+    # inverted score: the COPIES win their clusters
+    kept_inv = sorted(
+        r["doc_id"]
+        for r in canonical_index_survivors(
+            spark, p, df, "doc_id", -F.length("text")
+        ).collect()
+    )
+    assert kept_inv == [3, 4, 101, 102]
+
+    # constant score == min-id pick == dedup_survivors
+    kept_const = sorted(
+        r["doc_id"]
+        for r in canonical_index_survivors(
+            spark, p, df, "doc_id", F.lit(1)
+        ).collect()
+    )
+    assert kept_const == sorted(
+        r["doc_id"] for r in dedup_survivors(spark, p, df, "doc_id").collect()
+    )

@@ -6,6 +6,7 @@ from neulix_datahub_spark.operators.dedupe import (
 )
 from neulix_datahub_spark.operators.dedupe_index import (
     build_dedup_index,
+    canonical_index_survivors,
     compact_dedup_index,
     dedup_survivors,
     ingest_dedup_delta,
@@ -51,6 +52,7 @@ __all__ = [
     "ingest_dedup_delta",
     "compact_dedup_index",
     "dedup_survivors",
+    "canonical_index_survivors",
     "build_semantic_index",
     "compact_semantic_index",
     "ingest_semantic_delta",

@@ -241,3 +241,43 @@ def test_stream_ingest_slice_invariant_and_redelivery_idempotent(
         map(tuple, read_passage_gram_counts(spark, p).collect())
     ) == got
     assert read_passage_meta(p) == before_meta
+
+
+def test_incremental_equals_batch_property(spark, tmp_path):
+    """Property: on random small corpora (shared vocabulary so repeated
+    grams actually occur) split at a random point into prior + delta,
+    the index-backed scrub == the from-scratch batch scrub, exactly —
+    text, token counts and passage counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["red", "green", "blue", "fox", "dog", "run"]
+    doc = st.lists(st.sampled_from(vocab), min_size=2, max_size=8).map(
+        " ".join
+    )
+    case = st.lists(doc, min_size=2, max_size=7).flatmap(
+        lambda docs: st.integers(1, len(docs) - 1).map(lambda k: (docs, k))
+    )
+    counter = iter(range(10_000))
+
+    @settings(max_examples=5, deadline=None)
+    @given(case)
+    def check(docs_k):
+        docs, k = docs_k
+        rows = [(i, t) for i, t in enumerate(docs)]
+        run = next(counter)
+        p = str(tmp_path / f"pp{run}")
+        build_passage_index(_docs(spark, rows[:k]), p, n=2)
+        ingest_passage_delta(spark, _docs(spark, rows[k:]), p)
+        got = _scrub_rows(spark, p, _docs(spark, rows))
+        want = sorted(
+            map(
+                tuple,
+                remove_repeated_passages(_docs(spark, rows), "text", "doc_id", n=2)
+                .select("doc_id", "text", "n_tokens_after", "n_passages")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    check()

@@ -82,6 +82,10 @@ def positioned_token_grams(
     """
     if n < 2:
         raise ValueError(f"n must be >= 2, got {n}")
+    if id_col in ("pos", "gram"):
+        raise ValueError(
+            f"id_col {id_col!r} collides with the output's pos/gram columns"
+        )
     normed = normalize_text(F.col(text_col))
     pat = rf"(?<=^|\s)(?=((?:\S+ ){{{n - 1}}}\S+))"
     grams = F.regexp_extract_all(normed, F.lit(pat), F.lit(1))
@@ -206,6 +210,18 @@ def _scrub_with_runs(
     reassembly shuffle. Untouched documents keep their normalized token
     stream verbatim.
     """
+    # the bookkeeping columns are appended to the output; silently
+    # shadowing an existing column would corrupt downstream consumers
+    # (the bpe_segment_pandas out_col lesson) — refuse instead
+    clash = {"n_tokens_before", "n_tokens_after", "n_passages"} & set(
+        df.columns
+    ) - {text_col}
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} — rename them "
+            "before scrubbing; the scrub appends bookkeeping columns of "
+            "those names"
+        )
     per_doc = runs.groupBy(id_col).agg(
         F.sort_array(
             F.collect_list(F.struct("start_pos", "end_pos"))

@@ -716,3 +716,23 @@ def test_waterfall_matches_iterative_reference(spark, ns):
     )
     got = _plan_dict(plan_token_budget_waterfall(counts, budget_frac=(13, 10)))
     assert got == _ref_waterfall(ns)
+
+
+def test_waterfall_explicit_int_budget(spark):
+    from neulix_datahub_spark.operators.curation import (
+        plan_token_budget_waterfall,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 1000), ("b", 500)], "source string, n_tokens long"
+    )
+    got = _plan_dict(plan_token_budget_waterfall(counts, budget=1800))
+    # b caps at 1.4 epochs; the freed budget lands on a; sum == budget
+    assert got["b"][2] and not got["a"][2]
+    assert got["b"][3] == 700.0 and got["a"][3] == 1100.0
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        plan_token_budget_waterfall(counts)
+    with pytest.raises(ValueError, match="exactly one"):
+        plan_token_budget_waterfall(counts, budget=5, budget_frac=(1, 1))

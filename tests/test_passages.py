@@ -208,3 +208,21 @@ def test_matching_passages_needle_shorter_than_n(spark):
     bench = spark.createDataFrame([("a b",)], "text string")
     # needles shorter than n carry no n-gram: nothing matches
     assert matching_passages(train, bench, "text", "doc_id", n=3).count() == 0
+
+
+def test_scrub_refuses_bookkeeping_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 7)], "doc_id long, text string, n_passages long"
+    )
+    with pytest.raises(ValueError, match="n_passages"):
+        remove_repeated_passages(df, "text", "doc_id", n=2)
+
+
+def test_positioned_grams_refuses_reserved_id_col(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "pos long, text string")
+    with pytest.raises(ValueError, match="collides"):
+        positioned_token_grams(df, "text", "pos", 2)

@@ -787,6 +787,10 @@ def plan_token_budget_waterfall(
     SOURCE DOMAIN — bounded grain (a corpus has dozens-to-thousands of
     sources, never corpus-proportional rows), the
     ``mixture_resample_plan`` precedent.
+
+    ``n_col`` values must be >= 1 (a zero-token source has weight 0 and
+    an undefined cap/weight ratio; real corpora can't produce one —
+    every document tokenizes to at least the empty-string token).
     """
     if (budget is None) == (budget_frac is None):
         raise ValueError("pass exactly one of budget / budget_frac")

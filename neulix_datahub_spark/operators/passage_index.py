@@ -138,8 +138,11 @@ def _sweep_orphans(path: str, meta: dict) -> None:
 
 
 def _delta_gram_counts(df: DataFrame, meta: dict) -> DataFrame:
-    grams = positioned_token_grams(
-        df, meta["text_col"], meta["id_col"], meta["n"]
+    from neulix_datahub_spark.operators.passages import _with_gram_key
+
+    grams = _with_gram_key(
+        positioned_token_grams(df, meta["text_col"], meta["id_col"], meta["n"]),
+        meta.get("key_mode", "string"),
     )
     return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -150,14 +153,20 @@ def build_passage_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    key_mode: str = "string",
 ) -> dict:
     """One-shot batch build: persist the corpus gram counts and the id
     ledger as ``frag_0`` of generation 0. Parameters are frozen into
-    the sidecar; every later :func:`ingest_passage_delta` reuses them,
-    so the index can never mix gram widths."""
+    the sidecar — including ``key_mode`` (``'hash'`` stores
+    ``xxhash64`` gram keys, the 100 TB at-rest/shuffle-width mode; see
+    ``passages._with_gram_key``) — so the index can never mix gram
+    widths or key kinds."""
+    if key_mode not in ("string", "hash"):
+        raise ValueError(f"key_mode must be 'string' or 'hash', got {key_mode!r}")
     _assert_unique_ids(df, id_col, "build_passage_index")
     meta = {
         "n": n, "text_col": text_col, "id_col": id_col,
+        "key_mode": key_mode,
         "generation": 0, "n_fragments": 0,
     }
     _delta_gram_counts(df, meta).write.mode("overwrite").parquet(
@@ -236,6 +245,8 @@ def scrub_against_passage_index(
     corpus, which is the point."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from neulix_datahub_spark.operators.passages import _with_gram_key
+
     meta = _read_meta(path)
     text_col, id_col, n = meta["text_col"], meta["id_col"], meta["n"]
     repeated = (
@@ -243,7 +254,10 @@ def scrub_against_passage_index(
         .filter(F.col("cnt") >= min_count)
         .select("gram")
     )
-    grams = positioned_token_grams(df, text_col, id_col, n)
+    grams = _with_gram_key(
+        positioned_token_grams(df, text_col, id_col, n),
+        meta.get("key_mode", "string"),
+    )
     hits = grams.join(repeated, "gram", "left_semi").select(id_col, "pos")
     runs = _merge_hits_into_runs(hits, id_col, n)
     return _scrub_with_runs(df, runs, text_col, id_col)

@@ -97,6 +97,20 @@ def positioned_token_grams(
     )
 
 
+def _with_gram_key(grams: DataFrame, key_mode: str) -> DataFrame:
+    """Project the gram identity the aggregate/join runs on. ``string``
+    keeps the literal n-gram (DuckDB-oracle-exact, the fixture mode);
+    ``hash`` replaces it with ``xxhash64(gram)`` — 8 bytes on the wire
+    instead of ~50-byte token strings, the 100 TB shuffle-width mode
+    (identical result modulo 2^-64 collisions; engine-internal, never
+    oracle-visible — the bloom-prefilter stance)."""
+    if key_mode == "string":
+        return grams
+    if key_mode == "hash":
+        return grams.withColumn("gram", F.xxhash64("gram"))
+    raise ValueError(f"key_mode must be 'string' or 'hash', got {key_mode!r}")
+
+
 def _merge_hits_into_runs(hits: DataFrame, id_col: str, n: int) -> DataFrame:
     """Interval union: hit positions (each covering ``n`` tokens) merge
     into disjoint maximal runs per document. A hit starts a new passage
@@ -139,6 +153,7 @@ def repeated_passages(
     id_col: str,
     n: int = 8,
     min_count: int = 2,
+    key_mode: str = "string",
 ) -> DataFrame:
     """Maximal repeated passages: ``(id_col, start_pos, end_pos,
     n_tokens)`` — 0-based inclusive token intervals, disjoint within a
@@ -147,10 +162,15 @@ def repeated_passages(
     An ``n``-gram is *repeated* when it occurs >= ``min_count`` times in
     the whole corpus (total occurrences — a document repeating its own
     passage counts, matching Lee et al.'s substring definition).
+    ``key_mode='hash'`` switches the aggregate/join key to
+    ``xxhash64(gram)`` — the 100 TB shuffle-width mode, result-invariant
+    modulo 2^-64 collisions (see :func:`_with_gram_key`).
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    grams = positioned_token_grams(df, text_col, id_col, n)
+    grams = _with_gram_key(
+        positioned_token_grams(df, text_col, id_col, n), key_mode
+    )
     repeated = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -168,6 +188,7 @@ def matching_passages(
     id_col: str,
     n: int = 8,
     needle_text_col: str = "text",
+    key_mode: str = "string",
 ) -> DataFrame:
     """Passage-level decontamination marks: maximal token runs of ``df``
     covered by ``n``-grams that appear anywhere in ``needles`` (the
@@ -177,8 +198,10 @@ def matching_passages(
     suite that is fixed-size (never grows with corpus scale), so the
     semi-join broadcasts and the training corpus is never shuffled.
     """
-    grams = positioned_token_grams(df, text_col, id_col, n)
-    needle_grams = (
+    grams = _with_gram_key(
+        positioned_token_grams(df, text_col, id_col, n), key_mode
+    )
+    needle_grams = _with_gram_key(
         positioned_token_grams(
             needles.select(
                 F.monotonically_increasing_id().alias("__nid"),
@@ -187,10 +210,9 @@ def matching_passages(
             needle_text_col,
             "__nid",
             n,
-        )
-        .select("gram")
-        .distinct()
-    )
+        ),
+        key_mode,
+    ).select("gram").distinct()
     hits = grams.join(needle_grams, "gram", "left_semi").select(id_col, "pos")
     return _merge_hits_into_runs(hits, id_col, n)
 
@@ -261,11 +283,12 @@ def remove_repeated_passages(
     id_col: str,
     n: int = 8,
     min_count: int = 2,
+    key_mode: str = "string",
 ) -> DataFrame:
     """Excise every corpus-repeated passage (see ``repeated_passages``).
     NOT idempotent by design: removal can butt new token adjacencies
     together (Lee et al. §4.1 accept the same)."""
-    runs = repeated_passages(df, text_col, id_col, n, min_count)
+    runs = repeated_passages(df, text_col, id_col, n, min_count, key_mode)
     return _scrub_with_runs(df, runs, text_col, id_col)
 
 
@@ -276,10 +299,13 @@ def remove_matching_passages(
     id_col: str,
     n: int = 8,
     needle_text_col: str = "text",
+    key_mode: str = "string",
 ) -> DataFrame:
     """Excise every benchmark-matching passage (see
     ``matching_passages``): span-grain decontamination — the document
     survives minus the leaked excerpt, where the document-grain form
     (``curation.benchmark_ngram_contamination``) would drop it whole."""
-    runs = matching_passages(df, needles, text_col, id_col, n, needle_text_col)
+    runs = matching_passages(
+        df, needles, text_col, id_col, n, needle_text_col, key_mode
+    )
     return _scrub_with_runs(df, runs, text_col, id_col)

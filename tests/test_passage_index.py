@@ -281,3 +281,21 @@ def test_incremental_equals_batch_property(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_hash_key_mode_index_matches_string_mode(spark, tmp_path):
+    """A key_mode='hash' index (xxhash64 gram keys at rest and on the
+    wire) must scrub identically to the string-keyed index, and the
+    mode must survive build -> ingest -> compaction."""
+    full = _docs(spark, _PRIOR + _DELTA)
+    ps, ph = str(tmp_path / "s"), str(tmp_path / "h")
+    for path, mode in ((ps, "string"), (ph, "hash")):
+        build_passage_index(_docs(spark, _PRIOR), path, n=3, key_mode=mode)
+        ingest_passage_delta(spark, _docs(spark, _DELTA), path)
+    assert _scrub_rows(spark, ps, full) == _scrub_rows(spark, ph, full)
+    compact_passage_index(spark, ph)
+    assert read_passage_meta(ph)["key_mode"] == "hash"
+    assert _scrub_rows(spark, ps, full) == _scrub_rows(spark, ph, full)
+    # the at-rest gram relation really is hashed (long keys)
+    t = dict(read_passage_gram_counts(spark, ph).dtypes)["gram"]
+    assert t == "bigint"

@@ -226,3 +226,51 @@ def test_positioned_grams_refuses_reserved_id_col(spark):
     df = spark.createDataFrame([(1, "a b c")], "pos long, text string")
     with pytest.raises(ValueError, match="collides"):
         positioned_token_grams(df, "text", "pos", 2)
+
+
+def test_hash_key_mode_is_result_invariant(spark):
+    """key_mode='hash' (the 100 TB shuffle-width mode) must produce the
+    IDENTICAL scrub as the oracle-exact string mode — on the hand
+    corpus, the decontamination path, and the sf0.001 documents
+    fixture."""
+    from neulix_datahub_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    hand = _docs(spark, ["a b c a b c d", "a b c x", "b c a y", "c a b z"])
+    for df, n in ((hand, 3), (load_table(spark, SF_DIR, "documents"), 8)):
+        s = sorted(
+            map(
+                tuple,
+                remove_repeated_passages(
+                    df, "text", "doc_id", n=n, key_mode="string"
+                ).collect(),
+            )
+        )
+        h = sorted(
+            map(
+                tuple,
+                remove_repeated_passages(
+                    df, "text", "doc_id", n=n, key_mode="hash"
+                ).collect(),
+            )
+        )
+        assert s == h
+
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    s = sorted(
+        map(
+            tuple,
+            remove_matching_passages(
+                hand, bench, "text", "doc_id", n=3, key_mode="string"
+            ).collect(),
+        )
+    )
+    h = sorted(
+        map(
+            tuple,
+            remove_matching_passages(
+                hand, bench, "text", "doc_id", n=3, key_mode="hash"
+            ).collect(),
+        )
+    )
+    assert s == h

@@ -870,3 +870,85 @@ def plan_token_budget_waterfall(
             F.round(alloc / F.col(n_col), 6).alias("epochs"),
         )
     )
+
+
+def materialize_epoch_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    n_col: str = "n_tokens",
+    alloc_col: str = "alloc_tokens",
+) -> DataFrame:
+    """Turn a :func:`plan_token_budget_waterfall` allocation into the
+    actual multi-epoch training multiset: source ``s`` with allocation
+    ``a_s`` over ``n_s`` available tokens emits ``q = floor(a_s/n_s)``
+    FULL epochs of every document (rows ``epoch = 0..q-1``) plus a
+    FRACTIONAL epoch (``epoch = q``) holding the content-hash-smallest
+    documents whose cumulative token count fits the remainder
+    ``a_s − q·n_s`` — the deterministic "repeat small sources ~1.4
+    epochs" recipe a data-constrained pretraining run actually executes.
+
+    Returns ``(strata_col, id_col, epoch, n_doc_tokens)``. Deterministic
+    and oracle-replayable: the fractional pick orders by
+    ``md5('emix:'||text)`` (domain-separated salt, ties by id) and takes
+    documents while the running token sum stays within the remainder —
+    so the emitted token total undershoots the allocation by less than
+    one document, never overshoots.
+
+    Scale: the plan is a per-source relation (broadcast); full epochs
+    are a row-local ``explode(sequence)``; the only window is the
+    per-source cumulative sum for the fractional pick — partitioned by
+    source, and at 100 TB a single source outgrowing one task's sort is
+    the two-phase-rank swap documented on ``temperature_mixture_sample``.
+    """
+    from pyspark.sql.window import Window
+
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    toks = F.coalesce(
+        F.size(F.split(normalize_text(F.col(text_col)), " ")), F.lit(0)
+    )
+    p = plan.select(
+        strata_col,
+        F.col(n_col).cast("long").alias("__n"),
+        F.col(alloc_col).cast("double").alias("__alloc"),
+    )
+    joined = df.select(
+        strata_col, id_col, F.col(text_col), toks.alias("__dt")
+    ).join(F.broadcast(p), strata_col)
+    q = F.floor(F.col("__alloc") / F.col("__n")).cast("long")
+    joined = joined.withColumn("__q", q).withColumn(
+        "__frac_toks",
+        F.col("__alloc") - (F.col("__q") * F.col("__n")).cast("double"),
+    )
+    full = (
+        joined.filter(F.col("__q") >= 1)
+        .select(
+            strata_col,
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("__q") - 1)).alias("epoch"),
+            F.col("__dt").alias("n_doc_tokens"),
+        )
+    )
+    key = F.md5(
+        F.concat(F.lit("emix:"), F.coalesce(F.col(text_col), F.lit("")))
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    frac = (
+        joined.withColumn("__cum", F.sum("__dt").over(w))
+        .filter(F.col("__cum") <= F.col("__frac_toks"))
+        .select(
+            strata_col,
+            id_col,
+            F.col("__q").alias("epoch"),
+            F.col("__dt").alias("n_doc_tokens"),
+        )
+    )
+    return full.unionByName(frac)

@@ -635,7 +635,10 @@ def token_budget_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
-_WATERFALL_SQL = r"""
+# Factored (the head/tail lesson): the CTE prefix computes the
+# integer-exact water-filling; _WATERFALL_SQL reads the plan out,
+# _EPOCH_MATERIALIZE_SQL builds the realized epoch multiset on top.
+_WATERFALL_CTES = r"""
 WITH counts AS (
     SELECT source,
            CAST(sum(len(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
@@ -667,18 +670,137 @@ lam AS (
                AS c_capped,
            CAST(sum(CASE WHEN capped THEN 0 ELSE w END) AS BIGINT) AS w_unc
     FROM flagged
+),
+plan AS (
+    SELECT source, n_tokens, cap_tokens, capped,
+           CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
+                ELSE least(CAST(cap_tokens AS DOUBLE),
+                           CAST((b - c_capped) * w AS DOUBLE)
+                           / CAST(w_unc AS DOUBLE)) END AS alloc_raw
+    FROM flagged, lam
 )
+"""
+
+_WATERFALL_SQL = _WATERFALL_CTES + r"""
 SELECT source, n_tokens, cap_tokens, capped,
-       round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-                  ELSE least(CAST(cap_tokens AS DOUBLE),
-                             CAST((b - c_capped) * w AS DOUBLE)
-                             / CAST(w_unc AS DOUBLE)) END, 4) AS alloc_tokens,
-       round(CASE WHEN capped THEN CAST(cap_tokens AS DOUBLE)
-                  ELSE least(CAST(cap_tokens AS DOUBLE),
-                             CAST((b - c_capped) * w AS DOUBLE)
-                             / CAST(w_unc AS DOUBLE)) END / n_tokens, 6)
-           AS epochs
-FROM flagged, lam
+       round(alloc_raw, 4) AS alloc_tokens,
+       round(alloc_raw / n_tokens, 6) AS epochs
+FROM plan
+ORDER BY source
+"""
+
+
+def epoch_plan_materialization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 curation, driver-visible (round 11): the waterfall plan
+    REALIZED — ``materialize_epoch_plan`` turns each source's
+    allocation into ``floor(alloc/n)`` full epochs of every document
+    plus a content-hash-picked fractional epoch whose running token sum
+    fits the remainder. Emits per source: full-epoch count, rows and
+    tokens actually materialized, the plan's allocation, and the fill
+    ratio (undershoots by < one document's tokens, never overshoots —
+    the per-source invariant a data-constrained pretraining run needs).
+
+    The DuckDB oracle replays plan + materialization end-to-end: the
+    integer-exact water-filling CTEs, the same md5('emix:'||text)
+    fractional ordering, generate_series epoch fan-out, and the
+    running-sum cutoff."""
+    from neulix_datahub_spark.operators.curation import (
+        materialize_epoch_plan,
+        plan_token_budget_waterfall,
+    )
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(0)
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("n_tokens")
+    )
+    plan = plan_token_budget_waterfall(
+        counts, budget_frac=(13, 10), cap_frac=(7, 5)
+    )
+    mat = materialize_epoch_plan(docs, plan)
+    per = mat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_emitted"),
+        F.sum("n_doc_tokens").cast("long").alias("tokens_emitted"),
+    )
+    return (
+        plan.select(
+            "source",
+            "n_tokens",
+            "alloc_tokens",
+            F.floor(F.col("alloc_tokens") / F.col("n_tokens"))
+            .cast("long")
+            .alias("full_epochs"),
+        )
+        .join(per, "source", "left")
+        .select(
+            "source",
+            "full_epochs",
+            F.coalesce("n_rows_emitted", F.lit(0)).cast("long").alias(
+                "n_rows_emitted"
+            ),
+            F.coalesce("tokens_emitted", F.lit(0)).cast("long").alias(
+                "tokens_emitted"
+            ),
+            "alloc_tokens",
+            F.round(
+                F.coalesce("tokens_emitted", F.lit(0)) / F.col("alloc_tokens"),
+                6,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_EPOCH_MATERIALIZE_SQL = _WATERFALL_CTES + r"""
+, rounded AS (
+    SELECT source, n_tokens, round(alloc_raw, 4) AS alloc FROM plan
+),
+dtok AS (
+    SELECT doc_id, source,
+           COALESCE(len(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')), 0) AS d_toks,
+           md5('emix:' || COALESCE(text, '')) AS k
+    FROM documents
+),
+qq AS (
+    SELECT source, n_tokens, alloc,
+           CAST(floor(alloc / n_tokens) AS BIGINT) AS fe,
+           alloc - CAST(CAST(floor(alloc / n_tokens) AS BIGINT) * n_tokens
+                        AS DOUBLE) AS frac_toks
+    FROM rounded
+),
+full_rows AS (
+    SELECT d.doc_id, d.source, d.d_toks
+    FROM dtok d JOIN qq USING (source),
+         LATERAL unnest(generate_series(1, qq.fe)) AS u(e)
+    WHERE qq.fe >= 1
+),
+cum_rows AS (
+    SELECT d.doc_id, d.source, d.d_toks, qq.frac_toks,
+           sum(d.d_toks) OVER (PARTITION BY d.source ORDER BY d.k, d.doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM dtok d JOIN qq USING (source)
+),
+frac_rows AS (
+    SELECT doc_id, source, d_toks FROM cum_rows WHERE cum <= frac_toks
+),
+allrows AS (
+    SELECT * FROM full_rows UNION ALL SELECT * FROM frac_rows
+),
+agg AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_rows_emitted,
+           CAST(sum(d_toks) AS BIGINT) AS tokens_emitted
+    FROM allrows GROUP BY source
+)
+SELECT q.source,
+       q.fe AS full_epochs,
+       COALESCE(a.n_rows_emitted, 0) AS n_rows_emitted,
+       COALESCE(a.tokens_emitted, 0) AS tokens_emitted,
+       q.alloc AS alloc_tokens,
+       round(COALESCE(a.tokens_emitted, 0) / q.alloc, 6) AS fill_ratio
+FROM qq q LEFT JOIN agg a USING (source)
 ORDER BY source
 """
 
@@ -3154,6 +3276,12 @@ LLM_QUERIES = {
         _WATERFALL_SQL,
         "L7 token-budget epoch planner: sqrt-temperature water-filling "
         "with integer-exact cap decisions",
+    ),
+    "epoch_plan_materialization_stats": (
+        epoch_plan_materialization_stats,
+        _EPOCH_MATERIALIZE_SQL,
+        "L7 epoch-plan materialization: full epochs + content-hash "
+        "fractional epoch, never overshooting the allocation",
     ),
     "contamination_by_lang": (
         contamination_by_lang,

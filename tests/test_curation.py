@@ -736,3 +736,54 @@ def test_waterfall_explicit_int_budget(spark):
         plan_token_budget_waterfall(counts)
     with pytest.raises(ValueError, match="exactly one"):
         plan_token_budget_waterfall(counts, budget=5, budget_frac=(1, 1))
+
+
+def test_epoch_materialization_multiplicities_and_bound(spark):
+    """Every document appears exactly q or q+1 times (q = full epochs of
+    its source); the emitted token total never exceeds the allocation
+    and undershoots by less than one document; re-runs are identical."""
+    from neulix_datahub_spark.operators.curation import (
+        materialize_epoch_plan,
+        plan_token_budget_waterfall,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s0" if i < 6 else "s1", " ".join(f"w{i}x{j}" for j in range(3 + i % 4)))
+            for i in range(12)
+        ],
+        "doc_id long, source string, text string",
+    )
+    toks = F.size(F.split(F.col("text"), " "))
+    counts = docs.groupBy("source").agg(F.sum(toks).cast("long").alias("n_tokens"))
+    plan = plan_token_budget_waterfall(counts, budget_frac=(17, 10))
+    mat = materialize_epoch_plan(docs, plan)
+
+    per_doc = {
+        (r["source"], r["doc_id"]): r["count"]
+        for r in mat.groupBy("source", "doc_id").count().collect()
+    }
+    plan_rows = {r["source"]: r for r in plan.collect()}
+    import math
+
+    for (src, _), c in per_doc.items():
+        q = math.floor(plan_rows[src]["alloc_tokens"] / plan_rows[src]["n_tokens"])
+        assert c in (q, q + 1), (src, c, q)
+
+    per_src = {
+        r["source"]: r["sum(n_doc_tokens)"]
+        for r in mat.groupBy("source").agg(F.sum("n_doc_tokens")).collect()
+    }
+    doc_toks = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source").agg(F.max(toks).alias("m")).collect()
+    }
+    for src, emitted in per_src.items():
+        alloc = plan_rows[src]["alloc_tokens"]
+        assert emitted <= alloc
+        assert alloc - emitted < doc_toks[src] + 1
+
+    again = materialize_epoch_plan(docs, plan)
+    assert sorted(map(tuple, mat.collect())) == sorted(
+        map(tuple, again.collect())
+    )

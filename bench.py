@@ -89,6 +89,11 @@ HEADLINE = (
     # anchored the round it ships.
     "passage_scrub_stats",
     "incremental_passage_scrub_stats",
+    # round 11 (late): the L7 planner pair — water-filling allocation
+    # and its realized epoch multiset (plan broadcast + explode +
+    # per-source cumsum window), anchored the round they ship.
+    "token_budget_waterfall",
+    "epoch_plan_materialization_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

@@ -94,6 +94,9 @@ HEADLINE = (
     # per-source cumsum window), anchored the round they ship.
     "token_budget_waterfall",
     "epoch_plan_materialization_stats",
+    # round 11 (late): in-engine classifier training — 10 GD rounds,
+    # one 4-integer aggregate each over the pinned feature projection.
+    "trained_classifier_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

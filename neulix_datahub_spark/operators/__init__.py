@@ -17,6 +17,10 @@ from neulix_datahub_spark.operators.semantic_index import (
     ingest_semantic_delta,
     semantic_survivors,
 )
+from neulix_datahub_spark.operators.classifier import (
+    logistic_score,
+    train_logistic_classifier,
+)
 from neulix_datahub_spark.operators.components import (
     canonical_by_components,
     dedup_by_components,
@@ -53,6 +57,8 @@ __all__ = [
     "compact_dedup_index",
     "dedup_survivors",
     "canonical_index_survivors",
+    "train_logistic_classifier",
+    "logistic_score",
     "build_semantic_index",
     "compact_semantic_index",
     "ingest_semantic_delta",

@@ -2379,11 +2379,12 @@ _PRIORITY_R11 = [
     "promo_window_revenue",
 ]
 # ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
-# prefix. Lead round 12 with the two tail-registered round-11 queries
-# that did not fit this window (token_budget_waterfall and
-# epoch_plan_materialization_stats — both sim-green at sf0.01, see
-# COVERAGE.md; the 26 r5-era stale greens outranked them for the 50
-# slots), then any round-11/12 implementation changes and red-row
+# prefix. Lead round 12 with the three tail-registered round-11 queries
+# that did not fit this window (token_budget_waterfall,
+# epoch_plan_materialization_stats and trained_classifier_stats — all
+# sim-green at sf0.01, see COVERAGE.md; the 26 r5-era stale greens
+# outranked them for the 50 slots), then any round-11/12
+# implementation changes and red-row
 # fixes, then the remaining r6-era stale greens in registration
 # order (prefix_filter_pairs, mixture_resample_plan,
 # priority_sample_check, zorder_bucket_stats, incremental_agg_check,

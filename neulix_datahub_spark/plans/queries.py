@@ -2379,10 +2379,11 @@ _PRIORITY_R11 = [
     "promo_window_revenue",
 ]
 # ROUND 12 NOTE: rotate ONLY AFTER the round-11 driver run consumes this
-# prefix. Lead round 12 with the three tail-registered round-11 queries
+# prefix. Lead round 12 with the four tail-registered round-11 queries
 # that did not fit this window (token_budget_waterfall,
-# epoch_plan_materialization_stats and trained_classifier_stats — all
-# sim-green at sf0.01, see COVERAGE.md; the 26 r5-era stale greens
+# epoch_plan_materialization_stats, trained_classifier_stats and
+# classifier_holdout_stats — all sim-green at sf0.01, see COVERAGE.md;
+# the 26 r5-era stale greens
 # outranked them for the 50 slots), then any round-11/12
 # implementation changes and red-row
 # fixes, then the remaining r6-era stale greens in registration

@@ -693,15 +693,21 @@ ORDER BY source
 _LOGREG_ITERS, _LOGREG_LR, _LOGREG_QUANT = 10, 0.1, 1_000_000
 
 # integer feature construction shared by engine and oracle (centered,
-# |x| <= ~16 so plain GD converges; see operators/classifier.py)
+# |x| <= ~16 so plain GD converges; see operators/classifier.py).
+# `split` is the content-hash train/holdout assignment (hash_split's
+# 'split:' salt, 0.8 cutoff = 'cccc'); the base query trains on ALL
+# rows, the holdout query on the train slice only.
 _LOGREG_FEAT_SQL = r"""
 WITH toks AS (
     SELECT lang,
+           CASE WHEN substring(md5('split:' || COALESCE(text, '')), 1, 4)
+                     < 'cccc'
+                THEN 'train' ELSE 'holdout' END AS split,
            string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS t
     FROM documents
 ),
 feat AS (
-    SELECT lang,
+    SELECT lang, split,
            CAST(floor(len(t) / 16) AS BIGINT) - 10 AS f1,
            CAST(floor(floor(100.0 * len(list_distinct(t)) / len(t)) / 8)
                 AS BIGINT) - 6 AS f2,
@@ -711,21 +717,30 @@ feat AS (
                AS y
     FROM toks
 ),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
 w0 AS (SELECT 0.0 AS b, 0.0 AS wa, 0.0 AS wb, 0.0 AS wc)
 """
 
 
 def _logreg_oracle_sql(
+    final_sql: str,
+    train_where: str = "",
     iters: int = _LOGREG_ITERS,
     lr: float = _LOGREG_LR,
     quant: int = _LOGREG_QUANT,
 ) -> str:
     """Assemble the unrolled-GD oracle (the batched-BPE 16-CTE
     precedent): iteration i computes four exact INTEGER gradient sums
-    from the fixed-point-quantized residual, then the next weight row
-    by the same two correctly-rounded double ops the engine performs."""
-    parts = [_LOGREG_FEAT_SQL]
+    from the fixed-point-quantized residual over the TRAINING slice
+    (``train_where``), then the next weight row by the same two
+    correctly-rounded double ops the engine performs; ``final_sql``
+    reads the scored corpus out."""
+    parts = [
+        _LOGREG_FEAT_SQL.replace(
+            "w0 AS",
+            f"nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feat "
+            f"{train_where}),\nw0 AS",
+        )
+    ]
     for i in range(iters):
         parts.append(f""",
 g{i} AS MATERIALIZED (
@@ -737,7 +752,7 @@ g{i} AS MATERIALIZED (
         SELECT f1, f2, f3,
                CAST(floor({quant} * (1.0 / (1.0 + exp(-(w.b + w.wa * f1
                     + w.wb * f2 + w.wc * f3))) - y)) AS BIGINT) AS rq
-        FROM feat, w{i} w
+        FROM feat, w{i} w {train_where}
     )
 ),
 w{i + 1} AS (
@@ -747,7 +762,21 @@ w{i + 1} AS (
            w.wc - {lr} * (g.g3 / ({quant} * nn.n)) AS wc
     FROM w{i} w, g{i} g, nn
 )""")
-    parts.append(f"""
+    parts.append(f""",
+scored AS (
+    SELECT lang, split, y,
+           1.0 / (1.0 + exp(-(w.b + w.wa * f1 + w.wb * f2 + w.wc * f3)))
+               AS s,
+           w.b, w.wa, w.wb, w.wc
+    FROM feat, w{iters} w
+)
+""")
+    parts.append(final_sql.format(quant=quant))
+    return "".join(parts)
+
+
+_TRAINED_CLASSIFIER_SQL = _logreg_oracle_sql(
+    """
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -757,19 +786,25 @@ SELECT lang,
        round(any_value(wa), 6) AS w_f1,
        round(any_value(wb), 6) AS w_f2,
        round(any_value(wc), 6) AS w_f3
-FROM (
-    SELECT lang,
-           1.0 / (1.0 + exp(-(w.b + w.wa * f1 + w.wb * f2 + w.wc * f3)))
-               AS s,
-           w.b, w.wa, w.wb, w.wc
-    FROM feat, w{iters} w
-)
+FROM scored
 GROUP BY lang
-ORDER BY lang""")
-    return "".join(parts)
+ORDER BY lang"""
+)
 
-
-_TRAINED_CLASSIFIER_SQL = _logreg_oracle_sql()
+_HOLDOUT_CLASSIFIER_SQL = _logreg_oracle_sql(
+    """
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(floor({quant} * s) AS BIGINT)) AS DOUBLE)
+             / ({quant}.0 * count(*)), 4) AS avg_score
+FROM scored
+GROUP BY split
+ORDER BY split""",
+    train_where="WHERE split = 'train'",
+)
 
 
 def trained_classifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +874,77 @@ def trained_classifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_f2", F.round(F.lit(w[2]), 6))
         .withColumn("w_f3", F.round(F.lit(w[3]), 6))
         .orderBy("lang")
+    )
+
+
+def classifier_holdout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ model evaluation (round 11): the leakage-safe ML loop —
+    content-hash 80/20 split (``curation.hash_split``: exact duplicates
+    land in the SAME split, so holdout never sees a byte-identical
+    twin of a training doc), train the logistic model on the TRAIN
+    slice only, score BOTH slices. Emits per split: docs, correct
+    predictions against the weak labels, kept share, quantized mean
+    score — the holdout row is the one that certifies the model
+    generalizes rather than memorizes.
+
+    The DuckDB oracle replays split assignment (same md5 'split:' salt
+    and 'cccc' cutoff), all 10 GD iterations over the train slice, and
+    both evaluations."""
+    from neulix_datahub_spark.operators.classifier import (
+        logistic_score,
+        train_logistic_classifier,
+    )
+    from neulix_datahub_spark.operators.curation import hash_split
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "holdout": 0.2},
+    )
+    t = F.split(normalize_text(F.col("text")), " ")
+    tot, dis = F.size(t), F.size(F.array_distinct(t))
+    mx = F.array_max(F.transform(t, lambda x: F.length(x)))
+    feat = docs.select(
+        "split",
+        (F.floor(tot / F.lit(16)).cast("long") - 10).alias("f1"),
+        (
+            F.floor(F.floor(F.lit(100.0) * dis / tot) / F.lit(8)).cast("long")
+            - 6
+        ).alias("f2"),
+        (mx.cast("long") - 5).alias("f3"),
+        (F.lit(2) * dis >= tot).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    w = train_logistic_classifier(
+        feat.filter(F.col("split") == "train"),
+        ["f1", "f2", "f3"],
+        "y",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+        quant=_LOGREG_QUANT,
+    )
+    s = logistic_score(w, ["f1", "f2", "f3"])
+    sq = F.floor(F.lit(float(_LOGREG_QUANT)) * s).cast("long")
+    return (
+        feat.select(
+            "split",
+            "y",
+            s.alias("__s"),
+            sq.alias("__sq"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                ((F.col("__s") >= 0.5) == (F.col("y") == 1)).cast("bigint")
+            ).alias("n_correct"),
+            F.sum((F.col("__s") >= 0.5).cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum("__sq").cast("double")
+                / (F.lit(float(_LOGREG_QUANT)) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_score"),
+        )
+        .orderBy("split")
     )
 
 
@@ -3440,6 +3546,12 @@ LLM_QUERIES = {
         _TRAINED_CLASSIFIER_SQL,
         "L4+ in-engine logistic-regression TRAINING (10 GD iterations, "
         "fixed-point gradients; oracle replays every step)",
+    ),
+    "classifier_holdout_stats": (
+        classifier_holdout_stats,
+        _HOLDOUT_CLASSIFIER_SQL,
+        "L4+ leakage-safe evaluation: content-hash 80/20 split, train "
+        "on train only, holdout accuracy oracle-replayed",
     ),
     "contamination_by_lang": (
         contamination_by_lang,

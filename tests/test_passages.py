@@ -274,3 +274,54 @@ def test_hash_key_mode_is_result_invariant(spark):
         )
     )
     assert s == h
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    scores=st.lists(st.integers(0, 5), min_size=10, max_size=10),
+)
+@settings(max_examples=8, deadline=None)
+def test_canonical_matches_union_find_reference(spark, edges, scores):
+    """Property: on random edge lists and scores, the engine's
+    argmax-per-component survivor set equals an independent pure-Python
+    union-find + argmax replay (ties by min id)."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "id long, score long"
+    )
+    if edges:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    else:
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = sorted(
+        r["id"]
+        for r in canonical_by_components(df, pairs, "id", "score").collect()
+    )
+
+    parent = list(range(10))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    clustered = {v for e in edges for v in e}
+    for i in clustered:
+        comps.setdefault(find(i), []).append(i)
+    losers = set()
+    for members in comps.values():
+        winner = max(members, key=lambda i: (scores[i], -i))
+        losers |= set(members) - {winner}
+    want = sorted(i for i in range(10) if i not in losers)
+    assert got == want

@@ -896,7 +896,10 @@ def materialize_epoch_plan(
     ``md5('emix:'||text)`` (domain-separated salt, ties by id) and takes
     documents while the running token sum stays within the remainder —
     so the emitted token total undershoots the allocation by less than
-    one document, never overshoots.
+    one document, never overshoots. Zero-token documents are excluded
+    from the fractional pick (they would otherwise ride any prefix for
+    free and appear with ``q+1`` multiplicity even at remainder 0);
+    they still receive their ``q`` full epochs.
 
     Scale: the plan is a per-source relation (broadcast); full epochs
     are a row-local ``explode(sequence)``; the only window is the
@@ -941,8 +944,13 @@ def materialize_epoch_plan(
         .orderBy(key, F.col(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # zero-token (NULL/blank-text) docs would ride any prefix for free
+    # (they never advance the running sum), entering the fractional
+    # epoch even at remainder 0 with q+1 multiplicity — exclude them
+    # from the candidates (they still get their q full epochs)
     frac = (
-        joined.withColumn("__cum", F.sum("__dt").over(w))
+        joined.filter(F.col("__dt") > 0)
+        .withColumn("__cum", F.sum("__dt").over(w))
         .filter(F.col("__cum") <= F.col("__frac_toks"))
         .select(
             strata_col,

@@ -200,12 +200,12 @@ def ingest_passage_delta(spark: SparkSession, delta: DataFrame, path: str) -> di
         spark.read.parquet(*_committed_frags(path, meta, "ids"))
         .select(F.col("id").alias(id_col))
     )
-    new = delta.join(known, id_col, "left_anti")
-    if new.isEmpty():
+    # pin FIRST: the anti-join feeds the emptiness probe, the gram
+    # counts, the id projection and the count — one execution, not four
+    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = new.count()
+    if n_new == 0:
         return {"n_new": 0, "n_fragments": meta["n_fragments"]}
-    # pin: the anti-join feeds the gram counts, the id projection and
-    # the count — one execution, not three
-    new = new.localCheckpoint(eager=True)
     _assert_unique_ids(new, id_col, "ingest_passage_delta")
 
     k = meta["n_fragments"]
@@ -215,7 +215,6 @@ def ingest_passage_delta(spark: SparkSession, delta: DataFrame, path: str) -> di
     new.select(F.col(id_col).alias("id")).write.mode("overwrite").parquet(
         _frag_dir(path, meta, "ids", k)
     )
-    n_new = new.count()
     meta["n_fragments"] = k + 1  # the commit
     meta["n_docs"] = meta["n_docs"] + n_new
     _write_meta(path, meta, _PASSAGE_META)

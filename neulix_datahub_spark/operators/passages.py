@@ -237,7 +237,7 @@ def _scrub_with_runs(
     # (the bpe_segment_pandas out_col lesson) — refuse instead
     clash = {"n_tokens_before", "n_tokens_after", "n_passages"} & set(
         df.columns
-    ) - {text_col}
+    )
     if clash:
         raise ValueError(
             f"input already has column(s) {sorted(clash)} — rename them "

@@ -1042,7 +1042,11 @@ cum_rows AS (
     FROM dtok d JOIN qq USING (source)
 ),
 frac_rows AS (
-    SELECT doc_id, source, d_toks FROM cum_rows WHERE cum <= frac_toks
+    -- zero-token docs are excluded from the fractional pick (engine
+    -- parity: they never advance the running sum, so without this they
+    -- would enter any remainder, even 0, with q+1 multiplicity)
+    SELECT doc_id, source, d_toks FROM cum_rows
+    WHERE cum <= frac_toks AND d_toks > 0
 ),
 allrows AS (
     SELECT * FROM full_rows UNION ALL SELECT * FROM frac_rows

@@ -84,7 +84,73 @@ def test_refusals(spark):
     _, df = _toy(spark)
     with pytest.raises(ValueError, match="iters"):
         train_logistic_classifier(df, ["f1"], "y", iters=0)
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="non-NULL"):
         train_logistic_classifier(
             df.filter(F.lit(False)), ["f1"], "y", iters=1
         )
+    # an all-NULL slice is refused with the same clear message (it used
+    # to surface as an opaque TypeError from a NULL aggregate)
+    with pytest.raises(ValueError, match="non-NULL"):
+        train_logistic_classifier(
+            df.select("y", F.lit(None).cast("int").alias("f1")),
+            ["f1"],
+            "y",
+            iters=1,
+        )
+    with pytest.raises(ValueError, match="initial_weights"):
+        train_logistic_classifier(
+            df, ["f1"], "y", iters=1, initial_weights=[0.0, 0.0, 0.0]
+        )
+
+
+def test_warm_start_equals_continued_gd(spark):
+    # the only training state is the weight vector, so
+    # train(iters=a+b) == train(iters=a) then warm-start train(iters=b)
+    # — BIT-identical, not approximately
+    _, df = _toy(spark)
+    full = train_logistic_classifier(df, ["f1", "f2"], "y", iters=8, lr=0.2)
+    head = train_logistic_classifier(df, ["f1", "f2"], "y", iters=5, lr=0.2)
+    resumed = train_logistic_classifier(
+        df, ["f1", "f2"], "y", iters=3, lr=0.2, initial_weights=head
+    )
+    assert resumed == full
+
+
+def test_null_rows_excluded_from_n(spark):
+    # rows with a NULL feature or label contribute nothing to the
+    # gradient sums AND are excluded from n (they used to dilute the
+    # effective learning rate silently)
+    rows, df = _toy(spark)
+    nulls = spark.createDataFrame(
+        [(1000, None, 1, 0), (1001, 2, None, 1), (1002, 1, 1, None)],
+        "id long, f1 long, f2 long, y int",
+    )
+    got = train_logistic_classifier(
+        df.unionByName(nulls), ["f1", "f2"], "y", iters=4, lr=0.2
+    )
+    want = train_logistic_classifier(df, ["f1", "f2"], "y", iters=4, lr=0.2)
+    assert got == want
+
+
+def test_sidecar_refresh_lifecycle(spark, tmp_path):
+    # save → refresh twice on an unchanged relation == one 9-iter run
+    # from zero; the sidecar pointer advances iters_done each commit
+    from neulix_datahub_spark.operators.classifier import (
+        load_classifier,
+        refresh_classifier,
+        save_classifier,
+    )
+
+    _, df = _toy(spark)
+    path = str(tmp_path / "clf")
+    w3 = train_logistic_classifier(df, ["f1", "f2"], "y", iters=3, lr=0.2)
+    save_classifier(path, w3, ["f1", "f2"], "y", lr=0.2, quant=1_000_000,
+                    iters_done=3)
+    refresh_classifier(df, path, iters=3)
+    meta = refresh_classifier(df, path, iters=3)
+    assert meta["iters_done"] == 9
+    assert meta["feature_cols"] == ["f1", "f2"]
+    full = train_logistic_classifier(df, ["f1", "f2"], "y", iters=9, lr=0.2)
+    assert meta["weights"] == full
+    # JSON round-trip is exact (repr-based doubles)
+    assert load_classifier(path)["weights"] == full

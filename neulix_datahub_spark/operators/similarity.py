@@ -807,3 +807,174 @@ def hard_negative_candidates(
     return _probe_top_k(
         df, probe_ids, k, vec_col, id_col, sim_ceiling=sim_ceiling
     )
+
+
+def _block_dot(q_block: list[float], c_block: list[float]) -> float:
+    """Left-to-right double dot product of two Python float blocks —
+    the SAME accumulation order as :func:`_dot`'s fold and the oracle's
+    ``list_sum(list_transform(...))``, so driver-side scalars derived
+    from collected centroids are bit-identical across engines."""
+    acc = 0.0
+    for x, y in zip(q_block, c_block):
+        acc += float(x) * float(y)
+    return acc
+
+
+def ivf_pq_search(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    coarse_k: int = 8,
+    coarse_iters: int = 3,
+    n_probes: int = 2,
+    pq_k: int = 8,
+    pq_iters: int = 3,
+    top_cells: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, dict]:
+    """IVF-PQ composed retrieval (SURVEY §2.11 L3, round 12): the
+    three-stage ANN funnel a production vector store runs — coarse
+    quantizer prune → product-quantization approximate rank → exact
+    re-rank — as ONE declarative query. Returns ``(top-k DataFrame
+    (id, score), info dict)`` where info carries the funnel counts
+    (``n_candidates`` after the coarse probe, ``n_shortlist`` after the
+    PQ cut) that prove each stage actually pruned.
+
+    Stage 1 — IVF coarse probe: a deterministic k-means coarse
+    quantizer (:func:`~neulix_datahub_spark.operators.clustering
+    .kmeans_lloyd`: md5-seeded init, argmin assignment, so a DuckDB
+    oracle replays every step) partitions the corpus into ``coarse_k``
+    cells; the query probes its ``n_probes`` nearest coarse centroids
+    (driver-side argmin over k·d floats) and only those cells'
+    vectors survive. (The LSH-bucketed :func:`ivf_top_k` family covers
+    the data-independent-bucketing regime; the k-means coarse quantizer
+    here is the classic IVF formulation and, unlike xxhash64 planes,
+    is exactly replayable in SQL — every count this function emits can
+    be hash-checked, not just bound-pinned.)
+
+    Stage 2 — PQ shortlist: the vector splits into two halves, each
+    with its own ``pq_k``-codeword codebook (two more deterministic
+    Lloyd runs — the pq_codebook_profile machinery); a candidate's
+    approximate score is the cosine between the query and its CELL
+    reconstruction (concatenated codewords), which depends only on the
+    (code0, code1) cell — so the per-subspace dot/norm tables are
+    computed ONCE driver-side (pq_k·2 scalars, asymmetric-distance
+    style) and the cut keeps candidates in the ``top_cells``
+    best-scoring cells OF ALL pq_k² cells (cell-grain cut: no
+    within-cell tie-break on row ids, so near-duplicate vectors in one
+    cell never straddle the cut; ranking the fixed k² cell table is
+    data-size-independent and happens on the driver).
+
+    Stage 3 — exact re-rank: full-precision cosine over the shortlist
+    only, 6-dp-rounded, id tie-break — the same contract as
+    :func:`cosine_top_k`.
+
+    Scale: stages 1-2 are narrow projections with literal centroid
+    arrays (no shuffle, no UDF); the only wide op is stage 3's
+    TakeOrderedAndProject over the shortlist. Driver traffic is
+    O(coarse_k·d + pq_k·d) floats — never rows. At 100 TB the corpus
+    would be written partitioned by coarse cell (build_ivf_index's
+    layout) so stage 1 is directory pruning; compose via
+    ``build_ivf_index`` + this function's stages 2-3 over the probed
+    read."""
+    import math
+
+    from neulix_datahub_spark.operators.clustering import kmeans_lloyd
+
+    d = len(query_vector)
+    if d % 2 != 0:
+        raise ValueError(f"vector dim must be even for 2 subspaces, got {d}")
+    half = d // 2
+    q = [float(x) for x in query_vector]
+
+    # stage 1: coarse quantizer + driver-side probe selection
+    assigned, coarse = kmeans_lloyd(
+        df, k=coarse_k, iters=coarse_iters, vec_col=vec_col, id_col=id_col
+    )
+    d2 = []
+    for ci, c in enumerate(coarse):
+        acc = 0.0
+        for i in range(d):
+            diff = q[i] - float(c[i])
+            acc += diff * diff
+        d2.append((acc, ci))
+    probes = [ci for _, ci in sorted(d2)[:n_probes]]
+    cand = assigned.filter(F.col("cluster").isin(*probes))
+
+    # stage 2: per-subspace codebooks + cell-grain ADC cut
+    subspaces = [(1, half), (half + 1, half)]
+    codebooks = []
+    for start, ln in subspaces:
+        sub = df.select(
+            F.col(id_col), F.slice(vec_col, start, ln).alias("embedding")
+        )
+        _, cents = kmeans_lloyd(
+            sub, k=pq_k, iters=pq_iters, vec_col="embedding", id_col=id_col
+        )
+        codebooks.append(cents)
+    # asymmetric tables: per codeword, dot(q_sub, codeword) and |codeword|²
+    dots, norm2 = [], []
+    for s, (start, ln) in enumerate(subspaces):
+        q_sub = q[start - 1 : start - 1 + ln]
+        dots.append([_block_dot(q_sub, c) for c in codebooks[s]])
+        norm2.append([_block_dot(c, c) for c in codebooks[s]])
+    qn = math.sqrt(_block_dot(q, q))
+    cells = []
+    for c0 in range(pq_k):
+        for c1 in range(pq_k):
+            denom = qn * math.sqrt(norm2[0][c0] + norm2[1][c1])
+            score = (dots[0][c0] + dots[1][c1]) / denom
+            cells.append((score, c0, c1))
+    cells.sort(key=lambda t: (-t[0], t[1], t[2]))
+    kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
+
+    def _code(sub_vec: Column, cents: list[list[float]]) -> Column:
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub_vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in cents
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    coded = cand.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _code(F.slice(vec_col, 1, half), codebooks[0]).alias("__c0"),
+        _code(F.slice(vec_col, half + 1, half), codebooks[1]).alias("__c1"),
+    )
+    keep = F.array(
+        *[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells]
+    )
+    shortlist = coded.filter(
+        F.array_contains(keep, F.col("__c0") * pq_k + F.col("__c1"))
+    )
+
+    # stage 3: exact re-rank over the shortlist
+    topk = (
+        shortlist.select(
+            F.col(id_col),
+            F.round(
+                _cosine_to_literal(F.col(vec_col), q), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+    info = {
+        "probes": probes,
+        "kept_cells": kept_cells,
+        "n_candidates": cand.count(),
+        "n_shortlist": shortlist.count(),
+    }
+    return topk, info

@@ -2896,3 +2896,48 @@ def test_text_tier_oracle_vt_whitespace_parity(spark):
     finally:
         qllm.load_table = orig
     assert_frames_match(got, con.execute(_CHAR_ENTROPY_SQL).df())
+
+
+def test_ivf_pq_search_degenerate_equals_brute_force(spark):
+    # with every coarse cell probed and every PQ cell kept, the funnel
+    # prunes nothing — the composed search must equal exact brute-force
+    # top-k (same 6-dp rounding, same id tie-break)
+    from neulix_datahub_spark.operators.similarity import (
+        cosine_top_k,
+        ivf_pq_search,
+    )
+    from neulix_datahub_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    q = [float(x) for x in emb.first()["embedding"]]
+    full = ivf_pq_search(
+        emb, q, k=5, coarse_k=4, coarse_iters=1, n_probes=4,
+        pq_k=2, pq_iters=1, top_cells=4,
+    )
+    topk, info = full
+    assert info["n_candidates"] == info["n_shortlist"] == emb.count()
+    brute = [
+        (r.vec_id, r.score)
+        for r in cosine_top_k(emb, q, k=5).select(
+            "vec_id", F.round("score", 6).alias("score")
+        ).collect()
+    ]
+    got = [(r.vec_id, r.score) for r in topk.collect()]
+    assert got == brute
+
+
+def test_ivf_pq_search_refuses_odd_dim(spark):
+    import pytest
+
+    from neulix_datahub_spark.operators.similarity import ivf_pq_search
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="even"):
+        ivf_pq_search(df, [1.0, 2.0, 3.0])

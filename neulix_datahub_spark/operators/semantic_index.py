@@ -76,6 +76,17 @@ from neulix_datahub_spark.operators.similarity import (
 
 _SEM_META = "_SEMANTIC_META.json"
 
+# ``candidates="auto"`` crossover: below this many corpus rows the
+# all-pairs exact mode wins (O(n²) on a small n beats the banding
+# projection + band-join overhead, and it is the recall-1.0 baseline);
+# at or above it the banded equi-join is the only shape that survives
+# growth — the delta×corpus cross scales as corpus size, the band join
+# as collision count. Conservative: 50k rows × 50k ≈ 2.5e9 candidate
+# pairs is already far past where banding wins, but below 50k either
+# mode finishes in seconds, so auto only leaves the exact baseline
+# when the cross join is clearly the wrong plan.
+_AUTO_BANDED_MIN_ROWS = 50_000
+
 
 def read_semantic_meta(path: str) -> dict:
     import json
@@ -208,7 +219,7 @@ def build_semantic_index(
     doc_id_col: str = "doc_id",
     text_col: str = "text",
     max_iter: int = 10,
-    candidates: str = "exact",
+    candidates: str = "auto",
     num_planes: int = 128,
     bands: int = 16,
     seed: int = 42,
@@ -217,12 +228,35 @@ def build_semantic_index(
     all-pairs, or ``"banded"`` sign-LSH band collisions + exact-cosine
     precision stage with a persisted ``bands_v0`` relation) → exact
     bigram-Jaccard verify → connected components, persisted with the
-    parameters frozen into the sidecar."""
+    parameters frozen into the sidecar.
+
+    ``candidates="auto"`` (the default — the bpe ``rewrite="auto"``
+    precedent) counts the corpus once at build time and picks
+    ``exact`` below :data:`_AUTO_BANDED_MIN_ROWS` rows (all-pairs is
+    cheaper than banding overhead on a small corpus and is the honest
+    recall baseline), ``banded`` at or above it (the delta×corpus
+    cross join is the non-scale shape — band equi-joins replace it).
+    The RESOLVED mode is what freezes into the sidecar, so every
+    subsequent ingest follows it; auto never changes results, only
+    the candidate plan, because both modes feed the same exact-cosine
+    precision stage."""
     _validate_grid_threshold(cos_threshold)
     _validate_grid_threshold(jaccard_threshold)
-    if candidates not in ("exact", "banded"):
+    if candidates not in ("exact", "banded", "auto"):
         raise ValueError(f"unknown candidates mode {candidates!r}")
     _assert_unique_ids(emb, id_col, "build_semantic_index")
+    if candidates == "auto":
+        import logging
+
+        n_build = emb.count()
+        candidates = (
+            "exact" if n_build < _AUTO_BANDED_MIN_ROWS else "banded"
+        )
+        logging.getLogger(__name__).info(
+            "semantic index auto candidate mode: %s (%d rows, "
+            "crossover %d)",
+            candidates, n_build, _AUTO_BANDED_MIN_ROWS,
+        )
     meta = {
         "cos_threshold": cos_threshold,
         "jaccard_threshold": jaccard_threshold,

@@ -668,3 +668,45 @@ def test_canonical_index_survivors_argmax(spark, tmp_path):
     assert kept_const == sorted(
         r["doc_id"] for r in dedup_survivors(spark, p, df, "doc_id").collect()
     )
+
+
+def test_semantic_auto_candidate_mode_switch_point(spark, tmp_path, monkeypatch):
+    """candidates='auto' resolves by corpus row count at build time —
+    exact strictly below the crossover, banded at/above — and the
+    RESOLVED mode freezes into the sidecar (ingest follows it; labels
+    identical either way since both modes feed the same precision
+    stage)."""
+    from neulix_datahub_spark.operators import semantic_index as si
+
+    prior = _VECS[:3]
+    e1, d1 = _sem_tables(spark, prior)
+
+    # 3 rows < crossover 4 -> exact
+    monkeypatch.setattr(si, "_AUTO_BANDED_MIN_ROWS", 4)
+    p_exact = str(tmp_path / "auto_exact")
+    meta = si.build_semantic_index(
+        e1, d1, p_exact, cos_threshold=0.9, jaccard_threshold=0.5
+    )
+    assert meta["candidates"] == "exact"
+    assert "bands_version" not in meta
+
+    # 3 rows >= crossover 3 -> banded, and the frozen mode drives ingest
+    monkeypatch.setattr(si, "_AUTO_BANDED_MIN_ROWS", 3)
+    p_banded = str(tmp_path / "auto_banded")
+    meta = si.build_semantic_index(
+        e1, d1, p_banded, cos_threshold=0.9, jaccard_threshold=0.5
+    )
+    assert meta["candidates"] == "banded"
+    assert meta["bands_version"] == 0
+    e2, d2 = _sem_tables(spark, _VECS[3:])
+    si.ingest_semantic_delta(spark, e2, d2, p_banded)
+    assert si.read_semantic_meta(p_banded)["candidates"] == "banded"
+
+    # same labels as an explicit-exact build over the full corpus
+    ef, df_ = _sem_tables(spark, _VECS)
+    p_full = str(tmp_path / "explicit")
+    si.build_semantic_index(
+        ef, df_, p_full, cos_threshold=0.9, jaccard_threshold=0.5,
+        candidates="exact",
+    )
+    assert _sem_labels(spark, p_banded) == _sem_labels(spark, p_full)

@@ -30,6 +30,23 @@ passage-level dedup (its dedup is row-identity — see
 ``reference/core/utils/db_core.py`` upsert paths); this is part of the
 L2+ training-data tier the engine adds beyond reference coverage.
 
+Exactness (round-12 adjudication of the "under-merge" note): the gram
+method's COVERAGE is not an approximation — a token is marked iff it
+lies inside an ``n``-gram whose corpus count >= ``min_count``, which is
+definitionally the same set as "inside an ``n``-token substring
+occurring >= ``min_count`` times", i.e. exactly what Lee et al.'s
+suffix-array pass covers at threshold length ``n`` (every window of a
+longer repeat repeats at least as often, so longer repeats are fully
+covered; sub-``n`` repeats are out of scope BY DEFINITION — ``n`` is
+the minimum passage length, their 50-token dial). Pinned extensionally
+against a brute-force reference on random + adversarial corpora
+(tests/test_passages.py::test_runs_equal_brute_force_reference). The
+proposed two-pass n/2n run-join tightening was therefore dropped: it
+had nothing to tighten. What a suffix array buys over this is the
+per-MAXIMAL-REPEAT grouping (which copies align where), not better
+excision coverage; that form stays out of scope for a declarative
+engine.
+
 Scale notes (100 TB): the gram aggregate gets a map-side combine and
 shuffles one row per distinct gram; the join back is an equi-join on
 the gram key (AQE-broadcast when the repeated-gram set is small, which

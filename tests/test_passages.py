@@ -325,3 +325,114 @@ def test_canonical_matches_union_find_reference(spark, edges, scores):
         losers |= set(members) - {winner}
     want = sorted(i for i in range(10) if i not in losers)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Exactness adjudication (round 12): the r11 continuity notes claimed
+# the n-gram-run approximation "under-merges passages whose repeats
+# differ in length" and proposed a two-pass n/2n run-join tightening.
+# The claim is FALSE: a token is covered by the gram method iff it lies
+# inside an n-gram whose corpus count >= min_count, which is
+# definitionally identical to "inside an n-token substring occurring
+# >= min_count times corpus-wide" — the coverage semantics Lee et al.'s
+# suffix-array pass computes at threshold length n. The properties
+# below pin that equivalence EXTENSIONALLY against a brute-force pure-
+# Python reference on random corpora over a tiny alphabet (dense
+# repeats) plus the exact adversarial shapes the note worried about
+# (nested repeats of different lengths, whole-short-document repeats,
+# chained touching repeats). No tightening pass exists because none is
+# needed; sub-n repeats are invisible BY DEFINITION (n IS the minimum
+# passage length, Lee et al.'s 50-token dial).
+# ---------------------------------------------------------------------------
+
+
+def _ref_runs(docs, n, min_count):
+    """Brute-force reference: count every n-token window corpus-wide,
+    mark member tokens of windows with count >= min_count, emit maximal
+    contiguous covered blocks per doc as (id, start, end, n_tokens)."""
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in docs}
+    grams = Counter()
+    for tk in toks.values():
+        for p in range(len(tk) - n + 1):
+            grams[tuple(tk[p : p + n])] += 1
+    out = []
+    for i, tk in toks.items():
+        covered = set()
+        for p in range(len(tk) - n + 1):
+            if grams[tuple(tk[p : p + n])] >= min_count:
+                covered.update(range(p, p + n))
+        run = None  # (start, last) of the open contiguous block
+        for t in sorted(covered) + [None]:
+            if run is not None and (t is None or t > run[1] + 1):
+                out.append((i, run[0], run[1], run[1] - run[0] + 1))
+                run = None
+            if t is not None:
+                run = (run[0], t) if run is not None else (t, t)
+    return sorted(out)
+
+
+def _engine_runs(spark, docs, n, min_count):
+    df = spark.createDataFrame(list(docs), "doc_id long, text string")
+    got = repeated_passages(df, "text", "doc_id", n=n, min_count=min_count)
+    return sorted(
+        (r.doc_id, r.start_pos, r.end_pos, r.n_tokens) for r in got.collect()
+    )
+
+
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=14),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    min_count=st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=12, deadline=None)
+def test_runs_equal_brute_force_reference(spark, data, n, min_count):
+    docs = [(i, " ".join(tk)) for i, tk in enumerate(data)]
+    assert _engine_runs(spark, docs, n, min_count) == _ref_runs(
+        docs, n, min_count
+    )
+
+
+def test_runs_exact_on_differing_length_repeats(spark):
+    """The adversarial shapes behind the (refuted) under-merge claim:
+    a long repeat containing a shorter, more-frequent repeat; a repeat
+    appearing as the WHOLE of an n-length document; two repeats that
+    touch in one document but come from different partners."""
+    cases = [
+        # nested repeats of different lengths (min_count separates them)
+        (
+            [
+                (0, "a b c d e f"),
+                (1, "a b c d e f"),
+                (2, "b c d"),
+                (3, "b c d"),
+            ],
+            3,
+            2,
+        ),
+        (
+            [
+                (0, "a b c d e f"),
+                (1, "a b c d e f"),
+                (2, "b c d"),
+                (3, "b c d"),
+            ],
+            3,
+            3,  # only the 3-gram "b c d" reaches count 4; long repeat at 2
+        ),
+        # whole short document IS the repeated passage (len == n)
+        ([(0, "x y z q r"), (1, "x y z")], 3, 2),
+        # chained touching repeats from different partners merge into
+        # one contiguous block in the host (coverage-identical)
+        ([(0, "a b c d e f"), (1, "a b c"), (2, "d e f")], 3, 2),
+        # doc shorter than n: no grams, no runs, and its text cannot
+        # lend counts to anything
+        ([(0, "a b"), (1, "a b c"), (2, "a b c")], 3, 2),
+    ]
+    for docs, n, mc in cases:
+        assert _engine_runs(spark, docs, n, mc) == _ref_runs(docs, n, mc)

@@ -97,6 +97,11 @@ HEADLINE = (
     # round 11 (late): in-engine classifier training — 10 GD rounds,
     # one 4-integer aggregate each over the pinned feature projection.
     "trained_classifier_stats",
+    # round 12: the two new subsystems, anchored the round they ship —
+    # IVF-PQ composed retrieval (3 Lloyd runs + funnel) and the
+    # sidecar warm-start refresh lifecycle (4+6+6 GD aggregates).
+    "ivf_pq_search_check",
+    "classifier_refresh_stats",
 )
 
 # A 1-minute load average above this at bench start means another process
@@ -110,6 +115,14 @@ HEADLINE = (
 # the box".
 LOAD_CONTENDED = 1.0
 IDLE_WAIT_SECS = 180.0
+# Round 12: wait for a STRICTER target than the contended flag — r11's
+# artifact started at load 0.98 ("not contended" under the 1.0 gate)
+# and every sub-second anchor drifted +10-30% vs r10's load-0.01 run
+# with zero code change, costing the audit real signal. The bench now
+# holds out for <= 0.5 when the budget allows, but only labels the
+# recording contended above 1.0 (a 0.7-start run is usable, just not
+# ideal — mislabeling it would invite the opposite re-litigation).
+LOAD_IDLE_TARGET = 0.5
 
 
 def _host_calibration() -> float:
@@ -142,7 +155,7 @@ def main() -> None:
     # regression that a later audit must re-litigate.
     waited = 0.0
     load_start = os.getloadavg()[0]
-    while load_start > LOAD_CONTENDED and waited < IDLE_WAIT_SECS:
+    while load_start > LOAD_IDLE_TARGET and waited < IDLE_WAIT_SECS:
         time.sleep(10)
         waited += 10
         load_start = os.getloadavg()[0]
@@ -193,7 +206,26 @@ def main() -> None:
             loads.append(round(os.getloadavg()[0], 2))
         per_query_samples[name] = [round(s, 4) for s in samples]
         load_samples[name] = loads
-        timings[name] = round(min(samples), 4)
+
+    # Round 12: a SECOND sweep in the same order appends one spaced
+    # sample per query. The first sweep's three samples are back-to-back
+    # — a sustained background process (r11 ran at load ~1 throughout)
+    # covers all three; by the time the sweep finishes, minutes have
+    # passed, so the fourth sample sits in a different load regime and
+    # min-over-all recovers the true cost if EITHER window was quiet.
+    # Queries are already warm + C2-compiled from sweep one, so this
+    # costs one timed run each, no warmups.
+    calib_samples.append(_host_calibration())
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        per_query_samples[name].append(
+            round(time.perf_counter() - start, 4)
+        )
+        load_samples[name].append(round(os.getloadavg()[0], 2))
+    for name in HEADLINE:
+        timings[name] = round(min(per_query_samples[name]), 4)
 
     total = round(sum(timings.values()), 4)
     # `samples` exposes the spread (sum over queries of the k-th sample),
@@ -206,7 +238,7 @@ def main() -> None:
         "unit": "sec",
         "samples": [
             round(sum(per_query_samples[n][k] for n in HEADLINE), 4)
-            for k in range(3)
+            for k in range(4)
         ],
         "queries": timings,
         "query_samples": per_query_samples,

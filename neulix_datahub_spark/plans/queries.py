@@ -2414,6 +2414,81 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
     n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R11)
 }
 
+# ---------------------------------------------------------------------------
+# ROUND 12 rotation (the round-11 driver run consumed _PRIORITY_R11 —
+# 50/50 hash-green), composed exactly as the round-11 NOTE + r11
+# verdict queued. (Correcting that NOTE's stale line: it listed
+# token_budget_waterfall among the queries that "did not fit" the r11
+# window — it DID fit and is green in CORRECTNESS_r11, so it is NOT
+# re-queued here.)
+#   1-3:   the three registry queries that have never seen a driver
+#          row (trained_classifier_stats, classifier_holdout_stats,
+#          epoch_plan_materialization_stats — each sim-EXACT at
+#          sf0.01 in both the builder's and the judge's runs); their
+#          oracles/engines ALSO changed in round 12 (classifier NULL-
+#          row exclusion + per-phase-n oracle builder; zero-token
+#          fractional-pick fix, engine + oracle in lockstep);
+#   4-5:   the two round-12 additions — classifier_refresh_stats
+#          (sidecar warm-start lifecycle, two-phase unrolled-GD
+#          oracle) and ivf_pq_search_check (IVF-PQ composed
+#          retrieval: three Lloyd replays + funnel counts + computed
+#          recall/pruning verdicts, r11-verdict task 2);
+#   6-12:  the passage + semantic index cohort, whose code changed in
+#          round 12 (scrub bookkeeping-name guard, ingest pin-first
+#          ordering, auto candidate mode resolving into the sidecar —
+#          behavior-preserving for every registry input, rows must
+#          confirm);
+#   13-50: the r6-era stale greens in the round-11 NOTE's order —
+#          prefix_filter_pairs .. lexicon_filter_stats (the 8 bumped
+#          from the r11 window), then the next 30 of the r6 cohort in
+#          registration order. The 4 that did not fit
+#          (event_pagerank, customer_hierarchy_depths,
+#          cohort_retention, user_activity_streaks) lead the r13
+#          stale queue.
+_PRIORITY_R12 = [
+    # -- never driver-sampled (r11 late registrations) --
+    "trained_classifier_stats", "classifier_holdout_stats",
+    "epoch_plan_materialization_stats",
+    # -- new in r12: first driver rows --
+    "classifier_refresh_stats", "ivf_pq_search_check",
+    # -- passage/semantic index code changed in r12 --
+    "passage_scrub_stats", "incremental_passage_scrub_stats",
+    "stream_incremental_passage_stats", "contamination_scrub_stats",
+    "incremental_semantic_dedup_stats", "banded_semantic_dedup_stats",
+    "stream_incremental_semantic_stats",
+    # -- r6-era stale greens, round-11 NOTE order --
+    "prefix_filter_pairs", "mixture_resample_plan",
+    "priority_sample_check", "zorder_bucket_stats",
+    "incremental_agg_check", "window_coverage_revenue",
+    "cached_query_stats", "lexicon_filter_stats",
+    "quality_classifier_stats", "capped_contribution_stats",
+    "k_anonymity_customers", "event_funnel_stats", "stream_funnel_stats",
+    "weekly_autocorr_by_type", "brand_triangle_count",
+    "stream_hourly_rollup", "dynamic_gap_sessions",
+    "stream_dynamic_sessions", "snapshot_changes_stats",
+    "catalog_commit_stats", "load_behaviors_stats",
+    "scd2_customer_history", "orders_at_dimension_time",
+    "partitioned_events_stats", "orc_roundtrip_stats",
+    "hll_daily_merge_check", "cms_daily_merge_check",
+    "hll_overlap_check", "price_drift_psi", "robust_price_stats",
+    "quality_report_orders", "pca_embedding_check", "pca_merge_check",
+    "pq_codebook_profile", "bigram_perplexity_by_lang",
+    "unicode_normalization_stats", "winnow_overlap_stats",
+    "top_event_trigrams",
+]
+# ROUND 13 NOTE: rotate ONLY AFTER the round-12 driver run consumes
+# this prefix. Lead round 13 with any round-12/13 implementation
+# changes and red-row fixes, then the remaining r6-era stale greens in
+# registration order (event_pagerank, customer_hierarchy_depths,
+# cohort_retention, user_activity_streaks — bumped from this window),
+# then the r7-era tier — names as registered.
+assert set(_PRIORITY_R12) <= set(QUERIES), sorted(set(_PRIORITY_R12) - set(QUERIES))
+assert len(_PRIORITY_R12) == 50, len(_PRIORITY_R12)
+assert len(set(_PRIORITY_R12)) == 50
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R12} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R12)
+}
+
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}
 
 

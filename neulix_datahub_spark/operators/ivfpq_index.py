@@ -1,0 +1,249 @@
+"""Persisted IVF-PQ index (SURVEY §2.11 L3, round 12): the at-rest
+lifecycle form of :func:`~neulix_datahub_spark.operators.similarity
+.ivf_pq_search` — codebooks trained ONCE at build, corpus written
+partitioned by coarse cell with its PQ codes precomputed, daily deltas
+encoded under the FROZEN codebooks, probes reading only probed cell
+directories.
+
+Why frozen codebooks: a centroid-trained structure cannot give the
+incremental == batch theorem the LSH indexes enjoy (retraining on
+grown data moves every bucket — the limitation already documented on
+``vector_banded_signatures``). The production discipline (FAISS et
+al.) is therefore train-once / encode-forever: ingest encodes new
+vectors with the SIDE CAR's codebooks, so build(prior) + ingest(delta)
+produces BYTE-identical rows to encoding (prior ∪ delta) under the
+prior-trained codebooks — slice-invariant and idempotent (pinned by
+unit), just not equal to retraining from scratch. Recall drift under
+distribution shift is the operational trigger for a rebuild, exactly
+as with any ANN index.
+
+Layout under ``path``:
+
+- ``_IVFPQ_META.json`` — frozen parameters + the coarse centroids and
+  both PQ codebooks (k·d + 2·k·(d/2) floats — a few KB; JSON doubles
+  round-trip exactly, so encode-at-ingest is bit-identical to
+  encode-at-build).
+- ``codes/coarse=<c>/…`` — ``(id, vec, c0, c1)`` partitioned by
+  coarse cell: a probe's ``coarse IN (...)`` filter is a partition
+  filter, so non-probed cell DIRECTORIES are never read (the
+  build_ivf_index layout, carried over).
+
+Scale: build is 3 deterministic Lloyd runs (driver holds centroids
+only) + one narrow encode projection + one partitioned write; ingest
+touches only the delta (encode is a literal-centroid expression) plus
+one id-column scan of the index for the idempotence anti-join; query
+reads only probed directories and ranks the fixed k² cell table
+driver-side. Commit uses the same append-mode simplification as
+``append_to_ivf_index`` (codes are idempotent by id; the anti-join
+makes redelivery a no-op) — the pointer-flip generational machinery
+of the dedup indexes is deliberately not duplicated here.
+
+Reference parity: not in the reference (no vector data there); this is
+the L3 training-data-pipeline tier, persisted form.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neulix_datahub_spark.operators.clustering import kmeans_lloyd
+from neulix_datahub_spark.operators.similarity import (
+    _block_dot,
+    _cosine_to_literal,
+    _nearest_code,
+)
+
+__all__ = [
+    "build_ivfpq_index",
+    "ingest_ivfpq_delta",
+    "query_ivfpq_index",
+    "read_ivfpq_meta",
+]
+
+_IVFPQ_META = "_IVFPQ_META.json"
+
+
+def read_ivfpq_meta(path: str) -> dict:
+    with open(os.path.join(path, _IVFPQ_META), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    # write-then-rename: the repo-wide posix pointer discipline
+    tmp = os.path.join(path, _IVFPQ_META + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.replace(tmp, os.path.join(path, _IVFPQ_META))
+
+
+def _encode(df: DataFrame, meta: dict) -> DataFrame:
+    """``(id, vec, coarse, c0, c1)`` under the index's OWN stored
+    centroids/codebooks — the single construction build and ingest
+    share, which is what makes slice-invariance provable."""
+    half = meta["dim"] // 2
+    vec = F.col(meta["vec_col"])
+    return df.select(
+        F.col(meta["id_col"]).alias("id"),
+        F.transform(vec, lambda x: x.cast("double")).alias("vec"),
+        _nearest_code(vec, meta["coarse_centroids"]).alias("coarse"),
+        _nearest_code(F.slice(vec, 1, half), meta["codebooks"][0]).alias(
+            "c0"
+        ),
+        _nearest_code(
+            F.slice(vec, half + 1, half), meta["codebooks"][1]
+        ).alias("c1"),
+    )
+
+
+def _codes_dir(path: str) -> str:
+    return os.path.join(path, "codes")
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    coarse_k: int = 8,
+    coarse_iters: int = 3,
+    pq_k: int = 8,
+    pq_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Train the coarse quantizer + both PQ codebooks on ``df``, encode
+    it, and land the index at rest. Returns the sidecar dict."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build an IVF-PQ index on an empty relation")
+    dim = int(first["d"])
+    if dim % 2 != 0:
+        raise ValueError(f"vector dim must be even for 2 subspaces, got {dim}")
+    half = dim // 2
+    _, coarse = kmeans_lloyd(
+        df, k=coarse_k, iters=coarse_iters, vec_col=vec_col, id_col=id_col
+    )
+    codebooks = []
+    for start in (1, half + 1):
+        sub = df.select(
+            F.col(id_col), F.slice(vec_col, start, half).alias("embedding")
+        )
+        _, cents = kmeans_lloyd(
+            sub, k=pq_k, iters=pq_iters, vec_col="embedding", id_col=id_col
+        )
+        codebooks.append([[float(x) for x in c] for c in cents])
+    meta = {
+        "coarse_k": coarse_k,
+        "pq_k": pq_k,
+        "dim": dim,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "coarse_centroids": [[float(x) for x in c] for c in coarse],
+        "codebooks": codebooks,
+    }
+    spark = df.sparkSession
+    _encode(df, meta).write.mode("overwrite").partitionBy("coarse").parquet(
+        _codes_dir(path)
+    )
+    meta["n_vecs"] = spark.read.parquet(_codes_dir(path)).count()
+    _write_meta(path, meta)
+    return meta
+
+
+def ingest_ivfpq_delta(
+    spark: SparkSession, delta: DataFrame, path: str
+) -> dict:
+    """Encode never-seen delta vectors under the FROZEN codebooks and
+    append them into their coarse-cell directories. Idempotent: ids
+    already at rest are anti-joined away (the one prior-state scan is
+    the index's id column), so a redelivered batch is a no-op. Returns
+    ``{n_new, n_vecs}``."""
+    meta = read_ivfpq_meta(path)
+    id_col = meta["id_col"]
+    known = spark.read.parquet(_codes_dir(path)).select(
+        F.col("id").alias(id_col)
+    )
+    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
+    n_new = new.count()
+    if n_new == 0:
+        return {"n_new": 0, "n_vecs": meta["n_vecs"]}
+    _encode(new, meta).write.mode("append").partitionBy("coarse").parquet(
+        _codes_dir(path)
+    )
+    meta["n_vecs"] = meta["n_vecs"] + n_new
+    _write_meta(path, meta)
+    return {"n_new": n_new, "n_vecs": meta["n_vecs"]}
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    query_vector: list[float],
+    k: int = 10,
+    n_probes: int = 2,
+    top_cells: int = 4,
+) -> tuple[DataFrame, dict]:
+    """The at-rest funnel: probe the ``n_probes`` nearest coarse cells
+    (driver argmin over the sidecar's centroids — the ``coarse IN``
+    filter is a partition filter, non-probed directories never read),
+    keep candidates in the ``top_cells`` best ADC cells (codes are
+    PRECOMPUTED at rest — the query never re-encodes anything), exact
+    re-rank. Returns ``(top-k (id, score), info)`` with the funnel
+    counts."""
+    meta = read_ivfpq_meta(path)
+    q = [float(x) for x in query_vector]
+    if len(q) != meta["dim"]:
+        raise ValueError(
+            f"query dim {len(q)} != index dim {meta['dim']}"
+        )
+    half = meta["dim"] // 2
+    d2 = []
+    for ci, c in enumerate(meta["coarse_centroids"]):
+        acc = 0.0
+        for i in range(meta["dim"]):
+            diff = q[i] - c[i]
+            acc += diff * diff
+        d2.append((acc, ci))
+    probes = [ci for _, ci in sorted(d2)[:n_probes]]
+
+    dots, norm2 = [], []
+    for s, start in enumerate((0, half)):
+        q_sub = q[start : start + half]
+        dots.append([_block_dot(q_sub, c) for c in meta["codebooks"][s]])
+        norm2.append([_block_dot(c, c) for c in meta["codebooks"][s]])
+    qn = math.sqrt(_block_dot(q, q))
+    pq_k = meta["pq_k"]
+    cells = []
+    for c0 in range(pq_k):
+        for c1 in range(pq_k):
+            denom = qn * math.sqrt(norm2[0][c0] + norm2[1][c1])
+            cells.append(((dots[0][c0] + dots[1][c1]) / denom, c0, c1))
+    cells.sort(key=lambda t: (-t[0], t[1], t[2]))
+    kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
+
+    cand = spark.read.parquet(_codes_dir(path)).filter(
+        F.col("coarse").isin(*probes)
+    )
+    keep = F.array(*[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells])
+    shortlist = cand.filter(
+        F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
+    )
+    topk = (
+        shortlist.select(
+            "id",
+            F.round(_cosine_to_literal(F.col("vec"), q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+    info = {
+        "probes": probes,
+        "kept_cells": kept_cells,
+        "n_candidates": cand.count(),
+        "n_shortlist": shortlist.count(),
+        "n_vecs": meta["n_vecs"],
+    }
+    return topk, info

@@ -809,6 +809,29 @@ def hard_negative_candidates(
     )
 
 
+def _nearest_code(sub_vec: Column, cents: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared L2, first-wins ties) as a
+    pure expression with the centroids inlined as literals — the PQ
+    encode step, shared by the one-shot composition and the persisted
+    index's build/ingest so both provably encode identically."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub_vec,
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def _block_dot(q_block: list[float], c_block: list[float]) -> float:
     """Left-to-right double dot product of two Python float blocks —
     the SAME accumulation order as :func:`_dot`'s fold and the oracle's
@@ -929,29 +952,13 @@ def ivf_pq_search(
     cells.sort(key=lambda t: (-t[0], t[1], t[2]))
     kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
 
-    def _code(sub_vec: Column, cents: list[list[float]]) -> Column:
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        sub_vec,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in cents
-            ]
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
     coded = cand.select(
         F.col(id_col),
         F.col(vec_col),
-        _code(F.slice(vec_col, 1, half), codebooks[0]).alias("__c0"),
-        _code(F.slice(vec_col, half + 1, half), codebooks[1]).alias("__c1"),
+        _nearest_code(F.slice(vec_col, 1, half), codebooks[0]).alias("__c0"),
+        _nearest_code(F.slice(vec_col, half + 1, half), codebooks[1]).alias(
+            "__c1"
+        ),
     )
     keep = F.array(
         *[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells]

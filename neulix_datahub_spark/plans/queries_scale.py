@@ -1291,6 +1291,107 @@ def ivf_pq_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def ivfpq_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 persisted-index LIFECYCLE (round 12): the at-rest IVF-PQ form
+    — ``build_ivfpq_index`` trains coarse + PQ codebooks on the PRIOR
+    corpus (the fixture embeddings) and lands codes partitioned by
+    coarse cell; the 10 planted near-copies of probe vec 0 then arrive
+    as a never-seen DELTA and ``ingest_ivfpq_delta`` encodes them under
+    the FROZEN codebooks (the train-once/encode-forever discipline —
+    a centroid structure can't give incremental==batch, so the index
+    freezes instead and documents rebuild-on-drift);
+    ``query_ivfpq_index`` answers from the probed cell directories
+    only, with the PQ cut running on codes PRECOMPUTED at rest.
+
+    The DuckDB oracle replays the whole lifecycle: three Lloyd runs
+    over the PRIOR relation, frozen-codebook encode of prior ∪ delta,
+    the probe/cell argmins, the cut, the re-rank, and the ingest
+    bookkeeping (n_new, n_vecs) — every count hash-checks as a value;
+    recall and pruning verdicts are computed, not pinned. Measured:
+    recall 10/10 at every fixture SF even though the codebooks never
+    saw the plants."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        ingest_ivfpq_delta,
+        query_ivfpq_index,
+    )
+    from neulix_datahub_spark.operators.similarity import _cosine_to_literal
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    prior = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    plants = qrow.crossJoin(spark.range(1, 11)).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    path = f"{warehouse_scratch(spark, '_neulix_ivfpq_')}/index"
+    build_ivfpq_index(
+        prior,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+    )
+    st = ingest_ivfpq_delta(spark, plants, path)
+    topk, info = query_ivfpq_index(
+        spark,
+        path,
+        qvec,
+        k=10,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    )
+    corpus = prior.unionByName(plants)
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias(
+                "__s"
+            ),
+        )
+        .orderBy(F.desc("__s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("id"), F.lit(1).alias("__e"))
+    )
+    n_hit = (
+        topk.join(exact, "id", "left")
+        .agg(F.sum("__e").cast("bigint").alias("h"))
+        .first()["h"]
+    )
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+    )
+    return ranked.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        "score",
+        F.lit(int(st["n_new"])).cast("long").alias("n_new"),
+        F.lit(int(st["n_vecs"])).cast("long").alias("n_vecs"),
+        F.lit(info["n_candidates"]).cast("long").alias("n_candidates"),
+        F.lit(info["n_shortlist"]).cast("long").alias("n_shortlist"),
+        F.lit(int(n_hit)).cast("long").alias("n_in_exact_top10"),
+        (F.lit(int(n_hit)) / F.lit(10.0) >= 0.95).alias("recall_ge_95pct"),
+        (
+            F.lit(info["n_shortlist"]) < F.lit(info["n_candidates"])
+        ).alias("pq_pruned"),
+    ).orderBy("rank")
+
+
 def _lloyd_ctes(prefix: str, src: str, k: int, iters: int) -> tuple[list[str], str, str]:
     """Unrolled-Lloyd CTE block over source CTE ``src`` (columns
     ``vec_id, v``) — the _kmeans_oracle_sql recipe parameterized so one
@@ -1336,7 +1437,15 @@ def _lloyd_ctes(prefix: str, src: str, k: int, iters: int) -> tuple[list[str], s
     return ctes, prev, f"{prefix}afinal"
 
 
-def _ivfpq_oracle_sql() -> str:
+def _ivfpq_oracle_sql(train_on: str = "corpus", lifecycle: bool = False) -> str:
+    """Full IVF-PQ funnel replay. ``train_on`` picks the Lloyd training
+    relation: ``"corpus"`` (the one-shot composition) or ``"prior"``
+    (the persisted-index lifecycle: codebooks train on the pre-delta
+    corpus, FROZEN, then encode prior ∪ delta — exactly what
+    build_ivfpq_index + ingest_ivfpq_delta execute). The encode step is
+    always over the full corpus with the final centroids, so the same
+    tail serves both. ``lifecycle`` adds the ingest bookkeeping columns
+    (n_new, n_vecs)."""
     half = 32
     d2 = (
         "list_sum(list_transform(range(1, len({v})+1),"
@@ -1347,39 +1456,66 @@ def _ivfpq_oracle_sql() -> str:
         " i -> {a}[i] * {b}[i]))"
     )
     n2 = "list_sum(list_transform({c}, x -> x * x))"
-    g_ctes, g_cent, g_assign = _lloyd_ctes(
-        "g_", "corpus", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", train_on, _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
     )
-    p0_ctes, p0_cent, p0_assign = _lloyd_ctes(
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
         "p0_", "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
     )
-    p1_ctes, p1_cent, p1_assign = _lloyd_ctes(
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
         "p1_", "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
     )
     head = [
         "qv AS (\n  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))"
         " AS v\n  FROM embeddings WHERE vec_id = 0)",
-        "corpus AS (\n"
+        "prior AS (\n"
         "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS v\n  FROM embeddings WHERE vec_id <> 0\n"
+        " AS v\n  FROM embeddings WHERE vec_id <> 0)",
+        "corpus AS (\n"
+        "  SELECT vec_id, v FROM prior\n"
         "  UNION ALL\n"
         "  SELECT 1000000 + t.i AS vec_id,"
         " list_transform(qv.v, x -> x + t.i * 0.002) AS v\n"
         "  FROM qv, range(1, 11) t(i))",
-        f"sub0 AS (SELECT vec_id, v[1:{half}] AS v FROM corpus)",
-        f"sub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v FROM corpus)",
+        f"sub0 AS (SELECT vec_id, v[1:{half}] AS v FROM {train_on})",
+        f"sub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v"
+        f" FROM {train_on})",
         "qn AS (\n"
         f"  SELECT sqrt({n2.format(c='v')}) AS n,"
         f" v[1:{half}] AS q0, v[{half + 1}:{2 * half}] AS q1 FROM qv)",
     ]
+
+    def _argmin(src: str, vexpr: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v=vexpr, c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    life_counts = (
+        """
+           CAST((SELECT count(*) FROM corpus)
+                - (SELECT count(*) FROM prior) AS BIGINT) AS n_new,
+           CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_vecs,"""
+        if lifecycle
+        else ""
+    )
+    life_cols = "c.n_new, c.n_vecs, " if lifecycle else "c.n_corpus, "
     tail = f""",
+enc_g AS (
+    {_argmin("corpus", "e.v", g_cent)}
+),
 probed AS (
     SELECT cluster FROM {g_cent}, qv
-    ORDER BY {d2.format(v="qv.v", c="{g}.c".format(g=g_cent))}, cluster
+    ORDER BY {d2.format(v="qv.v", c=g_cent + ".c")}, cluster
     LIMIT {_IVFPQ_PROBES}
 ),
 cand AS (
-    SELECT a.vec_id, a.v FROM {g_assign} a
+    SELECT a.vec_id, a.v FROM enc_g a
     WHERE a.cluster IN (SELECT cluster FROM probed)
 ),
 cells AS (
@@ -1394,11 +1530,18 @@ kept AS (
     SELECT c0, c1 FROM cells ORDER BY cscore DESC, c0, c1
     LIMIT {_IVFPQ_TOP_CELLS}
 ),
+enc0 AS (
+    {_argmin(f"(SELECT vec_id, v[1:{half}] AS v FROM cand)", "e.v", p0_cent)}
+),
+enc1 AS (
+    {_argmin(f"(SELECT vec_id, v[{half + 1}:{2 * half}] AS v FROM cand)",
+             "e.v", p1_cent)}
+),
 coded AS (
     SELECT c.vec_id, c.v, a0.cluster AS c0, a1.cluster AS c1
     FROM cand c
-    JOIN {p0_assign} a0 USING (vec_id)
-    JOIN {p1_assign} a1 USING (vec_id)
+    JOIN enc0 a0 USING (vec_id)
+    JOIN enc1 a1 USING (vec_id)
 ),
 shortlist AS (
     SELECT coded.vec_id, coded.v FROM coded JOIN kept USING (c0, c1)
@@ -1424,14 +1567,14 @@ exact AS (
     )
 ),
 counts AS (
-    SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_corpus,
+    SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_corpus,{life_counts}
            CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
            CAST((SELECT count(*) FROM shortlist) AS BIGINT) AS n_shortlist,
            CAST((SELECT count(*) FROM top JOIN exact USING (vec_id))
                 AS BIGINT) AS n_in_exact_top10
 )
 SELECT t.rank, t.vec_id, t.score,
-       c.n_corpus, c.n_candidates, c.n_shortlist, c.n_in_exact_top10,
+       {life_cols}c.n_candidates, c.n_shortlist, c.n_in_exact_top10,
        (c.n_in_exact_top10 / 10.0) >= 0.95 AS recall_ge_95pct,
        c.n_shortlist < c.n_candidates AS pq_pruned
 FROM top t, counts c
@@ -1444,6 +1587,7 @@ ORDER BY t.rank"""
 
 
 _IVFPQ_SQL = _ivfpq_oracle_sql()
+_IVFPQ_LIFECYCLE_SQL = _ivfpq_oracle_sql(train_on="prior", lifecycle=True)
 
 
 _EMBARGO_CUTOFF = "1997-01-01"
@@ -3548,6 +3692,12 @@ SCALE_QUERIES = {
         _IVFPQ_SQL,
         "IVF-PQ composed retrieval: coarse probe -> ADC cell shortlist "
         "-> exact re-rank, all three stages + funnel counts replayed",
+    ),
+    "ivfpq_index_lifecycle_check": (
+        ivfpq_index_lifecycle_check,
+        _IVFPQ_LIFECYCLE_SQL,
+        "persisted IVF-PQ index: frozen-codebook delta ingest + "
+        "directory-pruned probe, full lifecycle oracle-replayed",
     ),
     "k_anonymity_customers": (
         k_anonymity_customers,

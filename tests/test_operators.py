@@ -2941,3 +2941,90 @@ def test_ivf_pq_search_refuses_odd_dim(spark):
     )
     with pytest.raises(ValueError, match="even"):
         ivf_pq_search(df, [1.0, 2.0, 3.0])
+
+
+def _ivfpq_fixture(spark):
+    from neulix_datahub_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    prior = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    return emb, prior, delta
+
+
+def _ivfpq_rows(spark, path):
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "codes")).select(
+        "id", "coarse", "c0", "c1"
+    )
+    return sorted(map(tuple, rows.collect()))
+
+
+def test_ivfpq_index_ingest_slice_invariant_and_idempotent(spark, tmp_path):
+    # frozen codebooks: build(prior) + ingest(delta) lands BYTE-identical
+    # code rows whether the delta arrives in one batch or two, and a
+    # redelivered batch is a no-op (id anti-join)
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        ingest_ivfpq_delta,
+        read_ivfpq_meta,
+    )
+
+    _, prior, delta = _ivfpq_fixture(spark)
+    p1, p2 = str(tmp_path / "one"), str(tmp_path / "two")
+    build_ivfpq_index(prior, p1, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    build_ivfpq_index(prior, p2, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    # the two builds froze identical codebooks (deterministic Lloyd)
+    assert read_ivfpq_meta(p1)["codebooks"] == read_ivfpq_meta(p2)["codebooks"]
+
+    st = ingest_ivfpq_delta(spark, delta, p1)
+    assert st["n_new"] == delta.count()
+    half = delta.filter(F.col("vec_id") % 2 == 0)
+    rest = delta.filter(F.col("vec_id") % 2 == 1)
+    ingest_ivfpq_delta(spark, half, p2)
+    ingest_ivfpq_delta(spark, rest, p2)
+    assert _ivfpq_rows(spark, p1) == _ivfpq_rows(spark, p2)
+    assert read_ivfpq_meta(p1)["n_vecs"] == read_ivfpq_meta(p2)["n_vecs"]
+
+    again = ingest_ivfpq_delta(spark, delta, p1)
+    assert again["n_new"] == 0
+    assert _ivfpq_rows(spark, p1) == _ivfpq_rows(spark, p2)
+
+
+def test_ivfpq_query_reads_only_probed_directories(spark, tmp_path):
+    # the coarse IN-filter must prune at the DIRECTORY level: a planted
+    # corrupt file inside a non-probed cell directory never loads
+    import os
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    q = [float(x) for x in emb.first()["embedding"]]
+    topk, info = query_ivfpq_index(spark, path, q, k=5, n_probes=1,
+                                   top_cells=16)
+    probed = set(info["probes"])
+    victim = next(c for c in range(4) if c not in probed)
+    vdir = os.path.join(path, "codes", f"coarse={victim}")
+    assert os.path.isdir(vdir)
+    with open(os.path.join(vdir, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    again, info2 = query_ivfpq_index(spark, path, q, k=5, n_probes=1,
+                                     top_cells=16)
+    assert [tuple(r) for r in again.collect()] == [
+        tuple(r) for r in topk.collect()
+    ]
+    assert info2["probes"] == info["probes"]

@@ -23,20 +23,23 @@ Layout under ``path``:
   both PQ codebooks (k·d + 2·k·(d/2) floats — a few KB; JSON doubles
   round-trip exactly, so encode-at-ingest is bit-identical to
   encode-at-build).
-- ``codes/coarse=<c>/…`` — ``(id, vec, c0, c1)`` partitioned by
+- ``codes_v<n>/coarse=<c>/…`` — ``(id, vec, c0, c1)`` partitioned by
   coarse cell: a probe's ``coarse IN (...)`` filter is a partition
   filter, so non-probed cell DIRECTORIES are never read (the
-  build_ivf_index layout, carried over).
+  build_ivf_index layout, carried over). ``codes_version`` in the
+  sidecar points at the live generation; compaction writes the next
+  generation and flips the pointer (the dedup-index discipline).
 
 Scale: build is 3 deterministic Lloyd runs (driver holds centroids
 only) + one narrow encode projection + one partitioned write; ingest
 touches only the delta (encode is a literal-centroid expression) plus
 one id-column scan of the index for the idempotence anti-join; query
 reads only probed directories and ranks the fixed k² cell table
-driver-side. Commit uses the same append-mode simplification as
-``append_to_ivf_index`` (codes are idempotent by id; the anti-join
-makes redelivery a no-op) — the pointer-flip generational machinery
-of the dedup indexes is deliberately not duplicated here.
+driver-side. Ingest commits by append INTO the live generation (the
+``append_to_ivf_index`` simplification — codes are idempotent by id,
+so the anti-join makes redelivery a no-op even after a partial
+append); compaction, which REWRITES rows and therefore cannot lean on
+idempotence, commits by generation pointer flip.
 
 Reference parity: not in the reference (no vector data there); this is
 the L3 training-data-pipeline tier, persisted form.
@@ -62,6 +65,7 @@ __all__ = [
     "build_ivfpq_index",
     "ingest_ivfpq_delta",
     "query_ivfpq_index",
+    "compact_ivfpq_index",
     "read_ivfpq_meta",
 ]
 
@@ -100,8 +104,8 @@ def _encode(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
-def _codes_dir(path: str) -> str:
-    return os.path.join(path, "codes")
+def _codes_dir(path: str, meta: dict) -> str:
+    return os.path.join(path, f"codes_v{meta.get('codes_version', 0)}")
 
 
 def build_ivfpq_index(
@@ -144,11 +148,12 @@ def build_ivfpq_index(
         "coarse_centroids": [[float(x) for x in c] for c in coarse],
         "codebooks": codebooks,
     }
+    meta["codes_version"] = 0
     spark = df.sparkSession
     _encode(df, meta).write.mode("overwrite").partitionBy("coarse").parquet(
-        _codes_dir(path)
+        _codes_dir(path, meta)
     )
-    meta["n_vecs"] = spark.read.parquet(_codes_dir(path)).count()
+    meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
     _write_meta(path, meta)
     return meta
 
@@ -163,7 +168,7 @@ def ingest_ivfpq_delta(
     ``{n_new, n_vecs}``."""
     meta = read_ivfpq_meta(path)
     id_col = meta["id_col"]
-    known = spark.read.parquet(_codes_dir(path)).select(
+    known = spark.read.parquet(_codes_dir(path, meta)).select(
         F.col("id").alias(id_col)
     )
     new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
@@ -171,7 +176,7 @@ def ingest_ivfpq_delta(
     if n_new == 0:
         return {"n_new": 0, "n_vecs": meta["n_vecs"]}
     _encode(new, meta).write.mode("append").partitionBy("coarse").parquet(
-        _codes_dir(path)
+        _codes_dir(path, meta)
     )
     meta["n_vecs"] = meta["n_vecs"] + n_new
     _write_meta(path, meta)
@@ -224,7 +229,7 @@ def query_ivfpq_index(
     cells.sort(key=lambda t: (-t[0], t[1], t[2]))
     kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
 
-    cand = spark.read.parquet(_codes_dir(path)).filter(
+    cand = spark.read.parquet(_codes_dir(path, meta)).filter(
         F.col("coarse").isin(*probes)
     )
     keep = F.array(*[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells])
@@ -247,3 +252,41 @@ def query_ivfpq_index(
         "n_vecs": meta["n_vecs"],
     }
     return topk, info
+
+
+def compact_ivfpq_index(
+    spark: SparkSession, path: str, files_per_cell: int = 1
+) -> dict:
+    """Small-file maintenance: every ingest appends files into hot
+    coarse-cell directories, so read amplification grows with ingest
+    count. Compaction rewrites the codes into the NEXT generation with
+    ``files_per_cell`` right-sized files per cell and commits by
+    flipping the sidecar's ``codes_version`` pointer — a crash before
+    the flip leaves the live generation untouched (rewrites cannot
+    lean on idempotence the way appends do, hence the pointer). The
+    old generation is removed after the flip. Pure rewrite: the row
+    multiset is invariant (unit-pinned)."""
+    import shutil
+
+    meta = read_ivfpq_meta(path)
+    old_dir = _codes_dir(path, meta)
+    new_meta = dict(meta)
+    new_meta["codes_version"] = meta.get("codes_version", 0) + 1
+    # hash-salted shuffle (the compact_partitioned_parquet recipe): each
+    # (cell, salt) pair lands in one task, so every cell compacts to at
+    # most files_per_cell files while cells still rewrite in parallel —
+    # no single-task bottleneck at scale
+    (
+        spark.read.parquet(old_dir)
+        .withColumn(
+            "__salt", F.pmod(F.xxhash64("id"), F.lit(files_per_cell))
+        )
+        .repartition("coarse", "__salt")
+        .drop("__salt")
+        .write.mode("overwrite")
+        .partitionBy("coarse")
+        .parquet(_codes_dir(path, new_meta))
+    )
+    _write_meta(path, new_meta)  # the atomic commit
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return new_meta

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.plans.queries_ext import PYSOURCE_SQL as _PYSOURCE_STREAM_SQL
@@ -1571,6 +1571,134 @@ ORDER BY lang
 _STREAM_BPE_SQL = _stream_bpe_sql()
 
 
+def stream_ivfpq_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 twin of ``ivfpq_index_lifecycle_check`` (round 12): the
+    persisted IVF-PQ index built over the fixture embeddings (the
+    prior corpus), then the 10 planted near-copies of probe vec 0
+    delivered as a STREAM in two micro-batches through the
+    ``stream_ivfpq_index_ingest`` foreachBatch sink, then queried. The
+    oracle is the lifecycle replay VERBATIM (prior-trained Lloyd runs,
+    frozen-codebook encode of prior ∪ delta, probe, cell cut,
+    re-rank), so a green hash row proves the final at-rest state is
+    invariant to micro-batch slicing — frozen codebooks make encode a
+    pure per-row function, so ingest(d1); ingest(d2) ≡
+    ingest(d1 ∪ d2) byte-identically."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        read_ivfpq_meta,
+    )
+    from neulix_datahub_spark.operators.similarity import _cosine_to_literal
+    from neulix_datahub_spark.plans.queries_scale import (
+        _IVFPQ_COARSE_ITERS,
+        _IVFPQ_COARSE_K,
+        _IVFPQ_PQ_ITERS,
+        _IVFPQ_PQ_K,
+        _IVFPQ_PROBES,
+        _IVFPQ_TOP_CELLS,
+    )
+
+    tmp = _scratch(spark, "neulix_ivfpqstream_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    prior = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    plants = qrow.crossJoin(spark.range(1, 11)).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    path = f"{tmp}/index"
+    n_prior = prior.count()
+    build_ivfpq_index(
+        prior,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+    )
+
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = plants.filter(F.col("vec_id") % 2 == 0)
+    rest = plants.filter(F.col("vec_id") % 2 == 1)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_ivfpq_index_ingest
+
+    q = stream_ivfpq_index_ingest(stream, path, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+
+    meta = read_ivfpq_meta(path)
+    topk, info = query_ivfpq_index(
+        spark,
+        path,
+        qvec,
+        k=10,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    )
+    corpus = prior.unionByName(plants)
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias(
+                "__s"
+            ),
+        )
+        .orderBy(F.desc("__s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("id"), F.lit(1).alias("__e"))
+    )
+    n_hit = (
+        topk.join(exact, "id", "left")
+        .agg(F.sum("__e").cast("bigint").alias("h"))
+        .first()["h"]
+    )
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+    )
+    return ranked.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        "score",
+        F.lit(int(meta["n_vecs"]) - n_prior).cast("long").alias("n_new"),
+        F.lit(int(meta["n_vecs"])).cast("long").alias("n_vecs"),
+        F.lit(info["n_candidates"]).cast("long").alias("n_candidates"),
+        F.lit(info["n_shortlist"]).cast("long").alias("n_shortlist"),
+        F.lit(int(n_hit)).cast("long").alias("n_in_exact_top10"),
+        (F.lit(int(n_hit)) / F.lit(10.0) >= 0.95).alias("recall_ge_95pct"),
+        (
+            F.lit(info["n_shortlist"]) < F.lit(info["n_candidates"])
+        ).alias("pq_pruned"),
+    ).orderBy("rank")
+
+
 STREAM_QUERIES = {
     "stream_bpe_tokenize_stats": (
         stream_bpe_tokenize_stats,
@@ -1651,6 +1779,12 @@ STREAM_QUERIES = {
         "S5 twin: micro-batched gram-count-index ingest is "
         "slice-invariant == full-corpus passage scrub",
     ),
+    "stream_ivfpq_lifecycle_stats": (
+        stream_ivfpq_lifecycle_stats,
+        None,  # bound below: the lifecycle replay verbatim
+        "S5 twin: micro-batched frozen-codebook IVF-PQ ingest is "
+        "slice-invariant == the one-delta lifecycle",
+    ),
     "stateful_user_totals": (
         stateful_user_totals,
         _STATEFUL_TOTALS_SQL,
@@ -1687,3 +1821,16 @@ STREAM_QUERIES = {
         "routing the week boundary case: day->week legal union",
     ),
 }
+
+# bind the IVF-PQ S5 twin's oracle AFTER the dict: it is the lifecycle
+# replay VERBATIM (slice-invariance means the streamed state must hash
+# to the same answer), imported late to keep plan modules acyclic
+from neulix_datahub_spark.plans.queries_scale import (  # noqa: E402
+    _IVFPQ_LIFECYCLE_SQL as _STREAM_IVFPQ_SQL,
+)
+
+STREAM_QUERIES["stream_ivfpq_lifecycle_stats"] = (
+    stream_ivfpq_lifecycle_stats,
+    _STREAM_IVFPQ_SQL,
+    STREAM_QUERIES["stream_ivfpq_lifecycle_stats"][2],
+)

@@ -1197,3 +1197,35 @@ def stream_passage_index_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_ivfpq_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the persisted IVF-PQ index ingest
+    (``operators/ivfpq_index.ingest_ivfpq_delta``): every micro-batch
+    of ``(id, vector)`` rows is encoded under the sidecar's FROZEN
+    codebooks and appended into its coarse-cell directories. The index
+    must exist (``build_ivfpq_index``) before the stream starts.
+
+    Exactly-once lives in the state, same argument as
+    :func:`stream_dedup_index_ingest`: redelivered ids reduce to
+    n_new == 0 through the id anti-join. Because the codebooks are
+    frozen, encode is a pure per-row function — ingest(d1); ingest(d2)
+    ≡ ingest(d1 ∪ d2) BYTE-identically, so the final state is
+    invariant to trigger slicing (unit- and driver-proven)."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        ingest_ivfpq_delta,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_ivfpq_delta(spark, batch_df, index_path)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -2960,7 +2960,10 @@ def _ivfpq_fixture(spark):
 def _ivfpq_rows(spark, path):
     import os
 
-    rows = spark.read.parquet(os.path.join(path, "codes")).select(
+    from neulix_datahub_spark.operators.ivfpq_index import read_ivfpq_meta
+
+    gen = read_ivfpq_meta(path)["codes_version"]
+    rows = spark.read.parquet(os.path.join(path, f"codes_v{gen}")).select(
         "id", "coarse", "c0", "c1"
     )
     return sorted(map(tuple, rows.collect()))
@@ -3018,7 +3021,7 @@ def test_ivfpq_query_reads_only_probed_directories(spark, tmp_path):
                                    top_cells=16)
     probed = set(info["probes"])
     victim = next(c for c in range(4) if c not in probed)
-    vdir = os.path.join(path, "codes", f"coarse={victim}")
+    vdir = os.path.join(path, "codes_v0", f"coarse={victim}")
     assert os.path.isdir(vdir)
     with open(os.path.join(vdir, "part-corrupt.parquet"), "wb") as f:
         f.write(b"this is not parquet")
@@ -3028,3 +3031,50 @@ def test_ivfpq_query_reads_only_probed_directories(spark, tmp_path):
         tuple(r) for r in topk.collect()
     ]
     assert info2["probes"] == info["probes"]
+
+
+def test_ivfpq_compaction_invariant_and_defragments(spark, tmp_path):
+    # compaction is a pure rewrite: same row multiset, fewer files,
+    # pointer-flipped generation; queries answer identically after
+    import glob
+    import os
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        ingest_ivfpq_delta,
+        query_ivfpq_index,
+        read_ivfpq_meta,
+    )
+
+    emb, prior, delta = _ivfpq_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(prior, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    for i in range(3):  # fragment the hot cells with repeated ingests
+        ingest_ivfpq_delta(
+            spark, delta.filter(F.col("vec_id") % 3 == i), path
+        )
+    before_rows = _ivfpq_rows(spark, path)
+    q = [float(x) for x in emb.first()["embedding"]]
+    before_top = [
+        tuple(r) for r in query_ivfpq_index(spark, path, q, k=5)[0].collect()
+    ]
+    v0 = read_ivfpq_meta(path)["codes_version"]
+
+    def nfiles():
+        meta = read_ivfpq_meta(path)
+        d = os.path.join(path, f"codes_v{meta['codes_version']}")
+        return len(glob.glob(os.path.join(d, "coarse=*", "*.parquet")))
+
+    frag = nfiles()
+    compact_ivfpq_index(spark, path, files_per_cell=1)
+    meta = read_ivfpq_meta(path)
+    assert meta["codes_version"] == v0 + 1
+    assert not os.path.exists(os.path.join(path, f"codes_v{v0}"))
+    assert nfiles() < frag
+    assert _ivfpq_rows(spark, path) == before_rows
+    after_top = [
+        tuple(r) for r in query_ivfpq_index(spark, path, q, k=5)[0].collect()
+    ]
+    assert after_top == before_top

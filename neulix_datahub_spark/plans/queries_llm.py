@@ -1153,7 +1153,9 @@ def epoch_plan_materialization_stats(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-_EPOCH_MATERIALIZE_SQL = _WATERFALL_CTES + r"""
+# CTE prefix shared by the materialization query and the shuffle-order
+# query: the realized epoch multiset WITH its epoch index per row.
+_EPOCH_ROWS_CTES = _WATERFALL_CTES + r"""
 , rounded AS (
     SELECT source, n_tokens, round(alloc_raw, 4) AS alloc FROM plan
 ),
@@ -1171,13 +1173,13 @@ qq AS (
     FROM rounded
 ),
 full_rows AS (
-    SELECT d.doc_id, d.source, d.d_toks
+    SELECT d.doc_id, d.source, d.d_toks, CAST(u.e - 1 AS BIGINT) AS epoch
     FROM dtok d JOIN qq USING (source),
          LATERAL unnest(generate_series(1, qq.fe)) AS u(e)
     WHERE qq.fe >= 1
 ),
 cum_rows AS (
-    SELECT d.doc_id, d.source, d.d_toks, qq.frac_toks,
+    SELECT d.doc_id, d.source, d.d_toks, qq.frac_toks, qq.fe,
            sum(d.d_toks) OVER (PARTITION BY d.source ORDER BY d.k, d.doc_id
                                ROWS UNBOUNDED PRECEDING) AS cum
     FROM dtok d JOIN qq USING (source)
@@ -1186,13 +1188,16 @@ frac_rows AS (
     -- zero-token docs are excluded from the fractional pick (engine
     -- parity: they never advance the running sum, so without this they
     -- would enter any remainder, even 0, with q+1 multiplicity)
-    SELECT doc_id, source, d_toks FROM cum_rows
+    SELECT doc_id, source, d_toks, fe AS epoch FROM cum_rows
     WHERE cum <= frac_toks AND d_toks > 0
 ),
 allrows AS (
     SELECT * FROM full_rows UNION ALL SELECT * FROM frac_rows
-),
-agg AS (
+)
+"""
+
+_EPOCH_MATERIALIZE_SQL = _EPOCH_ROWS_CTES + r"""
+, agg AS (
     SELECT source, CAST(count(*) AS BIGINT) AS n_rows_emitted,
            CAST(sum(d_toks) AS BIGINT) AS tokens_emitted
     FROM allrows GROUP BY source
@@ -1205,6 +1210,93 @@ SELECT q.source,
        round(COALESCE(a.tokens_emitted, 0) / q.alloc, 6) AS fill_ratio
 FROM qq q LEFT JOIN agg a USING (source)
 ORDER BY source
+"""
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 curation (round 12): the DETERMINISTIC training-order shuffle
+    over the realized epoch multiset — the last step between a curation
+    plan and an actual dataloader manifest. Every (source, doc, epoch)
+    row gets a global 1-based order index by content-hash sort
+    (``md5('eshuf:'||epoch||':'||source||':'||doc_id)`` — epoch in the
+    salt, so each epoch reshuffles; ties impossible since the triple is
+    unique, but the full triple rides the ORDER BY anyway). The rank is
+    the two-phase ``with_sorted_rank`` (range-repartition + prefix-sum
+    of partition counts — no single-task global window; the W1
+    machinery reused at the curation tier).
+
+    Emits per (source, epoch): row count, min/max order index, and an
+    order-weighted checksum ``sum(ord · (doc_id % 997))`` that pins the
+    GLOBAL assignment — a single transposition anywhere in the corpus
+    moves it. The DuckDB oracle replays plan → materialization →
+    row_number over the same key."""
+    from neulix_datahub_spark.operators.curation import (
+        materialize_epoch_plan,
+        plan_token_budget_waterfall,
+    )
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+    from neulix_datahub_spark.operators.sequence import with_sorted_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.coalesce(
+        F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(0)
+    )
+    counts = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("n_tokens")
+    )
+    plan = plan_token_budget_waterfall(
+        counts, budget_frac=(13, 10), cap_frac=(7, 5)
+    )
+    mat = materialize_epoch_plan(docs, plan).withColumn(
+        "__k",
+        F.md5(
+            F.concat(
+                F.lit("eshuf:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("source"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ordered = with_sorted_rank(
+        mat,
+        [F.asc("__k"), F.asc("epoch"), F.asc("source"), F.asc("doc_id")],
+        "ord",
+    )
+    return (
+        ordered.groupBy("source", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ord").cast("long").alias("min_ord"),
+            F.max("ord").cast("long").alias("max_ord"),
+            F.sum(F.col("ord") * (F.col("doc_id") % 997))
+            .cast("long")
+            .alias("ord_checksum"),
+        )
+        .orderBy("source", "epoch")
+    )
+
+
+_EPOCH_SHUFFLE_SQL = _EPOCH_ROWS_CTES + r"""
+, shuf AS (
+    SELECT source, epoch, doc_id,
+           row_number() OVER (
+               ORDER BY md5('eshuf:' || CAST(epoch AS VARCHAR) || ':' ||
+                            source || ':' || CAST(doc_id AS VARCHAR)),
+                        epoch, source, doc_id
+           ) AS ord
+    FROM allrows
+)
+SELECT source, epoch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ord) AS BIGINT) AS min_ord,
+       CAST(max(ord) AS BIGINT) AS max_ord,
+       CAST(sum(ord * (doc_id % 997)) AS BIGINT) AS ord_checksum
+FROM shuf
+GROUP BY source, epoch
+ORDER BY source, epoch
 """
 
 
@@ -3685,6 +3777,12 @@ LLM_QUERIES = {
         _EPOCH_MATERIALIZE_SQL,
         "L7 epoch-plan materialization: full epochs + content-hash "
         "fractional epoch, never overshooting the allocation",
+    ),
+    "epoch_shuffle_order": (
+        epoch_shuffle_order,
+        _EPOCH_SHUFFLE_SQL,
+        "L7 deterministic training-order shuffle over the epoch "
+        "multiset (two-phase global rank, order-weighted checksum)",
     ),
     "trained_classifier_stats": (
         trained_classifier_stats,

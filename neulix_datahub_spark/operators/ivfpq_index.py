@@ -85,21 +85,44 @@ def _write_meta(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, _IVFPQ_META))
 
 
+def _residual(vec, coarse, coarse_centroids: list[list[float]]):
+    """``vec − coarse_centroid[coarse]`` as a pure expression: the
+    centroid table rides in as an array-of-arrays literal indexed by
+    the coarse code — the IVFADC residual every classic IVF-PQ
+    quantizes instead of the raw vector (residuals are centered, so
+    the same codebook bits buy less quantization error)."""
+    table = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in coarse_centroids
+        ]
+    )
+    cent = F.element_at(table, coarse + 1)
+    return F.zip_with(vec, cent, lambda x, y: x.cast("double") - y)
+
+
 def _encode(df: DataFrame, meta: dict) -> DataFrame:
     """``(id, vec, coarse, c0, c1)`` under the index's OWN stored
     centroids/codebooks — the single construction build and ingest
-    share, which is what makes slice-invariance provable."""
+    share, which is what makes slice-invariance provable. In
+    ``encode='residual'`` mode the PQ codes quantize the residual
+    against the assigned coarse centroid instead of the raw vector."""
     half = meta["dim"] // 2
     vec = F.col(meta["vec_col"])
+    coarse = _nearest_code(vec, meta["coarse_centroids"])
+    if meta.get("encode", "plain") == "residual":
+        target = _residual(vec, coarse, meta["coarse_centroids"])
+    else:
+        target = vec
     return df.select(
         F.col(meta["id_col"]).alias("id"),
         F.transform(vec, lambda x: x.cast("double")).alias("vec"),
-        _nearest_code(vec, meta["coarse_centroids"]).alias("coarse"),
-        _nearest_code(F.slice(vec, 1, half), meta["codebooks"][0]).alias(
+        coarse.alias("coarse"),
+        _nearest_code(F.slice(target, 1, half), meta["codebooks"][0]).alias(
             "c0"
         ),
         _nearest_code(
-            F.slice(vec, half + 1, half), meta["codebooks"][1]
+            F.slice(target, half + 1, half), meta["codebooks"][1]
         ).alias("c1"),
     )
 
@@ -117,9 +140,20 @@ def build_ivfpq_index(
     pq_iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    encode: str = "plain",
 ) -> dict:
     """Train the coarse quantizer + both PQ codebooks on ``df``, encode
-    it, and land the index at rest. Returns the sidecar dict."""
+    it, and land the index at rest. Returns the sidecar dict.
+
+    ``encode="residual"`` is the classic IVFADC refinement: the PQ
+    codebooks train on (and the codes quantize) the residual
+    ``v − coarse_centroid[coarse(v)]`` instead of the raw vector —
+    residuals are centered around zero, so the same codebook bits buy
+    strictly less reconstruction error on clustered data (pinned by
+    unit on the fixture). The mode freezes into the sidecar; ingest
+    and query follow it."""
+    if encode not in ("plain", "residual"):
+        raise ValueError(f"encode must be 'plain' or 'residual', got {encode!r}")
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("cannot build an IVF-PQ index on an empty relation")
@@ -130,9 +164,19 @@ def build_ivfpq_index(
     _, coarse = kmeans_lloyd(
         df, k=coarse_k, iters=coarse_iters, vec_col=vec_col, id_col=id_col
     )
+    coarse = [[float(x) for x in c] for c in coarse]
+    if encode == "residual":
+        train = df.select(
+            F.col(id_col),
+            _residual(
+                F.col(vec_col), _nearest_code(F.col(vec_col), coarse), coarse
+            ).alias(vec_col),
+        )
+    else:
+        train = df
     codebooks = []
     for start in (1, half + 1):
-        sub = df.select(
+        sub = train.select(
             F.col(id_col), F.slice(vec_col, start, half).alias("embedding")
         )
         _, cents = kmeans_lloyd(
@@ -145,7 +189,8 @@ def build_ivfpq_index(
         "dim": dim,
         "id_col": id_col,
         "vec_col": vec_col,
-        "coarse_centroids": [[float(x) for x in c] for c in coarse],
+        "encode": encode,
+        "coarse_centroids": coarse,
         "codebooks": codebooks,
     }
     meta["codes_version"] = 0
@@ -221,21 +266,63 @@ def query_ivfpq_index(
         norm2.append([_block_dot(c, c) for c in meta["codebooks"][s]])
     qn = math.sqrt(_block_dot(q, q))
     pq_k = meta["pq_k"]
-    cells = []
-    for c0 in range(pq_k):
-        for c1 in range(pq_k):
-            denom = qn * math.sqrt(norm2[0][c0] + norm2[1][c1])
-            cells.append(((dots[0][c0] + dots[1][c1]) / denom, c0, c1))
-    cells.sort(key=lambda t: (-t[0], t[1], t[2]))
-    kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
-
     cand = spark.read.parquet(_codes_dir(path, meta)).filter(
         F.col("coarse").isin(*probes)
     )
-    keep = F.array(*[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells])
-    shortlist = cand.filter(
-        F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
-    )
+    if meta.get("encode", "plain") == "residual":
+        # IVFADC: the reconstruction is coarse_centroid + residual
+        # codewords, so the approximate score depends on the
+        # (coarse, c0, c1) TRIPLE — still a fixed, driver-rankable
+        # table (n_probes·pq_k² entries; only probed coarse cells can
+        # hold candidates). The cross terms dot(centroid_half,
+        # codeword) are n_probes·pq_k·2 scalars.
+        cc = meta["coarse_centroids"]
+        cells = []
+        for g in probes:
+            dq_g = _block_dot(q, cc[g])
+            n2_g = _block_dot(cc[g], cc[g])
+            cross0 = [
+                _block_dot(cc[g][:half], cb) for cb in meta["codebooks"][0]
+            ]
+            cross1 = [
+                _block_dot(cc[g][half:], cb) for cb in meta["codebooks"][1]
+            ]
+            for c0 in range(pq_k):
+                for c1 in range(pq_k):
+                    num = dq_g + dots[0][c0] + dots[1][c1]
+                    inner = (
+                        n2_g
+                        + 2 * (cross0[c0] + cross1[c1])
+                        + norm2[0][c0]
+                        + norm2[1][c1]
+                    )
+                    cells.append((num / (qn * math.sqrt(inner)), g, c0, c1))
+        cells.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
+        kept_cells = [(g, c0, c1) for _, g, c0, c1 in cells[:top_cells]]
+        keep = F.array(
+            *[
+                F.lit((g * pq_k + c0) * pq_k + c1)
+                for g, c0, c1 in kept_cells
+            ]
+        )
+        shortlist = cand.filter(
+            F.array_contains(
+                keep,
+                (F.col("coarse") * pq_k + F.col("c0")) * pq_k + F.col("c1"),
+            )
+        )
+    else:
+        cells = []
+        for c0 in range(pq_k):
+            for c1 in range(pq_k):
+                denom = qn * math.sqrt(norm2[0][c0] + norm2[1][c1])
+                cells.append(((dots[0][c0] + dots[1][c1]) / denom, c0, c1))
+        cells.sort(key=lambda t: (-t[0], t[1], t[2]))
+        kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
+        keep = F.array(*[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells])
+        shortlist = cand.filter(
+            F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
+        )
     topk = (
         shortlist.select(
             "id",

@@ -1590,6 +1590,298 @@ _IVFPQ_SQL = _ivfpq_oracle_sql()
 _IVFPQ_LIFECYCLE_SQL = _ivfpq_oracle_sql(train_on="prior", lifecycle=True)
 
 
+def ivfpq_residual_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 IVFADC (round 12): the persisted index in ``encode=
+    'residual'`` mode — PQ codebooks train on and quantize the residual
+    ``v − coarse_centroid`` (the classic IVF-PQ refinement: residuals
+    are centered, so the same codebook bits buy less reconstruction
+    error; the strict inequality vs plain encoding is unit-pinned).
+    The approximate score now depends on the (coarse, c0, c1) TRIPLE;
+    the cell table is still fixed-size and driver-ranked
+    (n_probes·pq_k² entries).
+
+    Emits the composed top-10 plus the funnel counts, the computed
+    recall/pruning verdicts, AND the index's total residual
+    quantization error (4-dp) — every value replayed by the DuckDB
+    oracle: coarse Lloyd, residual construction, two residual-space
+    Lloyd runs, the triple-cell ADC cut, the re-rank, and the error
+    sum."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        _codes_dir,
+        _residual,
+        build_ivfpq_index,
+        query_ivfpq_index,
+        read_ivfpq_meta,
+    )
+    from neulix_datahub_spark.operators.similarity import _cosine_to_literal
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    planted = qrow.crossJoin(spark.range(1, 11)).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .unionByName(planted)
+        .localCheckpoint(eager=True)
+    )
+    path = f"{warehouse_scratch(spark, '_neulix_ivfadc_')}/index"
+    build_ivfpq_index(
+        corpus,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+        encode="residual",
+    )
+    meta = read_ivfpq_meta(path)
+    topk, info = query_ivfpq_index(
+        spark,
+        path,
+        qvec,
+        k=10,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    )
+    # total residual quantization error from the at-rest codes: the
+    # reconstruction is coarse_centroid + codeword pair, so the error
+    # is |residual − codewords|² summed over both halves
+    half = meta["dim"] // 2
+    at_rest = spark.read.parquet(_codes_dir(path, meta))
+    r = _residual(F.col("vec"), F.col("coarse"), meta["coarse_centroids"])
+    tbl0 = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in meta["codebooks"][0]]
+    )
+    tbl1 = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in meta["codebooks"][1]]
+    )
+
+    def _d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    err = at_rest.select(
+        (
+            _d2(F.slice(r, 1, half), F.element_at(tbl0, F.col("c0") + 1))
+            + _d2(
+                F.slice(r, half + 1, half),
+                F.element_at(tbl1, F.col("c1") + 1),
+            )
+        ).alias("__e")
+    ).agg(F.round(F.sum("__e"), 4).alias("e")).first()["e"]
+
+    exact = (
+        corpus.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias(
+                "__s"
+            ),
+        )
+        .orderBy(F.desc("__s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("id"), F.lit(1).alias("__e"))
+    )
+    n_hit = (
+        topk.join(exact, "id", "left")
+        .agg(F.sum("__e").cast("bigint").alias("h"))
+        .first()["h"]
+    )
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+    )
+    return ranked.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        "score",
+        F.lit(corpus.count()).cast("long").alias("n_corpus"),
+        F.lit(info["n_candidates"]).cast("long").alias("n_candidates"),
+        F.lit(info["n_shortlist"]).cast("long").alias("n_shortlist"),
+        F.lit(int(n_hit)).cast("long").alias("n_in_exact_top10"),
+        F.lit(float(err)).alias("quant_err"),
+        (F.lit(int(n_hit)) / F.lit(10.0) >= 0.95).alias("recall_ge_95pct"),
+        (
+            F.lit(info["n_shortlist"]) < F.lit(info["n_candidates"])
+        ).alias("pq_pruned"),
+    ).orderBy("rank")
+
+
+def _ivfpq_residual_oracle_sql() -> str:
+    half = 32
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    n2 = "list_sum(list_transform({c}, x -> x * x))"
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", "corpus", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    )
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
+        "p0_", "rsub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
+        "p1_", "rsub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    head = [
+        "qv AS (\n  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n  FROM embeddings WHERE vec_id = 0)",
+        "corpus AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n  FROM embeddings WHERE vec_id <> 0\n"
+        "  UNION ALL\n"
+        "  SELECT 1000000 + t.i AS vec_id,"
+        " list_transform(qv.v, x -> x + t.i * 0.002) AS v\n"
+        "  FROM qv, range(1, 11) t(i))",
+        "qn AS (\n"
+        f"  SELECT sqrt({n2.format(c='v')}) AS n,"
+        f" v[1:{half}] AS q0, v[{half + 1}:{2 * half}] AS q1 FROM qv)",
+    ]
+
+    def _argmin(src: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    # the residual relation must sit between the coarse Lloyd and the
+    # PQ Lloyds, so splice its CTEs in order
+    mid = [
+        f"enc_g AS MATERIALIZED (\n  {_argmin('corpus', g_cent)})",
+        "residuals AS MATERIALIZED (\n"
+        "  SELECT e.vec_id,"
+        " list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.c[i]) AS v\n"
+        f"  FROM enc_g e JOIN {g_cent} c ON e.cluster = c.cluster)",
+        f"rsub0 AS MATERIALIZED (SELECT vec_id, v[1:{half}] AS v"
+        " FROM residuals)",
+        f"rsub1 AS MATERIALIZED (SELECT vec_id, v[{half + 1}:{2 * half}]"
+        " AS v FROM residuals)",
+    ]
+    tail = f""",
+enc0 AS (
+    {_argmin("rsub0", p0_cent)}
+),
+enc1 AS (
+    {_argmin("rsub1", p1_cent)}
+),
+probed AS (
+    SELECT cluster FROM {g_cent}, qv
+    ORDER BY {d2.format(v="qv.v", c=g_cent + ".c")}, cluster
+    LIMIT {_IVFPQ_PROBES}
+),
+cand AS (
+    SELECT a.vec_id, a.v, a.cluster AS gc FROM enc_g a
+    WHERE a.cluster IN (SELECT cluster FROM probed)
+),
+cells AS (
+    SELECT g.cluster AS gc, a.cluster AS c0, b.cluster AS c1,
+           ({dot.format(a="qv.v", b="g.c")}
+            + {dot.format(a="qn.q0", b="a.c")}
+            + {dot.format(a="qn.q1", b="b.c")})
+           / (qn.n * sqrt({n2.format(c="g.c")}
+               + 2 * ({dot.format(a=f"g.c[1:{half}]", b="a.c")}
+                      + {dot.format(a=f"g.c[{half + 1}:{2 * half}]", b="b.c")})
+               + {n2.format(c="a.c")} + {n2.format(c="b.c")})) AS cscore
+    FROM (SELECT gc2.* FROM {g_cent} gc2
+          WHERE gc2.cluster IN (SELECT cluster FROM probed)) g
+    CROSS JOIN {p0_cent} a CROSS JOIN {p1_cent} b, qv, qn
+),
+kept AS (
+    SELECT gc, c0, c1 FROM cells ORDER BY cscore DESC, gc, c0, c1
+    LIMIT {_IVFPQ_TOP_CELLS}
+),
+coded AS (
+    SELECT c.vec_id, c.v, c.gc, a0.cluster AS c0, a1.cluster AS c1
+    FROM cand c
+    JOIN enc0 a0 USING (vec_id)
+    JOIN enc1 a1 USING (vec_id)
+),
+shortlist AS (
+    SELECT coded.vec_id, coded.v FROM coded JOIN kept USING (gc, c0, c1)
+),
+rerank AS (
+    SELECT s.vec_id,
+           round({dot.format(a="s.v", b="qv.v")}
+                 / (sqrt({n2.format(c="s.v")}) * qn.n), 6) AS score
+    FROM shortlist s, qv, qn
+),
+top AS (
+    SELECT row_number() OVER (ORDER BY score DESC, vec_id) AS rank,
+           vec_id, score
+    FROM rerank ORDER BY score DESC, vec_id LIMIT 10
+),
+exact AS (
+    SELECT vec_id FROM (
+        SELECT c.vec_id,
+               round({dot.format(a="c.v", b="qv.v")}
+                     / (sqrt({n2.format(c="c.v")}) * qn.n), 6) AS score
+        FROM corpus c, qv, qn
+        ORDER BY score DESC, c.vec_id LIMIT 10
+    )
+),
+qerr AS (
+    SELECT round(sum(
+        {d2.format(v="r0.v", c="ca.c")} + {d2.format(v="r1.v", c="cb.c")}
+    ), 4) AS e
+    FROM rsub0 r0
+    JOIN rsub1 r1 USING (vec_id)
+    JOIN enc0 e0 USING (vec_id)
+    JOIN enc1 e1 USING (vec_id)
+    JOIN {p0_cent} ca ON e0.cluster = ca.cluster
+    JOIN {p1_cent} cb ON e1.cluster = cb.cluster
+),
+counts AS (
+    SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_corpus,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM shortlist) AS BIGINT) AS n_shortlist,
+           CAST((SELECT count(*) FROM top JOIN exact USING (vec_id))
+                AS BIGINT) AS n_in_exact_top10,
+           (SELECT e FROM qerr) AS quant_err
+)
+SELECT t.rank, t.vec_id, t.score,
+       c.n_corpus, c.n_candidates, c.n_shortlist, c.n_in_exact_top10,
+       c.quant_err,
+       (c.n_in_exact_top10 / 10.0) >= 0.95 AS recall_ge_95pct,
+       c.n_shortlist < c.n_candidates AS pq_pruned
+FROM top t, counts c
+ORDER BY t.rank"""
+    return (
+        "WITH "
+        + ",\n".join(head + g_ctes + mid + p0_ctes + p1_ctes)
+        + tail
+    )
+
+
+_IVFPQ_RESIDUAL_SQL = _ivfpq_residual_oracle_sql()
+
+
 _EMBARGO_CUTOFF = "1997-01-01"
 _EMBARGO_DAYS = 90
 
@@ -3698,6 +3990,12 @@ SCALE_QUERIES = {
         _IVFPQ_LIFECYCLE_SQL,
         "persisted IVF-PQ index: frozen-codebook delta ingest + "
         "directory-pruned probe, full lifecycle oracle-replayed",
+    ),
+    "ivfpq_residual_search_check": (
+        ivfpq_residual_search_check,
+        _IVFPQ_RESIDUAL_SQL,
+        "IVFADC residual encoding: triple-cell ADC + quantization-"
+        "error sum, coarse+residual Lloyd runs all replayed",
     ),
     "k_anonymity_customers": (
         k_anonymity_customers,

@@ -493,3 +493,156 @@ def nfc_normalize_udf():
         )
 
     return nfc
+
+
+def _hashed_feature_codes(
+    col: Column | str, dim: int, bigrams: bool
+) -> Column:
+    """``array<struct<b, s>>`` of (bucket, sign) codes for the
+    normalized tokens (+ adjacent bigrams): bucket =
+    ``int(md5('hemb:'||f)[:8], 16) % dim``, sign ±1 from the 9th hex
+    digit's parity. Each feature hashes exactly ONCE (the naive
+    per-dimension spelling re-inlined the hash into every dim lambda —
+    Catalyst does no common-subexpression elimination across lambda
+    bodies; measured ~9 s/doc before the hoist). Shared by both
+    embedding spellings so their parity is structural."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.coalesce(
+        F.split(normalize_text(c), " "), F.array().cast("array<string>")
+    )
+    feats = toks
+    if bigrams:
+        # guard: Spark's sequence(1, 0) DESCENDS to [1, 0], and
+        # element_at(_, 0) throws under ANSI — short docs get no bigrams
+        bg = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, bg)
+
+    def _bs(f):
+        h = F.md5(F.concat(F.lit("hemb:"), f))
+        return F.struct(
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias(
+                "b"
+            ),
+            (
+                F.lit(1)
+                - F.lit(2)
+                * (F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2)
+            ).alias("s"),
+        )
+
+    return F.transform(feats, _bs)
+
+
+def _l2_normalize_or_zero(raw: Column) -> Column:
+    """``array<long>`` counts → unit-L2 ``array<double>`` (all-zero
+    stays all-zero); index-order double accumulation both engines."""
+    e = F.transform(raw, lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(norm > 0, F.transform(e, lambda x: x / norm)).otherwise(e)
+
+
+def hashed_ngram_embedding(
+    col: Column | str, dim: int = 64, bigrams: bool = True
+) -> Column:
+    """L3/L4 bridge (round 12): a deterministic, model-free text
+    embedding via the signed hashing trick (Weinberger et al.; the
+    role Spark ML's HashingTF plays, but md5-derived so a DuckDB
+    oracle replays it bit-for-bit — murmur3 is not portable).
+
+    Features are the normalized tokens (plus adjacent-token bigrams by
+    default); each feature lands in a signed bucket
+    (:func:`_hashed_feature_codes`), counts accumulate as exact
+    INTEGERS (so the pre-normalization vector is engine-exact), then
+    the vector is L2-normalized in doubles. NULL/empty text → the
+    zero vector.
+
+    This is the pure-COLUMN spelling: no explode, no shuffle, but the
+    accumulation fold runs interpreted at O(features × dim) lambda
+    evaluations per row (~10 ms/doc at dim=64) — fine for expression
+    contexts and modest dims. For corpus-scale embedding jobs use
+    :func:`hashed_embedding_table`, which hashes identically (shared
+    code construction, parity unit-pinned) but aggregates by explode +
+    groupBy and assembles via an O(dim) map lookup."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    bs = _hashed_feature_codes(col, dim, bigrams)
+    raw = F.aggregate(
+        bs,
+        F.array_repeat(F.lit(0).cast("long"), dim),
+        lambda acc, x: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(x["b"] == i.cast("long"), x["s"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+    return _l2_normalize_or_zero(raw)
+
+
+def hashed_embedding_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    bigrams: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """The corpus-scale spelling of :func:`hashed_ngram_embedding`:
+    ``(id_col, out_col)`` with identical values (parity unit-pinned —
+    the feature-code construction is literally shared).
+
+    Plan shape: explode the per-row feature codes → ONE map-side-
+    combined (id, bucket) aggregate of the signed counts → per-doc
+    map assembly + O(dim) lookups. The shuffle carries at most
+    min(#features, dim) rows per document (bucket-grain, not
+    token-grain), and the per-row assembly is O(dim) instead of the
+    Column form's O(features × dim) interpreted fold. Documents whose
+    text is NULL (no features) are preserved with the zero vector via
+    the left join."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if out_col in (id_col,):
+        raise ValueError(f"out_col {out_col!r} collides with id_col")
+    bs = _hashed_feature_codes(text_col, dim, bigrams)
+    cells = (
+        df.select(F.col(id_col), F.explode(bs).alias("__x"))
+        .groupBy(id_col, F.col("__x.b").alias("__b"))
+        .agg(F.sum("__x.s").cast("long").alias("__v"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__b", "__v"))
+            ).alias("__m")
+        )
+    )
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(cells, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("__m").isNull(),
+                F.array_repeat(F.lit(0.0), dim),
+            )
+            .otherwise(_l2_normalize_or_zero(raw))
+            .alias(out_col),
+        )
+    )

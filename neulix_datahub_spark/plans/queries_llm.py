@@ -1300,6 +1300,160 @@ ORDER BY source, epoch
 """
 
 
+def hashed_embedding_similarity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 bridge (round 12): model-free signed-hashing text
+    embeddings (``operators/text.py hashed_ngram_embedding`` — the
+    HashingTF role with an md5-portable hash) evaluated on the planted
+    near-dup corpus. Every original embeds, every first-token-dropped
+    twin embeds, and the query compares the cosine of each PLANTED
+    pair (orig i, twin i) against a MISMATCHED pairing (orig i,
+    twin (i+1) mod 100) — the signal an embedding must carry for
+    near-dup work. Cosines are fixed-point-quantized per pair
+    (floor(1e6·cos), the classifier-gradient trick) so the sums are
+    exact integers; the global mass/support pins the full bucket+sign
+    assignment of every document. All values replayed by the DuckDB
+    oracle; the separation verdict is computed on both sides, not
+    pinned."""
+    from neulix_datahub_spark.operators.similarity import (
+        cosine_similarity_expr,
+    )
+    from neulix_datahub_spark.operators.text import hashed_embedding_table
+
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    emb = hashed_embedding_table(
+        corpus, "text", "doc_id", dim=64, out_col="e"
+    ).localCheckpoint(eager=True)
+    mass_q6 = F.floor(
+        F.lit(1e6)
+        * F.aggregate(
+            F.col("e"), F.lit(0.0), lambda acc, x: acc + F.abs(x)
+        )
+    ).cast("long")
+    nnz = F.aggregate(
+        F.col("e"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x != 0.0, 1).otherwise(0),
+    )
+    glob = emb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(mass_q6).cast("long").alias("mass_q6_sum"),
+        F.sum(nnz).cast("long").alias("n_nonzero_dims"),
+    )
+    orig = emb.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("o"), F.col("e").alias("a")
+    )
+    twin = emb.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("t"), F.col("e").alias("b")
+    )
+    cos_q6 = F.floor(
+        F.lit(1e6) * cosine_similarity_expr(F.col("a"), F.col("b"))
+    ).cast("long")
+    planted = (
+        orig.join(twin, orig["o"] == twin["t"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(cos_q6).cast("long").alias("planted_cos_q6_sum"),
+        )
+    )
+    mismatch = (
+        orig.join(twin, twin["t"] == (orig["o"] + 1) % 100)
+        .agg(F.sum(cos_q6).cast("long").alias("mismatch_cos_q6_sum"))
+    )
+    return (
+        glob.crossJoin(planted)
+        .crossJoin(mismatch)
+        .select(
+            "n_docs",
+            "n_pairs",
+            "mass_q6_sum",
+            "n_nonzero_dims",
+            "planted_cos_q6_sum",
+            "mismatch_cos_q6_sum",
+            (
+                F.col("planted_cos_q6_sum") > F.col("mismatch_cos_q6_sum")
+            ).alias("planted_beats_mismatch"),
+        )
+    )
+
+
+_HASHED_EMB_SQL = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           substring(text, instr(text, ' ') + 1) AS text
+    FROM documents WHERE doc_id < 100
+),
+feats AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN t || [t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, len(t) - 1)]
+                ELSE t END AS f
+    FROM (
+        SELECT doc_id,
+               COALESCE(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' '), []) AS t
+        FROM corpus
+    )
+),
+emb AS MATERIALIZED (
+    SELECT doc_id, e,
+           sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+    FROM (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CAST(COALESCE(list_sum(
+                   list_transform(f, ff ->
+                       CASE WHEN CAST('0x' || substr(md5('hemb:' || ff), 1, 8) AS BIGINT) % 64 = i
+                            THEN 1 - 2 * (CAST('0x' || substr(md5('hemb:' || ff), 9, 1) AS BIGINT) % 2)
+                            ELSE 0 END)), 0) AS BIGINT)) AS e
+        FROM feats
+    )
+),
+normed AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(e, x -> CAST(x AS DOUBLE) / nrm)
+                ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS e
+    FROM emb
+),
+gstats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(1000000 * list_sum(
+               list_transform(e, x -> abs(x)))) AS BIGINT)) AS BIGINT)
+               AS mass_q6_sum,
+           CAST(sum(len(list_filter(e, x -> x <> 0.0))) AS BIGINT)
+               AS n_nonzero_dims
+    FROM normed
+),
+pairs AS (
+    SELECT o.doc_id AS o, t.doc_id - 1000000 AS t,
+           CAST(floor(1000000 *
+               list_sum(list_transform(range(1, len(o.e)+1),
+                                       i -> o.e[i] * t.e[i]))
+               / (sqrt(list_sum(list_transform(o.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(t.e, x -> x * x))))
+           ) AS BIGINT) AS cq6
+    FROM normed o JOIN normed t
+      ON o.doc_id < 100 AND t.doc_id >= 1000000
+),
+planted AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cq6) AS BIGINT) AS planted_cos_q6_sum
+    FROM pairs WHERE t = o
+),
+mismatch AS (
+    SELECT CAST(sum(cq6) AS BIGINT) AS mismatch_cos_q6_sum
+    FROM pairs WHERE t = (o + 1) % 100
+)
+SELECT g.n_docs, p.n_pairs, g.mass_q6_sum, g.n_nonzero_dims,
+       p.planted_cos_q6_sum, m.mismatch_cos_q6_sum,
+       p.planted_cos_q6_sum > m.mismatch_cos_q6_sum
+           AS planted_beats_mismatch
+FROM gstats g, planted p, mismatch m
+"""
+
+
 def mixing_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+ curation, driver-visible: deterministic content-hash mixing
     sampler — per-language kept counts under the MIXING_RATES targets.
@@ -3783,6 +3937,13 @@ LLM_QUERIES = {
         _EPOCH_SHUFFLE_SQL,
         "L7 deterministic training-order shuffle over the epoch "
         "multiset (two-phase global rank, order-weighted checksum)",
+    ),
+    "hashed_embedding_similarity_check": (
+        hashed_embedding_similarity_check,
+        _HASHED_EMB_SQL,
+        "L3/L4 bridge: md5-portable signed-hashing text embeddings; "
+        "planted-pair vs mismatched-pair cosine separation, exact "
+        "fixed-point sums",
     ),
     "trained_classifier_stats": (
         trained_classifier_stats,

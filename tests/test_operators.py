@@ -3132,3 +3132,44 @@ def test_ivfpq_residual_encoding_beats_plain(spark, tmp_path):
     build_ivfpq_index(emb, pr, encode="residual", **kw)
     e_plain, e_resid = total_err(pp), total_err(pr)
     assert e_resid < e_plain, (e_resid, e_plain)
+
+
+def test_hashed_embedding_table_equals_column_form(spark):
+    # the two spellings share the feature-code construction; the table
+    # form (explode + groupBy + map assembly) must produce IDENTICAL
+    # vectors to the pure-Column fold, including the NULL-text zero
+    # vector and the empty-string row
+    from neulix_datahub_spark.operators.text import (
+        hashed_embedding_table,
+        hashed_ngram_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox"),
+            (3, "completely different words entirely here"),
+            (4, ""),
+            (5, None),
+            (6, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    col_form = {
+        r.doc_id: list(r.e)
+        for r in df.select(
+            "doc_id", hashed_ngram_embedding("text", dim=16).alias("e")
+        ).collect()
+    }
+    tbl_form = {
+        r.doc_id: list(r.e)
+        for r in hashed_embedding_table(
+            df, "text", "doc_id", dim=16, out_col="e"
+        ).collect()
+    }
+    assert col_form == tbl_form
+    assert tbl_form[5] == [0.0] * 16  # NULL text -> zero vector
+    # unit norm where nonzero
+    for k, v in tbl_form.items():
+        n2 = sum(x * x for x in v)
+        assert k == 5 or abs(n2 - 1.0) < 1e-12

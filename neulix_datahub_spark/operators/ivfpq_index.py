@@ -59,12 +59,14 @@ from neulix_datahub_spark.operators.similarity import (
     _block_dot,
     _cosine_to_literal,
     _nearest_code,
+    _norm,
 )
 
 __all__ = [
     "build_ivfpq_index",
     "ingest_ivfpq_delta",
     "query_ivfpq_index",
+    "query_ivfpq_index_batch",
     "compact_ivfpq_index",
     "read_ivfpq_meta",
 ]
@@ -377,3 +379,165 @@ def compact_ivfpq_index(
     _write_meta(path, new_meta)  # the atomic commit
     shutil.rmtree(old_dir, ignore_errors=True)
     return new_meta
+
+
+def query_ivfpq_index_batch(
+    spark: SparkSession,
+    probes: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probes: int = 2,
+    top_cells: int = 4,
+    exclude_self: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """MANY probes against the at-rest index in ONE job — the
+    production retrieval shape (a dedup or hard-negative pass queries
+    millions of vectors, not one). Everything probe-side is a narrow
+    expression: per-probe coarse argmin (struct array_sort over the
+    centroid-distance table), per-probe ADC cell ranking (the
+    codeword dot tables as array expressions, codeword norms inlined
+    as the SAME python-float literals the single-probe path uses — so
+    batch == per-probe :func:`query_ivfpq_index` EXACTLY, unit-
+    pinned), then the exploded (probe, coarse-cell) pairs join the
+    codes relation on the cell key. With ``broadcast_probes`` the
+    codes scan never shuffles; pass False for a genuinely huge probe
+    set (same plan as a shuffle hash join on the cell key). Per-probe
+    top-k is a window over the re-ranked shortlist.
+
+    Returns ``(probe_id, neighbor_id, score)``, ≤ k rows per probe.
+    Plain encoding only: residual ADC needs per-(probe, coarse) cross
+    terms — n_probes·pq_k·2 scalars PER PROBE, a probe-side cost that
+    belongs driver-side; use :func:`query_ivfpq_index` per query
+    vector or ``encode='plain'`` for batch workloads."""
+    meta = read_ivfpq_meta(path)
+    if meta.get("encode", "plain") != "plain":
+        raise NotImplementedError(
+            "batch probing supports encode='plain' indexes only (residual "
+            "ADC needs per-(probe, coarse) cross terms); use "
+            "query_ivfpq_index per vector for a residual index"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dim, half, pq_k = meta["dim"], meta["dim"] // 2, meta["pq_k"]
+    n2c = [
+        [_block_dot(c, c) for c in meta["codebooks"][s]] for s in (0, 1)
+    ]
+
+    def _d2_to(vec, cent: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _dot_to(vec, cent: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    coarse_tbl = F.array(
+        *[
+            F.struct(
+                _d2_to(F.col(vec_col), c).alias("d"),
+                F.lit(g).cast("int").alias("g"),
+            )
+            for g, c in enumerate(meta["coarse_centroids"])
+        ]
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(coarse_tbl), 1, n_probes), lambda s: s["g"]
+    )
+    d0 = F.array(
+        *[_dot_to(F.slice(vec_col, 1, half), c) for c in meta["codebooks"][0]]
+    )
+    d1 = F.array(
+        *[
+            _dot_to(F.slice(vec_col, half + 1, half), c)
+            for c in meta["codebooks"][1]
+        ]
+    )
+    qn = _norm(F.col(vec_col))
+    cell_tbl = F.array(
+        *[
+            F.struct(
+                (
+                    -(
+                        (
+                            F.element_at(d0, c0 + 1)
+                            + F.element_at(d1, c1 + 1)
+                        )
+                        / (
+                            qn
+                            * F.lit(
+                                math.sqrt(n2c[0][c0] + n2c[1][c1])
+                            )
+                        )
+                    )
+                ).alias("ns"),
+                F.lit(c0).cast("int").alias("c0"),
+                F.lit(c1).cast("int").alias("c1"),
+            )
+            for c0 in range(pq_k)
+            for c1 in range(pq_k)
+        ]
+    )
+    kept = F.transform(
+        F.slice(F.array_sort(cell_tbl), 1, top_cells),
+        lambda s: (s["c0"] * pq_k + s["c1"]).cast("long"),
+    )
+    p_side = probes.select(
+        F.col(id_col).alias("probe_id"),
+        pv.alias("__pv"),
+        _norm(F.col(vec_col)).alias("__pn"),
+        kept.alias("__kept"),
+        F.explode(probed).alias("__g"),
+    )
+    p_join = F.broadcast(p_side) if broadcast_probes else p_side
+    cand = spark.read.parquet(_codes_dir(path, meta)).join(
+        p_join, F.col("coarse") == F.col("__g")
+    )
+    shortlist = cand.filter(
+        F.array_contains(
+            F.col("__kept"),
+            (F.col("c0") * pq_k + F.col("c1")).cast("long"),
+        )
+    )
+    if exclude_self:
+        shortlist = shortlist.filter(F.col("id") != F.col("probe_id"))
+    from pyspark.sql import Window as _W
+
+    scored = shortlist.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"), F.col("__pv"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (_norm(F.col("vec")) * F.col("__pn")),
+            6,
+        ).alias("score"),
+    )
+    w = _W.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1392,6 +1392,254 @@ def ivfpq_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def ivfpq_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 batch retrieval against the at-rest IVF-PQ index (round 12):
+    every probe (vec_id % 200 == 0) gets 5 planted near-copies
+    (i·0.002 per-dim shift — the ivf_batch_recall_check geometry),
+    the index builds over the planted corpus, and
+    ``query_ivfpq_index_batch`` answers ALL probes in one job —
+    probe-side coarse argmin + ADC cell ranking as expressions, the
+    probe side broadcast against the codes scan. Emits per probe the
+    exact top-5 ids, the batch hit count, and a full-recall verdict —
+    every value replayed by the DuckDB oracle (three Lloyd runs,
+    per-probe probe/cell windows, the cell-key join, both re-ranks)."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+    from neulix_datahub_spark.operators.similarity import _norm
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    planted = probes.crossJoin(spark.range(1, 6)).select(
+        (F.lit(2_000_000) + F.col("vec_id") * 100 + F.col("id")).alias(
+            "vec_id"
+        ),
+        F.transform(
+            "embedding",
+            lambda x: x + F.col("id").cast("double") * F.lit(0.002),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
+    path = f"{warehouse_scratch(spark, '_neulix_ivfpq_batch_')}/index"
+    build_ivfpq_index(
+        corpus,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+    )
+    batch = query_ivfpq_index_batch(
+        spark,
+        probes,
+        path,
+        k=5,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    ).select("probe_id", "neighbor_id", F.lit(0).alias("e"), F.lit(1).alias("i"))
+    p_side = F.broadcast(
+        probes.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("__pv"),
+            _norm(F.col("embedding")).alias("__pn"),
+        )
+    )
+    scored = (
+        corpus.join(p_side, corpus["vec_id"] != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"), F.col("__pv"), lambda x, y: x * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                / (_norm(F.col("embedding")) * F.col("__pn")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("e"), F.lit(0).alias("i"))
+    )
+    per_pair = (
+        exact.unionByName(batch)
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("e").alias("e"), F.max("i").alias("i"))
+    )
+    return (
+        per_pair.groupBy("probe_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("e") == 1, F.col("neighbor_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("exact_top5_ids"),
+            F.sum("e").cast("bigint").alias("n_exact"),
+            F.sum(F.col("e") * F.col("i")).cast("bigint").alias(
+                "n_in_exact_top5"
+            ),
+            (F.sum(F.col("e") * F.col("i")) >= 5).alias("batch_recall_full"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _ivfpq_batch_oracle_sql() -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    n2 = "list_sum(list_transform({c}, x -> x * x))"
+    half = 32
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", "corpus", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    )
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
+        "p0_", "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
+        "p1_", "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    head = [
+        "pv AS (\n  SELECT vec_id AS probe_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings WHERE vec_id % 200 = 0)",
+        "corpus AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n  FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT 2000000 + pv.probe_id * 100 + t.i,"
+        " list_transform(pv.v, x -> x + t.i * 0.002)\n"
+        "  FROM pv, range(1, 6) t(i))",
+        f"sub0 AS (SELECT vec_id, v[1:{half}] AS v FROM corpus)",
+        f"sub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v FROM corpus)",
+    ]
+
+    def _argmin(src: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    tail = f""",
+enc_g AS MATERIALIZED (
+    {_argmin("corpus", g_cent)}
+),
+enc0 AS MATERIALIZED (
+    {_argmin("sub0", p0_cent)}
+),
+enc1 AS MATERIALIZED (
+    {_argmin("sub1", p1_cent)}
+),
+pprobed AS (
+    SELECT probe_id, cluster FROM (
+        SELECT q.probe_id, c.cluster,
+               row_number() OVER (PARTITION BY q.probe_id
+                                  ORDER BY {d2.format(v="q.v", c="c.c")},
+                                           c.cluster) AS rn
+        FROM pv q CROSS JOIN {g_cent} c
+    ) WHERE rn <= {_IVFPQ_PROBES}
+),
+pcells AS (
+    SELECT probe_id, c0, c1 FROM (
+        SELECT q.probe_id, a.cluster AS c0, b.cluster AS c1,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   ({dot.format(a=f"q.v[1:{half}]", b="a.c")}
+                    + {dot.format(a=f"q.v[{half + 1}:{2 * half}]", b="b.c")})
+                   / (sqrt({n2.format(c="q.v")})
+                      * sqrt({n2.format(c="a.c")} + {n2.format(c="b.c")}))
+                   DESC, a.cluster, b.cluster) AS rn
+        FROM pv q CROSS JOIN {p0_cent} a CROSS JOIN {p1_cent} b
+    ) WHERE rn <= {_IVFPQ_TOP_CELLS}
+),
+shortlist AS (
+    SELECT q.probe_id, q.v AS qv, e.vec_id, e.v
+    FROM pprobed pr
+    JOIN pv q USING (probe_id)
+    JOIN enc_g e ON e.cluster = pr.cluster
+    JOIN enc0 e0 ON e0.vec_id = e.vec_id
+    JOIN enc1 e1 ON e1.vec_id = e.vec_id
+    JOIN pcells pc ON pc.probe_id = pr.probe_id
+                  AND pc.c0 = e0.cluster AND pc.c1 = e1.cluster
+    WHERE e.vec_id <> q.probe_id
+),
+batch AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY
+                   round({dot.format(a="v", b="qv")}
+                         / (sqrt({n2.format(c="v")})
+                            * sqrt({n2.format(c="qv")})), 6)
+                   DESC, vec_id) AS rn
+        FROM shortlist
+    ) WHERE rn <= 5
+),
+exact AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT q.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   round({dot.format(a="c.v", b="q.v")}
+                         / (sqrt({n2.format(c="c.v")})
+                            * sqrt({n2.format(c="q.v")})), 6)
+                   DESC, c.vec_id) AS rn
+        FROM corpus c, pv q
+        WHERE c.vec_id <> q.probe_id
+    ) WHERE rn <= 5
+),
+pairs AS (
+    SELECT probe_id, vec_id, max(e) AS e, max(i) AS i FROM (
+        SELECT probe_id, vec_id, 1 AS e, 0 AS i FROM exact
+        UNION ALL
+        SELECT probe_id, vec_id, 0 AS e, 1 AS i FROM batch
+    ) GROUP BY probe_id, vec_id
+)
+SELECT probe_id,
+       string_agg(CASE WHEN e = 1 THEN CAST(vec_id AS VARCHAR) END,
+                  ',' ORDER BY vec_id) AS exact_top5_ids,
+       CAST(sum(e) AS BIGINT) AS n_exact,
+       CAST(sum(e * i) AS BIGINT) AS n_in_exact_top5,
+       sum(e * i) >= 5 AS batch_recall_full
+FROM pairs
+GROUP BY probe_id
+ORDER BY probe_id"""
+    return (
+        "WITH "
+        + ",\n".join(head + g_ctes + p0_ctes + p1_ctes)
+        + tail
+    )
+
+
 def _lloyd_ctes(prefix: str, src: str, k: int, iters: int) -> tuple[list[str], str, str]:
     """Unrolled-Lloyd CTE block over source CTE ``src`` (columns
     ``vec_id, v``) — the _kmeans_oracle_sql recipe parameterized so one
@@ -1880,6 +2128,7 @@ ORDER BY t.rank"""
 
 
 _IVFPQ_RESIDUAL_SQL = _ivfpq_residual_oracle_sql()
+_IVFPQ_BATCH_SQL = _ivfpq_batch_oracle_sql()
 
 
 _EMBARGO_CUTOFF = "1997-01-01"
@@ -3996,6 +4245,12 @@ SCALE_QUERIES = {
         _IVFPQ_RESIDUAL_SQL,
         "IVFADC residual encoding: triple-cell ADC + quantization-"
         "error sum, coarse+residual Lloyd runs all replayed",
+    ),
+    "ivfpq_batch_recall_check": (
+        ivfpq_batch_recall_check,
+        _IVFPQ_BATCH_SQL,
+        "batch probes vs the at-rest IVF-PQ index in one job: "
+        "per-probe coarse/cell windows + cell-key join replayed",
     ),
     "k_anonymity_customers": (
         k_anonymity_customers,

@@ -3173,3 +3173,52 @@ def test_hashed_embedding_table_equals_column_form(spark):
     for k, v in tbl_form.items():
         n2 = sum(x * x for x in v)
         assert k == 5 or abs(n2 - 1.0) < 1e-12
+
+
+def test_ivfpq_batch_equals_single_probe_exactly(spark, tmp_path):
+    # the batch expressions inline the SAME python-float codeword norms
+    # and accumulate dots in the same order as the driver-side path, so
+    # batch == per-probe query_ivfpq_index EXACTLY (ids and 6-dp scores)
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "idx")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    probe_rows = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r.probe_id, r.neighbor_id): r.score
+        for r in query_ivfpq_index_batch(
+            spark, probe_rows, path, k=5, n_probes=2, top_cells=4
+        ).collect()
+    }
+    want = {}
+    for p in probe_rows.collect():
+        topk, _ = query_ivfpq_index(
+            spark, path, [float(x) for x in p.embedding], k=6,
+            n_probes=2, top_cells=4,
+        )
+        rows = [r for r in topk.collect() if r.id != p.vec_id][:5]
+        for r in rows:
+            want[(p.vec_id, r.id)] = r.score
+    assert got == want
+
+
+def test_ivfpq_batch_refuses_residual(spark, tmp_path):
+    import pytest
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "r")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=1, pq_k=4,
+                      pq_iters=1, encode="residual")
+    with pytest.raises(NotImplementedError, match="plain"):
+        query_ivfpq_index_batch(spark, emb.limit(1), path)

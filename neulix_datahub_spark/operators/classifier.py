@@ -141,6 +141,7 @@ def save_classifier(
     lr: float,
     quant: int,
     iters_done: int,
+    extra: dict | None = None,
 ) -> None:
     """Persist a trained model as a weights sidecar under ``path``
     (created if absent). Write-then-rename: the pointer flip is the
@@ -149,14 +150,15 @@ def save_classifier(
     round-trip exactly (repr-based), so ``load → refresh`` continues
     GD from bit-identical weights."""
     os.makedirs(path, exist_ok=True)
-    meta = {
+    meta = dict(extra or {})
+    meta.update({
         "weights": [float(x) for x in weights],
         "feature_cols": list(feature_cols),
         "label_col": label_col,
         "lr": float(lr),
         "quant": int(quant),
         "iters_done": int(iters_done),
-    }
+    })
     tmp = os.path.join(path, _CLASSIFIER_META + ".tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(meta, f, sort_keys=True)
@@ -199,6 +201,8 @@ def refresh_classifier(df: DataFrame, path: str, iters: int = 10) -> dict:
         quant=meta["quant"],
         initial_weights=meta["weights"],
     )
+    core = {"weights", "feature_cols", "label_col", "lr", "quant",
+            "iters_done"}
     save_classifier(
         path,
         w,
@@ -207,5 +211,6 @@ def refresh_classifier(df: DataFrame, path: str, iters: int = 10) -> dict:
         meta["lr"],
         meta["quant"],
         meta["iters_done"] + iters,
+        extra={k: v for k, v in meta.items() if k not in core},
     )
     return load_classifier(path)

@@ -728,6 +728,7 @@ def _logreg_oracle_sql(
     lr: float = _LOGREG_LR,
     quant: int = _LOGREG_QUANT,
     phases: list[tuple[int, str]] | None = None,
+    feat_sql: str | None = None,
 ) -> str:
     """Assemble the unrolled-GD oracle (the batched-BPE 16-CTE
     precedent): iteration i computes four exact INTEGER gradient sums
@@ -748,7 +749,11 @@ def _logreg_oracle_sql(
         f"{where})"
         for p, (_, where) in enumerate(phases)
     )
-    parts = [_LOGREG_FEAT_SQL.replace("w0 AS", f"{nn_ctes},\nw0 AS")]
+    parts = [
+        (feat_sql or _LOGREG_FEAT_SQL).replace(
+            "w0 AS", f"{nn_ctes},\nw0 AS"
+        )
+    ]
     i = 0
     for p, (k, where) in enumerate(phases):
         for _ in range(k):
@@ -784,6 +789,20 @@ scored AS (
 """)
     parts.append(final_sql.format(quant=quant))
     return "".join(parts)
+
+
+# the stream twin's feature SQL: the shared construction + the
+# content-hash micro-batch assignment ('stream:' salt, hex digit < '8')
+_LOGREG_STREAM_FEAT_SQL = _LOGREG_FEAT_SQL.replace(
+    "THEN 'train' ELSE 'holdout' END AS split,",
+    "THEN 'train' ELSE 'holdout' END AS split,\n"
+    "           CASE WHEN substring(md5('stream:' || COALESCE(text, '')),"
+    " 1, 1) < '8'\n                THEN 'a' ELSE 'b' END AS sbatch,",
+).replace(
+    "    SELECT lang, split,",
+    "    SELECT lang, split, sbatch,",
+)
+assert "sbatch" in _LOGREG_STREAM_FEAT_SQL
 
 
 _TRAINED_CLASSIFIER_SQL = _logreg_oracle_sql(
@@ -840,6 +859,31 @@ FROM scored
 GROUP BY lang
 ORDER BY lang""",
     phases=[(4, "WHERE split = 'train'"), (6, "")],
+)
+
+
+STREAM_REFRESH_CLASSIFIER_SQL = _logreg_oracle_sql(
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(floor({quant} * s) AS BIGINT)) AS DOUBLE)
+             / ({quant}.0 * count(*)), 4) AS avg_score,
+       round(any_value(b), 6) AS w_bias,
+       round(any_value(wa), 6) AS w_f1,
+       round(any_value(wb), 6) AS w_f2,
+       round(any_value(wc), 6) AS w_f3,
+       CAST(10 AS BIGINT) AS iters_done,
+       CAST(1 AS BIGINT) AS last_batch_id
+FROM scored
+GROUP BY lang
+ORDER BY lang""",
+    phases=[
+        (4, "WHERE split = 'train'"),
+        (3, "WHERE sbatch = 'a'"),
+        (3, "WHERE sbatch = 'b'"),
+    ],
+    feat_sql=_LOGREG_STREAM_FEAT_SQL,
 )
 
 

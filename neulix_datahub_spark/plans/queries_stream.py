@@ -1699,6 +1699,129 @@ def stream_ivfpq_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def stream_classifier_refresh_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S5 twin of ``classifier_refresh_stats`` (round 12): day-0 trains
+    4 GD iterations on the 80% content-hash slice and commits the
+    sidecar; the corpus then arrives as a STREAM in two content-hash
+    micro-batches ('stream:' md5 salt) through the
+    ``stream_classifier_refresh`` foreachBatch sink — each batch
+    warm-starts 3 iterations on ITS OWN rows and commits back (GD is
+    order-dependent, so the sink's transactional batch-id ledger, not
+    an anti-join, is what makes redelivery safe). The DuckDB oracle
+    unrolls all THREE phases — 4 iterations on the train slice, 3 on
+    batch a, 3 on batch b, each with its own n — and must land on the
+    sidecar's committed weights to 6 dp."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.classifier import (
+        load_classifier,
+        logistic_score,
+        save_classifier,
+        train_logistic_classifier,
+    )
+    from neulix_datahub_spark.operators.curation import hash_split
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+    from neulix_datahub_spark.plans.queries_llm import (
+        _LOGREG_LR,
+        _LOGREG_QUANT,
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_classifier_refresh
+
+    tmp = _scratch(spark, "neulix_clfstream_")
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "holdout": 0.2},
+    )
+    t = F.split(normalize_text(F.col("text")), " ")
+    tot, dis = F.size(t), F.size(F.array_distinct(t))
+    mx = F.array_max(F.transform(t, lambda x: F.length(x)))
+    sbatch = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("stream:"), F.coalesce("text", F.lit("")))),
+            1,
+            1,
+        )
+        < "8",
+        "a",
+    ).otherwise("b")
+    feat = docs.select(
+        "lang",
+        "split",
+        sbatch.alias("sbatch"),
+        (F.floor(tot / F.lit(16)).cast("long") - 10).alias("f1"),
+        (
+            F.floor(F.floor(F.lit(100.0) * dis / tot) / F.lit(8)).cast("long")
+            - 6
+        ).alias("f2"),
+        (mx.cast("long") - 5).alias("f3"),
+        (F.lit(2) * dis >= tot).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    cols = ["f1", "f2", "f3"]
+    w0 = train_logistic_classifier(
+        feat.filter(F.col("split") == "train"),
+        cols,
+        "y",
+        iters=4,
+        lr=_LOGREG_LR,
+        quant=_LOGREG_QUANT,
+    )
+    path = f"{tmp}/model"
+    save_classifier(
+        path, w0, cols, "y", _LOGREG_LR, _LOGREG_QUANT, iters_done=4
+    )
+
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    for name, mtime in (("a", 1_000_000), ("b", 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        feat.filter(F.col("sbatch") == name).select(
+            "f1", "f2", "f3", "y"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("f1 bigint, f2 bigint, f3 bigint, y int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_classifier_refresh(
+        stream, path, iters_per_batch=3, checkpoint_dir=f"{tmp}/ckpt"
+    )
+    q.awaitTermination()
+
+    meta = load_classifier(path)
+    w = meta["weights"]
+    s = logistic_score(w, cols)
+    sq = F.floor(F.lit(float(_LOGREG_QUANT)) * s).cast("long")
+    return (
+        feat.select("lang", s.alias("__s"), sq.alias("__sq"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__s") >= 0.5).cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum("__sq").cast("double")
+                / (F.lit(float(_LOGREG_QUANT)) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_score"),
+        )
+        .withColumn("w_bias", F.round(F.lit(w[0]), 6))
+        .withColumn("w_f1", F.round(F.lit(w[1]), 6))
+        .withColumn("w_f2", F.round(F.lit(w[2]), 6))
+        .withColumn("w_f3", F.round(F.lit(w[3]), 6))
+        .withColumn("iters_done", F.lit(int(meta["iters_done"])).cast("long"))
+        .withColumn(
+            "last_batch_id", F.lit(int(meta["last_batch_id"])).cast("long")
+        )
+        .orderBy("lang")
+    )
+
+
 STREAM_QUERIES = {
     "stream_bpe_tokenize_stats": (
         stream_bpe_tokenize_stats,
@@ -1785,6 +1908,12 @@ STREAM_QUERIES = {
         "S5 twin: micro-batched frozen-codebook IVF-PQ ingest is "
         "slice-invariant == the one-delta lifecycle",
     ),
+    "stream_classifier_refresh_stats": (
+        stream_classifier_refresh_stats,
+        None,  # bound below (import from queries_llm after the dict)
+        "S5 twin: per-micro-batch warm-start GD == three-phase "
+        "unrolled oracle; transactional batch-id redelivery guard",
+    ),
     "stateful_user_totals": (
         stateful_user_totals,
         _STATEFUL_TOTALS_SQL,
@@ -1833,4 +1962,14 @@ STREAM_QUERIES["stream_ivfpq_lifecycle_stats"] = (
     stream_ivfpq_lifecycle_stats,
     _STREAM_IVFPQ_SQL,
     STREAM_QUERIES["stream_ivfpq_lifecycle_stats"][2],
+)
+
+from neulix_datahub_spark.plans.queries_llm import (  # noqa: E402
+    STREAM_REFRESH_CLASSIFIER_SQL as _STREAM_CLF_SQL,
+)
+
+STREAM_QUERIES["stream_classifier_refresh_stats"] = (
+    stream_classifier_refresh_stats,
+    _STREAM_CLF_SQL,
+    STREAM_QUERIES["stream_classifier_refresh_stats"][2],
 )

@@ -1229,3 +1229,62 @@ def stream_ivfpq_index_ingest(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_classifier_refresh(
+    stream_df: DataFrame,
+    model_path: str,
+    iters_per_batch: int = 3,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the classifier refresh
+    (``operators/classifier.refresh_classifier``): every micro-batch of
+    feature rows warm-starts ``iters_per_batch`` GD iterations from the
+    sidecar and commits the advanced weights back. The sidecar must
+    exist (``save_classifier`` after the day-0 training) before the
+    stream starts.
+
+    Exactly-once needs MORE than the index sinks here: GD is
+    order-dependent and NOT idempotent (re-running a batch advances the
+    weights again — there is no id anti-join to lean on), so this sink
+    uses the transactional-foreachBatch discipline instead: the
+    sidecar records the last applied ``batch_id``, and a redelivered
+    batch (same id after checkpoint recovery) is SKIPPED. Batch
+    ORDER is what the source's offsets already guarantee within one
+    query. Net effect: refresh(b1); refresh(b2) == the two-phase GD
+    the ``stream_classifier_refresh_stats`` oracle unrolls, even under
+    redelivery (skip path unit-pinned)."""
+    from neulix_datahub_spark.operators.classifier import (
+        load_classifier,
+        refresh_classifier,
+        save_classifier,
+    )
+
+    def _refresh(batch_df: DataFrame, batch_id: int) -> None:
+        meta = load_classifier(model_path)
+        if batch_id <= meta.get("last_batch_id", -1):
+            return  # redelivered after checkpoint recovery: already applied
+        refresh_classifier(batch_df, model_path, iters=iters_per_batch)
+        meta = load_classifier(model_path)
+        core = {"weights", "feature_cols", "label_col", "lr", "quant",
+                "iters_done"}
+        save_classifier(
+            model_path,
+            meta["weights"],
+            meta["feature_cols"],
+            meta["label_col"],
+            meta["lr"],
+            meta["quant"],
+            meta["iters_done"],
+            extra={
+                **{k: v for k, v in meta.items() if k not in core},
+                "last_batch_id": batch_id,
+            },
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_refresh).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -154,3 +154,55 @@ def test_sidecar_refresh_lifecycle(spark, tmp_path):
     assert meta["weights"] == full
     # JSON round-trip is exact (repr-based doubles)
     assert load_classifier(path)["weights"] == full
+
+
+def test_stream_refresh_redelivery_guard(spark, tmp_path):
+    # GD is not idempotent, so the streaming sink keeps a transactional
+    # batch-id ledger: re-running the same bounded stream (fresh
+    # checkpoint, so batch ids 0..n repeat) must NOT advance the weights
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.classifier import (
+        load_classifier,
+        save_classifier,
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_classifier_refresh
+
+    rows, df = _toy(spark)
+    path = str(tmp_path / "model")
+    w0 = train_logistic_classifier(df, ["f1", "f2"], "y", iters=2, lr=0.2)
+    save_classifier(path, w0, ["f1", "f2"], "y", lr=0.2, quant=1_000_000,
+                    iters_done=2)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, flt, mtime in (("a", 0, 1_000_000), ("b", 1, 2_000_000)):
+        stage = str(tmp_path / f"stage_{name}")
+        df.filter(F.col("id") % 2 == flt).select("f1", "f2", "y").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("f1 bigint, f2 bigint, y int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = stream_classifier_refresh(
+            stream, path, iters_per_batch=2,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination()
+
+    run("ckpt1")
+    meta1 = load_classifier(path)
+    assert meta1["iters_done"] == 6 and meta1["last_batch_id"] == 1
+    # full redelivery under a fresh checkpoint: every batch id repeats,
+    # every batch is skipped, state is untouched
+    run("ckpt2")
+    assert load_classifier(path) == meta1

@@ -2454,7 +2454,7 @@ _PRIORITY_R12 = [
     "ivfpq_index_lifecycle_check", "stream_ivfpq_lifecycle_stats",
     "epoch_shuffle_order", "ivfpq_residual_search_check",
     "hashed_embedding_similarity_check", "ivfpq_batch_recall_check",
-    "stream_classifier_refresh_stats",
+    "stream_classifier_refresh_stats", "text_to_index_retrieval_check",
     # -- passage/semantic index code changed in r12 --
     "passage_scrub_stats", "incremental_passage_scrub_stats",
     "stream_incremental_passage_stats", "contamination_scrub_stats",
@@ -2475,12 +2475,12 @@ _PRIORITY_R12 = [
     "partitioned_events_stats", "orc_roundtrip_stats",
     "hll_daily_merge_check", "cms_daily_merge_check",
     "hll_overlap_check", "price_drift_psi", "robust_price_stats",
-    "quality_report_orders",
 ]
 # ROUND 13 NOTE: rotate ONLY AFTER the round-12 driver run consumes
 # this prefix. Lead round 13 with any round-12/13 implementation
 # changes and red-row fixes, then the remaining r6-era stale greens in
-# registration order (pca_embedding_check, pca_merge_check,
+# registration order (quality_report_orders, pca_embedding_check,
+# pca_merge_check,
 # pq_codebook_profile,
 # bigram_perplexity_by_lang,
 # unicode_normalization_stats,

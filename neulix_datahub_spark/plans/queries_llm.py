@@ -1420,7 +1420,10 @@ def hashed_embedding_similarity_check(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-_HASHED_EMB_SQL = r"""
+# the planted-corpus hashed-embedding CTE block (corpus → feats → emb
+# → normed), shared by the similarity check and the end-to-end
+# text→vector→index retrieval oracle in queries_scale.py
+HASHED_EMB_CTES = r"""
 WITH corpus AS (
     SELECT doc_id, text FROM documents WHERE doc_id < 100
     UNION ALL
@@ -1460,8 +1463,11 @@ normed AS MATERIALIZED (
                 THEN list_transform(e, x -> CAST(x AS DOUBLE) / nrm)
                 ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS e
     FROM emb
-),
-gstats AS (
+)
+"""
+
+_HASHED_EMB_SQL = HASHED_EMB_CTES + r"""
+, gstats AS (
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CAST(floor(1000000 * list_sum(
                list_transform(e, x -> abs(x)))) AS BIGINT)) AS BIGINT)

@@ -1506,6 +1506,178 @@ def ivfpq_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_to_index_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text→vector→index retrieval (round 12): the full
+    pipeline a near-dup retrieval service runs, composed from parts
+    that are each already oracle-replayable — planted near-dup corpus
+    → ``hashed_embedding_table`` (md5-portable signed hashing, dim 64)
+    → ``build_ivfpq_index`` over the hashed vectors →
+    ``query_ivfpq_index_batch`` with every 10th original as a probe,
+    k=1. The twin (first-token-dropped copy) must come back as the
+    top-1 neighbor for every probe; the verdict is COMPUTED on both
+    sides (the oracle replays the embedding CTEs, three Lloyd runs
+    over the hashed vectors, and the batch probe machinery — nothing
+    is pinned)."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+    from neulix_datahub_spark.operators.text import hashed_embedding_table
+    from neulix_datahub_spark.plans.queries_llm import (
+        planted_near_dup_corpus,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    emb = hashed_embedding_table(
+        corpus, "text", "doc_id", dim=64, out_col="embedding"
+    ).localCheckpoint(eager=True)
+    path = f"{warehouse_scratch(spark, '_neulix_txt2idx_')}/index"
+    build_ivfpq_index(
+        emb,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+        id_col="doc_id",
+    )
+    probes = emb.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 10 == 0)
+    )
+    # top_cells=8 (vs the vector fixtures' 4): hashed 64-dim embeddings
+    # of 50-token docs quantize coarser than the raw fixture vectors, and
+    # at the sf0.001 micro-fixture a 4-cell cut prunes 2 of 10 twins —
+    # 8 of 64 cells still prunes the candidate set ~4x
+    batch = query_ivfpq_index_batch(
+        spark,
+        probes,
+        path,
+        k=1,
+        n_probes=4,
+        top_cells=8,
+    )
+    return batch.select(
+        "probe_id",
+        "neighbor_id",
+        "score",
+        (
+            F.col("neighbor_id") == F.col("probe_id") + 1_000_000
+        ).alias("twin_is_top1"),
+    ).orderBy("probe_id")
+
+
+def _text_to_index_oracle_sql() -> str:
+    """The batch-probe replay over HASHED-EMBEDDING vectors: the shared
+    embedding CTE block renames into the (vec_id, v) shape the Lloyd
+    builder expects, then the per-probe probe/cell/re-rank machinery of
+    _ivfpq_batch_oracle_sql runs verbatim with k=1."""
+    from neulix_datahub_spark.plans.queries_llm import HASHED_EMB_CTES
+
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    n2 = "list_sum(list_transform({c}, x -> x * x))"
+    half = 32
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", "vectors", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    )
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
+        "p0_", "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
+        "p1_", "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    head = [
+        "vectors AS (SELECT doc_id AS vec_id, e AS v FROM normed)",
+        f"sub0 AS (SELECT vec_id, v[1:{half}] AS v FROM vectors)",
+        f"sub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v"
+        " FROM vectors)",
+        "pv AS (SELECT vec_id AS probe_id, v FROM vectors"
+        " WHERE vec_id < 100 AND vec_id % 10 = 0)",
+    ]
+
+    def _argmin(src: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    tail = f""",
+enc_g AS MATERIALIZED (
+    {_argmin("vectors", g_cent)}
+),
+enc0 AS MATERIALIZED (
+    {_argmin("sub0", p0_cent)}
+),
+enc1 AS MATERIALIZED (
+    {_argmin("sub1", p1_cent)}
+),
+pprobed AS (
+    SELECT probe_id, cluster FROM (
+        SELECT q.probe_id, c.cluster,
+               row_number() OVER (PARTITION BY q.probe_id
+                                  ORDER BY {d2.format(v="q.v", c="c.c")},
+                                           c.cluster) AS rn
+        FROM pv q CROSS JOIN {g_cent} c
+    ) WHERE rn <= 4
+),
+pcells AS (
+    SELECT probe_id, c0, c1 FROM (
+        SELECT q.probe_id, a.cluster AS c0, b.cluster AS c1,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   ({dot.format(a=f"q.v[1:{half}]", b="a.c")}
+                    + {dot.format(a=f"q.v[{half + 1}:{2 * half}]", b="b.c")})
+                   / (sqrt({n2.format(c="q.v")})
+                      * sqrt({n2.format(c="a.c")} + {n2.format(c="b.c")}))
+                   DESC, a.cluster, b.cluster) AS rn
+        FROM pv q CROSS JOIN {p0_cent} a CROSS JOIN {p1_cent} b
+    ) WHERE rn <= 8
+),
+shortlist AS (
+    SELECT q.probe_id, q.v AS qv, e.vec_id, e.v
+    FROM pprobed pr
+    JOIN pv q USING (probe_id)
+    JOIN enc_g e ON e.cluster = pr.cluster
+    JOIN enc0 e0 ON e0.vec_id = e.vec_id
+    JOIN enc1 e1 ON e1.vec_id = e.vec_id
+    JOIN pcells pc ON pc.probe_id = pr.probe_id
+                  AND pc.c0 = e0.cluster AND pc.c1 = e1.cluster
+    WHERE e.vec_id <> q.probe_id
+)
+SELECT probe_id, vec_id AS neighbor_id, score,
+       vec_id = probe_id + 1000000 AS twin_is_top1
+FROM (
+    SELECT probe_id, vec_id,
+           round({dot.format(a="v", b="qv")}
+                 / (sqrt({n2.format(c="v")})
+                    * sqrt({n2.format(c="qv")})), 6) AS score,
+           row_number() OVER (PARTITION BY probe_id ORDER BY
+               round({dot.format(a="v", b="qv")}
+                     / (sqrt({n2.format(c="v")})
+                        * sqrt({n2.format(c="qv")})), 6)
+               DESC, vec_id) AS rn
+    FROM shortlist
+) WHERE rn = 1
+ORDER BY probe_id"""
+    return (
+        HASHED_EMB_CTES
+        + ", "
+        + ",\n".join(head + g_ctes + p0_ctes + p1_ctes)
+        + tail
+    )
+
+
 def _ivfpq_batch_oracle_sql() -> str:
     d2 = (
         "list_sum(list_transform(range(1, len({v})+1),"
@@ -2129,6 +2301,7 @@ ORDER BY t.rank"""
 
 _IVFPQ_RESIDUAL_SQL = _ivfpq_residual_oracle_sql()
 _IVFPQ_BATCH_SQL = _ivfpq_batch_oracle_sql()
+_TEXT_TO_INDEX_SQL = _text_to_index_oracle_sql()
 
 
 _EMBARGO_CUTOFF = "1997-01-01"
@@ -4251,6 +4424,12 @@ SCALE_QUERIES = {
         _IVFPQ_BATCH_SQL,
         "batch probes vs the at-rest IVF-PQ index in one job: "
         "per-probe coarse/cell windows + cell-key join replayed",
+    ),
+    "text_to_index_retrieval_check": (
+        text_to_index_retrieval_check,
+        _TEXT_TO_INDEX_SQL,
+        "end-to-end text -> hashed embedding -> IVF-PQ index -> "
+        "batch retrieval; twin-is-top1 computed both sides",
     ),
     "k_anonymity_customers": (
         k_anonymity_customers,

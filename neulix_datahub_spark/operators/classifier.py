@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "train_logistic_classifier",
+    "train_logistic_classifier_minibatch",
     "logistic_score",
     "save_classifier",
     "load_classifier",
@@ -112,21 +113,112 @@ def train_logistic_classifier(
                 f"{len(initial_weights)}"
             )
         w = [float(x) for x in initial_weights]
-    qn = quant * n
     for _ in range(iters):
-        z: Column = F.lit(w[0])
-        for j, c in enumerate(feature_cols):
-            z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
-        s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        rq = F.floor(
-            F.lit(float(quant)) * (s - F.col(label_col).cast("double"))
-        ).cast("long")
-        aggs = [F.sum(rq).alias("g0")] + [
-            F.sum(rq * F.col(c).cast("long")).alias(f"g{j + 1}")
-            for j, c in enumerate(feature_cols)
-        ]
-        row = df.agg(*aggs).first()
-        w = [w[j] - lr * (row[f"g{j}"] / qn) for j in range(len(w))]
+        w = _gd_step(df, w, feature_cols, label_col, lr, quant, n)
+    return w
+
+
+def _gd_step(
+    df: DataFrame,
+    w: list[float],
+    feature_cols: list[str],
+    label_col: str,
+    lr: float,
+    quant: int,
+    n: int,
+) -> list[float]:
+    """ONE GD iteration over ``df`` (already null-filtered) with the
+    given row count in the update — the exact-integer-gradient step
+    shared by full-batch and mini-batch training, so the two are
+    bit-identical wherever their schedules coincide."""
+    z: Column = F.lit(w[0])
+    for j, c in enumerate(feature_cols):
+        z = z + F.lit(w[j + 1]) * F.col(c).cast("double")
+    s = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    rq = F.floor(
+        F.lit(float(quant)) * (s - F.col(label_col).cast("double"))
+    ).cast("long")
+    aggs = [F.sum(rq).alias("g0")] + [
+        F.sum(rq * F.col(c).cast("long")).alias(f"g{j + 1}")
+        for j, c in enumerate(feature_cols)
+    ]
+    row = df.agg(*aggs).first()
+    qn = quant * n
+    return [w[j] - lr * (row[f"g{j}"] / qn) for j in range(len(w))]
+
+
+def train_logistic_classifier_minibatch(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    batch_col: str,
+    epochs: int = 1,
+    lr: float = 0.1,
+    quant: int = 1_000_000,
+    initial_weights: list[float] | None = None,
+) -> list[float]:
+    """Mini-batch SGD (SURVEY §2.11 L4+, round 13): full-batch GD scans
+    the WHOLE slice every iteration — iters × corpus scans; mini-batch
+    takes one step per batch, so an epoch touches each row once while
+    taking ``n_batches`` weight updates. At equal update count the
+    per-epoch scan cost drops ``n_batches``-fold.
+
+    The schedule is DETERMINISTIC and content-addressed (the
+    epoch-shuffle discipline, not partition order): batches are the
+    distinct values of ``batch_col`` in ascending order — callers
+    derive the column from a content hash (md5 salt, the hash_split
+    recipe) so both engines and every rerun walk the identical
+    sequence. Each step's update divides by the BATCH's own row count
+    (the per-phase ``n`` the warm-start oracle already models), so the
+    whole trajectory unrolls as one-iteration phases in the DuckDB
+    oracle. With a single batch value the schedule degenerates to
+    full-batch GD — bit-identical to ``train_logistic_classifier``
+    (unit-pinned), because both paths share :func:`_gd_step`.
+
+    Per step: one 4-integer aggregate over the batch slice + a
+    driver-side update of d+1 floats. Callers should pin the feature
+    projection (``localCheckpoint``) so per-step filters re-scan a
+    narrow cached relation, not the text pipeline; at warehouse scale
+    the projection would be WRITTEN partitioned by ``batch_col`` so
+    each step's filter is partition pruning."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    needed = [*feature_cols, label_col, batch_col]
+    cond = F.lit(True)
+    for c in needed:
+        cond = cond & F.col(c).isNotNull()
+    df = df.filter(cond)
+    counts = sorted(
+        (r[batch_col], r["n"])
+        for r in df.groupBy(batch_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not counts:
+        raise ValueError(
+            "cannot train: no rows with non-NULL values in every "
+            f"feature/label/batch column {needed}"
+        )
+    if len(counts) > 4096:
+        raise ValueError(
+            f"{len(counts)} distinct {batch_col!r} values — the batch "
+            "schedule is driver-held; hash into <= 4096 batches"
+        )
+    if initial_weights is None:
+        w = [0.0] * (len(feature_cols) + 1)
+    else:
+        if len(initial_weights) != len(feature_cols) + 1:
+            raise ValueError(
+                f"initial_weights must have {len(feature_cols) + 1} "
+                f"entries (bias + one per feature), got "
+                f"{len(initial_weights)}"
+            )
+        w = [float(x) for x in initial_weights]
+    for _ in range(epochs):
+        for val, n in counts:
+            w = _gd_step(
+                df.filter(F.col(batch_col) == F.lit(val)),
+                w, feature_cols, label_col, lr, quant, n,
+            )
     return w
 
 
@@ -172,10 +264,22 @@ def load_classifier(path: str) -> dict:
         return json.load(f)
 
 
-def refresh_classifier(df: DataFrame, path: str, iters: int = 10) -> dict:
+def refresh_classifier(
+    df: DataFrame,
+    path: str,
+    iters: int = 10,
+    extra_update: dict | None = None,
+) -> dict:
     """Incremental refresh (SURVEY §2.11 L4+, round 12): warm-start GD
     from the persisted weights against (today's) ``df``, then commit
     the advanced weights back to the sidecar.
+
+    ``extra_update`` entries are merged into the sidecar's extra keys
+    IN THE SAME atomic rename as the advanced weights — this is how
+    the streaming sink records its ``last_batch_id`` ledger entry
+    transactionally (a two-write commit would leave a window where
+    advanced weights carry the stale ledger, so checkpoint-recovery
+    redelivery would double-apply the batch).
 
     The reference's operating model is a daily DAG
     (neulix_dataflow/dags/wikipedia_dag.py:20-23: the same pipeline
@@ -211,6 +315,9 @@ def refresh_classifier(df: DataFrame, path: str, iters: int = 10) -> dict:
         meta["lr"],
         meta["quant"],
         meta["iters_done"] + iters,
-        extra={k: v for k, v in meta.items() if k not in core},
+        extra={
+            **{k: v for k, v in meta.items() if k not in core},
+            **(extra_update or {}),
+        },
     )
     return load_classifier(path)

@@ -67,6 +67,7 @@ __all__ = [
     "ingest_ivfpq_delta",
     "query_ivfpq_index",
     "query_ivfpq_index_batch",
+    "audit_ivfpq_recall",
     "compact_ivfpq_index",
     "read_ivfpq_meta",
 ]
@@ -211,10 +212,31 @@ def ingest_ivfpq_delta(
     """Encode never-seen delta vectors under the FROZEN codebooks and
     append them into their coarse-cell directories. Idempotent: ids
     already at rest are anti-joined away (the one prior-state scan is
-    the index's id column), so a redelivered batch is a no-op. Returns
-    ``{n_new, n_vecs}``."""
+    the index's id column), so a redelivered batch is a no-op. The
+    delta is validated up front — ids unique WITHIN the batch (an
+    internal duplicate passes the anti-join twice and would break the
+    idempotent-by-id invariant permanently) and every vector exactly
+    ``dim`` long (a short vector would silently zip_with-truncate into
+    garbage codes). The sidecar's ``n_vecs`` is RECOUNTED from the
+    codes directory after the append (the build discipline) rather
+    than incremented, so a crash between append and sidecar write
+    self-heals on the next ingest instead of undercounting forever.
+    Returns ``{n_new, n_vecs}``."""
+    from neulix_datahub_spark.operators.dedupe_index import (
+        _assert_unique_ids,
+    )
+
     meta = read_ivfpq_meta(path)
-    id_col = meta["id_col"]
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    _assert_unique_ids(delta, id_col, "ingest_ivfpq_delta")
+    bad_dim = (
+        delta.filter(F.size(vec_col) != F.lit(meta["dim"])).limit(1).count()
+    )
+    if bad_dim:
+        raise ValueError(
+            f"ingest_ivfpq_delta: delta contains vector(s) whose "
+            f"size({vec_col}) != index dim {meta['dim']}"
+        )
     known = spark.read.parquet(_codes_dir(path, meta)).select(
         F.col("id").alias(id_col)
     )
@@ -225,7 +247,7 @@ def ingest_ivfpq_delta(
     _encode(new, meta).write.mode("append").partitionBy("coarse").parquet(
         _codes_dir(path, meta)
     )
-    meta["n_vecs"] = meta["n_vecs"] + n_new
+    meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
     _write_meta(path, meta)
     return {"n_new": n_new, "n_vecs": meta["n_vecs"]}
 
@@ -267,6 +289,14 @@ def query_ivfpq_index(
         dots.append([_block_dot(q_sub, c) for c in meta["codebooks"][s]])
         norm2.append([_block_dot(c, c) for c in meta["codebooks"][s]])
     qn = math.sqrt(_block_dot(q, q))
+    if qn <= 0.0:
+        # hashed_ngram_embedding legitimately produces all-zero vectors
+        # for empty text; cosine against one is undefined, so fail with
+        # a clear validation error instead of a ZeroDivisionError below
+        raise ValueError(
+            "query_ivfpq_index: query vector has zero norm — cosine "
+            "similarity is undefined for an all-zero query"
+        )
     pq_k = meta["pq_k"]
     cand = spark.read.parquet(_codes_dir(path, meta)).filter(
         F.col("coarse").isin(*probes)
@@ -298,6 +328,13 @@ def query_ivfpq_index(
                         + norm2[0][c0]
                         + norm2[1][c1]
                     )
+                    if inner <= 0.0:
+                        # degenerate all-zero reconstruction: its cell
+                        # has no rankable cosine — score it last rather
+                        # than divide by zero (the exact re-rank stage
+                        # recomputes true scores for anything kept)
+                        cells.append((float("-inf"), g, c0, c1))
+                        continue
                     cells.append((num / (qn * math.sqrt(inner)), g, c0, c1))
         cells.sort(key=lambda t: (-t[0], t[1], t[2], t[3]))
         kept_cells = [(g, c0, c1) for _, g, c0, c1 in cells[:top_cells]]
@@ -341,6 +378,113 @@ def query_ivfpq_index(
         "n_vecs": meta["n_vecs"],
     }
     return topk, info
+
+
+def audit_ivfpq_recall(
+    spark: SparkSession,
+    probes: DataFrame,
+    path: str,
+    k: int = 10,
+    n_probes: int = 2,
+    top_cells: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Recall-drift monitor (round 13, r12-verdict task 5): the module
+    docstring names "recall drift under distribution shift" as the
+    frozen-codebook rebuild trigger — this makes that trigger a NUMBER
+    instead of a vibe. For each probe, compare the index's batch top-k
+    (:func:`query_ivfpq_index_batch`) against the EXACT top-k over the
+    same at-rest vectors (the codes relation keeps the raw ``vec``
+    precisely so audits and re-ranks need no side lookup). Returns one
+    row per probe: ``(probe_id, n_hits, n_exact, recall_full)`` —
+    run it with a planted + freshly-ingested probe sample after each
+    ingest wave and rebuild when the audited recall crosses the SLA.
+    ``n_shortlist`` (per-probe shortlist size before the top-k window)
+    is the monitor's EFFICIENCY number: under distribution shift with
+    frozen codebooks, a clustered delta concentrates into few (coarse,
+    c0, c1) cells, so the exact re-rank keeps recall while the
+    shortlist balloons — amplification is how drift actually presents
+    on this index (measured, SCALE.md §r13), and it is the rebuild /
+    cell-cap trigger.
+
+    Cost: the exact side is ONE broadcast-probe pass over the full
+    codes relation (an audit, not a serving path — the scan is the
+    point; the codes never shuffle), the approximate side is the
+    normal directory-pruned batch probe."""
+    meta = read_ivfpq_meta(path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    scored_sl = _batch_shortlist_scored(
+        spark,
+        probes,
+        path,
+        n_probes=n_probes,
+        top_cells=top_cells,
+        exclude_self=exclude_self,
+    )
+    from pyspark.sql import Window as _AW
+
+    aw = _AW.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    approx = (
+        scored_sl.withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") <= k)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("__a"))
+    )
+    sl_sizes = scored_sl.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shortlist")
+    )
+    p_side = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "__pv"
+            ),
+            _norm(F.col(vec_col)).alias("__pn"),
+        )
+    )
+    codes = spark.read.parquet(_codes_dir(path, meta))
+    pairs = codes.join(p_side, F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("id") != F.col("probe_id"))
+    scored = pairs.select(
+        "probe_id",
+        F.col("id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("vec"), F.col("__pv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (_norm(F.col("vec")) * F.col("__pn")),
+            6,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("probe_id", "neighbor_id", F.lit(1).alias("__e"))
+    )
+    return (
+        exact.join(approx, ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__a"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum("__e").cast("bigint").alias("n_exact"),
+        )
+        .join(sl_sizes, "probe_id", "left")
+        .withColumn(
+            "n_shortlist", F.coalesce(F.col("n_shortlist"), F.lit(0))
+        )
+        .withColumn("recall_full", F.col("n_hits") == F.col("n_exact"))
+    )
 
 
 def compact_ivfpq_index(
@@ -406,17 +550,53 @@ def query_ivfpq_index_batch(
     top-k is a window over the re-ranked shortlist.
 
     Returns ``(probe_id, neighbor_id, score)``, ≤ k rows per probe.
-    Plain encoding only: residual ADC needs per-(probe, coarse) cross
-    terms — n_probes·pq_k·2 scalars PER PROBE, a probe-side cost that
-    belongs driver-side; use :func:`query_ivfpq_index` per query
-    vector or ``encode='plain'`` for batch workloads."""
+
+    ``encode='residual'`` indexes are batch-probed too (round 13 —
+    closing the r12 refusal): the IVFADC cross terms
+    ``dot(centroid_half, codeword)`` looked per-probe but are in fact
+    probe-INDEPENDENT — constants per (coarse, codeword) pair, so the
+    whole ``inner`` denominator (coarse_k·pq_k² scalars) precomputes
+    driver-side from the sidecar exactly as the single-probe path
+    does, and the only probe-side addition is the
+    ``dot(probe, centroid_g)`` numerator table (coarse_k fold
+    expressions). The per-probe cell ranking then filters the
+    (g, c0, c1) triple table to probed coarse cells — bit-identical
+    scores and tiebreaks to per-probe :func:`query_ivfpq_index`
+    (unit-pinned), same funnel shape."""
+    scored = _batch_shortlist_scored(
+        spark, probes, path,
+        n_probes=n_probes, top_cells=top_cells,
+        exclude_self=exclude_self, broadcast_probes=broadcast_probes,
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _batch_shortlist_scored(
+    spark: SparkSession,
+    probes: DataFrame,
+    path: str,
+    n_probes: int = 2,
+    top_cells: int = 4,
+    exclude_self: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """The batch funnel up to (and including) the exact re-rank scores,
+    BEFORE the per-probe top-k window: ``(probe_id, neighbor_id,
+    score)``, one row per shortlisted candidate pair. Shared by
+    :func:`query_ivfpq_index_batch` (windows it to k) and
+    :func:`audit_ivfpq_recall` (counts it — per-probe shortlist size is
+    the drift monitor's efficiency number)."""
     meta = read_ivfpq_meta(path)
-    if meta.get("encode", "plain") != "plain":
-        raise NotImplementedError(
-            "batch probing supports encode='plain' indexes only (residual "
-            "ADC needs per-(probe, coarse) cross terms); use "
-            "query_ivfpq_index per vector for a residual index"
-        )
+    residual = meta.get("encode", "plain") == "residual"
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     dim, half, pq_k = meta["dim"], meta["dim"] // 2, meta["pq_k"]
     n2c = [
@@ -446,6 +626,20 @@ def query_ivfpq_index_batch(
             lambda acc, v: acc + v,
         )
 
+    bad = (
+        probes.filter(
+            (F.size(vec_col) != F.lit(dim))
+            | (_norm(F.col(vec_col)) <= F.lit(0.0))
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            "query_ivfpq_index_batch: probe relation contains vector(s) "
+            f"with size != index dim {dim} or zero norm — cosine "
+            "similarity is undefined for an all-zero probe"
+        )
     pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     coarse_tbl = F.array(
         *[
@@ -469,56 +663,146 @@ def query_ivfpq_index_batch(
         ]
     )
     qn = _norm(F.col(vec_col))
-    cell_tbl = F.array(
-        *[
-            F.struct(
-                (
-                    -(
-                        (
-                            F.element_at(d0, c0 + 1)
-                            + F.element_at(d1, c1 + 1)
-                        )
-                        / (
-                            qn
-                            * F.lit(
-                                math.sqrt(n2c[0][c0] + n2c[1][c1])
+    if residual:
+        # IVFADC batch (round 13): the approximate score depends on the
+        # (coarse, c0, c1) TRIPLE, but every probe-independent piece —
+        # |centroid_g|², the centroid-half × codeword cross terms, the
+        # codeword norms — is a driver-side python-float constant shared
+        # bit-for-bit with query_ivfpq_index's cell loop. Probe-side:
+        # the centroid dot table __dq (coarse_k folds), the codeword dot
+        # tables __d0/__d1, and the probe norm — materialized as columns
+        # in a first projection so the coarse_k·pq_k² cell entries
+        # reference them by element_at instead of re-deriving the folds.
+        cc = meta["coarse_centroids"]
+        n2g = [_block_dot(c, c) for c in cc]
+        cross = [
+            [
+                [_block_dot(cc[g][:half], cb) for cb in meta["codebooks"][0]],
+                [_block_dot(cc[g][half:], cb) for cb in meta["codebooks"][1]],
+            ]
+            for g in range(len(cc))
+        ]
+        dq = F.array(*[_dot_to(F.col(vec_col), c) for c in cc])
+        stage1 = probes.select(
+            F.col(id_col).alias("probe_id"),
+            pv.alias("__pv"),
+            _norm(F.col(vec_col)).alias("__pn"),
+            probed.alias("__probed"),
+            dq.alias("__dq"),
+            d0.alias("__d0"),
+            d1.alias("__d1"),
+            qn.alias("__qn"),
+        )
+        entries = []
+        for g in range(len(cc)):
+            for c0 in range(pq_k):
+                for c1 in range(pq_k):
+                    inner = (
+                        n2g[g]
+                        + 2 * (cross[g][0][c0] + cross[g][1][c1])
+                        + n2c[0][c0]
+                        + n2c[1][c1]
+                    )
+                    if inner <= 0.0:
+                        # degenerate all-zero reconstruction: rank last
+                        # (ns is the NEGATED score — +inf sorts last
+                        # ascending), the single-probe -inf twin
+                        ns = F.lit(float("inf"))
+                    else:
+                        ns = -(
+                            (
+                                F.element_at(F.col("__dq"), g + 1)
+                                + F.element_at(F.col("__d0"), c0 + 1)
+                                + F.element_at(F.col("__d1"), c1 + 1)
                             )
+                            / (F.col("__qn") * F.lit(math.sqrt(inner)))
+                        )
+                    entries.append(
+                        F.struct(
+                            ns.alias("ns"),
+                            F.lit(g).cast("int").alias("g"),
+                            F.lit(c0).cast("int").alias("c0"),
+                            F.lit(c1).cast("int").alias("c1"),
                         )
                     )
-                ).alias("ns"),
-                F.lit(c0).cast("int").alias("c0"),
-                F.lit(c1).cast("int").alias("c1"),
-            )
-            for c0 in range(pq_k)
-            for c1 in range(pq_k)
-        ]
-    )
-    kept = F.transform(
-        F.slice(F.array_sort(cell_tbl), 1, top_cells),
-        lambda s: (s["c0"] * pq_k + s["c1"]).cast("long"),
-    )
-    p_side = probes.select(
-        F.col(id_col).alias("probe_id"),
-        pv.alias("__pv"),
-        _norm(F.col(vec_col)).alias("__pn"),
-        kept.alias("__kept"),
-        F.explode(probed).alias("__g"),
-    )
+        # rank only cells in probed coarse groups (the single-probe loop
+        # iterates g over probes); struct sort (ns, g, c0, c1) ascending
+        # == the single-probe (-score, g, c0, c1) tiebreak exactly
+        kept_r = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.filter(
+                        F.array(*entries),
+                        lambda s: F.array_contains(
+                            F.col("__probed"), s["g"]
+                        ),
+                    )
+                ),
+                1,
+                top_cells,
+            ),
+            lambda s: (
+                (s["g"] * pq_k + s["c0"]) * pq_k + s["c1"]
+            ).cast("long"),
+        )
+        p_side = stage1.select(
+            "probe_id",
+            "__pv",
+            "__pn",
+            kept_r.alias("__kept"),
+            F.explode(F.col("__probed")).alias("__g"),
+        )
+    else:
+        cell_tbl = F.array(
+            *[
+                F.struct(
+                    (
+                        -(
+                            (
+                                F.element_at(d0, c0 + 1)
+                                + F.element_at(d1, c1 + 1)
+                            )
+                            / (
+                                qn
+                                * F.lit(
+                                    math.sqrt(n2c[0][c0] + n2c[1][c1])
+                                )
+                            )
+                        )
+                    ).alias("ns"),
+                    F.lit(c0).cast("int").alias("c0"),
+                    F.lit(c1).cast("int").alias("c1"),
+                )
+                for c0 in range(pq_k)
+                for c1 in range(pq_k)
+            ]
+        )
+        kept = F.transform(
+            F.slice(F.array_sort(cell_tbl), 1, top_cells),
+            lambda s: (s["c0"] * pq_k + s["c1"]).cast("long"),
+        )
+        p_side = probes.select(
+            F.col(id_col).alias("probe_id"),
+            pv.alias("__pv"),
+            _norm(F.col(vec_col)).alias("__pn"),
+            kept.alias("__kept"),
+            F.explode(probed).alias("__g"),
+        )
     p_join = F.broadcast(p_side) if broadcast_probes else p_side
     cand = spark.read.parquet(_codes_dir(path, meta)).join(
         p_join, F.col("coarse") == F.col("__g")
     )
+    code_key = (
+        (F.col("coarse") * pq_k + F.col("c0")) * pq_k + F.col("c1")
+        if residual
+        else F.col("c0") * pq_k + F.col("c1")
+    )
     shortlist = cand.filter(
-        F.array_contains(
-            F.col("__kept"),
-            (F.col("c0") * pq_k + F.col("c1")).cast("long"),
-        )
+        F.array_contains(F.col("__kept"), code_key.cast("long"))
     )
     if exclude_self:
         shortlist = shortlist.filter(F.col("id") != F.col("probe_id"))
-    from pyspark.sql import Window as _W
-
-    scored = shortlist.select(
+    return shortlist.select(
         "probe_id",
         F.col("id").alias("neighbor_id"),
         F.round(
@@ -532,12 +816,4 @@ def query_ivfpq_index_batch(
             / (_norm(F.col("vec")) * F.col("__pn")),
             6,
         ).alias("score"),
-    )
-    w = _W.partitionBy("probe_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
     )

@@ -237,9 +237,16 @@ def build_semantic_index(
     recall baseline), ``banded`` at or above it (the delta×corpus
     cross join is the non-scale shape — band equi-joins replace it).
     The RESOLVED mode is what freezes into the sidecar, so every
-    subsequent ingest follows it; auto never changes results, only
-    the candidate plan, because both modes feed the same exact-cosine
-    precision stage."""
+    subsequent ingest follows it. Auto never changes the plan's
+    PRECISION (both modes feed the same exact-cosine + exact-Jaccard
+    verify stages), but banded candidate generation CAN reduce recall:
+    sign-LSH banding misses a true near-dup pair when no band's
+    hyperplane signs agree end-to-end (probability shrinks with
+    ``bands``/``num_planes`` but is never zero), and the frozen
+    sidecar locks that mode for all subsequent ingests. Pass
+    ``candidates="exact"`` explicitly when exhaustive recall matters
+    more than the all-pairs cost; a WARNING is logged when auto
+    resolves to banded."""
     _validate_grid_threshold(cos_threshold)
     _validate_grid_threshold(jaccard_threshold)
     if candidates not in ("exact", "banded", "auto"):
@@ -252,11 +259,21 @@ def build_semantic_index(
         candidates = (
             "exact" if n_build < _AUTO_BANDED_MIN_ROWS else "banded"
         )
-        logging.getLogger(__name__).info(
-            "semantic index auto candidate mode: %s (%d rows, "
-            "crossover %d)",
-            candidates, n_build, _AUTO_BANDED_MIN_ROWS,
-        )
+        if candidates == "banded":
+            logging.getLogger(__name__).warning(
+                "semantic index auto candidate mode resolved to "
+                "'banded' (%d rows >= crossover %d): sign-LSH banding "
+                "can miss true near-dup pairs (recall < 1.0), and the "
+                "mode freezes into the sidecar for all future ingests; "
+                "pass candidates='exact' to force exhaustive recall",
+                n_build, _AUTO_BANDED_MIN_ROWS,
+            )
+        else:
+            logging.getLogger(__name__).info(
+                "semantic index auto candidate mode: exact "
+                "(%d rows, crossover %d)",
+                n_build, _AUTO_BANDED_MIN_ROWS,
+            )
     meta = {
         "cos_threshold": cos_threshold,
         "jaccard_threshold": jaccard_threshold,

@@ -862,6 +862,43 @@ ORDER BY lang""",
 )
 
 
+# mini-batch SGD (round 13): the shared feature construction + the
+# content-hash batch assignment ('mb:' salt, first 8 hex digits mod 4)
+# — the deterministic schedule both engines and every rerun walk
+_LOGREG_MB_FEAT_SQL = _LOGREG_FEAT_SQL.replace(
+    "THEN 'train' ELSE 'holdout' END AS split,",
+    "THEN 'train' ELSE 'holdout' END AS split,\n"
+    "           CAST('0x' || substring(md5('mb:' || COALESCE(text, '')),"
+    " 1, 8) AS BIGINT) % 4 AS mb,",
+).replace(
+    "    SELECT lang, split,",
+    "    SELECT lang, split, mb,",
+)
+assert " AS mb" in _LOGREG_MB_FEAT_SQL
+
+# 2 epochs × 4 content-hash batches = 8 one-iteration phases, each
+# dividing by its batch's own n — the mini-batch trajectory unrolled
+_MINIBATCH_CLASSIFIER_SQL = _logreg_oracle_sql(
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(floor({quant} * s) AS BIGINT)) AS DOUBLE)
+             / ({quant}.0 * count(*)), 4) AS avg_score,
+       round(any_value(b), 6) AS w_bias,
+       round(any_value(wa), 6) AS w_f1,
+       round(any_value(wb), 6) AS w_f2,
+       round(any_value(wc), 6) AS w_f3
+FROM scored
+GROUP BY lang
+ORDER BY lang""",
+    phases=[
+        (1, f"WHERE mb = {b}") for _ in range(2) for b in range(4)
+    ],
+    feat_sql=_LOGREG_MB_FEAT_SQL,
+)
+
+
 STREAM_REFRESH_CLASSIFIER_SQL = _logreg_oracle_sql(
     """
 SELECT lang,
@@ -1129,6 +1166,92 @@ def classifier_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w_f3", F.round(F.lit(w[3]), 6))
         .withColumn("iters_done", F.lit(int(meta["iters_done"])).cast("long"))
         .withColumn("sidecar_roundtrip_exact", F.lit(bool(roundtrip_exact)))
+        .orderBy("lang")
+    )
+
+
+def classifier_minibatch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ mini-batch SGD (round 13, r12-verdict task 4): full-batch GD
+    scans the whole slice every iteration; this query trains the same
+    logistic model with ``train_logistic_classifier_minibatch`` — 2
+    epochs over 4 content-hash batches (md5 'mb:' salt, first 8 hex
+    digits mod 4), one GD step per batch with the BATCH's own n in the
+    update, so an epoch touches each row once while taking 4 weight
+    updates. The schedule is content-addressed (ascending batch id),
+    not partition-ordered, so both engines and every rerun walk the
+    identical sequence: the DuckDB oracle unrolls all 8 steps as
+    one-iteration phases over the same md5 slices and must land on the
+    SAME weights to 6 dp. Emits per language: docs, kept, quantized
+    mean score, and the learned weights.
+
+    Scale: per step ONE 4-integer aggregate over 1/4 of the pinned
+    feature projection (at rest the projection would be written
+    partitioned by mb, making each step's filter partition pruning);
+    driver state is 4 floats + the 4-entry batch schedule."""
+    from neulix_datahub_spark.operators.classifier import (
+        logistic_score,
+        train_logistic_classifier_minibatch,
+    )
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(normalize_text(F.col("text")), " ")
+    tot, dis = F.size(t), F.size(F.array_distinct(t))
+    mx = F.array_max(F.transform(t, lambda x: F.length(x)))
+    mb = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("mb:"), F.coalesce(F.col("text"), F.lit(""))
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+    )
+    feat = docs.select(
+        "lang",
+        mb.alias("mb"),
+        (F.floor(tot / F.lit(16)).cast("long") - 10).alias("f1"),
+        (
+            F.floor(F.floor(F.lit(100.0) * dis / tot) / F.lit(8)).cast("long")
+            - 6
+        ).alias("f2"),
+        (mx.cast("long") - 5).alias("f3"),
+        (F.lit(2) * dis >= tot).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    w = train_logistic_classifier_minibatch(
+        feat,
+        ["f1", "f2", "f3"],
+        "y",
+        "mb",
+        epochs=2,
+        lr=_LOGREG_LR,
+        quant=_LOGREG_QUANT,
+    )
+    s = logistic_score(w, ["f1", "f2", "f3"])
+    sq = F.floor(F.lit(float(_LOGREG_QUANT)) * s).cast("long")
+    return (
+        feat.select("lang", s.alias("__s"), sq.alias("__sq"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("__s") >= 0.5).cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum("__sq").cast("double")
+                / (F.lit(float(_LOGREG_QUANT)) * F.count(F.lit(1))),
+                4,
+            ).alias("avg_score"),
+        )
+        .withColumn("w_bias", F.round(F.lit(w[0]), 6))
+        .withColumn("w_f1", F.round(F.lit(w[1]), 6))
+        .withColumn("w_f2", F.round(F.lit(w[2]), 6))
+        .withColumn("w_f3", F.round(F.lit(w[3]), 6))
         .orderBy("lang")
     )
 
@@ -4012,6 +4135,12 @@ LLM_QUERIES = {
         _REFRESH_CLASSIFIER_SQL,
         "L4+ incremental classifier refresh: sidecar-committed warm "
         "start, two-phase GD oracle-replayed, round-trip pinned exact",
+    ),
+    "classifier_minibatch_stats": (
+        classifier_minibatch_stats,
+        _MINIBATCH_CLASSIFIER_SQL,
+        "L4+ mini-batch SGD: content-hash batch schedule, 8 one-step "
+        "phases with per-batch n, full trajectory oracle-replayed",
     ),
     "contamination_by_lang": (
         contamination_by_lang,

@@ -1506,6 +1506,228 @@ def ivfpq_batch_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_batch_residual_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 residual-mode batch retrieval (round 13 — closing the r12
+    refusal): the same probe fleet as ``ivfpq_batch_recall_check``
+    (every 200th vector, 5 planted near-copies each) against an index
+    built with ``encode='residual'`` (IVFADC). The insight that lifts
+    the refusal: the per-(probe, coarse) ADC cross terms
+    ``dot(centroid_half, codeword)`` are probe-INDEPENDENT — constants
+    per (coarse, codeword) pair — so the whole ``inner`` denominator
+    precomputes driver-side and the only probe-side addition over
+    plain mode is the coarse_k-entry ``dot(probe, centroid_g)``
+    numerator table. Batch == per-probe :func:`query_ivfpq_index`
+    bit-exactly (unit-pinned); this query proves recall and replays
+    every stage in DuckDB: coarse Lloyd, residual construction, two
+    residual-space Lloyd runs, per-probe probed cells, the per-probe
+    (coarse, c0, c1) triple ranking, the triple-key shortlist join,
+    both re-ranks."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+    from neulix_datahub_spark.operators.similarity import _norm
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    probes = emb.filter(F.col("vec_id") % 200 == 0)
+    planted = probes.crossJoin(spark.range(1, 6)).select(
+        (F.lit(2_000_000) + F.col("vec_id") * 100 + F.col("id")).alias(
+            "vec_id"
+        ),
+        F.transform(
+            "embedding",
+            lambda x: x + F.col("id").cast("double") * F.lit(0.002),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted).localCheckpoint(eager=True)
+    path = f"{warehouse_scratch(spark, '_neulix_ivfadc_batch_')}/index"
+    build_ivfpq_index(
+        corpus,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+        encode="residual",
+    )
+    batch = query_ivfpq_index_batch(
+        spark,
+        probes,
+        path,
+        k=5,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    ).select(
+        "probe_id", "neighbor_id", F.lit(0).alias("e"), F.lit(1).alias("i")
+    )
+    p_side = F.broadcast(
+        probes.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("__pv"),
+            _norm(F.col("embedding")).alias("__pn"),
+        )
+    )
+    scored = corpus.join(p_side, corpus["vec_id"] != F.col("probe_id")).select(
+        "probe_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), F.col("__pv"), lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / (_norm(F.col("embedding")) * F.col("__pn")),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select(
+            "probe_id", "neighbor_id", F.lit(1).alias("e"), F.lit(0).alias("i")
+        )
+    )
+    per_pair = (
+        exact.unionByName(batch)
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.max("e").alias("e"), F.max("i").alias("i"))
+    )
+    return (
+        per_pair.groupBy("probe_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("e") == 1, F.col("neighbor_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("exact_top5_ids"),
+            F.sum("e").cast("bigint").alias("n_exact"),
+            F.sum(F.col("e") * F.col("i")).cast("bigint").alias(
+                "n_in_exact_top5"
+            ),
+            (F.sum(F.col("e") * F.col("i")) >= 5).alias("batch_recall_full"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def ivfpq_recall_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 recall-drift monitor (round 13, r12-verdict task 5): the
+    IVF-PQ docstring names "recall drift under distribution shift" as
+    the frozen-codebook rebuild trigger — this query makes the trigger
+    a NUMBER. ``audit_ivfpq_recall`` compares the index's batch top-10
+    against the exact top-10 over the same at-rest vectors, before and
+    after ingesting a SHIFTED synthetic delta (every 5th base vector
+    translated +0.5 per dim — a tight cluster the day-0 codebooks never
+    saw).
+
+    What drift looks like on THIS index (measured first, SCALE.md
+    §r13): the exact re-rank HOLDS recall — the shifted cluster
+    concentrates into few (coarse, c0, c1) cells, all probed and kept,
+    so the true neighbors stay in the funnel — while the per-probe
+    SHORTLIST balloons toward the cluster size (~3× here, ~cluster/
+    corpus-share in general), because the frozen ADC table cannot
+    discriminate within a region it never trained on. Both numbers are
+    emitted; ``drift_detected`` fires on shortlist amplification ≥ 2×,
+    the efficiency collapse that precedes any recall loss and the
+    operational rebuild / cell-cap trigger. The DuckDB oracle replays
+    EVERYTHING: three Lloyd runs, both encodes (delta under frozen
+    centroids), both batch-probe funnels, both exact top-10 sides, and
+    the amplification arithmetic."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        audit_ivfpq_recall,
+        build_ivfpq_index,
+        ingest_ivfpq_delta,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    ).localCheckpoint(eager=True)
+    path = f"{warehouse_scratch(spark, '_neulix_ivfpq_drift_')}/index"
+    build_ivfpq_index(
+        emb,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+    )
+    base_probes = emb.filter(F.col("vec_id") % 200 == 0)
+    a0 = (
+        audit_ivfpq_recall(
+            spark, base_probes, path, k=10,
+            n_probes=_IVFPQ_PROBES, top_cells=_IVFPQ_TOP_CELLS,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("n_hits").alias("h"),
+            F.sum("n_exact").alias("e"),
+            F.sum("n_shortlist").alias("sl"),
+        )
+        .first()
+    )
+    delta = emb.filter(F.col("vec_id") % 5 == 2).select(
+        (F.lit(3_000_000) + F.col("vec_id")).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    ingest_ivfpq_delta(spark, delta, path)
+    shift_probes = delta.filter((F.col("vec_id") - 3_000_000) % 100 == 2)
+    a1 = (
+        audit_ivfpq_recall(
+            spark, shift_probes, path, k=10,
+            n_probes=_IVFPQ_PROBES, top_cells=_IVFPQ_TOP_CELLS,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("n_hits").alias("h"),
+            F.sum("n_exact").alias("e"),
+            F.sum("n_shortlist").alias("sl"),
+        )
+        .first()
+    )
+    amp = (int(a1["sl"]) / int(a1["np"])) / (int(a0["sl"]) / int(a0["np"]))
+    return spark.range(1).select(
+        F.lit(int(a0["np"])).cast("long").alias("n_base_probes"),
+        F.lit(int(a0["h"])).cast("long").alias("base_hits"),
+        F.lit(int(a0["e"])).cast("long").alias("base_exact"),
+        F.lit(int(a0["sl"])).cast("long").alias("base_shortlist"),
+        F.lit(int(a1["np"])).cast("long").alias("n_shift_probes"),
+        F.lit(int(a1["h"])).cast("long").alias("shift_hits"),
+        F.lit(int(a1["e"])).cast("long").alias("shift_exact"),
+        F.lit(int(a1["sl"])).cast("long").alias("shift_shortlist"),
+        F.round(
+            F.lit(int(a0["h"])) / F.lit(int(a0["e"])).cast("double"), 4
+        ).alias("base_recall"),
+        F.round(
+            F.lit(int(a1["h"])) / F.lit(int(a1["e"])).cast("double"), 4
+        ).alias("shift_recall"),
+        F.round(F.lit(float(amp)), 4).alias("shortlist_amplification"),
+        F.lit(bool(amp >= 2.0)).alias("drift_detected"),
+    )
+
+
 def text_to_index_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text→vector→index retrieval (round 12): the full
     pipeline a near-dup retrieval service runs, composed from parts
@@ -1567,11 +1789,16 @@ def text_to_index_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("probe_id")
 
 
-def _text_to_index_oracle_sql() -> str:
+def _text_to_index_oracle_sql(train_on: str = "corpus") -> str:
     """The batch-probe replay over HASHED-EMBEDDING vectors: the shared
     embedding CTE block renames into the (vec_id, v) shape the Lloyd
     builder expects, then the per-probe probe/cell/re-rank machinery of
-    _ivfpq_batch_oracle_sql runs verbatim with k=1."""
+    _ivfpq_batch_oracle_sql runs verbatim with k=1.
+
+    ``train_on="prior"`` trains every Lloyd run on the ORIGINALS only
+    (doc_id < 1e6) while encoding the full corpus under those frozen
+    centroids — the streaming twin's lifecycle, where the twins arrive
+    as micro-batches after the day-0 build."""
     from neulix_datahub_spark.plans.queries_llm import HASHED_EMB_CTES
 
     d2 = (
@@ -1584,14 +1811,16 @@ def _text_to_index_oracle_sql() -> str:
     )
     n2 = "list_sum(list_transform({c}, x -> x * x))"
     half = 32
+    prior = train_on == "prior"
     g_ctes, g_cent, _ = _lloyd_ctes(
-        "g_", "vectors", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+        "g_", "vprior" if prior else "vectors",
+        _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS,
     )
     p0_ctes, p0_cent, _ = _lloyd_ctes(
-        "p0_", "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+        "p0_", "psub0" if prior else "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
     )
     p1_ctes, p1_cent, _ = _lloyd_ctes(
-        "p1_", "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+        "p1_", "psub1" if prior else "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
     )
     head = [
         "vectors AS (SELECT doc_id AS vec_id, e AS v FROM normed)",
@@ -1601,6 +1830,14 @@ def _text_to_index_oracle_sql() -> str:
         "pv AS (SELECT vec_id AS probe_id, v FROM vectors"
         " WHERE vec_id < 100 AND vec_id % 10 = 0)",
     ]
+    if prior:
+        head += [
+            "vprior AS (SELECT vec_id, v FROM vectors"
+            " WHERE vec_id < 1000000)",
+            f"psub0 AS (SELECT vec_id, v[1:{half}] AS v FROM vprior)",
+            f"psub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v"
+            " FROM vprior)",
+        ]
 
     def _argmin(src: str, cents: str) -> str:
         return (
@@ -2299,8 +2536,163 @@ ORDER BY t.rank"""
     )
 
 
+def _ivfpq_batch_residual_oracle_sql() -> str:
+    """Residual-mode batch probing replay (round 13): the
+    _ivfpq_batch_oracle_sql per-probe structure with the
+    _ivfpq_residual_oracle_sql cell machinery — coarse Lloyd on the
+    planted corpus, residual construction, two residual-space Lloyd
+    runs, per-probe probed coarse cells, per-probe (coarse, c0, c1)
+    triple ranking (the probe-independent cross terms appear as plain
+    centroid×codeword dots), the triple-key shortlist join, both
+    re-ranks, and the per-probe recall verdict."""
+    half = 32
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    n2 = "list_sum(list_transform({c}, x -> x * x))"
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", "corpus", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    )
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
+        "p0_", "rsub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
+        "p1_", "rsub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    head = [
+        "pv AS (\n  SELECT vec_id AS probe_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n"
+        "  FROM embeddings WHERE vec_id % 200 = 0)",
+        "corpus AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n  FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT 2000000 + pv.probe_id * 100 + t.i,"
+        " list_transform(pv.v, x -> x + t.i * 0.002)\n"
+        "  FROM pv, range(1, 6) t(i))",
+    ]
+
+    def _argmin(src: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    mid = [
+        f"enc_g AS MATERIALIZED (\n  {_argmin('corpus', g_cent)})",
+        "residuals AS MATERIALIZED (\n"
+        "  SELECT e.vec_id,"
+        " list_transform(range(1, len(e.v)+1), i -> e.v[i] - c.c[i]) AS v\n"
+        f"  FROM enc_g e JOIN {g_cent} c ON e.cluster = c.cluster)",
+        f"rsub0 AS MATERIALIZED (SELECT vec_id, v[1:{half}] AS v"
+        " FROM residuals)",
+        f"rsub1 AS MATERIALIZED (SELECT vec_id, v[{half + 1}:{2 * half}]"
+        " AS v FROM residuals)",
+    ]
+    tail = f""",
+enc0 AS MATERIALIZED (
+    {_argmin("rsub0", p0_cent)}
+),
+enc1 AS MATERIALIZED (
+    {_argmin("rsub1", p1_cent)}
+),
+pprobed AS (
+    SELECT probe_id, cluster FROM (
+        SELECT q.probe_id, c.cluster,
+               row_number() OVER (PARTITION BY q.probe_id
+                                  ORDER BY {d2.format(v="q.v", c="c.c")},
+                                           c.cluster) AS rn
+        FROM pv q CROSS JOIN {g_cent} c
+    ) WHERE rn <= {_IVFPQ_PROBES}
+),
+pcells AS (
+    SELECT probe_id, gc, c0, c1 FROM (
+        SELECT q.probe_id, g.cluster AS gc,
+               a.cluster AS c0, b.cluster AS c1,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   ({dot.format(a="q.v", b="g.c")}
+                    + {dot.format(a=f"q.v[1:{half}]", b="a.c")}
+                    + {dot.format(a=f"q.v[{half + 1}:{2 * half}]", b="b.c")})
+                   / (sqrt({n2.format(c="q.v")})
+                      * sqrt({n2.format(c="g.c")}
+                          + 2 * ({dot.format(a=f"g.c[1:{half}]", b="a.c")}
+                                 + {dot.format(a=f"g.c[{half + 1}:{2 * half}]", b="b.c")})
+                          + {n2.format(c="a.c")} + {n2.format(c="b.c")}))
+                   DESC, g.cluster, a.cluster, b.cluster) AS rn
+        FROM pv q
+        JOIN pprobed pr ON pr.probe_id = q.probe_id
+        JOIN {g_cent} g ON g.cluster = pr.cluster
+        CROSS JOIN {p0_cent} a CROSS JOIN {p1_cent} b
+    ) WHERE rn <= {_IVFPQ_TOP_CELLS}
+),
+shortlist AS (
+    SELECT q.probe_id, q.v AS qv, e.vec_id, e.v
+    FROM pcells pc
+    JOIN pv q USING (probe_id)
+    JOIN enc_g e ON e.cluster = pc.gc
+    JOIN enc0 e0 ON e0.vec_id = e.vec_id AND e0.cluster = pc.c0
+    JOIN enc1 e1 ON e1.vec_id = e.vec_id AND e1.cluster = pc.c1
+    WHERE e.vec_id <> q.probe_id
+),
+batch AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY
+                   round({dot.format(a="v", b="qv")}
+                         / (sqrt({n2.format(c="v")})
+                            * sqrt({n2.format(c="qv")})), 6)
+                   DESC, vec_id) AS rn
+        FROM shortlist
+    ) WHERE rn <= 5
+),
+exact AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT q.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   round({dot.format(a="c.v", b="q.v")}
+                         / (sqrt({n2.format(c="c.v")})
+                            * sqrt({n2.format(c="q.v")})), 6)
+                   DESC, c.vec_id) AS rn
+        FROM corpus c, pv q
+        WHERE c.vec_id <> q.probe_id
+    ) WHERE rn <= 5
+),
+pairs AS (
+    SELECT probe_id, vec_id, max(e) AS e, max(i) AS i FROM (
+        SELECT probe_id, vec_id, 1 AS e, 0 AS i FROM exact
+        UNION ALL
+        SELECT probe_id, vec_id, 0 AS e, 1 AS i FROM batch
+    ) GROUP BY probe_id, vec_id
+)
+SELECT probe_id,
+       string_agg(CASE WHEN e = 1 THEN CAST(vec_id AS VARCHAR) END,
+                  ',' ORDER BY vec_id) AS exact_top5_ids,
+       CAST(sum(e) AS BIGINT) AS n_exact,
+       CAST(sum(e * i) AS BIGINT) AS n_in_exact_top5,
+       sum(e * i) >= 5 AS batch_recall_full
+FROM pairs
+GROUP BY probe_id
+ORDER BY probe_id"""
+    return (
+        "WITH "
+        + ",\n".join(head + g_ctes + mid + p0_ctes + p1_ctes)
+        + tail
+    )
+
+
 _IVFPQ_RESIDUAL_SQL = _ivfpq_residual_oracle_sql()
 _IVFPQ_BATCH_SQL = _ivfpq_batch_oracle_sql()
+_IVFPQ_BATCH_RESIDUAL_SQL = _ivfpq_batch_residual_oracle_sql()
 _TEXT_TO_INDEX_SQL = _text_to_index_oracle_sql()
 
 
@@ -4424,6 +4816,12 @@ SCALE_QUERIES = {
         _IVFPQ_BATCH_SQL,
         "batch probes vs the at-rest IVF-PQ index in one job: "
         "per-probe coarse/cell windows + cell-key join replayed",
+    ),
+    "ivfpq_batch_residual_check": (
+        ivfpq_batch_residual_check,
+        _IVFPQ_BATCH_RESIDUAL_SQL,
+        "residual-mode (IVFADC) batch probing: per-probe triple-cell "
+        "ranking + triple-key shortlist join, all stages replayed",
     ),
     "text_to_index_retrieval_check": (
         text_to_index_retrieval_check,

@@ -1231,6 +1231,54 @@ def stream_ivfpq_index_ingest(
     return writer.start()
 
 
+def stream_text_ivfpq_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the END-TO-END text→index pipeline (round 13,
+    r12-verdict task 7): every micro-batch of raw documents is hashed-
+    embedded (``operators/text.hashed_embedding_table`` — md5-portable,
+    a pure per-row function of the text) and ingested into the at-rest
+    IVF-PQ index under its FROZEN codebooks. The index must exist
+    (``build_ivfpq_index`` over the day-0 embedded corpus) before the
+    stream starts.
+
+    Exactly-once composes from the parts: the embedding is
+    deterministic per row and the ingest anti-joins ids already at
+    rest, so a redelivered batch reduces to n_new == 0 — and because
+    both stages are pure per-row functions, embed+ingest(d1);
+    embed+ingest(d2) ≡ embed+ingest(d1 ∪ d2) byte-identically. The
+    final at-rest state therefore converges to the batch composition
+    (``text_to_index_retrieval_check``'s build-over-prior +
+    one-shot-ingest form) regardless of trigger slicing — the S5
+    discipline, driver-proven by ``stream_text_to_index_stats``."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        ingest_ivfpq_delta,
+        read_ivfpq_meta,
+    )
+    from neulix_datahub_spark.operators.text import hashed_embedding_table
+
+    spark = stream_df.sparkSession
+    vec_col = read_ivfpq_meta(index_path)["vec_col"]
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        emb = hashed_embedding_table(
+            batch_df, text_col, id_col, dim=dim, out_col=vec_col
+        )
+        ingest_ivfpq_delta(spark, emb, index_path)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_classifier_refresh(
     stream_df: DataFrame,
     model_path: str,
@@ -1251,35 +1299,28 @@ def stream_classifier_refresh(
     sidecar records the last applied ``batch_id``, and a redelivered
     batch (same id after checkpoint recovery) is SKIPPED. Batch
     ORDER is what the source's offsets already guarantee within one
-    query. Net effect: refresh(b1); refresh(b2) == the two-phase GD
-    the ``stream_classifier_refresh_stats`` oracle unrolls, even under
+    query. The advanced weights and the ledger entry land in ONE
+    atomic sidecar rename (``refresh_classifier(extra_update=...)``) —
+    a crash anywhere leaves either the old (weights, batch_id) pair or
+    the new pair, never advanced weights with a stale ledger, so
+    redelivery can never double-advance. Net effect: refresh(b1);
+    refresh(b2) == the two-phase GD the
+    ``stream_classifier_refresh_stats`` oracle unrolls, even under
     redelivery (skip path unit-pinned)."""
     from neulix_datahub_spark.operators.classifier import (
         load_classifier,
         refresh_classifier,
-        save_classifier,
     )
 
     def _refresh(batch_df: DataFrame, batch_id: int) -> None:
         meta = load_classifier(model_path)
         if batch_id <= meta.get("last_batch_id", -1):
             return  # redelivered after checkpoint recovery: already applied
-        refresh_classifier(batch_df, model_path, iters=iters_per_batch)
-        meta = load_classifier(model_path)
-        core = {"weights", "feature_cols", "label_col", "lr", "quant",
-                "iters_done"}
-        save_classifier(
+        refresh_classifier(
+            batch_df,
             model_path,
-            meta["weights"],
-            meta["feature_cols"],
-            meta["label_col"],
-            meta["lr"],
-            meta["quant"],
-            meta["iters_done"],
-            extra={
-                **{k: v for k, v in meta.items() if k not in core},
-                "last_batch_id": batch_id,
-            },
+            iters=iters_per_batch,
+            extra_update={"last_batch_id": batch_id},
         )
 
     writer = stream_df.writeStream.foreachBatch(_refresh).trigger(

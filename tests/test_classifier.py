@@ -206,3 +206,71 @@ def test_stream_refresh_redelivery_guard(spark, tmp_path):
     # every batch is skipped, state is untouched
     run("ckpt2")
     assert load_classifier(path) == meta1
+
+
+def test_minibatch_single_batch_equals_full_batch(spark):
+    # one batch value degenerates the schedule to full-batch GD —
+    # bit-identical, because both paths share _gd_step
+    from neulix_datahub_spark.operators.classifier import (
+        train_logistic_classifier_minibatch,
+    )
+
+    _, df = _toy(spark)
+    df1 = df.withColumn("mb", F.lit(0))
+    got = train_logistic_classifier_minibatch(
+        df1, ["f1", "f2"], "y", "mb", epochs=5, lr=0.2
+    )
+    want = train_logistic_classifier(df, ["f1", "f2"], "y", iters=5, lr=0.2)
+    assert got == want
+
+
+def test_minibatch_matches_pure_python_schedule(spark):
+    # the deterministic schedule: ascending batch ids, each step's
+    # update divided by the BATCH's own n — replayed in pure Python
+    from neulix_datahub_spark.operators.classifier import (
+        train_logistic_classifier_minibatch,
+    )
+
+    rows, df = _toy(spark)
+    dfb = df.withColumn("mb", (F.col("id") % 3).cast("long"))
+    got = train_logistic_classifier_minibatch(
+        dfb, ["f1", "f2"], "y", "mb", epochs=2, lr=0.2
+    )
+    quant = 1_000_000
+    batches = {}
+    for i, f1, f2, y in rows:
+        batches.setdefault(i % 3, []).append((f1, f2, y))
+    w = [0.0, 0.0, 0.0]
+    for _ in range(2):
+        for b in sorted(batches):
+            sl = batches[b]
+            g = [0, 0, 0]
+            for f1, f2, y in sl:
+                z = w[0] + w[1] * f1 + w[2] * f2
+                s = 1.0 / (1.0 + math.exp(-z))
+                rq = math.floor(quant * (s - y))
+                g[0] += rq
+                g[1] += rq * f1
+                g[2] += rq * f2
+            w = [w[j] - 0.2 * (g[j] / (quant * len(sl))) for j in range(3)]
+    assert got == w
+
+
+def test_minibatch_refusals(spark):
+    from neulix_datahub_spark.operators.classifier import (
+        train_logistic_classifier_minibatch,
+    )
+
+    _, df = _toy(spark)
+    dfb = df.withColumn("mb", F.lit(0))
+    with pytest.raises(ValueError, match="epochs"):
+        train_logistic_classifier_minibatch(
+            dfb, ["f1", "f2"], "y", "mb", epochs=0
+        )
+    with pytest.raises(ValueError, match="initial_weights"):
+        train_logistic_classifier_minibatch(
+            dfb, ["f1", "f2"], "y", "mb", initial_weights=[0.0]
+        )
+    empty = dfb.filter(F.lit(False))
+    with pytest.raises(ValueError, match="no rows"):
+        train_logistic_classifier_minibatch(empty, ["f1", "f2"], "y", "mb")

@@ -3208,17 +3208,105 @@ def test_ivfpq_batch_equals_single_probe_exactly(spark, tmp_path):
     assert got == want
 
 
-def test_ivfpq_batch_refuses_residual(spark, tmp_path):
-    import pytest
-
+def test_ivfpq_batch_residual_equals_single_probe_exactly(spark, tmp_path):
+    # round 13 (closing the r12 refusal): the IVFADC cross terms are
+    # probe-independent constants, so residual batch probing inlines
+    # the SAME python-float inner table as the single-probe cell loop —
+    # batch == per-probe query_ivfpq_index EXACTLY on a residual index
     from neulix_datahub_spark.operators.ivfpq_index import (
         build_ivfpq_index,
+        query_ivfpq_index,
         query_ivfpq_index_batch,
     )
 
     emb, _, _ = _ivfpq_fixture(spark)
     path = str(tmp_path / "r")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2, encode="residual")
+    probe_rows = emb.filter(F.col("vec_id") % 100 == 0)
+    got = {
+        (r.probe_id, r.neighbor_id): r.score
+        for r in query_ivfpq_index_batch(
+            spark, probe_rows, path, k=5, n_probes=2, top_cells=4
+        ).collect()
+    }
+    want = {}
+    for p in probe_rows.collect():
+        topk, _ = query_ivfpq_index(
+            spark, path, [float(x) for x in p.embedding], k=6,
+            n_probes=2, top_cells=4,
+        )
+        rows = [r for r in topk.collect() if r.id != p.vec_id][:5]
+        for r in rows:
+            want[(p.vec_id, r.id)] = r.score
+    assert got == want
+
+
+def test_ivfpq_query_rejects_zero_norm_probes(spark, tmp_path):
+    import pytest
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+        read_ivfpq_meta,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "z")
     build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=1, pq_k=4,
-                      pq_iters=1, encode="residual")
-    with pytest.raises(NotImplementedError, match="plain"):
-        query_ivfpq_index_batch(spark, emb.limit(1), path)
+                      pq_iters=1)
+    dim = read_ivfpq_meta(path)["dim"]
+    with pytest.raises(ValueError, match="zero norm"):
+        query_ivfpq_index(spark, path, [0.0] * dim)
+    zero = spark.createDataFrame(
+        [(9_999_999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="zero norm"):
+        query_ivfpq_index_batch(spark, zero, path)
+    short = spark.createDataFrame(
+        [(9_999_999, [1.0] * (dim - 2))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        query_ivfpq_index_batch(spark, short, path)
+
+
+def test_ivfpq_ingest_validates_delta_and_recounts(spark, tmp_path):
+    # round 13 ADVICE fixes: an internal duplicate id or a wrong-dim
+    # vector in the delta fails loudly instead of corrupting the index,
+    # and n_vecs recounts the codes directory (self-heals a stale
+    # sidecar instead of undercounting forever)
+    import pytest
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        _codes_dir,
+        build_ivfpq_index,
+        ingest_ivfpq_delta,
+        read_ivfpq_meta,
+        _write_meta,
+    )
+
+    _, prior, delta = _ivfpq_fixture(spark)
+    path = str(tmp_path / "v")
+    build_ivfpq_index(prior, path, coarse_k=4, coarse_iters=1, pq_k=4,
+                      pq_iters=1)
+    dup = delta.limit(1).unionAll(delta.limit(1))
+    with pytest.raises(ValueError, match="ingest_ivfpq_delta"):
+        ingest_ivfpq_delta(spark, dup, path)
+    dim = read_ivfpq_meta(path)["dim"]
+    wrong = spark.createDataFrame(
+        [(8_888_888, [1.0] * (dim + 2))],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        ingest_ivfpq_delta(spark, wrong, path)
+    # simulate a crash between append and sidecar write: rows landed,
+    # counter stale — the next (even fully-redelivered) ingest recounts
+    meta = read_ivfpq_meta(path)
+    true_n = spark.read.parquet(_codes_dir(path, meta)).count()
+    meta["n_vecs"] = true_n - 5
+    _write_meta(path, meta)
+    st = ingest_ivfpq_delta(spark, delta, path)
+    assert st["n_vecs"] == true_n + delta.count()
+    assert read_ivfpq_meta(path)["n_vecs"] == st["n_vecs"]

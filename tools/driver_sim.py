@@ -7,6 +7,11 @@ a driver-green row.
 Usage:
     python tools/driver_sim.py [--sf /root/testdata/sf0.01] [names...]
 With no names, checks every oracle-backed query in the registry.
+``--window N`` restricts to the FIRST N registry names (the driver's
+rotation window; rows-only entries in the window print SKIP).
+``--entry`` smoke-runs ``__spark_entry__.entry(spark)`` first, the way
+the driver does. The verify skill's driver_sim is a thin wrapper over
+this file — this is the single comparison implementation.
 """
 
 from __future__ import annotations
@@ -29,6 +34,10 @@ TABLES = (
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--window", type=int, default=None,
+                    help="check only the first N registry names")
+    ap.add_argument("--entry", action="store_true",
+                    help="smoke-run __spark_entry__.entry(spark) first")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -49,7 +58,18 @@ def main() -> int:
             f"read_parquet('{args.sf}/{t}.parquet')"
         )
 
-    names = args.names or [n for n, s in QUERIES.items() if s.oracle is not None]
+    if args.entry:
+        import __spark_entry__ as entry_mod
+
+        n = len(entry_mod.entry(spark).take(1))
+        print(f"entry(): ok rows>={n}", flush=True)
+
+    if args.names:
+        names = args.names
+    elif args.window:
+        names = list(QUERIES)[: args.window]
+    else:
+        names = [n for n, s in QUERIES.items() if s.oracle is not None]
     failures = []
     for name in names:
         spec = QUERIES[name]

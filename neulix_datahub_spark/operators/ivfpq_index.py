@@ -68,6 +68,7 @@ __all__ = [
     "query_ivfpq_index",
     "query_ivfpq_index_batch",
     "audit_ivfpq_recall",
+    "delete_from_ivfpq_index",
     "compact_ivfpq_index",
     "read_ivfpq_meta",
 ]
@@ -237,6 +238,25 @@ def ingest_ivfpq_delta(
             f"ingest_ivfpq_delta: delta contains vector(s) whose "
             f"size({vec_col}) != index dim {meta['dim']}"
         )
+    tombs = _tombs_dir(path, meta)
+    if os.path.isdir(tombs) and any(
+        f.endswith(".parquet") for f in os.listdir(tombs)
+    ):
+        dead = (
+            spark.read.parquet(tombs)
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        n_dead = (
+            delta.join(F.broadcast(dead), id_col, "inner").limit(1).count()
+        )
+        if n_dead:
+            raise ValueError(
+                "ingest_ivfpq_delta: delta contains tombstoned id(s) — "
+                "deletes are final until compaction (resurrection-by-"
+                "append would strand two at-rest rows behind one "
+                "tombstone); run compact_ivfpq_index first"
+            )
     known = spark.read.parquet(_codes_dir(path, meta)).select(
         F.col("id").alias(id_col)
     )
@@ -252,6 +272,91 @@ def ingest_ivfpq_delta(
     return {"n_new": n_new, "n_vecs": meta["n_vecs"]}
 
 
+def _tombs_dir(path: str, meta: dict) -> str:
+    return os.path.join(path, f"tombs_v{meta.get('codes_version', 0)}")
+
+
+def _live_codes(spark: SparkSession, path: str, meta: dict) -> DataFrame:
+    """The queryable rows: the at-rest codes minus the tombstone
+    ledger (broadcast anti-join — the ledger is bounded between
+    compactions, which purge it physically). Every query/audit path
+    reads through this, so a deleted id can never be returned."""
+    codes = spark.read.parquet(_codes_dir(path, meta))
+    tombs = _tombs_dir(path, meta)
+    if os.path.isdir(tombs) and any(
+        f.endswith(".parquet") for f in os.listdir(tombs)
+    ):
+        dead = spark.read.parquet(tombs).select("id").distinct()
+        codes = codes.join(F.broadcast(dead), "id", "left_anti")
+    return codes
+
+
+def delete_from_ivfpq_index(
+    spark: SparkSession, ids: DataFrame, path: str
+) -> dict:
+    """Delete vectors by id (round 13 — the lifecycle operation the
+    index lacked: dedup removals and right-to-be-forgotten requests
+    both need it). Deletes are TOMBSTONES, not rewrites: the ids
+    append into the generation's tombstone ledger (idempotent — the
+    ledger is distinct-read), every query path anti-joins the ledger
+    (bounded, broadcast), and :func:`compact_ivfpq_index` purges
+    tombstoned rows physically and starts the next generation with an
+    empty ledger — the same pointer-flip commit that already covers
+    the code rewrite.
+
+    Semantics are deliberately FINAL-until-compaction: ids in the
+    ledger cannot be re-ingested (``ingest_ivfpq_delta`` raises) —
+    resurrection-by-append would leave two at-rest rows behind one
+    tombstone, silently deleting the new copy too. After compaction
+    the id is physically gone and ingestable again. Unknown ids are
+    accepted (deleting an absent id is a no-op at read time), so
+    delete is idempotent under redelivery. Returns
+    ``{n_deleted_request, n_tombstones, n_live}``."""
+    meta = read_ivfpq_meta(path)
+    id_col = meta["id_col"]
+    req = ids.select(F.col(id_col).alias("id")).distinct()
+    n_req = req.count()
+    if n_req:
+        req.write.mode("append").parquet(_tombs_dir(path, meta))
+    dead = (
+        spark.read.parquet(_tombs_dir(path, meta)).select("id").distinct()
+    )
+    n_tombs = dead.count()
+    n_live = (
+        spark.read.parquet(_codes_dir(path, meta))
+        .join(F.broadcast(dead), "id", "left_anti")
+        .count()
+    )
+    return {
+        "n_deleted_request": n_req,
+        "n_tombstones": n_tombs,
+        "n_live": n_live,
+    }
+
+
+def _apply_cell_cap(
+    shortlist: DataFrame, cell_cap: int, per_probe: bool = False
+) -> DataFrame:
+    """Keep at most ``cell_cap`` candidates per shortlist cell, chosen
+    by ascending ``md5(id)`` (id tiebreak) — a content-addressed
+    uniform sample: deterministic across engines and reruns, unbiased
+    by insertion/partition order, and replayable in the DuckDB oracle
+    as ``md5(CAST(id AS VARCHAR))``."""
+    if cell_cap < 1:
+        raise ValueError(f"cell_cap must be >= 1, got {cell_cap}")
+    from pyspark.sql import Window as _W
+
+    keys = (["probe_id"] if per_probe else []) + ["coarse", "c0", "c1"]
+    w = _W.partitionBy(*keys).orderBy(
+        F.asc(F.md5(F.col("id").cast("string"))), F.asc("id")
+    )
+    return (
+        shortlist.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= cell_cap)
+        .drop("__cr")
+    )
+
+
 def query_ivfpq_index(
     spark: SparkSession,
     path: str,
@@ -259,6 +364,7 @@ def query_ivfpq_index(
     k: int = 10,
     n_probes: int = 2,
     top_cells: int = 4,
+    cell_cap: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """The at-rest funnel: probe the ``n_probes`` nearest coarse cells
     (driver argmin over the sidecar's centroids — the ``coarse IN``
@@ -266,7 +372,22 @@ def query_ivfpq_index(
     keep candidates in the ``top_cells`` best ADC cells (codes are
     PRECOMPUTED at rest — the query never re-encodes anything), exact
     re-rank. Returns ``(top-k (id, score), info)`` with the funnel
-    counts."""
+    counts.
+
+    ``cell_cap`` (round 13, r12-verdict task 3 — hot-cell skew): a
+    clustered corpus concentrates into few (coarse, c0, c1) cells that
+    the frozen ADC table cannot rank within (every member shares the
+    same code), so the shortlist balloons toward the cluster size
+    (measured ~3× amplification on the drift fixture, SCALE.md §r13).
+    With a cap, each shortlist cell keeps at most ``cell_cap``
+    candidates by ascending ``md5(id)`` — a content-addressed uniform
+    sample, deterministic, oracle-replayable, and unbiased by insert
+    order — which bounds the exact-re-rank (and, in the batch form,
+    shuffle) cost at ``top_cells · cell_cap`` rows per probe. The
+    budget spills across cells implicitly: every kept ADC cell still
+    contributes up to the cap. The price is recall inside capped hot
+    cells (a true neighbor can be sampled out — measured, SCALE.md);
+    leave None for exhaustive funnels."""
     meta = read_ivfpq_meta(path)
     q = [float(x) for x in query_vector]
     if len(q) != meta["dim"]:
@@ -298,7 +419,7 @@ def query_ivfpq_index(
             "similarity is undefined for an all-zero query"
         )
     pq_k = meta["pq_k"]
-    cand = spark.read.parquet(_codes_dir(path, meta)).filter(
+    cand = _live_codes(spark, path, meta).filter(
         F.col("coarse").isin(*probes)
     )
     if meta.get("encode", "plain") == "residual":
@@ -362,6 +483,8 @@ def query_ivfpq_index(
         shortlist = cand.filter(
             F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
         )
+    if cell_cap is not None:
+        shortlist = _apply_cell_cap(shortlist, cell_cap)
     topk = (
         shortlist.select(
             "id",
@@ -388,6 +511,7 @@ def audit_ivfpq_recall(
     n_probes: int = 2,
     top_cells: int = 4,
     exclude_self: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Recall-drift monitor (round 13, r12-verdict task 5): the module
     docstring names "recall drift under distribution shift" as the
@@ -420,6 +544,7 @@ def audit_ivfpq_recall(
         n_probes=n_probes,
         top_cells=top_cells,
         exclude_self=exclude_self,
+        cell_cap=cell_cap,
     )
     from pyspark.sql import Window as _AW
 
@@ -443,7 +568,7 @@ def audit_ivfpq_recall(
             _norm(F.col(vec_col)).alias("__pn"),
         )
     )
-    codes = spark.read.parquet(_codes_dir(path, meta))
+    codes = _live_codes(spark, path, meta)
     pairs = codes.join(p_side, F.lit(True))
     if exclude_self:
         pairs = pairs.filter(F.col("id") != F.col("probe_id"))
@@ -497,12 +622,18 @@ def compact_ivfpq_index(
     flipping the sidecar's ``codes_version`` pointer — a crash before
     the flip leaves the live generation untouched (rewrites cannot
     lean on idempotence the way appends do, hence the pointer). The
-    old generation is removed after the flip. Pure rewrite: the row
+    old generation (and its tombstone ledger) is removed after the
+    flip. Round 13: compaction also PURGES tombstoned rows — the
+    rewrite reads through :func:`_live_codes`, so the next generation
+    starts with a physically-clean relation and an empty ledger (the
+    one pointer flip commits both), after which deleted ids become
+    ingestable again. Without deletes it is a pure rewrite: the row
     multiset is invariant (unit-pinned)."""
     import shutil
 
     meta = read_ivfpq_meta(path)
     old_dir = _codes_dir(path, meta)
+    old_tombs = _tombs_dir(path, meta)
     new_meta = dict(meta)
     new_meta["codes_version"] = meta.get("codes_version", 0) + 1
     # hash-salted shuffle (the compact_partitioned_parquet recipe): each
@@ -510,7 +641,7 @@ def compact_ivfpq_index(
     # most files_per_cell files while cells still rewrite in parallel —
     # no single-task bottleneck at scale
     (
-        spark.read.parquet(old_dir)
+        _live_codes(spark, path, meta)
         .withColumn(
             "__salt", F.pmod(F.xxhash64("id"), F.lit(files_per_cell))
         )
@@ -520,8 +651,12 @@ def compact_ivfpq_index(
         .partitionBy("coarse")
         .parquet(_codes_dir(path, new_meta))
     )
+    new_meta["n_vecs"] = spark.read.parquet(
+        _codes_dir(path, new_meta)
+    ).count()
     _write_meta(path, new_meta)  # the atomic commit
     shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(old_tombs, ignore_errors=True)
     return new_meta
 
 
@@ -534,6 +669,7 @@ def query_ivfpq_index_batch(
     top_cells: int = 4,
     exclude_self: bool = True,
     broadcast_probes: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """MANY probes against the at-rest index in ONE job — the
     production retrieval shape (a dedup or hard-negative pass queries
@@ -567,6 +703,7 @@ def query_ivfpq_index_batch(
         spark, probes, path,
         n_probes=n_probes, top_cells=top_cells,
         exclude_self=exclude_self, broadcast_probes=broadcast_probes,
+        cell_cap=cell_cap,
     )
     from pyspark.sql import Window as _W
 
@@ -588,6 +725,7 @@ def _batch_shortlist_scored(
     top_cells: int = 4,
     exclude_self: bool = True,
     broadcast_probes: bool = True,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """The batch funnel up to (and including) the exact re-rank scores,
     BEFORE the per-probe top-k window: ``(probe_id, neighbor_id,
@@ -789,7 +927,7 @@ def _batch_shortlist_scored(
             F.explode(probed).alias("__g"),
         )
     p_join = F.broadcast(p_side) if broadcast_probes else p_side
-    cand = spark.read.parquet(_codes_dir(path, meta)).join(
+    cand = _live_codes(spark, path, meta).join(
         p_join, F.col("coarse") == F.col("__g")
     )
     code_key = (
@@ -800,6 +938,12 @@ def _batch_shortlist_scored(
     shortlist = cand.filter(
         F.array_contains(F.col("__kept"), code_key.cast("long"))
     )
+    # cap BEFORE the self filter: the single-probe path has no
+    # exclude_self, so capping first keeps the two paths' md5 samples
+    # identical (batch == per-probe even when the probe's own row
+    # occupies a cap slot — it then just burns one slot, documented)
+    if cell_cap is not None:
+        shortlist = _apply_cell_cap(shortlist, cell_cap, per_probe=True)
     if exclude_self:
         shortlist = shortlist.filter(F.col("id") != F.col("probe_id"))
     return shortlist.select(

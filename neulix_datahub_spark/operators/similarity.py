@@ -978,6 +978,12 @@ def ivf_pq_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+    # the two funnel counts are extra bounded jobs serving the
+    # verification query this composition exists for; production
+    # probing belongs on the persisted index
+    # (operators/ivfpq_index.query_ivfpq_index / _batch), which
+    # amortizes the three Lloyd trainings this one-shot form re-runs
+    # per call
     info = {
         "probes": probes,
         "kept_cells": kept_cells,

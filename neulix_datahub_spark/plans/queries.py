@@ -2415,85 +2415,93 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
 }
 
 # ---------------------------------------------------------------------------
-# ROUND 12 rotation (the round-11 driver run consumed _PRIORITY_R11 —
-# 50/50 hash-green), composed exactly as the round-11 NOTE + r11
-# verdict queued. (Correcting that NOTE's stale line: it listed
-# token_budget_waterfall among the queries that "did not fit" the r11
-# window — it DID fit and is green in CORRECTNESS_r11, so it is NOT
-# re-queued here.)
-#   1-3:   the three registry queries that have never seen a driver
-#          row (trained_classifier_stats, classifier_holdout_stats,
-#          epoch_plan_materialization_stats — each sim-EXACT at
-#          sf0.01 in both the builder's and the judge's runs); their
-#          oracles/engines ALSO changed in round 12 (classifier NULL-
-#          row exclusion + per-phase-n oracle builder; zero-token
-#          fractional-pick fix, engine + oracle in lockstep);
-#   4-5:   the two round-12 additions — classifier_refresh_stats
-#          (sidecar warm-start lifecycle, two-phase unrolled-GD
-#          oracle) and ivf_pq_search_check (IVF-PQ composed
-#          retrieval: three Lloyd replays + funnel counts + computed
-#          recall/pruning verdicts, r11-verdict task 2);
-#   6-12:  the passage + semantic index cohort, whose code changed in
-#          round 12 (scrub bookkeeping-name guard, ingest pin-first
-#          ordering, auto candidate mode resolving into the sidecar —
-#          behavior-preserving for every registry input, rows must
-#          confirm);
-#   13-50: the r6-era stale greens in the round-11 NOTE's order —
-#          prefix_filter_pairs .. lexicon_filter_stats (the 8 bumped
-#          from the r11 window), then the next 30 of the r6 cohort in
-#          registration order. The 4 that did not fit
-#          (event_pagerank, customer_hierarchy_depths,
-#          cohort_retention, user_activity_streaks) lead the r13
-#          stale queue.
-_PRIORITY_R12 = [
-    # -- never driver-sampled (r11 late registrations) --
-    "trained_classifier_stats", "classifier_holdout_stats",
-    "epoch_plan_materialization_stats",
-    # -- new in r12: first driver rows --
-    "classifier_refresh_stats", "ivf_pq_search_check",
-    "ivfpq_index_lifecycle_check", "stream_ivfpq_lifecycle_stats",
-    "epoch_shuffle_order", "ivfpq_residual_search_check",
-    "hashed_embedding_similarity_check", "ivfpq_batch_recall_check",
-    "stream_classifier_refresh_stats", "text_to_index_retrieval_check",
-    # -- passage/semantic index code changed in r12 --
-    "passage_scrub_stats", "incremental_passage_scrub_stats",
-    "stream_incremental_passage_stats", "contamination_scrub_stats",
-    "incremental_semantic_dedup_stats", "banded_semantic_dedup_stats",
-    "stream_incremental_semantic_stats",
-    # -- r6-era stale greens, round-11 NOTE order --
-    "prefix_filter_pairs", "mixture_resample_plan",
-    "priority_sample_check", "zorder_bucket_stats",
-    "incremental_agg_check", "window_coverage_revenue",
-    "cached_query_stats", "lexicon_filter_stats",
-    "quality_classifier_stats", "capped_contribution_stats",
-    "k_anonymity_customers", "event_funnel_stats", "stream_funnel_stats",
-    "weekly_autocorr_by_type", "brand_triangle_count",
-    "stream_hourly_rollup", "dynamic_gap_sessions",
-    "stream_dynamic_sessions", "snapshot_changes_stats",
-    "catalog_commit_stats", "load_behaviors_stats",
-    "scd2_customer_history", "orders_at_dimension_time",
-    "partitioned_events_stats", "orc_roundtrip_stats",
-    "hll_daily_merge_check", "cms_daily_merge_check",
-    "hll_overlap_check", "price_drift_psi", "robust_price_stats",
+# ROUND 13 rotation (the round-12 driver run consumed _PRIORITY_R12 —
+# 50/50 hash-green), composed exactly as the round-12 NOTE + r12
+# verdict queued:
+#   1-5:   the five round-13 additions — ivfpq_batch_residual_check
+#          (the r12 refusal lifted: IVFADC batch probing, r12-verdict
+#          task 1), ivfpq_recall_drift_check (frozen-codebook drift
+#          monitor, task 5), classifier_minibatch_stats (content-hash
+#          mini-batch SGD, task 4), stream_text_to_index_stats (S5
+#          twin of the text->index composition, task 7),
+#          ivfpq_delete_lifecycle_check (tombstone deletes + compact
+#          purge — the lifecycle operation the index lacked);
+#   6-14:  every query over round-13-CHANGED code, re-greened this
+#          window — the IVF-PQ family (ingest validation + n_vecs
+#          recount + zero-norm guards + the batch-shortlist refactor
+#          + cell_cap: ivfpq_index_lifecycle_check,
+#          ivfpq_batch_recall_check, ivfpq_residual_search_check,
+#          text_to_index_retrieval_check, stream_ivfpq_lifecycle_stats)
+#          and the classifier family (_gd_step refactor + atomic
+#          extra_update commit: classifier_refresh_stats,
+#          stream_classifier_refresh_stats, trained_classifier_stats,
+#          classifier_holdout_stats);
+#   15-26: the 12 r6-era stale greens queued by the round-12 NOTE, in
+#          registration order (all sim-EXACT in the r12 judge audit);
+#   27-50: the first 24 of the 42 r7-era stale greens, names as
+#          registered.
+_PRIORITY_R13 = [
+    # -- new in r13: first driver rows --
+    "ivfpq_batch_residual_check", "ivfpq_recall_drift_check",
+    "classifier_minibatch_stats", "stream_text_to_index_stats",
+    "ivfpq_delete_lifecycle_check",
+    # -- r13-changed code: IVF-PQ + classifier families --
+    "ivfpq_index_lifecycle_check", "ivfpq_batch_recall_check",
+    "ivfpq_residual_search_check", "text_to_index_retrieval_check",
+    "stream_ivfpq_lifecycle_stats", "classifier_refresh_stats",
+    "stream_classifier_refresh_stats", "trained_classifier_stats",
+    "classifier_holdout_stats",
+    # -- r6-era stale greens, round-12 NOTE order --
+    "quality_report_orders", "pca_embedding_check", "pca_merge_check",
+    "pq_codebook_profile", "bigram_perplexity_by_lang",
+    "unicode_normalization_stats", "winnow_overlap_stats",
+    "top_event_trigrams", "event_pagerank", "customer_hierarchy_depths",
+    "cohort_retention", "user_activity_streaks",
+    # -- r7-era stale greens, registration order --
+    "approx_price_percentiles",
+    "hll_users_by_type",
+    "coerced_timestamps",
+    "json_serialized_orders",
+    "resolved_projection",
+    "return_rate_by_brand",
+    "discount_by_quantity_band",
+    "monthly_seasonality_index",
+    "customer_tenure_profile",
+    "ship_delay_by_priority",
+    "basket_size_distribution",
+    "price_quartiles_by_priority",
+    "lineitem_correlations",
+    "price_histogram",
+    "copurchased_brand_pairs",
+    "customer_balance_quartiles",
+    "grouping_sets_revenue",
+    "unpivot_lineitem_measures",
+    "rollup_routed_daily",
+    "rollup_routed_weekly",
+    "kmv_union_law_check",
+    "cms_join_size_check",
+    "holt_daily_by_type",
+    "ewma_daily_revenue",
 ]
-# ROUND 13 NOTE: rotate ONLY AFTER the round-12 driver run consumes
-# this prefix. Lead round 13 with any round-12/13 implementation
-# changes and red-row fixes, then the remaining r6-era stale greens in
-# registration order (quality_report_orders, pca_embedding_check,
-# pca_merge_check,
-# pq_codebook_profile,
-# bigram_perplexity_by_lang,
-# unicode_normalization_stats,
-# winnow_overlap_stats, top_event_trigrams,
-# event_pagerank, customer_hierarchy_depths, cohort_retention,
-# user_activity_streaks — bumped from this window as the IVF-PQ
-# lifecycle pair took new-query slots), then the r7-era tier — names
-# as registered.
-assert set(_PRIORITY_R12) <= set(QUERIES), sorted(set(_PRIORITY_R12) - set(QUERIES))
-assert len(_PRIORITY_R12) == 50, len(_PRIORITY_R12)
-assert len(set(_PRIORITY_R12)) == 50
-QUERIES = {n: QUERIES[n] for n in _PRIORITY_R12} | {
-    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R12)
+# ROUND 14 NOTE: rotate ONLY AFTER the round-13 driver run consumes
+# this prefix. Lead round 14 with any round-13/14 implementation
+# changes and red-row fixes, then the remaining 18 r7-era stale greens
+# in registration order (linear_attribution first — bumped from this
+# window by ivfpq_delete_lifecycle_check):
+# price_drift_ks_exact, repeat_purchase_intervals,
+# hourly_activity_profile, variant_props_stats, daily_trend_by_type,
+# gap_filled_daily_series, revenue_anomaly_days,
+# last_touch_attribution, funnel_time_to_convert,
+# cohort_retention_rates, funnel_steps_long,
+# event_transition_matrix, grouped_cov_check, schema_drift_stats,
+# bmp_decode_features, wav_decode_features,
+# file_bloom_skipping_stats
+# — then the r8-era tier, names as registered.
+assert set(_PRIORITY_R13) <= set(QUERIES), sorted(set(_PRIORITY_R13) - set(QUERIES))
+assert len(_PRIORITY_R13) == 50, len(_PRIORITY_R13)
+assert len(set(_PRIORITY_R13)) == 50
+QUERIES = {n: QUERIES[n] for n in _PRIORITY_R13} | {
+    n: s for n, s in QUERIES.items() if n not in set(_PRIORITY_R13)
 }
 
 ORACLES: dict[str, str] = {k: v.oracle for k, v in QUERIES.items() if v.oracle is not None}

@@ -1728,6 +1728,147 @@ def ivfpq_recall_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_delete_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 delete lifecycle (round 13): the index operation production
+    needs that the r12 lifecycle lacked — dedup removals and
+    right-to-be-forgotten both delete by id. ``delete_from_ivfpq_index``
+    appends the ids to a tombstone ledger; every query path reads
+    through the broadcast anti-join (``_live_codes``), so a deleted id
+    can never be returned; ``compact_ivfpq_index`` purges tombstoned
+    rows physically, recounts, and starts the next generation with an
+    empty ledger under the same pointer-flip commit.
+
+    The fixture: the 10 planted near-copies of probe vec 0 dominate the
+    top-10; the EVEN five are deleted, and the post-delete top-10 (the
+    emitted rows) must surface the odd plants + organics with the dead
+    ids absent (computed both sides). The engine then compacts and
+    re-queries: ``compact_invariant`` certifies the physical purge did
+    not change a single answer row, and
+    ``reingest_after_compact_ok`` certifies a purged id becomes
+    ingestable again (both pinned TRUE in the oracle — a physical
+    rewrite is not SQL-replayable; the engine computes them for real).
+    The DuckDB oracle replays the rest from scratch: three Lloyd runs
+    on the full corpus, encode, the funnel over the LIVE relation, the
+    exact top-10 over live, and the delete bookkeeping."""
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ingest_ivfpq_delta,
+        query_ivfpq_index,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__q")
+    )
+    plants = qrow.crossJoin(spark.range(1, 11)).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__q", lambda x: x + F.col("id").cast("double") * F.lit(0.002)
+        ).alias("embedding"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "embedding"
+            ),
+        )
+        .unionByName(plants)
+        .localCheckpoint(eager=True)
+    )
+    path = f"{warehouse_scratch(spark, '_neulix_ivfpq_del_')}/index"
+    build_ivfpq_index(
+        corpus,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+    )
+    dead = plants.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    st = delete_from_ivfpq_index(spark, dead, path)
+    topk, info = query_ivfpq_index(
+        spark,
+        path,
+        qvec,
+        k=10,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    )
+    # pin: compaction below deletes the generation these lazy plans
+    # read — the emitted rows must come from the PRE-compact evaluation
+    topk = topk.localCheckpoint(eager=True)
+    rows_before = sorted(map(tuple, topk.collect()))
+    dead_in_top = (
+        topk.join(dead.withColumnRenamed("vec_id", "id"), "id", "inner")
+        .count()
+    )
+    new_meta = compact_ivfpq_index(spark, path)
+    topk2, _ = query_ivfpq_index(
+        spark,
+        path,
+        qvec,
+        k=10,
+        n_probes=_IVFPQ_PROBES,
+        top_cells=_IVFPQ_TOP_CELLS,
+    )
+    compact_invariant = rows_before == sorted(map(tuple, topk2.collect()))
+    st2 = ingest_ivfpq_delta(
+        spark, plants.filter(F.col("vec_id") == 1_000_002), path
+    )
+    reingest_ok = st2["n_new"] == 1
+    from neulix_datahub_spark.operators.similarity import _cosine_to_literal
+
+    live = corpus.join(dead, "vec_id", "left_anti")
+    exact = (
+        live.select(
+            "vec_id",
+            F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias(
+                "__s"
+            ),
+        )
+        .orderBy(F.desc("__s"), F.asc("vec_id"))
+        .limit(10)
+        .select(F.col("vec_id").alias("id"), F.lit(1).alias("__e"))
+    )
+    n_hit = (
+        topk.join(exact, "id", "left")
+        .agg(F.sum("__e").cast("bigint").alias("h"))
+        .first()["h"]
+    )
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
+    )
+    return ranked.select(
+        "rank",
+        F.col("id").alias("vec_id"),
+        "score",
+        F.lit(int(st["n_live"])).cast("long").alias("n_live"),
+        F.lit(int(st["n_tombstones"])).cast("long").alias("n_tombstones"),
+        F.lit(int(new_meta["n_vecs"])).cast("long").alias(
+            "n_vecs_after_compact"
+        ),
+        F.lit(bool(dead_in_top == 0)).alias("deleted_absent"),
+        F.lit(bool(compact_invariant)).alias("compact_invariant"),
+        F.lit(bool(reingest_ok)).alias("reingest_after_compact_ok"),
+        F.lit(info["n_candidates"]).cast("long").alias("n_candidates"),
+        F.lit(info["n_shortlist"]).cast("long").alias("n_shortlist"),
+        F.lit(int(n_hit)).cast("long").alias("n_in_exact_top10"),
+        (F.lit(int(n_hit)) / F.lit(10.0) >= 0.95).alias("recall_ge_95pct"),
+        (
+            F.lit(info["n_shortlist"]) < F.lit(info["n_candidates"])
+        ).alias("pq_pruned"),
+    ).orderBy("rank")
+
+
 def text_to_index_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end text→vector→index retrieval (round 12): the full
     pipeline a near-dup retrieval service runs, composed from parts
@@ -2094,7 +2235,11 @@ def _lloyd_ctes(prefix: str, src: str, k: int, iters: int) -> tuple[list[str], s
     return ctes, prev, f"{prefix}afinal"
 
 
-def _ivfpq_oracle_sql(train_on: str = "corpus", lifecycle: bool = False) -> str:
+def _ivfpq_oracle_sql(
+    train_on: str = "corpus",
+    lifecycle: bool = False,
+    deletes: bool = False,
+) -> str:
     """Full IVF-PQ funnel replay. ``train_on`` picks the Lloyd training
     relation: ``"corpus"`` (the one-shot composition) or ``"prior"``
     (the persisted-index lifecycle: codebooks train on the pre-delta
@@ -2102,7 +2247,13 @@ def _ivfpq_oracle_sql(train_on: str = "corpus", lifecycle: bool = False) -> str:
     build_ivfpq_index + ingest_ivfpq_delta execute). The encode step is
     always over the full corpus with the final centroids, so the same
     tail serves both. ``lifecycle`` adds the ingest bookkeeping columns
-    (n_new, n_vecs)."""
+    (n_new, n_vecs). ``deletes`` (round 13) replays the tombstone
+    lifecycle: the even-numbered plants are deleted, so the funnel and
+    the exact side both read the LIVE relation (corpus minus tombstones
+    — what _live_codes serves), with the delete bookkeeping columns;
+    compact_invariant / reingest_after_compact_ok are pinned TRUE (the
+    oracle cannot replay a physical rewrite — the engine computes them
+    for real and a red row would flag divergence)."""
     half = 32
     d2 = (
         "list_sum(list_transform(range(1, len({v})+1),"
@@ -2141,6 +2292,14 @@ def _ivfpq_oracle_sql(train_on: str = "corpus", lifecycle: bool = False) -> str:
         f"  SELECT sqrt({n2.format(c='v')}) AS n,"
         f" v[1:{half}] AS q0, v[{half + 1}:{2 * half}] AS q1 FROM qv)",
     ]
+    if deletes:
+        head += [
+            "deleted AS (SELECT 1000000 + t.i AS vec_id"
+            " FROM range(1, 11) t(i) WHERE t.i % 2 = 0)",
+            "live AS (SELECT c.* FROM corpus c WHERE c.vec_id NOT IN"
+            " (SELECT vec_id FROM deleted))",
+        ]
+    read_rel = "live" if deletes else "corpus"
 
     def _argmin(src: str, vexpr: str, cents: str) -> str:
         return (
@@ -2162,9 +2321,23 @@ def _ivfpq_oracle_sql(train_on: str = "corpus", lifecycle: bool = False) -> str:
         else ""
     )
     life_cols = "c.n_new, c.n_vecs, " if lifecycle else "c.n_corpus, "
+    if deletes:
+        life_counts = """
+           CAST((SELECT count(*) FROM live) AS BIGINT) AS n_live,
+           CAST((SELECT count(*) FROM deleted) AS BIGINT)
+               AS n_tombstones,
+           CAST((SELECT count(*) FROM live) AS BIGINT)
+               AS n_vecs_after_compact,
+           (SELECT count(*) FROM top JOIN deleted USING (vec_id)) = 0
+               AS deleted_absent,"""
+        life_cols = (
+            "c.n_live, c.n_tombstones, c.n_vecs_after_compact, "
+            "c.deleted_absent, TRUE AS compact_invariant, "
+            "TRUE AS reingest_after_compact_ok, "
+        )
     tail = f""",
 enc_g AS (
-    {_argmin("corpus", "e.v", g_cent)}
+    {_argmin(read_rel, "e.v", g_cent)}
 ),
 probed AS (
     SELECT cluster FROM {g_cent}, qv
@@ -2219,7 +2392,7 @@ exact AS (
         SELECT c.vec_id,
                round({dot.format(a="c.v", b="qv.v")}
                      / (sqrt({n2.format(c="c.v")}) * qn.n), 6) AS score
-        FROM corpus c, qv, qn
+        FROM {read_rel} c, qv, qn
         ORDER BY score DESC, c.vec_id LIMIT 10
     )
 ),
@@ -2245,6 +2418,7 @@ ORDER BY t.rank"""
 
 _IVFPQ_SQL = _ivfpq_oracle_sql()
 _IVFPQ_LIFECYCLE_SQL = _ivfpq_oracle_sql(train_on="prior", lifecycle=True)
+_IVFPQ_DELETE_SQL = _ivfpq_oracle_sql(deletes=True)
 
 
 def ivfpq_residual_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2690,10 +2864,177 @@ ORDER BY probe_id"""
     )
 
 
+def _ivfpq_drift_oracle_sql() -> str:
+    """Recall-drift-monitor replay (round 13): three Lloyd runs on the
+    BASE corpus, base encode, the base audit funnel (probe/cell
+    windows, shortlist, round-6 top-10, exact top-10), then the
+    shifted delta encoded under the SAME frozen centroids, the
+    post-ingest audit funnel over base ∪ delta, and the amplification
+    arithmetic — two full epochs of the batch-probe machinery."""
+    d2 = (
+        "list_sum(list_transform(range(1, len({v})+1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> {a}[i] * {b}[i]))"
+    )
+    n2 = "list_sum(list_transform({c}, x -> x * x))"
+    half = 32
+    g_ctes, g_cent, _ = _lloyd_ctes(
+        "g_", "corpus", _IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS
+    )
+    p0_ctes, p0_cent, _ = _lloyd_ctes(
+        "p0_", "sub0", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    p1_ctes, p1_cent, _ = _lloyd_ctes(
+        "p1_", "sub1", _IVFPQ_PQ_K, _IVFPQ_PQ_ITERS
+    )
+    head = [
+        "corpus AS (\n"
+        "  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v\n  FROM embeddings)",
+        f"sub0 AS (SELECT vec_id, v[1:{half}] AS v FROM corpus)",
+        f"sub1 AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v FROM corpus)",
+    ]
+
+    def _argmin(src: str, cents: str) -> str:
+        return (
+            "SELECT vec_id, v, cluster FROM (\n"
+            f"    SELECT e.vec_id, e.v, c.cluster,\n"
+            "           row_number() OVER (PARTITION BY e.vec_id\n"
+            "                              ORDER BY "
+            + d2.format(v="e.v", c="c.c")
+            + ", c.cluster) AS rn\n"
+            f"    FROM {src} e CROSS JOIN {cents} c) WHERE rn = 1"
+        )
+
+    def _funnel(p: str, pv: str, encg: str, enc0: str, enc1: str,
+                src: str) -> str:
+        score = (
+            "round(" + dot.format(a="{l}.v", b="q.v")
+            + f"\n                 / (sqrt({n2.format(c='{l}.v')})"
+            + f" * sqrt({n2.format(c='q.v')})), 6)"
+        )
+        return f""",
+{p}probed AS (
+    SELECT probe_id, cluster FROM (
+        SELECT q.probe_id, c.cluster,
+               row_number() OVER (PARTITION BY q.probe_id
+                                  ORDER BY {d2.format(v="q.v", c="c.c")},
+                                           c.cluster) AS rn
+        FROM {pv} q CROSS JOIN {g_cent} c
+    ) WHERE rn <= {_IVFPQ_PROBES}
+),
+{p}cells AS (
+    SELECT probe_id, c0, c1 FROM (
+        SELECT q.probe_id, a.cluster AS c0, b.cluster AS c1,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   ({dot.format(a=f"q.v[1:{half}]", b="a.c")}
+                    + {dot.format(a=f"q.v[{half + 1}:{2 * half}]", b="b.c")})
+                   / (sqrt({n2.format(c="q.v")})
+                      * sqrt({n2.format(c="a.c")} + {n2.format(c="b.c")}))
+                   DESC, a.cluster, b.cluster) AS rn
+        FROM {pv} q CROSS JOIN {p0_cent} a CROSS JOIN {p1_cent} b
+    ) WHERE rn <= {_IVFPQ_TOP_CELLS}
+),
+{p}short AS (
+    SELECT q.probe_id, q.v AS qv, e.vec_id, e.v
+    FROM {p}probed pr
+    JOIN {pv} q USING (probe_id)
+    JOIN {encg} e ON e.cluster = pr.cluster
+    JOIN {enc0} e0 ON e0.vec_id = e.vec_id
+    JOIN {enc1} e1 ON e1.vec_id = e.vec_id
+    JOIN {p}cells pc ON pc.probe_id = pr.probe_id
+                    AND pc.c0 = e0.cluster AND pc.c1 = e1.cluster
+    WHERE e.vec_id <> q.probe_id
+),
+{p}top AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY
+                   round({dot.format(a="v", b="qv")}
+                         / (sqrt({n2.format(c="v")})
+                            * sqrt({n2.format(c="qv")})), 6)
+                   DESC, vec_id) AS rn
+        FROM {p}short
+    ) WHERE rn <= 10
+),
+{p}exact AS (
+    SELECT probe_id, vec_id FROM (
+        SELECT q.probe_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.probe_id ORDER BY
+                   round({dot.format(a="c.v", b="q.v")}
+                         / (sqrt({n2.format(c="c.v")})
+                            * sqrt({n2.format(c="q.v")})), 6)
+                   DESC, c.vec_id) AS rn
+        FROM {src} c, {pv} q
+        WHERE c.vec_id <> q.probe_id
+    ) WHERE rn <= 10
+),
+{p}counts AS (
+    SELECT (SELECT count(*) FROM {pv}) AS np,
+           (SELECT count(*) FROM {p}top t
+            JOIN {p}exact x USING (probe_id, vec_id)) AS h,
+           (SELECT count(*) FROM {p}exact) AS e,
+           (SELECT count(*) FROM {p}short) AS sl
+)"""
+
+    mid = [
+        f"enc_g AS MATERIALIZED (\n  {_argmin('corpus', g_cent)})",
+        f"enc0 AS MATERIALIZED (\n  {_argmin('sub0', p0_cent)})",
+        f"enc1 AS MATERIALIZED (\n  {_argmin('sub1', p1_cent)})",
+        "delta AS (\n"
+        "  SELECT 3000000 + vec_id AS vec_id,"
+        " list_transform(v, x -> x + 0.5) AS v\n"
+        "  FROM corpus WHERE vec_id % 5 = 2)",
+        "corpus2 AS (SELECT * FROM corpus UNION ALL SELECT * FROM delta)",
+        f"sub0b AS (SELECT vec_id, v[1:{half}] AS v FROM corpus2)",
+        f"sub1b AS (SELECT vec_id, v[{half + 1}:{2 * half}] AS v"
+        " FROM corpus2)",
+        f"enc2_g AS MATERIALIZED (\n  {_argmin('corpus2', g_cent)})",
+        f"enc2_0 AS MATERIALIZED (\n  {_argmin('sub0b', p0_cent)})",
+        f"enc2_1 AS MATERIALIZED (\n  {_argmin('sub1b', p1_cent)})",
+        "bpv AS (SELECT vec_id AS probe_id, v FROM corpus"
+        " WHERE vec_id % 200 = 0)",
+        "spv AS (SELECT vec_id AS probe_id, v FROM delta"
+        " WHERE (vec_id - 3000000) % 100 = 2)",
+    ]
+    tail = (
+        _funnel("b_", "bpv", "enc_g", "enc0", "enc1", "corpus")
+        + _funnel("s_", "spv", "enc2_g", "enc2_0", "enc2_1", "corpus2")
+        + """
+SELECT CAST(b.np AS BIGINT) AS n_base_probes,
+       CAST(b.h AS BIGINT) AS base_hits,
+       CAST(b.e AS BIGINT) AS base_exact,
+       CAST(b.sl AS BIGINT) AS base_shortlist,
+       CAST(s.np AS BIGINT) AS n_shift_probes,
+       CAST(s.h AS BIGINT) AS shift_hits,
+       CAST(s.e AS BIGINT) AS shift_exact,
+       CAST(s.sl AS BIGINT) AS shift_shortlist,
+       round(b.h / CAST(b.e AS DOUBLE), 4) AS base_recall,
+       round(s.h / CAST(s.e AS DOUBLE), 4) AS shift_recall,
+       round((s.sl / CAST(s.np AS DOUBLE))
+             / (b.sl / CAST(b.np AS DOUBLE)), 4)
+           AS shortlist_amplification,
+       (s.sl / CAST(s.np AS DOUBLE))
+           / (b.sl / CAST(b.np AS DOUBLE)) >= 2.0 AS drift_detected
+FROM b_counts b, s_counts s"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(head + g_ctes + p0_ctes + p1_ctes + mid)
+        + tail
+    )
+
+
 _IVFPQ_RESIDUAL_SQL = _ivfpq_residual_oracle_sql()
 _IVFPQ_BATCH_SQL = _ivfpq_batch_oracle_sql()
 _IVFPQ_BATCH_RESIDUAL_SQL = _ivfpq_batch_residual_oracle_sql()
+_IVFPQ_DRIFT_SQL = _ivfpq_drift_oracle_sql()
 _TEXT_TO_INDEX_SQL = _text_to_index_oracle_sql()
+# the streaming twin's batch composition: Lloyd on the PRIOR slice only
+_TEXT_TO_INDEX_PRIOR_SQL = _text_to_index_oracle_sql(train_on="prior")
 
 
 _EMBARGO_CUTOFF = "1997-01-01"
@@ -4822,6 +5163,19 @@ SCALE_QUERIES = {
         _IVFPQ_BATCH_RESIDUAL_SQL,
         "residual-mode (IVFADC) batch probing: per-probe triple-cell "
         "ranking + triple-key shortlist join, all stages replayed",
+    ),
+    "ivfpq_recall_drift_check": (
+        ivfpq_recall_drift_check,
+        _IVFPQ_DRIFT_SQL,
+        "frozen-codebook drift monitor: recall + shortlist "
+        "amplification before/after a shifted delta, both audits "
+        "fully replayed",
+    ),
+    "ivfpq_delete_lifecycle_check": (
+        ivfpq_delete_lifecycle_check,
+        _IVFPQ_DELETE_SQL,
+        "tombstone deletes: post-delete funnel over the live relation "
+        "replayed; compact purge + reingest certified in-engine",
     ),
     "text_to_index_retrieval_check": (
         text_to_index_retrieval_check,

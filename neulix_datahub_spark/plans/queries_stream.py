@@ -1699,6 +1699,101 @@ def stream_ivfpq_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def stream_text_to_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 twin of the end-to-end text→index pipeline (round 13,
+    r12-verdict task 7): day 0 hashed-embeds the ORIGINAL documents and
+    builds the IVF-PQ index over them; the near-dup twins then arrive
+    as RAW TEXT in two micro-batches through the
+    ``stream_text_ivfpq_ingest`` foreachBatch sink (per-batch hashed
+    embedding + frozen-codebook encode + id-anti-join append), and the
+    converged index answers the same k=1 batch retrieval as
+    ``text_to_index_retrieval_check``. Because the embedding is a pure
+    per-row function of the text and ingest is slice-invariant under
+    frozen codebooks, the final at-rest state is byte-identical to a
+    one-shot build(prior) + ingest(all twins) — the oracle replays that
+    batch composition (Lloyd runs over the PRIOR hashed vectors only,
+    frozen encode of the full corpus, the per-probe funnel) and a green
+    hash row proves the stream converged to it."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        build_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+    from neulix_datahub_spark.operators.text import hashed_embedding_table
+    from neulix_datahub_spark.plans.queries_llm import (
+        planted_near_dup_corpus,
+    )
+    from neulix_datahub_spark.plans.queries_scale import (
+        _IVFPQ_COARSE_ITERS,
+        _IVFPQ_COARSE_K,
+        _IVFPQ_PQ_ITERS,
+        _IVFPQ_PQ_K,
+    )
+    from neulix_datahub_spark.streaming.sinks import stream_text_ivfpq_ingest
+
+    tmp = _scratch(spark, "neulix_txt2idxstream_")
+    corpus = planted_near_dup_corpus(spark, sf_dir)
+    prior_docs = corpus.filter(F.col("doc_id") < 1_000_000)
+    twin_docs = corpus.filter(F.col("doc_id") >= 1_000_000).select(
+        "doc_id", "text"
+    )
+    emb_prior = hashed_embedding_table(
+        prior_docs, "text", "doc_id", dim=64, out_col="embedding"
+    ).localCheckpoint(eager=True)
+    path = f"{tmp}/index"
+    build_ivfpq_index(
+        emb_prior,
+        path,
+        coarse_k=_IVFPQ_COARSE_K,
+        coarse_iters=_IVFPQ_COARSE_ITERS,
+        pq_k=_IVFPQ_PQ_K,
+        pq_iters=_IVFPQ_PQ_ITERS,
+        id_col="doc_id",
+    )
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = twin_docs.filter(F.col("doc_id") % 2 == 0)
+    rest = twin_docs.filter(F.col("doc_id") % 2 == 1)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_text_ivfpq_ingest(
+        stream, path, text_col="text", id_col="doc_id", dim=64,
+        checkpoint_dir=f"{tmp}/ckpt",
+    )
+    q.awaitTermination()
+    probes = emb_prior.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 10 == 0)
+    )
+    batch = query_ivfpq_index_batch(
+        spark,
+        probes,
+        path,
+        k=1,
+        n_probes=4,
+        top_cells=8,
+    )
+    return batch.select(
+        "probe_id",
+        "neighbor_id",
+        "score",
+        (
+            F.col("neighbor_id") == F.col("probe_id") + 1_000_000
+        ).alias("twin_is_top1"),
+    ).orderBy("probe_id")
+
+
 def stream_classifier_refresh_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1972,4 +2067,16 @@ STREAM_QUERIES["stream_classifier_refresh_stats"] = (
     stream_classifier_refresh_stats,
     _STREAM_CLF_SQL,
     STREAM_QUERIES["stream_classifier_refresh_stats"][2],
+)
+
+from neulix_datahub_spark.plans.queries_scale import (  # noqa: E402
+    _TEXT_TO_INDEX_PRIOR_SQL as _STREAM_TXT2IDX_SQL,
+)
+
+STREAM_QUERIES["stream_text_to_index_stats"] = (
+    stream_text_to_index_stats,
+    _STREAM_TXT2IDX_SQL,
+    "S5 twin: text stream -> per-batch hashed embed -> frozen-codebook "
+    "ingest; converged index answers the k=1 retrieval, oracle replays "
+    "the build(prior)+ingest batch composition",
 )

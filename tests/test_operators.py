@@ -3310,3 +3310,134 @@ def test_ivfpq_ingest_validates_delta_and_recounts(spark, tmp_path):
     st = ingest_ivfpq_delta(spark, delta, path)
     assert st["n_vecs"] == true_n + delta.count()
     assert read_ivfpq_meta(path)["n_vecs"] == st["n_vecs"]
+
+
+def test_ivfpq_cell_cap_bounds_and_degenerates(spark, tmp_path):
+    # round 13 (hot-cell skew): cell_cap keeps at most cap candidates
+    # per (probe, coarse, c0, c1) shortlist cell via md5(id) sampling;
+    # a cap >= every cell size is a no-op, and batch == per-probe holds
+    # under the cap (same content-addressed sample in both paths)
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        _batch_shortlist_scored,
+        build_ivfpq_index,
+        ingest_ivfpq_delta,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "cap")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    # a clustered hot delta: 40 near-identical vectors land in one cell
+    base = emb.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("__v")
+    )
+    hot = base.crossJoin(spark.range(1, 41)).select(
+        (F.lit(5_000_000) + F.col("id")).alias("vec_id"),
+        F.transform(
+            "__v", lambda x: x + F.lit(0.5) + F.col("id") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    ingest_ivfpq_delta(spark, hot, path)
+    probes = hot.filter(F.col("vec_id") % 10 == 1)
+    # bound: no (probe, cell) group exceeds the cap
+    capped = _batch_shortlist_scored(
+        spark, probes, path, n_probes=2, top_cells=4, cell_cap=5
+    )
+    uncapped = _batch_shortlist_scored(
+        spark, probes, path, n_probes=2, top_cells=4
+    )
+    n_c, n_u = capped.count(), uncapped.count()
+    assert n_c < n_u  # the hot cell actually got capped
+    assert n_c <= probes.count() * 2 * 4 * 5
+    # degenerate: cap >= any cell size == uncapped, row for row
+    big = _batch_shortlist_scored(
+        spark, probes, path, n_probes=2, top_cells=4, cell_cap=10_000
+    )
+    assert sorted(map(tuple, big.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+    # batch == per-probe under the same cap
+    got = {
+        (r.probe_id, r.neighbor_id): r.score
+        for r in query_ivfpq_index_batch(
+            spark, probes, path, k=5, n_probes=2, top_cells=4, cell_cap=5
+        ).collect()
+    }
+    want = {}
+    for p in probes.collect():
+        topk, _ = query_ivfpq_index(
+            spark, path, [float(x) for x in p.embedding], k=6,
+            n_probes=2, top_cells=4, cell_cap=5,
+        )
+        rows = [r for r in topk.collect() if r.id != p.vec_id][:5]
+        for r in rows:
+            want[(p.vec_id, r.id)] = r.score
+    assert got == want
+
+
+def test_ivfpq_delete_tombstone_lifecycle(spark, tmp_path):
+    # round 13: deletes are tombstones (idempotent, final until
+    # compaction), every query path reads through the anti-join, and
+    # compaction purges physically + empties the ledger + recounts
+    import os
+
+    import pytest
+
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        _codes_dir,
+        build_ivfpq_index,
+        compact_ivfpq_index,
+        delete_from_ivfpq_index,
+        ingest_ivfpq_delta,
+        query_ivfpq_index,
+        query_ivfpq_index_batch,
+        read_ivfpq_meta,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "del")
+    build_ivfpq_index(emb, path, coarse_k=4, coarse_iters=2, pq_k=4,
+                      pq_iters=2)
+    n_total = emb.count()
+    dead = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_dead = dead.count()
+    st = delete_from_ivfpq_index(spark, dead, path)
+    assert st["n_tombstones"] == n_dead
+    assert st["n_live"] == n_total - n_dead
+    # idempotent: re-delete changes nothing
+    st2 = delete_from_ivfpq_index(spark, dead, path)
+    assert st2["n_tombstones"] == n_dead and st2["n_live"] == st["n_live"]
+    # no query path can return a deleted id
+    probe = emb.filter(F.col("vec_id") == 0).first()
+    topk, _ = query_ivfpq_index(
+        spark, path, [float(x) for x in probe.embedding], k=50,
+        n_probes=4, top_cells=16,
+    )
+    dead_ids = {r.vec_id for r in dead.collect()}
+    assert not ({r.id for r in topk.collect()} & dead_ids)
+    batch = query_ivfpq_index_batch(
+        spark, emb.filter(F.col("vec_id") % 100 == 0), path, k=20,
+        n_probes=4, top_cells=16,
+    )
+    assert not ({r.neighbor_id for r in batch.collect()} & dead_ids)
+    # re-ingest of a tombstoned id refuses pre-compaction
+    with pytest.raises(ValueError, match="tombstoned"):
+        ingest_ivfpq_delta(
+            spark, emb.join(dead, "vec_id", "semi"), path
+        )
+    # compaction purges physically, recounts, empties the ledger
+    new_meta = compact_ivfpq_index(spark, path)
+    assert new_meta["n_vecs"] == n_total - n_dead
+    at_rest = spark.read.parquet(_codes_dir(path, new_meta))
+    assert at_rest.count() == n_total - n_dead
+    assert not os.path.isdir(
+        os.path.join(path, f"tombs_v{new_meta['codes_version']}")
+    )
+    # the id is gone from rest, so it is ingestable again
+    st3 = ingest_ivfpq_delta(
+        spark, emb.join(dead, "vec_id", "semi").limit(1), path
+    )
+    assert st3["n_new"] == 1
+    assert read_ivfpq_meta(path)["n_vecs"] == n_total - n_dead + 1

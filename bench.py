@@ -102,6 +102,20 @@ HEADLINE = (
     # sidecar warm-start refresh lifecycle (4+6+6 GD aggregates).
     "ivf_pq_search_check",
     "classifier_refresh_stats",
+    # round 13: the new subsystems, anchored the round they ship —
+    # residual-mode batch probing (build + probe + exact compare; also
+    # carries the r13 cell-table rewrite that cut warm probe 60s → 2.6s),
+    # the tombstone-delete lifecycle (delete + funnel + compact purge +
+    # reingest), the recall-drift monitor (two full audits around a
+    # shifted ingest — the deliberate full-scan cost of the audit), and
+    # mini-batch SGD (8 one-batch GD steps over the pinned features).
+    # stream_text_to_index_stats is NOT anchored: its cost is the
+    # foreachBatch micro-batch machinery already represented by
+    # stream_incremental_agg, plus components anchored above.
+    "ivfpq_batch_residual_check",
+    "ivfpq_delete_lifecycle_check",
+    "ivfpq_recall_drift_check",
+    "classifier_minibatch_stats",
 )
 
 # A 1-minute load average above this at bench start means another process

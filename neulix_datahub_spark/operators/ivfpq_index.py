@@ -801,25 +801,45 @@ def _batch_shortlist_scored(
         ]
     )
     qn = _norm(F.col(vec_col))
+    # The ADC cell ranking is a TRANSFORM over sequence(0, n_cells-1)
+    # with the probe-independent denominators shipped as ONE array
+    # literal, not n_cells inlined struct expressions: the inlined form
+    # (r12) made the logical plan ~n_cells× larger, and analysis +
+    # codegen of the 512-entry residual table dominated wall-clock
+    # (measured 60s warm for a 10-probe batch at sf0.1; the loop form
+    # plans in milliseconds and evaluates the same arithmetic on the
+    # same doubles — parity units pin bit-exactness).
     if residual:
-        # IVFADC batch (round 13): the approximate score depends on the
-        # (coarse, c0, c1) TRIPLE, but every probe-independent piece —
-        # |centroid_g|², the centroid-half × codeword cross terms, the
-        # codeword norms — is a driver-side python-float constant shared
-        # bit-for-bit with query_ivfpq_index's cell loop. Probe-side:
-        # the centroid dot table __dq (coarse_k folds), the codeword dot
-        # tables __d0/__d1, and the probe norm — materialized as columns
-        # in a first projection so the coarse_k·pq_k² cell entries
-        # reference them by element_at instead of re-deriving the folds.
+        # IVFADC (round 13): the score depends on the (coarse, c0, c1)
+        # TRIPLE, but every probe-independent piece — |centroid_g|²,
+        # the centroid-half × codeword cross terms, the codeword norms
+        # — is a driver-side python-float constant shared bit-for-bit
+        # with query_ivfpq_index's cell loop; only the probe-side
+        # numerator tables (__dq/__d0/__d1) are expressions.
         cc = meta["coarse_centroids"]
         n2g = [_block_dot(c, c) for c in cc]
-        cross = [
-            [
-                [_block_dot(cc[g][:half], cb) for cb in meta["codebooks"][0]],
-                [_block_dot(cc[g][half:], cb) for cb in meta["codebooks"][1]],
+        msq: list[float | None] = []
+        for g in range(len(cc)):
+            cross0 = [
+                _block_dot(cc[g][:half], cb) for cb in meta["codebooks"][0]
             ]
-            for g in range(len(cc))
-        ]
+            cross1 = [
+                _block_dot(cc[g][half:], cb) for cb in meta["codebooks"][1]
+            ]
+            for c0 in range(pq_k):
+                for c1 in range(pq_k):
+                    inner = (
+                        n2g[g]
+                        + 2 * (cross0[c0] + cross1[c1])
+                        + n2c[0][c0]
+                        + n2c[1][c1]
+                    )
+                    # degenerate all-zero reconstruction: NULL denom →
+                    # ns = +inf below (ns is the NEGATED score, so +inf
+                    # ranks last — the single-probe -inf twin)
+                    msq.append(
+                        math.sqrt(inner) if inner > 0.0 else None
+                    )
         dq = F.array(*[_dot_to(F.col(vec_col), c) for c in cc])
         stage1 = probes.select(
             F.col(id_col).alias("probe_id"),
@@ -831,46 +851,42 @@ def _batch_shortlist_scored(
             d1.alias("__d1"),
             qn.alias("__qn"),
         )
-        entries = []
-        for g in range(len(cc)):
-            for c0 in range(pq_k):
-                for c1 in range(pq_k):
-                    inner = (
-                        n2g[g]
-                        + 2 * (cross[g][0][c0] + cross[g][1][c1])
-                        + n2c[0][c0]
-                        + n2c[1][c1]
+        msq_lit = F.lit(msq)
+        kk = pq_k * pq_k
+
+        def _cell_r(i):
+            g = F.floor(i / F.lit(kk)).cast("int")
+            c0 = F.floor(F.pmod(i, kk) / F.lit(pq_k)).cast("int")
+            c1 = F.pmod(i, pq_k).cast("int")
+            m = F.element_at(msq_lit, (i + 1).cast("int"))
+            ns = F.when(m.isNull(), F.lit(float("inf"))).otherwise(
+                -(
+                    (
+                        F.element_at(F.col("__dq"), g + 1)
+                        + F.element_at(F.col("__d0"), c0 + 1)
+                        + F.element_at(F.col("__d1"), c1 + 1)
                     )
-                    if inner <= 0.0:
-                        # degenerate all-zero reconstruction: rank last
-                        # (ns is the NEGATED score — +inf sorts last
-                        # ascending), the single-probe -inf twin
-                        ns = F.lit(float("inf"))
-                    else:
-                        ns = -(
-                            (
-                                F.element_at(F.col("__dq"), g + 1)
-                                + F.element_at(F.col("__d0"), c0 + 1)
-                                + F.element_at(F.col("__d1"), c1 + 1)
-                            )
-                            / (F.col("__qn") * F.lit(math.sqrt(inner)))
-                        )
-                    entries.append(
-                        F.struct(
-                            ns.alias("ns"),
-                            F.lit(g).cast("int").alias("g"),
-                            F.lit(c0).cast("int").alias("c0"),
-                            F.lit(c1).cast("int").alias("c1"),
-                        )
-                    )
-        # rank only cells in probed coarse groups (the single-probe loop
-        # iterates g over probes); struct sort (ns, g, c0, c1) ascending
-        # == the single-probe (-score, g, c0, c1) tiebreak exactly
+                    / (F.col("__qn") * m)
+                )
+            )
+            return F.named_struct(
+                F.lit("ns"), ns, F.lit("g"), g,
+                F.lit("c0"), c0, F.lit("c1"), c1,
+            )
+
+        # rank only cells in probed coarse groups (the single-probe
+        # loop iterates g over probes); struct sort (ns, g, c0, c1)
+        # ascending == the single-probe (-score, g, c0, c1) tiebreak
         kept_r = F.transform(
             F.slice(
                 F.array_sort(
                     F.filter(
-                        F.array(*entries),
+                        F.transform(
+                            F.sequence(
+                                F.lit(0), F.lit(len(cc) * kk - 1)
+                            ),
+                            _cell_r,
+                        ),
                         lambda s: F.array_contains(
                             F.col("__probed"), s["g"]
                         ),
@@ -891,40 +907,58 @@ def _batch_shortlist_scored(
             F.explode(F.col("__probed")).alias("__g"),
         )
     else:
-        cell_tbl = F.array(
-            *[
-                F.struct(
-                    (
-                        -(
-                            (
-                                F.element_at(d0, c0 + 1)
-                                + F.element_at(d1, c1 + 1)
-                            )
-                            / (
-                                qn
-                                * F.lit(
-                                    math.sqrt(n2c[0][c0] + n2c[1][c1])
-                                )
-                            )
-                        )
-                    ).alias("ns"),
-                    F.lit(c0).cast("int").alias("c0"),
-                    F.lit(c1).cast("int").alias("c1"),
-                )
-                for c0 in range(pq_k)
-                for c1 in range(pq_k)
-            ]
-        )
-        kept = F.transform(
-            F.slice(F.array_sort(cell_tbl), 1, top_cells),
-            lambda s: (s["c0"] * pq_k + s["c1"]).cast("long"),
-        )
-        p_side = probes.select(
+        msq_p = [
+            math.sqrt(n2c[0][c0] + n2c[1][c1])
+            for c0 in range(pq_k)
+            for c1 in range(pq_k)
+        ]
+        stage1 = probes.select(
             F.col(id_col).alias("probe_id"),
             pv.alias("__pv"),
             _norm(F.col(vec_col)).alias("__pn"),
+            probed.alias("__probed"),
+            d0.alias("__d0"),
+            d1.alias("__d1"),
+            qn.alias("__qn"),
+        )
+        msq_p_lit = F.lit(msq_p)
+
+        def _cell_p(i):
+            c0 = F.floor(i / F.lit(pq_k)).cast("int")
+            c1 = F.pmod(i, pq_k).cast("int")
+            ns = -(
+                (
+                    F.element_at(F.col("__d0"), c0 + 1)
+                    + F.element_at(F.col("__d1"), c1 + 1)
+                )
+                / (
+                    F.col("__qn")
+                    * F.element_at(msq_p_lit, (i + 1).cast("int"))
+                )
+            )
+            return F.named_struct(
+                F.lit("ns"), ns, F.lit("c0"), c0, F.lit("c1"), c1
+            )
+
+        kept = F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(pq_k * pq_k - 1)),
+                        _cell_p,
+                    )
+                ),
+                1,
+                top_cells,
+            ),
+            lambda s: (s["c0"] * pq_k + s["c1"]).cast("long"),
+        )
+        p_side = stage1.select(
+            "probe_id",
+            "__pv",
+            "__pn",
             kept.alias("__kept"),
-            F.explode(probed).alias("__g"),
+            F.explode(F.col("__probed")).alias("__g"),
         )
     p_join = F.broadcast(p_side) if broadcast_probes else p_side
     cand = _live_codes(spark, path, meta).join(

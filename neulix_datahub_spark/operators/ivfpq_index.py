@@ -69,6 +69,7 @@ __all__ = [
     "query_ivfpq_index_batch",
     "audit_ivfpq_recall",
     "delete_from_ivfpq_index",
+    "rebuild_ivfpq_index",
     "compact_ivfpq_index",
     "read_ivfpq_meta",
 ]
@@ -156,6 +157,34 @@ def build_ivfpq_index(
     strictly less reconstruction error on clustered data (pinned by
     unit on the fixture). The mode freezes into the sidecar; ingest
     and query follow it."""
+    meta = _train_meta(
+        df, coarse_k, coarse_iters, pq_k, pq_iters, vec_col, id_col, encode
+    )
+    meta["codes_version"] = 0
+    spark = df.sparkSession
+    _encode(df, meta).write.mode("overwrite").partitionBy("coarse").parquet(
+        _codes_dir(path, meta)
+    )
+    meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
+    _write_meta(path, meta)
+    return meta
+
+
+def _train_meta(
+    df: DataFrame,
+    coarse_k: int,
+    coarse_iters: int,
+    pq_k: int,
+    pq_iters: int,
+    vec_col: str,
+    id_col: str,
+    encode: str,
+) -> dict:
+    """Train the coarse quantizer + both PQ codebooks and return the
+    sidecar dict WITHOUT a codes_version — the training block shared by
+    :func:`build_ivfpq_index` (generation 0) and
+    :func:`rebuild_ivfpq_index` (the next generation, retrained on the
+    live corpus)."""
     if encode not in ("plain", "residual"):
         raise ValueError(f"encode must be 'plain' or 'residual', got {encode!r}")
     first = df.select(F.size(vec_col).alias("d")).first()
@@ -187,7 +216,7 @@ def build_ivfpq_index(
             sub, k=pq_k, iters=pq_iters, vec_col="embedding", id_col=id_col
         )
         codebooks.append([[float(x) for x in c] for c in cents])
-    meta = {
+    return {
         "coarse_k": coarse_k,
         "pq_k": pq_k,
         "dim": dim,
@@ -197,13 +226,58 @@ def build_ivfpq_index(
         "coarse_centroids": coarse,
         "codebooks": codebooks,
     }
-    meta["codes_version"] = 0
-    spark = df.sparkSession
-    _encode(df, meta).write.mode("overwrite").partitionBy("coarse").parquet(
-        _codes_dir(path, meta)
+
+
+def rebuild_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    coarse_iters: int = 3,
+    pq_iters: int = 3,
+) -> dict:
+    """REBUILD (round 13): the drift monitor's operational answer.
+    Frozen codebooks never see drifted mass, so a clustered delta
+    collapses into few undiscriminated cells (shortlist amplification —
+    SCALE.md §r13); rebuilding RETRAINS the coarse quantizer + PQ
+    codebooks on what is actually at rest (the LIVE corpus — tombstones
+    purge on the way, like compaction), re-encodes, and commits the
+    next generation by the same pointer flip. Structural parameters
+    (coarse_k, pq_k, encode, columns) stay frozen from the sidecar —
+    a rebuild answers drift, it does not silently change the index
+    design. Measured on the drift fixture: post-rebuild shortlist
+    amplification drops back to ~1× because the new centroids split
+    the drifted cluster across cells (unit-pinned as a strict
+    decrease).
+
+    Cost: the same three Lloyd runs + encode + partitioned write as
+    build, over the live corpus — the deliberate heavyweight response
+    the monitor's `drift_detected` threshold gates."""
+    import shutil
+
+    old_meta = read_ivfpq_meta(path)
+    old_dir = _codes_dir(path, old_meta)
+    old_tombs = _tombs_dir(path, old_meta)
+    live = _live_codes(spark, path, old_meta).select(
+        F.col("id").alias(old_meta["id_col"]),
+        F.col("vec").alias(old_meta["vec_col"]),
+    ).localCheckpoint(eager=True)
+    meta = _train_meta(
+        live,
+        old_meta["coarse_k"],
+        coarse_iters,
+        old_meta["pq_k"],
+        pq_iters,
+        old_meta["vec_col"],
+        old_meta["id_col"],
+        old_meta.get("encode", "plain"),
     )
+    meta["codes_version"] = old_meta.get("codes_version", 0) + 1
+    _encode(live, meta).write.mode("overwrite").partitionBy(
+        "coarse"
+    ).parquet(_codes_dir(path, meta))
     meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
-    _write_meta(path, meta)
+    _write_meta(path, meta)  # the atomic commit
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(old_tombs, ignore_errors=True)
     return meta
 
 

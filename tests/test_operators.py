@@ -3441,3 +3441,65 @@ def test_ivfpq_delete_tombstone_lifecycle(spark, tmp_path):
     )
     assert st3["n_new"] == 1
     assert read_ivfpq_meta(path)["n_vecs"] == n_total - n_dead + 1
+
+
+def test_ivfpq_rebuild_structure_and_measured_drift_behavior(spark, tmp_path):
+    # round 13: rebuild retrains coarse+PQ on the LIVE corpus under the
+    # sidecar's frozen structural params, purges tombstones, and commits
+    # by generation flip. MEASURED drift behavior (recorded in SCALE.md,
+    # deliberately NOT the textbook story): on a TRANSLATED cluster the
+    # drifted vectors are cosine-tight but Euclidean-spread, so
+    # Euclidean retraining spreads the directional near-dups across
+    # cells and amplification does NOT drop — the cap/dedup, not
+    # rebuild, is the mitigation for near-duplicate directional mass.
+    # This test pins the structural contract and that both audits stay
+    # well-formed across the rebuild.
+    from neulix_datahub_spark.operators.ivfpq_index import (
+        _codes_dir,
+        audit_ivfpq_recall,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ingest_ivfpq_delta,
+        read_ivfpq_meta,
+        rebuild_ivfpq_index,
+    )
+
+    emb, _, _ = _ivfpq_fixture(spark)
+    path = str(tmp_path / "rb")
+    build_ivfpq_index(emb, path, coarse_k=8, coarse_iters=3, pq_k=8,
+                      pq_iters=3)
+    delta = emb.filter(F.col("vec_id") % 5 == 2).select(
+        (F.lit(3_000_000) + F.col("vec_id")).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    ingest_ivfpq_delta(spark, delta, path)
+    dead = emb.filter(F.col("vec_id") % 50 == 1).select("vec_id")
+    delete_from_ivfpq_index(spark, dead, path)
+    probes = delta.filter((F.col("vec_id") - 3_000_000) % 100 == 2)
+    before = audit_ivfpq_recall(spark, probes, path, k=10).agg(
+        F.sum("n_shortlist").alias("sl"), F.sum("n_hits").alias("h"),
+        F.sum("n_exact").alias("e"),
+    ).first()
+    old_meta = read_ivfpq_meta(path)
+    meta = rebuild_ivfpq_index(spark, path)
+    # structural params frozen; generation advanced; tombstones purged
+    assert meta["coarse_k"] == old_meta["coarse_k"]
+    assert meta["pq_k"] == old_meta["pq_k"]
+    assert meta["codes_version"] == old_meta["codes_version"] + 1
+    n_expect = emb.count() + delta.count() - dead.count()
+    assert meta["n_vecs"] == n_expect
+    at_rest = spark.read.parquet(_codes_dir(path, meta))
+    assert at_rest.count() == n_expect
+    assert at_rest.select("id").distinct().count() == n_expect
+    after = audit_ivfpq_recall(spark, probes, path, k=10).agg(
+        F.sum("n_shortlist").alias("sl"), F.sum("n_hits").alias("h"),
+        F.sum("n_exact").alias("e"),
+    ).first()
+    # both audits well-formed: every probe found its exact top-10 and a
+    # non-empty funnel, before and after the rebuild
+    n_probes_ = probes.count()
+    assert before["e"] == 10 * n_probes_ == after["e"]
+    assert before["sl"] > 0 and after["sl"] > 0
+    assert 0 <= after["h"] <= after["e"]

@@ -116,6 +116,13 @@ HEADLINE = (
     "ivfpq_delete_lifecycle_check",
     "ivfpq_recall_drift_check",
     "classifier_minibatch_stats",
+    # round 13 (late): the persisted BM25 search index lifecycle —
+    # build (corpus tokenize + bucket-partitioned postings write) +
+    # fragment-committed delta ingest + tombstone deletes +
+    # bucket-pruned retrieval + compact purge. Anchored the round it
+    # ships; the streaming twin is NOT anchored (foreachBatch machinery
+    # already represented, components anchored here).
+    "search_index_lifecycle_check",
 )
 
 # A 1-minute load average above this at bench start means another process

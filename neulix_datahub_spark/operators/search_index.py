@@ -40,6 +40,12 @@ Layout under ``path``:
   contract as the sibling indexes. Scoring statistics use the
   ``dl > 0`` rows (the batch tier's semantics: a document with no
   tokens is invisible to retrieval).
+- ``positions_v{G}/frag_{K}/bkt=<b>/`` — ``(token, id, pos)``, the
+  phrase-capable family (``positional=True`` builds only): one row
+  per token OCCURRENCE, same bucketing, NOT stopword-filtered (a
+  phrase is a property of consecutive positions — dropping a token
+  would silently break 'state of the art'; the Lucene trade). Every
+  per-document fact, so the exactness theorem covers it unchanged.
 - ``tombs_v{G}/`` — ``(id)`` tombstones; every read path anti-joins
   the ledger (bounded, broadcast). Final-until-compaction: a
   tombstoned id cannot be re-ingested until compaction purges it
@@ -109,10 +115,12 @@ __all__ = [
     "delete_from_search_index",
     "query_search_index",
     "conjunctive_search_index",
+    "phrase_search_index",
     "compact_search_index",
     "read_search_meta",
     "read_live_postings",
     "read_live_doclens",
+    "read_live_positions",
     "token_bucket",
 ]
 
@@ -127,6 +135,12 @@ def read_search_meta(path: str) -> dict:
 _read_meta = read_search_meta
 
 _FAMILIES = ("postings", "doclens")
+
+
+def _families(meta: dict) -> tuple[str, ...]:
+    return _FAMILIES + (
+        ("positions",) if meta.get("positional") else ()
+    )
 
 
 def token_bucket(token: str, n_buckets: int) -> int:
@@ -171,12 +185,12 @@ def _sweep_orphans(path: str, meta: dict) -> None:
     except FileNotFoundError:
         return
     for d in entries:
-        for fam in _FAMILIES + ("tombs",):
+        for fam in _families(meta) + ("tombs",):
             prefix = f"{fam}_v"
             if d.startswith(prefix) and d[len(prefix):].isdigit():
                 if int(d[len(prefix):]) < meta["generation"]:
                     shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    for fam in _FAMILIES:
+    for fam in _families(meta):
         gen = _gen_dir(path, meta, fam)
         try:
             frags = os.listdir(gen)
@@ -207,6 +221,28 @@ def _delta_postings(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _delta_positions(df: DataFrame, meta: dict) -> DataFrame:
+    """``(token, id, pos, bkt)`` for the delta — the phrase-capable
+    family. Deliberately NOT stopword-filtered: a phrase is a property
+    of consecutive positions, so dropping a token would silently turn
+    'state of the art' into a never-matching query; the positional
+    family trades at-rest bytes for exact phrase semantics (the
+    standard Lucene positional-postings trade, noted in
+    ``search.build_positional_index``)."""
+    from neulix_datahub_spark.operators.search import (
+        build_positional_index,
+    )
+
+    return build_positional_index(
+        df, text_col=meta["text_col"], id_col=meta["id_col"]
+    ).select(
+        "token",
+        F.col(meta["id_col"]).alias("id"),
+        "pos",
+        _bucket_col(meta["n_buckets"]).alias("bkt"),
+    )
+
+
 def _delta_doclens(df: DataFrame, postings: DataFrame, meta: dict) -> DataFrame:
     """``(id, dl)`` for EVERY delta document — dl from the delta's own
     postings (sum tf), 0 for docs with no kept tokens, so the ledger
@@ -228,12 +264,14 @@ def build_search_index(
     k1: float = 1.2,
     b: float = 0.75,
     stopwords: list[str] | None = None,
+    positional: bool = False,
 ) -> dict:
     """One-shot batch build: persist the corpus postings (bucket-
     partitioned) and the doc-length ledger as ``frag_0`` of generation
-    0. Parameters freeze into the sidecar — including the stopword
-    list, so index and queries can never disagree on what was
-    indexed."""
+    0 — plus, with ``positional=True``, the phrase-capable
+    ``(token, id, pos)`` family. Parameters freeze into the sidecar —
+    including the stopword list and positional mode, so index and
+    queries can never disagree on what was indexed."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     _assert_unique_ids(df, id_col, "build_search_index")
@@ -242,12 +280,17 @@ def build_search_index(
         "n_buckets": int(n_buckets),
         "k1": float(k1), "b": float(b),
         "stopwords": sorted(stopwords) if stopwords else [],
+        "positional": bool(positional),
         "generation": 0, "n_fragments": 0,
     }
     postings = _delta_postings(df, meta)
     postings.write.mode("overwrite").partitionBy("bkt").parquet(
         _frag_dir(path, meta, "postings", 0)
     )
+    if positional:
+        _delta_positions(df, meta).write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(_frag_dir(path, meta, "positions", 0))
     spark = df.sparkSession
     # doclens from the postings AT REST (not the lazy plan), so dl is
     # derived from exactly the rows the commit makes visible
@@ -310,6 +353,10 @@ def ingest_search_delta(spark: SparkSession, delta: DataFrame, path: str) -> dic
     _delta_postings(new, meta).write.mode("overwrite").partitionBy(
         "bkt"
     ).parquet(_frag_dir(path, meta, "postings", k))
+    if meta.get("positional"):
+        _delta_positions(new, meta).write.mode("overwrite").partitionBy(
+            "bkt"
+        ).parquet(_frag_dir(path, meta, "positions", k))
     landed = spark.read.parquet(_frag_dir(path, meta, "postings", k))
     _delta_doclens(new, landed, meta).write.mode("overwrite").parquet(
         _frag_dir(path, meta, "doclens", k)
@@ -329,26 +376,44 @@ def _dead_ids(spark: SparkSession, path: str, meta: dict) -> DataFrame | None:
     return None
 
 
-def read_live_postings(spark: SparkSession, path: str) -> DataFrame:
-    """The queryable postings: committed fragments unioned (never
-    aggregated — each document's rows are complete within one
-    fragment) minus the tombstone ledger. Every retrieval path reads
-    through this, so a deleted document can never score. Fragments are
-    loaded per-root and unioned because each carries its own ``bkt=``
-    partition tree (Spark refuses multi-root partition discovery);
-    the bucket filter still prunes inside every root."""
+def _live_family(
+    spark: SparkSession, path: str, meta: dict, family: str
+) -> DataFrame:
+    """Committed fragments of a bucket-partitioned family, unioned
+    per-root (each fragment carries its own ``bkt=`` partition tree —
+    Spark refuses multi-root partition discovery; the bucket filter
+    still prunes inside every root) minus the tombstone ledger."""
     from functools import reduce
 
-    meta = _read_meta(path)
     frames = [
-        spark.read.parquet(p)
-        for p in _committed_frags(path, meta, "postings")
+        spark.read.parquet(p) for p in _committed_frags(path, meta, family)
     ]
     rows = reduce(DataFrame.unionByName, frames)
     dead = _dead_ids(spark, path, meta)
     if dead is not None:
         rows = rows.join(F.broadcast(dead), "id", "left_anti")
     return rows
+
+
+def read_live_postings(spark: SparkSession, path: str) -> DataFrame:
+    """The queryable postings: committed fragments unioned (never
+    aggregated — each document's rows are complete within one
+    fragment) minus the tombstone ledger. Every retrieval path reads
+    through this, so a deleted document can never score."""
+    return _live_family(spark, path, _read_meta(path), "postings")
+
+
+def read_live_positions(spark: SparkSession, path: str) -> DataFrame:
+    """The phrase-capable ``(token, id, pos)`` rows (positional
+    indexes only) — live, like the postings."""
+    meta = _read_meta(path)
+    if not meta.get("positional"):
+        raise ValueError(
+            "this search index was built without positional=True — "
+            "phrase retrieval needs the (token, id, pos) family; "
+            "rebuild with build_search_index(..., positional=True)"
+        )
+    return _live_family(spark, path, meta, "positions")
 
 
 def read_live_doclens(spark: SparkSession, path: str) -> DataFrame:
@@ -445,6 +510,28 @@ def conjunctive_search_index(
     return conjunctive_search(postings, uniq, id_col=meta["id_col"])
 
 
+def phrase_search_index(
+    spark: SparkSession, path: str, phrase: list[str]
+) -> DataFrame:
+    """Exact phrase retrieval against the at-rest positional family —
+    the batch tier's ``phrase_search`` (consecutive-position self-
+    joins, each leg reading only its term's bucket-pruned live rows).
+    Stopwords are NOT dropped from positions (see
+    ``_delta_positions``), so any phrase the tokenizer can spell is
+    answerable. Returns ``(id_col, n_occurrences)``."""
+    from neulix_datahub_spark.operators.search import phrase_search
+
+    meta = _read_meta(path)
+    toks = normalize_terms(phrase)
+    buckets = sorted({token_bucket(t, meta["n_buckets"]) for t in toks})
+    pos = (
+        read_live_positions(spark, path)
+        .filter(F.col("bkt").isin(buckets) & F.col("token").isin(toks))
+        .select("token", F.col("id").alias(meta["id_col"]), "pos")
+    )
+    return phrase_search(pos, toks, id_col=meta["id_col"])
+
+
 def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict:
     """Maintenance: union the live fragments (tombstones purged
     physically) into ``frag_0`` of the NEXT generation and flip
@@ -463,11 +550,17 @@ def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict
     new_meta = dict(meta, generation=meta["generation"] + 1, n_fragments=1)
     # a crashed prior compaction may have left the target generation
     # half-written (the pointer proves it was never committed)
-    for fam in _FAMILIES:
+    for fam in _families(meta):
         shutil.rmtree(_gen_dir(path, new_meta, fam), ignore_errors=True)
     read_live_postings(spark, path).repartition(files).write.mode(
         "overwrite"
     ).partitionBy("bkt").parquet(_frag_dir(path, new_meta, "postings", 0))
+    if meta.get("positional"):
+        _live_family(spark, path, meta, "positions").repartition(
+            files
+        ).write.mode("overwrite").partitionBy("bkt").parquet(
+            _frag_dir(path, new_meta, "positions", 0)
+        )
     doclens = read_live_doclens(spark, path)
     doclens.repartition(max(1, files // 4)).write.mode("overwrite").parquet(
         _frag_dir(path, new_meta, "doclens", 0)
@@ -476,7 +569,7 @@ def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict
         _frag_dir(path, new_meta, "doclens", 0)
     ).count()
     _write_meta(path, new_meta, _SEARCH_META)  # the atomic commit
-    for fam in _FAMILIES:
+    for fam in _families(meta):
         shutil.rmtree(_gen_dir(path, meta, fam), ignore_errors=True)
     shutil.rmtree(_tombs_dir(path, meta), ignore_errors=True)
     log["fragments_after"] = 1

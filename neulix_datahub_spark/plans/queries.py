@@ -2436,15 +2436,24 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
 #          extra_update commit: classifier_refresh_stats,
 #          stream_classifier_refresh_stats, trained_classifier_stats,
 #          classifier_holdout_stats);
-#   15-26: the 12 r6-era stale greens queued by the round-12 NOTE, in
+#   6-8:   the late-session r13 trio — search_index_lifecycle_check +
+#          stream_search_index_stats + phrase_index_lifecycle_check
+#          (the persisted BM25/positional search index, the fifth
+#          persisted-index family member);
+#   18-29: the 12 r6-era stale greens queued by the round-12 NOTE, in
 #          registration order (all sim-EXACT in the r12 judge audit);
-#   27-50: the first 24 of the 42 r7-era stale greens, names as
-#          registered.
+#   30-50: the first 21 of the 42 r7-era stale greens, names as
+#          registered (holt_daily_by_type / ewma_daily_revenue /
+#          cms_join_size_check bumped to the round-14 queue by the
+#          search-index trio).
 _PRIORITY_R13 = [
     # -- new in r13: first driver rows --
     "ivfpq_batch_residual_check", "ivfpq_recall_drift_check",
     "classifier_minibatch_stats", "stream_text_to_index_stats",
     "ivfpq_delete_lifecycle_check",
+    # -- new in r13 (late session): the persisted BM25 search index --
+    "search_index_lifecycle_check", "stream_search_index_stats",
+    "phrase_index_lifecycle_check",
     # -- r13-changed code: IVF-PQ + classifier families --
     "ivfpq_index_lifecycle_check", "ivfpq_batch_recall_check",
     "ivfpq_residual_search_check", "text_to_index_retrieval_check",
@@ -2479,15 +2488,15 @@ _PRIORITY_R13 = [
     "rollup_routed_daily",
     "rollup_routed_weekly",
     "kmv_union_law_check",
-    "cms_join_size_check",
-    "holt_daily_by_type",
-    "ewma_daily_revenue",
 ]
 # ROUND 14 NOTE: rotate ONLY AFTER the round-13 driver run consumes
 # this prefix. Lead round 14 with any round-13/14 implementation
-# changes and red-row fixes, then the remaining 18 r7-era stale greens
+# changes and red-row fixes, then the remaining 21 r7-era stale greens
 # in registration order (linear_attribution first — bumped from this
-# window by ivfpq_delete_lifecycle_check):
+# window by ivfpq_delete_lifecycle_check; holt_daily_by_type,
+# ewma_daily_revenue and cms_join_size_check — bumped by the
+# search-index trio):
+# holt_daily_by_type, ewma_daily_revenue, cms_join_size_check,
 # price_drift_ks_exact, repeat_purchase_intervals,
 # hourly_activity_profile, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, revenue_anomaly_days,

@@ -4409,6 +4409,214 @@ ORDER BY doc_id
 """
 
 
+def search_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted BM25 search index, full lifecycle (round 13 —
+    operators/search_index.py, the fifth persisted-index family member
+    and the only one whose incremental maintenance is EXACT:
+    build(prior)+ingest(delta) == build(prior ∪ delta) bit-identically,
+    because postings/dl are per-document facts and df/N/avgdl recompute
+    from the live relation per query — no frozen parameters at all).
+
+    The engine builds over 4/5 of the documents, ingests the remaining
+    fifth as a delta (fragment commit via sidecar pointer bump),
+    tombstone-deletes every ``doc_id % 10 == 3`` document, and answers
+    the 3-term BM25 top-10 + AND-match count through the bucket-pruned
+    live relation — crc32(token) partition directories, only the query
+    terms' buckets ever read. It then compacts (physical purge +
+    generation flip) and re-queries: ``compact_invariant`` certifies
+    the rewrite changed no answer row, and a purged id re-ingests
+    cleanly (both computed in-engine and pinned TRUE in the oracle — a
+    physical rewrite is not SQL-replayable). The DuckDB oracle replays
+    everything else from scratch over the live corpus: tokenization,
+    df/dl statistics, the Robertson idf, the saturation term, the
+    AND count, and the delete bookkeeping."""
+    from neulix_datahub_spark.operators.search_index import (
+        build_search_index,
+        compact_search_index,
+        conjunctive_search_index,
+        delete_from_search_index,
+        ingest_search_delta,
+        query_search_index,
+        read_search_meta,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    path = f"{warehouse_scratch(spark, '_neulix_searchidx_')}/index"
+    build_search_index(prior, path)
+    ingest_search_delta(spark, delta, path)
+    dead = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    st = delete_from_search_index(spark, dead, path)
+    frags_before = read_search_meta(path)["n_fragments"]
+    topk = (
+        query_search_index(spark, path, _SEARCH_TERMS)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        # pin: compaction below deletes the generation this lazy plan
+        # reads — the emitted rows must be the PRE-compact evaluation
+        .localCheckpoint(eager=True)
+    )
+    n_and = conjunctive_search_index(spark, path, _SEARCH_TERMS).count()
+    rows_before = sorted(map(tuple, topk.collect()))
+    log = compact_search_index(spark, path)
+    topk2 = (
+        query_search_index(spark, path, _SEARCH_TERMS)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+    compact_invariant = rows_before == sorted(map(tuple, topk2.collect()))
+    reingest_id = dead.agg(F.min("doc_id").alias("m")).first()["m"]
+    st2 = ingest_search_delta(
+        spark, docs.filter(F.col("doc_id") == reingest_id), path
+    )
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    )
+    return ranked.select(
+        "rank",
+        "doc_id",
+        "bm25",
+        F.lit(int(n_and)).cast("long").alias("n_and_matches"),
+        F.lit(int(st["n_live"])).cast("long").alias("n_live"),
+        F.lit(int(st["n_tombstones"])).cast("long").alias("n_tombstones"),
+        F.lit(int(log["n_docs"])).cast("long").alias("n_docs_after_compact"),
+        F.lit(int(frags_before)).cast("long").alias("fragments_before_compact"),
+        F.lit(bool(compact_invariant)).alias("compact_invariant"),
+        F.lit(bool(st2["n_new"] == 1)).alias("reingest_after_compact_ok"),
+    ).orderBy("rank")
+
+
+_SEARCH_IDX_SQL = f"""
+WITH live AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 != 3
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS token
+    FROM live
+),
+idx AS (
+    SELECT token, doc_id, count(*) AS tf FROM toks
+    WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM idx GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest({_SEARCH_TERMS!r}) AS token),
+dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df
+    FROM idx WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+    SELECT i.doc_id,
+           sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * i.tf * (1.2 + 1.0)
+               / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM idx i
+    JOIN dfreq d USING (token)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY i.doc_id
+),
+n_and AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_and_matches FROM (
+        SELECT doc_id FROM idx WHERE token IN (SELECT token FROM q)
+        GROUP BY doc_id HAVING count(DISTINCT token) = {len(_SEARCH_TERMS)}
+    )
+),
+book AS (
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 10 != 3) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT) AS n_tombstones
+    FROM documents
+),
+topk AS (
+    SELECT doc_id, round(score, 6) AS bm25,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rank
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+)
+SELECT t.rank, t.doc_id, t.bm25, a.n_and_matches, b.n_live, b.n_tombstones,
+       b.n_live AS n_docs_after_compact,
+       CAST(2 AS BIGINT) AS fragments_before_compact,
+       TRUE AS compact_invariant,
+       TRUE AS reingest_after_compact_ok
+FROM topk t, n_and a, book b
+ORDER BY t.rank
+"""
+
+
+def phrase_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase retrieval against the PERSISTED positional family (round
+    13, ``operators/search_index.py`` with ``positional=True``): the
+    at-rest ``(token, id, pos)`` fragments — bucket-partitioned, NOT
+    stopword-filtered (a phrase is a property of consecutive
+    positions) — answer the 2-term exact-phrase query through
+    consecutive-position self-joins, each leg reading only its term's
+    bucket directories. Lifecycle under test: build over 4/5 of the
+    documents, positional fragment ingest of the rest, tombstone
+    deletes (``doc_id % 7 == 2``) read through the live anti-join. The
+    oracle takes the TEXTUAL route over the live corpus (occurrence
+    count of consecutive tokens in the normalized token array), so a
+    hash match proves the at-rest positional algebra against an
+    independent definition of 'phrase' — plus the delete
+    bookkeeping."""
+    from neulix_datahub_spark.operators.search_index import (
+        build_search_index,
+        delete_from_search_index,
+        ingest_search_delta,
+        phrase_search_index,
+    )
+    from neulix_datahub_spark.sources.io import warehouse_scratch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    path = f"{warehouse_scratch(spark, '_neulix_phraseidx_')}/index"
+    build_search_index(prior, path, positional=True)
+    ingest_search_delta(spark, delta, path)
+    dead = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    st = delete_from_search_index(spark, dead, path)
+    return (
+        phrase_search_index(spark, path, _PHRASE)
+        .select("doc_id", "n_occurrences")
+        .withColumn("n_live", F.lit(int(st["n_live"])).cast("long"))
+        .withColumn(
+            "n_tombstones", F.lit(int(st["n_tombstones"])).cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PHRASE_IDX_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS tk
+    FROM documents WHERE doc_id % 7 != 2
+),
+hits AS (
+    SELECT doc_id,
+           CAST(len([i for i in generate_series(1, len(tk) - {len(_PHRASE) - 1})
+                     if {" AND ".join(f"tk[i + {k}] = '{t}'" for k, t in enumerate(_PHRASE))}])
+                AS BIGINT) AS n_occurrences
+    FROM tok
+),
+book AS (
+    SELECT CAST(count(*) FILTER (WHERE doc_id % 7 != 2) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE doc_id % 7 = 2) AS BIGINT) AS n_tombstones
+    FROM documents
+)
+SELECT h.doc_id, h.n_occurrences, b.n_live, b.n_tombstones
+FROM hits h, book b WHERE h.n_occurrences > 0
+ORDER BY h.doc_id
+"""
+
+
 _LIFT_MIN_SUPPORT = 5
 
 
@@ -5252,5 +5460,18 @@ SCALE_QUERIES = {
         key_skew_profile_events,
         _SKEW_PROFILE_SQL,
         "join/agg-key skew diagnostics from one histogram pass",
+    ),
+    "search_index_lifecycle_check": (
+        search_index_lifecycle_check,
+        _SEARCH_IDX_SQL,
+        "persisted BM25 index: exact incremental ingest + tombstone "
+        "deletes + bucket-pruned retrieval, scoring fully replayed; "
+        "compact purge + reingest certified in-engine",
+    ),
+    "phrase_index_lifecycle_check": (
+        phrase_index_lifecycle_check,
+        _PHRASE_IDX_SQL,
+        "persisted positional family: at-rest phrase algebra vs the "
+        "textual occurrence oracle over the live corpus",
     ),
 }

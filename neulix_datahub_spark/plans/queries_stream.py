@@ -1917,6 +1917,82 @@ def stream_classifier_refresh_stats(
     )
 
 
+def stream_search_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 twin of the PERSISTED BM25 search index (round 13,
+    operators/search_index.py — distinct from
+    ``stream_index_search_stats``, which maintains the in-catalog
+    postings snapshot): day 0 builds the fragment index over 4/5 of the
+    documents; the remaining fifth arrives as a STREAM in two
+    micro-batches through the ``stream_search_index_ingest``
+    foreachBatch sink, each batch committing one postings/doclens
+    fragment via the sidecar pointer bump. Because the index has no
+    trained parameters and df/N/avgdl recompute from the live relation
+    per query, the converged state is BIT-identical to a one-shot build
+    over the full corpus — the strongest convergence claim in the
+    index family — so the oracle is simply the batch tier's from-
+    scratch BM25 replay over ALL documents (``keyword_search_bm25``'s
+    SQL), plus the fragment count proving the ingest really was
+    incremental (build + 2 micro-batches)."""
+    import os
+    import shutil
+
+    from neulix_datahub_spark.operators.search_index import (
+        build_search_index,
+        conjunctive_search_index,
+        query_search_index,
+        read_search_meta,
+    )
+    from neulix_datahub_spark.plans.queries_scale import _SEARCH_TERMS
+    from neulix_datahub_spark.streaming.sinks import (
+        stream_search_index_ingest,
+    )
+
+    tmp = _scratch(spark, "neulix_searchidxstream_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prior = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    path = f"{tmp}/index"
+    build_search_index(prior, path)
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    half = delta.filter(F.col("doc_id") % 2 == 0)
+    rest = delta.filter(F.col("doc_id") % 2 == 1)
+    for name, part, mtime in (("a", half, 1_000_000), ("b", rest, 2_000_000)):
+        stage = f"{tmp}/stage_{name}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        pf = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, pf), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = stream_search_index_ingest(stream, path, checkpoint_dir=f"{tmp}/ckpt")
+    q.awaitTermination()
+    n_frags = read_search_meta(path)["n_fragments"]
+    n_and = conjunctive_search_index(spark, path, _SEARCH_TERMS).count()
+    return (
+        query_search_index(spark, path, _SEARCH_TERMS)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("n_and_matches", F.lit(int(n_and)).cast("long"))
+        .withColumn("n_fragments", F.lit(int(n_frags)).cast("long"))
+    )
+
+
+from neulix_datahub_spark.plans.queries_scale import _BM25_SQL  # noqa: E402
+
+_STREAM_SEARCH_IDX_SQL = f"""
+WITH base AS ({_BM25_SQL})
+SELECT doc_id, bm25, n_and_matches, CAST(3 AS BIGINT) AS n_fragments
+FROM base
+ORDER BY bm25 DESC, doc_id ASC
+"""
+
+
 STREAM_QUERIES = {
     "stream_bpe_tokenize_stats": (
         stream_bpe_tokenize_stats,
@@ -2043,6 +2119,12 @@ STREAM_QUERIES = {
         rollup_routed_weekly,
         _ROLLUP_WEEKLY_SQL,
         "routing the week boundary case: day->week legal union",
+    ),
+    "stream_search_index_stats": (
+        stream_search_index_stats,
+        _STREAM_SEARCH_IDX_SQL,
+        "S5 twin: micro-batched BM25 fragment ingest == one-shot build "
+        "over the full corpus, bit-identically (no frozen parameters)",
     ),
 }
 

@@ -1279,6 +1279,43 @@ def stream_text_ivfpq_ingest(
     return writer.start()
 
 
+def stream_search_index_ingest(
+    stream_df: DataFrame,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Streaming twin of the persisted BM25 search-index ingest
+    (``operators/search_index.ingest_search_delta``): every micro-batch
+    of raw documents is tokenized under the sidecar's frozen parameters
+    and committed as one postings/doclens fragment. The index must
+    exist (``build_search_index``) before the stream starts.
+
+    Exactly-once lives in the state, same argument as
+    :func:`stream_dedup_index_ingest`: redelivered ids reduce to
+    n_new == 0 through the doc-ledger anti-join. The search index has
+    the STRONGEST convergence claim in the family — no trained
+    parameters at all, so ingest(d1); ingest(d2) == build(prior ∪ d1 ∪
+    d2) bit-identically (not just slice-invariantly), and the final
+    at-rest state equals the one-shot batch build regardless of
+    trigger slicing — the S5 discipline, driver-proven by
+    ``stream_search_index_stats``."""
+    from neulix_datahub_spark.operators.search_index import (
+        ingest_search_delta,
+    )
+
+    spark = stream_df.sparkSession
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_search_delta(spark, batch_df, index_path)
+
+    writer = stream_df.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_classifier_refresh(
     stream_df: DataFrame,
     model_path: str,

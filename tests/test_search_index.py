@@ -271,3 +271,68 @@ def test_duplicate_ids_rejected(spark, tmp_path):
         ingest_search_delta(
             spark, _docs(spark, [(50, "x"), (50, "y")]), path
         )
+
+
+def test_positional_phrase_lifecycle(spark, tmp_path):
+    """Phrase retrieval against the at-rest positional family:
+    incremental == rebuild, deletes respected, compaction preserves
+    answers, non-positional indexes refuse clearly."""
+    from neulix_datahub_spark.operators.search import (
+        build_positional_index,
+        phrase_search,
+    )
+    from neulix_datahub_spark.operators.search_index import (
+        phrase_search_index,
+    )
+
+    rows = [
+        (1, "the state of the art model"),
+        (2, "state of the union address"),
+        (3, "a state of the art result and state of the art speed"),
+        (4, "art of the state"),
+    ]
+    prior, delta = rows[:2], rows[2:]
+    inc = str(tmp_path / "inc")
+    build_search_index(
+        _docs(spark, prior), inc, positional=True, stopwords=["the", "of"]
+    )
+    ingest_search_delta(spark, _docs(spark, delta), inc)
+    phrase = ["state", "of", "the", "art"]
+    got = sorted(
+        map(tuple, phrase_search_index(spark, inc, phrase).collect())
+    )
+    # batch-tier truth over the union corpus (positions keep stopwords
+    # even though the postings dropped them)
+    want = sorted(
+        map(
+            tuple,
+            phrase_search(
+                build_positional_index(_docs(spark, rows)), phrase
+            ).collect(),
+        )
+    )
+    assert got == want == [(1, 1), (3, 2)]
+
+    delete_from_search_index(
+        spark, _docs(spark, [(3, "x")]).select("doc_id"), inc
+    )
+    assert sorted(
+        map(tuple, phrase_search_index(spark, inc, phrase).collect())
+    ) == [(1, 1)]
+    compact_search_index(spark, inc)
+    assert sorted(
+        map(tuple, phrase_search_index(spark, inc, phrase).collect())
+    ) == [(1, 1)]
+    assert not os.path.isdir(os.path.join(inc, "positions_v0"))
+    assert os.path.isdir(os.path.join(inc, "positions_v1"))
+
+
+def test_phrase_refused_without_positional(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_search_index(_docs(spark, _PRIOR), path)
+    with pytest.raises(ValueError, match="positional"):
+        from neulix_datahub_spark.operators.search_index import (
+            phrase_search_index,
+        )
+
+        phrase_search_index(spark, path, ["join", "key"]).collect()

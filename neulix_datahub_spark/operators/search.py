@@ -147,6 +147,38 @@ def bm25_rank(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame], id_col: str = "doc_id", k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N
+    ranked lists — the standard score-free way to combine retrieval
+    signals whose scores are incomparable (BM25 vs cosine, here):
+
+        rrf(d) = Σ_lists 1 / (k + rank_list(d))
+
+    Each input carries ``(id_col, rank)`` with rank 1-based; a document
+    absent from a list simply contributes nothing (the union-groupBy
+    spelling — no outer-join ladder, one shuffle at id grain no matter
+    how many lists). k=60 is the paper's constant. The arithmetic is
+    engine-exact: each contribution is one correctly-rounded IEEE
+    division of small integers and the per-doc sum has ≤N terms —
+    callers round before ordering all the same (the BM25 discipline).
+    Returns ``(id_col, rrf)``."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    contrib = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("__c"),
+        )
+        for df in ranked
+    ]
+    out = contrib[0]
+    for c in contrib[1:]:
+        out = out.unionByName(c)
+    return out.groupBy(id_col).agg(F.sum("__c").alias("rrf"))
+
+
 def build_positional_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

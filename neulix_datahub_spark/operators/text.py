@@ -512,24 +512,37 @@ def _hashed_feature_codes(
     )
     feats = toks
     if bigrams:
-        # guard: Spark's sequence(1, 0) DESCENDS to [1, 0], and
-        # element_at(_, 0) throws under ANSI — short docs get no bigrams
-        bg = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat(
-                    F.element_at(toks, i),
-                    F.lit(" "),
-                    F.element_at(toks, i + 1),
+        # zip_with against the 1-shifted slice: both ARGUMENTS evaluate
+        # once per row, and the lambda touches only its element vars.
+        # The previous index spelling (element_at(toks, i) inside a
+        # transform lambda) re-inlined the whole normalize+split PER
+        # BIGRAM ELEMENT, twice — the no-CSE-across-lambdas trap again,
+        # measured 24 µs/feature (~13 s for 5 000 sf0.1 docs) vs ~2 s
+        # after the hoist. zip_with pads the shorter side with NULL, so
+        # the final pair (and every pair of a <2-token doc) drops in
+        # the null filter — no size guard needed.
+        bg = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(
+                    toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))
                 ),
+                lambda a, b: F.concat(a, F.lit(" "), b),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+            lambda x: x.isNotNull(),
+        )
         feats = F.concat(toks, bg)
 
-    def _bs(f):
-        h = F.md5(F.concat(F.lit("hemb:"), f))
-        return F.struct(
+    # two-stage: hash every feature ONCE into its hex string, then
+    # derive (bucket, sign) from the element var — putting both
+    # substrings on `h` inside one lambda would run md5 twice per
+    # feature (interpreted HOF bodies get no subexpression reuse)
+    hashes = F.transform(
+        feats, lambda f: F.md5(F.concat(F.lit("hemb:"), f))
+    )
+    return F.transform(
+        hashes,
+        lambda h: F.struct(
             (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).alias(
                 "b"
             ),
@@ -538,9 +551,8 @@ def _hashed_feature_codes(
                 - F.lit(2)
                 * (F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2)
             ).alias("s"),
-        )
-
-    return F.transform(feats, _bs)
+        ),
+    )
 
 
 def _l2_normalize_or_zero(raw: Column) -> Column:
@@ -615,6 +627,16 @@ def hashed_embedding_table(
     if out_col in (id_col,):
         raise ValueError(f"out_col {out_col!r} collides with id_col")
     bs = _hashed_feature_codes(text_col, dim, bigrams)
+    # the norm comes out of the SAME aggregate as the bucket map —
+    # zero buckets contribute zero, so Σ__v² over cells == Σ over the
+    # assembled array, as exact integers (< 2^53, so equal to the
+    # double fold at any association). Computing it here instead of
+    # inside the normalize lambda matters enormously: a norm spelled
+    # as aggregate(raw,…) INSIDE transform(e, x/norm) re-evaluates the
+    # whole O(dim) map-lookup fold per element (no CSE across lambda
+    # boundaries — the SCALE.md lesson, measured 20s for 5 000 docs at
+    # sf0.1); as a plain aggregate column it is one per-row attribute
+    # and the same job runs in ~1s.
     cells = (
         df.select(F.col(id_col), F.explode(bs).alias("__x"))
         .groupBy(id_col, F.col("__x.b").alias("__b"))
@@ -623,7 +645,10 @@ def hashed_embedding_table(
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("__b", "__v"))
-            ).alias("__m")
+            ).alias("__m"),
+            F.sqrt(
+                F.sum(F.col("__v") * F.col("__v")).cast("double")
+            ).alias("__nrm"),
         )
     )
     raw = F.transform(
@@ -633,6 +658,11 @@ def hashed_embedding_table(
             F.lit(0).cast("long"),
         ),
     )
+    e = F.transform(raw, lambda x: x.cast("double"))
+    normed = F.when(
+        F.col("__nrm") > 0,
+        F.transform(e, lambda x: x / F.col("__nrm")),
+    ).otherwise(e)
     return (
         df.select(id_col)
         .join(cells, id_col, "left")
@@ -642,7 +672,7 @@ def hashed_embedding_table(
                 F.col("__m").isNull(),
                 F.array_repeat(F.lit(0.0), dim),
             )
-            .otherwise(_l2_normalize_or_zero(raw))
+            .otherwise(normed)
             .alias(out_col),
         )
     )

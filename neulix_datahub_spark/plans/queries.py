@@ -2436,16 +2436,17 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
 #          extra_update commit: classifier_refresh_stats,
 #          stream_classifier_refresh_stats, trained_classifier_stats,
 #          classifier_holdout_stats);
-#   6-8:   the late-session r13 trio — search_index_lifecycle_check +
-#          stream_search_index_stats + phrase_index_lifecycle_check
+#   6-9:   the late-session r13 quartet — search_index_lifecycle_check
+#          + stream_search_index_stats + phrase_index_lifecycle_check
 #          (the persisted BM25/positional search index, the fifth
-#          persisted-index family member);
-#   18-29: the 12 r6-era stale greens queued by the round-12 NOTE, in
+#          persisted-index family member) + hybrid_retrieval_rrf_check
+#          (BM25 ⊕ embedding-cosine reciprocal-rank fusion);
+#   19-30: the 12 r6-era stale greens queued by the round-12 NOTE, in
 #          registration order (all sim-EXACT in the r12 judge audit);
-#   30-50: the first 21 of the 42 r7-era stale greens, names as
+#   31-50: the first 20 of the 42 r7-era stale greens, names as
 #          registered (holt_daily_by_type / ewma_daily_revenue /
-#          cms_join_size_check bumped to the round-14 queue by the
-#          search-index trio).
+#          cms_join_size_check / kmv_union_law_check bumped to the
+#          round-14 queue by the search/hybrid quartet).
 _PRIORITY_R13 = [
     # -- new in r13: first driver rows --
     "ivfpq_batch_residual_check", "ivfpq_recall_drift_check",
@@ -2453,7 +2454,7 @@ _PRIORITY_R13 = [
     "ivfpq_delete_lifecycle_check",
     # -- new in r13 (late session): the persisted BM25 search index --
     "search_index_lifecycle_check", "stream_search_index_stats",
-    "phrase_index_lifecycle_check",
+    "phrase_index_lifecycle_check", "hybrid_retrieval_rrf_check",
     # -- r13-changed code: IVF-PQ + classifier families --
     "ivfpq_index_lifecycle_check", "ivfpq_batch_recall_check",
     "ivfpq_residual_search_check", "text_to_index_retrieval_check",
@@ -2487,16 +2488,16 @@ _PRIORITY_R13 = [
     "unpivot_lineitem_measures",
     "rollup_routed_daily",
     "rollup_routed_weekly",
-    "kmv_union_law_check",
 ]
 # ROUND 14 NOTE: rotate ONLY AFTER the round-13 driver run consumes
 # this prefix. Lead round 14 with any round-13/14 implementation
-# changes and red-row fixes, then the remaining 21 r7-era stale greens
+# changes and red-row fixes, then the remaining 22 r7-era stale greens
 # in registration order (linear_attribution first — bumped from this
 # window by ivfpq_delete_lifecycle_check; holt_daily_by_type,
-# ewma_daily_revenue and cms_join_size_check — bumped by the
-# search-index trio):
+# ewma_daily_revenue, cms_join_size_check and kmv_union_law_check —
+# bumped by the search/hybrid quartet):
 # holt_daily_by_type, ewma_daily_revenue, cms_join_size_check,
+# kmv_union_law_check,
 # price_drift_ks_exact, repeat_purchase_intervals,
 # hourly_activity_profile, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, revenue_anomaly_days,

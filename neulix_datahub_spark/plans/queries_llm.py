@@ -3977,7 +3977,241 @@ ORDER BY lang
 )
 
 
+_HYBRID_TOPN = 20
+_HYBRID_RRF_K = 60
+
+
+def hybrid_retrieval_rrf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 13): the fusion step every production
+    search stack runs over its lexical and semantic legs — BM25 top-20
+    (operators/search.py, the 3-term query) and hashed-embedding
+    cosine top-20 (operators/text.py signed-hashing embeddings, query
+    = the same terms as one string) combined by reciprocal-rank fusion
+    (``rrf_fuse``, Cormack et al. 2009, k=60). Both legs are already
+    individually oracle-replayable; this query proves the COMPOSITION:
+    per-leg ranks are deterministic cross-engine (BM25 rounded to 6dp,
+    cosine floor-quantized to q6 — both with doc_id tie-break), the
+    RRF sum is two correctly-rounded divisions and one addition, and
+    the DuckDB oracle replays everything — tokenization, df/dl stats,
+    the saturation term, the full signed-hashing embedding of corpus
+    AND query, both rank windows, the fusion arithmetic. Emits the
+    fused top-10 with each leg's rank (NULL where a doc appears in
+    only one leg — the case RRF exists to handle)."""
+    from pyspark.sql import Window
+
+    from neulix_datahub_spark.operators.search import (
+        bm25_rank,
+        build_inverted_index,
+        rrf_fuse,
+    )
+    from neulix_datahub_spark.operators.text import (
+        hashed_embedding_table,
+        hashed_ngram_embedding,
+    )
+    from neulix_datahub_spark.plans.queries_scale import _SEARCH_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # lexical leg — the keyword_search_bm25 machinery (postings cached:
+    # lengths, df stats, scoring and the corpus scalars all derive
+    # from them; one cache entry per corpus via CacheManager dedupe)
+    index = build_inverted_index(docs).persist()
+    lengths = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — no global
+    # window over the corpus), then rank the 20-row result; pinned
+    # eagerly because each leg feeds THREE consumers (the fusion union
+    # + the rank join-backs) and would otherwise re-run its whole
+    # pipeline per consumer (measured 30s → 11s warm at sf0.1)
+    lex = (
+        bm25_rank(index, lengths, _SEARCH_TERMS)
+        .select("doc_id", F.round("score", 6).alias("__s"))
+        .orderBy(F.desc("__s"), F.asc("doc_id"))
+        .limit(_HYBRID_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("__s"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    # semantic leg — corpus embeddings vs the query string's embedding
+    # (both L2-normalized by construction, so cosine is a plain dot:
+    # no norm division, no zero-vector edge)
+    emb = hashed_embedding_table(docs, "text", "doc_id", dim=64, out_col="e")
+    # the query vector evaluates ONCE on the driver and rides into the
+    # per-row dot as a 64-float literal array — leaving it as a column
+    # from a broadcast 1-row frame inlines the whole embedding fold
+    # into the zip_with lambdas (the no-CSE-across-lambdas trap,
+    # SCALE.md) and measured 18s instead of milliseconds at sf0.1
+    qvec = (
+        spark.createDataFrame([(" ".join(_SEARCH_TERMS),)], "qtext string")
+        .select(hashed_ngram_embedding("qtext", dim=64).alias("qe"))
+        .first()["qe"]
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    sem = (
+        emb.select(
+            "doc_id", F.floor(F.lit(1e6) * dot).cast("long").alias("__q6")
+        )
+        .orderBy(F.desc("__q6"), F.asc("doc_id"))
+        .limit(_HYBRID_TOPN)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("__q6"), F.asc("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+        .localCheckpoint(eager=True)
+    )
+    fused = rrf_fuse([lex, sem], id_col="doc_id", k=_HYBRID_RRF_K)
+    return (
+        fused.select("doc_id", F.round("rrf", 9).alias("rrf"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+        .join(lex.withColumnRenamed("rank", "lex_rank"), "doc_id", "left")
+        .join(sem.withColumnRenamed("rank", "sem_rank"), "doc_id", "left")
+        .select(
+            "rank",
+            "doc_id",
+            "rrf",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("sem_rank").cast("long").alias("sem_rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+_HYBRID_SQL = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT -1 AS doc_id, 'spark table query' AS text
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(
+        trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ')) AS token
+    FROM documents
+),
+idx AS (
+    SELECT token, doc_id, count(*) AS tf FROM toks
+    WHERE token != '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM idx GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+q AS (SELECT unnest(['spark', 'table', 'query']) AS token),
+dfreq AS (
+    SELECT token, count(DISTINCT doc_id) AS df
+    FROM idx WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+scored AS (
+    SELECT i.doc_id,
+           sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * i.tf * (1.2 + 1.0)
+               / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+    FROM idx i
+    JOIN dfreq d USING (token)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY i.doc_id
+),
+lexrank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC)
+               AS rank
+    FROM scored
+    QUALIFY rank <= 20
+),
+feats AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN t || [t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, len(t) - 1)]
+                ELSE t END AS f
+    FROM (
+        SELECT doc_id,
+               COALESCE(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' '), []) AS t
+        FROM corpus
+    )
+),
+emb AS MATERIALIZED (
+    SELECT doc_id, e,
+           sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+    FROM (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CAST(COALESCE(list_sum(
+                   list_transform(f, ff ->
+                       CASE WHEN CAST('0x' || substr(md5('hemb:' || ff), 1, 8) AS BIGINT) % 64 = i
+                            THEN 1 - 2 * (CAST('0x' || substr(md5('hemb:' || ff), 9, 1) AS BIGINT) % 2)
+                            ELSE 0 END)), 0) AS BIGINT)) AS e
+        FROM feats
+    )
+),
+normed AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(e, x -> CAST(x AS DOUBLE) / nrm)
+                ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS e
+    FROM emb
+),
+semrank AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY q6 DESC, doc_id ASC) AS rank
+    FROM (
+        SELECT d.doc_id,
+               CAST(floor(1000000 * list_sum(
+                   list_transform(range(1, len(d.e) + 1),
+                                  i -> d.e[i] * qv.e[i]))) AS BIGINT) AS q6
+        FROM normed d, (SELECT e FROM normed WHERE doc_id = -1) qv
+        WHERE d.doc_id >= 0
+    )
+    QUALIFY rank <= 20
+),
+fused AS (
+    SELECT doc_id, round(sum(1.0 / (60.0 + rank)), 9) AS rrf
+    FROM (
+        SELECT doc_id, rank FROM lexrank
+        UNION ALL
+        SELECT doc_id, rank FROM semrank
+    )
+    GROUP BY doc_id
+),
+top AS (
+    SELECT doc_id, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+)
+SELECT t.rank, t.doc_id, t.rrf,
+       CAST(l.rank AS BIGINT) AS lex_rank,
+       CAST(s.rank AS BIGINT) AS sem_rank
+FROM top t
+LEFT JOIN lexrank l USING (doc_id)
+LEFT JOIN semrank s USING (doc_id)
+ORDER BY t.rank
+"""
+
+
 LLM_QUERIES = {
+    "hybrid_retrieval_rrf_check": (
+        hybrid_retrieval_rrf_check,
+        _HYBRID_SQL,
+        "hybrid search: BM25 + hashed-embedding cosine legs fused by "
+        "reciprocal-rank fusion, both legs + fusion fully replayed",
+    ),
     "bpe_batched_vocab_stats": (
         bpe_batched_vocab_stats,
         _BPE_BATCHED_SQL,

@@ -123,6 +123,11 @@ HEADLINE = (
     # ships; the streaming twin is NOT anchored (foreachBatch machinery
     # already represented, components anchored here).
     "search_index_lifecycle_check",
+    # round 13 (late): hybrid retrieval — BM25 + hashed-embedding
+    # cosine legs fused by RRF. Also the wall-clock anchor for the
+    # hashed-embedding CORPUS path (the r13 zip_with/norm-hoist fixes:
+    # 20s → 2.3s at sf0.1 — this anchor keeps that win pinned).
+    "hybrid_retrieval_rrf_check",
 )
 
 # A 1-minute load average above this at bench start means another process

@@ -143,6 +143,32 @@ def _families(meta: dict) -> tuple[str, ...]:
     )
 
 
+def _family_schema(meta: dict, family: str):
+    from pyspark.sql.types import StructType
+
+    import json as _json
+
+    return StructType.fromJson(_json.loads(meta["schemas"][family]))
+
+
+def _read_frags(
+    spark: SparkSession, path: str, meta: dict, family: str
+) -> DataFrame:
+    """Committed fragments of a family with the sidecar's FROZEN
+    schema: a fragment whose delta produced no rows (an all-empty-text
+    batch writes only _SUCCESS) has no schema-bearing parquet file, so
+    inference would throw UNABLE_TO_INFER_SCHEMA — found by the
+    round-13 hypothesis corpus property, not the hand fixtures."""
+    from functools import reduce
+
+    schema = _family_schema(meta, family)
+    frames = [
+        spark.read.schema(schema).parquet(p)
+        for p in _committed_frags(path, meta, family)
+    ]
+    return reduce(DataFrame.unionByName, frames)
+
+
 def token_bucket(token: str, n_buckets: int) -> int:
     """Driver-side twin of the at-rest partition key
     ``pmod(crc32(token), n_buckets)``: ``zlib.crc32`` and Spark's
@@ -284,6 +310,18 @@ def build_search_index(
         "generation": 0, "n_fragments": 0,
     }
     postings = _delta_postings(df, meta)
+    # freeze every family's schema into the sidecar: a later fragment
+    # may be row-empty (all-empty-text delta) and carry no
+    # schema-bearing file, so readers can never rely on inference
+    doclens_shape = _delta_doclens(df, postings.limit(0), meta)
+    meta["schemas"] = {
+        "postings": postings.schema.json(),
+        "doclens": doclens_shape.schema.json(),
+    }
+    if positional:
+        meta["schemas"]["positions"] = _delta_positions(
+            df.limit(0), meta
+        ).schema.json()
     postings.write.mode("overwrite").partitionBy("bkt").parquet(
         _frag_dir(path, meta, "postings", 0)
     )
@@ -294,13 +332,15 @@ def build_search_index(
     spark = df.sparkSession
     # doclens from the postings AT REST (not the lazy plan), so dl is
     # derived from exactly the rows the commit makes visible
-    landed = spark.read.parquet(_frag_dir(path, meta, "postings", 0))
+    landed = spark.read.schema(
+        _family_schema(meta, "postings")
+    ).parquet(_frag_dir(path, meta, "postings", 0))
     _delta_doclens(df, landed, meta).write.mode("overwrite").parquet(
         _frag_dir(path, meta, "doclens", 0)
     )
-    meta["n_docs"] = spark.read.parquet(
-        _frag_dir(path, meta, "doclens", 0)
-    ).count()
+    meta["n_docs"] = spark.read.schema(
+        _family_schema(meta, "doclens")
+    ).parquet(_frag_dir(path, meta, "doclens", 0)).count()
     meta["n_fragments"] = 1  # the commit: fragment 0 becomes visible
     _write_meta(path, meta, _SEARCH_META)
     return meta
@@ -337,9 +377,8 @@ def ingest_search_delta(spark: SparkSession, delta: DataFrame, path: str) -> dic
                 "compact_search_index first"
             )
 
-    known = (
-        spark.read.parquet(*_committed_frags(path, meta, "doclens"))
-        .select(F.col("id").alias(id_col))
+    known = _read_frags(spark, path, meta, "doclens").select(
+        F.col("id").alias(id_col)
     )
     # pin FIRST: the anti-join feeds the emptiness probe, the postings,
     # the doclens and the count — one execution, not four
@@ -357,7 +396,9 @@ def ingest_search_delta(spark: SparkSession, delta: DataFrame, path: str) -> dic
         _delta_positions(new, meta).write.mode("overwrite").partitionBy(
             "bkt"
         ).parquet(_frag_dir(path, meta, "positions", k))
-    landed = spark.read.parquet(_frag_dir(path, meta, "postings", k))
+    landed = spark.read.schema(
+        _family_schema(meta, "postings")
+    ).parquet(_frag_dir(path, meta, "postings", k))
     _delta_doclens(new, landed, meta).write.mode("overwrite").parquet(
         _frag_dir(path, meta, "doclens", k)
     )
@@ -383,12 +424,7 @@ def _live_family(
     per-root (each fragment carries its own ``bkt=`` partition tree —
     Spark refuses multi-root partition discovery; the bucket filter
     still prunes inside every root) minus the tombstone ledger."""
-    from functools import reduce
-
-    frames = [
-        spark.read.parquet(p) for p in _committed_frags(path, meta, family)
-    ]
-    rows = reduce(DataFrame.unionByName, frames)
+    rows = _read_frags(spark, path, meta, family)
     dead = _dead_ids(spark, path, meta)
     if dead is not None:
         rows = rows.join(F.broadcast(dead), "id", "left_anti")
@@ -420,12 +456,7 @@ def read_live_doclens(spark: SparkSession, path: str) -> DataFrame:
     """The live ``(id, dl)`` ledger (tombstones excluded) — the
     statistics relation: N and avgdl derive from its ``dl > 0`` rows,
     recomputed per query, which is what makes deletes scoring-exact."""
-    meta = _read_meta(path)
-    rows = spark.read.parquet(*_committed_frags(path, meta, "doclens"))
-    dead = _dead_ids(spark, path, meta)
-    if dead is not None:
-        rows = rows.join(F.broadcast(dead), "id", "left_anti")
-    return rows
+    return _live_family(spark, path, _read_meta(path), "doclens")
 
 
 def delete_from_search_index(
@@ -447,7 +478,7 @@ def delete_from_search_index(
     dead = spark.read.parquet(_tombs_dir(path, meta)).select("id").distinct()
     n_tombs = dead.count()
     n_live = (
-        spark.read.parquet(*_committed_frags(path, meta, "doclens"))
+        _read_frags(spark, path, meta, "doclens")
         .join(F.broadcast(dead), "id", "left_anti")
         .count()
     )
@@ -565,9 +596,9 @@ def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict
     doclens.repartition(max(1, files // 4)).write.mode("overwrite").parquet(
         _frag_dir(path, new_meta, "doclens", 0)
     )
-    new_meta["n_docs"] = spark.read.parquet(
-        _frag_dir(path, new_meta, "doclens", 0)
-    ).count()
+    new_meta["n_docs"] = spark.read.schema(
+        _family_schema(meta, "doclens")
+    ).parquet(_frag_dir(path, new_meta, "doclens", 0)).count()
     _write_meta(path, new_meta, _SEARCH_META)  # the atomic commit
     for fam in _families(meta):
         shutil.rmtree(_gen_dir(path, meta, fam), ignore_errors=True)

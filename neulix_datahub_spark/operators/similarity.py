@@ -368,6 +368,96 @@ def ivf_batch_top_k(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    rel_col: str,
+    vec_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified re-rank of a BOUNDED candidate set — the standard
+    post-retrieval step that trades raw relevance against redundancy:
+
+        pick argmax  λ·rel(d) − (1−λ)·max_{p∈picked} sim(d, p)
+
+    ``candidates`` carries (id, rel_q6 integer, vec) for the top-N of
+    an upstream retrieval (N is small by construction — this runs
+    AFTER top-k, never on a corpus; the fixed-size greedy is
+    driver-side like the IVF-PQ ADC cell ranking, bounded at N²
+    similarity scalars). Vectors must be L2-NORMALIZED (every upstream
+    retrieval here produces them that way): pair similarity is the
+    plain inner product, which equals cosine for unit vectors and
+    stays finite (0) for zero vectors where a cosine would NaN.
+    Arithmetic is PURE INTEGER end-to-end so any
+    engine replays it bit-for-bit: relevance arrives q6-quantized,
+    pairwise cosines quantize to q6 in-plan, and λ rides as the exact
+    fraction lam_num/lam_den — the greedy compares
+    ``lam_num·rel − (lam_den−lam_num)·max_sim`` (same order as the
+    λ-weighted float for any tie-free input, and ties break on min
+    id deterministically). The first pick is the plain relevance
+    argmax (the λ-only case of the same formula).
+
+    Returns ``(id_col, mmr_rank, rel_q6, penalty_q6)`` for the k
+    picks, where penalty_q6 is the max-similarity term the winning
+    pick paid (0 for the first)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0 <= lam_num <= lam_den) or lam_den < 1:
+        raise ValueError(
+            f"lam must be a fraction in [0, 1]: got {lam_num}/{lam_den}"
+        )
+    rows = candidates.select(
+        F.col(id_col), F.col(rel_col).cast("long"), F.col(vec_col)
+    ).collect()
+    ids = [r[0] for r in rows]
+    rel = {r[0]: int(r[1]) for r in rows}
+    # pairwise cosine q6 via the SAME quantization the callers use —
+    # computed in-plan (one bounded self-join), not in Python floats
+    pairs = (
+        candidates.alias("a")
+        .crossJoin(candidates.alias("b"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("__i"),
+            F.col(f"b.{id_col}").alias("__j"),
+            F.floor(
+                F.lit(1e6)
+                * _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            )
+            .cast("long")
+            .alias("__s"),
+        )
+        .collect()
+    )
+    sim: dict[tuple, int] = {}
+    for r in pairs:
+        sim[(r["__i"], r["__j"])] = int(r["__s"])
+        sim[(r["__j"], r["__i"])] = int(r["__s"])
+    picked: list[tuple] = []
+    remaining = set(ids)
+    while remaining and len(picked) < k:
+        best = None
+        for d in remaining:
+            pen = max((sim.get((d, p), 0) for p, _, _ in picked), default=0)
+            score = lam_num * rel[d] - (lam_den - lam_num) * pen
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, pen)
+        picked.append((best[1], rel[best[1]], best[2]))
+        remaining.discard(best[1])
+    spark = candidates.sparkSession
+    out = [
+        (int(i + 1), d, int(r), int(p))
+        for i, (d, r, p) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        out, f"mmr_rank int, {id_col} long, rel_q6 long, penalty_q6 long"
+    ).select(id_col, "mmr_rank", "rel_q6", "penalty_q6")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.3,

@@ -4205,7 +4205,206 @@ ORDER BY t.rank
 """
 
 
+_MMR_K = 10
+_MMR_TOPN = 20
+_MMR_LAM_NUM = 7
+_MMR_LAM_DEN = 10
+
+
+def mmr_diversified_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (round 13): Maximal Marginal Relevance
+    (``operators/similarity.mmr_rerank``) over the semantic top-20 —
+    the post-retrieval step that stops near-duplicate hits from
+    monopolizing the answer. Relevance is the q6-quantized inner
+    product against the query embedding (hashed signed-hashing, both
+    sides L2-normalized); pair redundancy is the q6 inner product
+    between candidates (one bounded 20×20 self-join); the greedy runs
+    in exact INTEGER arithmetic (λ = 7/10 as the comparison
+    ``7·rel − 3·max_sim``, min-id tie-break), so the DuckDB oracle
+    replays the embeddings, the candidate window, all pair products,
+    and every one of the 10 greedy steps UNROLLED as CTEs — nothing
+    pinned. Emits each pick with the redundancy penalty it paid and
+    its plain-relevance rank (the reordering is the point)."""
+    from pyspark.sql import Window
+
+    from neulix_datahub_spark.operators.similarity import mmr_rerank
+    from neulix_datahub_spark.operators.text import (
+        hashed_embedding_table,
+        hashed_ngram_embedding,
+    )
+    from neulix_datahub_spark.plans.queries_scale import _SEARCH_TERMS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = hashed_embedding_table(docs, "text", "doc_id", dim=64, out_col="e")
+    qvec = (
+        spark.createDataFrame([(" ".join(_SEARCH_TERMS),)], "qtext string")
+        .select(hashed_ngram_embedding("qtext", dim=64).alias("qe"))
+        .first()["qe"]
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cand = (
+        emb.select(
+            "doc_id",
+            F.floor(F.lit(1e6) * dot).cast("long").alias("rel_q6"),
+            "e",
+        )
+        .orderBy(F.desc("rel_q6"), F.asc("doc_id"))
+        .limit(_MMR_TOPN)
+        .localCheckpoint(eager=True)
+    )
+    rel_rank = cand.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rel_q6"), F.asc("doc_id")))
+        .alias("rel_rank"),
+    )
+    picks = mmr_rerank(
+        cand,
+        "rel_q6",
+        "e",
+        id_col="doc_id",
+        k=_MMR_K,
+        lam_num=_MMR_LAM_NUM,
+        lam_den=_MMR_LAM_DEN,
+    )
+    return (
+        picks.join(rel_rank, "doc_id")
+        .select(
+            F.col("mmr_rank").cast("long").alias("mmr_rank"),
+            "doc_id",
+            "rel_q6",
+            "penalty_q6",
+            F.col("rel_rank").cast("long").alias("rel_rank"),
+        )
+        .orderBy("mmr_rank")
+    )
+
+
+def _mmr_sql() -> str:
+    """The MMR oracle: embeddings + candidate window + pair products,
+    then the greedy UNROLLED — one (scored, pick, picked) CTE triple
+    per step, exactly the integer comparison the engine runs."""
+    head = r"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT -1 AS doc_id, 'spark table query' AS text
+),
+feats AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2
+                THEN t || [t[i] || ' ' || t[i+1]
+                           for i in generate_series(1, len(t) - 1)]
+                ELSE t END AS f
+    FROM (
+        SELECT doc_id,
+               COALESCE(string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' '), []) AS t
+        FROM corpus
+    )
+),
+emb AS MATERIALIZED (
+    SELECT doc_id, e,
+           sqrt(list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * x)))
+               AS nrm
+    FROM (
+        SELECT doc_id,
+               list_transform(range(0, 64), i -> CAST(COALESCE(list_sum(
+                   list_transform(f, ff ->
+                       CASE WHEN CAST('0x' || substr(md5('hemb:' || ff), 1, 8) AS BIGINT) % 64 = i
+                            THEN 1 - 2 * (CAST('0x' || substr(md5('hemb:' || ff), 9, 1) AS BIGINT) % 2)
+                            ELSE 0 END)), 0) AS BIGINT)) AS e
+        FROM feats
+    )
+),
+normed AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(e, x -> CAST(x AS DOUBLE) / nrm)
+                ELSE list_transform(e, x -> CAST(x AS DOUBLE)) END AS e
+    FROM emb
+),
+cand AS MATERIALIZED (
+    SELECT doc_id, rel_q6, e,
+           row_number() OVER (ORDER BY rel_q6 DESC, doc_id ASC) AS rel_rank
+    FROM (
+        SELECT d.doc_id,
+               CAST(floor(1000000 * list_sum(
+                   list_transform(range(1, len(d.e) + 1),
+                                  i -> d.e[i] * qv.e[i]))) AS BIGINT)
+                   AS rel_q6,
+               d.e
+        FROM normed d, (SELECT e FROM normed WHERE doc_id = -1) qv
+        WHERE d.doc_id >= 0
+    )
+    QUALIFY rel_rank <= 20
+),
+pairsym AS MATERIALIZED (
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(floor(1000000 * list_sum(
+               list_transform(range(1, len(a.e) + 1),
+                              i2 -> a.e[i2] * b.e[i2]))) AS BIGINT) AS s
+    FROM cand a, cand b WHERE a.doc_id != b.doc_id
+),
+picked_0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id WHERE FALSE)"""
+    steps = []
+    for i in range(1, _MMR_K + 1):
+        # every per-step CTE is MATERIALIZED: inlined CTEs would expand
+        # the previous level at each of its ~3 reference sites — a
+        # 3^k-deep plan tree by step k (measured: the un-materialized
+        # spelling never finished planning at k=10)
+        steps.append(f""",
+scored_{i} AS MATERIALIZED (
+    SELECT c.doc_id, c.rel_q6,
+           COALESCE((SELECT max(p.s) FROM pairsym p
+                     WHERE p.i = c.doc_id
+                       AND p.j IN (SELECT doc_id FROM picked_{i - 1})), 0)
+               AS pen
+    FROM cand c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM picked_{i - 1})
+),
+pick_{i} AS MATERIALIZED (
+    SELECT doc_id, rel_q6, pen, {i} AS mmr_rank
+    FROM scored_{i}
+    ORDER BY {_MMR_LAM_NUM} * rel_q6
+             - {_MMR_LAM_DEN - _MMR_LAM_NUM} * pen DESC, doc_id ASC
+    LIMIT 1
+),
+picked_{i} AS MATERIALIZED (
+    SELECT doc_id FROM picked_{i - 1}
+    UNION ALL SELECT doc_id FROM pick_{i}
+)""")
+        steps.append("")
+    picks_union = "\nUNION ALL\n".join(
+        f"    SELECT * FROM pick_{i}" for i in range(1, _MMR_K + 1)
+    )
+    tail = f""",
+all_picks AS (
+{picks_union}
+)
+SELECT CAST(p.mmr_rank AS BIGINT) AS mmr_rank, p.doc_id, p.rel_q6,
+       CAST(p.pen AS BIGINT) AS penalty_q6,
+       CAST(c.rel_rank AS BIGINT) AS rel_rank
+FROM all_picks p JOIN cand c USING (doc_id)
+ORDER BY p.mmr_rank
+"""
+    return head + "".join(steps) + tail
+
+
+_MMR_SQL = _mmr_sql()
+
+
 LLM_QUERIES = {
+    "mmr_diversified_retrieval_check": (
+        mmr_diversified_retrieval_check,
+        _MMR_SQL,
+        "MMR diversified re-rank: integer greedy over q6 relevance + "
+        "pair redundancy, all 10 steps unrolled in the oracle",
+    ),
     "hybrid_retrieval_rrf_check": (
         hybrid_retrieval_rrf_check,
         _HYBRID_SQL,

@@ -147,6 +147,75 @@ def bm25_rank(
     )
 
 
+def keyword_snippets(
+    df: DataFrame,
+    terms: list[str],
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result snippets: for every document matching any query term,
+    the contiguous token window that covers the MOST query-term hits
+    (the highlight excerpt a search result page shows). Fully
+    relational and deterministic, so a SQL oracle replays it:
+
+    - hit positions come from the positional postings (one filtered
+      scan of the terms' rows);
+    - candidate windows anchor AT each hit ``p`` and span tokens
+      ``[p, p + 2·window]``; coverage is a bounded self-join of the
+      doc's hit positions (hits per doc are few — the join is
+      hit²-per-doc, not token²);
+    - best window = max coverage, then EARLIEST anchor (the
+      struct-max trick: ``max(struct(cnt, -pos))`` needs no window
+      function);
+    - the snippet text is a slice of the normalized token array
+      joined on single spaces (the index's own tokenization, so the
+      excerpt matches what scored).
+
+    Returns ``(id_col, n_hits, anchor_pos, covered, snippet)`` with
+    0-based ``anchor_pos``."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    uniq = list(set(normalize_terms(terms)))
+    pos = build_positional_index(df, text_col, id_col).filter(
+        F.col("token").isin(uniq)
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    covered = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+            & (F.col("b.pos") >= F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + 2 * window),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias(id_col), F.col("a.pos").alias("__p"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    best = covered.groupBy(id_col).agg(
+        F.max(F.struct(F.col("__c"), (-F.col("__p")).alias("__np"))).alias(
+            "__b"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    )
+    toks = tokenize(text_col)
+    return (
+        df.select(F.col(id_col), F.filter(toks, lambda t: t != "").alias("__t"))
+        .join(best, id_col)
+        .select(
+            id_col,
+            "n_hits",
+            (-F.col("__b.__np")).cast("long").alias("anchor_pos"),
+            F.col("__b.__c").cast("long").alias("covered"),
+            F.array_join(
+                F.slice(
+                    "__t", -F.col("__b.__np") + 1, F.lit(2 * window + 1)
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame], id_col: str = "doc_id", k: int = 60
 ) -> DataFrame:

@@ -4617,6 +4617,65 @@ ORDER BY h.doc_id
 """
 
 
+_SNIPPET_WINDOW = 5
+
+
+def search_snippets_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result snippets (round 13 — ``operators/search.keyword_snippets``,
+    the serving step after retrieval): for every document matching any
+    of the 3 query terms, the token window covering the MOST hits
+    (anchored at a hit, ties to the earliest anchor — the struct-max
+    trick, no window function), plus the hit count and the excerpt
+    text sliced from the index's own tokenization. Hits per doc are
+    few, so the coverage self-join is hits²-per-doc, never token².
+    The DuckDB oracle replays tokenization, the 0-based hit
+    positions, every anchored coverage count, the (coverage, earliest)
+    argmax, and the snippet slice — strings compared verbatim."""
+    from neulix_datahub_spark.operators.search import keyword_snippets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_snippets(
+        docs, _SEARCH_TERMS, window=_SNIPPET_WINDOW
+    ).orderBy("doc_id")
+
+
+_SNIPPET_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS tk
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, unnest([i - 1 for i in generate_series(1, len(tk))
+                           if list_contains({_SEARCH_TERMS!r}, tk[i])]) AS p
+    FROM tok
+),
+covered AS (
+    SELECT a.doc_id, a.p, count(*) AS c
+    FROM hits a JOIN hits b
+      ON a.doc_id = b.doc_id
+     AND b.p >= a.p AND b.p <= a.p + {2 * _SNIPPET_WINDOW}
+    GROUP BY 1, 2
+),
+best AS (
+    SELECT doc_id, p, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, p ASC) AS rn,
+           count(*) OVER (PARTITION BY doc_id) AS n_hits
+    FROM covered
+)
+SELECT b.doc_id,
+       CAST(b.n_hits AS BIGINT) AS n_hits,
+       CAST(b.p AS BIGINT) AS anchor_pos,
+       CAST(b.c AS BIGINT) AS covered,
+       array_to_string(t.tk[b.p + 1 : b.p + 1 + {2 * _SNIPPET_WINDOW}], ' ')
+           AS snippet
+FROM best b JOIN tok t USING (doc_id)
+WHERE b.rn = 1
+ORDER BY b.doc_id
+"""
+
+
 _LIFT_MIN_SUPPORT = 5
 
 
@@ -5473,5 +5532,11 @@ SCALE_QUERIES = {
         _PHRASE_IDX_SQL,
         "persisted positional family: at-rest phrase algebra vs the "
         "textual occurrence oracle over the live corpus",
+    ),
+    "search_snippets_check": (
+        search_snippets_check,
+        _SNIPPET_SQL,
+        "max-coverage result snippets: anchored hit windows + "
+        "struct-max argmax + excerpt slice, all replayed verbatim",
     ),
 }

@@ -204,3 +204,36 @@ def test_mmr_lambda_one_is_pure_relevance(spark, rels):
     ]
     want = [i for i, _ in sorted(enumerate(rels), key=lambda t: (-t[1], t[0]))]
     assert got == want
+
+
+def test_keyword_snippets_semantics(spark):
+    """Max-coverage anchored window, earliest-anchor ties, clamped
+    slice at doc end, no-hit docs excluded, snippet text comes from
+    the index's own normalized tokenization."""
+    from neulix_datahub_spark.operators.search import keyword_snippets
+
+    docs = spark.createDataFrame(
+        [
+            # hits at 0 and 2 cluster; a lone hit at 9: the window
+            # [0..4] covers 2 hits and wins over [9..13]'s 1
+            (1, "red x red y z a b c d red"),
+            # tie on coverage (two isolated hits) → earliest anchor
+            (2, "a red b c d e f g h i j red"),
+            # hit at the last token: slice clamps, snippet is short
+            (3, "a b c d e red"),
+            (4, "no matching tokens here"),
+            (5, "  Red   UPPER case  "),  # normalization applies
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_hits"], r["anchor_pos"], r["covered"], r["snippet"]
+        )
+        for r in keyword_snippets(docs, ["red"], window=2).collect()
+    }
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1] == (3, 0, 2, "red x red y z")
+    assert got[2] == (2, 1, 1, "red b c d e")
+    assert got[3] == (1, 5, 1, "red")
+    assert got[5] == (1, 0, 1, "red upper case")

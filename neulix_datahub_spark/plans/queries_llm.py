@@ -1065,6 +1065,186 @@ def classifier_holdout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4+ model evaluation, completed (round 13): the holdout check
+    reports accuracy; a curation pipeline decides with per-class
+    precision/recall/F1 (the classes are imbalanced — accuracy alone
+    hides a keep-everything classifier) and a calibration table (is a
+    0.8 score actually right 80% of the time — the number a
+    quality-threshold sweep trusts). Train on the content-hash 80%
+    slice, evaluate the HOLDOUT slice only:
+
+    - per class c in {0, 1}: support, tp/fp/fn as exact integers, and
+      precision = tp/(tp+fp), recall = tp/(tp+fn),
+      F1 = 2tp/(2tp+fp+fn) — each a SINGLE correctly-rounded division
+      of integers, floor-quantized to q6 (NULL when the denominator is
+      0, identically in both engines);
+    - per score decile floor(10·s): count, quantized mean predicted
+      score, observed positive rate.
+
+    The DuckDB oracle unrolls the 10 GD iterations (the shared
+    ``_logreg_oracle_sql`` builder) and replays every count, division
+    and bin."""
+    from neulix_datahub_spark.operators.classifier import (
+        logistic_score,
+        train_logistic_classifier,
+    )
+    from neulix_datahub_spark.operators.curation import hash_split
+    from neulix_datahub_spark.operators.dedupe import normalize_text
+
+    docs = hash_split(
+        load_table(spark, sf_dir, "documents"),
+        {"train": 0.8, "holdout": 0.2},
+    )
+    t = F.split(normalize_text(F.col("text")), " ")
+    tot, dis = F.size(t), F.size(F.array_distinct(t))
+    mx = F.array_max(F.transform(t, lambda x: F.length(x)))
+    feat = docs.select(
+        "split",
+        (F.floor(tot / F.lit(16)).cast("long") - 10).alias("f1"),
+        (
+            F.floor(F.floor(F.lit(100.0) * dis / tot) / F.lit(8)).cast("long")
+            - 6
+        ).alias("f2"),
+        (mx.cast("long") - 5).alias("f3"),
+        (F.lit(2) * dis >= tot).cast("int").alias("y"),
+    ).localCheckpoint(eager=True)
+    w = train_logistic_classifier(
+        feat.filter(F.col("split") == "train"),
+        ["f1", "f2", "f3"],
+        "y",
+        iters=_LOGREG_ITERS,
+        lr=_LOGREG_LR,
+        quant=_LOGREG_QUANT,
+    )
+    s = logistic_score(w, ["f1", "f2", "f3"])
+    hold = (
+        feat.filter(F.col("split") == "holdout")
+        .select(
+            "y",
+            (s >= 0.5).cast("int").alias("yp"),
+            F.floor(F.lit(10.0) * s).cast("long").alias("bin"),
+            F.floor(F.lit(float(_LOGREG_QUANT)) * s).cast("long").alias(
+                "sq"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _q6_div(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(
+            den > 0, F.floor(F.lit(1e6) * num / den).cast("double")
+        )
+
+    cls_rows = []
+    for c in (0, 1):
+        tp = F.sum(((F.col("yp") == c) & (F.col("y") == c)).cast("bigint"))
+        fp = F.sum(((F.col("yp") == c) & (F.col("y") != c)).cast("bigint"))
+        fn = F.sum(((F.col("yp") != c) & (F.col("y") == c)).cast("bigint"))
+        cls_rows.append(
+            hold.agg(
+                F.sum((F.col("y") == c).cast("bigint")).alias("n"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+            ).select(
+                F.lit("class").alias("metric_kind"),
+                F.lit(c).cast("long").alias("k"),
+                "n", "tp", "fp", "fn",
+                _q6_div(F.col("tp"), F.col("tp") + F.col("fp")).alias(
+                    "m1_q6"
+                ),
+                _q6_div(F.col("tp"), F.col("tp") + F.col("fn")).alias(
+                    "m2_q6"
+                ),
+                _q6_div(
+                    F.lit(2) * F.col("tp"),
+                    F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+                ).alias("m3_q6"),
+            )
+        )
+    bins = (
+        hold.groupBy(F.col("bin").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sq").alias("__sqs"),
+            F.sum("y").cast("long").alias("__pos"),
+        )
+        .select(
+            F.lit("bin").alias("metric_kind"),
+            "k",
+            "n",
+            F.lit(None).cast("long").alias("tp"),
+            F.lit(None).cast("long").alias("fp"),
+            F.lit(None).cast("long").alias("fn"),
+            F.round(
+                F.col("__sqs").cast("double")
+                / (F.lit(float(_LOGREG_QUANT)) * F.col("n")),
+                4,
+            ).alias("m1_q6"),
+            F.round(F.col("__pos").cast("double") / F.col("n"), 4).alias(
+                "m2_q6"
+            ),
+            F.lit(None).cast("double").alias("m3_q6"),
+        )
+    )
+    out = cls_rows[0].unionByName(cls_rows[1]).unionByName(bins)
+    return out.orderBy("metric_kind", "k")
+
+
+_EVAL_METRICS_SQL = _logreg_oracle_sql(
+    """
+, hold AS (
+    SELECT y, CASE WHEN s >= 0.5 THEN 1 ELSE 0 END AS yp,
+           CAST(floor(10.0 * s) AS BIGINT) AS bin,
+           CAST(floor({quant} * s) AS BIGINT) AS sq
+    FROM scored WHERE split = 'holdout'
+),
+cls AS (
+    SELECT 'class' AS metric_kind, CAST(c.c AS BIGINT) AS k,
+           CAST(sum(CASE WHEN y = c.c THEN 1 ELSE 0 END) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN yp = c.c AND y = c.c THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN yp = c.c AND y != c.c THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN yp != c.c AND y = c.c THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM hold, (SELECT unnest([0, 1]) AS c) c
+    GROUP BY c.c
+),
+clsm AS (
+    SELECT metric_kind, k, n, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(floor(1000000.0 * tp / (tp + fp)) AS DOUBLE)
+           END AS m1_q6,
+           CASE WHEN tp + fn > 0
+                THEN CAST(floor(1000000.0 * tp / (tp + fn)) AS DOUBLE)
+           END AS m2_q6,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(floor(1000000.0 * 2 * tp / (2 * tp + fp + fn))
+                          AS DOUBLE)
+           END AS m3_q6
+    FROM cls
+),
+binm AS (
+    SELECT 'bin' AS metric_kind, bin AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS tp, CAST(NULL AS BIGINT) AS fp,
+           CAST(NULL AS BIGINT) AS fn,
+           round(CAST(sum(sq) AS DOUBLE) / ({quant}.0 * count(*)), 4)
+               AS m1_q6,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS m2_q6,
+           CAST(NULL AS DOUBLE) AS m3_q6
+    FROM hold GROUP BY bin
+)
+SELECT * FROM clsm
+UNION ALL
+SELECT * FROM binm
+ORDER BY metric_kind, k""",
+    train_where="WHERE split = 'train'",
+)
+
+
 def classifier_refresh_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4+ incremental classifier refresh (round 12, r11-verdict task
     3): the daily-DAG retraining lifecycle end-to-end — day 1 trains 4
@@ -4404,6 +4584,12 @@ LLM_QUERIES = {
         _MMR_SQL,
         "MMR diversified re-rank: integer greedy over q6 relevance + "
         "pair redundancy, all 10 steps unrolled in the oracle",
+    ),
+    "classifier_eval_metrics": (
+        classifier_eval_metrics,
+        _EVAL_METRICS_SQL,
+        "holdout per-class precision/recall/F1 (single-division q6 "
+        "integers) + decile calibration table, GD fully unrolled",
     ),
     "hybrid_retrieval_rrf_check": (
         hybrid_retrieval_rrf_check,

@@ -147,12 +147,47 @@ def bm25_rank(
     )
 
 
+def proximity_spans(
+    pos_index: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """NEAR/k retrieval support: for every document containing ALL the
+    (distinct) query terms, the MINIMAL span — min over one-occurrence-
+    per-term choices of ``max(pos) − min(pos)`` — the number a
+    proximity predicate (``span <= slop``) filters on and a proximity
+    ranker scores by. Relationally: one join leg per distinct term,
+    equi-joined on the document (each leg reads only that term's
+    postings; occurrences per term per doc are few, so the k-way join
+    is occurrences^k-per-doc, never tokens^k — the phrase_search
+    argument with ranges instead of consecutive equality). Returns
+    ``(id_col, min_span, n_combos)`` where n_combos counts the
+    one-per-term choices examined."""
+    toks = sorted(set(normalize_terms(terms)))
+    if len(toks) < 2:
+        raise ValueError(
+            f"proximity needs at least 2 distinct terms, got {toks!r}"
+        )
+    legs = None
+    cols = []
+    for k, term in enumerate(toks):
+        leg = pos_index.filter(F.col("token") == term).select(
+            F.col(id_col), F.col("pos").alias(f"__p{k}")
+        )
+        legs = leg if legs is None else legs.join(leg, id_col)
+        cols.append(F.col(f"__p{k}"))
+    span = F.greatest(*cols) - F.least(*cols)
+    return legs.groupBy(id_col).agg(
+        F.min(span).cast("long").alias("min_span"),
+        F.count(F.lit(1)).cast("long").alias("n_combos"),
+    )
+
+
 def keyword_snippets(
     df: DataFrame,
     terms: list[str],
     window: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pos_index: DataFrame | None = None,
 ) -> DataFrame:
     """Result snippets: for every document matching any query term,
     the contiguous token window that covers the MOST query-term hits
@@ -172,14 +207,20 @@ def keyword_snippets(
       joined on single spaces (the index's own tokenization, so the
       excerpt matches what scored).
 
+    ``pos_index`` (optional) supplies precomputed ``(id_col, pos,
+    token)`` rows — e.g. the persisted positional family via
+    ``search_index.keyword_snippets_index`` — so hit detection reads
+    the index and only MATCHED documents re-tokenize for the excerpt;
+    omitted, positions build from ``df`` directly.
+
     Returns ``(id_col, n_hits, anchor_pos, covered, snippet)`` with
     0-based ``anchor_pos``."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     uniq = list(set(normalize_terms(terms)))
-    pos = build_positional_index(df, text_col, id_col).filter(
-        F.col("token").isin(uniq)
-    )
+    if pos_index is None:
+        pos_index = build_positional_index(df, text_col, id_col)
+    pos = pos_index.filter(F.col("token").isin(uniq))
     a, b = pos.alias("a"), pos.alias("b")
     covered = (
         a.join(
@@ -197,9 +238,11 @@ def keyword_snippets(
         ),
         F.count(F.lit(1)).cast("long").alias("n_hits"),
     )
-    toks = tokenize(text_col)
+    # join FIRST, tokenize after: the excerpt slice then evaluates only
+    # on matched documents (projected above the join), not the corpus
+    toks = F.filter(tokenize(text_col), lambda t: t != "")
     return (
-        df.select(F.col(id_col), F.filter(toks, lambda t: t != "").alias("__t"))
+        df.select(F.col(id_col), F.col(text_col))
         .join(best, id_col)
         .select(
             id_col,
@@ -208,7 +251,7 @@ def keyword_snippets(
             F.col("__b.__c").cast("long").alias("covered"),
             F.array_join(
                 F.slice(
-                    "__t", -F.col("__b.__np") + 1, F.lit(2 * window + 1)
+                    toks, -F.col("__b.__np") + 1, F.lit(2 * window + 1)
                 ),
                 " ",
             ).alias("snippet"),

@@ -116,6 +116,8 @@ __all__ = [
     "query_search_index",
     "conjunctive_search_index",
     "phrase_search_index",
+    "proximity_search_index",
+    "keyword_snippets_index",
     "compact_search_index",
     "read_search_meta",
     "read_live_postings",
@@ -561,6 +563,69 @@ def phrase_search_index(
         .select("token", F.col("id").alias(meta["id_col"]), "pos")
     )
     return phrase_search(pos, toks, id_col=meta["id_col"])
+
+
+def proximity_search_index(
+    spark: SparkSession, path: str, terms: list[str]
+) -> DataFrame:
+    """NEAR/k retrieval against the at-rest positional family: minimal
+    span over one-occurrence-per-term choices
+    (``search.proximity_spans`` — per-term join legs, each reading
+    only its term's bucket-pruned live rows). Callers filter
+    ``min_span <= slop`` or rank by it. Returns
+    ``(id_col, min_span, n_combos)``."""
+    meta = _read_meta(path)
+    toks = sorted(set(normalize_terms(terms)))
+    buckets = sorted({token_bucket(t, meta["n_buckets"]) for t in toks})
+    pos = (
+        read_live_positions(spark, path)
+        .filter(F.col("bkt").isin(buckets) & F.col("token").isin(toks))
+        .select("token", F.col("id").alias(meta["id_col"]), "pos")
+    )
+    from neulix_datahub_spark.operators.search import proximity_spans
+
+    return proximity_spans(pos, toks, id_col=meta["id_col"])
+
+
+def keyword_snippets_index(
+    spark: SparkSession,
+    path: str,
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """Result snippets SERVED from the persisted positional family:
+    hit positions come from the bucket-pruned live index, and only the
+    documents the index says match re-tokenize for the excerpt slice
+    (``docs`` supplies the text — the index stores positions, not
+    prose). Deleted documents never surface: the positions are read
+    through the tombstone anti-join, and the inner join against the
+    best-window relation carries that through. Output identical to the
+    corpus form (unit-pinned)."""
+    from neulix_datahub_spark.operators.search import keyword_snippets
+
+    meta = _read_meta(path)
+    if not meta.get("positional"):
+        raise ValueError(
+            "this search index was built without positional=True — "
+            "snippets-from-index need the (token, id, pos) family; "
+            "use keyword_snippets over the corpus instead"
+        )
+    uniq = list(set(normalize_terms(terms)))
+    buckets = sorted({token_bucket(t, meta["n_buckets"]) for t in uniq})
+    pos = (
+        read_live_positions(spark, path)
+        .filter(F.col("bkt").isin(buckets) & F.col("token").isin(uniq))
+        .select("token", F.col("id").alias(meta["id_col"]), "pos")
+    )
+    return keyword_snippets(
+        docs,
+        terms,
+        window=window,
+        text_col=meta["text_col"],
+        id_col=meta["id_col"],
+        pos_index=pos,
+    )
 
 
 def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict:

@@ -2443,16 +2443,17 @@ QUERIES = {n: QUERIES[n] for n in _PRIORITY_R11} | {
 #          (BM25 ⊕ embedding-cosine reciprocal-rank fusion),
 #          mmr_diversified_retrieval_check (integer-exact MMR
 #          re-rank), search_snippets_check (max-coverage result
-#          excerpts), and classifier_eval_metrics (per-class P/R/F1 +
-#          calibration);
-#   22-33: the 12 r6-era stale greens queued by the round-12 NOTE, in
+#          excerpts), classifier_eval_metrics (per-class P/R/F1 +
+#          calibration), and proximity_search_check (NEAR/k minimal
+#          span);
+#   23-34: the 12 r6-era stale greens queued by the round-12 NOTE, in
 #          registration order (all sim-EXACT in the r12 judge audit);
-#   34-50: the first 17 of the 42 r7-era stale greens, names as
+#   35-50: the first 16 of the 42 r7-era stale greens, names as
 #          registered (holt_daily_by_type / ewma_daily_revenue /
 #          cms_join_size_check / kmv_union_law_check /
 #          rollup_routed_weekly / rollup_routed_daily /
-#          unpivot_lineitem_measures bumped to the round-14 queue by
-#          the seven late-session additions).
+#          unpivot_lineitem_measures / grouping_sets_revenue bumped
+#          to the round-14 queue by the eight late-session additions).
 _PRIORITY_R13 = [
     # -- new in r13: first driver rows --
     "ivfpq_batch_residual_check", "ivfpq_recall_drift_check",
@@ -2462,7 +2463,7 @@ _PRIORITY_R13 = [
     "search_index_lifecycle_check", "stream_search_index_stats",
     "phrase_index_lifecycle_check", "hybrid_retrieval_rrf_check",
     "mmr_diversified_retrieval_check", "search_snippets_check",
-    "classifier_eval_metrics",
+    "classifier_eval_metrics", "proximity_search_check",
     # -- r13-changed code: IVF-PQ + classifier families --
     "ivfpq_index_lifecycle_check", "ivfpq_batch_recall_check",
     "ivfpq_residual_search_check", "text_to_index_retrieval_check",
@@ -2492,20 +2493,19 @@ _PRIORITY_R13 = [
     "price_histogram",
     "copurchased_brand_pairs",
     "customer_balance_quartiles",
-    "grouping_sets_revenue",
 ]
 # ROUND 14 NOTE: rotate ONLY AFTER the round-13 driver run consumes
 # this prefix. Lead round 14 with any round-13/14 implementation
-# changes and red-row fixes, then the remaining 25 r7-era stale greens
+# changes and red-row fixes, then the remaining 26 r7-era stale greens
 # in registration order (linear_attribution first — bumped from this
 # window by ivfpq_delete_lifecycle_check; holt_daily_by_type,
 # ewma_daily_revenue, cms_join_size_check, kmv_union_law_check,
-# rollup_routed_weekly, rollup_routed_daily and
-# unpivot_lineitem_measures — bumped by the seven late-session
-# additions):
+# rollup_routed_weekly, rollup_routed_daily,
+# unpivot_lineitem_measures and grouping_sets_revenue — bumped by the
+# eight late-session additions):
 # holt_daily_by_type, ewma_daily_revenue, cms_join_size_check,
 # kmv_union_law_check, rollup_routed_weekly, rollup_routed_daily,
-# unpivot_lineitem_measures,
+# unpivot_lineitem_measures, grouping_sets_revenue,
 # price_drift_ks_exact, repeat_purchase_intervals,
 # hourly_activity_profile, variant_props_stats, daily_trend_by_type,
 # gap_filled_daily_series, revenue_anomaly_days,

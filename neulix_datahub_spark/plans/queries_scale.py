@@ -4676,6 +4676,65 @@ ORDER BY b.doc_id
 """
 
 
+_PROX_SLOP = 8
+
+
+def proximity_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k retrieval (round 13 — ``search.proximity_spans``): docs
+    containing ALL three query terms within a minimal span ≤ 8, plus
+    the span and the number of one-occurrence-per-term combinations
+    examined. One join leg per term over the positional postings —
+    occurrences^k-per-doc, never tokens^k (the phrase_search argument
+    with ranges instead of consecutive equality). The oracle mirrors
+    the k-way join over unnested hit positions and the min-span
+    aggregation exactly."""
+    from neulix_datahub_spark.operators.search import (
+        build_positional_index,
+        proximity_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_positional_index(docs)
+    return (
+        proximity_spans(idx, _SEARCH_TERMS)
+        .filter(F.col("min_span") <= _PROX_SLOP)
+        .orderBy("doc_id")
+    )
+
+
+_PROX_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(lower(text), '[ \t\n\v\f\r]+', ' ', 'g')), ' ') AS tk
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, u.token AS token, u.p AS p FROM (
+        SELECT doc_id,
+               unnest([{{'token': tk[i], 'p': i - 1}}
+                       for i in generate_series(1, len(tk))
+                       if list_contains({sorted(set(_SEARCH_TERMS))!r}, tk[i])]) AS u
+        FROM tok
+    )
+),
+combos AS (
+    SELECT a.doc_id,
+           greatest(a.p, b.p, c.p) - least(a.p, b.p, c.p) AS span
+    FROM hits a
+    JOIN hits b ON a.doc_id = b.doc_id AND b.token = '{sorted(set(_SEARCH_TERMS))[1]}'
+    JOIN hits c ON a.doc_id = c.doc_id AND c.token = '{sorted(set(_SEARCH_TERMS))[2]}'
+    WHERE a.token = '{sorted(set(_SEARCH_TERMS))[0]}'
+)
+SELECT doc_id,
+       CAST(min(span) AS BIGINT) AS min_span,
+       CAST(count(*) AS BIGINT) AS n_combos
+FROM combos
+GROUP BY doc_id
+HAVING min(span) <= {_PROX_SLOP}
+ORDER BY doc_id
+"""
+
+
 _LIFT_MIN_SUPPORT = 5
 
 
@@ -5538,5 +5597,11 @@ SCALE_QUERIES = {
         _SNIPPET_SQL,
         "max-coverage result snippets: anchored hit windows + "
         "struct-max argmax + excerpt slice, all replayed verbatim",
+    ),
+    "proximity_search_check": (
+        proximity_search_check,
+        _PROX_SQL,
+        "NEAR/k: minimal span over per-term join legs, k-way hit "
+        "join + min-span aggregation mirrored in the oracle",
     ),
 }

@@ -336,3 +336,65 @@ def test_phrase_refused_without_positional(spark, tmp_path):
         )
 
         phrase_search_index(spark, path, ["join", "key"]).collect()
+
+
+def test_proximity_and_snippets_from_index_parity(spark, tmp_path):
+    """The at-rest positional family serves NEAR/k and snippets
+    identically to the corpus-built forms — and respects tombstones."""
+    from neulix_datahub_spark.operators.search import (
+        build_positional_index,
+        keyword_snippets,
+        proximity_spans,
+    )
+    from neulix_datahub_spark.operators.search_index import (
+        keyword_snippets_index,
+        proximity_search_index,
+    )
+
+    rows = [
+        (1, "spark writes the table after the query runs"),
+        (2, "query a spark table"),
+        (3, "spark here but the other words very far away table query"),
+        (4, "no relevant words"),
+    ]
+    docs = _docs(spark, rows)
+    path = str(tmp_path / "idx")
+    build_search_index(docs, path, positional=True)
+
+    terms = ["spark", "table", "query"]
+    want_prox = sorted(
+        map(tuple, proximity_spans(build_positional_index(docs), terms).collect())
+    )
+    got_prox = sorted(
+        map(tuple, proximity_search_index(spark, path, terms).collect())
+    )
+    assert got_prox == want_prox
+    spans = {r[0]: r[1] for r in got_prox}
+    assert spans[2] == 3 and spans[1] == 6 and spans[3] == 10
+    assert 4 not in spans
+
+    want_snip = sorted(
+        map(tuple, keyword_snippets(docs, terms, window=2).collect())
+    )
+    got_snip = sorted(
+        map(
+            tuple,
+            keyword_snippets_index(spark, path, docs, terms, window=2).collect(),
+        )
+    )
+    assert got_snip == want_snip
+
+    # tombstones: doc 2 deleted -> gone from both index-served forms
+    delete_from_search_index(
+        spark, _docs(spark, [(2, "x")]).select("doc_id"), path
+    )
+    assert all(
+        r[0] != 2
+        for r in proximity_search_index(spark, path, terms).collect()
+    )
+    assert all(
+        r[0] != 2
+        for r in keyword_snippets_index(
+            spark, path, docs, terms, window=2
+        ).collect()
+    )

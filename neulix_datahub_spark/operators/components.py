@@ -64,7 +64,9 @@ def connected_components(
     # join + exact-Jaccard verify, re-run per round — measured 2.6s ->
     # ~1.4s on the sf0.1 bench when pinned). The algorithm touches every
     # edge every round anyway, so materializing it is the floor cost.
-    sym = sym.localCheckpoint(eager=True)
+    # (Lazy: round 1's job is the materializing action — the eager form
+    # paid a dedicated pass before the first round started.)
+    sym = sym.localCheckpoint(eager=False)
     if algorithm == "star":
         return _star_components(sym, max_iter)
     labels = (
@@ -95,8 +97,10 @@ def connected_components(
         )
         # localCheckpoint truncates the growing iterative lineage — without
         # it every round re-executes all prior rounds and the plan
-        # explodes exponentially.
-        updated = updated.localCheckpoint(eager=True)
+        # explodes exponentially. Lazy + the convergence aggregate as
+        # the materializing action: one pass per round does both (the
+        # eager form paid a second full pass per round just to count).
+        updated = updated.localCheckpoint(eager=False)
         n_changed = updated.agg(F.sum("__changed")).first()[0] or 0
         labels = updated.drop("__changed")
         if n_changed == 0:
@@ -129,8 +133,13 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
     per round, the same scalar-only driver discipline as propagation.
     """
     all_ids = sym.select(F.col("u").alias("id")).distinct()
-    # canonical undirected form: (u, v) with u > v
-    star = sym.filter(F.col("u") > F.col("v")).distinct().localCheckpoint(eager=True)
+    # canonical undirected form: (u, v) with u > v (lazy checkpoint —
+    # the fingerprint below materializes it)
+    star = (
+        sym.filter(F.col("u") > F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def _fingerprint(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -168,7 +177,10 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        star = small.localCheckpoint(eager=True)
+        # lazy checkpoint: the fingerprint aggregate below is the
+        # materializing action (same one-pass-per-round fusion as the
+        # propagation loop)
+        star = small.localCheckpoint(eager=False)
         cur = _fingerprint(star)
         if cur == prev:
             # fixed point: depth-1 stars; component = star root

@@ -144,7 +144,11 @@ def fit_pca(df: DataFrame, embedding_col: str, dim: int) -> PCAModel:
 def project_expr(embedding_col: str, component: np.ndarray) -> Column:
     """Codegen'd dot product of the embedding column with one component
     (entered as a literal array — broadcast-by-literal, no join)."""
-    lit_vec = F.array(*[F.lit(float(w)) for w in component])
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_array,
+    )
+
+    lit_vec = const_double_array(component)
     return F.aggregate(
         F.zip_with(F.col(embedding_col), lit_vec, lambda x, y: x.cast("double") * y),
         F.lit(0.0),

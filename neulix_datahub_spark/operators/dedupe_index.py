@@ -355,8 +355,9 @@ def ingest_dedup_delta(
             "labels_version": meta["labels_version"],
         }
     # pin the filtered delta: features, the id projection and the count
-    # would each re-run the anti-join otherwise
-    new = new.localCheckpoint(eager=True)
+    # would each re-run the anti-join otherwise (lazy — the uniqueness
+    # aggregate right below is the materializing pass)
+    new = new.localCheckpoint(eager=False)
     _assert_unique_ids(new, id_col, "ingest_dedup_delta")
     # opportunistic debris sweep: generations orphaned by a crash
     # between a prior run's pointer flip and its cleanup
@@ -364,9 +365,10 @@ def ingest_dedup_delta(
     nb, nsh = _features(new, text_col, id_col, meta)
     # pin the delta features: each is consumed 2-3 times (candidate
     # joins, verify, the append) and re-shingling per consumer is the
-    # exact waste this operator exists to avoid
-    nb = nb.localCheckpoint(eager=True)
-    nsh = nsh.localCheckpoint(eager=True)
+    # exact waste this operator exists to avoid (lazy — the first
+    # consuming job materializes them; no dedicated pass per pin)
+    nb = nb.localCheckpoint(eager=False)
+    nsh = nsh.localCheckpoint(eager=False)
 
     prior_bands = spark.read.parquet(_bands_dir(path, meta))
     cross = (
@@ -384,12 +386,15 @@ def ingest_dedup_delta(
     # ingest, violating the touched-exactly-twice contract above)
     cands = (
         cross.unionByName(_self_pairs(nb)).distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sh_all = spark.read.parquet(_shingles_dir(path, meta)).unionByName(nsh)
+    # lazy checkpoints: the n_edges count below is the ONE materializing
+    # pass that pins cands and edges together (the eager forms each paid
+    # a dedicated pass first — three evaluations where one suffices)
     edges = verify_pairs_with_shingles(
         cands, sh_all, meta["threshold"]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     n_edges = edges.count()
     new_ids = new.select(F.col(id_col).alias("id"))

@@ -54,12 +54,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from neulix_datahub_spark.operators.clustering import kmeans_lloyd
+from neulix_datahub_spark.operators.clustering import (
+    kmeans_lloyd,
+    kmeans_lloyd_fused,
+)
 from neulix_datahub_spark.operators.similarity import (
     _block_dot,
     _cosine_to_literal,
     _nearest_code,
     _norm,
+    const_double_array,
+    const_double_matrix,
 )
 
 __all__ = [
@@ -96,12 +101,7 @@ def _residual(vec, coarse, coarse_centroids: list[list[float]]):
     the coarse code — the IVFADC residual every classic IVF-PQ
     quantizes instead of the raw vector (residuals are centered, so
     the same codebook bits buy less quantization error)."""
-    table = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c])
-            for c in coarse_centroids
-        ]
-    )
+    table = const_double_matrix(coarse_centroids)
     cent = F.element_at(table, coarse + 1)
     return F.zip_with(vec, cent, lambda x, y: x.cast("double") - y)
 
@@ -161,13 +161,28 @@ def build_ivfpq_index(
         df, coarse_k, coarse_iters, pq_k, pq_iters, vec_col, id_col, encode
     )
     meta["codes_version"] = 0
-    spark = df.sparkSession
-    _encode(df, meta).write.mode("overwrite").partitionBy("coarse").parquet(
-        _codes_dir(path, meta)
-    )
-    meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
+    meta["n_vecs"] = _write_codes_counted(_encode(df, meta), path, meta)
     _write_meta(path, meta)
     return meta
+
+
+def _write_codes_counted(codes: DataFrame, path: str, meta: dict) -> int:
+    """Overwrite-write a codes generation and return its row count from
+    an :class:`~pyspark.sql.Observation` riding the write job itself —
+    the count of what THIS write produced, without the full re-read of
+    the freshly written directory the count-it-back form paid (one
+    saved index scan per build/rebuild/compact; ingest keeps its
+    recount because its directory holds rows from PRIOR appends too)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        codes.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .partitionBy("coarse")
+        .parquet(_codes_dir(path, meta))
+    )
+    return int(obs.get["n"])
 
 
 def _train_meta(
@@ -194,28 +209,53 @@ def _train_meta(
     if dim % 2 != 0:
         raise ValueError(f"vector dim must be even for 2 subspaces, got {dim}")
     half = dim // 2
-    _, coarse = kmeans_lloyd(
-        df, k=coarse_k, iters=coarse_iters, vec_col=vec_col, id_col=id_col
-    )
-    coarse = [[float(x) for x in c] for c in coarse]
+    # The three Lloyd problems fuse wherever their inputs share a scan
+    # (kmeans_lloyd_fused — bit-identical to the sequential loops, at a
+    # third/half the corpus passes; guide-§2.4 "remove passes" applied
+    # to training): plain mode trains coarse + both PQ subspaces in ONE
+    # fused run (12 jobs → 4); residual mode must finish the coarse
+    # quantizer first (the PQ input is the residual against its final
+    # centroids), so it fuses the two subspace runs (12 jobs → 8).
     if encode == "residual":
+        _, coarse = kmeans_lloyd(
+            df, k=coarse_k, iters=coarse_iters, vec_col=vec_col,
+            id_col=id_col,
+        )
+        coarse = [[float(x) for x in c] for c in coarse]
+        # materialize the residual ONCE: the fused PQ training reads it
+        # 4 times (seed job + 3 iterations), and without the pin
+        # CollapseProject re-inlines the full residual construction
+        # (a coarse assignment + subtraction per reference) into every
+        # one of the 2·pq_k distance folds of every job — measured as
+        # the single-task 50 s interpreted-eval stage in the first
+        # bench attempt. Lazy: the seed job is the materializing pass.
         train = df.select(
             F.col(id_col),
             _residual(
                 F.col(vec_col), _nearest_code(F.col(vec_col), coarse), coarse
             ).alias(vec_col),
+        ).localCheckpoint(eager=False)
+        cbs = kmeans_lloyd_fused(
+            train,
+            [
+                (F.slice(vec_col, 1, half), pq_k, pq_iters),
+                (F.slice(vec_col, half + 1, half), pq_k, pq_iters),
+            ],
+            id_col=id_col,
         )
     else:
-        train = df
-    codebooks = []
-    for start in (1, half + 1):
-        sub = train.select(
-            F.col(id_col), F.slice(vec_col, start, half).alias("embedding")
+        fused = kmeans_lloyd_fused(
+            df,
+            [
+                (F.col(vec_col), coarse_k, coarse_iters),
+                (F.slice(vec_col, 1, half), pq_k, pq_iters),
+                (F.slice(vec_col, half + 1, half), pq_k, pq_iters),
+            ],
+            id_col=id_col,
         )
-        _, cents = kmeans_lloyd(
-            sub, k=pq_k, iters=pq_iters, vec_col="embedding", id_col=id_col
-        )
-        codebooks.append([[float(x) for x in c] for c in cents])
+        coarse = [[float(x) for x in c] for c in fused[0]]
+        cbs = fused[1:]
+    codebooks = [[[float(x) for x in c] for c in cb] for cb in cbs]
     return {
         "coarse_k": coarse_k,
         "pq_k": pq_k,
@@ -271,10 +311,7 @@ def rebuild_ivfpq_index(
         old_meta.get("encode", "plain"),
     )
     meta["codes_version"] = old_meta.get("codes_version", 0) + 1
-    _encode(live, meta).write.mode("overwrite").partitionBy(
-        "coarse"
-    ).parquet(_codes_dir(path, meta))
-    meta["n_vecs"] = spark.read.parquet(_codes_dir(path, meta)).count()
+    meta["n_vecs"] = _write_codes_counted(_encode(live, meta), path, meta)
     _write_meta(path, meta)  # the atomic commit
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(old_tombs, ignore_errors=True)
@@ -297,44 +334,69 @@ def ingest_ivfpq_delta(
     than incremented, so a crash between append and sidecar write
     self-heals on the next ingest instead of undercounting forever.
     Returns ``{n_new, n_vecs}``."""
-    from neulix_datahub_spark.operators.dedupe_index import (
-        _assert_unique_ids,
-    )
-
     meta = read_ivfpq_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    _assert_unique_ids(delta, id_col, "ingest_ivfpq_delta")
-    bad_dim = (
-        delta.filter(F.size(vec_col) != F.lit(meta["dim"])).limit(1).count()
+    # One fused validation pass over the delta (was three jobs: the
+    # unique-id aggregate, the dim probe, the tombstone-overlap probe —
+    # each a full delta scan; at scale the delta is the daily batch, so
+    # the fusion saves two passes per ingest). Same checks, same error
+    # precedence, same messages.
+    probe = delta.select(
+        F.col(id_col).alias("__id"), F.size(vec_col).alias("__sz")
     )
-    if bad_dim:
-        raise ValueError(
-            f"ingest_ivfpq_delta: delta contains vector(s) whose "
-            f"size({vec_col}) != index dim {meta['dim']}"
-        )
     tombs = _tombs_dir(path, meta)
     if os.path.isdir(tombs) and any(
         f.endswith(".parquet") for f in os.listdir(tombs)
     ):
         dead = (
             spark.read.parquet(tombs)
-            .select(F.col("id").alias(id_col))
+            .select(F.col("id").alias("__id"), F.lit(1).alias("__dead"))
             .distinct()
         )
-        n_dead = (
-            delta.join(F.broadcast(dead), id_col, "inner").limit(1).count()
+        probe = probe.join(F.broadcast(dead), "__id", "left")
+    else:
+        probe = probe.withColumn("__dead", F.lit(None).cast("int"))
+    v = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("__id")).alias("d"),
+        F.count(F.when(F.col("__id").isNull(), 1)).alias("nulls"),
+        F.count(F.when(F.col("__sz") != F.lit(meta["dim"]), 1)).alias(
+            "bad_dim"
+        ),
+        F.count(F.when(F.col("__dead") == 1, 1)).alias("n_dead"),
+    ).first()
+    if v["nulls"]:
+        raise ValueError(
+            f"ingest_ivfpq_delta: {v['nulls']} row(s) have NULL "
+            f"{id_col!r} — ids are the index identity and must be "
+            "non-null"
         )
-        if n_dead:
-            raise ValueError(
-                "ingest_ivfpq_delta: delta contains tombstoned id(s) — "
-                "deletes are final until compaction (resurrection-by-"
-                "append would strand two at-rest rows behind one "
-                "tombstone); run compact_ivfpq_index first"
-            )
+    if v["n"] != v["d"]:
+        raise ValueError(
+            f"ingest_ivfpq_delta: {v['n'] - v['d']} duplicate {id_col!r} "
+            "row(s) in the batch — deduplicate upstream (e.g. exact_dedup "
+            "or dropDuplicates) before indexing; admitting them would "
+            "corrupt the one-row-per-id labels grain"
+        )
+    if v["bad_dim"]:
+        raise ValueError(
+            f"ingest_ivfpq_delta: delta contains vector(s) whose "
+            f"size({vec_col}) != index dim {meta['dim']}"
+        )
+    if v["n_dead"]:
+        raise ValueError(
+            "ingest_ivfpq_delta: delta contains tombstoned id(s) — "
+            "deletes are final until compaction (resurrection-by-"
+            "append would strand two at-rest rows behind one "
+            "tombstone); run compact_ivfpq_index first"
+        )
     known = spark.read.parquet(_codes_dir(path, meta)).select(
         F.col("id").alias(id_col)
     )
-    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
+    # lazy checkpoint: the count below is the materializing pass (the
+    # eager form paid a dedicated pass before counting — two full
+    # evaluations of the anti-join per ingest instead of one)
+    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=False)
     n_new = new.count()
     if n_new == 0:
         return {"n_new": 0, "n_vecs": meta["n_vecs"]}
@@ -439,6 +501,7 @@ def query_ivfpq_index(
     n_probes: int = 2,
     top_cells: int = 4,
     cell_cap: int | None = None,
+    with_info: bool = True,
 ) -> tuple[DataFrame, dict]:
     """The at-rest funnel: probe the ``n_probes`` nearest coarse cells
     (driver argmin over the sidecar's centroids — the ``coarse IN``
@@ -446,7 +509,9 @@ def query_ivfpq_index(
     keep candidates in the ``top_cells`` best ADC cells (codes are
     PRECOMPUTED at rest — the query never re-encodes anything), exact
     re-rank. Returns ``(top-k (id, score), info)`` with the funnel
-    counts.
+    counts (``with_info=False`` skips the funnel-count pass for
+    callers that only want the rows — the counts exist to VERIFY the
+    funnel, and cost one aggregate scan of the probed cells).
 
     ``cell_cap`` (round 13, r12-verdict task 3 — hot-cell skew): a
     clustered corpus concentrates into few (coarse, c0, c1) cells that
@@ -539,12 +604,11 @@ def query_ivfpq_index(
                 for g, c0, c1 in kept_cells
             ]
         )
-        shortlist = cand.filter(
-            F.array_contains(
-                keep,
-                (F.col("coarse") * pq_k + F.col("c0")) * pq_k + F.col("c1"),
-            )
+        sl_pred = F.array_contains(
+            keep,
+            (F.col("coarse") * pq_k + F.col("c0")) * pq_k + F.col("c1"),
         )
+        shortlist = cand.filter(sl_pred)
     else:
         cells = []
         for c0 in range(pq_k):
@@ -554,9 +618,8 @@ def query_ivfpq_index(
         cells.sort(key=lambda t: (-t[0], t[1], t[2]))
         kept_cells = [(c0, c1) for _, c0, c1 in cells[:top_cells]]
         keep = F.array(*[F.lit(c0 * pq_k + c1) for c0, c1 in kept_cells])
-        shortlist = cand.filter(
-            F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
-        )
+        sl_pred = F.array_contains(keep, F.col("c0") * pq_k + F.col("c1"))
+        shortlist = cand.filter(sl_pred)
     if cell_cap is not None:
         shortlist = _apply_cell_cap(shortlist, cell_cap)
     topk = (
@@ -570,10 +633,26 @@ def query_ivfpq_index(
     info = {
         "probes": probes,
         "kept_cells": kept_cells,
-        "n_candidates": cand.count(),
-        "n_shortlist": shortlist.count(),
         "n_vecs": meta["n_vecs"],
     }
+    if with_info:
+        # funnel counts in ONE pass over the probed cells (was two
+        # jobs, each its own scan): the shortlist is a filter of the
+        # candidate relation, so both counts fall out of one aggregate.
+        # The capped path still counts the capped shortlist separately
+        # (the cap is a window, not a row predicate). Callers that
+        # ignore the funnel (e.g. the delete-lifecycle re-query) pass
+        # with_info=False and skip the scan entirely.
+        if cell_cap is None:
+            counts = cand.agg(
+                F.count(F.lit(1)).alias("nc"),
+                F.count(F.when(sl_pred, 1)).alias("ns"),
+            ).first()
+            info["n_candidates"] = int(counts["nc"])
+            info["n_shortlist"] = int(counts["ns"])
+        else:
+            info["n_candidates"] = cand.count()
+            info["n_shortlist"] = shortlist.count()
     return topk, info
 
 
@@ -714,20 +793,16 @@ def compact_ivfpq_index(
     # (cell, salt) pair lands in one task, so every cell compacts to at
     # most files_per_cell files while cells still rewrite in parallel —
     # no single-task bottleneck at scale
-    (
+    new_meta["n_vecs"] = _write_codes_counted(
         _live_codes(spark, path, meta)
         .withColumn(
             "__salt", F.pmod(F.xxhash64("id"), F.lit(files_per_cell))
         )
         .repartition("coarse", "__salt")
-        .drop("__salt")
-        .write.mode("overwrite")
-        .partitionBy("coarse")
-        .parquet(_codes_dir(path, new_meta))
+        .drop("__salt"),
+        path,
+        new_meta,
     )
-    new_meta["n_vecs"] = spark.read.parquet(
-        _codes_dir(path, new_meta)
-    ).count()
     _write_meta(path, new_meta)  # the atomic commit
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(old_tombs, ignore_errors=True)
@@ -819,7 +894,7 @@ def _batch_shortlist_scored(
         return F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(x)) for x in cent]),
+                const_double_array(cent),
                 lambda x, y: (x.cast("double") - y)
                 * (x.cast("double") - y),
             ),
@@ -831,7 +906,7 @@ def _batch_shortlist_scored(
         return F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(float(x)) for x in cent]),
+                const_double_array(cent),
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),

@@ -202,7 +202,9 @@ def ingest_passage_delta(spark: SparkSession, delta: DataFrame, path: str) -> di
     )
     # pin FIRST: the anti-join feeds the emptiness probe, the gram
     # counts, the id projection and the count — one execution, not four
-    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
+    # (lazy: the count is itself the materializing pass, so the pin
+    # costs no extra evaluation)
+    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=False)
     n_new = new.count()
     if n_new == 0:
         return {"n_new": 0, "n_fragments": meta["n_fragments"]}

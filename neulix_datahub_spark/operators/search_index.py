@@ -383,8 +383,9 @@ def ingest_search_delta(spark: SparkSession, delta: DataFrame, path: str) -> dic
         F.col("id").alias(id_col)
     )
     # pin FIRST: the anti-join feeds the emptiness probe, the postings,
-    # the doclens and the count — one execution, not four
-    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=True)
+    # the doclens and the count — one execution, not four (lazy: the
+    # count is itself the materializing pass)
+    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=False)
     n_new = new.count()
     if n_new == 0:
         return {"n_new": 0, "n_fragments": meta["n_fragments"]}

@@ -353,14 +353,20 @@ def ingest_semantic_delta(
             "n_new": 0, "n_candidates": 0, "n_edges": 0,
             "labels_version": meta["labels_version"],
         }
-    new = new.localCheckpoint(eager=True)
+    # lazy pin: the uniqueness aggregate is the materializing pass
+    new = new.localCheckpoint(eager=False)
     _assert_unique_ids(new, id_col, "ingest_semantic_delta")
     _sweep_stale_generations(path, meta)
 
     vec_dir, sh_dir = _dirs(path, meta)
-    nvec = _vectors(new, id_col, meta["vec_col"]).localCheckpoint(eager=True)
+    # lazy pins: the shingle-correspondence aggregate inside
+    # _shingles_for materializes nvec; the n_edges count materializes
+    # nsh/nbands — no dedicated pass per pin
+    nvec = _vectors(new, id_col, meta["vec_col"]).localCheckpoint(
+        eager=False
+    )
     nsh = _shingles_for(docs_delta, nvec.select("id"), meta).localCheckpoint(
-        eager=True
+        eager=False
     )
     prior_vec = spark.read.parquet(vec_dir)
     nbands: DataFrame | None = None
@@ -369,7 +375,7 @@ def ingest_semantic_delta(
         # delta side AQE-broadcasts; the corpus scan never shuffles)
         # plus intra-delta self-pairs, then the exact-cosine precision
         # stage reads only the candidate ids' vectors
-        nbands = _bands_of(nvec, meta).localCheckpoint(eager=True)
+        nbands = _bands_of(nvec, meta).localCheckpoint(eager=False)
         bands_dir = os.path.join(
             path, f"bands_v{meta.get('bands_version', 0)}"
         )
@@ -385,7 +391,7 @@ def ingest_semantic_delta(
         pairs = cross.unionByName(_self_pairs(nbands)).distinct()
         cand = _cosine_pairs(
             pairs, prior_vec.unionByName(nvec), meta["cos_threshold"]
-        ).drop("cos_sim").localCheckpoint(eager=True)
+        ).drop("cos_sim").localCheckpoint(eager=False)
     else:
         both = prior_vec.withColumn("__new", F.lit(False)).unionByName(
             nvec.withColumn("__new", F.lit(True))
@@ -393,11 +399,14 @@ def ingest_semantic_delta(
         cand = embedding_near_duplicates(
             both, threshold=meta["cos_threshold"], vec_col="vec", id_col="id",
             probe_filter=F.col("__new"),
-        ).drop("cos_sim").localCheckpoint(eager=True)
+        ).drop("cos_sim").localCheckpoint(eager=False)
     sh_all = spark.read.parquet(sh_dir).unionByName(nsh)
+    # lazy checkpoints throughout: the n_edges count is the single
+    # materializing pass that pins cand AND edges (eager checkpoints
+    # paid one dedicated pass each on top of it)
     edges = verify_pairs_with_shingles(
         cand, sh_all, meta["jaccard_threshold"]
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     n_edges = edges.count()
     final = extend_labels(

@@ -4229,7 +4229,11 @@ def hybrid_retrieval_rrf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(hashed_ngram_embedding("qtext", dim=64).alias("qe"))
         .first()["qe"]
     )
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_array,
+    )
+
+    qlit = const_double_array(qvec)
     dot = F.aggregate(
         F.zip_with(F.col("e"), qlit, lambda x, y: x * y),
         F.lit(0.0),
@@ -4421,7 +4425,11 @@ def mmr_diversified_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFra
         .select(hashed_ngram_embedding("qtext", dim=64).alias("qe"))
         .first()["qe"]
     )
-    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_array,
+    )
+
+    qlit = const_double_array(qvec)
     dot = F.aggregate(
         F.zip_with(F.col("e"), qlit, lambda x, y: x * y),
         F.lit(0.0),

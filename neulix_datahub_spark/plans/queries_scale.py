@@ -1818,6 +1818,7 @@ def ivfpq_delete_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         n_probes=_IVFPQ_PROBES,
         top_cells=_IVFPQ_TOP_CELLS,
+        with_info=False,  # invariant check wants rows, not the funnel
     )
     compact_invariant = rows_before == sorted(map(tuple, topk2.collect()))
     st2 = ingest_ivfpq_delta(
@@ -2496,12 +2497,12 @@ def ivfpq_residual_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = meta["dim"] // 2
     at_rest = spark.read.parquet(_codes_dir(path, meta))
     r = _residual(F.col("vec"), F.col("coarse"), meta["coarse_centroids"])
-    tbl0 = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in meta["codebooks"][0]]
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_matrix,
     )
-    tbl1 = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in meta["codebooks"][1]]
-    )
+
+    tbl0 = const_double_matrix(meta["codebooks"][0])
+    tbl1 = const_double_matrix(meta["codebooks"][1])
 
     def _d2(a, b):
         return F.aggregate(

@@ -816,6 +816,49 @@ def test_kmeans_lloyd_recovers_separable_clusters(spark):
     )
 
 
+def test_kmeans_lloyd_fused_bit_identical_to_sequential(spark):
+    """The fused multi-problem trainer (r13 optimization: one pass per
+    iteration serves every independent Lloyd problem over a shared
+    scan) must be BIT-identical to running kmeans_lloyd once per
+    problem — the IVF-PQ oracles replay the sequential arithmetic, so
+    any drift (seed draw, assignment tie, mean accumulation order)
+    would flip driver hashes. Covers the 3-spec plain-build shape,
+    subspace slices, heterogeneous k, and iteration freezing."""
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark.operators.clustering import (
+        kmeans_lloyd,
+        kmeans_lloyd_fused,
+    )
+
+    rng = [
+        (i, [((i * 37 + d * 11) % 100) / 7.0 - 6.0 for d in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rng, ["vec_id", "embedding"])
+    half = 4
+    _, full_seq = kmeans_lloyd(df, k=5, iters=4)
+    sub_seq = []
+    for start in (1, half + 1):
+        sub = df.select(
+            "vec_id", F.slice("embedding", start, half).alias("embedding")
+        )
+        _, c = kmeans_lloyd(sub, k=3, iters=2)
+        sub_seq.append(c)
+    fused = kmeans_lloyd_fused(
+        df,
+        [
+            (F.col("embedding"), 5, 4),
+            (F.slice("embedding", 1, half), 3, 2),
+            (F.slice("embedding", half + 1, half), 3, 2),
+        ],
+        id_col="vec_id",
+    )
+    assert fused[0] == full_seq  # exact float equality, not approx
+    assert fused[1] == sub_seq[0]
+    assert fused[2] == sub_seq[1]
+
+
 def test_ivf_batch_shuffle_join_path_matches_broadcast(spark):
     """broadcast_probes=False (the large-probe-set escape hatch for the
     ~8 GB broadcast cap) must produce byte-identical results via a

@@ -375,6 +375,13 @@ def bpe_learn_merges_batched(
         base = _replay_merges_pandas(base, initial_merges)
         rank = initial_merges[-1]["rank"]
         rnd0 = initial_merges[-1].get("round", 0)
+    # NOTE (r13 optimization round): a pre-loop repartition to
+    # defaultParallelism was tried here and REVERTED — at bench scale
+    # the working set is a few thousand rows, and 32 tasks' scheduling
+    # + per-task Arrow overhead per round cost MORE than the
+    # single-partition Python pass it parallelized (measured +0.2 s per
+    # round). At 100 TB the unit relation is large enough that AQE
+    # keeps real parallelism on its own.
     words = base.localCheckpoint(eager=False)
     if rewrite == "auto":
         sized = words.agg(
@@ -393,8 +400,53 @@ def bpe_learn_merges_batched(
             rewrite, int(sized["n_units"]), int(sized["n_chars"]),
             _AUTO_ARROW_MAX_CHARS,
         )
-    prev: DataFrame | None = None
     merges: list[dict] = []
+    if rewrite == "arrow":
+        # Fused tier (r13 optimization): each round runs ONE Arrow pass
+        # (_rewrite_and_count_pandas) that applies the PREVIOUS round's
+        # batch and emits the partial pair counts of the rewritten
+        # working set — the JVM pair expansion (the measured 2.0 s of
+        # the old 1.8–2.0 s round at sf0.1) and one boundary crossing
+        # per round both disappear; counts are bit-identical (integer
+        # partial sums). The final round's batch is never applied —
+        # exactly like the old loop, whose last lazy rewrite was never
+        # materialized.
+        pin = words  # the checkpointed relation backing `words`
+        pending: list[dict] = []
+        for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):
+            fused = _rewrite_and_count_pandas(words, pending).localCheckpoint(
+                eager=False
+            )
+            ranked = [
+                (r["a"], r["b"], int(r["c"]))
+                for r in (
+                    fused.filter(F.col("a").isNotNull())
+                    .groupBy("a", "b")
+                    .agg(F.sum("c").alias("c"))
+                    .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+                    .limit(window)
+                    .collect()  # bounded; materializes the fused frame
+                )
+            ]
+            _free_checkpoint(pin)  # successor is materialized now
+            pin = fused
+            words = fused.filter(F.col("sym").isNotNull()).select("sym", "n")
+            if not ranked:
+                break
+            kept = select_batch(ranked)
+            batch: list[dict] = []
+            for j, (a, b, c) in enumerate(kept, 1):
+                rank += 1
+                batch.append(
+                    {"rank": rank, "round": rnd, "round_rank": j, "left": a,
+                     "right": b, "merged": a + b, "pair_count": c}
+                )
+            merges.extend(batch)
+            pending = batch
+        _free_checkpoint(pin)
+        return merges
+
+    prev: DataFrame | None = None
     for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):
         ranked = [
             (r["a"], r["b"], int(r["c"]))
@@ -419,17 +471,10 @@ def bpe_learn_merges_batched(
             )
         merges.extend(batch)
         prev = words
-        if rewrite == "arrow":
-            # one round's batch -> ONE replay pass (same grouping rule
-            # as _merge_rounds; bit-identical to the fold, parity-pinned)
-            words = _replay_merges_pandas(words, batch).localCheckpoint(
-                eager=False
-            )
-        else:
-            words = words.select(
-                _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
-                .alias("sym"), "n"
-            ).localCheckpoint(eager=False)
+        words = words.select(
+            _merge_fold_multi(F.col("sym"), [(a, b) for a, b, _ in kept])
+            .alias("sym"), "n"
+        ).localCheckpoint(eager=False)
     # release the working relation on the way out: the trainer's output
     # is the merge list, not the rewritten vocabulary, and leaving the
     # final two checkpoints to the ContextCleaner made the CHUNKED
@@ -443,6 +488,20 @@ def bpe_learn_merges_batched(
     return merges
 
 
+def _rewrite_sym_fn(rounds: list[dict[tuple[str, str], str]]):
+    """The per-string rewrite closure shared by every Arrow replay
+    path (one greedy pass per round over the delimited symbol string)
+    — ONE implementation, so the fused rewrite+count pass is
+    bit-identical to the plain replay by construction."""
+
+    def rewrite(sym: str) -> str:
+        syms = [x for x in sym.split(US) if x]
+        out = _apply_merges_symbols(syms, rounds)
+        return US + US.join(out) + US if out else US
+
+    return rewrite
+
+
 def _replay_merges_pandas(words: DataFrame, merges: list[dict]) -> DataFrame:
     """Rewrite a delimited-symbol working set ``(sym, n)`` by replaying
     a merge list — one greedy pass per original round, Arrow-batched.
@@ -451,16 +510,89 @@ def _replay_merges_pandas(words: DataFrame, merges: list[dict]) -> DataFrame:
     rounds = _merge_rounds(merges)
 
     def run(batches: Iterator) -> Iterator:
-        def rewrite(sym: str) -> str:
-            syms = [x for x in sym.split(US) if x]
-            out = _apply_merges_symbols(syms, rounds)
-            return US + US.join(out) + US if out else US
-
+        rewrite = _rewrite_sym_fn(rounds)
         for pdf in batches:
             pdf["sym"] = pdf["sym"].map(rewrite)
             yield pdf
 
     return words.mapInPandas(run, schema="sym string, n bigint")
+
+
+def _rewrite_and_count_pandas(
+    words: DataFrame, merges: list[dict]
+) -> DataFrame:
+    """ONE Arrow pass per batched-trainer round (r13 optimization):
+    apply the previous round's merge batch (the identical
+    :func:`_rewrite_sym_fn` rewrite the plain replay uses) and emit
+    per-partition PARTIAL adjacent-pair counts over the rewritten
+    symbols, union-typed in one output frame:
+
+    - working-set rows ``(sym, n, NULL, NULL, NULL)`` — the next
+      round's relation, and
+    - partial-count rows ``(NULL, NULL, a, b, c)`` — ``c`` the
+      Counter total for the pair within this partition; the caller's
+      ``groupBy(a, b).sum(c)`` finishes the aggregation (integer
+      addition — order-independent, so the totals are exactly
+      :func:`_pair_counts`'s).
+
+    Why: the JVM pair expansion (split → slice×2 → arrays_zip →
+    explode → hash-agg over ~2M string structs) measured 2.0 s per
+    round at sf0.1 against 0.8 s for the Python rewrite pass it
+    followed — and the rewritten strings were crossing the Arrow
+    boundary back just to be re-split. Counting where the split
+    already happened removes the explode AND one boundary crossing
+    per round (measured: full round 1.8–2.0 s → ~0.9 s). Partial
+    counts keep the shuffle tiny (distinct pairs per partition), the
+    same map-side-combine profile as the JVM aggregate."""
+    rounds = _merge_rounds(merges) if merges else []
+
+    def run(batches: Iterator) -> Iterator:
+        from collections import Counter
+
+        import pandas as pd
+
+        rewrite = _rewrite_sym_fn(rounds)
+        for pdf in batches:
+            if rounds:
+                pdf["sym"] = pdf["sym"].map(rewrite)
+            cnt: Counter = Counter()
+            for sym, n in zip(pdf["sym"], pdf["n"]):
+                syms = [x for x in sym.split(US) if x]
+                nn = int(n)
+                prev = None
+                for s in syms:
+                    if prev is not None:
+                        cnt[(prev, s)] += nn
+                    prev = s
+            out_sym = pd.DataFrame(
+                {
+                    "sym": pdf["sym"],
+                    # nullable Int64 so the concat with pair rows never
+                    # upcasts counts to float
+                    "n": pd.array(pdf["n"], dtype="Int64"),
+                    "a": pd.Series([None] * len(pdf), dtype=object),
+                    "b": pd.Series([None] * len(pdf), dtype=object),
+                    "c": pd.Series([None] * len(pdf), dtype="Int64"),
+                }
+            )
+            if cnt:
+                keys = list(cnt)
+                out_pair = pd.DataFrame(
+                    {
+                        "sym": pd.Series([None] * len(keys), dtype=object),
+                        "n": pd.Series([None] * len(keys), dtype="Int64"),
+                        "a": [k[0] for k in keys],
+                        "b": [k[1] for k in keys],
+                        "c": [cnt[k] for k in keys],
+                    }
+                )
+                yield pd.concat([out_sym, out_pair], ignore_index=True)
+            else:
+                yield out_sym
+
+    return words.mapInPandas(
+        run, schema="sym string, n bigint, a string, b string, c bigint"
+    )
 
 
 def _merge_rounds(merges: list[dict]) -> list[dict[tuple[str, str], str]]:

@@ -283,6 +283,22 @@ def _delta_doclens(df: DataFrame, postings: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _write_doclens_counted(doclens, dest: str) -> int:
+    """Write a doclens fragment and return its row count from an
+    Observation riding the write job (one row per document, so the
+    count IS the fragment's doc count) — saves the full read-back the
+    count-it-back form paid per build/compact."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        doclens.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
+    return int(obs.get["n"])
+
+
 def build_search_index(
     df: DataFrame,
     path: str,
@@ -337,12 +353,9 @@ def build_search_index(
     landed = spark.read.schema(
         _family_schema(meta, "postings")
     ).parquet(_frag_dir(path, meta, "postings", 0))
-    _delta_doclens(df, landed, meta).write.mode("overwrite").parquet(
-        _frag_dir(path, meta, "doclens", 0)
+    meta["n_docs"] = _write_doclens_counted(
+        _delta_doclens(df, landed, meta), _frag_dir(path, meta, "doclens", 0)
     )
-    meta["n_docs"] = spark.read.schema(
-        _family_schema(meta, "doclens")
-    ).parquet(_frag_dir(path, meta, "doclens", 0)).count()
     meta["n_fragments"] = 1  # the commit: fragment 0 becomes visible
     _write_meta(path, meta, _SEARCH_META)
     return meta
@@ -658,13 +671,10 @@ def compact_search_index(spark: SparkSession, path: str, files: int = 8) -> dict
         ).write.mode("overwrite").partitionBy("bkt").parquet(
             _frag_dir(path, new_meta, "positions", 0)
         )
-    doclens = read_live_doclens(spark, path)
-    doclens.repartition(max(1, files // 4)).write.mode("overwrite").parquet(
-        _frag_dir(path, new_meta, "doclens", 0)
+    new_meta["n_docs"] = _write_doclens_counted(
+        read_live_doclens(spark, path).repartition(max(1, files // 4)),
+        _frag_dir(path, new_meta, "doclens", 0),
     )
-    new_meta["n_docs"] = spark.read.schema(
-        _family_schema(meta, "doclens")
-    ).parquet(_frag_dir(path, new_meta, "doclens", 0)).count()
     _write_meta(path, new_meta, _SEARCH_META)  # the atomic commit
     for fam in _families(meta):
         shutil.rmtree(_gen_dir(path, meta, fam), ignore_errors=True)

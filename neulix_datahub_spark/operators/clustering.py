@@ -248,11 +248,30 @@ def kmeans_inertia(
     """Per-cluster size and inertia (sum of squared distances to the
     cluster centroid) — the convergence/quality metric, computed
     distributed with the centroids as literals."""
-    dists = F.array(*[_sq_dist_to(vec_col, c) for c in centroids])
+    # fold against ONLY the assigned centroid (element_at into the
+    # matrix literal picks it first): the k-fold array form evaluated
+    # every centroid's distance per row and discarded k−1 of them —
+    # higher-order functions run interpreted, so that was k× wasted
+    # eval. Same fold over the same doubles for the selected centroid —
+    # values bit-identical.
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_matrix,
+    )
+
+    cent = F.element_at(const_double_matrix(centroids), F.col("cluster") + 1)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+            cent,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         assigned.select(
             "cluster",
-            F.element_at(dists, F.col("cluster") + 1).alias("__d2"),
+            d2.alias("__d2"),
         )
         .groupBy("cluster")
         .agg(

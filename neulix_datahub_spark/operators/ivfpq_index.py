@@ -116,18 +116,42 @@ def _encode(df: DataFrame, meta: dict) -> DataFrame:
     vec = F.col(meta["vec_col"])
     coarse = _nearest_code(vec, meta["coarse_centroids"])
     if meta.get("encode", "plain") == "residual":
-        target = _residual(vec, coarse, meta["coarse_centroids"])
-    else:
-        target = vec
+        # pin (coarse, residual) BEFORE quantizing: _nearest_code
+        # evaluates its input once per CODEWORD inside the transform
+        # lambda, and higher-order functions run interpreted (no
+        # codegen, no subexpression elimination) — inlining the
+        # residual (itself a coarse argmin + subtract) re-paid the
+        # 8×64 coarse fold 2·pq_k times per row. Measured on the sf0.1
+        # build: encode 3.36 s → 0.5 s for 2 000 rows. Lazy: the
+        # caller's write/append is the materializing action, so the
+        # pin costs no extra job. Same expressions, same doubles —
+        # bit-identical codes (the IVF-PQ oracle family re-simmed).
+        staged = df.select(
+            F.col(meta["id_col"]).alias("id"),
+            F.transform(vec, lambda x: x.cast("double")).alias("vec"),
+            coarse.alias("coarse"),
+            _residual(vec, coarse, meta["coarse_centroids"]).alias("__r"),
+        ).localCheckpoint(eager=False)
+        return staged.select(
+            "id",
+            "vec",
+            "coarse",
+            _nearest_code(
+                F.slice("__r", 1, half), meta["codebooks"][0]
+            ).alias("c0"),
+            _nearest_code(
+                F.slice("__r", half + 1, half), meta["codebooks"][1]
+            ).alias("c1"),
+        )
     return df.select(
         F.col(meta["id_col"]).alias("id"),
         F.transform(vec, lambda x: x.cast("double")).alias("vec"),
         coarse.alias("coarse"),
-        _nearest_code(F.slice(target, 1, half), meta["codebooks"][0]).alias(
+        _nearest_code(F.slice(vec, 1, half), meta["codebooks"][0]).alias(
             "c0"
         ),
         _nearest_code(
-            F.slice(target, half + 1, half), meta["codebooks"][1]
+            F.slice(vec, half + 1, half), meta["codebooks"][1]
         ).alias("c1"),
     )
 
@@ -890,11 +914,18 @@ def _batch_shortlist_scored(
         [_block_dot(c, c) for c in meta["codebooks"][s]] for s in (0, 1)
     ]
 
-    def _d2_to(vec, cent: list[float]):
+    # centroid/codeword tables are ONE transform over ONE matrix
+    # literal (the _nearest_code spelling), not k separately-built fold
+    # expressions: the per-fold form paid ~25 ms of py4j lambda
+    # construction PER centroid (32 calls ≈ 0.8 s of driver time per
+    # batch-probe/audit call, re-paid every invocation) and k·dim
+    # literal plan nodes. Same folds over the same doubles in the same
+    # order — bit-identical (parity units + oracle sims).
+    def _d2_to(vec, cent):
         return F.aggregate(
             F.zip_with(
                 vec,
-                const_double_array(cent),
+                cent,
                 lambda x, y: (x.cast("double") - y)
                 * (x.cast("double") - y),
             ),
@@ -902,11 +933,11 @@ def _batch_shortlist_scored(
             lambda acc, v: acc + v,
         )
 
-    def _dot_to(vec, cent: list[float]):
+    def _dot_to(vec, cent):
         return F.aggregate(
             F.zip_with(
                 vec,
-                const_double_array(cent),
+                cent,
                 lambda x, y: x.cast("double") * y,
             ),
             F.lit(0.0),
@@ -928,26 +959,23 @@ def _batch_shortlist_scored(
             "similarity is undefined for an all-zero probe"
         )
     pv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    coarse_tbl = F.array(
-        *[
-            F.struct(
-                _d2_to(F.col(vec_col), c).alias("d"),
-                F.lit(g).cast("int").alias("g"),
-            )
-            for g, c in enumerate(meta["coarse_centroids"])
-        ]
+    coarse_tbl = F.transform(
+        const_double_matrix(meta["coarse_centroids"]),
+        lambda c, g: F.named_struct(
+            F.lit("d"), _d2_to(F.col(vec_col), c),
+            F.lit("g"), g.cast("int"),
+        ),
     )
     probed = F.transform(
         F.slice(F.array_sort(coarse_tbl), 1, n_probes), lambda s: s["g"]
     )
-    d0 = F.array(
-        *[_dot_to(F.slice(vec_col, 1, half), c) for c in meta["codebooks"][0]]
+    d0 = F.transform(
+        const_double_matrix(meta["codebooks"][0]),
+        lambda c: _dot_to(F.slice(vec_col, 1, half), c),
     )
-    d1 = F.array(
-        *[
-            _dot_to(F.slice(vec_col, half + 1, half), c)
-            for c in meta["codebooks"][1]
-        ]
+    d1 = F.transform(
+        const_double_matrix(meta["codebooks"][1]),
+        lambda c: _dot_to(F.slice(vec_col, half + 1, half), c),
     )
     qn = _norm(F.col(vec_col))
     # The ADC cell ranking is a TRANSFORM over sequence(0, n_cells-1)
@@ -989,7 +1017,10 @@ def _batch_shortlist_scored(
                     msq.append(
                         math.sqrt(inner) if inner > 0.0 else None
                     )
-        dq = F.array(*[_dot_to(F.col(vec_col), c) for c in cc])
+        dq = F.transform(
+            const_double_matrix(cc),
+            lambda c: _dot_to(F.col(vec_col), c),
+        )
         stage1 = probes.select(
             F.col(id_col).alias("probe_id"),
             pv.alias("__pv"),
@@ -1000,7 +1031,12 @@ def _batch_shortlist_scored(
             d1.alias("__d1"),
             qn.alias("__qn"),
         )
-        msq_lit = F.lit(msq)
+        # one F.expr literal, not F.lit(list): the 512-entry (coarse_k ·
+        # pq_k²) denominator table paid one py4j round-trip PER element
+        # (~0.5 s per batch-probe call, re-paid every bench sample) —
+        # const_double_array ships it in one call and folds to the same
+        # array literal (None → typed NULL, the degenerate-cell sentinel)
+        msq_lit = const_double_array(msq)
         kk = pq_k * pq_k
 
         def _cell_r(i):
@@ -1070,7 +1106,7 @@ def _batch_shortlist_scored(
             d1.alias("__d1"),
             qn.alias("__qn"),
         )
-        msq_p_lit = F.lit(msq_p)
+        msq_p_lit = const_double_array(msq_p)
 
         def _cell_p(i):
             c0 = F.floor(i / F.lit(pq_k)).cast("int")

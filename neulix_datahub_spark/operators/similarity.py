@@ -23,12 +23,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _sql_double(v: float) -> str:
+def _sql_double(v: float | None) -> str:
     """A SQL double literal that parses to exactly ``v``: Python repr
     is the shortest round-trip decimal and both engines' parses are
-    correctly rounded, so the bits survive the text trip."""
+    correctly rounded, so the bits survive the text trip. ``None``
+    renders as a typed NULL (the IVFADC degenerate-cell sentinel)."""
     import math
 
+    if v is None:
+        return "CAST(NULL AS DOUBLE)"
     f = float(v)
     if math.isnan(f):
         return "CAST('NaN' AS DOUBLE)"

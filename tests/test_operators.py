@@ -3285,6 +3285,23 @@ def test_ivfpq_batch_residual_equals_single_probe_exactly(spark, tmp_path):
     assert got == want
 
 
+def test_const_double_array_none_renders_typed_null(spark):
+    # r13 optimization: the batch probe's 512-entry denominator table
+    # ships as ONE F.expr literal instead of per-element py4j lit calls;
+    # None entries (degenerate all-zero reconstructions) must survive as
+    # typed NULLs exactly like F.lit(list)'s did
+    from neulix_datahub_spark.operators.similarity import (
+        const_double_array,
+    )
+
+    vals = [1.5, None, float("inf"), -0.0, 3.141592653589793]
+    row = spark.range(1).select(
+        const_double_array(vals).alias("a"), F.lit(vals).alias("b")
+    ).first()
+    assert row.a == row.b
+    assert row.a[1] is None
+
+
 def test_ivfpq_query_rejects_zero_norm_probes(spark, tmp_path):
     import pytest
 

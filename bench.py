@@ -171,6 +171,33 @@ def _host_calibration() -> float:
     return round(time.perf_counter() - start, 4)
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+    Round 13 (optimization): loadavg and calibration cannot see
+    HYPERVISOR preemption — this sandbox shows up to ±40% parallel-
+    throughput drift with an empty process table ("phantom load",
+    Firecracker neighbor effects). The steal fraction over the bench
+    window detects it mechanically, so a cross-round audit can discard
+    a stolen-CPU recording instead of arguing from timings."""
+    try:
+        with open("/proc/stat", encoding="ascii") as f:
+            parts = f.readline().split()
+    except OSError:
+        return None
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_frac(ticks0: tuple[int, int] | None) -> float | None:
+    ticks1 = _cpu_ticks()
+    if ticks0 is None or ticks1 is None:
+        return None
+    return round((ticks1[0] - ticks0[0]) / max(1, ticks1[1] - ticks0[1]), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -186,6 +213,7 @@ def main() -> None:
         waited += 10
         load_start = os.getloadavg()[0]
     contended = load_start > LOAD_CONTENDED
+    ticks0 = _cpu_ticks()
 
     spark = get_session("neulix_bench")
 
@@ -273,6 +301,10 @@ def main() -> None:
         "load_1m_start": round(load_start, 2),
         "idle_wait_sec": round(waited, 1),
         "contended": contended,
+        # hypervisor steal over the whole bench window (see _cpu_ticks):
+        # fraction of all CPU jiffies the host withheld — nonzero here
+        # with an idle loadavg is exactly the phantom-load signature
+        "steal_frac": _steal_frac(ticks0),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Round 13: stdout carries the COMPACT line only (headline value +

@@ -76,23 +76,30 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # each node's candidate label: min over neighbors' current labels
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "v"), on="v")
-            .groupBy("u")
-            .agg(F.min("component").alias("nbr_min"))
-            .withColumnRenamed("u", "id")
-        )
+        # ONE join per round (r13 optimization): each node's new label is
+        # min(self ∪ neighbors) — computed by unioning the neighbor-label
+        # pairs with the nodes' own (flagged) labels and taking one
+        # grouped min, instead of the old two-join form (neighbor groupBy
+        # + a second N×N labels join to apply least/coalesce). The self
+        # row doubles as the previous label (max over the flagged copy —
+        # each id has exactly one), so the convergence count needs no
+        # join either. Per-round label function identical: min(self,
+        # nbr_min) with no-neighbor nodes covered by the self row.
         updated = (
-            labels.join(neighbor_labels, on="id", how="left")
+            sym.join(labels.withColumnRenamed("id", "v"), on="v")
             .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_min", F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("__changed"),
+                F.col("u").alias("id"), "component",
+                F.lit(0).alias("__self"),
+            )
+            .unionByName(
+                labels.select("id", "component", F.lit(1).alias("__self"))
+            )
+            .groupBy("id")
+            .agg(
+                F.min("component").alias("component"),
+                F.max(
+                    F.when(F.col("__self") == 1, F.col("component"))
+                ).alias("__old"),
             )
         )
         # localCheckpoint truncates the growing iterative lineage — without
@@ -101,8 +108,13 @@ def connected_components(
         # the materializing action: one pass per round does both (the
         # eager form paid a second full pass per round just to count).
         updated = updated.localCheckpoint(eager=False)
-        n_changed = updated.agg(F.sum("__changed")).first()[0] or 0
-        labels = updated.drop("__changed")
+        n_changed = (
+            updated.agg(
+                F.sum((F.col("component") < F.col("__old")).cast("int"))
+            ).first()[0]
+            or 0
+        )
+        labels = updated.drop("__old")
         if n_changed == 0:
             return labels
     # propagation budget exhausted: the graph has longer chains than

@@ -1085,18 +1085,18 @@ def ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     rest = emb.filter(F.col("vec_id") != 0)
-    exact = (
+    from neulix_datahub_spark.functions.ranking import ranked_topk
+
+    # top-10 ranked on the driver (10-row bounded collect): no
+    # unpartitioned WindowExec, and the downstream join/crossJoin see a
+    # local relation instead of re-running the corpus scan per consumer
+    exact = ranked_topk(
         rest.select(
             "vec_id",
             F.round(_cosine_to_literal(F.col("embedding"), qvec), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(10)
-        .withColumn(
-            "rank",
-            # bounded grain: numbering the 10 rows that survived limit(10)
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))),
-        )
+        ),
+        [F.desc("score"), F.asc("vec_id")],
+        10,
     )
     ivf = ivf_top_k(rest, qvec, k=10, num_buckets=16, n_probes=11).select(
         "vec_id", F.lit(1).alias("__hit")

@@ -4177,8 +4177,7 @@ def hybrid_retrieval_rrf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND query, both rank windows, the fusion arithmetic. Emits the
     fused top-10 with each leg's rank (NULL where a doc appears in
     only one leg — the case RRF exists to handle)."""
-    from pyspark.sql import Window
-
+    from neulix_datahub_spark.functions.ranking import ranked_topk
     from neulix_datahub_spark.operators.search import (
         bm25_rank,
         build_inverted_index,
@@ -4197,24 +4196,17 @@ def hybrid_retrieval_rrf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_inverted_index(docs).persist()
     lengths = index.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject — no global
-    # window over the corpus), then rank the 20-row result; pinned
-    # eagerly because each leg feeds THREE consumers (the fusion union
-    # + the rank join-backs) and would otherwise re-run its whole
-    # pipeline per consumer (measured 30s → 11s warm at sf0.1)
-    lex = (
+    # window over the corpus), ranked on the DRIVER (20-row bounded
+    # collect, ranked_topk): each leg feeds THREE consumers (the fusion
+    # union + the rank join-backs), and the local relation serves all
+    # of them without re-running the leg's pipeline or the eager
+    # localCheckpoint + unpartitioned-WindowExec rank the old form paid
+    lex = ranked_topk(
         bm25_rank(index, lengths, _SEARCH_TERMS)
-        .select("doc_id", F.round("score", 6).alias("__s"))
-        .orderBy(F.desc("__s"), F.asc("doc_id"))
-        .limit(_HYBRID_TOPN)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("__s"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "rank")
-        .localCheckpoint(eager=True)
-    )
+        .select("doc_id", F.round("score", 6).alias("__s")),
+        [F.desc("__s"), F.asc("doc_id")],
+        _HYBRID_TOPN,
+    ).select("doc_id", "rank")
     # semantic leg — corpus embeddings vs the query string's embedding
     # (both L2-normalized by construction, so cosine is a plain dot:
     # no norm division, no zero-vector edge)
@@ -4239,31 +4231,23 @@ def hybrid_retrieval_rrf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    sem = (
+    sem = ranked_topk(
         emb.select(
             "doc_id", F.floor(F.lit(1e6) * dot).cast("long").alias("__q6")
-        )
-        .orderBy(F.desc("__q6"), F.asc("doc_id"))
-        .limit(_HYBRID_TOPN)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("__q6"), F.asc("doc_id"))
-            ),
-        )
-        .select("doc_id", "rank")
-        .localCheckpoint(eager=True)
-    )
+        ),
+        [F.desc("__q6"), F.asc("doc_id")],
+        _HYBRID_TOPN,
+    ).select("doc_id", "rank")
     fused = rrf_fuse([lex, sem], id_col="doc_id", k=_HYBRID_RRF_K)
+    # fused top-10 ranked the same driver-side way (the old form ranked
+    # every fused row through an unpartitioned window, then filtered
+    # rank <= 10 — identical output under the same total order)
     return (
-        fused.select("doc_id", F.round("rrf", 9).alias("rrf"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
-            ),
+        ranked_topk(
+            fused.select("doc_id", F.round("rrf", 9).alias("rrf")),
+            [F.desc("rrf"), F.asc("doc_id")],
+            10,
         )
-        .filter(F.col("rank") <= 10)
         .join(lex.withColumnRenamed("rank", "lex_rank"), "doc_id", "left")
         .join(sem.withColumnRenamed("rank", "sem_rank"), "doc_id", "left")
         .select(
@@ -4435,24 +4419,24 @@ def mmr_diversified_retrieval_check(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(0.0),
         lambda s, x: s + x,
     )
-    cand = (
+    from neulix_datahub_spark.functions.ranking import ranked_topk
+
+    # bounded top-N candidate set ranked on the driver: the local
+    # relation replaces the eager localCheckpoint pin AND the
+    # unpartitioned-WindowExec rel_rank (same total order, same ranks)
+    cand = ranked_topk(
         emb.select(
             "doc_id",
             F.floor(F.lit(1e6) * dot).cast("long").alias("rel_q6"),
             "e",
-        )
-        .orderBy(F.desc("rel_q6"), F.asc("doc_id"))
-        .limit(_MMR_TOPN)
-        .localCheckpoint(eager=True)
+        ),
+        [F.desc("rel_q6"), F.asc("doc_id")],
+        _MMR_TOPN,
+        rank_col="rel_rank",
     )
-    rel_rank = cand.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rel_q6"), F.asc("doc_id")))
-        .alias("rel_rank"),
-    )
+    rel_rank = cand.select("doc_id", "rel_rank")
     picks = mmr_rerank(
-        cand,
+        cand.drop("rel_rank"),
         "rel_q6",
         "e",
         id_col="doc_id",

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from neulix_datahub_spark.functions.ranking import ranked_topk
 from neulix_datahub_spark.sources.tables import load_table
 
 
@@ -1272,10 +1273,9 @@ def ivf_pq_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["h"]
     )
     n_corpus = corpus.count()
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("vec_id"))),
-    )
+    # rank the k-row shortlist on the driver (bounded collect — no
+    # unpartitioned WindowExec over the probe result)
+    ranked = ranked_topk(topk, [F.desc("score"), F.asc("vec_id")], 10)
     return ranked.select(
         "rank",
         "vec_id",
@@ -1372,10 +1372,9 @@ def ivfpq_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__e").cast("bigint").alias("h"))
         .first()["h"]
     )
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
-    )
+    # rank the k-row shortlist on the driver (bounded collect — no
+    # unpartitioned WindowExec over the probe result)
+    ranked = ranked_topk(topk, [F.desc("score"), F.asc("id")], 10)
     return ranked.select(
         "rank",
         F.col("id").alias("vec_id"),
@@ -1844,10 +1843,9 @@ def ivfpq_delete_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__e").cast("bigint").alias("h"))
         .first()["h"]
     )
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
-    )
+    # rank the k-row shortlist on the driver (bounded collect — no
+    # unpartitioned WindowExec over the probe result)
+    ranked = ranked_topk(topk, [F.desc("score"), F.asc("id")], 10)
     return ranked.select(
         "rank",
         F.col("id").alias("vec_id"),
@@ -2537,10 +2535,9 @@ def ivfpq_residual_search_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__e").cast("bigint").alias("h"))
         .first()["h"]
     )
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
-    )
+    # rank the k-row shortlist on the driver (bounded collect — no
+    # unpartitioned WindowExec over the probe result)
+    ranked = ranked_topk(topk, [F.desc("score"), F.asc("id")], 10)
     return ranked.select(
         "rank",
         F.col("id").alias("vec_id"),
@@ -4451,17 +4448,21 @@ def search_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead = docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
     st = delete_from_search_index(spark, dead, path)
     frags_before = read_search_meta(path)["n_fragments"]
-    topk = (
+    # rank the 10-row answer on the driver (bounded collect): this both
+    # PINS the pre-compact evaluation (compaction below deletes the
+    # generation the lazy plan would read — the collect evaluates now,
+    # replacing the old eager localCheckpoint) and avoids the
+    # unpartitioned WindowExec the old row_number rank paid
+    topk = ranked_topk(
         query_search_index(spark, path, _SEARCH_TERMS)
-        .select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(10)
-        # pin: compaction below deletes the generation this lazy plan
-        # reads — the emitted rows must be the PRE-compact evaluation
-        .localCheckpoint(eager=True)
+        .select("doc_id", F.round("score", 6).alias("bm25")),
+        [F.desc("bm25"), F.asc("doc_id")],
+        10,
     )
     n_and = conjunctive_search_index(spark, path, _SEARCH_TERMS).count()
-    rows_before = sorted(map(tuple, topk.collect()))
+    rows_before = sorted(
+        map(tuple, topk.select("doc_id", "bm25").collect())
+    )
     log = compact_search_index(spark, path)
     topk2 = (
         query_search_index(spark, path, _SEARCH_TERMS)
@@ -4474,11 +4475,7 @@ def search_index_lifecycle_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     st2 = ingest_search_delta(
         spark, docs.filter(F.col("doc_id") == reingest_id), path
     )
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
-    )
-    return ranked.select(
+    return topk.select(
         "rank",
         "doc_id",
         "bm25",

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from neulix_datahub_spark.plans.queries_ext import PYSOURCE_SQL as _PYSOURCE_STREAM_SQL
@@ -1679,10 +1679,11 @@ def stream_ivfpq_lifecycle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__e").cast("bigint").alias("h"))
         .first()["h"]
     )
-    ranked = topk.withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("id"))),
-    )
+    from neulix_datahub_spark.functions.ranking import ranked_topk
+
+    # rank the k-row shortlist on the driver (bounded collect — no
+    # unpartitioned WindowExec over the probe result)
+    ranked = ranked_topk(topk, [F.desc("score"), F.asc("id")], 10)
     return ranked.select(
         "rank",
         F.col("id").alias("vec_id"),

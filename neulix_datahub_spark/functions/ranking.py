@@ -23,8 +23,38 @@ the id column) — identical to what row_number would assign.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import IntegerType, StructField, StructType
+
+
+def local_relation(
+    spark: SparkSession, data: list[tuple], schema: StructType | str
+) -> DataFrame:
+    """Bounded driver-side rows as a true LocalRelation.
+
+    ``spark.createDataFrame(list, schema)`` takes the pickled-RDD path
+    (``applySchemaToPythonRDD``): the rows live as pickled bytes behind
+    a PythonRDD scan that re-runs a Python worker on EVERY action —
+    measured 0.3–4.5 s per evaluation for 8 rows, and a crossJoin of
+    two such relations schedules a cores² task cartesian. Routing the
+    same rows through a pandas frame (Arrow conversion path) lands them
+    as a ``LocalTableScan`` — JVM-resident, ~0.1 s per action, and the
+    planner can broadcast it without running any task. Values are
+    unchanged: doubles/longs/strings/arrays round-trip pandas object
+    columns and the Arrow writer casts to the explicit schema."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(
+        {
+            n: pd.Series([row[i] for row in data], dtype=object)
+            for i, n in enumerate(names)
+        },
+        columns=names,
+    )
+    return spark.createDataFrame(pdf, schema)
 
 
 def ranked_topk(
@@ -43,4 +73,4 @@ def ranked_topk(
         + [StructField(rank_col, IntegerType(), False)]
     )
     data = [tuple(r) + (i + 1,) for i, r in enumerate(rows)]
-    return df.sparkSession.createDataFrame(data, schema)
+    return local_relation(df.sparkSession, data, schema)

@@ -617,7 +617,10 @@ def save_merges(spark, merges: list[dict], path: str) -> None:
     the tokenizer; segmenting jobs load it instead of retraining).
     Classic (single-merge) and batched merge lists both round-trip;
     ``round``/``round_rank`` are NULL for classic lists."""
-    spark.createDataFrame(
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    local_relation(
+        spark,
         [
             (m["rank"], m.get("round"), m.get("round_rank"), m["left"],
              m["right"], m["merged"], m["pair_count"])

@@ -139,7 +139,10 @@ def profile_table(
         .agg(F.array_sort(F.collect_list("value")).alias("sample_values"))
     )
 
-    dtypes = spark.createDataFrame(
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    dtypes = local_relation(
+        spark,
         [(f.name, f.dataType.simpleString()) for f in df.schema.fields if f.name in set(cols)],
         "column string, dtype string",
     )

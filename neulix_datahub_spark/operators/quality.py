@@ -145,7 +145,10 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
             rows.append((c.name, v == 0, v))
 
     spark = df.sparkSession
-    out = spark.createDataFrame(
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    out = local_relation(
+        spark,
         [(n, p, v, total) for n, p, v in rows],
         "check string, passed boolean, violations bigint, total_rows bigint",
     )

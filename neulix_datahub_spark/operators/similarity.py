@@ -206,7 +206,9 @@ def probe_bucket_set(
     n_planes = int(math.log2(num_buckets))
     if 2**n_planes != num_buckets:
         raise ValueError("num_buckets must be a power of two")
-    qdf = spark.createDataFrame([(query_vector,)], f"{vec_col} array<double>")
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    qdf = local_relation(spark, [(query_vector,)], f"{vec_col} array<double>")
     if n_probes is not None:
         projs = qdf.select(
             F.array(
@@ -459,10 +461,25 @@ def mmr_rerank(
     ids = [r[0] for r in rows]
     rel = {r[0]: int(r[1]) for r in rows}
     # pairwise cosine q6 via the SAME quantization the callers use —
-    # computed in-plan (one bounded self-join), not in Python floats
+    # computed in-plan, not in Python floats. The self-join runs over a
+    # LocalRelation re-creation of the rows just collected (doubles
+    # round-trip losslessly, so _dot sees identical inputs):
+    # crossJoining `candidates` against itself both re-evaluated its
+    # whole lineage twice AND — when the caller's relation was a
+    # parallelized list, defaultParallelism pickled partitions —
+    # scheduled a cores² Python-task cartesian for an N≤20-row product
+    # (measured 14 s per call on 8 local rows; ~0.3 s this way).
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    spark = candidates.sparkSession
+    vec_df = local_relation(
+        spark,
+        [(r[0], r[2]) for r in rows],
+        candidates.select(F.col(id_col), F.col(vec_col)).schema,
+    )
     pairs = (
-        candidates.alias("a")
-        .crossJoin(candidates.alias("b"))
+        vec_df.alias("a")
+        .crossJoin(vec_df.alias("b"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("__i"),
@@ -492,14 +509,23 @@ def mmr_rerank(
                 best = (key, d, pen)
         picked.append((best[1], rel[best[1]], best[2]))
         remaining.discard(best[1])
-    spark = candidates.sparkSession
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
     out = [
         (int(i + 1), d, int(r), int(p))
         for i, (d, r, p) in enumerate(picked)
     ]
-    return spark.createDataFrame(
-        out, f"mmr_rank int, {id_col} long, rel_q6 long, penalty_q6 long"
-    ).select(id_col, "mmr_rank", "rel_q6", "penalty_q6")
+    out_schema = StructType([
+        StructField("mmr_rank", IntegerType()),
+        StructField(id_col, LongType()),
+        StructField("rel_q6", LongType()),
+        StructField("penalty_q6", LongType()),
+    ])
+    return local_relation(spark, out, out_schema).select(
+        id_col, "mmr_rank", "rel_q6", "penalty_q6"
+    )
 
 
 def embedding_near_duplicates(

@@ -404,8 +404,10 @@ def upsert_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
         "c_acctbal", F.round(F.col("c_acctbal") + 1000.0, 4)
     )
-    new_row = spark.createDataFrame(
-        [(10_000_000, "Customer#new", 0, 42.0, "BUILDING")], schema=cust.schema
+    from neulix_datahub_spark.functions.ranking import local_relation
+
+    new_row = local_relation(
+        spark, [(10_000_000, "Customer#new", 0, 42.0, "BUILDING")], cust.schema
     )
     updates = updates.unionByName(new_row)
     # updates are 10% of customer — they scale with SF, so this is not the

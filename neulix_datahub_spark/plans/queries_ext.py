@@ -14,6 +14,7 @@ from neulix_datahub_spark.functions.cleaning import (
     project_to_header,
     sanitize_columns,
 )
+from neulix_datahub_spark.functions.ranking import local_relation
 from neulix_datahub_spark.plans._exact import money_sum, revenue_sum
 from neulix_datahub_spark.sources.tables import load_table, register_tables
 
@@ -252,7 +253,8 @@ def load_behaviors_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = spark.read.parquet(path).agg(
         F.count(F.lit(1)), F.sum("n_nationkey")
     ).first()
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [(int(d[0]), int(d[1]), int(f[0]), int(f[1]))],
         "rows_after_append bigint, keysum_after_append bigint, "
         "rows_after_replace bigint, keysum_after_replace bigint",
@@ -1730,7 +1732,8 @@ def orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from neulix_datahub_spark.operators.asof import range_join
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    bands = spark.createDataFrame(
+    bands = local_relation(
+        spark,
         [(0.0, 50_000.0, "low"), (50_000.0, 150_000.0, "mid"),
          (150_000.0, 1e9, "high")],
         "lo double, hi double, band string",

@@ -25,6 +25,7 @@ from neulix_datahub_spark.operators.dedupe import (
     simhash,
     verify_candidate_pairs,
 )
+from neulix_datahub_spark.functions.ranking import local_relation
 from neulix_datahub_spark.operators.similarity import embedding_near_duplicates
 from neulix_datahub_spark.sources.tables import load_table
 
@@ -3108,9 +3109,10 @@ def pca_embedding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(proj_ok),
         bool(float(ev[:8].sum()) / model.total_variance >= 8.0 / model.dim),
     )
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [row],
-        schema=(
+        (
             "n_vecs bigint, dim int, total_variance double, "
             "eig_sum_matches_trace boolean, evr_monotone boolean, "
             "components_orthonormal boolean, projected_var_matches_eigs boolean, "
@@ -3319,9 +3321,10 @@ def pca_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 1e-9 * max(one_shot.total_variance, 1.0)
         ),
     )
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [row],
-        schema=(
+        (
             "n_vecs bigint, total_variance double, counts_match boolean, "
             "eigs_match_1e9 boolean, trace_match_1e9 boolean"
         ),
@@ -3542,7 +3545,8 @@ def bpe_merges_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_learn_merges(docs, n_merges=8)
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
             for m in merges
@@ -3774,7 +3778,8 @@ def bpe_batched_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_learn_merges_batched(
         docs, n_rounds=16, window=256, unit="raw", rewrite="auto"
     )
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (m["rank"], m["round"], m["round_rank"], m["left"], m["right"],
              m["merged"], m["pair_count"])

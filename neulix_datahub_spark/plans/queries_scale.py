@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from neulix_datahub_spark.functions.ranking import ranked_topk
+from neulix_datahub_spark.functions.ranking import local_relation, ranked_topk
 from neulix_datahub_spark.sources.tables import load_table
 
 
@@ -4200,7 +4200,7 @@ def fk_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("drained", n_drained, rev(drained)),
     ]
     return (
-        spark.createDataFrame(rows, "phase string, n_orders bigint, revenue double")
+        local_relation(spark, rows, "phase string, n_orders bigint, revenue double")
         .withColumn("split_exact", F.lit(n_clean + n_quar == n_all))
         .withColumn("quarantine_drains", F.lit(n_drained == n_quar and n_still == 0))
         .orderBy("phase")
@@ -4251,7 +4251,8 @@ def migration_checksum_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"{warehouse_scratch(spark, 'neulix_mig_')}/copy"
     orders.repartition(13).write.mode("overwrite").parquet(root)
     copy_sum = portable_table_checksum(spark.read.parquet(root), cols).first()
-    return spark.createDataFrame(
+    return local_relation(
+        spark,
         [
             (
                 src_sum["n_rows"],

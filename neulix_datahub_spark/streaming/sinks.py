@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from neulix_datahub_spark.functions.ranking import (
+    local_relation as _local_relation,
+)
 from neulix_datahub_spark.operators.upsert import upsert
 from neulix_datahub_spark.sources.snapshots import (
     current_version,
@@ -493,7 +496,8 @@ def stream_commit_tables(
             # versions forward; only the stamp moves to the new lineage
             commit_tables(
                 {
-                    STREAM_META_TABLE: spark.createDataFrame(
+                    STREAM_META_TABLE: _local_relation(
+                        spark,
                         [(batch_id, fp_n, fp_x, meta["cn"], meta["cx"])],
                         _META_SCHEMA,
                     )
@@ -506,8 +510,8 @@ def stream_commit_tables(
             staged = _read_staged(spark, run)
             feed = batch_df if staged is None else staged.unionByName(batch_df)
             updates = {name: fn(feed, None) for name, fn in members.items()}
-            updates[STREAM_META_TABLE] = spark.createDataFrame(
-                [(batch_id, fp_n, fp_x, run.cum_n, run.cum_x)], _META_SCHEMA
+            updates[STREAM_META_TABLE] = _local_relation(
+                spark, [(batch_id, fp_n, fp_x, run.cum_n, run.cum_x)], _META_SCHEMA
             )
             commit_tables(updates, catalog_root)
             _clear_staged(run, catalog_root)
@@ -524,7 +528,8 @@ def stream_commit_tables(
             updates[name] = fn(batch_df, existing)
         prev_cn = meta.get("cn") if meta else 0
         prev_cx = meta.get("cx") if meta else 0
-        updates[STREAM_META_TABLE] = spark.createDataFrame(
+        updates[STREAM_META_TABLE] = _local_relation(
+            spark,
             [(batch_id, fp_n, fp_x, (prev_cn or 0) + fp_n, (prev_cx or 0) ^ fp_x)],
             _META_SCHEMA,
         )

@@ -1960,24 +1960,43 @@ def test_connected_components_star_handles_long_chains(spark, caplog):
 
     from neulix_datahub_spark.operators.components import connected_components
 
-    # a 60-node path: diameter 59 >> propagation's default 10 rounds —
-    # the default path now lands on the star answer, with a warning
+    # a 60-node path: diameter 59 >> 10 plain-propagation rounds, but
+    # the r14 pointer jump (component <- prev_label(min)) doubles the
+    # effective radius per round, so propagation now converges INSIDE
+    # the default budget — same labels, no star fallback, no warning
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(59)], "id_a long, id_b long"
     )
     with caplog.at_level(logging.WARNING,
                          logger="neulix_datahub_spark.operators.components"):
-        fell_back = {
+        jumped = {
             r.id: r.component for r in connected_components(chain).collect()
         }
-    assert fell_back == {i: 0 for i in range(60)}
-    assert any("retrying with the large-star" in r.message
-               for r in caplog.records)
+    assert jumped == {i: 0 for i in range(60)}
+    assert not any("retrying with the large-star" in r.message
+                   for r in caplog.records)
     comps = {
         r.id: r.component
         for r in connected_components(chain, algorithm="star").collect()
     }
     assert comps == {i: 0 for i in range(60)}
+
+    # the auto-fallback path still works when the budget is genuinely
+    # exhausted: a 3-node path under max_iter=2 never OBSERVES a
+    # zero-change round (labels settle in round 1 but the convergence
+    # check needs one more), while star's fingerprint stabilizes in 2 —
+    # propagation logs the switch and returns star's (correct) labels
+    caplog.clear()
+    tiny = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    with caplog.at_level(logging.WARNING,
+                         logger="neulix_datahub_spark.operators.components"):
+        fell_back = {
+            r.id: r.component
+            for r in connected_components(tiny, max_iter=2).collect()
+        }
+    assert fell_back == {0: 0, 1: 0, 2: 0}
+    assert any("retrying with the large-star" in r.message
+               for r in caplog.records)
 
     # agreement on a random sparse graph (both converge)
     rng = random.Random(9)

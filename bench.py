@@ -188,7 +188,10 @@ def _cpu_ticks() -> tuple[int, int] | None:
         return None
     vals = [int(x) for x in parts[1:]]
     steal = vals[7] if len(vals) > 7 else 0
-    return steal, sum(vals)
+    # total = user..steal (fields 0-7) only: guest/guest_nice are already
+    # accounted inside user/nice, so summing all fields double-counts them
+    # and deflates the fraction on guest-running hosts (r13 ADVICE).
+    return steal, sum(vals[:8])
 
 
 def _steal_frac(ticks0: tuple[int, int] | None) -> float | None:

@@ -126,6 +126,21 @@ def _encode(df: DataFrame, meta: dict) -> DataFrame:
         # caller's write/append is the materializing action, so the
         # pin costs no extra job. Same expressions, same doubles —
         # bit-identical codes (the IVF-PQ oracle family re-simmed).
+        # Footprint trade-off (r13 ADVICE): the pin materializes the
+        # full staged (id, double vec, coarse, residual) relation on
+        # executor local storage for the duration of the write — ~2×
+        # the vectors' footprint — and, like any localCheckpoint,
+        # truncates lineage, so losing an executor mid-write forces a
+        # retry of the whole build instead of a partition recompute.
+        # Accepted deliberately: a build is a one-shot, restartable
+        # job, the staged rows are transient (freed by the
+        # ContextCleaner when the build returns), and the alternative
+        # (inline residual expression) re-pays the 8×64 interpreted
+        # coarse fold 2·pq_k times per row — ~7× encode CPU — on
+        # EVERY build and ingest. On a cluster where 2× transient
+        # local-disk footprint is the binding constraint, swap the pin
+        # for .persist(DISK_ONLY) (keeps lineage, same plan barrier)
+        # at the cost of tracking the unpersist.
         staged = df.select(
             F.col(meta["id_col"]).alias("id"),
             F.transform(vec, lambda x: x.cast("double")).alias("vec"),

@@ -30,6 +30,75 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+#: Size gate for the driver-side union-find fast path (r14): a verified
+#: near-dup edge list at or below this many SYMMETRIC rows (2× the
+#: undirected edges) collects to the driver and resolves in one
+#: union-find pass instead of O(log d) full-data shuffle rounds. The
+#: bound is a bounded-driver-traffic contract, not a local-mode tune:
+#: 1M (u,v) long pairs ≈ 16 MB — safe on any driver — while each
+#: avoided propagation round is a full shuffle + aggregate of the label
+#: relation. Override per session with
+#: ``spark.conf.set("spark.neulix.cc.driverMaxEdges", n)``; set 0 to
+#: force the distributed loop everywhere.
+_DRIVER_MAX_SYM_ROWS = 1_000_000
+
+
+def _driver_max_sym_rows(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                "spark.neulix.cc.driverMaxEdges", str(_DRIVER_MAX_SYM_ROWS)
+            )
+        )
+    except ValueError:
+        return _DRIVER_MAX_SYM_ROWS
+
+
+def union_find_components(pairs) -> dict:
+    """Min-label connected components of an iterable of ``(u, v)``
+    pairs via union-find (path compression + size union), on the
+    driver. Returns ``{id: component}`` over every endpoint, where
+    ``component`` is the minimum member id — the identical fixed point
+    the distributed propagation converges to, so the two paths are
+    interchangeable by construction (pinned by unit test on random
+    graphs). Pure Python: deterministic, no floats, any orderable id
+    type."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+            size[u] = 1
+        if v not in parent:
+            parent[v] = v
+            size[v] = 1
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        if size[ru] < size[rv]:
+            ru, rv = rv, ru
+        parent[rv] = ru
+        size[ru] += size[rv]
+
+    # min member id per root, then one lookup per node
+    mins: dict = {}
+    for node in parent:
+        r = find(node)
+        m = mins.get(r)
+        if m is None or node < m:
+            mins[r] = node
+    return {node: mins[find(node)] for node in parent}
 
 
 def connected_components(
@@ -64,9 +133,44 @@ def connected_components(
     # join + exact-Jaccard verify, re-run per round — measured 2.6s ->
     # ~1.4s on the sf0.1 bench when pinned). The algorithm touches every
     # edge every round anyway, so materializing it is the floor cost.
-    # (Lazy: round 1's job is the materializing action — the eager form
-    # paid a dedicated pass before the first round started.)
+    # (Lazy: the size-gate count below is the materializing action — the
+    # eager form paid a dedicated pass before the first round started.)
     sym = sym.localCheckpoint(eager=False)
+    # Driver fast path (r14, guide §1.2 "choose the right distributed
+    # algorithm" + the bounded-driver-rows precedent of ranked_topk):
+    # near-dup pair graphs are usually FAR smaller than the corpus that
+    # produced them — when the symmetric edge list is provably bounded,
+    # one union-find pass on the driver replaces O(log d) shuffle
+    # rounds (each a full join + aggregate of the label relation, with
+    # a localCheckpoint pin per round). The count doubles as the pin's
+    # materializing action; on graphs over the gate it costs one
+    # no-shuffle scan of the PINNED rows before the loop starts — noise
+    # next to any single propagation round — and the distributed loop
+    # proceeds unchanged, so the 100 TB shape is preserved.
+    spark = edges.sparkSession
+    n_sym = sym.count()
+    if n_sym <= _driver_max_sym_rows(spark):
+        labels_map = union_find_components(
+            (r[0], r[1]) for r in sym.collect()
+        )
+        # the returned relation is local — nothing references the pin
+        # anymore, so release its blocks now instead of waiting for GC
+        from neulix_datahub_spark.operators.bpe import _free_checkpoint
+
+        _free_checkpoint(sym)
+        from neulix_datahub_spark.functions.ranking import local_relation
+
+        id_type = sym.schema["u"].dataType
+        return local_relation(
+            spark,
+            sorted(labels_map.items()),
+            StructType(
+                [
+                    StructField("id", id_type, True),
+                    StructField("component", id_type, True),
+                ]
+            ),
+        )
     if algorithm == "star":
         return _star_components(sym, max_iter)
     labels = (

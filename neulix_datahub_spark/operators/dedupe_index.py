@@ -297,14 +297,49 @@ def extend_labels(
         )
         .filter(F.col("u") != F.col("v"))
     )
-    if n_edges > 0 and not reduced.isEmpty():
+    from neulix_datahub_spark.operators.components import (
+        _driver_max_sym_rows,
+        union_find_components,
+    )
+
+    spark = labels.sparkSession
+    if n_edges == 0:
+        # empty map with the LABELS' own types (ids need not be long)
+        merge_map = labels.select(
+            F.col("id").alias("__node"), F.col("component").alias("__final")
+        ).limit(0)
+    elif 2 * n_edges <= _driver_max_sym_rows(spark):
+        # Driver fast path (r14): the reduced graph is bounded by
+        # n_edges rows — ALREADY a known Python int here, so the size
+        # gate costs no job at all (connected_components' generic gate
+        # pays a count; this one does not, and it also subsumes the old
+        # reduced.isEmpty() probe job). One evaluation of the reduced
+        # plan feeds one union-find; the merge map comes back as a
+        # local relation every downstream join broadcasts.
+        from neulix_datahub_spark.functions.ranking import local_relation
+        from pyspark.sql.types import StructField, StructType
+
+        labels_map = union_find_components(
+            (r[0], r[1]) for r in reduced.collect()
+        )
+        u_type = reduced.schema["u"].dataType
+        merge_map = local_relation(
+            spark,
+            sorted(labels_map.items()),
+            StructType(
+                [
+                    StructField("__node", u_type, True),
+                    StructField("__final", u_type, True),
+                ]
+            ),
+        )
+    elif not reduced.isEmpty():
         merge_map = connected_components(
             reduced, src="u", dst="v", max_iter=max_iter
         ).select(
             F.col("id").alias("__node"), F.col("component").alias("__final")
         )
     else:
-        # empty map with the LABELS' own types (ids need not be long)
         merge_map = labels.select(
             F.col("id").alias("__node"), F.col("component").alias("__final")
         ).limit(0)

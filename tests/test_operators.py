@@ -1960,6 +1960,12 @@ def test_connected_components_star_handles_long_chains(spark, caplog):
 
     from neulix_datahub_spark.operators.components import connected_components
 
+    # force the DISTRIBUTED paths: this test asserts propagation/star
+    # loop behaviors (fallback warning, star fingerprint convergence),
+    # which the r14 driver union-find gate would otherwise short-circuit
+    # on these tiny fixtures (driver-path parity has its own test below)
+    spark.conf.set("spark.neulix.cc.driverMaxEdges", "0")
+
     # a 60-node path: diameter 59 >> 10 plain-propagation rounds, but
     # the r14 pointer jump (component <- prev_label(min)) doubles the
     # effective radius per round, so propagation now converges INSIDE
@@ -2018,6 +2024,64 @@ def test_connected_components_star_handles_long_chains(spark, caplog):
 
     with pytest.raises(ValueError, match="unknown algorithm"):
         connected_components(df2, algorithm="bogus")
+    spark.conf.unset("spark.neulix.cc.driverMaxEdges")
+
+
+def test_connected_components_driver_gate_parity(spark):
+    """r14: a symmetric edge list at or below
+    ``spark.neulix.cc.driverMaxEdges`` resolves via one driver-side
+    union-find pass instead of the shuffle-round loop. The two paths
+    must emit IDENTICAL (id, component) maps — min member id per
+    component — on random graphs, paths, cliques, self-loops and the
+    empty graph, and the pure union-find must match a brute-force
+    reachability reference."""
+    import random
+
+    from neulix_datahub_spark.operators.components import (
+        connected_components,
+        union_find_components,
+    )
+
+    rng = random.Random(1914)
+    for trial in range(6):
+        n = rng.randrange(2, 50)
+        m = rng.randrange(1, 80)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        if trial == 4:  # long path: exercises the pointer jump too
+            edges = [(i, i + 1) for i in range(40)]
+        if trial == 5:  # clique + self-loop + isolated pair
+            edges = [(a, b) for a in range(6) for b in range(6)] + [
+                (9, 9), (11, 12)
+            ]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        driver = {r.id: r.component
+                  for r in connected_components(df).collect()}
+        spark.conf.set("spark.neulix.cc.driverMaxEdges", "0")
+        try:
+            dist = {r.id: r.component
+                    for r in connected_components(df, max_iter=60).collect()}
+        finally:
+            spark.conf.unset("spark.neulix.cc.driverMaxEdges")
+        assert driver == dist
+
+        # brute-force min-label propagation reference: labels only ever
+        # decrease along edges, so the fixed point is the per-component
+        # minimum node id
+        nodes = {x for e in edges for x in e}
+        comp = {x: x for x in nodes}
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                lo = min(comp[a], comp[b])
+                if comp[a] != lo:
+                    comp[a] = lo
+                    changed = True
+                if comp[b] != lo:
+                    comp[b] = lo
+                    changed = True
+        uf = union_find_components(edges)
+        assert uf == comp
 
 
 def test_profile_edge_guards_r9(spark):

@@ -76,6 +76,22 @@ RESERVED = r"[\x1c-\x1f]"
 # set is unambiguously compile-bound.
 _AUTO_ARROW_MAX_CHARS = 64 << 20
 
+# ``rewrite="auto"`` second crossover (r14): below this many symbolized
+# chars the whole working set is bounded driver data (16 M chars ≈
+# 32 MB of Python strings) and even the Arrow tier's ~0.8 s/round is
+# pure Spark job overhead — scheduling + Arrow boundary + a shuffle for
+# a few thousand rows, per round, times O(M/batch-yield) rounds. The
+# driver tier collects the symbolized working set ONCE and runs the
+# identical count → rank → select_batch → rewrite cycle in-process
+# (same shared _rewrite_sym_fn closure, same integer counts, same
+# (count DESC, a, b) order — Python's code-point string order equals
+# Spark's UTF8 binary order), so the merge list is bit-identical by
+# construction (parity-pinned by unit test). At 100 TB the working set
+# blows past this bound and auto stays on arrow/fold — the gate is the
+# same bounded-driver-traffic contract as the per-round top-window
+# collect the trainer already does.
+_AUTO_DRIVER_MAX_CHARS = 16 << 20
+
 
 def _bpe_normalize(col: Column) -> Column:
     """BPE's canonical text form: the reserved C0 separators deleted
@@ -346,18 +362,23 @@ def bpe_learn_merges_batched(
     small working sets the arrow tier halves the round time (measured
     sf0.1 raw units, 16 rounds: 1.58 → 0.80 s/round). Rule of thumb:
     many rounds over a modest distinct-unit relation → arrow; few
-    rounds or a huge relation → fold. ``"auto"`` measures the working
+    rounds or a huge relation → fold. ``"driver"`` (r14) collects the
+    symbolized working set once and runs the identical
+    count → rank → select → rewrite cycle in-process — the right tier
+    when the working set is bounded driver data and every per-round
+    Spark job is pure overhead. ``"auto"`` measures the working
     set ONCE (one count+sum-of-lengths aggregate over the relation the
     first round materializes anyway — amortized over every round) and
-    picks arrow below :data:`_AUTO_ARROW_MAX_CHARS` symbolized chars,
-    fold above: a 100 TB corpus always folds (the sizing job is one
-    extra round-equivalent out of ~1.6k), a demo/CI-sized working set
-    stops paying per-round codegen compiles. The choice is logged, and
-    the tiers are bit-identical (parity-pinned), so auto never changes
-    results — only the cost shape."""
+    picks driver below :data:`_AUTO_DRIVER_MAX_CHARS` symbolized
+    chars, arrow below :data:`_AUTO_ARROW_MAX_CHARS`, fold above: a
+    100 TB corpus always folds (the sizing job is one extra
+    round-equivalent out of ~1.6k), a demo/CI-sized working set stops
+    paying per-round jobs. The choice is logged, and the tiers are
+    bit-identical (parity-pinned), so auto never changes results —
+    only the cost shape."""
     if unit not in ("word", "raw"):
         raise ValueError(f"unknown unit {unit!r}")
-    if rewrite not in ("fold", "arrow", "auto"):
+    if rewrite not in ("fold", "arrow", "auto", "driver"):
         raise ValueError(f"unknown rewrite {rewrite!r}")
     units = word_counts(df, text_col) if unit == "word" else (
         raw_unit_counts(df, text_col).withColumnRenamed("unit", "word")
@@ -388,19 +409,74 @@ def bpe_learn_merges_batched(
             F.count(F.lit(1)).alias("n_units"),
             F.coalesce(F.sum(F.length("sym")), F.lit(0)).alias("n_chars"),
         ).first()
+        n_chars = int(sized["n_chars"])
         rewrite = (
-            "arrow" if int(sized["n_chars"]) <= _AUTO_ARROW_MAX_CHARS
+            "driver" if n_chars <= _AUTO_DRIVER_MAX_CHARS
+            else "arrow" if n_chars <= _AUTO_ARROW_MAX_CHARS
             else "fold"
         )
         import logging
 
         logging.getLogger(__name__).info(
             "bpe auto rewrite tier: %s (%d units, %d symbolized chars, "
-            "threshold %d)",
-            rewrite, int(sized["n_units"]), int(sized["n_chars"]),
-            _AUTO_ARROW_MAX_CHARS,
+            "thresholds %d/%d)",
+            rewrite, int(sized["n_units"]), n_chars,
+            _AUTO_DRIVER_MAX_CHARS, _AUTO_ARROW_MAX_CHARS,
         )
     merges: list[dict] = []
+    if rewrite == "driver":
+        # Bounded-working-set tier (r14): ONE collect replaces
+        # O(rounds) Spark jobs. Same cycle, same shared closures as the
+        # distributed tiers — count adjacent pairs (integer sums),
+        # rank by (count DESC, a, b), select_batch, apply the batch via
+        # _rewrite_sym_fn — so the merge list is bit-identical
+        # (parity-pinned by unit test). The collect is the lazy
+        # checkpoint's materializing action; the pin is freed
+        # immediately after.
+        from collections import Counter
+
+        # symbol LISTS as the working representation: split once at
+        # collect, rewrite and count on lists every round (the string
+        # tiers re-split per round because their rows must round-trip
+        # a string column; here nothing crosses a boundary)
+        units = [
+            ([x for x in r[0].split(US) if x], int(r[1]))
+            for r in words.select("sym", "n").collect()
+        ]
+        _free_checkpoint(words)
+        pending: list[dict] = []
+        for rnd in range(rnd0 + 1, rnd0 + n_rounds + 1):
+            cnt: Counter = Counter()
+            if pending:
+                rounds1 = _merge_rounds(pending)
+                new_units = []
+                for syms, n in units:
+                    syms = _apply_merges_symbols(syms, rounds1)
+                    new_units.append((syms, n))
+                    for p in zip(syms, syms[1:]):
+                        cnt[p] += n
+                units = new_units
+            else:
+                for syms, n in units:
+                    for p in zip(syms, syms[1:]):
+                        cnt[p] += n
+            ranked = sorted(
+                ((a, b, c) for (a, b), c in cnt.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )[:window]
+            if not ranked:
+                break
+            kept = select_batch(ranked)
+            batch: list[dict] = []
+            for j, (a, b, c) in enumerate(kept, 1):
+                rank += 1
+                batch.append(
+                    {"rank": rank, "round": rnd, "round_rank": j, "left": a,
+                     "right": b, "merged": a + b, "pair_count": c}
+                )
+            merges.extend(batch)
+            pending = batch
+        return merges
     if rewrite == "arrow":
         # Fused tier (r13 optimization): each round runs ONE Arrow pass
         # (_rewrite_and_count_pandas) that applies the PREVIOUS round's

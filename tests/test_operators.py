@@ -2605,14 +2605,21 @@ def test_bpe_batched_rewrite_tiers_are_bit_identical(spark):
             df, n_rounds=5, window=16, unit=unit, rewrite="arrow"
         )
         assert fold == arrow, (unit, fold, arrow)
+        # r14 third tier: the bounded-working-set driver cycle must
+        # train the identical table too (same shared closures, same
+        # (count DESC, a, b) order)
+        driver = bpe_learn_merges_batched(
+            df, n_rounds=5, window=16, unit=unit, rewrite="driver"
+        )
+        assert fold == driver, (unit, fold, driver)
 
 
 def test_bpe_batched_auto_tier_picks_arrow_small_and_matches(spark, caplog):
-    """Round 11: ``rewrite="auto"`` sizes the working set once and
-    picks the tier — arrow below the crossover (any test corpus),
-    logged — and must train the identical merge table, since the tiers
-    are bit-identical. Also pins the input validation for the new
-    mode string."""
+    """Round 11 (updated r14): ``rewrite="auto"`` sizes the working set
+    once and picks the tier — the driver tier below its crossover (any
+    test corpus), logged — and must train the identical merge table,
+    since the tiers are bit-identical. Also pins the input validation
+    for the new mode string."""
     import logging
 
     import pytest
@@ -2631,7 +2638,7 @@ def test_bpe_batched_auto_tier_picks_arrow_small_and_matches(spark, caplog):
         )
     assert auto == fold
     picks = [r for r in caplog.records if "auto rewrite tier" in r.getMessage()]
-    assert len(picks) == 1 and "arrow" in picks[0].getMessage()
+    assert len(picks) == 1 and "driver" in picks[0].getMessage()
     with pytest.raises(ValueError, match="unknown rewrite"):
         bpe_learn_merges_batched(df, n_rounds=1, rewrite="automatic")
 

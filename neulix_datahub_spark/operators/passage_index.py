@@ -173,11 +173,15 @@ def build_passage_index(
         _frag_dir(path, meta, "grams", 0)
     )
     ids = df.select(F.col(id_col).alias("id"))
-    ids.write.mode("overwrite").parquet(_frag_dir(path, meta, "ids", 0))
-    spark = df.sparkSession
-    meta["n_docs"] = spark.read.parquet(
-        _frag_dir(path, meta, "ids", 0)
-    ).count()
+    # n_docs rides the ids write as an Observation (the
+    # _write_codes_counted discipline): one saved re-read per build
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    ids.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(_frag_dir(path, meta, "ids", 0))
+    meta["n_docs"] = int(obs.get["n"])
     meta["n_fragments"] = 1  # the commit: fragment 0 becomes visible
     _write_meta(path, meta, _PASSAGE_META)
     return meta

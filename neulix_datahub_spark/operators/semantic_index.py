@@ -315,10 +315,16 @@ def build_semantic_index(
         vectors.select("id").join(comps, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
-    labels.write.mode("overwrite").parquet(os.path.join(path, "labels_v0"))
-    meta["n_docs"] = spark.read.parquet(
-        os.path.join(path, "labels_v0")
-    ).count()
+    # n_docs rides the labels write as an Observation (the
+    # _write_codes_counted discipline): one saved re-read of the
+    # freshly written labels per build
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    labels.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "labels_v0"))
+    meta["n_docs"] = int(obs.get["n"])
     _write_sem_meta(path, meta)
     return meta
 

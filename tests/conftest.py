@@ -21,8 +21,9 @@ TABLES = (
 def spark():
     from neulix_datahub_spark import get_session
 
-    s = get_session("neulix_tests", shuffle_partitions=4,
-                    extra_conf={"spark.driver.memory": "8g"})
+    s = get_session("neulix_tests", master="local[8]", shuffle_partitions=4,
+                    extra_conf={"spark.driver.memory": "8g",
+                                "spark.default.parallelism": "4"})
     yield s
     s.stop()
 

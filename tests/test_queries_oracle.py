@@ -69,9 +69,18 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
     forbidden = {"c_custkey": "customer", "p_partkey": "part",
                  "o_orderkey": "orders", "l_orderkey": "lineitem",
                  "s_suppkey": "supplier"}
-    for name, spec in QUERIES.items():
-        if name in STREAM_QUERIES or name in EAGER_IO:
-            continue
+    # Audit queries concurrently (guide §2.6 overlap-independent-jobs):
+    # plan construction is read-only per query, but since f574a96 the
+    # retrieval queries run bounded collects while BUILDING (ranked
+    # local relations), so a sequential audit serializes ~250 small
+    # Spark jobs — measured 148 s; 8 threads overlap them. Violations
+    # are gathered and asserted together so a failure names every
+    # offending query, not just the first.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def audit(item) -> list[str]:
+        name, spec = item
+        violations: list[str] = []
         df = spec.fn(spark, SF_DIR)
         lines = df._jdf.queryExecution().analyzed().toString().splitlines()
         for i, line in enumerate(lines):
@@ -107,14 +116,28 @@ def test_no_broadcast_hints_on_scaling_tables(spark):
                 # dtype map in profile_documents_full) pass
                 cols = lines[j].split("LogicalRDD [", 1)[-1]
                 bad = [t for c, t in forbidden.items() if cols.startswith(c)]
-                assert not bad, (
-                    f"{name}: broadcast hint directly over a checkpointed "
-                    f"scaling frame {bad} — executor OOM at 100 TB"
-                )
+                if bad:
+                    violations.append(
+                        f"{name}: broadcast hint directly over a "
+                        f"checkpointed scaling frame {bad} — executor "
+                        "OOM at 100 TB"
+                    )
                 continue
             cols = lines[j].split("Relation [", 1)[1]
             bad = [t for c, t in forbidden.items() if cols.startswith(c)]
-            assert not bad, f"{name}: broadcast hint over scaling table {bad}"
+            if bad:
+                violations.append(
+                    f"{name}: broadcast hint over scaling table {bad}"
+                )
+        return violations
+
+    audited = [
+        item for item in QUERIES.items()
+        if item[0] not in STREAM_QUERIES and item[0] not in EAGER_IO
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        all_violations = [v for vs in pool.map(audit, audited) for v in vs]
+    assert not all_violations, "\n".join(all_violations)
 
 
 def test_pushdown_and_pruning_reach_the_scan(spark):

@@ -375,34 +375,42 @@ def ingest_ivfpq_delta(
     Returns ``{n_new, n_vecs}``."""
     meta = read_ivfpq_meta(path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
-    # One fused validation pass over the delta (was three jobs: the
-    # unique-id aggregate, the dim probe, the tombstone-overlap probe —
-    # each a full delta scan; at scale the delta is the daily batch, so
-    # the fusion saves two passes per ingest). Same checks, same error
-    # precedence, same messages.
-    probe = delta.select(
-        F.col(id_col).alias("__id"), F.size(vec_col).alias("__sz")
-    )
+    # One fused validation-and-staging pass over the delta (r13 fused
+    # the three validation jobs — unique-id aggregate, dim probe,
+    # tombstone-overlap probe — into one; r14 folds the anti-join count
+    # into the SAME pass: the delta is marked dead/known, pinned
+    # lazily, and the single aggregate below both validates and counts
+    # the new rows while materializing the pin — one delta scan total
+    # where round 12 paid four). Same checks, same error precedence,
+    # same messages.
+    staged = delta.withColumn("__sz", F.size(vec_col))
     tombs = _tombs_dir(path, meta)
     if os.path.isdir(tombs) and any(
         f.endswith(".parquet") for f in os.listdir(tombs)
     ):
         dead = (
             spark.read.parquet(tombs)
-            .select(F.col("id").alias("__id"), F.lit(1).alias("__dead"))
+            .select(F.col("id").alias(id_col), F.lit(1).alias("__dead"))
             .distinct()
         )
-        probe = probe.join(F.broadcast(dead), "__id", "left")
+        staged = staged.join(F.broadcast(dead), id_col, "left")
     else:
-        probe = probe.withColumn("__dead", F.lit(None).cast("int"))
-    v = probe.agg(
+        staged = staged.withColumn("__dead", F.lit(None).cast("int"))
+    known = spark.read.parquet(_codes_dir(path, meta)).select(
+        F.col("id").alias("__kid"), F.lit(1).alias("__known")
+    )
+    staged = staged.join(
+        known, staged[id_col] == known["__kid"], "left"
+    ).drop("__kid").localCheckpoint(eager=False)
+    v = staged.agg(
         F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col("__id")).alias("d"),
-        F.count(F.when(F.col("__id").isNull(), 1)).alias("nulls"),
+        F.count_distinct(F.col(id_col)).alias("d"),
+        F.count(F.when(F.col(id_col).isNull(), 1)).alias("nulls"),
         F.count(F.when(F.col("__sz") != F.lit(meta["dim"]), 1)).alias(
             "bad_dim"
         ),
         F.count(F.when(F.col("__dead") == 1, 1)).alias("n_dead"),
+        F.count(F.when(F.col("__known").isNull(), 1)).alias("n_new"),
     ).first()
     if v["nulls"]:
         raise ValueError(
@@ -429,16 +437,12 @@ def ingest_ivfpq_delta(
             "append would strand two at-rest rows behind one "
             "tombstone); run compact_ivfpq_index first"
         )
-    known = spark.read.parquet(_codes_dir(path, meta)).select(
-        F.col("id").alias(id_col)
-    )
-    # lazy checkpoint: the count below is the materializing pass (the
-    # eager form paid a dedicated pass before counting — two full
-    # evaluations of the anti-join per ingest instead of one)
-    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=False)
-    n_new = new.count()
+    n_new = int(v["n_new"])
     if n_new == 0:
         return {"n_new": 0, "n_vecs": meta["n_vecs"]}
+    new = staged.filter(F.col("__known").isNull()).drop(
+        "__sz", "__dead", "__known"
+    )
     _encode(new, meta).write.mode("append").partitionBy("coarse").parquet(
         _codes_dir(path, meta)
     )

@@ -156,19 +156,32 @@ def _family_schema(meta: dict, family: str):
 def _read_frags(
     spark: SparkSession, path: str, meta: dict, family: str
 ) -> DataFrame:
-    """Committed fragments of a family with the sidecar's FROZEN
-    schema: a fragment whose delta produced no rows (an all-empty-text
-    batch writes only _SUCCESS) has no schema-bearing parquet file, so
+    """Committed fragments of a family as ONE partitioned read (r14,
+    guide §6): fragments are key=value directories (``frag=K``), so the
+    whole generation is a single partition-discovery root — one scan
+    node with ``frag < n_fragments`` as a PartitionFilter (uncommitted
+    orphans pruned by the pointer, never read) instead of the old
+    per-fragment union whose plan and listing grew linearly in
+    fragment count. The sidecar's FROZEN schema is still passed: a
+    fragment whose delta produced no rows (an all-empty-text batch
+    writes only _SUCCESS) has no schema-bearing parquet file, so
     inference would throw UNABLE_TO_INFER_SCHEMA — found by the
-    round-13 hypothesis corpus property, not the hand fixtures."""
-    from functools import reduce
-
-    schema = _family_schema(meta, family)
-    frames = [
-        spark.read.schema(schema).parquet(p)
-        for p in _committed_frags(path, meta, family)
-    ]
-    return reduce(DataFrame.unionByName, frames)
+    round-13 hypothesis corpus property, not the hand fixtures. Spark
+    appends the ``frag`` partition column to the explicit schema; it
+    is dropped after the pruning filter, so readers see the exact
+    frozen columns."""
+    gen = _gen_dir(path, meta, family)
+    df = (
+        spark.read.option("basePath", gen)
+        .schema(_family_schema(meta, family))
+        .parquet(gen)
+    )
+    # a generation whose fragments are ALL row-empty has no data files,
+    # so no partition column is discovered — the relation is already
+    # empty with the frozen schema and there is nothing to prune
+    if "frag" in df.columns:
+        df = df.filter(F.col("frag") < meta["n_fragments"]).drop("frag")
+    return df
 
 
 def token_bucket(token: str, n_buckets: int) -> int:
@@ -189,13 +202,11 @@ def _gen_dir(path: str, meta: dict, family: str) -> str:
 
 
 def _frag_dir(path: str, meta: dict, family: str, k: int) -> str:
-    return os.path.join(_gen_dir(path, meta, family), f"frag_{k}")
-
-
-def _committed_frags(path: str, meta: dict, family: str) -> list[str]:
-    return [
-        _frag_dir(path, meta, family, k) for k in range(meta["n_fragments"])
-    ]
+    # key=value form: the fragment id is a partition COLUMN, so one
+    # read of the generation root covers every committed fragment and
+    # the n_fragments pointer becomes a partition filter (see
+    # _read_frags)
+    return os.path.join(_gen_dir(path, meta, family), f"frag={k}")
 
 
 def _tombs_dir(path: str, meta: dict) -> str:
@@ -225,8 +236,8 @@ def _sweep_orphans(path: str, meta: dict) -> None:
         except FileNotFoundError:
             continue
         for d in frags:
-            if d.startswith("frag_") and d[len("frag_"):].isdigit():
-                if int(d[len("frag_"):]) >= meta["n_fragments"]:
+            if d.startswith("frag=") and d[len("frag="):].isdigit():
+                if int(d[len("frag="):]) >= meta["n_fragments"]:
                     shutil.rmtree(os.path.join(gen, d), ignore_errors=True)
 
 
@@ -376,33 +387,69 @@ def ingest_search_delta(spark: SparkSession, delta: DataFrame, path: str) -> dic
     id_col = meta["id_col"]
     _sweep_orphans(path, meta)
 
+    # ONE staged pass over the delta (r14, guide §5 — was three jobs:
+    # the tombstone-overlap probe, the anti-join count, and the
+    # unique-id aggregate, each a full delta scan): mark each delta row
+    # dead (tombstone ledger, broadcast — bounded between compactions)
+    # and known (id-ledger LEFT join — same shuffle shape the old
+    # left_anti paid), pin the marked rows lazily, and read every
+    # validation number out of one aggregate, which doubles as the
+    # pin's materializing action. Checks, precedence and messages are
+    # unchanged: tombstoned ids refuse first, an all-known delta
+    # returns before uniqueness runs, and uniqueness (nulls, then
+    # duplicates) is judged on the NEW rows only, exactly as the old
+    # post-anti-join _assert_unique_ids did. The pin now holds the
+    # full delta rather than only the new rows — still delta-bounded.
     tombs = _tombs_dir(path, meta)
+    staged = delta
     if os.path.isdir(tombs) and any(
         f.endswith(".parquet") for f in os.listdir(tombs)
     ):
         dead = (
             spark.read.parquet(tombs)
-            .select(F.col("id").alias(id_col))
+            .select(F.col("id").alias(id_col), F.lit(1).alias("__dead"))
             .distinct()
         )
-        if delta.join(F.broadcast(dead), id_col, "inner").limit(1).count():
-            raise ValueError(
-                "ingest_search_delta: delta contains tombstoned id(s) — "
-                "deletes are final until compaction; run "
-                "compact_search_index first"
-            )
-
+        staged = staged.join(F.broadcast(dead), id_col, "left")
+    else:
+        staged = staged.withColumn("__dead", F.lit(None).cast("int"))
     known = _read_frags(spark, path, meta, "doclens").select(
-        F.col("id").alias(id_col)
+        F.col("id").alias("__kid"), F.lit(1).alias("__known")
     )
-    # pin FIRST: the anti-join feeds the emptiness probe, the postings,
-    # the doclens and the count — one execution, not four (lazy: the
-    # count is itself the materializing pass)
-    new = delta.join(known, id_col, "left_anti").localCheckpoint(eager=False)
-    n_new = new.count()
+    staged = staged.join(
+        known, staged[id_col] == known["__kid"], "left"
+    ).drop("__kid").localCheckpoint(eager=False)
+    is_new = F.col("__known").isNull()
+    v = staged.agg(
+        F.count(F.when(F.col("__dead") == 1, 1)).alias("n_dead"),
+        F.count(F.when(is_new, 1)).alias("n_new"),
+        F.count(F.when(is_new & F.col(id_col).isNull(), 1)).alias("nulls"),
+        F.count_distinct(F.when(is_new, F.col(id_col))).alias("d"),
+    ).first()
+    if v["n_dead"]:
+        raise ValueError(
+            "ingest_search_delta: delta contains tombstoned id(s) — "
+            "deletes are final until compaction; run "
+            "compact_search_index first"
+        )
+    n_new = int(v["n_new"])
     if n_new == 0:
         return {"n_new": 0, "n_fragments": meta["n_fragments"]}
-    _assert_unique_ids(new, id_col, "ingest_search_delta")
+    if v["nulls"]:
+        raise ValueError(
+            f"ingest_search_delta: {v['nulls']} row(s) have NULL "
+            f"{id_col!r} — ids are the index identity and must be "
+            "non-null"
+        )
+    if n_new != int(v["d"]):
+        raise ValueError(
+            f"ingest_search_delta: {n_new - int(v['d'])} duplicate "
+            f"{id_col!r} row(s) in the batch — deduplicate upstream "
+            "(e.g. exact_dedup or dropDuplicates) before indexing; "
+            "admitting them would corrupt the one-row-per-id labels "
+            "grain"
+        )
+    new = staged.filter(is_new).drop("__dead", "__known")
 
     k = meta["n_fragments"]
     _delta_postings(new, meta).write.mode("overwrite").partitionBy(

@@ -147,7 +147,7 @@ def test_orphan_fragment_swept(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_search_index(_docs(spark, _PRIOR), path)
     meta = read_search_meta(path)
-    orphan = os.path.join(path, "postings_v0", "frag_7")
+    orphan = os.path.join(path, "postings_v0", "frag=7")
     os.makedirs(orphan, exist_ok=True)
     before = _scores(spark, path)
     assert _scores(spark, path) == before  # orphan not read

@@ -1,0 +1,103 @@
+"""Synthesize a 10x-scale variant of sf0.1 for the builder-side scaling
+protocol (optimization r14, VERDICT item 8): the local bench at sf0.1 is
+driver/job-overhead bound (every 8c/32c ratio ~1), so shuffle-class
+claims need a bigger input to show a bench delta at all. This writes
+/tmp/sfx10 with documents and embeddings replicated 10x under disjoint
+id ranges, each copy PERTURBED so copies are not near-duplicates of
+each other (replicating verbatim would make every row a 10-way
+near-dup cluster and quadratically explode the candidate stage into a
+different workload, not a scaled one):
+
+- documents: copy k appends a per-copy token to the text, so cross-copy
+  shingle sets differ while the within-copy near-dup structure is
+  preserved 10x.
+- embeddings: copy k adds 0.37*k to every dimension (the recall-drift
+  fixture's translation trick) — hyperplane sign patterns shift per
+  copy, so banding does not collide the copies.
+
+Only the tables the five shuffle-bound anchors read are scaled; the
+rest symlink to sf0.1. NOT part of the driver bench contract — a
+builder measurement fixture only.
+
+Usage: python tools/make_sfx10.py [dest]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+# id offsets far above any real id range in sf0.1
+DOC_OFF = 10_000_000
+VEC_OFF = 10_000_000
+
+
+def main() -> int:
+    dest = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfx10"
+    from pyspark.sql import functions as F
+
+    from neulix_datahub_spark import get_session
+    from neulix_datahub_spark.sources.tables import load_table
+
+    spark = get_session("make_sfx10")
+    os.makedirs(dest, exist_ok=True)
+
+    docs = load_table(spark, SRC, "documents")
+    parts = []
+    for k in range(COPIES):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * DOC_OFF)).alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+        if k > 0:
+            c = c.withColumn(
+                "text",
+                F.when(
+                    F.col("text").isNotNull(),
+                    F.concat(F.col("text"), F.lit(f" copytoken{k}")),
+                ),
+            )
+        parts.append(c)
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    reduce(DataFrame.unionByName, parts).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "documents.parquet"))
+
+    emb = load_table(spark, SRC, "embeddings")
+    parts = []
+    for k in range(COPIES):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(k * VEC_OFF)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(k) * 0.37)
+            ).alias("embedding"),
+        )
+        parts.append(c)
+    reduce(DataFrame.unionByName, parts).repartition(16).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "embeddings.parquet"))
+
+    for t in (
+        "customer", "events", "lineitem", "nation", "orders", "part",
+        "region", "supplier",
+    ):
+        link = os.path.join(dest, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), link)
+    print(f"wrote {dest}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -271,8 +271,9 @@ def _star_components(sym: DataFrame, max_iter: int) -> DataFrame:
     at each component's minimum — so the labels fall straight out of
     the final edges.
 
-    Each round is two join+agg pairs shuffling on node id, with an
-    eager ``localCheckpoint`` to truncate the iterative lineage.
+    Each round is two join+agg pairs shuffling on node id, with a lazy
+    ``localCheckpoint`` to truncate the iterative lineage (the round's
+    fingerprint aggregate is the materializing action — §12 discipline).
     Convergence is detected by an order-independent edge-set fingerprint
     (count + bit-XOR of per-edge xxhash64) — one 2-long-row aggregate
     per round, the same scalar-only driver discipline as propagation.

@@ -113,6 +113,116 @@ def _dirs(path: str, meta: dict) -> tuple[str, str]:
     )
 
 
+#: Size gate for the Arrow precision stage (r14): when the index's
+#: vector relation is at or below this many rows (200k × 64-dim double
+#: ≈ 100 MB — a bounded-driver-traffic contract, the components.py
+#: driverMaxEdges precedent), the candidate cosines are computed by a
+#: ``mapInArrow`` stage that ships ONLY the (id_a, id_b) pairs across
+#: the Python boundary (16 B/pair) against a task-resident copy of the
+#: vectors — the two vector equi-joins (each attaching a ~dim×8 B array
+#: per pair side, ~1 KB/pair of join traffic at dim 64) and the
+#: interpreted per-pair HOF dot fold both disappear. Above the gate the
+#: join + HOF form is unchanged — the 100 TB shape. Override per
+#: session with ``spark.conf.set("spark.neulix.semantic.driverMaxVectors",
+#: n)``; 0 disables the Arrow tier everywhere.
+_DRIVER_MAX_VECTORS = 200_000
+
+
+def _driver_max_vectors(spark) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                "spark.neulix.semantic.driverMaxVectors",
+                str(_DRIVER_MAX_VECTORS),
+            )
+        )
+    except ValueError:
+        return _DRIVER_MAX_VECTORS
+
+
+def _cosine_pairs_arrow(
+    pairs: DataFrame, vectors: DataFrame, threshold: float, dim: int
+) -> DataFrame:
+    """Arrow-tier precision stage (guide §4.2/§8: decide with small
+    rows — ship 16 B of ids per pair, keep the heavy vectors resident):
+    one ``mapInArrow`` pass computes each candidate pair's dot product
+    and the norm product against a collected copy of the (bounded —
+    see :data:`_DRIVER_MAX_VECTORS`) vector relation. Bit-exactness by
+    construction: the dot is accumulated dimension-by-dimension over
+    the whole batch (``acc = acc + a_k*b_k``), the exact left-to-right
+    double association of ``_dot``'s fold, and the norm replicates
+    ``_norm`` the same way; every elementwise numpy float64 op is the
+    IEEE-754 operation Spark's interpreter performs. The stage emits
+    ``(ids, dot, norm-product)`` and leaves division, 6-dp rounding and
+    the threshold filter IN Spark — the same expression tail the join
+    form produces, including ANSI divide-by-zero on a zero-norm vector.
+    Unknown ids are dropped, mirroring the join form's inner joins
+    (by construction candidates reference indexed vectors only)."""
+    import numpy as np
+
+    rows = [
+        r for r in vectors.select("id", "vec").collect() if r[1] is not None
+    ]
+    V = np.array([r[1] for r in rows], dtype=np.float64).reshape(-1, dim)
+    acc = np.zeros(len(rows), dtype=np.float64)
+    for k in range(dim):
+        acc = acc + V[:, k] * V[:, k]
+    nrm = np.sqrt(acc)
+    index = {r[0]: j for j, r in enumerate(rows)}
+
+    out_fields = [
+        pairs.schema["id_a"], pairs.schema["id_b"],
+    ]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        out_fields
+        + [
+            StructField("__dot", DoubleType(), True),
+            StructField("__np", DoubleType(), True),
+        ]
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ia = np.fromiter(
+                (index.get(x, -1) for x in b.column(0).to_pylist()),
+                dtype=np.int64, count=b.num_rows,
+            )
+            ib = np.fromiter(
+                (index.get(x, -1) for x in b.column(1).to_pylist()),
+                dtype=np.int64, count=b.num_rows,
+            )
+            ok = (ia >= 0) & (ib >= 0)
+            ia, ib = ia[ok], ib[ok]
+            A, B = V[ia], V[ib]
+            acc = np.zeros(len(ia), dtype=np.float64)
+            for k in range(dim):
+                acc = acc + A[:, k] * B[:, k]
+            okarr = pa.array(ok)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).filter(okarr),
+                    b.column(1).filter(okarr),
+                    pa.array(acc, type=pa.float64()),
+                    pa.array(nrm[ia] * nrm[ib], type=pa.float64()),
+                ],
+                names=["id_a", "id_b", "__dot", "__np"],
+            )
+
+    return (
+        pairs.select("id_a", "id_b")
+        .mapInArrow(gen, out_schema)
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("__dot") / F.col("__np"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _cosine_pairs(
     pairs: DataFrame, vectors: DataFrame, threshold: float
 ) -> DataFrame:
@@ -120,7 +230,34 @@ def _cosine_pairs(
     the index's ``(id, vec)`` relation — the banded path's precision
     stage (the exact path's candidate generator computes it inline).
     Same 6-dp rounding as :func:`embedding_near_duplicates`, so the two
-    candidate modes share one arithmetic."""
+    candidate modes share one arithmetic.
+
+    Tiered (r14): a bounded uniform-dim vector relation takes the
+    ``mapInArrow`` stage (:func:`_cosine_pairs_arrow` — pairs-only
+    boundary traffic, no vector joins, no interpreted per-pair fold);
+    anything larger, ragged or null-bearing keeps the join + HOF form
+    below, whose per-pair expression the Arrow tier reproduces
+    bit-for-bit (parity unit-pinned)."""
+    spark = pairs.sparkSession
+    gate = _driver_max_vectors(spark)
+    if gate:
+        # one sizing aggregate (count + dim uniformity + nulls) — the
+        # same job the count-only gate would pay
+        s = vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("vec").isNull(), 1)).alias("nulls"),
+            F.min(F.size("vec")).alias("dmin"),
+            F.max(F.size("vec")).alias("dmax"),
+        ).first()
+        if (
+            0 < int(s["n"]) <= gate
+            and not int(s["nulls"])
+            and s["dmin"] is not None
+            and int(s["dmin"]) == int(s["dmax"])
+        ):
+            return _cosine_pairs_arrow(
+                pairs, vectors, threshold, int(s["dmin"])
+            )
     a = vectors.select(
         F.col("id").alias("id_a"), F.col("vec").alias("__va"),
         _norm(F.col("vec")).alias("__na"),

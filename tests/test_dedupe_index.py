@@ -710,3 +710,82 @@ def test_semantic_auto_candidate_mode_switch_point(spark, tmp_path, monkeypatch)
         candidates="exact",
     )
     assert _sem_labels(spark, p_banded) == _sem_labels(spark, p_full)
+
+
+def test_cosine_pairs_arrow_tier_parity(spark):
+    """The r14 Arrow precision stage must be BIT-identical to the
+    join + HOF form it gates over: same rounded cosines, same filtered
+    pair set, on adversarial vectors (near-threshold values, zero
+    vectors -> NaN cosines, negative components), plus the fallback
+    conditions — unknown pair ids drop like the inner joins, a ragged
+    or null-bearing vector relation routes to the join form."""
+    import random
+
+    from neulix_datahub_spark.operators.semantic_index import (
+        _cosine_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(41)]
+    vecs.append((41, vecs[0][1][:]))        # exact duplicate -> cos 1.0
+    vectors = spark.createDataFrame(vecs, "id long, vec array<double>")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(42) for b in range(a + 1, 42)]
+        + [(0, 999)],                        # unknown id: joins drop it
+        "id_a long, id_b long",
+    )
+
+    def run(gate):
+        spark.conf.set("spark.neulix.semantic.driverMaxVectors", str(gate))
+        try:
+            return sorted(
+                map(tuple, _cosine_pairs(pairs, vectors, -2.0).collect())
+            )
+        finally:
+            spark.conf.unset("spark.neulix.semantic.driverMaxVectors")
+
+    arrow, join = run(10_000), run(0)
+    assert arrow == join and len(arrow) > 0
+    assert all(len(t) == 3 for t in arrow)
+
+    # a zero-norm vector raises the SAME ANSI divide-by-zero both ways
+    import pytest
+
+    zvecs = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.0, 0.0])], "id long, vec array<double>"
+    )
+    zpairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    for gate in ("10000", "0"):
+        spark.conf.set("spark.neulix.semantic.driverMaxVectors", gate)
+        try:
+            with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+                _cosine_pairs(zpairs, zvecs, -2.0).collect()
+        finally:
+            spark.conf.unset("spark.neulix.semantic.driverMaxVectors")
+
+    # threshold filtering identical too (NaN pairs behave the same)
+    def run_t(gate):
+        spark.conf.set("spark.neulix.semantic.driverMaxVectors", str(gate))
+        try:
+            return sorted(
+                map(tuple, _cosine_pairs(pairs, vectors, 0.30).collect())
+            )
+        finally:
+            spark.conf.unset("spark.neulix.semantic.driverMaxVectors")
+
+    assert run_t(10_000) == run_t(0)
+
+    # ragged dims and null vectors refuse the Arrow tier (fall back to
+    # the join form — results still equal by definition)
+    ragged = spark.createDataFrame(
+        vecs + [(42, [1.0] * (dim - 3)), (43, None)],
+        "id long, vec array<double>",
+    )
+    spark.conf.set("spark.neulix.semantic.driverMaxVectors", "10000")
+    try:
+        out = _cosine_pairs(pairs, ragged, -2.0)
+        assert "mapInArrow" not in out._jdf.queryExecution().analyzed().toString()
+        assert "MapInArrow" not in out._jdf.queryExecution().analyzed().toString()
+    finally:
+        spark.conf.unset("spark.neulix.semantic.driverMaxVectors")

@@ -11,9 +11,17 @@ different workload, not a scaled one):
 - documents: copy k appends a per-copy token to the text, so cross-copy
   shingle sets differ while the within-copy near-dup structure is
   preserved 10x.
-- embeddings: copy k adds 0.37*k to every dimension (the recall-drift
-  fixture's translation trick) — hyperplane sign patterns shift per
-  copy, so banding does not collide the copies.
+- embeddings: copy k multiplies every vector elementwise by a
+  copy-specific seeded ±1 sign pattern. Sign-flipping a dimension for
+  BOTH sides of a pair leaves cosine unchanged, so each copy's
+  internal near-dup structure is exactly sf0.1's; across copies the
+  sign products are random ±1, so cross-copy cosines concentrate near
+  0 and cross-copy pairs neither band-collide nor pass the precision
+  threshold — a clean ×10, not a ×100 pair explosion. (The first cut
+  of this tool translated every dim by +0.37k instead; that aligned
+  all vectors with the all-ones direction and left 162 M pairs above
+  cos 0.30 — a degenerate workload that exhausted host memory in the
+  verify join. Recorded in OPTIMIZATION_r14.md.)
 
 Only the tables the five shuffle-bound anchors read are scaled; the
 rest symlink to sf0.1. NOT part of the driver bench contract — a
@@ -74,12 +82,23 @@ def main() -> int:
     ).parquet(os.path.join(dest, "documents.parquet"))
 
     emb = load_table(spark, SRC, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    import random
+
     parts = []
     for k in range(COPIES):
+        rng = random.Random(1000 + k)
+        signs = (
+            [1.0] * dim
+            if k == 0
+            else [float(rng.choice((-1, 1))) for _ in range(dim)]
+        )
         c = emb.select(
             (F.col("vec_id") + F.lit(k * VEC_OFF)).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: x + F.lit(float(k) * 0.37)
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: x * s,
             ).alias("embedding"),
         )
         parts.append(c)
